@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Window-function surface (engine completeness; SURVEY §2.6/T9 notes the
+  * reference never uses windows — the inventory still must expose them).
+  * Every partition ordering carries a total tiebreak so running values are
+  * deterministic across engines. At scale a window = one shuffle on the
+  * partition key; Spark sorts within partitions only.
+  */
+object WindowQueries extends QueryGroup {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ===== row_number top-N per group.
+    QueryDef(
+      "w1_topn_per_customer",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .where(col("rn") <= 3)
+          .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""
+        SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) t
+        WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    // ===== running sum (rows frame) per supplier over ship time.
+    QueryDef(
+      "w2_running_sum",
+      (s, d) => {
+        // The synthetic lineitem has duplicate (l_orderkey, l_linenumber)
+        // pairs, so every ordering here includes enough columns to be
+        // total (l_shipdate + l_quantity tiebreaks, and running_qty in
+        // the final sort — strictly increasing within a partition).
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.lineitem(s, d)
+          .withColumn("running_qty", round(sum(col("l_quantity")).over(w), 2))
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+          .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+      },
+      Some("""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                 AS running_qty
+        FROM lineitem
+        ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""")),
+
+    // ===== lag/lead: gap in days between consecutive orders per customer.
+    QueryDef(
+      "w3_lag_lead",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+          .withColumn("gap_days",
+            datediff(col("o_orderdate"), col("prev_date")).cast("int"))
+          .where(col("prev_date").isNotNull)
+          .select(col("o_custkey"), col("o_orderkey"), col("gap_days"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, gap_days FROM (
+          SELECT o_custkey, o_orderkey,
+                 CAST(datediff('day',
+                   lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS INT) AS gap_days
+          FROM orders) t
+        WHERE gap_days IS NOT NULL
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ===== rank/dense_rank over aggregated revenue.
+    QueryDef(
+      "w4_rank_suppliers",
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .groupBy(col("l_suppkey"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        val w = Window.orderBy(col("revenue").desc, col("l_suppkey"))
+        rev
+          .withColumn("rnk", rank().over(w).cast("long"))
+          .withColumn("drnk", dense_rank().over(w).cast("long"))
+          .select(col("l_suppkey"), col("revenue"), col("rnk"), col("drnk"))
+          .orderBy(col("rnk"), col("l_suppkey"))
+      },
+      Some("""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+          FROM lineitem GROUP BY l_suppkey)
+        SELECT l_suppkey, revenue,
+               CAST(rank() OVER (ORDER BY revenue DESC, l_suppkey) AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER (ORDER BY revenue DESC, l_suppkey) AS BIGINT) AS drnk
+        FROM rev ORDER BY rnk, l_suppkey"""))
+  )
+}
