@@ -1,0 +1,88 @@
+package graft.lake
+
+import com.fasterxml.jackson.annotation.JsonInclude
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+
+/** Commit-log action model, shaped after the transaction log the reference
+  * inspects (Delta `_delta_log` JSON files, `01.parquet_primer.py:199-222`):
+  * one JSON object per line, each wrapping exactly one action.
+  *
+  * File paths are RELATIVE to the table root (hive partition dirs
+  * included), so a table directory can be moved wholesale.
+  */
+
+/** Per-file column statistics for data skipping (SURVEY.md §4: min/max
+  * collected at write, filter file list before scan). Values are
+  * canonical strings; numeric/timestamp columns are stored as their
+  * primitive long/double rendering (timestamps as micros since epoch,
+  * dates as days since epoch) so comparison never needs a parser.
+  */
+final case class FileStats(
+    numRecords: Long,
+    minValues: Map[String, String] = Map.empty,
+    maxValues: Map[String, String] = Map.empty,
+    nullCount: Map[String, Long] = Map.empty)
+
+final case class AddFile(
+    path: String,
+    partitionValues: Map[String, String] = Map.empty,
+    size: Long = 0L,
+    modificationTime: Long = 0L,
+    stats: Option[FileStats] = None)
+
+final case class RemoveFile(
+    path: String,
+    deletionTimestamp: Long,
+    partitionValues: Map[String, String] = Map.empty)
+
+/** Table-level metadata. `schemaDdl` is a Spark DDL string
+  * (`StructType.toDDL` / `DataType.fromDDL`) covering the FULL schema
+  * including partition columns; `partitionColumns` orders the hive
+  * layout.
+  */
+final case class MetaData(
+    id: String,
+    schemaDdl: String,
+    partitionColumns: Seq[String] = Seq.empty,
+    properties: Map[String, String] = Map.empty,
+    createdTime: Long = 0L)
+
+/** Streaming-sink idempotence marker (one per (appId) — highest batchId
+  * wins), mirroring Delta's txn action. */
+final case class SetTxn(appId: String, batchId: Long)
+
+final case class CommitInfo(
+    timestamp: Long,
+    operation: String,
+    parameters: Map[String, String] = Map.empty,
+    numAddedFiles: Long = 0L,
+    numRemovedFiles: Long = 0L,
+    numOutputRows: Long = 0L)
+
+/** Envelope: exactly one field set per log line. */
+final case class Action(
+    metaData: Option[MetaData] = None,
+    add: Option[AddFile] = None,
+    remove: Option[RemoveFile] = None,
+    txn: Option[SetTxn] = None,
+    commitInfo: Option[CommitInfo] = None)
+
+object Action {
+  private val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m.setSerializationInclusion(JsonInclude.Include.NON_ABSENT)
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+
+  def toJson(a: Action): String = mapper.writeValueAsString(a)
+  def fromJson(s: String): Action = mapper.readValue(s, classOf[Action])
+
+  def of(m: MetaData): Action     = Action(metaData = Some(m))
+  def of(a: AddFile): Action      = Action(add = Some(a))
+  def of(r: RemoveFile): Action   = Action(remove = Some(r))
+  def of(t: SetTxn): Action       = Action(txn = Some(t))
+  def of(ci: CommitInfo): Action  = Action(commitInfo = Some(ci))
+}

@@ -1,0 +1,615 @@
+package graft.lake
+
+import java.net.URLDecoder
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The engine's ACID table format: a directory of parquet files + the
+  * JSON commit log in `_lake_log/` (SURVEY.md §7.2-7.3). Provides the
+  * Delta/Iceberg semantics the reference exercises — atomic append/
+  * overwrite, snapshot-isolated reads, time travel, DESCRIBE HISTORY,
+  * schema enforcement + mergeSchema evolution, hive partitioning with
+  * pruning, per-file min/max data skipping, DELETE/UPDATE/MERGE as
+  * copy-on-write rewrites, VACUUM — on vanilla Spark.
+  *
+  * Scale design: data files are written DIRECTLY by executors (staged
+  * under the table dir, then renamed — a same-filesystem metadata op);
+  * only the single atomic log-link happens on the driver. Reads prune
+  * twice before Spark ever lists a file: partition values exactly, then
+  * file-level min/max. All rewrites (DML) touch only files that provably
+  * contain matches.
+  *
+  * Reference behaviors mirrored: commit-log JSON shape
+  * (`01.parquet_primer.py:199-222`), time travel (`02.delta_lake_primer
+  * .py:415-457`), schema enforcement/merge (`:354-362`), MERGE
+  * (`:312-320`), partition-spec-required convert (`01.parquet_primer
+  * .py:348-369`).
+  */
+final class LakeTable private (
+    val spark: SparkSession,
+    val path: String,
+    pinnedVersion: Option[Long]) {
+
+  val log = new LakeLog(path)
+
+  def snapshot: Snapshot = log.snapshot(pinnedVersion)
+
+  def version: Long = snapshot.version
+
+  // ---- reads -----------------------------------------------------------
+
+  /** Full-table DataFrame at this table's (possibly pinned) version. */
+  def toDF: DataFrame = read()
+
+  /** Read with data skipping: `filters` are evaluated against partition
+    * values and per-file min/max stats BEFORE Spark lists any file, then
+    * re-applied exactly on the surviving rows.
+    */
+  def read(filters: Column*): DataFrame = {
+    val snap = snapshot
+    val pcs = snap.metaData.partitionColumns
+    val resolved = filters.map(resolveFilter(_, snap.schema))
+    val kept = snap.files.filter { f =>
+      resolved.forall(e => Stats.mightMatch(f, e, snap.schema, pcs))
+    }
+    val base =
+      if (kept.isEmpty) {
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snap.schema)
+      } else {
+        var df = spark.read
+          .schema(snap.schema)
+          .option("basePath", path)
+          .parquet(kept.map(f => s"$path/${f.path}"): _*)
+        df = df.select(snap.schema.fieldNames.map(col): _*)
+        df
+      }
+    filters.foldLeft(base)(_ where _)
+  }
+
+  /** Time travel (`VERSION AS OF`). */
+  def asOf(v: Long): LakeTable = {
+    log.snapshot(Some(v)) // validates
+    new LakeTable(spark, path, Some(v))
+  }
+
+  /** Time travel (`TIMESTAMP AS OF`). */
+  def asOfTimestamp(tsMillis: Long): LakeTable =
+    asOf(log.versionAtTimestamp(tsMillis))
+
+  /** DESCRIBE HISTORY analog (newest first). */
+  def history: DataFrame = {
+    import spark.implicits._
+    snapshot.commits.sortBy(-_._1)
+      .map { case (v, ci) =>
+        (v, new java.sql.Timestamp(ci.timestamp), ci.operation,
+          ci.parameters.map { case (k, s) => s"$k=$s" }.mkString(";"),
+          ci.numAddedFiles, ci.numRemovedFiles, ci.numOutputRows)
+      }
+      .toDF("version", "timestamp", "operation", "parameters",
+        "numAddedFiles", "numRemovedFiles", "numOutputRows")
+  }
+
+  /** DESCRIBE DETAIL analog. */
+  def detail: DataFrame = {
+    import spark.implicits._
+    val s = snapshot
+    Seq((path, s.version, s.metaData.id, s.metaData.partitionColumns.mkString(","),
+      s.numFiles, s.sizeInBytes, new java.sql.Timestamp(s.metaData.createdTime)))
+      .toDF("location", "version", "id", "partitionColumns", "numFiles",
+        "sizeInBytes", "createdTime")
+  }
+
+  /** Iceberg-style metadata tables: "history"|"snapshots"|"files". */
+  def meta(name: String): DataFrame = {
+    import spark.implicits._
+    name match {
+      case "history" | "snapshots" => history
+      case "files" =>
+        snapshot.files
+          .map(f => (f.path, f.partitionValues.map { case (k, v) => s"$k=$v" }.mkString("/"),
+            f.size, f.stats.map(_.numRecords).getOrElse(-1L)))
+          .toDF("path", "partition", "size", "numRecords")
+      case other => throw new IllegalArgumentException(s"unknown metadata table: $other")
+    }
+  }
+
+  // ---- writes ----------------------------------------------------------
+
+  def append(df: DataFrame, mergeSchema: Boolean = false): Unit =
+    write(df, overwrite = false, mergeSchema = mergeSchema, txn = None)
+
+  def overwrite(df: DataFrame, mergeSchema: Boolean = false): Unit =
+    write(df, overwrite = true, mergeSchema = mergeSchema, txn = None)
+
+  /** Exactly-once streaming append: a (appId, batchId) already recorded
+    * at or above this batchId makes the call a no-op (K6/K7 idempotent
+    * foreachBatch sink).
+    */
+  def idempotentAppend(df: DataFrame, appId: String, batchId: Long): Boolean = {
+    val snap = snapshot
+    if (snap.txns.get(appId).exists(_ >= batchId)) false
+    else { write(df, overwrite = false, mergeSchema = true, txn = Some(SetTxn(appId, batchId))); true }
+  }
+
+  private def write(df: DataFrame, overwrite: Boolean, mergeSchema: Boolean,
+      txn: Option[SetTxn]): Unit = {
+    require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
+    val snap = snapshot
+    val pcs = snap.metaData.partitionColumns
+    val (aligned, newSchema) = LakeTable.align(df, snap.schema, pcs, mergeSchema)
+    val adds = LakeTable.stageFiles(spark, path, aligned, newSchema, pcs)
+    val rows = adds.flatMap(_.stats.map(_.numRecords)).sum
+    val now = System.currentTimeMillis()
+    val metaAction =
+      if (newSchema.toDDL != snap.metaData.schemaDdl)
+        Seq(Action.of(snap.metaData.copy(schemaDdl = newSchema.toDDL)))
+      else Seq.empty
+    val removes =
+      if (overwrite) snap.files.map(f => Action.of(RemoveFile(f.path, now, f.partitionValues)))
+      else Seq.empty
+    val ci = CommitInfo(now, if (overwrite) "OVERWRITE" else "APPEND",
+      Map("mergeSchema" -> mergeSchema.toString),
+      numAddedFiles = adds.size.toLong, numRemovedFiles = removes.size.toLong,
+      numOutputRows = rows)
+    val actions = metaAction ++ removes ++ adds.map(Action.of) ++
+      txn.map(Action.of).toSeq :+ Action.of(ci)
+    commitWithRetry(snap.version, actions, rebaseable = !overwrite && metaAction.isEmpty)
+  }
+
+  /** Optimistic commit. Blind appends rebase onto any concurrent commit;
+    * everything else (overwrite, DML rewrite, schema change) aborts on
+    * conflict — the caller saw a snapshot that is no longer current.
+    */
+  private def commitWithRetry(readVersion: Long, actions: Seq[Action],
+      rebaseable: Boolean, maxRetries: Int = 20): Long = {
+    var attempt = readVersion + 1
+    var tries = 0
+    while (true) {
+      try {
+        log.write(attempt, actions)
+        return attempt
+      } catch {
+        case e: CommitConflictException =>
+          tries += 1
+          if (!rebaseable || tries > maxRetries) throw e
+          attempt = log.latestVersion.map(_ + 1).getOrElse(0L)
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Analyze a user filter against the table schema, yielding a RESOLVED
+    * Catalyst expression (typed AttributeReferences + folded literals) the
+    * stats evaluator can interpret. Spark 4 Columns carry lazy ColumnNode
+    * trees, so skipping must go through analysis.
+    */
+  private def resolveFilter(
+      c: Column,
+      schema: StructType): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    empty.where(c).queryExecution.analyzed.collectFirst {
+      case f: Filter => f.condition
+    }.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal(true))
+  }
+
+  // ---- DML (copy-on-write rewrites, SURVEY §7.3) -----------------------
+
+  private def coalesceFalse(c: Column): Column = coalesce(c, lit(false))
+
+  private def absPath(f: AddFile): String =
+    Paths.get(path, f.path).toAbsolutePath.normalize.toString
+
+  /** Files whose stats say they MIGHT contain rows matching cond, then
+    * narrowed to files that actually do (one scan of the candidates).
+    */
+  private def filesWithMatches(snap: Snapshot, cond: Column): Seq[AddFile] = {
+    val pcs = snap.metaData.partitionColumns
+    val resolvedCond = resolveFilter(cond, snap.schema)
+    val candidates = snap.files.filter(f =>
+      Stats.mightMatch(f, resolvedCond, snap.schema, pcs))
+    if (candidates.isEmpty) return Seq.empty
+    val hit = readFiles(snap, candidates)
+      .withColumn("__file", input_file_name())
+      .where(cond)
+      .select("__file").distinct().collect()
+      .map(r => Stats.normalizeFileUri(r.getString(0))).toSet
+    candidates.filter(f => hit.contains(absPath(f)))
+  }
+
+  private def readFiles(snap: Snapshot, files: Seq[AddFile]): DataFrame = {
+    var df = spark.read
+      .schema(snap.schema)
+      .option("basePath", path)
+      .parquet(files.map(f => s"$path/${f.path}"): _*)
+    df.select(snap.schema.fieldNames.map(col): _*)
+  }
+
+  /** Rewrite `touched` files as `replacement` rows in one commit.
+    * @return number of rows written
+    */
+  private def rewrite(snap: Snapshot, touched: Seq[AddFile], replacement: DataFrame,
+      op: String, params: Map[String, String]): Long = {
+    val pcs = snap.metaData.partitionColumns
+    val adds = LakeTable.stageFiles(spark, path, replacement, snap.schema, pcs)
+    val now = System.currentTimeMillis()
+    val rows = adds.flatMap(_.stats.map(_.numRecords)).sum
+    val actions =
+      touched.map(f => Action.of(RemoveFile(f.path, now, f.partitionValues))) ++
+        adds.map(Action.of) :+
+        Action.of(CommitInfo(now, op, params,
+          numAddedFiles = adds.size.toLong, numRemovedFiles = touched.size.toLong,
+          numOutputRows = rows))
+    commitWithRetry(snap.version, actions, rebaseable = false)
+    rows
+  }
+
+  /** DELETE FROM WHERE (L2): rewrite only files containing matches,
+    * dropping rows where cond is TRUE (NULL keeps the row, SQL
+    * semantics). Returns the number of rows deleted.
+    */
+  def delete(cond: Column): Long = {
+    require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
+    val snap = snapshot
+    val touched = filesWithMatches(snap, cond)
+    if (touched.isEmpty) return 0L
+    val before = touched.flatMap(_.stats.map(_.numRecords)).sum
+    val keep = readFiles(snap, touched).where(!coalesceFalse(cond))
+    val written = rewrite(snap, touched, keep, "DELETE", Map("predicate" -> cond.toString))
+    before - written
+  }
+
+  /** UPDATE SET WHERE (L3). */
+  def update(cond: Column, set: Map[String, Column]): Unit = {
+    require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
+    val snap = snapshot
+    val bad = set.keys.filterNot(snap.schema.fieldNames.contains)
+    require(bad.isEmpty, s"UPDATE SET on unknown column(s): ${bad.mkString(",")}")
+    val touched = filesWithMatches(snap, cond)
+    if (touched.isEmpty) return
+    val src = readFiles(snap, touched)
+    val updated = src.select(snap.schema.fields.map { f =>
+      set.get(f.name) match {
+        case Some(v) =>
+          when(coalesceFalse(cond), v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }.toSeq: _*)
+    rewrite(snap, touched, updated, "UPDATE",
+      Map("predicate" -> cond.toString, "set" -> set.keys.mkString(",")))
+  }
+
+  /** MERGE INTO (L4/J1): copy-on-write upsert, the
+    * `MERGE INTO t USING s ON ... WHEN MATCHED ... WHEN NOT MATCHED ...`
+    * of `02.delta_lake_primer.py:312-320`.
+    *
+    * The target is aliased `t` and the source `s`: write the condition
+    * and assignment expressions with those qualifiers, e.g.
+    * `expr("t.addr_state = s.addr_state")`.
+    *
+    * @param whenMatchedUpdate Some(assignments) → matched target rows get
+    *                          assignments (empty map = `UPDATE SET *` by
+    *                          column name); None (with delete=false) →
+    *                          matched rows kept as-is
+    * @param whenMatchedDelete matched target rows are deleted
+    * @param whenNotMatchedInsert Some(assignments) → unmatched source rows
+    *                          inserted (empty map = `INSERT *` by name)
+    */
+  def merge(
+      source: DataFrame,
+      condition: Column,
+      whenMatchedUpdate: Option[Map[String, Column]] = Some(Map.empty),
+      whenMatchedDelete: Boolean = false,
+      whenNotMatchedInsert: Option[Map[String, Column]] = Some(Map.empty)): Unit = {
+    require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
+    require(!(whenMatchedUpdate.isDefined && whenMatchedDelete),
+      "merge: choose update OR delete for matched rows")
+    val snap = snapshot
+    val tgtSchema = snap.schema
+    val srcCols = source.columns.toSet
+
+    // 1. which target files contain at least one match? (stats could
+    // pre-prune here too; the join below only reads the file-name column
+    // plus condition columns, so the scan is already narrow)
+    val withFile = toDF.withColumn("__file", input_file_name()).alias("t")
+    val matchedFiles = withFile.join(source.alias("s"), condition, "inner")
+      .select(col("t.__file")).distinct().collect()
+      .map(r => Stats.normalizeFileUri(r.getString(0))).toSet
+    val touched = snap.files.filter(f => matchedFiles.contains(absPath(f)))
+
+    // 2. full-outer join of touched target rows vs source; __tid tags
+    // each target row so multi-match ambiguity is detected exactly.
+    val tRows = (if (touched.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tgtSchema)
+    else readFiles(snap, touched))
+      .withColumn("__tgt", lit(true))
+      .withColumn("__tid", monotonically_increasing_id())
+      .localCheckpoint(false) // pin __tid assignment before the self-referencing join
+    val sRows = source.withColumn("__src", lit(true))
+    val joined = tRows.alias("t").join(sRows.alias("s"), condition, "full_outer").cache()
+    try {
+      val dupes = joined.where(col("t.__tgt").isNotNull && col("s.__src").isNotNull)
+        .groupBy(col("t.__tid")).count().where(col("count") > 1).limit(1).count()
+      require(dupes == 0L,
+        "merge: a target row matches multiple source rows; make the condition more specific")
+
+      def assemble(assigns: Map[String, Column], fromSource: Boolean): Seq[Column] =
+        tgtSchema.fields.map { f =>
+          val c = assigns.get(f.name) match {
+            case Some(v) => v
+            case None =>
+              if (fromSource) {
+                if (srcCols.contains(f.name)) col(s"s.${f.name}") else lit(null)
+              } else col(s"t.${f.name}")
+          }
+          c.cast(f.dataType).as(f.name)
+        }.toSeq
+
+      val matchedRows = joined.where(col("t.__tgt").isNotNull && col("s.__src").isNotNull)
+      val matchedOut: Option[DataFrame] =
+        if (whenMatchedDelete) None
+        else whenMatchedUpdate match {
+          case Some(assigns) =>
+            val effective =
+              if (assigns.isEmpty)
+                srcCols.intersect(tgtSchema.fieldNames.toSet)
+                  .map(c => c -> col(s"s.$c")).toMap
+              else assigns
+            Some(matchedRows.select(assemble(effective, fromSource = false): _*))
+          case None => // no matched clause → keep rows unchanged
+            Some(matchedRows.select(assemble(Map.empty, fromSource = false): _*))
+        }
+      val targetOnly = joined.where(col("t.__tgt").isNotNull && col("s.__src").isNull)
+        .select(assemble(Map.empty, fromSource = false): _*)
+      val inserted: Option[DataFrame] = whenNotMatchedInsert.map { assigns =>
+        joined.where(col("t.__tgt").isNull && col("s.__src").isNotNull)
+          .select(assemble(assigns, fromSource = true): _*)
+      }
+
+      val pieces = Seq(matchedOut, Some(targetOnly), inserted).flatten
+      val result = pieces.reduce(_ unionByName _)
+      rewrite(snap, touched, result, "MERGE", Map("condition" -> condition.toString))
+    } finally joined.unpersist()
+  }
+
+  // ---- maintenance -----------------------------------------------------
+
+  /** VACUUM (L7), Delta semantics (`02.delta_lake_primer.py:442`): delete
+    * data files that are NOT in the current snapshot and whose log
+    * removal (or, for orphans of crashed writes, file mtime) is older
+    * than `retentionMs`. Time travel to versions older than the retention
+    * window stops working after a vacuum — same documented tradeoff as
+    * the reference. Returns deleted relative paths.
+    */
+  def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+    val snap = snapshot
+    val now = System.currentTimeMillis()
+    val live = snap.files.map(_.path).toSet
+    // removal timestamps from the whole log: a file removed multiple times
+    // (re-add then re-remove) keeps its LATEST removal time
+    val removedAt = scala.collection.mutable.HashMap[String, Long]()
+    for (v <- log.listVersions;
+         a <- log.readCommit(v);
+         r <- a.remove) {
+      removedAt(r.path) = math.max(r.deletionTimestamp, removedAt.getOrElse(r.path, 0L))
+    }
+    val root = Paths.get(path)
+    val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    def walk(dir: Path): Unit = {
+      if (!Files.isDirectory(dir)) return
+      Files.list(dir).iterator().asScala.foreach { p =>
+        val name = p.getFileName.toString
+        if (Files.isDirectory(p)) {
+          if (name != LakeLog.LOG_DIR && !name.startsWith(LakeTable.STAGING_PREFIX)) walk(p)
+        } else if (name.endsWith(".parquet")) {
+          val rel = root.relativize(p).toString
+          if (!live.contains(rel)) {
+            val cutoffRef = removedAt.getOrElse(rel, Files.getLastModifiedTime(p).toMillis)
+            if (now - cutoffRef >= retentionMs) {
+              Files.deleteIfExists(p)
+              deleted += rel
+            }
+          }
+        }
+      }
+    }
+    walk(root)
+    deleted.toSeq
+  }
+}
+
+object LakeTable {
+
+  private[lake] val STAGING_PREFIX = "_staging-"
+
+  def isLakeTable(path: String): Boolean = new LakeLog(path).exists
+
+  def forPath(spark: SparkSession, path: String): LakeTable = {
+    require(isLakeTable(path), s"not a lake table: $path")
+    new LakeTable(spark, path, None)
+  }
+
+  /** CREATE TABLE AS SELECT (K4-ish). mode: "error" | "overwrite". */
+  def create(
+      spark: SparkSession,
+      path: String,
+      df: DataFrame,
+      partitionBy: Seq[String] = Seq.empty,
+      properties: Map[String, String] = Map.empty,
+      mode: String = "error"): LakeTable = {
+    val existed = isLakeTable(path)
+    if (existed && mode == "error")
+      throw new IllegalStateException(s"lake table already exists: $path")
+    if (existed) {
+      val t = forPath(spark, path)
+      t.overwrite(df)
+      return t
+    }
+    val schema = df.schema
+    val bad = partitionBy.filterNot(schema.fieldNames.contains)
+    require(bad.isEmpty, s"partition column(s) not in schema: ${bad.mkString(",")}")
+    Files.createDirectories(Paths.get(path))
+    val now = System.currentTimeMillis()
+    val meta = MetaData(UUID.randomUUID().toString, schema.toDDL, partitionBy,
+      properties, now)
+    val adds = stageFiles(spark, path, df, schema, partitionBy)
+    val rows = adds.flatMap(_.stats.map(_.numRecords)).sum
+    val actions = Action.of(meta) +: adds.map(Action.of) :+
+      Action.of(CommitInfo(now, "CREATE", Map("partitionBy" -> partitionBy.mkString(",")),
+        numAddedFiles = adds.size.toLong, numOutputRows = rows))
+    new LakeLog(path).write(0L, actions)
+    forPath(spark, path)
+  }
+
+  /** CONVERT TO DELTA analog (L1): adopt an existing parquet directory
+    * in place — synthesize commit 0 listing its files. A hive-partitioned
+    * layout REQUIRES `partitionSpec` (DDL like "module10 int"), mirroring
+    * the reference's convertToDelta error (`01.parquet_primer.py:348-369`).
+    */
+  def convert(
+      spark: SparkSession,
+      path: String,
+      partitionSpec: Option[String] = None): LakeTable = {
+    require(!isLakeTable(path), s"already a lake table: $path")
+    val root = Paths.get(path)
+    require(Files.isDirectory(root), s"no such directory: $path")
+
+    val dataFiles = scala.collection.mutable.ArrayBuffer[Path]()
+    def walk(dir: Path): Unit =
+      Files.list(dir).iterator().asScala.foreach { p =>
+        if (Files.isDirectory(p)) walk(p)
+        else if (p.getFileName.toString.endsWith(".parquet")) dataFiles += p
+      }
+    walk(root)
+    require(dataFiles.nonEmpty, s"no parquet files under $path")
+
+    val partitioned = dataFiles.exists(p => root.relativize(p).toString.contains("="))
+    require(!partitioned || partitionSpec.isDefined,
+      s"$path has hive partition directories; convert requires a partition " +
+        "spec (e.g. \"module10 int\") — matching the reference's " +
+        "convertToDelta behavior")
+    val partSchema = partitionSpec
+      .map(s => DataType.fromDDL(s).asInstanceOf[StructType])
+      .getOrElse(new StructType())
+
+    val reader = spark.read.option("basePath", path)
+    val sample = reader.parquet(dataFiles.map(_.toString).toSeq: _*)
+    val fullSchema = StructType(
+      sample.schema.filterNot(f => partSchema.fieldNames.contains(f.name)) ++ partSchema)
+
+    val adds = dataFiles.map { p =>
+      val rel = root.relativize(p).toString
+      AddFile(rel, parsePartitionValues(rel), Files.size(p),
+        Files.getLastModifiedTime(p).toMillis, None)
+    }
+    val statsMap = Stats.collect(spark,
+      StructType(fullSchema.filterNot(f => partSchema.fieldNames.contains(f.name))),
+      dataFiles.map(_.toString).toSeq)
+    val withStats = adds.map(a =>
+      a.copy(stats = statsMap.get(Paths.get(path, a.path).toAbsolutePath.normalize.toString)))
+
+    val now = System.currentTimeMillis()
+    val meta = MetaData(UUID.randomUUID().toString, fullSchema.toDDL,
+      partSchema.fieldNames.toSeq, Map("converted" -> "true"), now)
+    val actions = Action.of(meta) +: withStats.map(Action.of).toSeq :+
+      Action.of(CommitInfo(now, "CONVERT", Map.empty,
+        numAddedFiles = adds.size.toLong))
+    new LakeLog(path).write(0L, actions)
+    forPath(spark, path)
+  }
+
+  // ---- helpers ---------------------------------------------------------
+
+  private[lake] def parsePartitionValues(relPath: String): Map[String, String] = {
+    val segs = relPath.split('/').dropRight(1)
+    segs.flatMap { s =>
+      val i = s.indexOf('=')
+      if (i <= 0) None
+      else {
+        val k = s.substring(0, i)
+        val v = URLDecoder.decode(s.substring(i + 1), "UTF-8")
+        Some(k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null else v))
+      }
+    }.toMap
+  }
+
+  /** Schema enforcement / evolution (§1.2): align `df` to the table
+    * schema. Missing table columns → null; extra df columns → error
+    * unless mergeSchema (then the schema evolves, new cols appended);
+    * type mismatches cast when Spark allows, else error.
+    */
+  private[lake] def align(
+      df: DataFrame,
+      tableSchema: StructType,
+      partitionCols: Seq[String],
+      mergeSchema: Boolean): (DataFrame, StructType) = {
+    val tNames = tableSchema.fieldNames.toSet
+    val extra = df.schema.fields.filterNot(f => tNames.contains(f.name))
+    if (extra.nonEmpty && !mergeSchema)
+      throw new IllegalArgumentException(
+        s"schema mismatch: new column(s) ${extra.map(_.name).mkString(",")} " +
+          "not in table schema (use mergeSchema=true to evolve)")
+    val newSchema = StructType(tableSchema.fields ++ extra)
+    val dfNames = df.schema.fieldNames.toSet
+    val aligned = df.select(newSchema.fields.map { f =>
+      if (dfNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    (aligned, newSchema)
+  }
+
+  /** Stage `df` as parquet files under the table dir, then move them into
+    * their final (partitioned) locations. Executors write the data; the
+    * moves are same-filesystem renames. Returns AddFiles with stats.
+    */
+  private[lake] def stageFiles(
+      spark: SparkSession,
+      tablePath: String,
+      df: DataFrame,
+      schema: StructType,
+      partitionCols: Seq[String]): Seq[AddFile] = {
+    val stagingName = STAGING_PREFIX + UUID.randomUUID().toString
+    val staging = Paths.get(tablePath, stagingName)
+    val writer = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(staging.toString)
+
+    val root = Paths.get(tablePath)
+    val moved = scala.collection.mutable.ArrayBuffer[(String, Path)]()
+    def walk(dir: Path): Unit =
+      Files.list(dir).iterator().asScala.foreach { p =>
+        if (Files.isDirectory(p)) walk(p)
+        else if (p.getFileName.toString.endsWith(".parquet")) {
+          val rel = staging.relativize(p).toString
+          val dest = root.resolve(rel)
+          Files.createDirectories(dest.getParent)
+          Files.move(p, dest)
+          moved += rel -> dest
+        }
+      }
+    walk(staging)
+    // clear staging remnants (_SUCCESS etc.)
+    def rmdir(dir: Path): Unit = {
+      Files.list(dir).iterator().asScala.foreach { p =>
+        if (Files.isDirectory(p)) rmdir(p) else Files.deleteIfExists(p)
+      }
+      Files.deleteIfExists(dir)
+    }
+    rmdir(staging)
+
+    if (moved.isEmpty) return Seq.empty
+    val dataSchema = StructType(schema.filterNot(f => partitionCols.contains(f.name)))
+    val statsMap = Stats.collect(spark, dataSchema, moved.map(_._2.toString).toSeq)
+    moved.map { case (rel, abs) =>
+      AddFile(rel, parsePartitionValues(rel), Files.size(abs),
+        Files.getLastModifiedTime(abs).toMillis,
+        statsMap.get(abs.toAbsolutePath.normalize.toString))
+    }.toSeq
+  }
+}

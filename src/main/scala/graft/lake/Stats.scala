@@ -1,0 +1,238 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-file min/max/nullCount statistics: collected with ONE distributed
+  * aggregation over the freshly written files (grouped by
+  * input_file_name), evaluated driver-side at file-listing time to skip
+  * files a predicate cannot match (SURVEY.md §4 "data skipping").
+  *
+  * Canonical encodings (see [[FileStats]]): integral → long string,
+  * fractional → double string, string → raw, timestamp → micros-long,
+  * date → days-long. Booleans/binary/nested carry no stats.
+  */
+object Stats {
+
+  /** Column types that carry stats. */
+  private def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | StringType | TimestampType | DateType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  private def isNumericLike(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | DateType | TimestampType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** Expression rendering a column as its canonical stats string. */
+  private def canon(name: String, dt: DataType, agg: String): org.apache.spark.sql.Column = {
+    val base = if (agg == "min") min(col(name)) else max(col(name))
+    dt match {
+      case TimestampType => unix_micros(base).cast("string")
+      case DateType => base.cast("int").cast("string")
+      case _ => base.cast("string")
+    }
+  }
+
+  /** One job over `paths` → per-file FileStats keyed by absolute file path. */
+  def collect(
+      spark: SparkSession,
+      dataSchema: StructType,
+      paths: Seq[String]): Map[String, FileStats] = {
+    if (paths.isEmpty) return Map.empty
+    val statCols = dataSchema.fields.filter(f => supported(f.dataType))
+    val aggs =
+      Seq(count(lit(1)).as("__nr")) ++
+        statCols.flatMap { f =>
+          Seq(
+            canon(f.name, f.dataType, "min").as(s"__min__${f.name}"),
+            canon(f.name, f.dataType, "max").as(s"__max__${f.name}"),
+            sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nc__${f.name}"))
+        }
+    val rows = spark.read.schema(dataSchema).parquet(paths: _*)
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.map { r =>
+      val file = r.getString(0)
+      val mins = scala.collection.mutable.Map[String, String]()
+      val maxs = scala.collection.mutable.Map[String, String]()
+      val ncs = scala.collection.mutable.Map[String, Long]()
+      statCols.foreach { f =>
+        val mi = r.getAs[String](s"__min__${f.name}")
+        val ma = r.getAs[String](s"__max__${f.name}")
+        if (mi != null) mins(f.name) = mi
+        if (ma != null) maxs(f.name) = ma
+        ncs(f.name) = r.getAs[Long](s"__nc__${f.name}")
+      }
+      normalizeFileUri(file) -> FileStats(r.getAs[Long]("__nr"), mins.toMap, maxs.toMap, ncs.toMap)
+    }.toMap
+  }
+
+  def normalizeFileUri(s: String): String =
+    if (s.startsWith("file:")) new java.net.URI(s).getPath else s
+
+  // ---- skipping --------------------------------------------------------
+
+  /** True iff `file` might contain rows satisfying `pred` (conservative:
+    * unknown ⇒ true). Partition columns are evaluated exactly against
+    * partitionValues; data columns against min/max/nullCount.
+    */
+  def mightMatch(
+      file: AddFile,
+      pred: Expression,
+      schema: StructType,
+      partitionCols: Seq[String]): Boolean = eval(file, pred, schema, partitionCols).getOrElse(true)
+
+  /** Three-valued: Some(false) = provably no row matches. */
+  private def eval(
+      f: AddFile,
+      e: Expression,
+      schema: StructType,
+      pcs: Seq[String]): Option[Boolean] = {
+
+    def colName(x: Expression): Option[String] = x match {
+      case a: AttributeReference => Some(a.name)
+      case u: UnresolvedAttributeLike => Some(u.nameParts.mkString("."))
+      // numeric widening casts preserve order under the BigDecimal compare
+      case Cast(child, to, _, _) if isNumericLike(to) &&
+          child.dataType != null && isNumericLike(child.dataType) &&
+          child.dataType != TimestampType && child.dataType != DateType &&
+          to != TimestampType && to != DateType =>
+        colName(child)
+      case _ => None
+    }
+    def litVal(x: Expression): Option[Any] = x match {
+      case Literal(v, _) => Option(v)
+      case e if e.foldable =>
+        try Option(e.eval(null)) catch { case _: Throwable => None }
+      case _ => None
+    }
+
+    /** canonical double for comparison of a literal against stats strings */
+    def toCmp(dt: DataType, statsStr: String): Option[BigDecimal] =
+      if (isNumericLike(dt))
+        try Some(BigDecimal(statsStr)) catch { case _: NumberFormatException => None }
+      else None
+    def litCmp(dt: DataType, v: Any): Option[BigDecimal] = (dt, v) match {
+      case (_, n: Number) => Some(BigDecimal(n.toString))
+      case _ => None
+    }
+    /** strings compare lexicographically */
+    def strState(name: String): (Option[String], Option[String]) =
+      (f.stats.flatMap(_.minValues.get(name)), f.stats.flatMap(_.maxValues.get(name)))
+
+    def cmpRange(name: String, dt: DataType, v: Any)
+        : Option[(Int /*min cmp lit*/, Int /*max cmp lit*/)] = {
+      if (pcs.contains(name)) {
+        // exact: partition value is a single point
+        val pv = f.partitionValues.get(name)
+        pv match {
+          case Some(s) =>
+            (dt, v) match {
+              case (StringType, lv: org.apache.spark.unsafe.types.UTF8String) =>
+                val c = s.compareTo(lv.toString); Some((c, c))
+              case (_, n: Number) =>
+                try { val c = BigDecimal(s).compare(BigDecimal(n.toString)); Some((c, c)) }
+                catch { case _: NumberFormatException => None }
+              case _ => None
+            }
+          case None => None
+        }
+      } else dt match {
+        case StringType =>
+          val (mi, ma) = strState(name)
+          val lv = v match {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+            case s: String => s
+            case _ => return None
+          }
+          for (a <- mi; b <- ma) yield (a.compareTo(lv), b.compareTo(lv))
+        case _ =>
+          val (mi, ma) = strState(name)
+          for {
+            a <- mi; b <- ma
+            ac <- toCmp(dt, a); bc <- toCmp(dt, b)
+            lc <- litCmp(dt, v)
+          } yield (ac.compare(lc), bc.compare(lc))
+      }
+    }
+
+    def dtOf(name: String): Option[DataType] =
+      schema.fields.find(_.name == name).map(_.dataType)
+
+    e match {
+      case And(l, r) =>
+        (eval(f, l, schema, pcs), eval(f, r, schema, pcs)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true)) => Some(true)
+          case _ => None
+        }
+      case Or(l, r) =>
+        (eval(f, l, schema, pcs), eval(f, r, schema, pcs)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false)) => Some(false)
+          case _ => None
+        }
+      case Not(inner) => eval(f, inner, schema, pcs).map(!_)
+
+      case EqualTo(l, r) =>
+        (for (n <- colName(l); v <- litVal(r); dt <- dtOf(n); (cmi, cma) <- cmpRange(n, dt, v))
+          yield !(cmi > 0 || cma < 0))
+          .orElse(for (n <- colName(r); v <- litVal(l); dt <- dtOf(n); (cmi, cma) <- cmpRange(n, dt, v))
+            yield !(cmi > 0 || cma < 0))
+      case GreaterThan(l, r) =>
+        (for (n <- colName(l); v <- litVal(r); dt <- dtOf(n); (_, cma) <- cmpRange(n, dt, v))
+          yield cma > 0)
+          .orElse(for (n <- colName(r); v <- litVal(l); dt <- dtOf(n); (cmi, _) <- cmpRange(n, dt, v))
+            yield cmi < 0)
+      case GreaterThanOrEqual(l, r) =>
+        (for (n <- colName(l); v <- litVal(r); dt <- dtOf(n); (_, cma) <- cmpRange(n, dt, v))
+          yield cma >= 0)
+          .orElse(for (n <- colName(r); v <- litVal(l); dt <- dtOf(n); (cmi, _) <- cmpRange(n, dt, v))
+            yield cmi <= 0)
+      case LessThan(l, r) =>
+        (for (n <- colName(l); v <- litVal(r); dt <- dtOf(n); (cmi, _) <- cmpRange(n, dt, v))
+          yield cmi < 0)
+          .orElse(for (n <- colName(r); v <- litVal(l); dt <- dtOf(n); (_, cma) <- cmpRange(n, dt, v))
+            yield cma > 0)
+      case LessThanOrEqual(l, r) =>
+        (for (n <- colName(l); v <- litVal(r); dt <- dtOf(n); (cmi, _) <- cmpRange(n, dt, v))
+          yield cmi <= 0)
+          .orElse(for (n <- colName(r); v <- litVal(l); dt <- dtOf(n); (_, cma) <- cmpRange(n, dt, v))
+            yield cma >= 0)
+      case In(c, list) if list.forall(_.isInstanceOf[Literal]) =>
+        colName(c).flatMap { n =>
+          dtOf(n).flatMap { dt =>
+            val verdicts = list.flatMap(l => litVal(l)).map { v =>
+              cmpRange(n, dt, v).map { case (cmi, cma) => !(cmi > 0 || cma < 0) }
+            }
+            if (verdicts.exists(_.isEmpty)) None
+            else Some(verdicts.flatten.exists(identity))
+          }
+        }
+      case IsNull(c) =>
+        colName(c).flatMap { n =>
+          if (pcs.contains(n)) Some(f.partitionValues.get(n).contains(null))
+          else f.stats.flatMap(_.nullCount.get(n)).map(_ > 0)
+        }
+      case IsNotNull(c) =>
+        colName(c).flatMap { n =>
+          if (pcs.contains(n)) Some(!f.partitionValues.get(n).contains(null))
+          else f.stats.map(s => s.nullCount.getOrElse(n, 0L) < s.numRecords)
+        }
+      case _ => None // unsupported shape → can't skip
+    }
+  }
+
+  // compat shim: unresolved attribute in a freshly built Column
+  private type UnresolvedAttributeLike =
+    org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+}

@@ -1,0 +1,229 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class LakeTableSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("lake-test-").toString
+
+  private def sampleDF = Seq(
+    (1L, "AZ", 10.0), (2L, "CA", 20.0), (3L, "CA", 30.0),
+    (4L, "NY", 40.0), (5L, "TX", 50.0))
+    .toDF("id", "state", "amount")
+
+  test("create + read round-trip") {
+    val path = tmpDir()
+    val t = LakeTable.create(spark, path, sampleDF)
+    assert(t.version === 0)
+    assert(t.toDF.count() === 5)
+    assert(t.toDF.schema.fieldNames.toSeq === Seq("id", "state", "amount"))
+  }
+
+  test("append is transactional and visible") {
+    val path = tmpDir()
+    val t = LakeTable.create(spark, path, sampleDF)
+    t.append(Seq((6L, "WA", 60.0)).toDF("id", "state", "amount"))
+    assert(t.version === 1)
+    assert(t.toDF.count() === 6)
+  }
+
+  test("schema enforcement rejects new columns; mergeSchema evolves") {
+    val path = tmpDir()
+    val t = LakeTable.create(spark, path, sampleDF)
+    val extra = Seq((7L, "OR", 70.0, "x")).toDF("id", "state", "amount", "tag")
+    intercept[IllegalArgumentException] { t.append(extra) }
+    t.append(extra, mergeSchema = true)
+    val df = t.toDF
+    assert(df.schema.fieldNames.contains("tag"))
+    // old rows read null for the evolved column
+    assert(df.where($"id" === 1 && $"tag".isNull).count() === 1)
+    assert(df.where($"tag" === "x").count() === 1)
+  }
+
+  test("missing columns fill with null on append") {
+    val path = tmpDir()
+    val t = LakeTable.create(spark, path, sampleDF)
+    t.append(Seq((8L, "NV")).toDF("id", "state"))
+    assert(t.toDF.where($"id" === 8 && $"amount".isNull).count() === 1)
+  }
+
+  test("partitioned table: layout, pruning, partition values") {
+    val path = tmpDir()
+    val t = LakeTable.create(spark, path, sampleDF, partitionBy = Seq("state"))
+    assert(new java.io.File(path, "state=CA").isDirectory)
+    val ca = t.read($"state" === "CA")
+    assert(ca.count() === 2)
+    // pruning: only CA files are read
+    assert(ca.inputFiles.forall(_.contains("state=CA")))
+    // partition column reconstituted with the right type + order
+    assert(t.toDF.schema.fieldNames.toSeq === Seq("id", "state", "amount"))
+  }
+
+  test("data skipping prunes files by min/max stats") {
+    val path = tmpDir()
+    // 4 files with disjoint id ranges
+    val df = spark.range(0, 400).select(
+      $"id", ($"id" % 4).cast("int").as("bucket"), rand(42).as("v"))
+      .repartitionByRange(4, $"id")
+    val t = LakeTable.create(spark, path, df)
+    val all = t.toDF.inputFiles.length
+    val some = t.read($"id" < 50).inputFiles.length
+    assert(all === 4)
+    assert(some === 1)
+    assert(t.read($"id" < 50).count() === 50)
+    // skipping must never drop matching rows
+    assert(t.read($"id" >= 350).count() === 50)
+  }
+
+  test("overwrite replaces content; time travel reads the past") {
+    val path = tmpDir()
+    val t = LakeTable.create(spark, path, sampleDF)
+    t.overwrite(Seq((99L, "ZZ", 0.0)).toDF("id", "state", "amount"))
+    assert(t.toDF.count() === 1)
+    assert(t.asOf(0).toDF.count() === 5)
+    val hist = t.history.collect()
+    assert(hist.map(_.getString(2)).toSeq === Seq("OVERWRITE", "CREATE"))
+  }
+
+  test("delete removes only matching rows, rewrites only touched files") {
+    val path = tmpDir()
+    val df = spark.range(0, 100).select($"id", ($"id" % 10).cast("double").as("v"))
+      .repartitionByRange(4, $"id")
+    val t = LakeTable.create(spark, path, df)
+    val deleted = t.delete($"id" >= 90)
+    assert(deleted === 10)
+    assert(t.toDF.count() === 90)
+    assert(t.toDF.where($"id" >= 90).count() === 0)
+    // only the file containing id>=90 was rewritten
+    val last = t.history.collect().head
+    assert(last.getString(2) === "DELETE")
+    assert(last.getLong(5) === 1) // numRemovedFiles
+  }
+
+  test("update rewrites matching rows") {
+    val path = tmpDir()
+    val t = LakeTable.create(spark, path, sampleDF)
+    t.update($"state" === "CA", Map("amount" -> ($"amount" * 1.10)))
+    val ca = t.toDF.where($"state" === "CA").select("amount").as[Double].collect().sorted
+    assert(ca === Array(22.0, 33.0))
+    // non-matching untouched
+    assert(t.toDF.where($"state" === "AZ").select("amount").as[Double].head() === 10.0)
+  }
+
+  test("merge upsert: update matched, insert unmatched") {
+    val path = tmpDir()
+    val t = LakeTable.create(spark, path, sampleDF)
+    val source = Seq((2L, "CA", 999.0), (10L, "FL", 100.0)).toDF("id", "state", "amount")
+    t.merge(source, expr("t.id = s.id"))
+    val out = t.toDF.orderBy("id").collect()
+    assert(out.length === 6)
+    assert(t.toDF.where($"id" === 2).select("amount").as[Double].head() === 999.0)
+    assert(t.toDF.where($"id" === 10).select("state").as[String].head() === "FL")
+    // untouched rows intact
+    assert(t.toDF.where($"id" === 1).select("amount").as[Double].head() === 10.0)
+  }
+
+  test("merge with delete clause") {
+    val path = tmpDir()
+    val t = LakeTable.create(spark, path, sampleDF)
+    val source = Seq((1L, ""), (2L, "")).toDF("id", "x")
+    t.merge(source, expr("t.id = s.id"),
+      whenMatchedUpdate = None, whenMatchedDelete = true,
+      whenNotMatchedInsert = None)
+    assert(t.toDF.count() === 3)
+    assert(t.toDF.where($"id" <= 2).count() === 0)
+  }
+
+  test("merge rejects ambiguous multi-match") {
+    val path = tmpDir()
+    val t = LakeTable.create(spark, path, sampleDF)
+    val dup = Seq((2L, "CA", 1.0), (2L, "CA", 2.0)).toDF("id", "state", "amount")
+    intercept[IllegalArgumentException] {
+      t.merge(dup, expr("t.id = s.id"))
+    }
+  }
+
+  test("idempotent append skips replayed batch") {
+    val path = tmpDir()
+    val t = LakeTable.create(spark, path, sampleDF)
+    val batch = Seq((6L, "WA", 60.0)).toDF("id", "state", "amount")
+    assert(t.idempotentAppend(batch, "app1", 0L) === true)
+    assert(t.idempotentAppend(batch, "app1", 0L) === false) // replay
+    assert(t.idempotentAppend(batch, "app1", 1L) === true)
+    assert(t.toDF.count() === 7)
+  }
+
+  test("concurrent appends both land (optimistic rebase)") {
+    val path = tmpDir()
+    val t = LakeTable.create(spark, path, sampleDF)
+    val threads = (0 until 4).map { i =>
+      new Thread(() => {
+        val t2 = LakeTable.forPath(spark, path)
+        t2.append(Seq((100L + i, s"S$i", i.toDouble)).toDF("id", "state", "amount"))
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(t.toDF.count() === 9)
+    assert(t.version === 4)
+  }
+
+  test("convert adopts an existing parquet dir; partitioned requires spec") {
+    val plain = tmpDir()
+    sampleDF.write.mode("overwrite").parquet(plain)
+    val t = LakeTable.convert(spark, plain)
+    assert(t.toDF.count() === 5)
+
+    val parted = tmpDir()
+    sampleDF.write.mode("overwrite").partitionBy("state").parquet(parted)
+    intercept[IllegalArgumentException] { LakeTable.convert(spark, parted) }
+    val t2 = LakeTable.convert(spark, parted, Some("state string"))
+    assert(t2.toDF.count() === 5)
+    assert(t2.read($"state" === "CA").count() === 2)
+  }
+
+  test("vacuum deletes removed files after retention, keeps live ones") {
+    val path = tmpDir()
+    val t = LakeTable.create(spark, path, sampleDF)
+    t.overwrite(Seq((99L, "ZZ", 0.0)).toDF("id", "state", "amount"))
+    // within retention: nothing deleted, time travel intact
+    assert(t.vacuum(retentionMs = 1000L * 3600).isEmpty)
+    assert(t.asOf(0).toDF.count() === 5)
+    // zero retention: version-0 files (removed by the overwrite) go away
+    val deleted = t.vacuum(retentionMs = 0L)
+    assert(deleted.nonEmpty)
+    assert(t.toDF.count() === 1) // live data intact
+  }
+
+  test("asOfTimestamp resolves to the right version") {
+    val path = tmpDir()
+    val t = LakeTable.create(spark, path, sampleDF)
+    Thread.sleep(5)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(5)
+    t.append(Seq((6L, "WA", 60.0)).toDF("id", "state", "amount"))
+    assert(t.asOfTimestamp(mid).toDF.count() === 5)
+    assert(t.asOfTimestamp(System.currentTimeMillis()).toDF.count() === 6)
+  }
+
+  test("checkpoint kicks in after many commits") {
+    val path = tmpDir()
+    val t = LakeTable.create(spark, path, Seq((0L, "A", 0.0)).toDF("id", "state", "amount"))
+    for (i <- 1 to 12)
+      t.append(Seq((i.toLong, "A", i.toDouble)).toDF("id", "state", "amount"))
+    assert(t.toDF.count() === 13)
+    val ckpts = new java.io.File(path, "_lake_log").list().count(_.contains("checkpoint"))
+    assert(ckpts >= 1)
+    // snapshot from checkpoint equals snapshot from full replay
+    assert(t.asOf(12).toDF.count() === 13)
+  }
+}
