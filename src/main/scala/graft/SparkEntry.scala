@@ -14,7 +14,10 @@ object SparkEntry {
     RelationalQueries,
     JoinQueries,
     FunctionQueries,
-    WindowQueries)
+    WindowQueries,
+    TextQueries,
+    DedupQueries,
+    SimilarityQueries)
 
   def allDefs: Seq[QueryDef] = groups.flatMap(_.defs)
 

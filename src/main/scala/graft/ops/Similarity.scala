@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`): brute-force cosine top-k baseline plus an
+  * IVF-style bucketed variant as the scale path.
+  *
+  * Cosine is composed from `zip_with` + `aggregate` (sequential
+  * left-to-right summation — the same order DuckDB's list functions use,
+  * so oracle comparisons are exact).
+  */
+object Similarity {
+
+  /** Dot product of two float arrays as double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (s, x) => s + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: every query vector against every row.
+    * One broadcast of the (small) query set; per-partition heap via
+    * window row_number. Exact baseline for ANN.
+    */
+  def bruteForceTopK(
+      data: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, qVecCol: String, qIdCol: String,
+      k: Int): DataFrame = {
+    val d = data.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))
+    val scored = d.crossJoin(broadcast(q))
+      .withColumn("cosine", cosine(col("vec"), col("q_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id"), col("cosine"))
+  }
+
+  /** IVF-style ANN: partition vectors into inverted lists keyed by their
+    * nearest centroid; queries probe only `nprobe` nearest lists. At
+    * 100 TB the lists are the partitioning key — a query touches a few
+    * partitions instead of the full corpus.
+    *
+    * Centroids here come from a seeded sample aggregated per coarse
+    * hash bucket (cheap, deterministic); swap in mllib KMeans offline for
+    * production-quality centroids.
+    */
+  def ivfTopK(
+      data: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, qVecCol: String, qIdCol: String,
+      k: Int, nLists: Int = 16, nprobe: Int = 4): DataFrame = {
+    val spark = data.sparkSession
+    val d = data.select(col(idCol).as("id"), col(vecCol).as("vec"))
+
+    // deterministic centroids: mean vector per (xxhash64(id) % nLists)
+    val centroids = d
+      .withColumn("__c", pmod(xxhash64(col("id")), lit(nLists)))
+      .groupBy("__c")
+      .agg(array((0 until dim(d, "vec")).map(i =>
+        avg(element_at(col("vec"), i + 1).cast("double"))): _*).as("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+    val cDf = spark.createDataFrame(centroids.toSeq.map { case (c, v) => (c, v) })
+      .toDF("list_id", "centroid")
+
+    // assign each vector to its true nearest centroid (one broadcast pass)
+    val assigned = d.crossJoin(broadcast(cDf))
+      .withColumn("__dist", lit(1.0) - cosine(col("vec"), col("centroid")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("__dist"), col("list_id"))))
+      .where(col("__rn") === 1)
+      .select(col("id"), col("vec"), col("list_id"))
+
+    // queries probe their nprobe nearest lists
+    val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))
+    val probes = q.crossJoin(broadcast(cDf))
+      .withColumn("__dist", lit(1.0) - cosine(col("q_vec"), col("centroid")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("__dist"), col("list_id"))))
+      .where(col("__rn") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("list_id"))
+
+    val scored = assigned.join(probes, Seq("list_id"))
+      .withColumn("cosine", cosine(col("vec"), col("q_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id"), col("cosine"))
+  }
+
+  private def dim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+}

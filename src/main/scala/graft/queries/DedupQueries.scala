@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.ops.Dedup
+import graft.tables.Tables
+
+/** Deduplication operators over documents (builder brief). The exact /
+  * n-gram-Jaccard variants carry full DuckDB oracles; MinHash-LSH and
+  * SimHash are approximate by design → rows-only driver check, with
+  * their PRECISION verified in ScalaTest against the exact Jaccard
+  * ground truth.
+  */
+object DedupQueries extends QueryGroup {
+
+  import TextFunctions._
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ===== exact dedup: fingerprint → keep min doc_id.
+    QueryDef(
+      "d1_exact_dedup",
+      (s, d) =>
+        Dedup.exact(Tables.documents(s, d), "text", "doc_id")
+          .orderBy(col("fp")),
+      Some(s"""
+        SELECT ${fingerprintSql("text")} AS fp,
+               min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents
+        GROUP BY 1 ORDER BY fp""")),
+
+    // ===== exact n-gram (3-shingle) Jaccard pairs on a deterministic
+    // 1-in-10 document sample — the ground truth LSH approximates.
+    QueryDef(
+      "d2_ngram_jaccard",
+      (s, d) =>
+        Dedup.ngramJaccardPairs(
+          Tables.documents(s, d).where(col("doc_id") % 10 === 0),
+          "text", "doc_id", shingleN = 3, threshold = 0.2)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(s"""
+        WITH s AS (
+          SELECT doc_id AS id, ${shinglesSql("text", 3)} AS sh
+          FROM documents WHERE doc_id % 10 = 0
+        ), pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+                   AS jaccard
+          FROM s a, s b
+          WHERE a.id < b.id AND len(a.sh) > 0 AND len(b.sh) > 0
+        )
+        SELECT id_a, id_b, jaccard FROM pairs
+        WHERE jaccard >= 0.2 ORDER BY id_a, id_b""")),
+
+    // ===== MinHash+LSH near-dup candidates (banded signature join) —
+    // approximate; rows-only check here, precision-vs-exact covered in
+    // DedupSpec.
+    QueryDef(
+      "d3_minhash_lsh",
+      (s, d) =>
+        Dedup.minhashLsh(
+          Tables.documents(s, d).where(col("doc_id") % 10 === 0),
+          "text", "doc_id", shingleN = 3, bands = 8, rowsPerBand = 4,
+          threshold = 0.2)
+          .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    // ===== SimHash near-dup pairs (Hamming <= 16 within prefix buckets).
+    QueryDef(
+      "d4_simhash",
+      (s, d) =>
+        Dedup.simhashPairs(
+          Tables.documents(s, d).where(col("doc_id") % 10 === 0),
+          "text", "doc_id", maxHamming = 16, prefixBits = 4)
+          .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    // ===== embedding-cosine near-dup pairs on a 1-in-5 sample, exact
+    // arithmetic twin in DuckDB (list_reduce = same left-to-right order).
+    QueryDef(
+      "d5_embedding_dups",
+      (s, d) =>
+        Dedup.embeddingPairs(
+          Tables.embeddings(s, d).where(col("vec_id") % 5 === 0),
+          "embedding", "vec_id", threshold = 0.8)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id AS id, embedding AS vec
+          FROM embeddings WHERE vec_id % 5 = 0
+        ), pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 ${OracleSql.cosineSql("a.vec", "b.vec")} AS cosine
+          FROM v a, v b WHERE a.id < b.id
+        )
+        SELECT id_a, id_b, cosine FROM pairs
+        WHERE cosine >= 0.8 ORDER BY id_a, id_b"""))
+  )
+}
+
+/** Shared DuckDB SQL builders for vector math. */
+object OracleSql {
+  /** DuckDB cosine matching Similarity.cosine exactly: list_reduce is
+    * sequential left-to-right like Spark's `aggregate`.
+    */
+  def cosineSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_zip($x, $y),
+              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+          (s, e) -> s + e)"""
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+}

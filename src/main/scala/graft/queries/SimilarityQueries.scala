@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+import graft.tables.Tables
+
+/** Similarity search over the embeddings table (builder brief): exact
+  * brute-force cosine top-k with a full DuckDB oracle, and the IVF
+  * bucketed variant (approximate → rows-only check; recall-vs-exact is
+  * asserted in SimilaritySpec).
+  */
+object SimilarityQueries extends QueryGroup {
+
+  /** Deterministic query set: every 100th vector. */
+  private def queriesOf(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d).where(col("vec_id") % 100 === 0)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "sim1_cosine_topk",
+      (s, d) =>
+        Similarity.bruteForceTopK(
+          Tables.embeddings(s, d), "embedding", "vec_id",
+          queriesOf(s, d), "embedding", "vec_id", k = 5)
+          .orderBy(col("q_id"), col("rank")),
+      Some(s"""
+        WITH q AS (
+          SELECT vec_id AS q_id, embedding AS q_vec
+          FROM embeddings WHERE vec_id % 100 = 0
+        ), scored AS (
+          SELECT q.q_id, e.vec_id AS id,
+                 ${OracleSql.cosineSql("e.embedding", "q.q_vec")} AS cosine
+          FROM embeddings e, q
+        ), ranked AS (
+          SELECT q_id, id, cosine,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, id) AS rank
+          FROM scored
+        )
+        SELECT q_id, rank, id, cosine FROM ranked
+        WHERE rank <= 5 ORDER BY q_id, rank""")),
+
+    QueryDef(
+      "sim2_ivf_topk",
+      (s, d) =>
+        Similarity.ivfTopK(
+          Tables.embeddings(s, d), "embedding", "vec_id",
+          queriesOf(s, d), "embedding", "vec_id",
+          k = 5, nLists = 8, nprobe = 3)
+          .orderBy(col("q_id"), col("rank")),
+      None)
+  )
+}

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.tables.Tables
+
+/** Text-analysis operators over the documents table (builder brief:
+  * language-ID, quality scoring, token counting, fingerprinting). The
+  * oracle SQL is GENERATED from the same constants as the Spark
+  * implementation (TextFunctions.*Sql) so values match by construction.
+  */
+object TextQueries extends QueryGroup {
+
+  import TextFunctions._
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ===== token counting: whitespace + BPE-ish subword + punct counts.
+    QueryDef(
+      "t1_token_stats",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            tokenCount(col("text")).as("n_tokens"),
+            subwordCount(col("text")).as("n_subwords"),
+            punctCount(col("text")).as("n_punct"),
+            length(col("text")).cast("int").as("n_chars_actual"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        SELECT doc_id,
+               ${tokenCountSql("text")} AS n_tokens,
+               ${subwordCountSql("text")} AS n_subwords,
+               ${punctCountSql("text")} AS n_punct,
+               CAST(length(text) AS INT) AS n_chars_actual
+        FROM documents ORDER BY doc_id""")),
+
+    // ===== language-ID heuristic (stopword argmax) + agreement with the
+    // dataset's lang label.
+    QueryDef(
+      "t2_lang_id",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), langId(col("text")).as("lang_pred"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        SELECT doc_id, ${langIdSql("text")} AS lang_pred
+        FROM documents ORDER BY doc_id""")),
+
+    // ===== quality score (length/stopword/punct/distinct ratios).
+    QueryDef(
+      "t3_quality_score",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        SELECT doc_id, ${qualityScoreSql("text")} AS quality
+        FROM documents ORDER BY doc_id""")),
+
+    // ===== content fingerprint (md5 of normalized text).
+    QueryDef(
+      "t4_fingerprint",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        SELECT doc_id, ${fingerprintSql("text")} AS fp
+        FROM documents ORDER BY doc_id""")),
+
+    // ===== per-language quality aggregate (text ops compose with the
+    // relational surface).
+    QueryDef(
+      "t5_quality_by_lang",
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(avg(qualityScore(col("text"))), 4).as("avg_quality"),
+            round(avg(tokenCount(col("text")).cast("double")), 4).as("avg_tokens"))
+          .orderBy(col("lang")),
+      Some(s"""
+        SELECT lang, count(*) AS n_docs,
+               round(avg(${qualityScoreSql("text")}), 4) AS avg_quality,
+               round(avg(CAST(${tokenCountSql("text")} AS DOUBLE)), 4) AS avg_tokens
+        FROM documents GROUP BY lang ORDER BY lang"""))
+  )
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.tables.Tables
+
+/** Quality gates for the approximate operators: LSH candidates must be
+  * verified-correct (precision 1.0 by construction — every returned pair
+  * carries its exact Jaccard), recall measured against the exact ground
+  * truth on sf0.001.
+  */
+class DedupSimilaritySpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = Tables.documents(spark, sf)
+  private def embs = Tables.embeddings(spark, sf)
+
+  test("exact dedup keeps one id per fingerprint") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+    assert(out.count() === out.select("fp").distinct().count())
+    assert(out.agg(sum("n_copies")).as[Long].head() === docs.count())
+  }
+
+  test("minhash LSH pairs are a subset of exact jaccard pairs (precision 1)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      shingleN = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(docs, "text", "doc_id",
+      shingleN = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"LSH produced unverified pairs: ${lsh -- exact}")
+    // recall at tau=0.5 with b=8,r=4 (s-curve midpoint ~0.59): expect most
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.5, s"LSH recall too low: $recall (${lsh.size}/${exact.size})")
+    }
+  }
+
+  test("simhash pairs have verified hamming distance") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id",
+      maxHamming = 16, prefixBits = 4)
+    assert(pairs.where($"hamming" > 16).count() === 0)
+  }
+
+  test("embedding near-dup pairs are symmetric-free and thresholded") {
+    val pairs = Dedup.embeddingPairs(embs.where($"vec_id" % 5 === 0),
+      "embedding", "vec_id", threshold = 0.8)
+    assert(pairs.where($"id_a" >= $"id_b").count() === 0)
+    assert(pairs.where($"cosine" < 0.8).count() === 0)
+  }
+
+  test("IVF top-k recall vs brute force >= 0.6") {
+    val q = embs.where($"vec_id" % 100 === 0)
+    val exact = Similarity.bruteForceTopK(embs, "embedding", "vec_id",
+      q, "embedding", "vec_id", k = 5)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(embs, "embedding", "vec_id",
+      q, "embedding", "vec_id", k = 5, nLists = 8, nprobe = 3)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall")
+  }
+
+  test("brute-force top-k returns exactly k per query with rank 1..k") {
+    val q = embs.where($"vec_id" % 100 === 0)
+    val out = Similarity.bruteForceTopK(embs, "embedding", "vec_id",
+      q, "embedding", "vec_id", k = 5)
+    val counts = out.groupBy("q_id").count().select("count").as[Long].collect()
+    assert(counts.forall(_ === 5))
+    // self always rank 1 (cosine 1.0 with itself)
+    assert(out.where($"rank" === 1 && $"q_id" === $"id").count() === q.count())
+  }
+}
