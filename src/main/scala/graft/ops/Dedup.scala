@@ -44,11 +44,17 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val k = bands * rowsPerBand
+    // repartition = pipeline breaker: shingles + signature are computed
+    // ONCE per row here instead of being inlined (and recomputed) in
+    // every downstream join output projection.
     val withSig = df
-      .withColumn("__sh", shingles(col(textCol), shingleN))
-      .where(size(col("__sh")) > 0)
-      .withColumn("__sig", minhashSignature(col("__sh"), k))
+      .withColumn("__shs", shingles(col(textCol), shingleN))
+      .where(size(col("__shs")) > 0)
+      .withColumn("__sig", minhashSignature(col("__shs"), k))
+      // verification set-ops run on hashed shingles (see ngramJaccardPairs)
+      .withColumn("__sh", transform(col("__shs"), x => xxhash64(x)))
       .select(col(idCol).as("id"), col("__sh"), col("__sig"))
+      .repartition(col("id"))
 
     // explode into (band, bucketKey) — bucketKey is the band's hash slice
     val banded = withSig.select(
@@ -88,8 +94,13 @@ object Dedup {
       idCol: String,
       shingleN: Int = 3,
       threshold: Double = 0.2): DataFrame = {
-    val s = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    // set ops run on xxhash64'd shingles (8-byte longs), not the strings:
+    // same Jaccard value (collision odds ~1e-10 at harness scale), ~2×
+    // cheaper intersect/union per pair.
+    val s = df.select(col(idCol).as("id"),
+      transform(shingles(col(textCol), shingleN), x => xxhash64(x)).as("sh"))
       .where(size(col("sh")) > 0)
+      .repartition(col("id")) // materialize shingles once, not per pair
     val a = s.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = s.select(col("id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
@@ -116,6 +127,7 @@ object Dedup {
       .withColumn("__sig", simhash64FromHashes(col("__hs")))
       .select(col(idCol).as("id"), col("__sig"),
         shiftrightunsigned(col("__sig"), 64 - prefixBits).as("__bucket"))
+      .repartition(col("id")) // materialize the signature once
     val a = sigs.select(col("__bucket"), col("id").as("id_a"), col("__sig").as("sig_a"))
     val b = sigs.select(col("__bucket"), col("id").as("id_b"), col("__sig").as("sig_b"))
     a.join(b, Seq("__bucket"))
@@ -134,11 +146,13 @@ object Dedup {
       vecCol: String,
       idCol: String,
       threshold: Double = 0.95): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val a = v.select(col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = v.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    val v = df.select(col(idCol).as("id"),
+      Similarity.normalized(col(vecCol)).as("nvec"))
+      .repartition(col("id")) // materialize normalization once, not per pair
+    val a = v.select(col("id").as("id_a"), col("nvec").as("nvec_a"))
+    val b = v.select(col("id").as("id_b"), col("nvec").as("nvec_b"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
-      .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cosine", Similarity.dotNormalized(col("nvec_a"), col("nvec_b")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

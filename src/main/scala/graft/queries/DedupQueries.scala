@@ -87,11 +87,11 @@ object DedupQueries extends QueryGroup {
           .orderBy(col("id_a"), col("id_b")),
       Some(s"""
         WITH v AS (
-          SELECT vec_id AS id, embedding AS vec
+          SELECT vec_id AS id, ${OracleSql.normalizedSql("embedding")} AS nvec
           FROM embeddings WHERE vec_id % 5 = 0
         ), pairs AS (
           SELECT a.id AS id_a, b.id AS id_b,
-                 ${OracleSql.cosineSql("a.vec", "b.vec")} AS cosine
+                 ${OracleSql.dotNormalizedSql("a.nvec", "b.nvec")} AS cosine
           FROM v a, v b WHERE a.id < b.id
         )
         SELECT id_a, id_b, cosine FROM pairs
@@ -99,17 +99,26 @@ object DedupQueries extends QueryGroup {
   )
 }
 
-/** Shared DuckDB SQL builders for vector math. */
+/** Shared DuckDB SQL builders for vector math, mirroring
+  * graft.ops.Similarity operation-for-operation (list_reduce =
+  * sequential left-to-right like Spark's `aggregate`).
+  */
 object OracleSql {
-  /** DuckDB cosine matching Similarity.cosine exactly: list_reduce is
-    * sequential left-to-right like Spark's `aggregate`.
-    */
-  def cosineSql(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-            list_transform(list_zip($x, $y),
-              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
-          (s, e) -> s + e)"""
-    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
-  }
+  /** Raw-float dot as double. */
+  def dotSql(x: String, y: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(list_zip($x, $y),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+        (s, e) -> s + e)"""
+
+  /** Unit-normalization matching Similarity.normalized: per-element
+    * CAST-to-double divided by sqrt(self-dot). */
+  def normalizedSql(v: String): String =
+    s"list_transform($v, x -> CAST(x AS DOUBLE) / sqrt(${dotSql(v, v)}))"
+
+  /** Dot of two pre-normalized double vectors (Similarity.dotNormalized). */
+  def dotNormalizedSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(list_zip($a, $b), p -> p[1] * p[2])),
+        (s, e) -> s + e)"""
 }

@@ -26,12 +26,15 @@ object SimilarityQueries extends QueryGroup {
           .orderBy(col("q_id"), col("rank")),
       Some(s"""
         WITH q AS (
-          SELECT vec_id AS q_id, embedding AS q_vec
+          SELECT vec_id AS q_id, ${OracleSql.normalizedSql("embedding")} AS q_nvec
           FROM embeddings WHERE vec_id % 100 = 0
+        ), e AS (
+          SELECT vec_id AS id, ${OracleSql.normalizedSql("embedding")} AS nvec
+          FROM embeddings
         ), scored AS (
-          SELECT q.q_id, e.vec_id AS id,
-                 ${OracleSql.cosineSql("e.embedding", "q.q_vec")} AS cosine
-          FROM embeddings e, q
+          SELECT q.q_id, e.id,
+                 ${OracleSql.dotNormalizedSql("e.nvec", "q.q_nvec")} AS cosine
+          FROM e, q
         ), ranked AS (
           SELECT q_id, id, cosine,
                  row_number() OVER (PARTITION BY q_id
