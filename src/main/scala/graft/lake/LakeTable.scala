@@ -378,6 +378,36 @@ final class LakeTable private (
     } finally joined.unpersist()
   }
 
+  // ---- DDL (L10) -------------------------------------------------------
+
+  /** ALTER TABLE ADD COLUMN (`02.delta_lake_primer.py:241-242`,
+    * `03.iceberg_primer.py:232-234`): metadata-only commit; existing
+    * files read NULL for the new column.
+    */
+  def alterAddColumn(name: String, ddlType: String): Unit = {
+    require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
+    val snap = snapshot
+    require(!snap.schema.fieldNames.contains(name), s"column exists: $name")
+    val newSchema = StructType(snap.schema.fields :+
+      StructField(name, DataType.fromDDL(ddlType)))
+    val now = System.currentTimeMillis()
+    commitWithRetry(snap.version, Seq(
+      Action.of(snap.metaData.copy(schemaDdl = newSchema.toDDL)),
+      Action.of(CommitInfo(now, "ADD COLUMN", Map("column" -> s"$name $ddlType")))),
+      rebaseable = false)
+  }
+
+  /** ALTER TABLE SET TBLPROPERTIES (metadata-only commit). */
+  def setProperties(props: Map[String, String]): Unit = {
+    require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
+    val snap = snapshot
+    val now = System.currentTimeMillis()
+    commitWithRetry(snap.version, Seq(
+      Action.of(snap.metaData.copy(properties = snap.metaData.properties ++ props)),
+      Action.of(CommitInfo(now, "SET TBLPROPERTIES", props))),
+      rebaseable = false)
+  }
+
   // ---- maintenance -----------------------------------------------------
 
   /** VACUUM (L7), Delta semantics (`02.delta_lake_primer.py:442`): delete

@@ -226,4 +226,17 @@ class LakeTableSpec extends AnyFunSuite {
     // snapshot from checkpoint equals snapshot from full replay
     assert(t.asOf(12).toDF.count() === 13)
   }
+
+  test("ALTER TABLE ADD COLUMN + SET TBLPROPERTIES are metadata commits") {
+    val path = tmpDir()
+    val t = LakeTable.create(spark, path, sampleDF)
+    t.alterAddColumn("note", "string")
+    assert(t.toDF.schema.fieldNames.contains("note"))
+    assert(t.toDF.where($"note".isNotNull).count() === 0)
+    t.append(Seq((6L, "WA", 60.0, "hi")).toDF("id", "state", "amount", "note"))
+    assert(t.toDF.where($"note" === "hi").count() === 1)
+    t.setProperties(Map("delta.columnMapping.mode" -> "name"))
+    assert(t.snapshot.metaData.properties("delta.columnMapping.mode") === "name")
+    intercept[IllegalArgumentException] { t.alterAddColumn("note", "string") }
+  }
 }

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Streaming semantics the engine exposes beyond the reference's usage
+  * (SURVEY T9 — windows, watermarks, session windows; A3 — streaming
+  * grouped aggregation; T2 — ProcessingTime trigger): driven with the
+  * harness events table streamed through a file source into a memory
+  * sink.
+  */
+class StreamingSemanticsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  /** Stream of the sf0.001 events table (ns-timestamp already rebuilt by
+    * writing a micros copy first).
+    */
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("events-stream-").toString
+    graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def eventsStream = {
+    val schema = spark.read.parquet(eventsDir).schema
+    spark.readStream.schema(schema).parquet(eventsDir)
+  }
+
+  test("A3: streaming grouped aggregation (complete mode)") {
+    val agg = eventsStream.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("v"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("by_type")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.sql("SELECT * FROM by_type").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = spark.read.parquet(eventsDir).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("T9: tumbling window + watermark aggregation (append mode)") {
+    val agg = eventsStream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("windowed")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // append mode emits only windows sealed by the watermark; with a
+    // bounded input everything except the tail hour is sealed
+    val emitted = spark.sql("SELECT count(*) FROM windowed").as[Long].head()
+    val distinctWindows = spark.read.parquet(eventsDir)
+      .select(window($"ts", "1 hour"), $"event_type").distinct().count()
+    assert(emitted > 0)
+    assert(emitted <= distinctWindows)
+  }
+
+  test("T9: session window aggregation") {
+    val agg = eventsStream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sessions")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.sql("SELECT count(*) FROM sessions").as[Long].head() > 0)
+  }
+
+  test("T2: ProcessingTime trigger drains and stops cleanly") {
+    val q = eventsStream.groupBy($"event_type").count()
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("pt_agg")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM pt_agg").as[Long].head() === 5)
+    } finally q.stop()
+  }
+}
