@@ -15,6 +15,7 @@ object SparkEntry {
     JoinQueries,
     FunctionQueries,
     WindowQueries,
+    AdvancedQueries,
     TextQueries,
     DedupQueries,
     SimilarityQueries)

@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Advanced relational surface: grouping sets, subqueries (IN / EXISTS /
+  * scalar), pivot, explode (UDTF shape), statistical aggregates, richer
+  * string functions, ordinal sorts. Completes SURVEY §2 rows A7, O2, X3
+  * -adjacent surface with oracle twins.
+  */
+object AdvancedQueries extends QueryGroup {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ===== GROUPING SETS via SQL on a registered view.
+    QueryDef(
+      "a8_grouping_sets",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("gq_orders")
+        s.sql("""
+          SELECT coalesce(o_orderstatus, '<all>') AS status,
+                 coalesce(o_orderpriority, '<all>') AS priority,
+                 count(*) AS n
+          FROM gq_orders
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          ORDER BY status, priority""")
+      },
+      Some("""
+        SELECT coalesce(o_orderstatus, '<all>') AS status,
+               coalesce(o_orderpriority, '<all>') AS priority,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority""")),
+
+    // ===== TPC-H-Q18-shaped: HAVING + IN-subquery join-back.
+    QueryDef(
+      "q18_large_orders",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val ord = Tables.orders(s, d)
+        val big = li.groupBy(col("l_orderkey"))
+          .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+          .where(col("total_qty") > 150)
+        ord.join(big, col("o_orderkey") === big("l_orderkey"))
+          .select(col("o_orderkey"), col("o_custkey"), col("total_qty"))
+          .orderBy(col("total_qty").desc, col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, total_qty
+        FROM orders
+        JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING round(sum(l_quantity), 2) > 150) big
+          ON o_orderkey = big.l_orderkey
+        ORDER BY total_qty DESC, o_orderkey""")),
+
+    // ===== scalar subquery: customers above average balance.
+    QueryDef(
+      "sq1_scalar_subquery",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("gq_customer")
+        s.sql("""
+          SELECT c_custkey, c_acctbal
+          FROM gq_customer
+          WHERE c_acctbal > (SELECT avg(c_acctbal) FROM gq_customer)
+          ORDER BY c_custkey""")
+      },
+      Some("""
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        ORDER BY c_custkey""")),
+
+    // ===== UNION ALL (bag semantics, vs U1's UNION DISTINCT).
+    QueryDef(
+      "u6_union_all",
+      (s, d) => {
+        val c = Tables.customer(s, d).select(col("c_nationkey").cast("int").as("nk"))
+        val sup = Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("nk"))
+        c.unionAll(sup).groupBy(col("nk")).agg(count(lit(1)).as("n"))
+          .orderBy(col("nk"))
+      },
+      Some("""
+        SELECT nk, count(*) AS n FROM (
+          SELECT CAST(c_nationkey AS INT) AS nk FROM customer
+          UNION ALL
+          SELECT CAST(s_nationkey AS INT) AS nk FROM supplier)
+        GROUP BY nk ORDER BY nk""")),
+
+    // ===== explode/unnest (UDTF-shaped lateral).
+    QueryDef(
+      "x1_explode_words",
+      (s, d) =>
+        Tables.part(s, d)
+          .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("n"))
+          .orderBy(col("word")),
+      Some("""
+        SELECT word, count(*) AS n
+        FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+        GROUP BY word ORDER BY word""")),
+
+    // ===== pivot (Spark .pivot ≡ CASE-WHEN sums in ANSI SQL).
+    QueryDef(
+      "p10_pivot",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_linestatus"))
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(round(sum(col("l_quantity")), 2))
+          .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r"))
+          .orderBy(col("l_linestatus")),
+      Some("""
+        SELECT l_linestatus,
+               round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS qty_a,
+               round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS qty_n,
+               round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS qty_r
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // ===== statistical aggregates (rounded: running-moment order differs
+    // across engines in the last ulps).
+    QueryDef(
+      "a9_stats_agg",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+            round(var_samp(col("l_quantity")), 4).as("var_qty"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+            round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qp"))
+          .orderBy(col("l_returnflag")),
+      Some("""
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 4) AS sd_qty,
+               round(var_samp(l_quantity), 4) AS var_qty,
+               round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+               round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ===== exact percentile / median (linear interpolation both sides).
+    QueryDef(
+      "a10_percentile",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"))
+          .orderBy(col("o_orderstatus")),
+      Some("""
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ===== richer string functions.
+    QueryDef(
+      "f19_string_more",
+      (s, d) =>
+        Tables.nation(s, d)
+          .select(
+            col("n_nationkey").cast("int").as("nk"),
+            lpad(col("n_name"), 12, ".").as("padded"),
+            reverse(col("n_name")).as("rev"),
+            replace(col("n_name"), lit("A"), lit("@")).as("replaced"),
+            substring(col("n_name"), 2, 3).as("mid"),
+            initcap(lower(col("n_name"))).as("title_case"))
+          .orderBy(col("nk")),
+      Some("""
+        SELECT CAST(n_nationkey AS INT) AS nk,
+               lpad(n_name, 12, '.') AS padded,
+               reverse(n_name) AS rev,
+               replace(n_name, 'A', '@') AS replaced,
+               substring(n_name, 2, 3) AS mid,
+               -- DuckDB initcap is not a builtin: title-case word-by-word
+               array_to_string(
+                 list_transform(string_split(lower(n_name), ' '),
+                   w -> upper(w[1]) || w[2:]), ' ') AS title_case
+        FROM nation ORDER BY nk""")),
+
+    // ===== date arithmetic.
+    QueryDef(
+      "f20_date_arith",
+      (s, d) =>
+        Tables.orders(s, d)
+          .select(
+            col("o_orderkey"),
+            date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+            datediff(lit(java.sql.Date.valueOf("1999-01-01")),
+              col("o_orderdate").cast("date")).cast("int").as("days_to_99"),
+            last_day(col("o_orderdate").cast("date")).as("month_end"))
+          .orderBy(col("o_orderkey")),
+      Some("""
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) + 30 AS due_date,
+               CAST(datediff('day', CAST(o_orderdate AS DATE),
+                    DATE '1999-01-01') AS INT) AS days_to_99,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end
+        FROM orders ORDER BY o_orderkey""")),
+
+    // ===== ordinal sort (O2) through SQL.
+    QueryDef(
+      "o2_ordinal_sort",
+      (s, d) => {
+        Tables.supplier(s, d).createOrReplaceTempView("gq_supplier")
+        s.sql("""
+          SELECT s_suppkey, s_name, round(s_acctbal, 2) AS bal
+          FROM gq_supplier ORDER BY 3 DESC, 1""")
+      },
+      Some("""
+        SELECT s_suppkey, s_name, round(s_acctbal, 2) AS bal
+        FROM supplier ORDER BY 3 DESC, 1""")),
+
+    // ===== null-handling functions.
+    QueryDef(
+      "f21_null_funcs",
+      (s, d) =>
+        Tables.orders(s, d)
+          .select(
+            col("o_orderkey"),
+            nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+            coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_label"),
+            when(col("o_totalprice") > 150000, col("o_totalprice")).as("big_or_null"))
+          .orderBy(col("o_orderkey")),
+      Some("""
+        SELECT o_orderkey,
+               nullif(o_orderstatus, 'O') AS status_or_null,
+               coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+               CASE WHEN o_totalprice > 150000 THEN o_totalprice END AS big_or_null
+        FROM orders ORDER BY o_orderkey"""))
+  )
+}
