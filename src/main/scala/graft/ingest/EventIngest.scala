@@ -74,6 +74,25 @@ object EventIngest {
       .drop("_value", "_value_str", "__parsed")
   }
 
+  /** Confluent-Avro singleplex decode (F15): strip the 5-byte framing +
+    * avro-decode via the native [[org.apache.spark.sql.graft
+    * .ConfluentAvroToJson]] expression, then parse the JSON rendering
+    * with the topic's DDL — same downstream shape as
+    * [[decodeSingleplex]].
+    */
+  def decodeAvroSingleplex(envelope: DataFrame, avroWriterSchemaJson: String,
+      valueDdl: String): DataFrame = {
+    val prefixed = envelope.select(
+      envelope.columns.map(c => col(c).as(s"_$c")).toSeq: _*)
+    prefixed
+      .withColumn("__json", org.apache.spark.sql.graft.AvroExpressions
+        .fromConfluentAvro(col("_value"), avroWriterSchemaJson))
+      .withColumn("__parsed",
+        from_json(col("__json"), DataType.fromDDL(valueDdl).asInstanceOf[StructType]))
+      .select(col("*"), col("__parsed.*"))
+      .drop("_value", "__json", "__parsed")
+  }
+
   /** Multiplex bronze (`03.ingesta_incremental_multiplex [json].py:
     * 111-142`): all topics in one table, raw value kept as string,
     * partitioned by `_topic` for downstream per-topic pruning.
