@@ -1,0 +1,59 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Property-style test (SURVEY §5.3): random sequences of MERGE upserts
+  * applied to a LakeTable must equal the same operations applied to an
+  * in-memory map (last-writer-wins per key), for many seeded runs.
+  */
+class MergePropertySpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def randomBatches(seed: Long): Seq[Seq[(Long, Double)]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(3) {
+      val n = 1 + rnd.nextInt(6)
+      Seq.fill(n)((rnd.nextLong(10), rnd.nextInt(1000).toDouble))
+        .groupBy(_._1).map(_._2.head).toSeq // merge rejects dup source keys
+    }
+  }
+
+  for (seed <- 1L to 6L) {
+    test(s"merge sequence == last-writer-wins map (seed $seed)") {
+      val path = Files.createTempDirectory("merge-prop-").toString
+      val t = LakeTable.create(spark, path,
+        Seq((0L, 0.0), (1L, 1.0)).toDF("id", "v"))
+      val model = scala.collection.mutable.Map(0L -> 0.0, 1L -> 1.0)
+
+      randomBatches(seed).foreach { batch =>
+        t.merge(batch.toDF("id", "v"), expr("t.id = s.id"))
+        batch.foreach { case (k, v) => model(k) = v }
+      }
+      val got = t.toDF.as[(Long, Double)].collect().toMap
+      assert(got === model.toMap)
+    }
+  }
+
+  test("merge-delete sequence == map removal") {
+    val path = Files.createTempDirectory("merge-del-").toString
+    val init = (0L to 9L).map(i => (i, i.toDouble))
+    val t = LakeTable.create(spark, path, init.toDF("id", "v"))
+    val model = scala.collection.mutable.Map(init: _*)
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val doomed = Seq.fill(3)(rnd.nextLong(10)).distinct
+      t.merge(doomed.map(k => Tuple1(k)).toDF("id"), expr("t.id = s.id"),
+        whenMatchedUpdate = None, whenMatchedDelete = true,
+        whenNotMatchedInsert = None)
+      doomed.foreach(model.remove)
+    }
+    assert(t.toDF.as[(Long, Double)].collect().toMap === model.toMap)
+  }
+}
