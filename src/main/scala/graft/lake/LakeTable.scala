@@ -378,6 +378,41 @@ final class LakeTable private (
     } finally joined.unpersist()
   }
 
+  // ---- layout optimization (SURVEY §4 "small-file compaction") --------
+
+  /** OPTIMIZE-lite: rewrite the table's data into ~`targetFileBytes`
+    * files (per partition directory), committing remove+add in one
+    * transaction. Fixes the small-file problem the reference
+    * demonstrates with coalesce(1) (`02.delta_lake_primer.py:46-49`)
+    * without collapsing parallelism table-wide.
+    */
+  def compact(targetFileBytes: Long = 128L << 20): Unit = {
+    require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
+    val snap = snapshot
+    if (snap.files.size <= 1) return
+    val nFiles = math.max(1, (snap.sizeInBytes / targetFileBytes).toInt +
+      (if (snap.sizeInBytes % targetFileBytes > 0) 1 else 0))
+    val data = readFiles(snap, snap.files).repartition(nFiles)
+    rewrite(snap, snap.files, data, "COMPACT",
+      Map("targetFileBytes" -> targetFileBytes.toString))
+  }
+
+  /** Sort-cluster the table by `cols` (range partition + in-file sort)
+    * so per-file min/max ranges become disjoint and data skipping on
+    * those columns prunes aggressively — the Z-ORDER-style layout
+    * optimization for the stats-based skipping of §4.
+    */
+  def optimizeBy(cols: String*): Unit = {
+    require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
+    val snap = snapshot
+    if (snap.files.isEmpty) return
+    val data = readFiles(snap, snap.files)
+      .repartitionByRange(math.max(snap.files.size, 1), cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+    rewrite(snap, snap.files, data, "OPTIMIZE BY",
+      Map("columns" -> cols.mkString(",")))
+  }
+
   // ---- DDL (L10) -------------------------------------------------------
 
   /** ALTER TABLE ADD COLUMN (`02.delta_lake_primer.py:241-242`,

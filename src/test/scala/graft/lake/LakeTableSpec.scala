@@ -239,4 +239,29 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.snapshot.metaData.properties("delta.columnMapping.mode") === "name")
     intercept[IllegalArgumentException] { t.alterAddColumn("note", "string") }
   }
+
+  test("compact merges small files into few, content preserved") {
+    val path = tmpDir()
+    val t = LakeTable.create(spark, path, sampleDF)
+    for (i <- 0 until 6)
+      t.append(Seq((100L + i, "XX", i.toDouble)).toDF("id", "state", "amount"))
+    val before = t.toDF.inputFiles.length
+    val rows = t.toDF.count()
+    t.compact()
+    assert(t.toDF.inputFiles.length < before)
+    assert(t.toDF.count() === rows)
+    assert(t.history.head().getString(2) === "COMPACT")
+  }
+
+  test("optimizeBy makes skipping selective on the clustered column") {
+    val path = tmpDir()
+    // 4 files each containing the FULL id range → skipping can't prune
+    val df = spark.range(0, 400).select($"id", rand(1).as("v")).repartition(4)
+    val t = LakeTable.create(spark, path, df)
+    assert(t.read($"id" < 50).inputFiles.length === 4) // nothing pruned
+    t.optimizeBy("id")
+    val after = t.read($"id" < 50).inputFiles.length
+    assert(after === 1, s"expected 1 file after clustering, got $after")
+    assert(t.toDF.count() === 400)
+  }
 }

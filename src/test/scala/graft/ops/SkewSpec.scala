@@ -1,0 +1,29 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.tables.Tables
+
+class SkewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  private val sf = "/root/testdata/sf0.001"
+
+  test("salted join equals plain join on skewed key") {
+    val li = Tables.lineitem(spark, sf).select(col("l_suppkey").as("k"), col("l_quantity"))
+    val sup = Tables.supplier(spark, sf).select(col("s_suppkey").as("k"), col("s_name"))
+    val plain = li.join(sup, Seq("k")).groupBy("k").count()
+    val salted = Skew.saltedJoin(li, sup, "k", saltFactor = 4).groupBy("k").count()
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
+  test("left join keeps unmatched left rows") {
+    import spark.implicits._
+    val l = Seq((1, "a"), (2, "b"), (99, "orphan")).toDF("k", "lv")
+    val r = Seq((1, "x"), (2, "y")).toDF("k", "rv")
+    val out = Skew.saltedJoin(l, r, "k", saltFactor = 3, joinType = "left")
+    assert(out.count() === 3)
+    assert(out.where($"k" === 99 && $"rv".isNull).count() === 1)
+  }
+}
