@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.lake.LakeTable
+
+/** Engine facade: one import for a user of the reference switching to
+  * this library.
+  *
+  * {{{
+  * val spark = Graft.session()
+  * val t = Graft.createTable(spark, "/data/bronze/orders", df,
+  *   partitionBy = Seq("o_orderstatus"))
+  * t.merge(updates, expr("t.o_orderkey = s.o_orderkey"))
+  * Graft.table(spark, "/data/bronze/orders").asOf(0).toDF.show()
+  * }}}
+  *
+  * Area guide: `graft.lake` (ACID tables), `graft.ingest` (incremental
+  * + event ingestion), `graft.streaming` (lake sink/source),
+  * `graft.ops` (dedup / similarity / multimodal / skew),
+  * `graft.functions` (text analysis, top-k UDAF), `graft.sql`
+  * (catalog surface), `graft.pipeline` (medallion + ALS).
+  */
+object Graft {
+
+  /** A SparkSession tuned the way the engine expects: AQE on, shuffle
+    * partitions sized to cores (not 200), UTC — scale the master/memory
+    * for a real cluster via the usual spark-submit knobs.
+    */
+  def session(appName: String = "graft",
+      master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+      shufflePartitions: Option[Int] = None): SparkSession = {
+    val cores = shufflePartitions.getOrElse(
+      Runtime.getRuntime.availableProcessors())
+    val s = SparkSession.builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def table(spark: SparkSession, path: String): LakeTable =
+    LakeTable.forPath(spark, path)
+
+  def createTable(spark: SparkSession, path: String,
+      df: org.apache.spark.sql.DataFrame,
+      partitionBy: Seq[String] = Seq.empty,
+      mode: String = "error"): LakeTable =
+    LakeTable.create(spark, path, df, partitionBy = partitionBy, mode = mode)
+
+  def convert(spark: SparkSession, path: String,
+      partitionSpec: Option[String] = None): LakeTable =
+    LakeTable.convert(spark, path, partitionSpec)
+
+  def isTable(path: String): Boolean = LakeTable.isLakeTable(path)
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+
+/** Plan-quality audit (builder brief: ".explain the plan and iterate
+  * until it's the plan you'd want"): prints the formatted physical plan
+  * of key catalog queries and greps for the properties a 100 TB plan
+  * must have — filter pushdown into the parquet scan, pruned read
+  * schemas, broadcast joins on dims, whole-stage codegen coverage.
+  * Usage: runMain graft.PlanAudit <sfDir> [queryName...]
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q1_pricing_summary", "q5_revenue_by_nation",
+        "q3_shipping_priority", "o1_topk_orders", "w2_running_sum",
+        "d1_exact_dedup", "sim1_cosine_topk")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val pushed = "PushedFilters: \\[[^\\]]+\\]".r
+        .findAllIn(plan).toSeq.distinct
+      val schemas = "ReadSchema: [^\n]+".r.findAllIn(plan).toSeq
+      val broadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+      val sortMerge = plan.linesIterator.count(_.contains("SortMergeJoin"))
+      // codegen ids only appear after AQE finalizes at execution time
+      val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange")) +
+        plan.linesIterator.count(_.contains("+- Exchange"))
+      println(s"== $name")
+      println(s"   broadcastJoins=$broadcasts sortMergeJoins=$sortMerge " +
+        s"exchanges=$exchanges")
+      pushed.take(4).foreach(p => println(s"   $p"))
+      schemas.take(4).foreach(s => println(s"   ${s.take(150)}"))
+    }
+    spark.stop()
+  }
+}

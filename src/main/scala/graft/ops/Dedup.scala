@@ -124,7 +124,10 @@ object Dedup {
     val sigs = df
       .withColumn("__hs", tokenHashes(col(textCol)))
       .where(size(col("__hs")) > 0)
-      .withColumn("__sig", simhash64FromHashes(col("__hs")))
+      // native one-pass expression; simhash64FromHashes is the composed
+      // (bit-identical) reference implementation
+      .withColumn("__sig",
+        org.apache.spark.sql.graft.TextExpressions.simhash64(col("__hs")))
       .select(col(idCol).as("id"), col("__sig"),
         shiftrightunsigned(col("__sig"), 64 - prefixBits).as("__bucket"))
       .repartition(col("id")) // materialize the signature once

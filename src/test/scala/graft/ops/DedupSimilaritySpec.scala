@@ -75,4 +75,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // self always rank 1 (cosine 1.0 with itself)
     assert(out.where($"rank" === 1 && $"q_id" === $"id").count() === q.count())
   }
+
+  test("native simhash64 expression == composed HOF implementation") {
+    import graft.functions.TextFunctions
+    val withHashes = docs
+      .withColumn("hs", TextFunctions.tokenHashes($"text"))
+      .where(size($"hs") > 0)
+    val both = withHashes.select(
+      org.apache.spark.sql.graft.TextExpressions.simhash64($"hs").as("native"),
+      TextFunctions.simhash64FromHashes($"hs").as("composed"))
+    assert(both.where($"native" =!= $"composed").count() === 0)
+  }
 }
