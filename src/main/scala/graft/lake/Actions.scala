@@ -78,7 +78,17 @@ object Action {
   }
 
   def toJson(a: Action): String = mapper.writeValueAsString(a)
-  def fromJson(s: String): Action = mapper.readValue(s, classOf[Action])
+
+  def fromJson(s: String): Action = {
+    val a = mapper.readValue(s, classOf[Action])
+    // Scala's Map[String, Long] erases to Map[String, Object]; Jackson
+    // deserializes small JSON ints as java.lang.Integer, which explodes
+    // at the first primitive unboxing. Re-widen the numeric maps.
+    def fix(st: FileStats): FileStats =
+      st.copy(nullCount = st.nullCount.asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => k -> v.asInstanceOf[Number].longValue() })
+    a.copy(add = a.add.map(ad => ad.copy(stats = ad.stats.map(fix))))
+  }
 
   def of(m: MetaData): Action     = Action(metaData = Some(m))
   def of(a: AddFile): Action      = Action(add = Some(a))
