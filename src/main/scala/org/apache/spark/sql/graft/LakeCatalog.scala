@@ -1,0 +1,145 @@
+package org.apache.spark.sql.graft
+
+import java.nio.file.{Files, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.lake.LakeTable
+
+/** DataSource V2 catalog over a warehouse directory of lake tables
+  * (SURVEY §4's "TableCatalog/SupportsRead so built-in SQL resolution
+  * can target us"): `SELECT ... FROM lake.db.t`, `SHOW TABLES IN
+  * lake.db`, and native `VERSION AS OF` / `TIMESTAMP AS OF` time travel
+  * all resolve through Spark's analyzer.
+  *
+  * Reads delegate to Spark's own ParquetTable pinned to the SNAPSHOT's
+  * file list, so pushdown/pruning/vectorized scan are stock; the commit
+  * log decides which files exist. Writes stay on the Scala API
+  * (LakeTable.append/merge/...) — SQL DML through DSv2 would bypass the
+  * commit protocol, so the catalog does not advertise write capability.
+  *
+  * Register with:
+  *   spark.conf.set("spark.sql.catalog.lake",
+  *     "org.apache.spark.sql.graft.LakeCatalog")
+  *   spark.conf.set("spark.sql.catalog.lake.warehouse", "/data")
+  */
+class LakeCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def tablePath(ident: Identifier): String =
+    (warehouse +: (ident.namespace() :+ ident.name())).mkString("/")
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def load(ident: Identifier, asOf: Option[Long],
+      asOfTs: Option[Long]): Table = {
+    val path = tablePath(ident)
+    if (!LakeTable.isLakeTable(path))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    var t = LakeTable.forPath(spark, path)
+    asOfTs.foreach(ts => t = t.asOfTimestamp(ts))
+    asOf.foreach(v => t = t.asOf(v))
+    val snap = t.snapshot
+    val files = snap.files.map(f => s"$path/${f.path}")
+    val options = new CaseInsensitiveStringMap(
+      Map("basePath" -> path).asJava)
+    ParquetTable(
+      s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}",
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      options,
+      files,
+      Some(snap.schema),
+      classOf[ParquetFileFormat])
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    load(ident, None, None)
+
+  /** `VERSION AS OF v` */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version.toLong), None)
+
+  /** `TIMESTAMP AS OF ts` (micros since epoch per DSv2 contract). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    load(ident, None, Some(timestamp / 1000L))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = Paths.get((warehouse +: namespace).mkString("/"))
+    if (!Files.isDirectory(dir)) return Array.empty
+    Files.list(dir).iterator().asScala
+      .filter(p => LakeTable.isLakeTable(p.toString))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    LakeTable.isLakeTable(tablePath(ident))
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "create tables via graft.lake.LakeTable.create (SQL DML would bypass the commit log)")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "alter via graft.lake.LakeTable.alterAddColumn/setProperties")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException("drop via filesystem + vacuum")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("rename not supported")
+
+  // ---- namespaces = first-level warehouse directories ------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = Paths.get(warehouse)
+    if (!Files.isDirectory(root)) return Array.empty
+    Files.list(root).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !LakeTable.isLakeTable(p.toString))
+      .map(p => Array(p.getFileName.toString))
+      .toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!Files.isDirectory(Paths.get((warehouse +: namespace).mkString("/"))))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        namespace.toSeq)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    Files.createDirectories(Paths.get((warehouse +: namespace).mkString("/")))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("namespace properties not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException("drop namespace via filesystem")
+}
