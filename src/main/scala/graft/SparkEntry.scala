@@ -13,6 +13,7 @@ object SparkEntry {
   def groups: Seq[QueryGroup] = Seq(
     RelationalQueries,
     JoinQueries,
+    TpchQueries,
     FunctionQueries,
     WindowQueries,
     AdvancedQueries,

@@ -1,0 +1,61 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Registers the engine's native expressions as SQL functions so they
+  * compose inside plain SQL text (SURVEY §4 extension hook):
+  *
+  *   SELECT simhash64(hs), dot_product_d(a, b),
+  *          from_confluent_avro(value, '<schema json>') ...
+  *
+  * Usable either per-session via [[GraftExtensions.register]] or as a
+  * `spark.sql.extensions` class.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.simhashDesc)
+    e.injectFunction(GraftExtensions.dotDesc)
+    e.injectFunction(GraftExtensions.avroDesc)
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.0.0", "", "scala_udf")
+
+  private[graft] val simhashDesc =
+    (FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(array<long>) - one-pass 64-bit simhash"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head))
+
+  private[graft] val dotDesc =
+    (FunctionIdentifier("dot_product_d"),
+      info("dot_product_d", "dot_product_d(array<double>, array<double>) - native dot product"),
+      (exprs: Seq[Expression]) => DotProductDouble(exprs.head, exprs(1)))
+
+  private[graft] val avroDesc =
+    (FunctionIdentifier("from_confluent_avro"),
+      info("from_confluent_avro",
+        "from_confluent_avro(binary, schemaJson) - Confluent-framed avro to JSON string"),
+      (exprs: Seq[Expression]) => {
+        val schema = exprs(1) match {
+          case Literal(s: UTF8String, _) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"from_confluent_avro: schema must be a string literal, got $other")
+        }
+        ConfluentAvroToJson(exprs.head, schema)
+      })
+
+  /** Runtime registration on an existing session. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    Seq(simhashDesc, dotDesc, avroDesc).foreach { case (ident, inf, builder) =>
+      registry.registerFunction(ident, inf, builder)
+    }
+  }
+}
