@@ -471,7 +471,20 @@ final class LakeTable private (
       Files.list(dir).iterator().asScala.foreach { p =>
         val name = p.getFileName.toString
         if (Files.isDirectory(p)) {
-          if (name != LakeLog.LOG_DIR && !name.startsWith(LakeTable.STAGING_PREFIX)) walk(p)
+          if (name.startsWith(LakeTable.STAGING_PREFIX)) {
+            // orphaned staging dir from a crashed write: its files were
+            // never committed — remove wholesale past retention
+            if (now - Files.getLastModifiedTime(p).toMillis >= retentionMs) {
+              def rm(d: Path): Unit = {
+                Files.list(d).iterator().asScala.foreach { q =>
+                  if (Files.isDirectory(q)) rm(q)
+                  else { deleted += root.relativize(q).toString; Files.deleteIfExists(q) }
+                }
+                Files.deleteIfExists(d)
+              }
+              rm(p)
+            }
+          } else if (name != LakeLog.LOG_DIR) walk(p)
         } else if (name.endsWith(".parquet")) {
           val rel = root.relativize(p).toString
           if (!live.contains(rel)) {

@@ -213,6 +213,38 @@ object AdvancedQueries extends QueryGroup {
         SELECT s_suppkey, s_name, round(s_acctbal, 2) AS bal
         FROM supplier ORDER BY 3 DESC, 1""")),
 
+    // ===== gap-based sessionization over the events stream table (the
+    // event-pipeline gold op; graft.ops.Sessionize).
+    QueryDef(
+      "e2_sessionize",
+      (s, d) =>
+        graft.ops.Sessionize.sessions(
+          Tables.events(s, d), "user_id", "ts", gapMinutes = 30)
+          .orderBy(col("user_id"), col("session_seq")),
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        ), tagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR CAST(floor(epoch(ts)) AS BIGINT)
+                           - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                      THEN 1 ELSE 0 END AS new_s,
+                 event_id
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), seq AS (
+          SELECT user_id, ts,
+                 CAST(sum(new_s) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS session_seq
+          FROM tagged
+        )
+        SELECT user_id, session_seq, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM seq GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq""")),
+
     // ===== null-handling functions.
     QueryDef(
       "f21_null_funcs",
