@@ -75,30 +75,26 @@ object Similarity {
       data: DataFrame, vecCol: String, idCol: String,
       queries: DataFrame, qVecCol: String, qIdCol: String,
       k: Int, nLists: Int = 16, nprobe: Int = 4): DataFrame = {
-    val spark = data.sparkSession
     val d = data.select(col(idCol).as("id"), normalized(col(vecCol)).as("nvec"))
       .repartition(col("id")) // materialize normalization once
 
-    // deterministic centroids: mean vector per (xxhash64(id) % nLists)
-    val centroids = d
+    // deterministic centroids: mean vector per (xxhash64(id) % nLists),
+    // computed as a (tiny) DataFrame and broadcast — no driver collect
+    val cDf = d
       .withColumn("__c", pmod(xxhash64(col("id")), lit(nLists)))
-      .groupBy("__c")
+      .groupBy(col("__c").as("list_id"))
       .agg(array((0 until dim(data, vecCol)).map(i =>
-        avg(element_at(col("nvec"), i + 1))): _*).as("centroid"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-
-    val cDf = spark.createDataFrame(centroids.toSeq.map { case (c, v) => (c, v) })
-      .toDF("list_id", "raw_centroid")
+        avg(element_at(col("nvec"), i + 1))): _*).as("raw_centroid"))
       .select(col("list_id"), normalized(col("raw_centroid")).as("centroid"))
 
-    // assign each vector to its true nearest centroid (one broadcast pass)
+    // assign each vector to its true nearest centroid: min_by aggregation
+    // (partial+final, no per-id window sort)
     val assigned = d.crossJoin(broadcast(cDf))
       .withColumn("__dist", lit(1.0) - dotNormalized(col("nvec"), col("centroid")))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("__dist"), col("list_id"))))
-      .where(col("__rn") === 1)
-      .select(col("id"), col("nvec"), col("list_id"))
+      .groupBy(col("id"))
+      .agg(
+        first(col("nvec")).as("nvec"),
+        min_by(col("list_id"), struct(col("__dist"), col("list_id"))).as("list_id"))
 
     // queries probe their nprobe nearest lists
     val q = queries.select(col(qIdCol).as("q_id"), normalized(col(qVecCol)).as("q_nvec"))

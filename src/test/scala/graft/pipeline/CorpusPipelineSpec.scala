@@ -1,0 +1,54 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.lake.LakeTable
+import graft.tables.Tables
+
+class CorpusPipelineSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("curation over the harness documents: monotone stages, tables written") {
+    val out = Files.createTempDirectory("corpus-").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val res = CorpusPipeline.curate(spark, docs, out,
+      minQuality = 0.2, minTokens = 3, nearDupThreshold = 0.5)
+
+    assert(res.input === 500)
+    assert(res.afterQuality <= res.input)
+    assert(res.afterExact <= res.afterQuality)
+    assert(res.afterNear <= res.afterExact)
+    assert(res.afterNear > 0)
+
+    val curated = LakeTable.forPath(spark, s"$out/curated").toDF
+    assert(curated.count() === res.afterNear)
+    // curated corpus has no exact dups left
+    assert(curated.select("fp").distinct().count() === curated.count())
+    // stats table covers every predicted language present
+    val stats = LakeTable.forPath(spark, s"$out/lang_stats").toDF
+    val langs = curated.select("lang_pred").distinct().count()
+    assert(stats.count() === langs)
+    assert(stats.agg(sum("n_docs")).head().getLong(0) === res.afterNear)
+  }
+
+  test("exact duplicates are actually removed") {
+    val out = Files.createTempDirectory("corpus-dup-").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+    // inject exact duplicates with higher ids
+    val dups = docs.withColumn("doc_id", col("doc_id") + 100000L)
+    val withDups = docs.unionByName(dups)
+    val res = CorpusPipeline.curate(spark, withDups, out,
+      minQuality = 0.0, minTokens = 0, nearDupThreshold = 0.99)
+    assert(res.input === 100)
+    assert(res.afterExact === res.afterQuality / 2) // every doc had one copy
+    val curated = LakeTable.forPath(spark, s"$out/curated").toDF
+    // the kept ids are the originals (smallest per fingerprint)
+    assert(curated.where(col("doc_id") >= 100000L).count() === 0)
+  }
+}
