@@ -45,4 +45,17 @@ object SqlSurface {
   /** INSERT INTO ... VALUES (K8). */
   def insertValues(spark: SparkSession, table: String, valuesSql: String): Unit =
     spark.sql(s"INSERT INTO $table VALUES $valuesSql")
+
+  /** Bucketed external table: pre-shuffles data into `nBuckets` by
+    * `bucketCol` at write time so equi-joins/aggregations on that key
+    * run WITHOUT a shuffle (both sides bucket-aligned) — the co-located
+    * join strategy for repeated large-table joins at scale.
+    */
+  def saveBucketed(df: DataFrame, table: String, path: String,
+      bucketCol: String, nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
 }

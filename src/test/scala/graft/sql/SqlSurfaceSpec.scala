@@ -61,4 +61,26 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT v FROM lake_now WHERE id = 3").as[String].head() === "c")
   }
+
+  test("bucketed tables join without exchange (co-located join)") {
+    val dir = Files.createTempDirectory("bucketed-").toString
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select($"l_orderkey", $"l_quantity")
+    val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select($"o_orderkey", $"o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS b_li"); spark.sql("DROP TABLE IF EXISTS b_ord")
+    SqlSurface.saveBucketed(li, "b_li", s"$dir/li", "l_orderkey", 8)
+    SqlSurface.saveBucketed(ord, "b_ord", s"$dir/ord", "o_orderkey", 8)
+
+    val joined = spark.sql("""
+      SELECT /*+ MERGE(b_ord) */ count(*) AS n
+      FROM b_li JOIN b_ord ON l_orderkey = o_orderkey""")
+    val plan = joined.queryExecution.executedPlan.toString
+    // bucket alignment: the sort-merge join needs NO shuffle on either side
+    assert(plan.contains("SortMergeJoin"))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected shuffle in bucketed join plan:\n$plan")
+    assert(joined.as[Long].head() === li.count())
+    spark.sql("DROP TABLE b_li"); spark.sql("DROP TABLE b_ord")
+  }
 }
