@@ -74,9 +74,11 @@ object LakeStreaming {
       .option("recursiveFileLookup", "false") // hive dirs handled by partition discovery
       .option("basePath", tablePath)
     maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
+    // hive partition dirs only (col=val) — a bare /* would also match
+    // _lake_log and trip CONFLICTING_DIRECTORY_STRUCTURES
     val pattern =
       if (snap.metaData.partitionColumns.isEmpty) tablePath
-      else tablePath + ("/*" * snap.metaData.partitionColumns.size)
+      else tablePath + ("/*=*" * snap.metaData.partitionColumns.size)
     reader.parquet(pattern)
   }
 }

@@ -210,4 +210,21 @@ class IngestSpec extends AnyFunSuite {
     q2.awaitTermination()
     assert(LakeTable.forPath(spark, root.resolve("sink").toString).toDF.count() === 3)
   }
+
+  test("lake table as stream works for partitioned tables") {
+    val root = tmp()
+    val src = root.resolve("parted_src").toString
+    LakeTable.create(spark,
+      src,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0)).toDF("id", "k", "v"),
+      partitionBy = Seq("k"))
+    val stream = LakeStreaming.asStream(spark, src)
+    val q = LakeStreaming.sink(stream, root.resolve("parted_sink").toString,
+      "parted", root.resolve("ckpt_parted").toString)
+    q.awaitTermination()
+    val out = LakeTable.forPath(spark, root.resolve("parted_sink").toString).toDF
+    assert(out.count() === 3)
+    // partition column survives the stream round-trip
+    assert(out.where(col("k") === "a").count() === 2)
+  }
 }
