@@ -378,6 +378,32 @@ final class LakeTable private (
     } finally joined.unpersist()
   }
 
+  /** RESTORE TABLE TO VERSION AS OF v (the write-side completion of
+    * time travel): one commit that removes the current file set and
+    * re-adds version v's — no data is copied, both states stay
+    * time-travelable.
+    */
+  def restore(toVersion: Long): Unit = {
+    require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
+    val cur = snapshot
+    val target = log.snapshot(Some(toVersion))
+    val now = System.currentTimeMillis()
+    val curPaths = cur.files.map(_.path).toSet
+    val tgtPaths = target.files.map(_.path).toSet
+    val removes = cur.files.filterNot(f => tgtPaths.contains(f.path))
+      .map(f => Action.of(RemoveFile(f.path, now, f.partitionValues)))
+    val adds = target.files.filterNot(f => curPaths.contains(f.path))
+      .map(Action.of)
+    val metaAction =
+      if (target.metaData.schemaDdl != cur.metaData.schemaDdl)
+        Seq(Action.of(target.metaData))
+      else Seq.empty
+    val actions = metaAction ++ removes ++ adds :+
+      Action.of(CommitInfo(now, "RESTORE", Map("toVersion" -> toVersion.toString),
+        numAddedFiles = adds.size.toLong, numRemovedFiles = removes.size.toLong))
+    commitWithRetry(cur.version, actions, rebaseable = false)
+  }
+
   // ---- layout optimization (SURVEY §4 "small-file compaction") --------
 
   /** OPTIMIZE-lite: rewrite the table's data into ~`targetFileBytes`

@@ -311,4 +311,34 @@ class LakeTableSpec extends AnyFunSuite {
     assert(pruned.inputFiles.forall(_.contains("yr=2020")))
     assert(pruned.count() === t.toDF.where(year($"ts") === 2020).count())
   }
+
+  test("restore rewinds current state without copying data") {
+    val path = tmpDir()
+    val t = LakeTable.create(spark, path, sampleDF)
+    t.delete($"state" === "CA")
+    t.append(Seq((6L, "WA", 60.0)).toDF("id", "state", "amount"))
+    assert(t.toDF.count() === 4)
+    t.restore(0L)
+    assert(t.toDF.count() === 5)
+    assert(t.toDF.where($"state" === "CA").count() === 2)
+    // both pre- and post-restore states remain time-travelable
+    assert(t.asOf(2).toDF.count() === 4)
+    assert(t.history.head().getString(2) === "RESTORE")
+  }
+
+  test("12-way concurrent appends all land under contention") {
+    val path = tmpDir()
+    val t = LakeTable.create(spark, path, sampleDF)
+    val threads = (0 until 12).map { i =>
+      new Thread(() => {
+        val t2 = LakeTable.forPath(spark, path)
+        t2.append(Seq((200L + i, s"C$i", i.toDouble)).toDF("id", "state", "amount"))
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(t.toDF.count() === 17)
+    assert(t.version === 12)
+    assert(t.toDF.select("id").distinct().count() === 17)
+  }
 }

@@ -88,4 +88,26 @@ class StreamingSemanticsSpec extends AnyFunSuite {
       assert(spark.sql("SELECT count(*) FROM pt_agg").as[Long].head() === 5)
     } finally q.stop()
   }
+
+  test("windowed streaming aggregate lands exactly-once in a lake table") {
+    import graft.lake.LakeTable
+    import graft.streaming.LakeStreaming
+    val root = java.nio.file.Files.createTempDirectory("stream-agg-")
+    val agg = eventsStream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("window_start"), $"event_type", $"n")
+    val q = LakeStreaming.sink(agg, root.resolve("agg_table").toString,
+      "win_agg", root.resolve("ckpt").toString)
+    q.awaitTermination()
+    val t = LakeTable.forPath(spark, root.resolve("agg_table").toString)
+    val first = t.toDF.count()
+    assert(first > 0)
+    // replay the whole stream: checkpoint + idempotent commits = no dupes
+    val q2 = LakeStreaming.sink(agg, root.resolve("agg_table").toString,
+      "win_agg", root.resolve("ckpt").toString)
+    q2.awaitTermination()
+    assert(t.toDF.count() === first)
+  }
 }
