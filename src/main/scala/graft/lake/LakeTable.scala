@@ -612,7 +612,7 @@ object LakeTable {
       AddFile(rel, parsePartitionValues(rel), Files.size(p),
         Files.getLastModifiedTime(p).toMillis, None)
     }
-    val statsMap = Stats.collect(spark,
+    val statsMap = Stats.collectFromFooters(spark,
       StructType(fullSchema.filterNot(f => partSchema.fieldNames.contains(f.name))),
       dataFiles.map(_.toString).toSeq)
     val withStats = adds.map(a =>
@@ -680,6 +680,9 @@ object LakeTable {
       partitionCols: Seq[String]): Seq[AddFile] = {
     val stagingName = STAGING_PREFIX + UUID.randomUUID().toString
     val staging = Paths.get(tablePath, stagingName)
+    // INT64 micros instead of legacy INT96: footer min/max stats become
+    // usable for timestamp skipping (INT96 emits none)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val writer = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(staging.toString)
@@ -709,7 +712,7 @@ object LakeTable {
 
     if (moved.isEmpty) return Seq.empty
     val dataSchema = StructType(schema.filterNot(f => partitionCols.contains(f.name)))
-    val statsMap = Stats.collect(spark, dataSchema, moved.map(_._2.toString).toSeq)
+    val statsMap = Stats.collectFromFooters(spark, dataSchema, moved.map(_._2.toString).toSeq)
     moved.map { case (rel, abs) =>
       AddFile(rel, parsePartitionValues(rel), Files.size(abs),
         Files.getLastModifiedTime(abs).toMillis,

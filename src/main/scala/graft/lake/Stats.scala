@@ -36,9 +36,91 @@ object Stats {
     val base = if (agg == "min") min(col(name)) else max(col(name))
     dt match {
       case TimestampType => unix_micros(base).cast("string")
-      case DateType => base.cast("int").cast("string")
+      case DateType => unix_date(base).cast("string") // ANSI forbids date→int cast
       case _ => base.cast("string")
     }
+  }
+
+  /** Per-file stats read from the parquet FOOTERS the write already
+    * produced — no second job. Canonical encodings match [[collect]]
+    * (numbers via BigDecimal-parseable strings, timestamps as micros,
+    * dates as days). Columns whose footer stats are absent/unset are
+    * simply omitted (the skipping evaluator treats missing as unknown).
+    * Falls back to the aggregation job for any file it cannot read.
+    */
+  def collectFromFooters(
+      spark: SparkSession,
+      dataSchema: StructType,
+      paths: Seq[String]): Map[String, FileStats] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val byName = dataSchema.fields.map(f => f.name -> f.dataType).toMap
+
+    def canonValue(dt: DataType, v: Any): Option[String] = (dt, v) match {
+      case (StringType, b: Binary) => Some(b.toStringUsingUTF8)
+      case (TimestampType, l: java.lang.Long) => Some(l.toString) // micros
+      case (DateType, i: java.lang.Integer) => Some(i.toString)   // days
+      case (_, n: Number) if isNumericLike(dt) => Some(n.toString)
+      case _ => None
+    }
+
+    val results = paths.map { p =>
+      try {
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(p), conf))
+        try {
+          val footer = reader.getFooter
+          val blocks = footer.getBlocks
+          var rows = 0L
+          val mins = scala.collection.mutable.Map[String, String]()
+          val maxs = scala.collection.mutable.Map[String, String]()
+          val ncs = scala.collection.mutable.Map[String, Long]()
+          val incomplete = scala.collection.mutable.Set[String]()
+          val minRaw = scala.collection.mutable.Map[String, Any]()
+          val maxRaw = scala.collection.mutable.Map[String, Any]()
+          blocks.forEach { block =>
+            rows += block.getRowCount
+            block.getColumns.forEach { cc =>
+              val name = cc.getPath.toDotString
+              if (byName.contains(name)) {
+                val st = cc.getStatistics
+                if (st == null || !st.hasNonNullValue || st.isEmpty) {
+                  if (st == null || st.getNumNulls != block.getRowCount)
+                    incomplete += name // no usable range and rows may be non-null
+                  if (st != null && st.isNumNullsSet)
+                    ncs(name) = ncs.getOrElse(name, 0L) + st.getNumNulls
+                  else incomplete += name
+                } else {
+                  val dt = byName(name)
+                  (canonValue(dt, st.genericGetMin), canonValue(dt, st.genericGetMax)) match {
+                    case (Some(mi), Some(ma)) =>
+                      def lt(a: String, b: String): Boolean = dt match {
+                        case StringType => a < b
+                        case _ => BigDecimal(a) < BigDecimal(b)
+                      }
+                      if (!minRaw.contains(name) || lt(mi, mins(name))) { mins(name) = mi; minRaw(name) = () }
+                      if (!maxRaw.contains(name) || lt(maxs(name), ma)) { maxs(name) = ma; maxRaw(name) = () }
+                    case _ => incomplete += name
+                  }
+                  if (st.isNumNullsSet)
+                    ncs(name) = ncs.getOrElse(name, 0L) + st.getNumNulls
+                  else incomplete += name
+                }
+              }
+            }
+          }
+          incomplete.foreach { n => mins.remove(n); maxs.remove(n); ncs.remove(n) }
+          Some(normalizeFileUri(p) -> FileStats(rows, mins.toMap, maxs.toMap, ncs.toMap))
+        } finally reader.close()
+      } catch { case _: Throwable => None }
+    }
+    val ok = results.flatten.toMap
+    val failed = paths.filterNot(p => ok.contains(normalizeFileUri(p)))
+    ok ++ (if (failed.nonEmpty) collect(spark, dataSchema, failed) else Map.empty)
   }
 
   /** One job over `paths` → per-file FileStats keyed by absolute file path. */
