@@ -530,7 +530,30 @@ final class LakeTable private (
 
 object LakeTable {
 
-  private[lake] val STAGING_PREFIX = "_staging-"
+  /** Staging dirs under the table root use this prefix; vacuum treats
+    * orphaned ones (crashed writes) as garbage past retention.
+    */
+  val STAGING_PREFIX = "_staging-"
+
+  /** CREATE TABLE without data (the DSv2 catalog's `CREATE TABLE` /
+    * CTAS-first-half): version 0 is metadata-only.
+    */
+  def createEmpty(
+      path: String,
+      schema: StructType,
+      partitionBy: Seq[String] = Seq.empty,
+      properties: Map[String, String] = Map.empty): Unit = {
+    require(!isLakeTable(path), s"lake table already exists: $path")
+    val bad = partitionBy.filterNot(schema.fieldNames.contains)
+    require(bad.isEmpty, s"partition column(s) not in schema: ${bad.mkString(",")}")
+    Files.createDirectories(Paths.get(path))
+    val now = System.currentTimeMillis()
+    val meta = MetaData(UUID.randomUUID().toString, schema.toDDL, partitionBy,
+      properties, now)
+    new LakeLog(path).write(0L, Seq(Action.of(meta),
+      Action.of(CommitInfo(now, "CREATE TABLE",
+        Map("partitionBy" -> partitionBy.mkString(","))))))
+  }
 
   def isLakeTable(path: String): Boolean = new LakeLog(path).exists
 

