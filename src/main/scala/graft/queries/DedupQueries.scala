@@ -15,6 +15,52 @@ object DedupQueries extends QueryGroup {
 
   import TextFunctions._
 
+  /** The raw fixture has no near-duplicates, which made the pair-join
+    * oracles vacuously 0==0 (VERDICT r01 "what's wrong" #1). Inject
+    * DETERMINISTIC near-dups derived from the sample itself — every 5th
+    * sampled doc reappears with a short appended tail (high but non-1.0
+    * shingle Jaccard) — identically in Spark and the DuckDB oracle, so
+    * the pair arithmetic is driver-verified on real rows.
+    */
+  private def augmentedDocs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val sample = Tables.documents(s, d)
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    sample.unionByName(
+      sample.where(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" near duplicate tail marker")).as("text")))
+  }
+
+  private val augmentedDocsSql = """
+          SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' near duplicate tail marker'
+          FROM documents WHERE doc_id % 50 = 0"""
+
+  /** Same idea for embeddings: every 5th sampled vector reappears scaled
+    * by exactly 2 — power-of-two scaling commutes with IEEE rounding, so
+    * the normalized vector is BIT-IDENTICAL to the original's in both
+    * engines and each copy pairs with its source at cosine ~1.0 while all
+    * cross-pair cosines are unchanged.
+    */
+  private def augmentedVecs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val sample = Tables.embeddings(s, d)
+      .where(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding"))
+    sample.unionByName(
+      sample.where(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+  }
+
+  private val augmentedVecsSql = """
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+          UNION ALL
+          SELECT vec_id + 1000000,
+                 list_transform(embedding, x -> x * CAST(2.0 AS REAL))
+          FROM embeddings WHERE vec_id % 25 = 0"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ===== exact dedup: fingerprint → keep min doc_id.
@@ -34,14 +80,13 @@ object DedupQueries extends QueryGroup {
     QueryDef(
       "d2_ngram_jaccard",
       (s, d) =>
-        Dedup.ngramJaccardPairs(
-          Tables.documents(s, d).where(col("doc_id") % 10 === 0),
+        Dedup.ngramJaccardPairs(augmentedDocs(s, d),
           "text", "doc_id", shingleN = 3, threshold = 0.2)
           .orderBy(col("id_a"), col("id_b")),
       Some(s"""
-        WITH s AS (
-          SELECT doc_id AS id, ${shinglesSql("text", 3)} AS sh
-          FROM documents WHERE doc_id % 10 = 0
+        WITH aug AS ($augmentedDocsSql
+        ), s AS (
+          SELECT doc_id AS id, ${shinglesSql("text", 3)} AS sh FROM aug
         ), pairs AS (
           SELECT a.id AS id_a, b.id AS id_b,
                  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
@@ -59,8 +104,7 @@ object DedupQueries extends QueryGroup {
     QueryDef(
       "d3_minhash_lsh",
       (s, d) =>
-        Dedup.minhashLsh(
-          Tables.documents(s, d).where(col("doc_id") % 10 === 0),
+        Dedup.minhashLsh(augmentedDocs(s, d),
           "text", "doc_id", shingleN = 3, bands = 8, rowsPerBand = 4,
           threshold = 0.2)
           .orderBy(col("id_a"), col("id_b")),
@@ -70,8 +114,7 @@ object DedupQueries extends QueryGroup {
     QueryDef(
       "d4_simhash",
       (s, d) =>
-        Dedup.simhashPairs(
-          Tables.documents(s, d).where(col("doc_id") % 10 === 0),
+        Dedup.simhashPairs(augmentedDocs(s, d),
           "text", "doc_id", maxHamming = 16, prefixBits = 4)
           .orderBy(col("id_a"), col("id_b")),
       None),
@@ -81,14 +124,14 @@ object DedupQueries extends QueryGroup {
     QueryDef(
       "d5_embedding_dups",
       (s, d) =>
-        Dedup.embeddingPairs(
-          Tables.embeddings(s, d).where(col("vec_id") % 5 === 0),
+        Dedup.embeddingPairs(augmentedVecs(s, d),
           "embedding", "vec_id", threshold = 0.8)
           .orderBy(col("id_a"), col("id_b")),
       Some(s"""
-        WITH v AS (
+        WITH aug AS ($augmentedVecsSql
+        ), v AS (
           SELECT vec_id AS id, ${OracleSql.normalizedSql("embedding")} AS nvec
-          FROM embeddings WHERE vec_id % 5 = 0
+          FROM aug
         ), pairs AS (
           SELECT a.id AS id_a, b.id AS id_b,
                  ${OracleSql.dotNormalizedSql("a.nvec", "b.nvec")} AS cosine

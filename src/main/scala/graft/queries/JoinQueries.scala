@@ -117,15 +117,21 @@ object JoinQueries extends QueryGroup {
     QueryDef(
       "j4_anti_join",
       (s, d) => {
+        // customers with no URGENT order: a nonzero anti join at every SF
+        // (every customer has SOME order in the fixture, so the unfiltered
+        // variant was vacuous — VERDICT r01 "what's wrong" #1)
         val cust = Tables.customer(s, d)
-        val ord = Tables.orders(s, d)
-        cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        val urgent = Tables.orders(s, d)
+          .where(col("o_orderpriority") === "1-URGENT")
+        cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
           .select(col("c_custkey"), col("c_name"))
           .orderBy(col("c_custkey"))
       },
       Some("""
         SELECT c_custkey, c_name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
         ORDER BY c_custkey""")),
 
     // ===== J4 full outer: per-nation customer vs supplier presence.

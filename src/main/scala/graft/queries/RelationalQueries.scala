@@ -263,14 +263,18 @@ object RelationalQueries extends QueryGroup {
     QueryDef(
       "u5_except",
       (s, d) => {
+        // nations with customers but no high-balance supplier — the
+        // unfiltered variant was an always-empty EXCEPT (vacuous oracle,
+        // VERDICT r01); the s_acctbal cut leaves a nonzero remainder
         val c = Tables.customer(s, d).select(col("c_nationkey").cast("int").as("nk"))
-        val sup = Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("nk"))
+        val sup = Tables.supplier(s, d).where(col("s_acctbal") > 8000)
+          .select(col("s_nationkey").cast("int").as("nk"))
         c.except(sup).orderBy(col("nk"))
       },
       Some("""
         SELECT CAST(c_nationkey AS INT) AS nk FROM customer
         EXCEPT
-        SELECT CAST(s_nationkey AS INT) AS nk FROM supplier
+        SELECT CAST(s_nationkey AS INT) AS nk FROM supplier WHERE s_acctbal > 8000
         ORDER BY nk"""))
   )
 }
