@@ -138,7 +138,18 @@ object DedupQueries extends QueryGroup {
           FROM v a, v b WHERE a.id < b.id
         )
         SELECT id_a, id_b, cosine FROM pairs
-        WHERE cosine >= 0.8 ORDER BY id_a, id_b"""))
+        WHERE cosine >= 0.8 ORDER BY id_a, id_b""")),
+
+    // ===== random-hyperplane LSH embedding near-dups — the scale path
+    // that replaces d5's crossJoin; approximate (rows-only driver check),
+    // recall-vs-exact covered in EmbeddingLshSpec.
+    QueryDef(
+      "d6_embedding_lsh",
+      (s, d) =>
+        Dedup.embeddingPairsLsh(augmentedVecs(s, d),
+          "embedding", "vec_id", threshold = 0.8)
+          .orderBy(col("id_a"), col("id_b")),
+      None)
   )
 }
 

@@ -57,8 +57,81 @@ case class DotProductDouble(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sign-bit random-hyperplane signature (SimHash for real vectors): bit
+  * p of the result is 1 iff dot(v, plane_p) > 0. One pass over the
+  * vector per plane, whole-stage codegen'd — the signature step of
+  * embedding LSH (`Dedup.embeddingPairsLsh`) at ~n×planes×dim flops
+  * with zero allocation.
+  *
+  * `planes` is the row-major [nPlanes × dim] matrix, generated
+  * deterministically on the driver and shipped as a codegen reference
+  * object (a few KB), NOT a join side.
+  */
+case class HyperplaneBits64(child: Expression, planes: Array[Double], dim: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  require(dim > 0 && planes.length % dim == 0, "planes must be nPlanes*dim")
+  private val nPlanes = planes.length / dim
+  require(nPlanes >= 1 && nPlanes <= 64, s"1..64 planes, got $nPlanes")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "hyperplane_bits64"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    var bits = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val off = p * dim
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += v.getDouble(i) * planes(off + i)
+        i += 1
+      }
+      if (s > 0.0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val pl = ctx.addReferenceObj("planes", planes, "double[]")
+      val n = ctx.freshName("n")
+      val bits = ctx.freshName("bits")
+      val p = ctx.freshName("p")
+      val off = ctx.freshName("off")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $dim);
+        long $bits = 0L;
+        for (int $p = 0; $p < $nPlanes; $p++) {
+          int $off = $p * $dim;
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $s += $a.getDouble($i) * $pl[$off + $i];
+          }
+          if ($s > 0.0) $bits |= (1L << $p);
+        }
+        ${ev.value} = $bits;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column API for the native dot product (double arrays). */
   def dotD(a: Column, b: Column): Column =
     Bridge.column(DotProductDouble(Bridge.expr(a), Bridge.expr(b)))
+
+  /** Column API for the sign-bit hyperplane signature. */
+  def hyperplaneBits(v: Column, planes: Array[Double], dim: Int): Column =
+    Bridge.column(HyperplaneBits64(Bridge.expr(v), planes, dim))
 }
