@@ -105,7 +105,11 @@ final class LakeTable private (
         "sizeInBytes", "createdTime")
   }
 
-  /** Iceberg-style metadata tables: "history"|"snapshots"|"files". */
+  /** Iceberg-style metadata tables (`03.iceberg_primer.py:322-402`):
+    * "history" | "snapshots" | "files" | "partitions" | "manifests" |
+    * "metadata_log_entries". Everything is derived from the commit log —
+    * no data files are opened.
+    */
   def meta(name: String): DataFrame = {
     import spark.implicits._
     name match {
@@ -115,6 +119,34 @@ final class LakeTable private (
           .map(f => (f.path, f.partitionValues.map { case (k, v) => s"$k=$v" }.mkString("/"),
             f.size, f.stats.map(_.numRecords).getOrElse(-1L)))
           .toDF("path", "partition", "size", "numRecords")
+      case "partitions" =>
+        // Iceberg `.partitions`: per-partition record/file counts
+        snapshot.files
+          .groupBy(_.partitionValues)
+          .map { case (pv, fs) =>
+            (pv.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/"),
+              fs.flatMap(_.stats.map(_.numRecords)).sum,
+              fs.size.toLong,
+              fs.map(_.size).sum)
+          }.toSeq
+          .toDF("partition", "record_count", "file_count", "total_size")
+      case "manifests" =>
+        // our analog of `.manifests`: one row per commit-log file with its
+        // add/remove cardinalities
+        log.listVersions.map { v =>
+          val p = log.logDir.resolve(LakeLog.commitFileName(v))
+          val actions = log.readCommit(v)
+          (p.toString, Files.size(p), v,
+            actions.count(_.add.isDefined).toLong,
+            actions.count(_.remove.isDefined).toLong)
+        }.toDF("path", "length", "added_snapshot_id",
+          "added_data_files_count", "removed_data_files_count")
+      case "metadata_log_entries" =>
+        // `.metadata_log_entries`: the log's own history, newest last
+        snapshot.commits.sortBy(_._1).map { case (v, ci) =>
+          (new java.sql.Timestamp(ci.timestamp),
+            log.logDir.resolve(LakeLog.commitFileName(v)).toString, v)
+        }.toDF("timestamp", "file", "latest_snapshot_id")
       case other => throw new IllegalArgumentException(s"unknown metadata table: $other")
     }
   }

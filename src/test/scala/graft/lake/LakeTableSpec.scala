@@ -341,4 +341,34 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.version === 12)
     assert(t.toDF.select("id").distinct().count() === 17)
   }
+
+  test("Iceberg metadata tables: partitions/manifests/metadata_log_entries") {
+    val path = tmpDir()
+    val t = LakeTable.create(spark, path, sampleDF, partitionBy = Seq("state"))
+    t.append(Seq((6L, "CA", 60.0)).toDF("id", "state", "amount"))
+
+    // .partitions: per-partition file/row counts must agree with .files
+    val parts = t.meta("partitions")
+      .select("partition", "record_count", "file_count")
+      .as[(String, Long, Long)].collect()
+      .map { case (p, r, f) => p -> (r, f) }.toMap
+    val fromFiles = t.snapshot.files.groupBy(_.partitionValues("state"))
+      .map { case (st, fs) =>
+        s"state=$st" -> (fs.flatMap(_.stats.map(_.numRecords)).sum, fs.size.toLong)
+      }
+    assert(parts === fromFiles)
+    assert(parts("state=CA")._1 === 3) // 2 created + 1 appended
+
+    // .manifests: one row per commit, add counts match the log
+    val manifests = t.meta("manifests")
+      .select("added_snapshot_id", "added_data_files_count")
+      .as[(Long, Long)].collect().toMap
+    assert(manifests.keySet === Set(0L, 1L))
+    assert(manifests(1L) === 1L) // the append added one CA file
+
+    // .metadata_log_entries: one row per commit, newest last
+    val entries = t.meta("metadata_log_entries")
+      .select("latest_snapshot_id").as[Long].collect().toSeq
+    assert(entries === Seq(0L, 1L))
+  }
 }
