@@ -1,28 +1,87 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark main (driver contract): one JSON line with per-query and
+  * write-path timings.
+  *
+  * Queries are FULLY materialized through the noop sink — `count()` lets
+  * Spark prune projections, under-measuring expression-heavy queries
+  * (VERDICT r01 "what's wrong" #2); noop executes the exact plan the
+  * user would pay for and discards rows at the sink.
+  *
+  * The write suite (create/append/merge/delete/compact on a lineitem-
+  * derived lake table) covers the commit-log path so round-over-round
+  * deltas reflect the lake layer too.
+  */
 object Bench {
+
+  private def materialize(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // session warm-up (scan + shuffle + codegen paths) so JVM/classloader
     // init isn't attributed to whichever query happens to run first
-    try SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
+    try materialize(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def timed(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try body catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      name -> timed(materialize(fn(spark, sfDir)))
+    }
+
+    // ---- write-path suite on a scratch lake table --------------------
+    val scratch = java.nio.file.Files.createTempDirectory("bench-lake-").toString
+    val lineitem = tables.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+    import graft.lake.LakeTable
+    val orders = tables.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val writes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var li: LakeTable = null
+    var ord: LakeTable = null
+    writes("lake_create") = timed {
+      li = LakeTable.create(spark, s"$scratch/lineitem", lineitem)
+    }
+    writes("lake_append") = timed {
+      li.append(lineitem.where(col("l_linenumber") === 1))
+    }
+    ord = LakeTable.create(spark, s"$scratch/orders", orders)
+    writes("lake_merge") = timed {
+      // upsert ~10% of orders by primary key (o_orderkey is unique)
+      val src = orders.where(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      ord.merge(src, expr("t.o_orderkey = s.o_orderkey"),
+        whenMatchedUpdate = Some(Map.empty),
+        whenNotMatchedInsert = None)
+    }
+    writes("lake_delete") = timed {
+      ord.delete(col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0)
+    }
+    writes("lake_compact") = timed(li.compact())
+
+    def js(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val writesTotal = writes.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec"""" +
+      s""","queries":${js(results)},"writes":${js(writes)}""" +
+      s""","writes_total":$writesTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
