@@ -34,10 +34,13 @@ final case class Snapshot(
   * [[CommitConflictException]] and rebases). Readers only ever see whole
   * committed files.
   *
-  * Scale note: snapshot resolution is O(commits); every CHECKPOINT_EVERY
-  * commits a compacted JSON checkpoint (`NNN.checkpoint.json`) is written
-  * so resolution reads one checkpoint + a short tail, not the whole
-  * history — same shape as Delta's parquet checkpoints.
+  * Scale: every CHECKPOINT_EVERY commits a columnar parquet checkpoint
+  * (`NNN.checkpoint.parquet`, [[Checkpoint]]) is written and the
+  * `_last_checkpoint` pointer updated — Delta's exact discovery shape
+  * (`01.parquet_primer.py:382-386`). Latest-snapshot resolution reads the
+  * pointer, ONE checkpoint, and probes the short tail by constructed file
+  * name — it never lists the log directory, so a 1e6-commit table
+  * resolves in O(tail) file reads (CheckpointSpec proves ≤ 12).
   */
 final class LakeLog(val tablePath: String) {
 
@@ -45,10 +48,12 @@ final class LakeLog(val tablePath: String) {
 
   val logDir: Path = Paths.get(tablePath, LOG_DIR)
 
-  def exists: Boolean = {
-    if (!Files.isDirectory(logDir)) return false
-    listVersions.nonEmpty
-  }
+  /** File reads performed by this handle (spec instrumentation). */
+  private[lake] var fileReads: Int = 0
+
+  def exists: Boolean =
+    Files.isRegularFile(logDir.resolve(commitFileName(0L))) ||
+      (Files.isDirectory(logDir) && listVersions.nonEmpty)
 
   // ---- listing ---------------------------------------------------------
 
@@ -68,34 +73,91 @@ final class LakeLog(val tablePath: String) {
 
   def listVersions: Seq[Long] = listLog(COMMIT_SUFFIX).map(_._1)
 
-  def latestVersion: Option[Long] = listVersions.lastOption
+  /** Newest committed version WITHOUT listing the directory: pointer +
+    * forward probe (versions are dense by construction). Falls back to a
+    * listing when no pointer exists yet.
+    */
+  def latestVersion: Option[Long] = lastCheckpointVersion match {
+    case Some(ckptV) => Some(probeForward(ckptV))
+    case None =>
+      if (Files.isRegularFile(logDir.resolve(commitFileName(0L))))
+        Some(probeForward(0L))
+      else listVersions.lastOption
+  }
+
+  private def probeForward(from: Long): Long = {
+    var v = from
+    while (Files.isRegularFile(logDir.resolve(commitFileName(v + 1)))) v += 1
+    v
+  }
 
   // ---- reading ---------------------------------------------------------
 
-  private def readActions(p: Path): Seq[Action] =
+  private def readActions(p: Path): Seq[Action] = {
+    fileReads += 1
     Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
       .filter(_.nonEmpty).map(Action.fromJson)
+  }
 
   /** Actions of one committed version (for vacuum / audit). */
   def readCommit(v: Long): Seq[Action] =
     readActions(logDir.resolve(LakeLog.commitFileName(v)))
 
-  /** Resolve the snapshot at `asOf` (None = latest). Starts from the
-    * newest checkpoint at or below the target version.
+  /** `_last_checkpoint` pointer: `{"version":N}`. */
+  private def lastCheckpointVersion: Option[Long] = {
+    val p = logDir.resolve(LAST_CHECKPOINT)
+    if (!Files.isRegularFile(p)) return None
+    fileReads += 1
+    try {
+      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong)
+    } catch { case NonFatal(_) => None }
+  }
+
+  /** Checkpoint actions at `v`: parquet (current) or JSON (legacy);
+    * a corrupt checkpoint degrades to None (resolution re-reads commits).
+    */
+  private def readCheckpoint(v: Long): Option[Seq[Action]] = {
+    val pq = logDir.resolve(parquetCheckpointFileName(v))
+    if (Files.isRegularFile(pq)) {
+      fileReads += 1
+      try return Some(Checkpoint.read(pq))
+      catch { case NonFatal(_) => () }
+    }
+    val js = logDir.resolve(checkpointFileName(v))
+    if (!Files.isRegularFile(js)) return None
+    try Some(readActions(js)) catch { case NonFatal(_) => None }
+  }
+
+  /** Resolve the snapshot at `asOf` (None = latest). The latest path uses
+    * `_last_checkpoint` + tail probing (no directory listing); explicit
+    * time travel falls back to a listing (rare, and it must validate the
+    * requested version anyway).
     */
   def snapshot(asOf: Option[Long] = None): Snapshot = {
-    val versions = listVersions
-    require(versions.nonEmpty, s"not a lake table (no commits): $tablePath")
-    val target = asOf match {
+    val (target, ckpt) = asOf match {
+      case None =>
+        lastCheckpointVersion.flatMap(v => readCheckpoint(v).map(v -> _)) match {
+          case Some((ckptV, actions)) =>
+            (probeForward(ckptV), Some(ckptV -> actions))
+          case None =>
+            val versions = listVersions
+            require(versions.nonEmpty, s"not a lake table (no commits): $tablePath")
+            (versions.last, resolveCheckpointByListing(versions.last))
+        }
       case Some(v) =>
-        require(versions.contains(v),
-          s"version $v does not exist for $tablePath (have ${versions.head}..${versions.last})")
-        v
-      case None => versions.last
+        // versions are dense, so existence of the commit file IS the
+        // validation — no listing needed when the pointer helps
+        require(Files.isRegularFile(logDir.resolve(commitFileName(v))),
+          s"version $v does not exist for $tablePath")
+        val ck = lastCheckpointVersion.filter(_ <= v)
+          .flatMap(cv => readCheckpoint(cv).map(cv -> _))
+          .orElse(resolveCheckpointByListing(v))
+        (v, ck)
     }
-    val ckpt = listLog(CHECKPOINT_SUFFIX).filter(_._1 <= target).lastOption
-    val baseActions = ckpt.map { case (_, p) => readActions(p) }.getOrElse(Seq.empty)
-    val tailVersions = versions.filter(v => v <= target && v > ckpt.map(_._1).getOrElse(-1L))
+    val baseActions = ckpt.map(_._2).getOrElse(Seq.empty)
+    val ckptV = ckpt.map(_._1).getOrElse(-1L)
+    val tailVersions = (ckptV + 1) to target
 
     var meta: Option[MetaData] = None
     val files = scala.collection.mutable.LinkedHashMap[String, AddFile]()
@@ -110,13 +172,32 @@ final class LakeLog(val tablePath: String) {
       a.commitInfo.foreach(ci => commits += version -> ci)
     }
 
-    baseActions.foreach(apply(_, ckpt.map(_._1).getOrElse(0L)))
+    baseActions.foreach(apply(_, math.max(ckptV, 0L)))
     for (v <- tailVersions; a <- readActions(logDir.resolve(commitFileName(v)))) apply(a, v)
 
     Snapshot(target, meta.getOrElse(
       throw new IllegalStateException(s"no metaData action found in log of $tablePath")),
       files.values.toSeq, txns.toMap, commits.toSeq)
   }
+
+  /** Newest checkpoint (parquet or legacy JSON) at or below `target`,
+    * discovered by listing — the time-travel path.
+    */
+  private def resolveCheckpointByListing(target: Long): Option[(Long, Seq[Action])] = {
+    val candidates =
+      (listLog(PARQUET_CHECKPOINT_SUFFIX) ++ listLog(CHECKPOINT_SUFFIX))
+        .filter(_._1 <= target).sortBy(_._1)
+    candidates.lastOption.map { case (v, _) => v -> readCheckpoint(v).get }
+  }
+
+  /** Every (version, commitInfo) pair in the log — the audit path for
+    * DESCRIBE HISTORY / metadata_log_entries. Unlike snapshot resolution
+    * this deliberately lists and reads the whole log: checkpoints compact
+    * STATE (files/txns/meta), but commit provenance only lives in the
+    * per-commit files.
+    */
+  def commitHistory: Seq[(Long, CommitInfo)] =
+    listVersions.flatMap(v => readCommit(v).flatMap(_.commitInfo).map(v -> _))
 
   /** Greatest version whose commit timestamp is <= ts. */
   def versionAtTimestamp(tsMillis: Long): Long = {
@@ -157,6 +238,9 @@ final class LakeLog(val tablePath: String) {
     maybeCheckpoint(version)
   }
 
+  /** Every CHECKPOINT_EVERY commits: write the columnar parquet
+    * checkpoint, then atomically swing `_last_checkpoint` to it.
+    */
   private def maybeCheckpoint(version: Long): Unit = {
     if (version == 0 || version % CHECKPOINT_EVERY != 0) return
     try {
@@ -165,13 +249,23 @@ final class LakeLog(val tablePath: String) {
         Seq(Action.of(snap.metaData)) ++
           snap.txns.map { case (app, b) => Action.of(SetTxn(app, b)) } ++
           snap.files.map(Action.of)
-      val tmp = logDir.resolve(TMP_DIR).resolve(UUID.randomUUID().toString)
-      Files.write(tmp,
-        actions.map(Action.toJson).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
-        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-      try Files.createLink(logDir.resolve(checkpointFileName(version)), tmp)
+      val tmp = logDir.resolve(TMP_DIR).resolve(UUID.randomUUID().toString + ".parquet")
+      Checkpoint.write(tmp, actions)
+      try Files.createLink(logDir.resolve(parquetCheckpointFileName(version)), tmp)
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
       finally Files.deleteIfExists(tmp)
+
+      // pointer swap: write-then-atomic-move (REPLACE_EXISTING), and never
+      // move it backwards under a concurrent slower checkpointer
+      if (!lastCheckpointVersion.exists(_ >= version)) {
+        val ptmp = logDir.resolve(TMP_DIR).resolve(UUID.randomUUID().toString)
+        Files.write(ptmp,
+          s"""{"version":$version}""".getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+        Files.move(ptmp, logDir.resolve(LAST_CHECKPOINT),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
     } catch {
       case NonFatal(_) => () // checkpoints are an optimization, never fail a commit
     }
@@ -186,9 +280,12 @@ object LakeLog {
   val LOG_DIR = "_lake_log"
   val TMP_DIR = ".tmp"
   val COMMIT_SUFFIX = ".json"
-  val CHECKPOINT_SUFFIX = ".checkpoint.json"
+  val CHECKPOINT_SUFFIX = ".checkpoint.json" // legacy (read-only)
+  val PARQUET_CHECKPOINT_SUFFIX = ".checkpoint.parquet"
+  val LAST_CHECKPOINT = "_last_checkpoint"
   val CHECKPOINT_EVERY = 10
 
   def commitFileName(v: Long): String = f"$v%020d$COMMIT_SUFFIX"
   def checkpointFileName(v: Long): String = f"$v%020d$CHECKPOINT_SUFFIX"
+  def parquetCheckpointFileName(v: Long): String = f"$v%020d$PARQUET_CHECKPOINT_SUFFIX"
 }

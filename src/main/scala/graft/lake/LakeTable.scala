@@ -82,10 +82,12 @@ final class LakeTable private (
   def asOfTimestamp(tsMillis: Long): LakeTable =
     asOf(log.versionAtTimestamp(tsMillis))
 
-  /** DESCRIBE HISTORY analog (newest first). */
+  /** DESCRIBE HISTORY analog (newest first). Reads the full log — the
+    * version-pinned snapshot only carries the post-checkpoint tail.
+    */
   def history: DataFrame = {
     import spark.implicits._
-    snapshot.commits.sortBy(-_._1)
+    log.commitHistory.filter(_._1 <= snapshot.version).sortBy(-_._1)
       .map { case (v, ci) =>
         (v, new java.sql.Timestamp(ci.timestamp), ci.operation,
           ci.parameters.map { case (k, s) => s"$k=$s" }.mkString(";"),
@@ -143,7 +145,8 @@ final class LakeTable private (
           "added_data_files_count", "removed_data_files_count")
       case "metadata_log_entries" =>
         // `.metadata_log_entries`: the log's own history, newest last
-        snapshot.commits.sortBy(_._1).map { case (v, ci) =>
+        log.commitHistory.filter(_._1 <= snapshot.version).sortBy(_._1)
+          .map { case (v, ci) =>
           (new java.sql.Timestamp(ci.timestamp),
             log.logDir.resolve(LakeLog.commitFileName(v)).toString, v)
         }.toDF("timestamp", "file", "latest_snapshot_id")
