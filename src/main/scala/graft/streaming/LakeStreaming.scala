@@ -81,4 +81,20 @@ object LakeStreaming {
       else tablePath + ("/*=*" * snap.metaData.partitionColumns.size)
     reader.parquet(pattern)
   }
+
+  /** Commit-log streaming source (the v2 replacement for [[asStream]]):
+    * exact version-range micro-batches via a custom MicroBatchStream,
+    * DML-safe (rewrite commits are skipped, not re-emitted), resumable
+    * at the precise version offset, `startingVersion` supported. See
+    * [[org.apache.spark.sql.graft.LakeSourceProvider]].
+    */
+  def asStreamV2(spark: SparkSession, tablePath: String,
+      startingVersion: Long = 0L,
+      skipChangeCommits: Boolean = true): DataFrame =
+    spark.readStream
+      .format("org.apache.spark.sql.graft.LakeSourceProvider")
+      .option("path", tablePath)
+      .option("startingVersion", startingVersion)
+      .option("skipChangeCommits", skipChangeCommits)
+      .load()
 }

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.lake.LakeTable
+
+/** Custom MicroBatchStream over the commit log (VERDICT r01 #9): exact
+  * version-range batches, DML-safe (no re-emission of rewritten rows),
+  * startingVersion.
+  */
+class LakeSourceV2Spec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def readLake(path: String, extra: (String, String)*): DataFrame = {
+    var r = spark.readStream
+      .format("org.apache.spark.sql.graft.LakeSourceProvider")
+      .option("path", path)
+    extra.foreach { case (k, v) => r = r.option(k, v) }
+    r.load()
+  }
+
+  test("streams appends as exact version batches, across a MERGE silently") {
+    val path = Files.createTempDirectory("lake-src-").toString
+    val t = LakeTable.create(spark, path, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+
+    val q = readLake(path).writeStream
+      .format("memory").queryName("lake_src_merge")
+      .option("checkpointLocation",
+        Files.createTempDirectory("lake-src-ckpt-").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      def seen: Set[(Long, String)] =
+        spark.table("lake_src_merge").as[(Long, String)].collect().toSet
+      assert(seen === Set((1L, "a"), (2L, "b"))) // initial snapshot (v0)
+
+      t.append(Seq((3L, "c")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(seen === Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+      // MERGE rewrites row 1 and inserts row 4: a change commit —
+      // skipped, NOT re-emitted (Delta skipChangeCommits semantics)
+      t.merge(Seq((1L, "a2"), (4L, "d")).toDF("id", "v"), expr("t.id = s.id"))
+      q.processAllAvailable()
+      assert(seen === Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+      // the stream keeps tailing appends AFTER the merge
+      t.append(Seq((5L, "e")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(seen === Set((1L, "a"), (2L, "b"), (3L, "c"), (5L, "e")))
+    } finally q.stop()
+  }
+
+  test("skipChangeCommits=false fails the stream at a rewrite commit") {
+    val path = Files.createTempDirectory("lake-src-strict-").toString
+    val t = LakeTable.create(spark, path, Seq((1L, "a")).toDF("id", "v"))
+    t.delete($"id" === 1L)
+    val q = readLake(path, "skipChangeCommits" -> "false").writeStream
+      .format("memory").queryName("lake_src_strict")
+      .option("checkpointLocation",
+        Files.createTempDirectory("lake-src-ckpt2-").toString)
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(e.getMessage.contains("rewrites existing data") ||
+      Option(e.getCause).exists(_.getMessage.contains("rewrites existing data")))
+  }
+
+  test("startingVersion skips history before it") {
+    val path = Files.createTempDirectory("lake-src-sv-").toString
+    val t = LakeTable.create(spark, path, Seq((1L, "a")).toDF("id", "v")) // v0
+    t.append(Seq((2L, "b")).toDF("id", "v")) // v1
+    t.append(Seq((3L, "c")).toDF("id", "v")) // v2
+
+    val q = readLake(path, "startingVersion" -> "2").writeStream
+      .format("memory").queryName("lake_src_sv")
+      .option("checkpointLocation",
+        Files.createTempDirectory("lake-src-ckpt3-").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("lake_src_sv").as[(Long, String)].collect().toSet ===
+        Set((3L, "c")))
+    } finally q.stop()
+  }
+
+  test("checkpoint recovery resumes at the exact version offset") {
+    val path = Files.createTempDirectory("lake-src-rec-").toString
+    val ckpt = Files.createTempDirectory("lake-src-ckpt4-").toString
+    val t = LakeTable.create(spark, path, Seq((1L, "a")).toDF("id", "v"))
+
+    // memory sink cannot recover from a checkpoint; foreachBatch can
+    val buf = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, String)]()
+    def start() = readLake(path).writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.as[(Long, String)].collect().foreach(buf.add)
+      }
+      .option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    assert(buf.contains((1L, "a")))
+    buf.clear()
+
+    t.append(Seq((2L, "b")).toDF("id", "v")) // lands while stream is down
+
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // only the un-consumed version is replayed after recovery
+      assert(buf.iterator().hasNext)
+      assert(!buf.contains((1L, "a")))
+      assert(buf.contains((2L, "b")))
+    } finally q2.stop()
+  }
+}
