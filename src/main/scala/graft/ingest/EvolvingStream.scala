@@ -1,0 +1,126 @@
+package graft.ingest
+
+import java.util.concurrent.CountDownLatch
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Signal: a micro-batch carried columns unknown to the current schema;
+  * the schema has been evolved and persisted — restart to pick it up.
+  */
+final class SchemaEvolvedException(val newColumns: Seq[String])
+  extends RuntimeException(
+    s"new column(s) detected mid-stream: ${newColumns.mkString(", ")}; " +
+      "schema evolved — restarting the query")
+
+/** Supervisor for [[IncrementalLoader.startEvolving]]: runs the loader's
+  * streaming query, detects new columns per micro-batch (re-inferring
+  * over just that batch's files — the same probe Auto Loader performs),
+  * and on detection evolves the persisted schema, lets the query FAIL
+  * (the reference's documented behavior) and restarts it programmatically.
+  */
+final class EvolvingStream private[ingest] (
+    loader: IncrementalLoader,
+    spark: SparkSession,
+    config: LoaderConfig,
+    checkpointDir: String,
+    sink: (DataFrame, Long) => Unit,
+    maxRestarts: Int = 20) {
+
+  @volatile private var current: StreamingQuery = _
+  @volatile private var fatal: Option[Throwable] = None
+  @volatile private var stopped = false
+  private val restartCount = new AtomicInteger(0)
+  private val firstQuery = new CountDownLatch(1)
+
+  /** Queries restarted due to schema evolution so far. */
+  def restarts: Int = restartCount.get()
+
+  private def guarded(df: DataFrame, batchId: Long): Unit = {
+    if (config.evolveSchema) {
+      val known = df.columns.toSet
+      val files = df.select("_ingested_filename").distinct()
+        .collect().map(_.getString(0))
+        .map(f => if (f.startsWith("file:")) new java.net.URI(f).getPath else f)
+      loader.inferFilesSchema(files.toSeq).foreach { batchSchema =>
+        val fresh = batchSchema.fields.filterNot(f => known.contains(f.name))
+        if (fresh.nonEmpty) {
+          loader.evolveTo(fresh.toSeq)
+          throw new SchemaEvolvedException(fresh.map(_.name).toSeq)
+        }
+      }
+    }
+    sink(df, batchId)
+  }
+
+  private def isEvolution(e: Throwable): Boolean = {
+    var t = e
+    while (t != null) {
+      if (t.isInstanceOf[SchemaEvolvedException]) return true
+      t = t.getCause
+    }
+    false
+  }
+
+  private val supervisor = new Thread(() => {
+    try {
+      var done = false
+      while (!done && !stopped && fatal.isEmpty) {
+        val q = loader.readStream().writeStream
+          .foreachBatch(guarded _)
+          .option("checkpointLocation", checkpointDir)
+          .start()
+        current = q
+        firstQuery.countDown()
+        try {
+          q.awaitTermination()
+          done = true // externally stopped query: end supervision
+        } catch {
+          case e: Throwable if isEvolution(e) =>
+            if (restartCount.incrementAndGet() > maxRestarts) {
+              fatal = Some(new IllegalStateException(
+                s"schema evolved more than $maxRestarts times", e))
+              done = true
+            }
+          case NonFatal(e) =>
+            if (!stopped) fatal = Some(e)
+            done = true
+        }
+      }
+    } catch { case NonFatal(e) => fatal = Some(e) }
+  }, "evolving-stream-supervisor")
+  supervisor.setDaemon(true)
+  supervisor.start()
+
+  /** Process everything currently available, riding across evolution
+    * restarts. Throws the underlying failure for non-evolution errors.
+    */
+  def processAllAvailable(timeoutMs: Long = 120000L): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    firstQuery.await()
+    var settled = false
+    while (!settled) {
+      if (System.currentTimeMillis() > deadline)
+        throw new IllegalStateException("evolving stream did not settle in time")
+      fatal.foreach(throw _)
+      val q = current
+      try {
+        q.processAllAvailable()
+        // settled only if the query survived (no restart happened under us)
+        settled = q.isActive && (current eq q)
+      } catch {
+        case NonFatal(_) => // failed mid-wait (likely evolution restart)
+      }
+      if (!settled) Thread.sleep(100)
+    }
+  }
+
+  def stop(): Unit = {
+    stopped = true
+    Option(current).foreach { q => try q.stop() catch { case NonFatal(_) => () } }
+    supervisor.join(30000)
+  }
+}

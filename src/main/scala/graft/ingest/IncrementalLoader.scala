@@ -42,7 +42,11 @@ final case class LoaderConfig(
       * `cleanSource=archive`, which moves a file only AFTER the batch
       * that read it commits — restart-safe, unlike a foreachBatch mv
       * (a crash between mv and commit would orphan the replay). */
-    archiveDir: Option[String] = None)
+    archiveDir: Option[String] = None,
+    /** Schema inference reads at most this many of the NEWEST files
+      * (by mtime) — a landing zone with millions of files must not pay a
+      * full-directory batch read at every start (VERDICT r01 #6). */
+    maxFilesForInference: Int = 100)
 
 final class IncrementalLoader(
     spark: SparkSession,
@@ -79,8 +83,22 @@ final class IncrementalLoader(
     hinted
   }
 
+  /** Schema of a specific file set (the per-batch detection probe). */
+  private[ingest] def inferFilesSchema(files: Seq[String]): Option[StructType] =
+    inferOver(files)
+
   private def inferNow(): Option[StructType] = {
-    val files = listSourceFiles()
+    val all = listSourceFiles()
+    // newest files carry the newest columns (addNewColumns semantics);
+    // cap the inference read so startup cost is O(maxFilesForInference)
+    val files =
+      if (all.size <= config.maxFilesForInference) all
+      else all.map(f => f -> Files.getLastModifiedTime(Paths.get(f)).toMillis)
+        .sortBy(_._2).takeRight(config.maxFilesForInference).map(_._1)
+    inferOver(files)
+  }
+
+  private def inferOver(files: Seq[String]): Option[StructType] = {
     if (files.isEmpty) return None
     val reader = spark.read
     val df = config.format match {
@@ -133,6 +151,28 @@ final class IncrementalLoader(
     Files.createDirectories(schemaFile.getParent)
     Files.write(schemaFile, s.toDDL.getBytes(StandardCharsets.UTF_8))
   }
+
+  /** Append `newFields` to the persisted schema (mid-stream
+    * addNewColumns). */
+  private[ingest] def evolveTo(newFields: Seq[StructField]): Unit = {
+    val cur = DataType.fromDDL(
+      new String(Files.readAllBytes(schemaFile), StandardCharsets.UTF_8))
+      .asInstanceOf[StructType]
+    val known = cur.fieldNames.toSet
+    persist(StructType(cur.fields ++ newFields.filterNot(f => known.contains(f.name))))
+  }
+
+  /** Full Auto Loader `addNewColumns` behavior (VERDICT r01 #8, reference
+    * `00.databricks_autoloader.py:42-52`): the RUNNING query fails when a
+    * micro-batch's files carry columns missing from the current schema;
+    * the supervisor evolves + persists the schema and restarts the query
+    * automatically. The throw happens BEFORE the sink sees the batch, so
+    * the failed batch replays under the evolved schema — exactly-once is
+    * preserved by the stream checkpoint.
+    */
+  def startEvolving(checkpointDir: String,
+      sink: (DataFrame, Long) => Unit): EvolvingStream =
+    new EvolvingStream(this, spark, config, checkpointDir, sink)
 
   /** The streaming DataFrame: exactly-once file discovery (checkpoint),
     * rescue column, ingestion metadata columns first (P7 —

@@ -4,7 +4,8 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.ml.evaluation.RegressionEvaluator
-import org.apache.spark.ml.recommendation.ALS
+import org.apache.spark.ml.recommendation.{ALS, ALSModel}
+import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -27,7 +28,7 @@ object MovieLens {
     * seed-stable): includes the seed-scenario movie ids
     * {1214,480,260,541,2571,296,356,593}.
     */
-  def writeFixtures(landingRoot: String, nMovies: Int = 100, nUsers: Int = 30,
+  def writeFixtures(landingRoot: String, nMovies: Int = 100, nUsers: Int = 60,
       seed: Long = 42L): Unit = {
     val rnd = new scala.util.Random(seed)
     val genresPool = Seq("Action", "Comedy", "Drama", "Sci-Fi", "Thriller",
@@ -52,11 +53,20 @@ object MovieLens {
     }
     writeCsv("movies", "movieId,title,genres", movies)
 
+    // ratings carry a RANK-10 latent structure (taste · movie factors)
+    // plus noise, so the reference's CV grid (rank 5 vs 10,
+    // `03.movielens-gold.py:86-111`) has real structure to find — pure
+    // noise would make the smaller rank win by underfitting less
+    def latent(kind: Int, id: Long): Array[Double] = {
+      val r = new scala.util.Random(seed * 7919 + kind * 131 + id)
+      Array.fill(10)(r.nextGaussian() * 0.5)
+    }
     val ratings = for {
       u <- 1L to nUsers.toLong
-      m <- rnd.shuffle(movieIds).take(20 + rnd.nextInt(20))
+      m <- rnd.shuffle(movieIds).take(40 + rnd.nextInt(10))
     } yield {
-      val r = math.max(0.5, math.min(5.0, 3.0 + rnd.nextGaussian()))
+      val structure = latent(1, u).zip(latent(2, m)).map(p => p._1 * p._2).sum
+      val r = math.max(0.5, math.min(5.0, 3.0 + structure + 0.3 * rnd.nextGaussian()))
       val rounded = math.round(r * 2) / 2.0
       val ts = 1500000000L + rnd.nextInt(100000000)
       s"$u,$m,$rounded,$ts"
@@ -177,6 +187,40 @@ object MovieLens {
     GoldResult(rmse,
       LakeTable.forPath(spark, s"$root/gold/user_recommendations").toDF.count(),
       LakeTable.forPath(spark, s"$root/gold/movie_recommendations").toDF.count())
+  }
+
+  final case class CvResult(bestRank: Int, bestRmse: Double,
+    avgMetricsByRank: Map[Int, Double])
+
+  /** The reference's hyperparameter search (`03.movielens-gold.py:86-111`):
+    * CrossValidator over rank ∈ {5, 10}, 3-fold, RMSE evaluator — the
+    * tuning step whose winning config [[gold]] hardcodes. Returns the
+    * best rank, the held-out RMSE of the refit best model, and the CV
+    * average metric per rank.
+    */
+  def tuneRank(spark: SparkSession, root: String, seed: Long = 42L): CvResult = {
+    val ratings = LakeTable.forPath(spark, s"$root/silver/ratings").toDF
+      .select(
+        col("user_id").cast("int").as("user"),
+        col("movie_id").cast("int").as("item"),
+        col("rating").cast("float"))
+    val Array(train, test) = ratings.randomSplit(Array(0.8, 0.2), seed)
+
+    val als = new ALS()
+      .setMaxIter(5).setRegParam(0.1)
+      .setNonnegative(true).setColdStartStrategy("drop").setSeed(seed)
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+    val evaluator = new RegressionEvaluator()
+      .setMetricName("rmse").setLabelCol("rating").setPredictionCol("prediction")
+    val ranks = Array(5, 10)
+    val grid = new ParamGridBuilder().addGrid(als.rank, ranks).build()
+    val cv = new CrossValidator()
+      .setEstimator(als).setEvaluator(evaluator)
+      .setEstimatorParamMaps(grid).setNumFolds(3).setSeed(seed)
+    val model = cv.fit(train)
+    val best = model.bestModel.asInstanceOf[ALSModel]
+    val rmse = evaluator.evaluate(best.transform(test))
+    CvResult(best.rank, rmse, ranks.zip(model.avgMetrics).toMap)
   }
 
   /** Full pipeline; returns the gold metrics. */

@@ -68,12 +68,20 @@ class MovieLensSpec extends AnyFunSuite {
     // synthetic ratings ⇒ can't match the reference's 0.878 exactly; the
     // contract is seeded reproducibility + sane error (σ≈0.5 noise)
     assert(res.rmse > 0 && res.rmse < 1.5, s"rmse=${res.rmse}")
-    assert(res.nUserRecs === 30)
+    assert(res.nUserRecs === 60)
     assert(res.nItemRecs === 100)
     val recs = LakeTable.forPath(spark, s"$root/gold/user_recommendations").toDF
     assert(recs.select(size($"recommendations")).as[Int].collect().forall(_ === 5))
     // seeded reproducibility: same seed ⇒ same rmse
     val res2 = MovieLens.gold(spark, root)
     assert(math.abs(res2.rmse - res.rmse) < 1e-9)
+  }
+
+  test("CV grid (rank 5 vs 10, 3-fold) picks rank 10 — VERDICT r01 #6") {
+    val cv = MovieLens.tuneRank(spark, root)
+    assert(cv.bestRank === 10, s"avg metrics: ${cv.avgMetricsByRank}")
+    assert(cv.bestRmse > 0 && cv.bestRmse < 1.0, s"rmse=${cv.bestRmse}")
+    // lower CV error for the winning rank, mirroring the reference's grid
+    assert(cv.avgMetricsByRank(10) <= cv.avgMetricsByRank(5))
   }
 }
