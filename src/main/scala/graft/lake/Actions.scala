@@ -40,13 +40,24 @@ final case class RemoveFile(
   * (`StructType.toDDL` / `DataType.fromDDL`) covering the FULL schema
   * including partition columns; `partitionColumns` orders the hive
   * layout.
+  *
+  * `schemaJson` (when present) is the authoritative schema: unlike DDL
+  * it preserves StructField METADATA — the `parquet.field.id` entries
+  * that make column RENAME/DROP metadata-only operations (readers
+  * resolve parquet columns by field id, not name). `schemaDdl` is kept
+  * in sync for back-compat and human inspection.
   */
 final case class MetaData(
     id: String,
     schemaDdl: String,
     partitionColumns: Seq[String] = Seq.empty,
     properties: Map[String, String] = Map.empty,
-    createdTime: Long = 0L)
+    createdTime: Long = 0L,
+    schemaJson: Option[String] = None) {
+
+  def withSchema(s: org.apache.spark.sql.types.StructType): MetaData =
+    copy(schemaDdl = s.toDDL, schemaJson = Some(s.json))
+}
 
 /** Streaming-sink idempotence marker (one per (appId) — highest batchId
   * wins), mirroring Delta's txn action. */

@@ -39,6 +39,7 @@ private[lake] object Checkpoint {
       |    optional binary partitionColumns (STRING);
       |    optional binary properties (STRING);
       |    required int64 createdTime;
+      |    optional binary schemaJson (STRING);
       |  }
       |  optional group txn {
       |    required binary appId (STRING);
@@ -93,6 +94,7 @@ private[lake] object Checkpoint {
           mg.add("partitionColumns", toJson(m.partitionColumns))
           mg.add("properties", toJson(m.properties))
           mg.add("createdTime", m.createdTime)
+          m.schemaJson.foreach(j => mg.add("schemaJson", j))
         }
         a.txn.foreach { t =>
           val tg = g.addGroup("txn")
@@ -134,7 +136,8 @@ private[lake] object Checkpoint {
             mg.getString("schemaDdl", 0),
             opt("partitionColumns").map(stringSeq).getOrElse(Seq.empty),
             opt("properties").map(stringMap).getOrElse(Map.empty),
-            mg.getLong("createdTime", 0)))
+            mg.getLong("createdTime", 0),
+            opt("schemaJson")))
         } else if (has("txn")) {
           val tg = g.getGroup("txn", 0)
           out += Action.of(SetTxn(tg.getString("appId", 0), tg.getLong("batchId", 0)))

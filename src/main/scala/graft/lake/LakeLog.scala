@@ -16,7 +16,9 @@ final case class Snapshot(
     files: Seq[AddFile],
     txns: Map[String, Long],
     commits: Seq[(Long, CommitInfo)]) {
-  def schema: StructType = DataType.fromDDL(metaData.schemaDdl).asInstanceOf[StructType]
+  def schema: StructType = metaData.schemaJson
+    .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    .getOrElse(DataType.fromDDL(metaData.schemaDdl).asInstanceOf[StructType])
   def dataSchema: StructType =
     StructType(schema.filterNot(f => metaData.partitionColumns.contains(f.name)))
   def numFiles: Long = files.size.toLong

@@ -52,6 +52,7 @@ final class LakeTable private (
     * re-applied exactly on the surviving rows.
     */
   def read(filters: Column*): DataFrame = {
+    LakeTable.enableFieldIdReads(spark)
     val snap = snapshot
     val pcs = snap.metaData.partitionColumns
     val resolved = filters.map(resolveFilter(_, snap.schema))
@@ -177,13 +178,17 @@ final class LakeTable private (
     require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
     val snap = snapshot
     val pcs = snap.metaData.partitionColumns
-    val (aligned, newSchema) = LakeTable.align(df, snap.schema, pcs, mergeSchema)
+    val (aligned, newSchema) = LakeTable.align(df, snap.schema, pcs, mergeSchema,
+      LakeTable.nextFieldId(snap))
     val adds = LakeTable.stageFiles(spark, path, aligned, newSchema, pcs)
     val rows = adds.flatMap(_.stats.map(_.numRecords)).sum
     val now = System.currentTimeMillis()
     val metaAction =
       if (newSchema.toDDL != snap.metaData.schemaDdl)
-        Seq(Action.of(snap.metaData.copy(schemaDdl = newSchema.toDDL)))
+        Seq(Action.of(snap.metaData.withSchema(newSchema).copy(
+          properties = snap.metaData.properties +
+            (LakeTable.MAX_COLUMN_ID_PROP ->
+              LakeTable.maxFieldId(newSchema).toString))))
       else Seq.empty
     val removes =
       if (overwrite) snap.files.map(f => Action.of(RemoveFile(f.path, now, f.partitionValues)))
@@ -259,6 +264,7 @@ final class LakeTable private (
   }
 
   private def readFiles(snap: Snapshot, files: Seq[AddFile]): DataFrame = {
+    LakeTable.enableFieldIdReads(spark)
     var df = spark.read
       .schema(snap.schema)
       .option("basePath", path)
@@ -478,18 +484,67 @@ final class LakeTable private (
 
   /** ALTER TABLE ADD COLUMN (`02.delta_lake_primer.py:241-242`,
     * `03.iceberg_primer.py:232-234`): metadata-only commit; existing
-    * files read NULL for the new column.
+    * files read NULL for the new column. The column gets a FRESH parquet
+    * field id, so it can never capture data from a same-named column
+    * dropped earlier.
     */
   def alterAddColumn(name: String, ddlType: String): Unit = {
     require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
     val snap = snapshot
     require(!snap.schema.fieldNames.contains(name), s"column exists: $name")
+    val id = LakeTable.nextFieldId(snap)
     val newSchema = StructType(snap.schema.fields :+
-      StructField(name, DataType.fromDDL(ddlType)))
+      StructField(name, DataType.fromDDL(ddlType),
+        metadata = LakeTable.fieldIdMetadata(id)))
+    commitSchemaChange(snap, newSchema, "ADD COLUMN",
+      Map("column" -> s"$name $ddlType"))
+  }
+
+  /** ALTER TABLE RENAME COLUMN — METADATA-ONLY (the column-mapping
+    * behavior the reference demos via TBLPROPERTIES,
+    * `02.delta_lake_primer.py:238-240`): the field keeps its parquet
+    * field id, so readers resolve existing files by id and the data
+    * appears under the new name without rewriting a byte.
+    */
+  def alterRenameColumn(oldName: String, newName: String): Unit = {
+    require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
+    val snap = snapshot
+    require(snap.schema.fieldNames.contains(oldName), s"no such column: $oldName")
+    require(!snap.schema.fieldNames.contains(newName), s"column exists: $newName")
+    require(!snap.metaData.partitionColumns.contains(oldName),
+      s"cannot rename partition column $oldName (partition values are keyed by name)")
+    val newSchema = StructType(snap.schema.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    commitSchemaChange(snap, newSchema, "RENAME COLUMN",
+      Map("from" -> oldName, "to" -> newName))
+  }
+
+  /** ALTER TABLE DROP COLUMN — metadata-only; the field id is retired
+    * (never reused), so re-adding a column with the same name reads NULL
+    * from old files instead of resurrecting dropped data.
+    */
+  def alterDropColumn(name: String): Unit = {
+    require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
+    val snap = snapshot
+    require(snap.schema.fieldNames.contains(name), s"no such column: $name")
+    require(!snap.metaData.partitionColumns.contains(name),
+      s"cannot drop partition column $name")
+    require(snap.schema.fields.length > 1, "cannot drop the last column")
+    val newSchema = StructType(snap.schema.fields.filterNot(_.name == name))
+    commitSchemaChange(snap, newSchema, "DROP COLUMN", Map("column" -> name))
+  }
+
+  private def commitSchemaChange(snap: Snapshot, newSchema: StructType,
+      op: String, params: Map[String, String]): Unit = {
     val now = System.currentTimeMillis()
+    val maxId = math.max(LakeTable.maxFieldId(newSchema),
+      snap.metaData.properties.get(LakeTable.MAX_COLUMN_ID_PROP)
+        .map(_.toLong).getOrElse(0L))
     commitWithRetry(snap.version, Seq(
-      Action.of(snap.metaData.copy(schemaDdl = newSchema.toDDL)),
-      Action.of(CommitInfo(now, "ADD COLUMN", Map("column" -> s"$name $ddlType")))),
+      Action.of(snap.metaData.withSchema(newSchema).copy(
+        properties = snap.metaData.properties +
+          (LakeTable.MAX_COLUMN_ID_PROP -> maxId.toString))),
+      Action.of(CommitInfo(now, op, params))),
       rebaseable = false)
   }
 
@@ -570,6 +625,54 @@ object LakeTable {
     */
   val STAGING_PREFIX = "_staging-"
 
+  /** StructField metadata key Spark's parquet writer/reader use for
+    * field-id-based column resolution (the Iceberg mechanism): with ids
+    * in play, RENAME/DROP are metadata-only and dropped ids are retired.
+    */
+  val FIELD_ID_KEY = "parquet.field.id"
+
+  /** Table property tracking the highest field id ever assigned, so a
+    * dropped column's id is never reused. */
+  val MAX_COLUMN_ID_PROP = "graft.maxColumnId"
+
+  private[lake] def fieldIdMetadata(id: Long): Metadata =
+    new MetadataBuilder().putLong(FIELD_ID_KEY, id).build()
+
+  private[lake] def fieldId(f: StructField): Option[Long] =
+    if (f.metadata.contains(FIELD_ID_KEY)) Some(f.metadata.getLong(FIELD_ID_KEY))
+    else None
+
+  private[lake] def maxFieldId(schema: StructType): Long =
+    schema.fields.flatMap(fieldId).maxOption.getOrElse(0L)
+
+  private[lake] def nextFieldId(snap: Snapshot): Long =
+    math.max(maxFieldId(snap.schema),
+      snap.metaData.properties.get(MAX_COLUMN_ID_PROP)
+        .map(_.toLong).getOrElse(0L)) + 1
+
+  /** Assign sequential field ids to fields lacking one. */
+  private[lake] def assignFieldIds(schema: StructType): StructType = {
+    var next = maxFieldId(schema) + 1
+    StructType(schema.fields.map { f =>
+      if (fieldId(f).isDefined) f
+      else {
+        val withId = f.copy(metadata = new MetadataBuilder()
+          .withMetadata(f.metadata).putLong(FIELD_ID_KEY, next).build())
+        next += 1
+        withId
+      }
+    })
+  }
+
+  /** Field-id reads: resolve parquet columns by id where ids exist
+    * (renamed/dropped columns), fall back to names for pre-mapping files.
+    * Session-wide, idempotent, no effect on schemas without ids.
+    */
+  private[lake] def enableFieldIdReads(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+  }
+
   /** CREATE TABLE without data (the DSv2 catalog's `CREATE TABLE` /
     * CTAS-first-half): version 0 is metadata-only.
     */
@@ -583,8 +686,10 @@ object LakeTable {
     require(bad.isEmpty, s"partition column(s) not in schema: ${bad.mkString(",")}")
     Files.createDirectories(Paths.get(path))
     val now = System.currentTimeMillis()
-    val meta = MetaData(UUID.randomUUID().toString, schema.toDDL, partitionBy,
-      properties, now)
+    val withIds = assignFieldIds(schema)
+    val meta = MetaData(UUID.randomUUID().toString, withIds.toDDL, partitionBy,
+      properties + (MAX_COLUMN_ID_PROP -> maxFieldId(withIds).toString), now,
+      schemaJson = Some(withIds.json))
     new LakeLog(path).write(0L, Seq(Action.of(meta),
       Action.of(CommitInfo(now, "CREATE TABLE",
         Map("partitionBy" -> partitionBy.mkString(","))))))
@@ -613,13 +718,14 @@ object LakeTable {
       t.overwrite(df)
       return t
     }
-    val schema = df.schema
+    val schema = assignFieldIds(df.schema)
     val bad = partitionBy.filterNot(schema.fieldNames.contains)
     require(bad.isEmpty, s"partition column(s) not in schema: ${bad.mkString(",")}")
     Files.createDirectories(Paths.get(path))
     val now = System.currentTimeMillis()
     val meta = MetaData(UUID.randomUUID().toString, schema.toDDL, partitionBy,
-      properties, now)
+      properties + (MAX_COLUMN_ID_PROP -> maxFieldId(schema).toString), now,
+      schemaJson = Some(schema.json))
     val adds = stageFiles(spark, path, df, schema, partitionBy)
     val rows = adds.flatMap(_.stats.map(_.numRecords)).sum
     val actions = Action.of(meta) +: adds.map(Action.of) :+
@@ -710,13 +816,20 @@ object LakeTable {
       df: DataFrame,
       tableSchema: StructType,
       partitionCols: Seq[String],
-      mergeSchema: Boolean): (DataFrame, StructType) = {
+      mergeSchema: Boolean,
+      nextId: Long = 0L): (DataFrame, StructType) = {
     val tNames = tableSchema.fieldNames.toSet
-    val extra = df.schema.fields.filterNot(f => tNames.contains(f.name))
-    if (extra.nonEmpty && !mergeSchema)
+    val extraRaw = df.schema.fields.filterNot(f => tNames.contains(f.name))
+    if (extraRaw.nonEmpty && !mergeSchema)
       throw new IllegalArgumentException(
-        s"schema mismatch: new column(s) ${extra.map(_.name).mkString(",")} " +
+        s"schema mismatch: new column(s) ${extraRaw.map(_.name).mkString(",")} " +
           "not in table schema (use mergeSchema=true to evolve)")
+    // evolved columns get fresh field ids continuing the table's counter
+    val extra = extraRaw.zipWithIndex.map { case (f, i) =>
+      if (nextId <= 0) f
+      else f.copy(metadata = new MetadataBuilder()
+        .withMetadata(f.metadata).putLong(FIELD_ID_KEY, nextId + i).build())
+    }
     val newSchema = StructType(tableSchema.fields ++ extra)
     val dfNames = df.schema.fieldNames.toSet
     val aligned = df.select(newSchema.fields.map { f =>
@@ -741,7 +854,17 @@ object LakeTable {
     // INT64 micros instead of legacy INT96: footer min/max stats become
     // usable for timestamp skipping (INT96 emits none)
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    val writer = df.write.mode("overwrite")
+    // re-attach the table schema's field metadata (parquet field ids):
+    // computed columns in DML rewrites lose it, and files MUST carry ids
+    // for rename/drop to stay metadata-only
+    val byName = schema.fields.map(f => f.name -> f).toMap
+    val df2 = df.select(df.schema.fieldNames.map { n =>
+      byName.get(n).filter(_.metadata != Metadata.empty) match {
+        case Some(f) => col(n).as(n, f.metadata)
+        case None => col(n)
+      }
+    }.toSeq: _*)
+    val writer = df2.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(staging.toString)
 

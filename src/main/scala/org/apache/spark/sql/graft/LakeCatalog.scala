@@ -60,6 +60,9 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     var t = LakeTable.forPath(spark, path)
     asOfTs.foreach(ts => t = t.asOfTimestamp(ts))
     asOf.foreach(v => t = t.asOf(v))
+    // renamed/dropped columns resolve by parquet field id
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
     val snap = t.snapshot
     val files = snap.files.map(f => s"$path/${f.path}")
     val options = new CaseInsensitiveStringMap(
@@ -127,6 +130,14 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
         require(add.fieldNames().length == 1,
           "lake ALTER TABLE supports top-level columns only")
         t.alterAddColumn(add.fieldNames().head, add.dataType().sql)
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames().length == 1,
+          "lake ALTER TABLE supports top-level columns only")
+        t.alterRenameColumn(ren.fieldNames().head, ren.newName())
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "lake ALTER TABLE supports top-level columns only")
+        t.alterDropColumn(del.fieldNames().head)
       case set: TableChange.SetProperty =>
         t.setProperties(Map(set.property() -> set.value()))
       case other => throw new UnsupportedOperationException(

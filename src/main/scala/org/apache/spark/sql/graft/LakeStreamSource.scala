@@ -118,6 +118,8 @@ private[graft] class LakeMicroBatchStream(
       start.asInstanceOf[LakeSourceOffset].version,
       end.asInstanceOf[LakeSourceOffset].version)
     val spark = SparkSession.active.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
     val options = new CaseInsensitiveStringMap(Map("basePath" -> path).asJava)
     val scan = ParquetTable(s"lake-stream:$path", spark, options, files,
       Some(schema), classOf[ParquetFileFormat])

@@ -90,7 +90,12 @@ private[graft] class LakeWrite(
 
   override def toBatch: BatchWrite = {
     val session = SparkSession.active.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val dataSchema = StructType(writeSchema.filterNot(f => partitionCols.contains(f.name)))
+    // carry the TABLE schema's field metadata (parquet field ids) into the
+    // written files — the query schema Spark hands us is metadata-free
+    val tableByName = lake.snapshot.schema.fields.map(f => f.name -> f).toMap
+    val enriched = StructType(writeSchema.fields.map(f =>
+      tableByName.get(f.name).map(tf => f.copy(metadata = tf.metadata)).getOrElse(f)))
+    val dataSchema = StructType(enriched.filterNot(f => partitionCols.contains(f.name)))
     val job = Job.getInstance(session.sessionState.newHadoopConf())
     // INT64 micros, not INT96: footers then carry timestamp min/max for skipping
     job.getConfiguration.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
@@ -99,7 +104,7 @@ private[graft] class LakeWrite(
       new ParquetOptions(Map.empty[String, String], session.sessionState.conf))
     val stagingName = LakeTable.STAGING_PREFIX + "dsv2-" + UUID.randomUUID()
     Files.createDirectories(Paths.get(lake.path, stagingName))
-    new LakeBatchWrite(lake, writeSchema, dataSchema, partitionCols, stagingName,
+    new LakeBatchWrite(lake, enriched, dataSchema, partitionCols, stagingName,
       factory, new SerializableConfiguration(job.getConfiguration), queryId, mode)
   }
 }
