@@ -24,12 +24,20 @@ final case class FileStats(
     maxValues: Map[String, String] = Map.empty,
     nullCount: Map[String, Long] = Map.empty)
 
+/** `dvPath`/`dvCardinality`: optional deletion vector — a roaring-bitmap
+  * sidecar (relative path under `_dv/`) of ROW INDEXES within this
+  * parquet file that are logically deleted. Small DELETEs become one
+  * sidecar write + a metadata swap instead of a file rewrite; `stats`
+  * stay physical (skipping stays conservative).
+  */
 final case class AddFile(
     path: String,
     partitionValues: Map[String, String] = Map.empty,
     size: Long = 0L,
     modificationTime: Long = 0L,
-    stats: Option[FileStats] = None)
+    stats: Option[FileStats] = None,
+    dvPath: Option[String] = None,
+    dvCardinality: Long = 0L)
 
 final case class RemoveFile(
     path: String,

@@ -32,6 +32,8 @@ private[lake] object Checkpoint {
       |    required int64 size;
       |    required int64 modificationTime;
       |    optional binary stats (STRING);
+      |    optional binary dvPath (STRING);
+      |    optional int64 dvCardinality;
       |  }
       |  optional group metaData {
       |    required binary id (STRING);
@@ -86,6 +88,10 @@ private[lake] object Checkpoint {
           ag.add("size", f.size)
           ag.add("modificationTime", f.modificationTime)
           f.stats.foreach(st => ag.add("stats", toJson(st)))
+          f.dvPath.foreach { dv =>
+            ag.add("dvPath", dv)
+            ag.add("dvCardinality", f.dvCardinality)
+          }
         }
         a.metaData.foreach { m =>
           val mg = g.addGroup("metaData")
@@ -126,7 +132,10 @@ private[lake] object Checkpoint {
             opt("partitionValues").map(stringMap).getOrElse(Map.empty),
             ag.getLong("size", 0),
             ag.getLong("modificationTime", 0),
-            opt("stats").map(stats)))
+            opt("stats").map(stats),
+            opt("dvPath"),
+            if (ag.getFieldRepetitionCount("dvCardinality") > 0)
+              ag.getLong("dvCardinality", 0) else 0L))
         } else if (has("metaData")) {
           val mg = g.getGroup("metaData", 0)
           def opt(f: String): Option[String] =

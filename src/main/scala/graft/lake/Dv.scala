@@ -1,0 +1,69 @@
+package graft.lake
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+
+import org.roaringbitmap.longlong.Roaring64Bitmap
+
+/** Deletion-vector sidecars: a serialized Roaring64Bitmap of deleted row
+  * indexes per parquet file, stored under `<table>/_dv/`. Row indexes are
+  * Spark's `_metadata.row_index` (position within the file), so the
+  * vector is valid for exactly one physical file — any rewrite of the
+  * file drops its vector.
+  */
+object Dv {
+
+  val DV_DIR = "_dv"
+
+  def serialize(bm: Roaring64Bitmap): Array[Byte] = {
+    bm.runOptimize()
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    bm.serialize(out)
+    out.flush()
+    bos.toByteArray
+  }
+
+  def deserialize(bytes: Array[Byte]): Roaring64Bitmap = {
+    val bm = new Roaring64Bitmap()
+    bm.deserialize(new DataInputStream(new ByteArrayInputStream(bytes)))
+    bm
+  }
+
+  /** Write a new sidecar; returns its table-relative path. */
+  def write(tablePath: String, bm: Roaring64Bitmap): String = {
+    val rel = s"$DV_DIR/${UUID.randomUUID()}.dv"
+    val dest = Paths.get(tablePath, rel)
+    Files.createDirectories(dest.getParent)
+    Files.write(dest, serialize(bm))
+    rel
+  }
+
+  def readBytes(tablePath: String, rel: String): Array[Byte] =
+    Files.readAllBytes(Paths.get(tablePath, rel))
+
+  def read(tablePath: String, rel: String): Roaring64Bitmap =
+    deserialize(readBytes(tablePath, rel))
+}
+
+/** Executor-side deletion-vector lookup: absolute-normalized file path →
+  * serialized bitmap, deserialized lazily once per executor. Shipped to
+  * tasks as a codegen reference object / serialized closure member.
+  */
+final class DvLookup(dvBytes: Map[String, Array[Byte]]) extends Serializable {
+
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Roaring64Bitmap]()
+
+  private val empty = new Roaring64Bitmap()
+
+  def deleted(filePath: String, rowIndex: Long): Boolean = {
+    val key = Stats.normalizeFileUri(filePath)
+    val bm = cache.computeIfAbsent(key,
+      k => dvBytes.get(k).map(Dv.deserialize).getOrElse(empty))
+    bm.contains(rowIndex)
+  }
+
+  def isEmpty: Boolean = dvBytes.isEmpty
+}

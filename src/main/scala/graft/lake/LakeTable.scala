@@ -52,25 +52,13 @@ final class LakeTable private (
     * re-applied exactly on the surviving rows.
     */
   def read(filters: Column*): DataFrame = {
-    LakeTable.enableFieldIdReads(spark)
     val snap = snapshot
     val pcs = snap.metaData.partitionColumns
     val resolved = filters.map(resolveFilter(_, snap.schema))
     val kept = snap.files.filter { f =>
       resolved.forall(e => Stats.mightMatch(f, e, snap.schema, pcs))
     }
-    val base =
-      if (kept.isEmpty) {
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snap.schema)
-      } else {
-        var df = spark.read
-          .schema(snap.schema)
-          .option("basePath", path)
-          .parquet(kept.map(f => s"$path/${f.path}"): _*)
-        df = df.select(snap.schema.fieldNames.map(col): _*)
-        df
-      }
-    filters.foldLeft(base)(_ where _)
+    filters.foldLeft(readFiles(snap, kept))(_ where _)
   }
 
   /** Time travel (`VERSION AS OF`). */
@@ -263,13 +251,52 @@ final class LakeTable private (
     candidates.filter(f => hit.contains(absPath(f)))
   }
 
-  private def readFiles(snap: Snapshot, files: Seq[AddFile]): DataFrame = {
+  private def readFiles(snap: Snapshot, files: Seq[AddFile]): DataFrame =
+    readFilesInternal(snap, files, withMeta = false)
+
+  /** Deletion-vector-aware scan. Clean files take the plain vectorized
+    * path; DV-backed files read `_metadata.{file_path,row_index}` and
+    * drop rows the bitmap marks deleted (one codegen'd O(1) probe per
+    * row). `withMeta` keeps the metadata columns (as `__dv_path` /
+    * `__dv_idx`) for DELETE's index collection.
+    */
+  private def readFilesInternal(snap: Snapshot, files: Seq[AddFile],
+      withMeta: Boolean): DataFrame = {
     LakeTable.enableFieldIdReads(spark)
-    var df = spark.read
+    val dataCols = snap.schema.fieldNames.map(col).toSeq
+    val metaCols =
+      if (withMeta) Seq(col("_metadata.file_path").as("__dv_path"),
+        col("_metadata.row_index").as("__dv_idx"))
+      else Seq.empty
+    def scan(fs: Seq[AddFile]) = spark.read
       .schema(snap.schema)
       .option("basePath", path)
-      .parquet(files.map(f => s"$path/${f.path}"): _*)
-    df.select(snap.schema.fieldNames.map(col): _*)
+      .parquet(fs.map(f => s"$path/${f.path}"): _*)
+    val (dvF, cleanF) = files.partition(_.dvPath.isDefined)
+    val clean =
+      if (cleanF.isEmpty) None
+      else Some(scan(cleanF).select(dataCols ++ metaCols: _*))
+    val masked =
+      if (dvF.isEmpty) None
+      else {
+        val lookup = new DvLookup(
+          dvF.map(f => absPath(f) -> Dv.readBytes(path, f.dvPath.get)).toMap)
+        Some(scan(dvF)
+          .where(!org.apache.spark.sql.graft.DvExpressions.rowDeleted(
+            col("_metadata.file_path"), col("_metadata.row_index"), lookup))
+          .select(dataCols ++ metaCols: _*))
+      }
+    (clean, masked) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) =>
+        val schema = if (withMeta)
+          StructType(snap.schema.fields ++ Seq(
+            StructField("__dv_path", StringType), StructField("__dv_idx", LongType)))
+        else snap.schema
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
   }
 
   /** Rewrite `touched` files as `replacement` rows in one commit.
@@ -291,19 +318,85 @@ final class LakeTable private (
     rows
   }
 
-  /** DELETE FROM WHERE (L2): rewrite only files containing matches,
-    * dropping rows where cond is TRUE (NULL keeps the row, SQL
-    * semantics). Returns the number of rows deleted.
+  /** DELETE FROM WHERE (L2) with deletion vectors: files where only a
+    * small fraction of remaining rows match get a bitmap SIDECAR (one
+    * tiny write + a metadata swap — at 100 TB a point delete never
+    * rewrites a 1 GB file); files deleted entirely are removed as pure
+    * metadata; only heavily-hit files are rewritten. NULL predicate
+    * keeps the row (SQL semantics). Returns the number of rows deleted.
+    *
+    * @param dvMaxFraction rewrite instead of DV when more than this
+    *                      fraction of a file's remaining rows match
     */
-  def delete(cond: Column): Long = {
+  def delete(cond: Column, useDvs: Boolean = true,
+      dvMaxFraction: Double = 0.5): Long = {
     require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
     val snap = snapshot
-    val touched = filesWithMatches(snap, cond)
-    if (touched.isEmpty) return 0L
-    val before = touched.flatMap(_.stats.map(_.numRecords)).sum
-    val keep = readFiles(snap, touched).where(!coalesceFalse(cond))
-    val written = rewrite(snap, touched, keep, "DELETE", Map("predicate" -> cond.toString))
-    before - written
+    val resolvedCond = resolveFilter(cond, snap.schema)
+    val pcs = snap.metaData.partitionColumns
+    val candidates = snap.files.filter(f =>
+      Stats.mightMatch(f, resolvedCond, snap.schema, pcs))
+    if (candidates.isEmpty) return 0L
+
+    // per-file match counts (already excludes rows a previous DV deleted)
+    val counts: Map[String, Long] =
+      readFilesInternal(snap, candidates, withMeta = true)
+        .where(cond).groupBy(col("__dv_path")).count()
+        .collect()
+        .map(r => Stats.normalizeFileUri(r.getString(0)) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return 0L
+    val touched = candidates.filter(f => counts.contains(absPath(f)))
+
+    val (fullRemove, partial) = touched.partition { f =>
+      f.stats.exists(st => counts(absPath(f)) == st.numRecords - f.dvCardinality)
+    }
+    val (dvTargets, rewriteTargets) =
+      if (!useDvs) (Seq.empty[AddFile], partial)
+      else partial.partition { f =>
+        f.stats.exists(st =>
+          counts(absPath(f)) <= dvMaxFraction * (st.numRecords - f.dvCardinality))
+      }
+
+    // new/unioned bitmaps for the DV files (indexes collected only for
+    // the small-fraction files)
+    val now = System.currentTimeMillis()
+    val dvAdds: Seq[AddFile] =
+      if (dvTargets.isEmpty) Seq.empty
+      else {
+        val byFile = readFilesInternal(snap, dvTargets, withMeta = true)
+          .where(cond).select(col("__dv_path"), col("__dv_idx"))
+          .collect()
+          .groupBy(r => Stats.normalizeFileUri(r.getString(0)))
+        dvTargets.map { f =>
+          val bm = f.dvPath.map(Dv.read(path, _))
+            .getOrElse(new org.roaringbitmap.longlong.Roaring64Bitmap())
+          byFile(absPath(f)).foreach(r => bm.addLong(r.getLong(1)))
+          f.copy(dvPath = Some(Dv.write(path, bm)),
+            dvCardinality = bm.getLongCardinality, modificationTime = now)
+        }
+      }
+
+    // heavily-hit files: classic copy-on-write
+    val rewriteAdds: Seq[AddFile] =
+      if (rewriteTargets.isEmpty) Seq.empty
+      else LakeTable.stageFiles(spark, path,
+        readFiles(snap, rewriteTargets).where(!coalesceFalse(cond)),
+        snap.schema, pcs)
+
+    val deleted = touched.map(f => counts(absPath(f))).sum
+    val removes = (fullRemove ++ dvTargets ++ rewriteTargets)
+      .map(f => Action.of(RemoveFile(f.path, now, f.partitionValues)))
+    val adds = (dvAdds ++ rewriteAdds).map(Action.of)
+    val actions = removes ++ adds :+
+      Action.of(CommitInfo(now, "DELETE",
+        Map("predicate" -> cond.toString,
+          "deletionVectors" -> dvTargets.size.toString,
+          "fullFileRemoves" -> fullRemove.size.toString),
+        numAddedFiles = rewriteAdds.size.toLong,
+        numRemovedFiles = (fullRemove.size + rewriteTargets.size).toLong,
+        numOutputRows = deleted))
+    commitWithRetry(snap.version, actions, rebaseable = false)
+    deleted
   }
 
   /** UPDATE SET WHERE (L3). */
@@ -572,6 +665,7 @@ final class LakeTable private (
     val snap = snapshot
     val now = System.currentTimeMillis()
     val live = snap.files.map(_.path).toSet
+    val liveDvs = snap.files.flatMap(_.dvPath).toSet
     // removal timestamps from the whole log: a file removed multiple times
     // (re-add then re-remove) keeps its LATEST removal time
     val removedAt = scala.collection.mutable.HashMap[String, Long]()
@@ -609,6 +703,15 @@ final class LakeTable private (
               Files.deleteIfExists(p)
               deleted += rel
             }
+          }
+        } else if (name.endsWith(".dv")) {
+          // deletion-vector sidecars: superseded (unioned/rewritten)
+          // vectors age out by mtime like any unreferenced file
+          val rel = root.relativize(p).toString
+          if (!liveDvs.contains(rel) &&
+            now - Files.getLastModifiedTime(p).toMillis >= retentionMs) {
+            Files.deleteIfExists(p)
+            deleted += rel
           }
         }
       }

@@ -19,6 +19,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction(GraftExtensions.dotDesc)
     e.injectFunction(GraftExtensions.avroDesc)
     e.injectPostHocResolutionRule(session => new LakeDmlRule(session))
+    e.injectPostHocResolutionRule(session => new LakeDvReadRule(session))
   }
 }
 

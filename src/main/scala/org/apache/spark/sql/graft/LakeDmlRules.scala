@@ -130,6 +130,29 @@ object LakeDmlRule {
   }
 }
 
+/** SQL reads of tables with live deletion vectors: the pinned parquet
+  * scan cannot apply bitmap filters, so substitute the engine's own read
+  * plan (clean-files scan ∪ dv-filtered scan) aliased back to the
+  * relation's exprIds. Write targets are unaffected — V2 write commands
+  * hold their table outside the transformed child tree, and DML nodes
+  * were already converted by [[LakeDmlRule]] (injected before this).
+  */
+class LakeDvReadRule(session: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsDown {
+      case r: DataSourceV2Relation =>
+        r.table match {
+          case t: LakeV2Table if t.hasDvs =>
+            val read = t.lake.toDF.queryExecution.analyzed
+            Project(read.output.zip(r.output).map { case (a, o) =>
+              org.apache.spark.sql.catalyst.expressions.Alias(a, o.name)(
+                exprId = o.exprId)
+            }, read)
+          case _ => r
+        }
+    }
+}
+
 case class RunLakeDelete(
     @transient lake: LakeTable, cond: Column) extends LeafRunnableCommand {
   override val output: Seq[AttributeReference] =

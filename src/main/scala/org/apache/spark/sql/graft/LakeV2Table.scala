@@ -28,6 +28,10 @@ class LakeV2Table(
 
   private val snap = lake.snapshot
 
+  /** Any live deletion vectors? SQL reads then go through
+    * [[LakeDvReadRule]]'s substituted plan instead of the raw scan. */
+  def hasDvs: Boolean = snap.files.exists(_.dvPath.isDefined)
+
   override def name(): String = ident
 
   override def schema(): StructType = snap.schema

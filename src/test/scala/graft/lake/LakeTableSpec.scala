@@ -94,7 +94,7 @@ class LakeTableSpec extends AnyFunSuite {
     assert(hist.map(_.getString(2)).toSeq === Seq("OVERWRITE", "CREATE"))
   }
 
-  test("delete removes only matching rows, rewrites only touched files") {
+  test("delete removes only matching rows, touches only matching files") {
     val path = tmpDir()
     val df = spark.range(0, 100).select($"id", ($"id" % 10).cast("double").as("v"))
       .repartitionByRange(4, $"id")
@@ -103,10 +103,18 @@ class LakeTableSpec extends AnyFunSuite {
     assert(deleted === 10)
     assert(t.toDF.count() === 90)
     assert(t.toDF.where($"id" >= 90).count() === 0)
-    // only the file containing id>=90 was rewritten
+    // small fraction of one file → a deletion vector on exactly that
+    // file, no rewrite at all
     val last = t.history.collect().head
     assert(last.getString(2) === "DELETE")
-    assert(last.getLong(5) === 1) // numRemovedFiles
+    assert(last.getLong(5) === 0) // numRemovedFiles: nothing rewritten
+    assert(t.snapshot.files.count(_.dvPath.isDefined) === 1)
+
+    // classic copy-on-write path still works when DVs are disabled
+    val deleted2 = t.delete($"id" >= 80, useDvs = false)
+    assert(deleted2 === 10)
+    assert(t.toDF.count() === 80)
+    assert(t.snapshot.files.forall(_.dvPath.isEmpty)) // rewrite cleared it
   }
 
   test("update rewrites matching rows") {
