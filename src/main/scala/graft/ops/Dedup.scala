@@ -50,7 +50,9 @@ object Dedup {
       gidFirst: Boolean,
       payload: Seq[String]): DataFrame = {
     val sizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("__cnt"))
-    val withG = banded.join(sizes, Seq("band", "bucket"))
+    // sizes is one row per occupied bucket — tiny next to the banded rows;
+    // broadcasting keeps the size-tagging join shuffle-free
+    val withG = banded.join(broadcast(sizes), Seq("band", "bucket"))
       .withColumn("__g",
         greatest(lit(1L), ceil(col("__cnt") / lit(maxBucket))).cast("int"))
       .withColumn("__gid", pmod(xxhash64(col("id")), col("__g")).cast("int"))
