@@ -31,6 +31,19 @@ import org.apache.spark.sql.types._
   * (`:312-320`), partition-spec-required convert (`01.parquet_primer
   * .py:348-369`).
   */
+/** One `WHEN ...` clause of a multi-clause MERGE ([[LakeTable.mergeClauses]]).
+  * Conditions/assignments use the `t.` / `s.` qualifiers of the merge
+  * join; `Update` with an empty map means `UPDATE SET *` by column name.
+  */
+sealed trait MergeClause { def condition: Option[Column] }
+object MergeClause {
+  final case class Update(condition: Option[Column],
+    assignments: Map[String, Column]) extends MergeClause
+  final case class Delete(condition: Option[Column]) extends MergeClause
+  final case class Insert(condition: Option[Column],
+    assignments: Map[String, Column]) extends MergeClause
+}
+
 final class LakeTable private (
     val spark: SparkSession,
     val path: String,
@@ -441,21 +454,64 @@ final class LakeTable private (
       whenMatchedUpdate: Option[Map[String, Column]] = Some(Map.empty),
       whenMatchedDelete: Boolean = false,
       whenNotMatchedInsert: Option[Map[String, Column]] = Some(Map.empty)): Unit = {
-    require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
     require(!(whenMatchedUpdate.isDefined && whenMatchedDelete),
       "merge: choose update OR delete for matched rows")
+    val matched: Seq[MergeClause] =
+      if (whenMatchedDelete) Seq(MergeClause.Delete(None))
+      else whenMatchedUpdate match {
+        case Some(as) => Seq(MergeClause.Update(None, as))
+        case None => Seq.empty
+      }
+    mergeClauses(source, condition, matched,
+      whenNotMatchedInsert.map(as => MergeClause.Insert(None, as)).toSeq,
+      Seq.empty)
+  }
+
+  /** Full multi-clause MERGE: ordered `WHEN MATCHED [AND cond]`,
+    * `WHEN NOT MATCHED [AND cond]`, and `WHEN NOT MATCHED BY SOURCE
+    * [AND cond]` clause lists with SQL cascade semantics — for each row
+    * the FIRST clause whose condition holds applies; no clause → the row
+    * is kept (matched / by-source) or dropped (not-matched).
+    *
+    * Scale note: with no by-source clauses only files containing matches
+    * rewrite; by-source clauses touch every target row, so the rewrite is
+    * table-wide (same as Delta).
+    */
+  def mergeClauses(
+      source: DataFrame,
+      condition: Column,
+      matchedClauses: Seq[MergeClause],
+      notMatchedClauses: Seq[MergeClause.Insert],
+      notMatchedBySourceClauses: Seq[MergeClause]): Unit = {
+    require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
+    matchedClauses.foreach {
+      case _: MergeClause.Insert =>
+        throw new IllegalArgumentException("WHEN MATCHED cannot INSERT")
+      case _ => ()
+    }
+    notMatchedBySourceClauses.foreach {
+      case _: MergeClause.Insert =>
+        throw new IllegalArgumentException("WHEN NOT MATCHED BY SOURCE cannot INSERT")
+      case MergeClause.Update(_, as) if as.isEmpty =>
+        throw new IllegalArgumentException(
+          "WHEN NOT MATCHED BY SOURCE UPDATE needs explicit assignments")
+      case _ => ()
+    }
     val snap = snapshot
     val tgtSchema = snap.schema
     val srcCols = source.columns.toSet
 
-    // 1. which target files contain at least one match? (stats could
-    // pre-prune here too; the join below only reads the file-name column
-    // plus condition columns, so the scan is already narrow)
-    val withFile = toDF.withColumn("__file", input_file_name()).alias("t")
-    val matchedFiles = withFile.join(source.alias("s"), condition, "inner")
-      .select(col("t.__file")).distinct().collect()
-      .map(r => Stats.normalizeFileUri(r.getString(0))).toSet
-    val touched = snap.files.filter(f => matchedFiles.contains(absPath(f)))
+    // 1. which target files rewrite? matches only — unless by-source
+    // clauses touch every target row
+    val touched =
+      if (notMatchedBySourceClauses.nonEmpty) snap.files
+      else {
+        val withFile = toDF.withColumn("__file", input_file_name()).alias("t")
+        val matchedFiles = withFile.join(source.alias("s"), condition, "inner")
+          .select(col("t.__file")).distinct().collect()
+          .map(r => Stats.normalizeFileUri(r.getString(0))).toSet
+        snap.files.filter(f => matchedFiles.contains(absPath(f)))
+      }
 
     // 2. full-outer join of touched target rows vs source; __tid tags
     // each target row so multi-match ambiguity is detected exactly.
@@ -468,10 +524,12 @@ final class LakeTable private (
     val sRows = source.withColumn("__src", lit(true))
     val joined = tRows.alias("t").join(sRows.alias("s"), condition, "full_outer").cache()
     try {
-      val dupes = joined.where(col("t.__tgt").isNotNull && col("s.__src").isNotNull)
-        .groupBy(col("t.__tid")).count().where(col("count") > 1).limit(1).count()
-      require(dupes == 0L,
-        "merge: a target row matches multiple source rows; make the condition more specific")
+      if (matchedClauses.nonEmpty) {
+        val dupes = joined.where(col("t.__tgt").isNotNull && col("s.__src").isNotNull)
+          .groupBy(col("t.__tid")).count().where(col("count") > 1).limit(1).count()
+        require(dupes == 0L,
+          "merge: a target row matches multiple source rows; make the condition more specific")
+      }
 
       def assemble(assigns: Map[String, Column], fromSource: Boolean): Seq[Column] =
         tgtSchema.fields.map { f =>
@@ -485,28 +543,50 @@ final class LakeTable private (
           c.cast(f.dataType).as(f.name)
         }.toSeq
 
-      val matchedRows = joined.where(col("t.__tgt").isNotNull && col("s.__src").isNotNull)
-      val matchedOut: Option[DataFrame] =
-        if (whenMatchedDelete) None
-        else whenMatchedUpdate match {
-          case Some(assigns) =>
+      /** SQL cascade: tag each row with the index of the first clause
+        * whose condition holds (-1 = none), then emit one piece per
+        * update/insert clause; delete clauses emit nothing.
+        */
+      def cascade(rows: DataFrame, clauses: Seq[MergeClause],
+          fromSource: Boolean, keepUnclaimed: Boolean): Seq[DataFrame] = {
+        val action = clauses.zipWithIndex.reverse
+          .foldLeft(lit(-1)) { case (acc, (c, i)) =>
+            when(coalesceFalse(c.condition.getOrElse(lit(true))), lit(i))
+              .otherwise(acc)
+          }
+        val tagged = rows.withColumn("__action", action)
+        val pieces = clauses.zipWithIndex.flatMap {
+          case (MergeClause.Update(_, as), i) =>
             val effective =
-              if (assigns.isEmpty)
+              if (as.isEmpty)
                 srcCols.intersect(tgtSchema.fieldNames.toSet)
                   .map(c => c -> col(s"s.$c")).toMap
-              else assigns
-            Some(matchedRows.select(assemble(effective, fromSource = false): _*))
-          case None => // no matched clause → keep rows unchanged
-            Some(matchedRows.select(assemble(Map.empty, fromSource = false): _*))
+              else as
+            Some(tagged.where(col("__action") === i)
+              .select(assemble(effective, fromSource = false): _*))
+          case (MergeClause.Insert(_, as), i) =>
+            Some(tagged.where(col("__action") === i)
+              .select(assemble(as, fromSource = true): _*))
+          case (_: MergeClause.Delete, _) => None
         }
-      val targetOnly = joined.where(col("t.__tgt").isNotNull && col("s.__src").isNull)
-        .select(assemble(Map.empty, fromSource = false): _*)
-      val inserted: Option[DataFrame] = whenNotMatchedInsert.map { assigns =>
-        joined.where(col("t.__tgt").isNull && col("s.__src").isNotNull)
-          .select(assemble(assigns, fromSource = true): _*)
+        val keep =
+          if (keepUnclaimed)
+            Seq(tagged.where(col("__action") === -1)
+              .select(assemble(Map.empty, fromSource = false): _*))
+          else Seq.empty
+        pieces ++ keep
       }
 
-      val pieces = Seq(matchedOut, Some(targetOnly), inserted).flatten
+      val matchedRows = joined.where(col("t.__tgt").isNotNull && col("s.__src").isNotNull)
+      val targetOnly = joined.where(col("t.__tgt").isNotNull && col("s.__src").isNull)
+      val sourceOnly = joined.where(col("t.__tgt").isNull && col("s.__src").isNotNull)
+
+      val pieces =
+        cascade(matchedRows, matchedClauses, fromSource = false, keepUnclaimed = true) ++
+          cascade(targetOnly, notMatchedBySourceClauses, fromSource = false,
+            keepUnclaimed = true) ++
+          cascade(sourceOnly, notMatchedClauses, fromSource = true,
+            keepUnclaimed = false)
       val result = pieces.reduce(_ unionByName _)
       rewrite(snap, touched, result, "MERGE", Map("condition" -> condition.toString))
     } finally joined.unpersist()

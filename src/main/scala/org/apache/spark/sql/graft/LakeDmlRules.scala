@@ -52,9 +52,6 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def convertMerge(t: LakeV2Table, m: MergeIntoTable): LogicalPlan = {
-    if (m.notMatchedBySourceActions.nonEmpty)
-      throw new UnsupportedOperationException(
-        "lake MERGE: WHEN NOT MATCHED BY SOURCE is not supported")
     // qualify target attrs as `t.*`, source attrs as `s.*` for
     // LakeTable.merge's aliased full-outer join
     val quals: Map[ExprId, String] =
@@ -62,37 +59,27 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         m.sourceTable.output.map(_.exprId -> "s").toMap
     def conv(e: Expression): Column = unresolve(e, quals)
 
-    def noCondition(c: Option[Expression], what: String): Unit =
-      if (c.isDefined) throw new UnsupportedOperationException(
-        s"lake MERGE: conditional $what clauses are not supported")
+    def clause(a: MergeAction): graft.lake.MergeClause = a match {
+      case u: UpdateAction =>
+        graft.lake.MergeClause.Update(u.condition.map(conv),
+          u.assignments.map(x => assignName(x.key) -> conv(x.value)).toMap)
+      case u: UpdateStarAction =>
+        graft.lake.MergeClause.Update(u.condition.map(conv), Map.empty)
+      case d: DeleteAction =>
+        graft.lake.MergeClause.Delete(d.condition.map(conv))
+      case i: InsertAction =>
+        graft.lake.MergeClause.Insert(i.condition.map(conv),
+          i.assignments.map(x => assignName(x.key) -> conv(x.value)).toMap)
+      case i: InsertStarAction =>
+        graft.lake.MergeClause.Insert(i.condition.map(conv), Map.empty)
+      case other => throw new UnsupportedOperationException(
+        s"lake MERGE: unsupported clause $other")
+    }
 
-    val (whenMatchedUpdate, whenMatchedDelete) = m.matchedActions match {
-      case Seq() => (None, false)
-      case Seq(a: UpdateAction) =>
-        noCondition(a.condition, "WHEN MATCHED")
-        (Some(a.assignments.map(x => assignName(x.key) -> conv(x.value)).toMap), false)
-      case Seq(a: UpdateStarAction) =>
-        noCondition(a.condition, "WHEN MATCHED")
-        (Some(Map.empty[String, Column]), false)
-      case Seq(a: DeleteAction) =>
-        noCondition(a.condition, "WHEN MATCHED")
-        (None, true)
-      case other => throw new UnsupportedOperationException(
-        s"lake MERGE: at most one unconditional WHEN MATCHED clause, got $other")
-    }
-    val whenNotMatchedInsert = m.notMatchedActions match {
-      case Seq() => None
-      case Seq(a: InsertAction) =>
-        noCondition(a.condition, "WHEN NOT MATCHED")
-        Some(a.assignments.map(x => assignName(x.key) -> conv(x.value)).toMap)
-      case Seq(a: InsertStarAction) =>
-        noCondition(a.condition, "WHEN NOT MATCHED")
-        Some(Map.empty[String, Column])
-      case other => throw new UnsupportedOperationException(
-        s"lake MERGE: at most one unconditional WHEN NOT MATCHED clause, got $other")
-    }
     RunLakeMerge(t.lake, m.sourceTable, conv(m.mergeCondition),
-      whenMatchedUpdate, whenMatchedDelete, whenNotMatchedInsert)
+      m.matchedActions.map(clause),
+      m.notMatchedActions.map(clause).map(_.asInstanceOf[graft.lake.MergeClause.Insert]),
+      m.notMatchedBySourceActions.map(clause))
   }
 }
 
@@ -174,14 +161,14 @@ case class RunLakeMerge(
     @transient lake: LakeTable,
     @transient sourcePlan: LogicalPlan,
     condition: Column,
-    whenMatchedUpdate: Option[Map[String, Column]],
-    whenMatchedDelete: Boolean,
-    whenNotMatchedInsert: Option[Map[String, Column]]) extends LeafRunnableCommand {
+    matchedClauses: Seq[graft.lake.MergeClause],
+    notMatchedClauses: Seq[graft.lake.MergeClause.Insert],
+    notMatchedBySourceClauses: Seq[graft.lake.MergeClause]) extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val source = org.apache.spark.sql.classic.Dataset.ofRows(
       sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession], sourcePlan)
-    lake.merge(source, condition, whenMatchedUpdate, whenMatchedDelete,
-      whenNotMatchedInsert)
+    lake.mergeClauses(source, condition, matchedClauses, notMatchedClauses,
+      notMatchedBySourceClauses)
     Seq.empty
   }
 }

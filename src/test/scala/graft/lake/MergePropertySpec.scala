@@ -75,6 +75,55 @@ class MergePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("multi-clause SQL MERGE: conditional update/delete + by-source") {
+    val wh = sqlWarehouse
+    LakeTable.create(spark, s"$wh/db/mc",
+      Seq((1L, 10.0, "keep"), (2L, 20.0, "keep"), (3L, 30.0, "keep"),
+        (9L, 90.0, "stale")).toDF("id", "v", "tag"))
+    Seq((1L, 100.0), (2L, -1.0), (4L, 40.0)).toDF("id", "v")
+      .createOrReplaceTempView("mc_src")
+    // matched & v<0 → delete; matched otherwise → update;
+    // not matched → insert; not matched by source & tag='stale' → delete
+    spark.sql(
+      s"""MERGE INTO mp.db.mc t USING mc_src s ON t.id = s.id
+         |WHEN MATCHED AND s.v < 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, v, tag) VALUES (s.id, s.v, 'new')
+         |WHEN NOT MATCHED BY SOURCE AND t.tag = 'stale' THEN DELETE""".stripMargin)
+    val got = spark.sql("SELECT id, v, tag FROM mp.db.mc ORDER BY id")
+      .as[(Long, Double, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 100.0, "keep"), // updated
+      (3L, 30.0, "keep"),  // untouched (no by-source clause hit)
+      (4L, 40.0, "new")))  // inserted; 2 deleted (v<0), 9 deleted (stale)
+  }
+
+  test("by-source UPDATE marks unmatched target rows") {
+    val path = Files.createTempDirectory("merge-bys-").toString
+    val t = LakeTable.create(spark, path,
+      Seq((1L, "a"), (2L, "a"), (3L, "a")).toDF("id", "status"))
+    t.mergeClauses(Seq(Tuple1(2L)).toDF("id"), expr("t.id = s.id"),
+      matchedClauses = Seq(MergeClause.Update(None,
+        Map("status" -> lit("seen")))),
+      notMatchedClauses = Seq.empty,
+      notMatchedBySourceClauses = Seq(MergeClause.Update(None,
+        Map("status" -> lit("missing")))))
+    assert(t.toDF.orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "missing"), (2L, "seen"), (3L, "missing")))
+  }
+
+  test("clause order wins: first applicable clause applies") {
+    val path = Files.createTempDirectory("merge-order-").toString
+    val t = LakeTable.create(spark, path, Seq((1L, 5.0)).toDF("id", "v"))
+    t.mergeClauses(Seq((1L, 7.0)).toDF("id", "v"), expr("t.id = s.id"),
+      matchedClauses = Seq(
+        MergeClause.Update(Some(expr("s.v > 0")), Map("v" -> expr("s.v"))),
+        MergeClause.Delete(None)), // never reached for v>0
+      notMatchedClauses = Seq.empty,
+      notMatchedBySourceClauses = Seq.empty)
+    assert(t.toDF.as[(Long, Double)].collect().toSeq === Seq((1L, 7.0)))
+  }
+
   test("merge-delete sequence == map removal") {
     val path = Files.createTempDirectory("merge-del-").toString
     val init = (0L to 9L).map(i => (i, i.toDouble))
