@@ -637,6 +637,50 @@ final class LakeTable private (
       Map("targetFileBytes" -> targetFileBytes.toString))
   }
 
+  /** Multi-dimensional Z-ORDER clustering: bucket each column by its
+    * approxQuantile boundaries (skew-proof), interleave the bucket bits
+    * into a morton code, and rewrite range-partitioned + sorted by it.
+    * Unlike [[optimizeBy]]'s single-axis sort, per-file min/max ranges
+    * stay tight on EVERY clustered column, so skipping prunes on any of
+    * them — the OPTIMIZE ZORDER BY of Delta, on vanilla Spark.
+    *
+    * String columns cluster by xxhash64 (spreads, no range locality);
+    * numeric/date/timestamp columns keep range locality.
+    */
+  def zOrderBy(cols: String*): Unit = {
+    require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
+    require(cols.nonEmpty, "zOrderBy needs at least one column")
+    val snap = snapshot
+    if (snap.files.isEmpty) return
+    val bad = cols.filterNot(snap.schema.fieldNames.contains)
+    require(bad.isEmpty, s"no such column(s): ${bad.mkString(",")}")
+    val data = readFiles(snap, snap.files)
+    val derived = cols.map { c =>
+      snap.schema(c).dataType match {
+        case _: StringType => xxhash64(col(c)).cast("double")
+        case _ => col(c).cast("double")
+      }
+    }
+    val tagged = data.select(
+      (snap.schema.fieldNames.map(col) ++
+        derived.zipWithIndex.map { case (d, i) => d.as(s"__zd$i") }).toSeq: _*)
+    val bits = math.min(12, 63 / cols.size)
+    val nBuckets = 1 << bits
+    val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds = tagged.stat.approxQuantile(
+      cols.indices.map(i => s"__zd$i").toArray, probes, 0.001)
+    val z = org.apache.spark.sql.graft.ZOrderExpressions.zOrderCode(
+      cols.indices.map(i => col(s"__zd$i")), bounds)
+    val nFiles = math.max(snap.files.size, 1)
+    val clustered = tagged
+      .withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .select(snap.schema.fieldNames.map(col).toSeq: _*)
+    rewrite(snap, snap.files, clustered, "ZORDER BY",
+      Map("columns" -> cols.mkString(",")))
+  }
+
   /** Sort-cluster the table by `cols` (range partition + in-file sort)
     * so per-file min/max ranges become disjoint and data skipping on
     * those columns prunes aggressively — the Z-ORDER-style layout
