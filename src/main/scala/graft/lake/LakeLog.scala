@@ -201,17 +201,25 @@ final class LakeLog(val tablePath: String) {
   def commitHistory: Seq[(Long, CommitInfo)] =
     listVersions.flatMap(v => readCommit(v).flatMap(_.commitInfo).map(v -> _))
 
-  /** Greatest version whose commit timestamp is <= ts. */
+  /** Greatest version whose commit timestamp is <= ts. Commit timestamps
+    * are monotone (System.currentTimeMillis at publish), so binary-search
+    * the dense version range — O(log n) commit reads, no listing.
+    */
   def versionAtTimestamp(tsMillis: Long): Long = {
-    val versions = listVersions
-    val withTs = versions.map { v =>
-      val ci = readActions(logDir.resolve(commitFileName(v)))
-        .flatMap(_.commitInfo).headOption
-      v -> ci.map(_.timestamp).getOrElse(0L)
-    }
-    withTs.filter(_._2 <= tsMillis).map(_._1).lastOption.getOrElse(
+    val last = latestVersion.getOrElse(
+      throw new IllegalStateException(s"not a lake table: $tablePath"))
+    def tsOf(v: Long): Long =
+      readCommit(v).flatMap(_.commitInfo).headOption.map(_.timestamp).getOrElse(0L)
+    if (tsOf(0L) > tsMillis)
       throw new IllegalArgumentException(
-        s"no commit at or before timestamp $tsMillis for $tablePath"))
+        s"no commit at or before timestamp $tsMillis for $tablePath")
+    var lo = 0L
+    var hi = last
+    while (lo < hi) { // invariant: tsOf(lo) <= tsMillis
+      val mid = (lo + hi + 1) / 2
+      if (tsOf(mid) <= tsMillis) lo = mid else hi = mid - 1
+    }
+    lo
   }
 
   // ---- writing ---------------------------------------------------------

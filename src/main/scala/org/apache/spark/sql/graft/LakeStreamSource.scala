@@ -61,12 +61,23 @@ class LakeSourceProvider extends TableProvider {
 
 private[graft] class LakeStreamTable(
     path: String, tableSchema: StructType, startingVersion: Long,
-    skipChangeCommits: Boolean) extends Table with SupportsRead {
+    skipChangeCommits: Boolean) extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"lake-stream:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
+
+  /** `writeStream.format(provider).option("path",...)`: per-epoch atomic
+    * commits with SetTxn idempotence ([[LakeStreamingWrite]]). */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val lake = LakeTable.forPath(SparkSession.active, path)
+    new LakeWriteBuilder(lake, info)
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new Scan {

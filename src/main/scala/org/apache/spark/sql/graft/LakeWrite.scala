@@ -88,6 +88,11 @@ private[graft] class LakeWrite(
 
   override def requiredOrdering(): Array[SortOrder] = Array.empty
 
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    val b = toBatch.asInstanceOf[LakeBatchWrite]
+    new LakeStreamingWrite(b)
+  }
+
   override def toBatch: BatchWrite = {
     val session = SparkSession.active.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     // carry the TABLE schema's field metadata (parquet field ids) into the
@@ -116,17 +121,17 @@ private[graft] final case class LakeWriteMessage(files: Seq[LakeFileEntry])
   extends WriterCommitMessage
 
 private[graft] class LakeBatchWrite(
-    lake: LakeTable,
-    writeSchema: StructType,
-    dataSchema: StructType,
-    partitionCols: Seq[String],
+    val lake: LakeTable,
+    val writeSchema: StructType,
+    val dataSchema: StructType,
+    val partitionCols: Seq[String],
     stagingName: String,
-    factory: OutputWriterFactory,
-    conf: SerializableConfiguration,
-    queryId: String,
-    mode: LakeWriteMode) extends BatchWrite {
+    val factory: OutputWriterFactory,
+    val conf: SerializableConfiguration,
+    val queryId: String,
+    val mode: LakeWriteMode) extends BatchWrite {
 
-  private val stagingRoot = Paths.get(lake.path, stagingName)
+  private[graft] val stagingRoot = Paths.get(lake.path, stagingName)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new LakeWriterFactory(stagingRoot.toString, factory, conf, writeSchema,
@@ -134,6 +139,31 @@ private[graft] class LakeBatchWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val entries = messages.flatMap(_.asInstanceOf[LakeWriteMessage].files).toSeq
+    LakePublish.publish(lake, stagingRoot, dataSchema, entries, mode, queryId,
+      txn = None)
+    LakePublish.deleteRecursively(stagingRoot)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    LakePublish.deleteRecursively(stagingRoot)
+}
+
+/** Shared publish step of the DSv2 batch and streaming writes: move the
+  * staged files into place, collect footer stats, and commit — removes
+  * recomputed against the LATEST snapshot each attempt, so appends
+  * rebase freely and overwrites replace exactly what exists at commit
+  * time.
+  */
+private[graft] object LakePublish {
+
+  def publish(
+      lake: LakeTable,
+      stagingRoot: Path,
+      dataSchema: StructType,
+      entries: Seq[LakeFileEntry],
+      mode: LakeWriteMode,
+      queryId: String,
+      txn: Option[SetTxn]): Unit = {
     val root = Paths.get(lake.path)
     val moved = entries.map { e =>
       val dest = root.resolve(e.relPath)
@@ -141,7 +171,6 @@ private[graft] class LakeBatchWrite(
       Files.move(stagingRoot.resolve(e.relPath), dest)
       e -> dest
     }
-    deleteRecursively(stagingRoot)
     val spark = SparkSession.active
     val statsMap = Stats.collectFromFooters(spark, dataSchema, moved.map(_._2.toString))
     val adds = moved.map { case (e, abs) =>
@@ -151,13 +180,16 @@ private[graft] class LakeBatchWrite(
     }
     val rows = adds.flatMap(_.stats.map(_.numRecords)).sum
 
-    // Publish: recompute removes against the LATEST snapshot each attempt,
-    // so appends rebase freely and overwrites replace exactly what exists
-    // at commit time.
     var tries = 0
     var committed = false
     while (!committed) {
       val snap = lake.log.snapshot(None)
+      // streaming epoch replay: a (queryId, epochId) at or above ours is
+      // already durable — drop this attempt's files and do nothing
+      if (txn.exists(t => snap.txns.get(t.appId).exists(_ >= t.batchId))) {
+        moved.foreach { case (_, abs) => Files.deleteIfExists(abs) }
+        return
+      }
       val now = System.currentTimeMillis()
       val (removes, op) = mode match {
         case LakeAppend => (Seq.empty[AddFile], "APPEND")
@@ -170,7 +202,8 @@ private[graft] class LakeBatchWrite(
       }
       val actions =
         removes.map(f => Action.of(RemoveFile(f.path, now, f.partitionValues))) ++
-          adds.map(Action.of) :+
+          adds.map(Action.of) ++
+          txn.map(Action.of).toSeq :+
           Action.of(CommitInfo(now, op,
             Map("queryId" -> queryId, "interface" -> "dsv2"),
             numAddedFiles = adds.size.toLong, numRemovedFiles = removes.size.toLong,
@@ -186,9 +219,6 @@ private[graft] class LakeBatchWrite(
     }
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
-    deleteRecursively(stagingRoot)
-
   private def matchesPartition(pv: Map[String, String], f: Filter): Boolean = f match {
     case _: AlwaysTrue => true
     case And(l, r) => matchesPartition(pv, l) && matchesPartition(pv, r)
@@ -197,13 +227,56 @@ private[graft] class LakeBatchWrite(
     case _ => false
   }
 
-  private def deleteRecursively(p: Path): Unit = {
+  def deleteRecursively(p: Path): Unit = {
     if (!Files.exists(p)) return
     if (Files.isDirectory(p)) {
       Files.list(p).iterator().asScala.foreach(deleteRecursively)
     }
     Files.deleteIfExists(p)
   }
+}
+
+/** Structured Streaming sink for lake tables — `writeStream.format(
+  * "org.apache.spark.sql.graft.LakeSourceProvider").option("path", ...)`
+  * or `.toTable("lake.db.t")`: per-epoch executor-staged files, ONE
+  * atomic commit per epoch carrying a `SetTxn(queryId, epochId)` marker,
+  * so epoch replays after a failure are exact no-ops (the same
+  * idempotence contract as `LakeTable.idempotentAppend`). Complete
+  * output mode arrives as truncate → per-epoch overwrite.
+  */
+private[graft] class LakeStreamingWrite(b: LakeBatchWrite)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new LakeStreamingWriterFactory(b.stagingRoot.toString, b.factory, b.conf,
+      b.writeSchema, b.dataSchema, b.partitionCols)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val entries = messages.flatMap(_.asInstanceOf[LakeWriteMessage].files).toSeq
+    LakePublish.publish(b.lake, b.stagingRoot, b.dataSchema, entries, b.mode,
+      b.queryId, txn = Some(SetTxn(b.queryId, epochId)))
+    // staging root persists across epochs; orphans are vacuum's job
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.filter(_ != null).flatMap(_.asInstanceOf[LakeWriteMessage].files)
+      .foreach(e => Files.deleteIfExists(b.stagingRoot.resolve(e.relPath)))
+}
+
+private[graft] class LakeStreamingWriterFactory(
+    stagingRoot: String,
+    factory: OutputWriterFactory,
+    conf: SerializableConfiguration,
+    writeSchema: StructType,
+    dataSchema: StructType,
+    partitionCols: Seq[String])
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new LakeDataWriter(stagingRoot, factory, conf, writeSchema, dataSchema,
+      partitionCols, partitionId, taskId)
 }
 
 private[graft] class LakeWriterFactory(
