@@ -345,91 +345,159 @@ final class LakeTable private (
       dvMaxFraction: Double = 0.5): Long = {
     require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
     val snap = snapshot
-    val resolvedCond = resolveFilter(cond, snap.schema)
     val pcs = snap.metaData.partitionColumns
-    val candidates = snap.files.filter(f =>
-      Stats.mightMatch(f, resolvedCond, snap.schema, pcs))
-    if (candidates.isEmpty) return 0L
-
-    // per-file match counts (already excludes rows a previous DV deleted)
-    val counts: Map[String, Long] =
-      readFilesInternal(snap, candidates, withMeta = true)
-        .where(cond).groupBy(col("__dv_path")).count()
-        .collect()
-        .map(r => Stats.normalizeFileUri(r.getString(0)) -> r.getLong(1)).toMap
-    if (counts.isEmpty) return 0L
-    val touched = candidates.filter(f => counts.contains(absPath(f)))
-
-    val (fullRemove, partial) = touched.partition { f =>
-      f.stats.exists(st => counts(absPath(f)) == st.numRecords - f.dvCardinality)
-    }
-    val (dvTargets, rewriteTargets) =
-      if (!useDvs) (Seq.empty[AddFile], partial)
-      else partial.partition { f =>
-        f.stats.exists(st =>
-          counts(absPath(f)) <= dvMaxFraction * (st.numRecords - f.dvCardinality))
-      }
-
-    // new/unioned bitmaps for the DV files (indexes collected only for
-    // the small-fraction files)
+    val cls = classifyMatches(snap, cond, useDvs, dvMaxFraction)
+    if (cls.touched.isEmpty) return 0L
     val now = System.currentTimeMillis()
-    val dvAdds: Seq[AddFile] =
-      if (dvTargets.isEmpty) Seq.empty
-      else {
-        val byFile = readFilesInternal(snap, dvTargets, withMeta = true)
-          .where(cond).select(col("__dv_path"), col("__dv_idx"))
-          .collect()
-          .groupBy(r => Stats.normalizeFileUri(r.getString(0)))
-        dvTargets.map { f =>
-          val bm = f.dvPath.map(Dv.read(path, _))
-            .getOrElse(new org.roaringbitmap.longlong.Roaring64Bitmap())
-          byFile(absPath(f)).foreach(r => bm.addLong(r.getLong(1)))
-          f.copy(dvPath = Some(Dv.write(path, bm)),
-            dvCardinality = bm.getLongCardinality, modificationTime = now)
-        }
-      }
+    val dvAdds = buildDvs(snap, cond, cls.dvTargets, now)
 
     // heavily-hit files: classic copy-on-write
     val rewriteAdds: Seq[AddFile] =
-      if (rewriteTargets.isEmpty) Seq.empty
+      if (cls.rewriteTargets.isEmpty) Seq.empty
       else LakeTable.stageFiles(spark, path,
-        readFiles(snap, rewriteTargets).where(!coalesceFalse(cond)),
+        readFiles(snap, cls.rewriteTargets).where(!coalesceFalse(cond)),
         snap.schema, pcs)
 
-    val deleted = touched.map(f => counts(absPath(f))).sum
-    val removes = (fullRemove ++ dvTargets ++ rewriteTargets)
+    val deleted = cls.matchedRows
+    val removes = (cls.fullMatch ++ cls.dvTargets ++ cls.rewriteTargets)
       .map(f => Action.of(RemoveFile(f.path, now, f.partitionValues)))
     val adds = (dvAdds ++ rewriteAdds).map(Action.of)
     val actions = removes ++ adds :+
       Action.of(CommitInfo(now, "DELETE",
         Map("predicate" -> cond.toString,
-          "deletionVectors" -> dvTargets.size.toString,
-          "fullFileRemoves" -> fullRemove.size.toString),
+          "deletionVectors" -> cls.dvTargets.size.toString,
+          "fullFileRemoves" -> cls.fullMatch.size.toString),
         numAddedFiles = rewriteAdds.size.toLong,
-        numRemovedFiles = (fullRemove.size + rewriteTargets.size).toLong,
+        numRemovedFiles = (cls.fullMatch.size + cls.rewriteTargets.size).toLong,
         numOutputRows = deleted))
     commitWithRetry(snap.version, actions, rebaseable = false)
     deleted
   }
 
-  /** UPDATE SET WHERE (L3). */
-  def update(cond: Column, set: Map[String, Column]): Unit = {
+  /** Per-file match classification shared by DV-based DML: which files
+    * match entirely (pure metadata ops), which get a bitmap, which
+    * rewrite.
+    */
+  private case class MatchClassification(
+      counts: Map[String, Long],
+      touched: Seq[AddFile],
+      fullMatch: Seq[AddFile],
+      dvTargets: Seq[AddFile],
+      rewriteTargets: Seq[AddFile]) {
+    def matchedRows: Long = touched.map(f => counts(f.path)).sum
+  }
+
+  private def classifyMatches(snap: Snapshot, cond: Column,
+      useDvs: Boolean, dvMaxFraction: Double): MatchClassification = {
+    val resolvedCond = resolveFilter(cond, snap.schema)
+    val pcs = snap.metaData.partitionColumns
+    val candidates = snap.files.filter(f =>
+      Stats.mightMatch(f, resolvedCond, snap.schema, pcs))
+    if (candidates.isEmpty)
+      return MatchClassification(Map.empty, Seq.empty, Seq.empty, Seq.empty, Seq.empty)
+    // per-file match counts (already excludes rows a previous DV deleted);
+    // keyed by table-relative path
+    val byAbs: Map[String, String] = candidates.map(f => absPath(f) -> f.path).toMap
+    val counts: Map[String, Long] =
+      readFilesInternal(snap, candidates, withMeta = true)
+        .where(cond).groupBy(col("__dv_path")).count()
+        .collect()
+        .flatMap(r => byAbs.get(Stats.normalizeFileUri(r.getString(0)))
+          .map(_ -> r.getLong(1))).toMap
+    val touched = candidates.filter(f => counts.contains(f.path))
+    val (fullMatch, partial) = touched.partition { f =>
+      f.stats.exists(st => counts(f.path) == st.numRecords - f.dvCardinality)
+    }
+    val (dvTargets, rewriteTargets) =
+      if (!useDvs) (Seq.empty[AddFile], partial)
+      else partial.partition { f =>
+        f.stats.exists(st =>
+          counts(f.path) <= dvMaxFraction * (st.numRecords - f.dvCardinality))
+      }
+    MatchClassification(counts, touched, fullMatch, dvTargets, rewriteTargets)
+  }
+
+  /** Union matched row indexes into each target's bitmap and write the
+    * new sidecars; returns the re-add entries.
+    */
+  private def buildDvs(snap: Snapshot, cond: Column,
+      dvTargets: Seq[AddFile], now: Long): Seq[AddFile] = {
+    if (dvTargets.isEmpty) return Seq.empty
+    val byAbs = dvTargets.map(f => absPath(f) -> f.path).toMap
+    val byFile = readFilesInternal(snap, dvTargets, withMeta = true)
+      .where(cond).select(col("__dv_path"), col("__dv_idx"))
+      .collect()
+      .groupBy(r => byAbs(Stats.normalizeFileUri(r.getString(0))))
+    dvTargets.map { f =>
+      val bm = f.dvPath.map(Dv.read(path, _))
+        .getOrElse(new org.roaringbitmap.longlong.Roaring64Bitmap())
+      byFile(f.path).foreach(r => bm.addLong(r.getLong(1)))
+      f.copy(dvPath = Some(Dv.write(path, bm)),
+        dvCardinality = bm.getLongCardinality, modificationTime = now)
+    }
+  }
+
+  /** UPDATE SET WHERE (L3) with deletion vectors: a small update DVs the
+    * old row versions in place and APPENDS only the updated rows — cost
+    * proportional to changed rows, not touched-file bytes. Heavily-hit
+    * files fall back to copy-on-write.
+    */
+  def update(cond: Column, set: Map[String, Column], useDvs: Boolean = true,
+      dvMaxFraction: Double = 0.5): Unit = {
     require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
     val snap = snapshot
+    val pcs = snap.metaData.partitionColumns
     val bad = set.keys.filterNot(snap.schema.fieldNames.contains)
     require(bad.isEmpty, s"UPDATE SET on unknown column(s): ${bad.mkString(",")}")
-    val touched = filesWithMatches(snap, cond)
-    if (touched.isEmpty) return
-    val src = readFiles(snap, touched)
-    val updated = src.select(snap.schema.fields.map { f =>
-      set.get(f.name) match {
-        case Some(v) =>
-          when(coalesceFalse(cond), v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-        case None => col(f.name)
+    val cls = classifyMatches(snap, cond, useDvs, dvMaxFraction)
+    if (cls.touched.isEmpty) return
+    val now = System.currentTimeMillis()
+
+    // full-match + DV'd files: their old row versions vanish (remove /
+    // bitmap); ONLY the matched rows re-append with assignments applied
+    val dvAdds = buildDvs(snap, cond, cls.dvTargets, now)
+    val appendTargets = cls.fullMatch ++ cls.dvTargets
+    val appendedAdds: Seq[AddFile] =
+      if (appendTargets.isEmpty) Seq.empty
+      else {
+        val updatedRows = readFiles(snap, appendTargets)
+          .where(coalesceFalse(cond))
+          .select(snap.schema.fields.map { f =>
+            set.get(f.name) match {
+              case Some(v) => v.cast(f.dataType).as(f.name)
+              case None => col(f.name)
+            }
+          }.toSeq: _*)
+        LakeTable.stageFiles(spark, path, updatedRows, snap.schema, pcs)
       }
-    }.toSeq: _*)
-    rewrite(snap, touched, updated, "UPDATE",
-      Map("predicate" -> cond.toString, "set" -> set.keys.mkString(",")))
+
+    // heavy files: classic whole-file rewrite with conditional assignment
+    val rewriteAdds: Seq[AddFile] =
+      if (cls.rewriteTargets.isEmpty) Seq.empty
+      else {
+        val rewritten = readFiles(snap, cls.rewriteTargets)
+          .select(snap.schema.fields.map { f =>
+            set.get(f.name) match {
+              case Some(v) =>
+                when(coalesceFalse(cond), v.cast(f.dataType))
+                  .otherwise(col(f.name)).as(f.name)
+              case None => col(f.name)
+            }
+          }.toSeq: _*)
+        LakeTable.stageFiles(spark, path, rewritten, snap.schema, pcs)
+      }
+
+    val removes = (cls.fullMatch ++ cls.dvTargets ++ cls.rewriteTargets)
+      .map(f => Action.of(RemoveFile(f.path, now, f.partitionValues)))
+    val adds = (dvAdds ++ appendedAdds ++ rewriteAdds).map(Action.of)
+    val actions = removes ++ adds :+
+      Action.of(CommitInfo(now, "UPDATE",
+        Map("predicate" -> cond.toString, "set" -> set.keys.mkString(","),
+          "deletionVectors" -> cls.dvTargets.size.toString),
+        numAddedFiles = (appendedAdds.size + rewriteAdds.size).toLong,
+        numRemovedFiles = (cls.fullMatch.size + cls.rewriteTargets.size).toLong,
+        numOutputRows = cls.matchedRows))
+    commitWithRetry(snap.version, actions, rebaseable = false)
   }
 
   /** MERGE INTO (L4/J1): copy-on-write upsert, the

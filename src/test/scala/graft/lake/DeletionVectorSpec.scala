@@ -83,12 +83,18 @@ class DeletionVectorSpec extends AnyFunSuite {
       (1L to 30L).map(i => (i, 0.0)).toDF("id", "v").repartition(1))
     t.delete($"id" <= 3L)
     assert(t.snapshot.files.head.dvPath.isDefined)
-    // UPDATE rewrites the file; DV rows must not come back
+    // small UPDATE: DVs the old row version and appends only the new one
+    val filesBefore = t.snapshot.files.map(_.path).toSet
     t.update($"id" === 10L, Map("v" -> lit(9.9)))
     assert(t.toDF.count() === 27)
-    assert(t.snapshot.files.forall(_.dvPath.isEmpty)) // rewrite cleared the DV
+    val snap = t.snapshot
+    assert(snap.files.map(_.path).toSet.intersect(filesBefore) === filesBefore,
+      "update must not rewrite the original file")
+    assert(snap.files.exists(f => f.dvPath.isDefined && f.dvCardinality === 4L),
+      "old row version joins the deleted set") // 3 deleted + 1 updated-old
     assert(t.toDF.where($"id" <= 3L).count() === 0)
     assert(t.toDF.where($"v" === 9.9).count() === 1)
+    assert(t.toDF.where($"id" === 10L).count() === 1) // exactly one version
     // MERGE matching everything: deleted rows are not match targets
     t.merge((1L to 5L).map(i => (i, 5.5)).toDF("id", "v"), expr("t.id = s.id"),
       whenMatchedUpdate = Some(Map.empty), whenNotMatchedInsert = Some(Map.empty))
