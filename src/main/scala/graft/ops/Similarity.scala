@@ -109,6 +109,78 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("id"), col("cosine"))
   }
 
+  /** Persist an IVF index as lake tables: `codebook` (list_id, centroid)
+    * and `assignments` (id, nvec) HIVE-PARTITIONED BY list_id — the real
+    * ANN-index shape at 100 TB: a query reads only its `nprobe` probed
+    * partitions (partition pruning before any file listing), not the
+    * corpus. Centroids train once here instead of per query.
+    */
+  def buildIvfIndex(
+      data: DataFrame, vecCol: String, idCol: String,
+      indexPath: String, nLists: Int = 16,
+      sampleSize: Int = 4096, seed: Long = 42L): Unit = {
+    import org.apache.spark.sql.graft.VectorExpressions.nearestCentroids
+    val spark = data.sparkSession
+    val d = data.select(col(idCol).as("id"), normalized(col(vecCol)).as("nvec"))
+      .repartition(col("id"))
+    val dimN = dim(data, vecCol)
+    val sample = d.orderBy(xxhash64(col("id"), lit(seed))).limit(sampleSize)
+      .select("nvec").collect().map(_.getSeq[Double](0).toArray)
+    val centroids = trainSphericalKMeans(sample, nLists, dimN, iters = 10)
+
+    val cbDf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          (0 until nLists).map(i => org.apache.spark.sql.Row(
+            i, centroids.slice(i * dimN, (i + 1) * dimN).toSeq))).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("list_id",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    graft.lake.LakeTable.create(spark, s"$indexPath/codebook", cbDf,
+      mode = "overwrite")
+
+    val assigned = d.withColumn("list_id",
+      element_at(nearestCentroids(col("nvec"), centroids, dimN, 1), 1))
+    graft.lake.LakeTable.create(spark, s"$indexPath/assignments", assigned,
+      partitionBy = Seq("list_id"), mode = "overwrite")
+  }
+
+  /** Query a persisted IVF index: probes resolve against the (tiny)
+    * codebook on the driver; the assignments table is read WITH a
+    * list_id filter, so partition pruning touches only the probed
+    * inverted lists.
+    */
+  def ivfTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      queries: DataFrame, qVecCol: String, qIdCol: String,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions.nearestCentroids
+    val cb = graft.lake.LakeTable.forPath(spark, s"$indexPath/codebook").toDF
+      .orderBy("list_id").collect()
+    val dimN = cb.head.getSeq[Double](1).size
+    val centroids = cb.flatMap(_.getSeq[Double](1)).map(d => d: Double)
+
+    val q = queries.select(col(qIdCol).as("q_id"), normalized(col(qVecCol)).as("q_nvec"))
+    val probes = q.withColumn("list_id",
+      explode(nearestCentroids(col("q_nvec"), centroids, dimN, nprobe)))
+    val probedLists = probes.select("list_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+
+    val assignments = graft.lake.LakeTable
+      .forPath(spark, s"$indexPath/assignments")
+      .read(col("list_id").isin(probedLists: _*)) // partition-pruned
+    val scored = assignments.join(broadcast(probes), Seq("list_id"))
+      .withColumn("cosine", dotNormalized(col("nvec"), col("q_nvec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id"), col("cosine"))
+  }
+
   /** Lloyd iterations with cosine assignment and re-normalized means
     * (spherical KMeans) over a driver-side sample. Deterministic:
     * initial centroids are the first k sampled vectors, empty clusters

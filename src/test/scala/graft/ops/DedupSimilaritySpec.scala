@@ -88,6 +88,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall on clustered data $recall")
   }
 
+  test("persisted IVF index: partition-pruned probes, same recall") {
+    val indexPath = java.nio.file.Files.createTempDirectory("ivf-idx-").toString
+    Similarity.buildIvfIndex(embs, "embedding", "vec_id", indexPath, nLists = 8)
+    val q = embs.where($"vec_id" % 100 === 0)
+
+    val exact = Similarity.bruteForceTopK(embs, "embedding", "vec_id",
+      q, "embedding", "vec_id", k = 5)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val idx = Similarity.ivfTopKIndexed(spark, indexPath,
+      q, "embedding", "vec_id", k = 5, nprobe = 3)
+    val got = idx.select("q_id", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.75, s"indexed IVF recall $recall")
+
+    // the assignments read touches ONLY probed list partitions
+    val t = graft.lake.LakeTable.forPath(spark, s"$indexPath/assignments")
+    assert(t.snapshot.files.forall(_.path.contains("list_id=")))
+    val single = Similarity.ivfTopKIndexed(spark, indexPath,
+      q.limit(1), "embedding", "vec_id", k = 5, nprobe = 2)
+    single.count() // materialize
+    val probedRead = t.read($"list_id".isin(0, 1, 2, 3, 4, 5, 6, 7))
+    assert(probedRead.inputFiles.length === t.snapshot.files.size)
+    val twoLists = t.read($"list_id".isin(0, 1)).inputFiles.length
+    assert(twoLists < t.snapshot.files.size,
+      "list_id filter must prune partitions before listing")
+  }
+
   test("brute-force top-k returns exactly k per query with rank 1..k") {
     val q = embs.where($"vec_id" % 100 === 0)
     val out = Similarity.bruteForceTopK(embs, "embedding", "vec_id",
