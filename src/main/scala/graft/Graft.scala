@@ -38,9 +38,23 @@ object Graft {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // native functions + SQL DML/DV resolution rules
+      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
+  }
+
+  /** Register a DSv2 catalog over a warehouse directory so SQL resolves
+    * lake tables natively: `SELECT/INSERT/MERGE/UPDATE/DELETE ...
+    * lake.db.t`, CTAS, ALTER, time travel. (SQL DML additionally needs
+    * the extensions — use [[session]] or set `spark.sql.extensions`.)
+    */
+  def registerCatalog(spark: SparkSession, name: String,
+      warehouse: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      "org.apache.spark.sql.graft.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", warehouse)
   }
 
   def table(spark: SparkSession, path: String): LakeTable =
