@@ -47,23 +47,25 @@ object Dv {
     deserialize(readBytes(tablePath, rel))
 }
 
-/** Executor-side deletion-vector lookup: absolute-normalized file path →
-  * serialized bitmap, deserialized lazily once per executor. Shipped to
-  * tasks as a codegen reference object / serialized closure member.
+/** Executor-side deletion-vector lookup: absolute-normalized data-file
+  * path → sidecar path. Only PATHS ship with the task (a few bytes per
+  * file); each executor reads and deserializes a bitmap lazily on first
+  * probe — the table directory is shared storage by the same assumption
+  * the data files rely on.
   */
-final class DvLookup(dvBytes: Map[String, Array[Byte]]) extends Serializable {
+final class DvLookup(tablePath: String, dvPaths: Map[String, String])
+  extends Serializable {
 
   @transient private lazy val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Roaring64Bitmap]()
 
-  private val empty = new Roaring64Bitmap()
-
   def deleted(filePath: String, rowIndex: Long): Boolean = {
     val key = Stats.normalizeFileUri(filePath)
-    val bm = cache.computeIfAbsent(key,
-      k => dvBytes.get(k).map(Dv.deserialize).getOrElse(empty))
+    val bm = cache.computeIfAbsent(key, k =>
+      dvPaths.get(k).map(rel => Dv.read(tablePath, rel))
+        .getOrElse(new Roaring64Bitmap()))
     bm.contains(rowIndex)
   }
 
-  def isEmpty: Boolean = dvBytes.isEmpty
+  def isEmpty: Boolean = dvPaths.isEmpty
 }

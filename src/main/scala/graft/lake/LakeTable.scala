@@ -292,8 +292,8 @@ final class LakeTable private (
     val masked =
       if (dvF.isEmpty) None
       else {
-        val lookup = new DvLookup(
-          dvF.map(f => absPath(f) -> Dv.readBytes(path, f.dvPath.get)).toMap)
+        val lookup = new DvLookup(path,
+          dvF.map(f => absPath(f) -> f.dvPath.get).toMap)
         Some(scan(dvF)
           .where(!org.apache.spark.sql.graft.DvExpressions.rowDeleted(
             col("_metadata.file_path"), col("_metadata.row_index"), lookup))
