@@ -60,6 +60,41 @@ class EvolvingStreamSpec extends AnyFunSuite {
     } finally stream.stop()
   }
 
+  test("parquet sources evolve mid-stream too (drifted columns, no rescue needed)") {
+    val src = Files.createTempDirectory("evolve-pq-src-").toString
+    val schemaLoc = Files.createTempDirectory("evolve-pq-schema-").toString
+    val ckpt = Files.createTempDirectory("evolve-pq-ckpt-").toString
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "name").coalesce(1)
+      .write.parquet(s"$src/wave1")
+    // flatten: the loader watches a flat dir
+    val f1 = java.nio.file.Files.list(java.nio.file.Paths.get(s"$src/wave1"))
+      .iterator().asScala.find(_.toString.endsWith(".parquet")).get
+    java.nio.file.Files.move(f1, java.nio.file.Paths.get(s"$src/wave1.parquet"))
+
+    val loader = new IncrementalLoader(spark, src,
+      LoaderConfig(format = "parquet", schemaLocation = schemaLoc,
+        pathGlobFilter = Some("*.parquet")))
+    val rows = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val stream = loader.startEvolving(ckpt,
+      (df: DataFrame, _: Long) => df.toJSON.collect().foreach(rows.add))
+    try {
+      stream.processAllAvailable()
+      assert(rows.asScala.exists(_.contains("\"id\":1")))
+
+      Seq((2L, "b", 3.5)).toDF("id", "name", "score").coalesce(1)
+        .write.parquet(s"$src/wave2")
+      val f2 = java.nio.file.Files.list(java.nio.file.Paths.get(s"$src/wave2"))
+        .iterator().asScala.find(_.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(f2, java.nio.file.Paths.get(s"$src/wave2.parquet"))
+
+      stream.processAllAvailable()
+      assert(stream.restarts === 1)
+      assert(rows.asScala.exists(r =>
+        r.contains("\"id\":2") && r.contains("\"score\":3.5")))
+    } finally stream.stop()
+  }
+
   test("evolveSchema=false streams on unchanged (new columns rescued-or-dropped)") {
     val src = Files.createTempDirectory("noevolve-src-").toString
     val schemaLoc = Files.createTempDirectory("noevolve-schema-").toString
