@@ -48,12 +48,14 @@ object Dv {
 }
 
 /** Executor-side deletion-vector lookup: absolute-normalized data-file
-  * path → sidecar path. Only PATHS ship with the task (a few bytes per
-  * file); each executor reads and deserializes a bitmap lazily on first
-  * probe — the table directory is shared storage by the same assumption
-  * the data files rely on.
+  * path → sidecar path (or serialized bitmap bytes for vectors that were
+  * never persisted — MERGE's transient claim bitmaps, inline DVs). Only
+  * paths/compressed bytes ship with the task; each executor deserializes
+  * a bitmap lazily on first probe — the table directory is shared storage
+  * by the same assumption the data files rely on.
   */
-final class DvLookup(tablePath: String, dvPaths: Map[String, String])
+final class DvLookup(tablePath: String, dvPaths: Map[String, String],
+    inline: Map[String, Array[Byte]] = Map.empty)
   extends Serializable {
 
   @transient private lazy val cache =
@@ -63,9 +65,10 @@ final class DvLookup(tablePath: String, dvPaths: Map[String, String])
     val key = Stats.normalizeFileUri(filePath)
     val bm = cache.computeIfAbsent(key, k =>
       dvPaths.get(k).map(rel => Dv.read(tablePath, rel))
+        .orElse(inline.get(k).map(Dv.deserialize))
         .getOrElse(new Roaring64Bitmap()))
     bm.contains(rowIndex)
   }
 
-  def isEmpty: Boolean = dvPaths.isEmpty
+  def isEmpty: Boolean = dvPaths.isEmpty && inline.isEmpty
 }

@@ -541,16 +541,23 @@ final class LakeTable private (
     * the FIRST clause whose condition holds applies; no clause → the row
     * is kept (matched / by-source) or dropped (not-matched).
     *
-    * Scale note: with no by-source clauses only files containing matches
-    * rewrite; by-source clauses touch every target row, so the rewrite is
-    * table-wide (same as Delta).
+    * Scale design (Delta's DV merge shape): claimed old row versions
+    * (updated/deleted) are marked in deletion-vector bitmaps and ONLY the
+    * new row versions (updates' post-images + inserts) are appended —
+    * merge cost is proportional to changed rows, not touched-file bytes.
+    * Per-file fallbacks as in [[delete]]: fully-claimed files become pure
+    * metadata removes; files claimed beyond `dvMaxFraction` rewrite.
+    * With by-source clauses every target row is a candidate (same as
+    * Delta), but untouched rows still stay in place under DVs.
     */
   def mergeClauses(
       source: DataFrame,
       condition: Column,
       matchedClauses: Seq[MergeClause],
       notMatchedClauses: Seq[MergeClause.Insert],
-      notMatchedBySourceClauses: Seq[MergeClause]): Unit = {
+      notMatchedBySourceClauses: Seq[MergeClause],
+      useDvs: Boolean = true,
+      dvMaxFraction: Double = 0.5): Unit = {
     require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
     matchedClauses.foreach {
       case _: MergeClause.Insert =>
@@ -569,8 +576,8 @@ final class LakeTable private (
     val tgtSchema = snap.schema
     val srcCols = source.columns.toSet
 
-    // 1. which target files rewrite? matches only — unless by-source
-    // clauses touch every target row
+    // 1. candidate target files: matches only — unless by-source clauses
+    // make every target row a candidate
     val touched =
       if (notMatchedBySourceClauses.nonEmpty) snap.files
       else {
@@ -581,20 +588,19 @@ final class LakeTable private (
         snap.files.filter(f => matchedFiles.contains(absPath(f)))
       }
 
-    // 2. full-outer join of touched target rows vs source; __tid tags
-    // each target row so multi-match ambiguity is detected exactly.
-    val tRows = (if (touched.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tgtSchema)
-    else readFiles(snap, touched))
+    // 2. full-outer join of candidate target rows vs source; each target
+    // row carries its physical identity (__dv_path, __dv_idx) — the DV
+    // path bitmaps exactly these, and multi-match ambiguity is detected
+    // on them without generating row ids.
+    val tRows = readFilesInternal(snap, touched, withMeta = true)
       .withColumn("__tgt", lit(true))
-      .withColumn("__tid", monotonically_increasing_id())
-      .localCheckpoint(false) // pin __tid assignment before the self-referencing join
     val sRows = source.withColumn("__src", lit(true))
     val joined = tRows.alias("t").join(sRows.alias("s"), condition, "full_outer").cache()
     try {
       if (matchedClauses.nonEmpty) {
         val dupes = joined.where(col("t.__tgt").isNotNull && col("s.__src").isNotNull)
-          .groupBy(col("t.__tid")).count().where(col("count") > 1).limit(1).count()
+          .groupBy(col("t.__dv_path"), col("t.__dv_idx"))
+          .count().where(col("count") > 1).limit(1).count()
         require(dupes == 0L,
           "merge: a target row matches multiple source rows; make the condition more specific")
       }
@@ -611,19 +617,22 @@ final class LakeTable private (
           c.cast(f.dataType).as(f.name)
         }.toSeq
 
-      /** SQL cascade: tag each row with the index of the first clause
-        * whose condition holds (-1 = none), then emit one piece per
-        * update/insert clause; delete clauses emit nothing.
-        */
-      def cascade(rows: DataFrame, clauses: Seq[MergeClause],
-          fromSource: Boolean, keepUnclaimed: Boolean): Seq[DataFrame] = {
+      // SQL cascade: tag each row with the index of the first clause whose
+      // condition holds (-1 = none)
+      def tag(rows: DataFrame, clauses: Seq[MergeClause]): DataFrame = {
         val action = clauses.zipWithIndex.reverse
           .foldLeft(lit(-1)) { case (acc, (c, i)) =>
             when(coalesceFalse(c.condition.getOrElse(lit(true))), lit(i))
               .otherwise(acc)
           }
-        val tagged = rows.withColumn("__action", action)
-        val pieces = clauses.zipWithIndex.flatMap {
+        rows.withColumn("__action", action)
+      }
+
+      /** New row versions: one piece per update/insert clause; delete
+        * clauses emit nothing. */
+      def emitted(tagged: DataFrame, clauses: Seq[MergeClause],
+          fromSource: Boolean): Seq[DataFrame] =
+        clauses.zipWithIndex.flatMap {
           case (MergeClause.Update(_, as), i) =>
             val effective =
               if (as.isEmpty)
@@ -637,26 +646,102 @@ final class LakeTable private (
               .select(assemble(as, fromSource = true): _*))
           case (_: MergeClause.Delete, _) => None
         }
-        val keep =
-          if (keepUnclaimed)
-            Seq(tagged.where(col("__action") === -1)
-              .select(assemble(Map.empty, fromSource = false): _*))
-          else Seq.empty
-        pieces ++ keep
-      }
+
+      /** Rows no clause claimed, re-assembled as-is (rewrite path only). */
+      def kept(tagged: DataFrame): DataFrame =
+        tagged.where(col("__action") === -1)
+          .select(assemble(Map.empty, fromSource = false): _*)
 
       val matchedRows = joined.where(col("t.__tgt").isNotNull && col("s.__src").isNotNull)
       val targetOnly = joined.where(col("t.__tgt").isNotNull && col("s.__src").isNull)
       val sourceOnly = joined.where(col("t.__tgt").isNull && col("s.__src").isNotNull)
 
-      val pieces =
-        cascade(matchedRows, matchedClauses, fromSource = false, keepUnclaimed = true) ++
-          cascade(targetOnly, notMatchedBySourceClauses, fromSource = false,
-            keepUnclaimed = true) ++
-          cascade(sourceOnly, notMatchedClauses, fromSource = true,
-            keepUnclaimed = false)
-      val result = pieces.reduce(_ unionByName _)
-      rewrite(snap, touched, result, "MERGE", Map("condition" -> condition.toString))
+      val matchedT = tag(matchedRows, matchedClauses)
+      val bySrcT = tag(targetOnly, notMatchedBySourceClauses)
+      val srcT = tag(sourceOnly, notMatchedClauses)
+      val newRows =
+        emitted(matchedT, matchedClauses, fromSource = false) ++
+          emitted(bySrcT, notMatchedBySourceClauses, fromSource = false) ++
+          emitted(srcT, notMatchedClauses, fromSource = true)
+
+      if (!useDvs) {
+        // classic copy-on-write: rewrite every candidate file
+        val result = (newRows ++ Seq(kept(matchedT), kept(bySrcT))).reduce(_ unionByName _)
+        rewrite(snap, touched, result, "MERGE", Map("condition" -> condition.toString))
+        return
+      }
+
+      // ---- deletion-vector path ----------------------------------------
+      // claimed old row versions: every matched/by-source row a clause
+      // applied to (update → superseded, delete → gone)
+      val claimed = matchedT.where(col("__action") >= 0)
+        .select(col("t.__dv_path"), col("t.__dv_idx"))
+        .unionByName(bySrcT.where(col("__action") >= 0)
+          .select(col("t.__dv_path"), col("t.__dv_idx")))
+        .distinct().collect()
+      val byAbs = touched.map(f => absPath(f) -> f.path).toMap
+      val claimedByFile: Map[String, Array[Long]] = claimed
+        .groupBy(r => byAbs(Stats.normalizeFileUri(r.getString(0))))
+        .map { case (rel, rs) => rel -> rs.map(_.getLong(1)) }
+
+      val affected = touched.filter(f => claimedByFile.contains(f.path))
+      val (fullMatch, partial) = affected.partition { f =>
+        f.stats.exists(st =>
+          claimedByFile(f.path).length == st.numRecords - f.dvCardinality)
+      }
+      val (dvTargets, rewriteTargets) = partial.partition { f =>
+        f.stats.exists(st =>
+          claimedByFile(f.path).length <=
+            dvMaxFraction * (st.numRecords - f.dvCardinality))
+      }
+      val now = System.currentTimeMillis()
+
+      // bitmap union for DV'd files
+      val dvAdds = dvTargets.map { f =>
+        val bm = f.dvPath.map(Dv.read(path, _))
+          .getOrElse(new org.roaringbitmap.longlong.Roaring64Bitmap())
+        claimedByFile(f.path).foreach(bm.addLong)
+        f.copy(dvPath = Some(Dv.write(path, bm)),
+          dvCardinality = bm.getLongCardinality, modificationTime = now)
+      }
+
+      // heavily-claimed files rewrite to their surviving rows; the claim
+      // bitmaps ship inline with the scan (never persisted)
+      val rewriteAdds: Seq[AddFile] =
+        if (rewriteTargets.isEmpty) Seq.empty
+        else {
+          val inline = rewriteTargets.map { f =>
+            val bm = new org.roaringbitmap.longlong.Roaring64Bitmap()
+            claimedByFile(f.path).foreach(bm.addLong)
+            absPath(f) -> Dv.serialize(bm)
+          }.toMap
+          val lookup = new DvLookup(path, Map.empty, inline)
+          val survivors = readFilesInternal(snap, rewriteTargets, withMeta = true)
+            .where(!org.apache.spark.sql.graft.DvExpressions.rowDeleted(
+              col("__dv_path"), col("__dv_idx"), lookup))
+            .select(tgtSchema.fieldNames.map(col).toSeq: _*)
+          LakeTable.stageFiles(spark, path, survivors, tgtSchema,
+            snap.metaData.partitionColumns)
+        }
+
+      val appendedAdds: Seq[AddFile] =
+        if (newRows.isEmpty) Seq.empty
+        else LakeTable.stageFiles(spark, path, newRows.reduce(_ unionByName _),
+          tgtSchema, snap.metaData.partitionColumns)
+
+      val outputRows = appendedAdds.flatMap(_.stats.map(_.numRecords)).sum
+      val removes = (fullMatch ++ dvTargets ++ rewriteTargets)
+        .map(f => Action.of(RemoveFile(f.path, now, f.partitionValues)))
+      val adds = (dvAdds ++ rewriteAdds ++ appendedAdds).map(Action.of)
+      val actions = removes ++ adds :+
+        Action.of(CommitInfo(now, "MERGE",
+          Map("condition" -> condition.toString,
+            "deletionVectors" -> dvTargets.size.toString,
+            "fullFileRemoves" -> fullMatch.size.toString),
+          numAddedFiles = (rewriteAdds.size + appendedAdds.size).toLong,
+          numRemovedFiles = (fullMatch.size + rewriteTargets.size).toLong,
+          numOutputRows = outputRows))
+      commitWithRetry(snap.version, actions, rebaseable = false)
     } finally joined.unpersist()
   }
 

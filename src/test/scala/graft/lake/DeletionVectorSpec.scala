@@ -102,6 +102,56 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(t.toDF.count() === 30)
   }
 
+  test("small merge DVs the matched old rows and appends only new versions") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path,
+      (1L to 100L).map(i => (i, 0.0)).toDF("id", "v").repartition(1))
+    val original = t.snapshot.files.map(_.path).toSet
+
+    // upsert 5 matched + 2 inserted
+    t.merge((96L to 102L).map(i => (i, 1.0)).toDF("id", "v"),
+      expr("t.id = s.id"))
+    val snap = t.snapshot
+    assert(snap.files.map(_.path).toSet.intersect(original) === original,
+      "merge must not rewrite a lightly-matched file")
+    assert(snap.files.exists(f => original(f.path) && f.dvCardinality === 5L),
+      "matched old row versions are bitmap-deleted")
+    val ci = snap.commits.last._2
+    assert(ci.operation === "MERGE" && ci.parameters("deletionVectors") === "1")
+    assert(ci.numOutputRows === 7L) // 5 updates + 2 inserts appended
+    assert(t.toDF.count() === 102)
+    assert(t.toDF.where($"v" === 1.0).count() === 7)
+    assert(t.toDF.where($"id" === 96L).count() === 1) // exactly one version
+
+    // time travel still sees the pre-merge state through the old (empty) DV
+    assert(t.asOf(0).toDF.where($"v" === 1.0).count() === 0)
+  }
+
+  test("merge delete clauses claim rows through DVs; heavy merge rewrites") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path,
+      (1L to 50L).map(i => (i, 0.0)).toDF("id", "v").repartition(1))
+    val original = t.snapshot.files.map(_.path).toSet
+    // delete-only merge, 10% of rows: DV, no new data files
+    t.merge((1L to 5L).map(i => Tuple1(i)).toDF("id"), expr("t.id = s.id"),
+      whenMatchedUpdate = None, whenMatchedDelete = true,
+      whenNotMatchedInsert = None)
+    val snap = t.snapshot
+    assert(snap.files.map(_.path).toSet === original)
+    assert(snap.files.head.dvCardinality === 5L)
+    assert(snap.commits.last._2.numAddedFiles === 0L)
+    assert(t.toDF.count() === 45)
+
+    // update matching ~90% of survivors: above dvMaxFraction → rewrite
+    t.merge((1L to 47L).map(i => (i, 2.0)).toDF("id", "v"), expr("t.id = s.id"),
+      whenNotMatchedInsert = None)
+    val snap2 = t.snapshot
+    assert(snap2.files.forall(f => !original(f.path)), "heavy merge rewrites")
+    assert(snap2.files.forall(_.dvPath.isEmpty))
+    assert(t.toDF.count() === 45)
+    assert(t.toDF.where($"v" === 2.0).count() === 42) // ids 6..47
+  }
+
   test("time travel and vacuum interact correctly with DVs") {
     val path = tmp()
     val t = LakeTable.create(spark, path,
