@@ -71,6 +71,13 @@ final case class MetaData(
   * wins), mirroring Delta's txn action. */
 final case class SetTxn(appId: String, batchId: Long)
 
+/** Change-data file (Delta's `cdc` action): a parquet file under
+  * `_change_data/` holding this commit's row-level changes (data columns
+  * + `_change_type`). Never part of table state — snapshot resolution and
+  * checkpoints ignore it; only [[LakeTable.tableChanges]] reads it.
+  */
+final case class CdcFile(path: String, size: Long = 0L)
+
 final case class CommitInfo(
     timestamp: Long,
     operation: String,
@@ -85,7 +92,8 @@ final case class Action(
     add: Option[AddFile] = None,
     remove: Option[RemoveFile] = None,
     txn: Option[SetTxn] = None,
-    commitInfo: Option[CommitInfo] = None)
+    commitInfo: Option[CommitInfo] = None,
+    cdc: Option[CdcFile] = None)
 
 object Action {
   private val mapper: ObjectMapper = {
@@ -114,4 +122,5 @@ object Action {
   def of(r: RemoveFile): Action   = Action(remove = Some(r))
   def of(t: SetTxn): Action       = Action(txn = Some(t))
   def of(ci: CommitInfo): Action  = Action(commitInfo = Some(ci))
+  def of(c: CdcFile): Action      = Action(cdc = Some(c))
 }

@@ -156,6 +156,100 @@ final class LakeTable private (
     }
   }
 
+  /** CHANGE DATA FEED read (Delta's `table_changes`,
+    * `02.delta_lake_primer.py` CDF pattern): every row-level change in
+    * commits `[startingVersion, endingVersion]`, with `_change_type`
+    * (`insert` / `delete` / `update_preimage` / `update_postimage`),
+    * `_commit_version`, `_commit_timestamp` columns appended.
+    *
+    * DML commits (DELETE/UPDATE/MERGE) replay the `_change_data` parquet
+    * their commit registered as [[CdcFile]] actions — sized by the
+    * changed-row count, never the table. Plain appends / overwrites /
+    * restores write no change files; their changes are DERIVED here from
+    * add/remove actions (adds read as `insert`, removed files — via the
+    * previous snapshot's entries, so deletion vectors still mask — as
+    * `delete`). File reorganizations (COMPACT / ZORDER / OPTIMIZE) move
+    * rows between files without changing the table and emit nothing.
+    *
+    * Change files age out with [[vacuum]]'s retention like any
+    * unreferenced file — CDF reads older than retention fail, the same
+    * tradeoff as time travel. A DML commit made BEFORE
+    * `graft.enableChangeDataFeed` was set recorded no change data;
+    * asking for a range that covers one throws.
+    */
+  def tableChanges(startingVersion: Long, endingVersion: Option[Long] = None): DataFrame = {
+    val latest = log.latestVersion.getOrElse(
+      throw new IllegalStateException(s"not a lake table: $path"))
+    val endV = endingVersion.getOrElse(latest)
+    require(startingVersion >= 0 && startingVersion <= endV && endV <= latest,
+      s"invalid change range [$startingVersion, $endV] (latest committed = $latest)")
+    val frames = (startingVersion to endV).flatMap(changesAt)
+    if (frames.isEmpty) {
+      val schema = StructType(log.snapshot(Some(endV)).schema.fields ++ Seq(
+        StructField(Cdc.CHANGE_TYPE, StringType),
+        StructField("_commit_version", LongType),
+        StructField("_commit_timestamp", TimestampType)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    } else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** [[tableChanges]] with a timestamp lower bound (Delta's
+    * `table_changes(..., startingTimestamp)`). */
+  def tableChangesFrom(tsMillis: Long): DataFrame =
+    tableChanges(log.versionAtTimestamp(tsMillis))
+
+  /** The change rows of one commit, or None if it changed nothing. */
+  private def changesAt(v: Long): Option[DataFrame] = {
+    val actions = log.readCommit(v)
+    val ci = actions.flatMap(_.commitInfo).headOption
+    val op = ci.map(_.operation).getOrElse("")
+    val ts = ci.map(_.timestamp).getOrElse(0L)
+    def finish(df: DataFrame): DataFrame =
+      df.withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp", lit(new java.sql.Timestamp(ts)))
+    val cdcFiles = actions.flatMap(_.cdc)
+    if (cdcFiles.nonEmpty) {
+      val snap = log.snapshot(Some(v))
+      LakeTable.enableFieldIdReads(spark)
+      val schema = StructType(
+        snap.schema.fields :+ StructField(Cdc.CHANGE_TYPE, StringType))
+      Some(finish(spark.read.schema(schema)
+        .parquet(cdcFiles.map(c => s"$path/${c.path}"): _*)))
+    } else if (LakeTable.REORG_OPS.contains(op)) None
+    else {
+      val adds = actions.flatMap(_.add)
+      val removes = actions.flatMap(_.remove)
+      if (adds.isEmpty && removes.isEmpty) return None
+      if (LakeTable.DML_OPS.contains(op))
+        throw new IllegalStateException(
+          s"change data was not recorded for version $v of $path " +
+            s"($op committed before ${Cdc.PROP}=true)")
+      val snap = log.snapshot(Some(v))
+      val inserted =
+        if (adds.isEmpty) None
+        else Some(readFiles(snap, adds)
+          .withColumn(Cdc.CHANGE_TYPE, lit(Cdc.INSERT)))
+      val deletedRows =
+        if (removes.isEmpty || v == 0) None
+        else {
+          val prevSnap = log.snapshot(Some(v - 1))
+          val removedPaths = removes.map(_.path).toSet
+          val removedFiles = prevSnap.files.filter(f => removedPaths.contains(f.path))
+          if (removedFiles.isEmpty) None
+          else Some(readFiles(prevSnap, removedFiles)
+            .withColumn(Cdc.CHANGE_TYPE, lit(Cdc.DELETE)))
+        }
+      ((inserted, deletedRows) match {
+        case (Some(a), Some(b)) => Some(a.unionByName(b, allowMissingColumns = true))
+        case (a, b) => a.orElse(b)
+      }).map(finish)
+    }
+  }
+
+  /** Is the change data feed on for this snapshot's table properties? */
+  private def cdfEnabled(snap: Snapshot): Boolean =
+    snap.metaData.properties.get(Cdc.PROP).exists(_.equalsIgnoreCase("true"))
+
   // ---- writes ----------------------------------------------------------
 
   def append(df: DataFrame, mergeSchema: Boolean = false): Unit =
@@ -316,14 +410,15 @@ final class LakeTable private (
     * @return number of rows written
     */
   private def rewrite(snap: Snapshot, touched: Seq[AddFile], replacement: DataFrame,
-      op: String, params: Map[String, String]): Long = {
+      op: String, params: Map[String, String],
+      extra: Seq[Action] = Seq.empty): Long = {
     val pcs = snap.metaData.partitionColumns
     val adds = LakeTable.stageFiles(spark, path, replacement, snap.schema, pcs)
     val now = System.currentTimeMillis()
     val rows = adds.flatMap(_.stats.map(_.numRecords)).sum
     val actions =
       touched.map(f => Action.of(RemoveFile(f.path, now, f.partitionValues))) ++
-        adds.map(Action.of) :+
+        adds.map(Action.of) ++ extra :+
         Action.of(CommitInfo(now, op, params,
           numAddedFiles = adds.size.toLong, numRemovedFiles = touched.size.toLong,
           numOutputRows = rows))
@@ -349,6 +444,11 @@ final class LakeTable private (
     val cls = classifyMatches(snap, cond, useDvs, dvMaxFraction)
     if (cls.touched.isEmpty) return 0L
     val now = System.currentTimeMillis()
+    // change data feed: the matched rows ARE the change set
+    val cdcActions: Seq[Action] =
+      if (!cdfEnabled(snap)) Seq.empty
+      else Cdc.stage(path, readFiles(snap, cls.touched).where(cond)
+        .withColumn(Cdc.CHANGE_TYPE, lit(Cdc.DELETE))).map(Action.of)
     val dvAdds = buildDvs(snap, cond, cls.dvTargets, now)
 
     // heavily-hit files: classic copy-on-write
@@ -362,7 +462,7 @@ final class LakeTable private (
     val removes = (cls.fullMatch ++ cls.dvTargets ++ cls.rewriteTargets)
       .map(f => Action.of(RemoveFile(f.path, now, f.partitionValues)))
     val adds = (dvAdds ++ rewriteAdds).map(Action.of)
-    val actions = removes ++ adds :+
+    val actions = removes ++ adds ++ cdcActions :+
       Action.of(CommitInfo(now, "DELETE",
         Map("predicate" -> cond.toString,
           "deletionVectors" -> cls.dvTargets.size.toString,
@@ -453,6 +553,25 @@ final class LakeTable private (
     if (cls.touched.isEmpty) return
     val now = System.currentTimeMillis()
 
+    def applySet(df: DataFrame): DataFrame =
+      df.select(snap.schema.fields.map { f =>
+        set.get(f.name) match {
+          case Some(v) => v.cast(f.dataType).as(f.name)
+          case None => col(f.name)
+        }
+      }.toSeq: _*)
+
+    // change data feed: matched rows before and after assignment
+    val cdcActions: Seq[Action] =
+      if (!cdfEnabled(snap)) Seq.empty
+      else {
+        val matched = readFiles(snap, cls.touched).where(coalesceFalse(cond))
+        Cdc.stage(path,
+          matched.withColumn(Cdc.CHANGE_TYPE, lit(Cdc.UPDATE_PRE))
+            .unionByName(applySet(matched)
+              .withColumn(Cdc.CHANGE_TYPE, lit(Cdc.UPDATE_POST)))).map(Action.of)
+      }
+
     // full-match + DV'd files: their old row versions vanish (remove /
     // bitmap); ONLY the matched rows re-append with assignments applied
     val dvAdds = buildDvs(snap, cond, cls.dvTargets, now)
@@ -460,14 +579,8 @@ final class LakeTable private (
     val appendedAdds: Seq[AddFile] =
       if (appendTargets.isEmpty) Seq.empty
       else {
-        val updatedRows = readFiles(snap, appendTargets)
-          .where(coalesceFalse(cond))
-          .select(snap.schema.fields.map { f =>
-            set.get(f.name) match {
-              case Some(v) => v.cast(f.dataType).as(f.name)
-              case None => col(f.name)
-            }
-          }.toSeq: _*)
+        val updatedRows = applySet(
+          readFiles(snap, appendTargets).where(coalesceFalse(cond)))
         LakeTable.stageFiles(spark, path, updatedRows, snap.schema, pcs)
       }
 
@@ -490,7 +603,7 @@ final class LakeTable private (
     val removes = (cls.fullMatch ++ cls.dvTargets ++ cls.rewriteTargets)
       .map(f => Action.of(RemoveFile(f.path, now, f.partitionValues)))
     val adds = (dvAdds ++ appendedAdds ++ rewriteAdds).map(Action.of)
-    val actions = removes ++ adds :+
+    val actions = removes ++ adds ++ cdcActions :+
       Action.of(CommitInfo(now, "UPDATE",
         Map("predicate" -> cond.toString, "set" -> set.keys.mkString(","),
           "deletionVectors" -> cls.dvTargets.size.toString),
@@ -664,10 +777,46 @@ final class LakeTable private (
           emitted(bySrcT, notMatchedBySourceClauses, fromSource = false) ++
           emitted(srcT, notMatchedClauses, fromSource = true)
 
+      /** Change-data rows for one tagged frame: update clauses emit a
+        * pre/post image pair, deletes the old row, inserts the new one. */
+      def cdcFor(tagged: DataFrame, clauses: Seq[MergeClause]): Seq[DataFrame] =
+        clauses.zipWithIndex.flatMap {
+          case (MergeClause.Update(_, as), i) =>
+            val effective =
+              if (as.isEmpty)
+                srcCols.intersect(tgtSchema.fieldNames.toSet)
+                  .map(c => c -> col(s"s.$c")).toMap
+              else as
+            val hit = tagged.where(col("__action") === i)
+            Seq(hit.select(assemble(Map.empty, fromSource = false): _*)
+                .withColumn(Cdc.CHANGE_TYPE, lit(Cdc.UPDATE_PRE)),
+              hit.select(assemble(effective, fromSource = false): _*)
+                .withColumn(Cdc.CHANGE_TYPE, lit(Cdc.UPDATE_POST)))
+          case (_: MergeClause.Delete, i) =>
+            Seq(tagged.where(col("__action") === i)
+              .select(assemble(Map.empty, fromSource = false): _*)
+              .withColumn(Cdc.CHANGE_TYPE, lit(Cdc.DELETE)))
+          case (MergeClause.Insert(_, as), i) =>
+            Seq(tagged.where(col("__action") === i)
+              .select(assemble(as, fromSource = true): _*)
+              .withColumn(Cdc.CHANGE_TYPE, lit(Cdc.INSERT)))
+        }
+
+      val cdcActions: Seq[Action] =
+        if (!cdfEnabled(snap)) Seq.empty
+        else {
+          val pieces = cdcFor(matchedT, matchedClauses) ++
+            cdcFor(bySrcT, notMatchedBySourceClauses) ++
+            cdcFor(srcT, notMatchedClauses)
+          if (pieces.isEmpty) Seq.empty
+          else Cdc.stage(path, pieces.reduce(_ unionByName _)).map(Action.of)
+        }
+
       if (!useDvs) {
         // classic copy-on-write: rewrite every candidate file
         val result = (newRows ++ Seq(kept(matchedT), kept(bySrcT))).reduce(_ unionByName _)
-        rewrite(snap, touched, result, "MERGE", Map("condition" -> condition.toString))
+        rewrite(snap, touched, result, "MERGE",
+          Map("condition" -> condition.toString), extra = cdcActions)
         return
       }
 
@@ -733,7 +882,7 @@ final class LakeTable private (
       val removes = (fullMatch ++ dvTargets ++ rewriteTargets)
         .map(f => Action.of(RemoveFile(f.path, now, f.partitionValues)))
       val adds = (dvAdds ++ rewriteAdds ++ appendedAdds).map(Action.of)
-      val actions = removes ++ adds :+
+      val actions = removes ++ adds ++ cdcActions :+
         Action.of(CommitInfo(now, "MERGE",
           Map("condition" -> condition.toString,
             "deletionVectors" -> dvTargets.size.toString,
@@ -999,6 +1148,15 @@ final class LakeTable private (
 }
 
 object LakeTable {
+
+  /** Commits that move rows between files without changing the table —
+    * the change data feed emits nothing for them. */
+  private[lake] val REORG_OPS = Set("COMPACT", "ZORDER BY", "OPTIMIZE BY")
+
+  /** Commits whose changes can only come from recorded `_change_data`
+    * (derived add/remove replay would be wrong: a rewritten file holds
+    * both changed and carried-over rows). */
+  private[lake] val DML_OPS = Set("DELETE", "UPDATE", "MERGE")
 
   /** Staging dirs under the table root use this prefix; vacuum treats
     * orphaned ones (crashed writes) as garbage past retention.

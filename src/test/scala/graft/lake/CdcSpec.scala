@@ -1,0 +1,150 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Change data feed: [[Cdc]] recording in DML commits and the
+  * [[LakeTable.tableChanges]] replay (Delta CDF semantics).
+  */
+class CdcSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def tmpDir(): String = Files.createTempDirectory("cdc-test-").toString
+
+  private def base = Seq(
+    (1L, "AZ", 10.0), (2L, "CA", 20.0), (3L, "CA", 30.0),
+    (4L, "NY", 40.0), (5L, "TX", 50.0)).toDF("id", "state", "amount")
+
+  /** create (v0) + enable CDF (v1) */
+  private def cdfTable(path: String): LakeTable = {
+    val t = LakeTable.create(spark, path, base)
+    t.setProperties(Map(Cdc.PROP -> "true"))
+    t
+  }
+
+  private def typed(t: LakeTable, v: Long, changeType: String) =
+    t.tableChanges(v, Some(v)).where(col(Cdc.CHANGE_TYPE) === changeType)
+
+  test("appends derive insert changes without writing change files") {
+    val path = tmpDir()
+    val t = cdfTable(path)
+    t.append(Seq((6L, "WA", 60.0)).toDF("id", "state", "amount")) // v2
+    val ch = t.tableChanges(0)
+    assert(ch.where(col(Cdc.CHANGE_TYPE) === Cdc.INSERT).count() === 6)
+    assert(ch.count() === 6) // the SET TBLPROPERTIES commit contributes nothing
+    assert(ch.where(col("_commit_version") === 2 && col("id") === 6).count() === 1)
+    // no change files were written: appends derive from add actions
+    assert(!Files.isDirectory(Paths.get(path, Cdc.CDC_DIR)))
+  }
+
+  test("DELETE records its matched rows as change data (DV path)") {
+    val path = tmpDir()
+    val t = cdfTable(path)
+    assert(t.delete($"id" <= 2) === 2L) // v2, small fraction → DVs
+    assert(t.log.readCommit(2L).flatMap(_.cdc).nonEmpty)
+    val del = typed(t, 2L, Cdc.DELETE)
+    assert(del.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    assert(t.toDF.count() === 3)
+  }
+
+  test("DELETE records change data on the rewrite path too") {
+    val path = tmpDir()
+    val t = cdfTable(path)
+    assert(t.delete($"id" <= 4, useDvs = false) === 4L) // v2, copy-on-write
+    val del = typed(t, 2L, Cdc.DELETE)
+    assert(del.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("UPDATE records pre/post image pairs") {
+    val path = tmpDir()
+    val t = cdfTable(path)
+    t.update($"state" === "CA", Map("amount" -> ($"amount" * 2))) // v2
+    val pre = typed(t, 2L, Cdc.UPDATE_PRE)
+    val post = typed(t, 2L, Cdc.UPDATE_POST)
+    assert(pre.select("amount").as[Double].collect().sorted.toSeq === Seq(20.0, 30.0))
+    assert(post.select("amount").as[Double].collect().sorted.toSeq === Seq(40.0, 60.0))
+    // images pair up on the key
+    assert(pre.select("id").as[Long].collect().sorted.toSeq ===
+      post.select("id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("MERGE records insert, update images, and delete per clause") {
+    val path = tmpDir()
+    val t = cdfTable(path)
+    val source = Seq((2L, "CA", -1.0), (4L, "NY", 99.0), (7L, "UT", 70.0))
+      .toDF("id", "state", "amount")
+    t.mergeClauses(source, col("t.id") === col("s.id"),
+      matchedClauses = Seq(
+        MergeClause.Delete(Some(col("s.amount") < 0)),
+        MergeClause.Update(None, Map.empty)),
+      notMatchedClauses = Seq(MergeClause.Insert(None, Map.empty)),
+      notMatchedBySourceClauses = Seq.empty) // v2
+    assert(typed(t, 2L, Cdc.DELETE).select("id").as[Long].collect().toSeq === Seq(2L))
+    assert(typed(t, 2L, Cdc.UPDATE_PRE).select("amount").as[Double].collect().toSeq === Seq(40.0))
+    assert(typed(t, 2L, Cdc.UPDATE_POST).select("amount").as[Double].collect().toSeq === Seq(99.0))
+    assert(typed(t, 2L, Cdc.INSERT).select("id").as[Long].collect().toSeq === Seq(7L))
+    // and the table itself agrees with the change feed
+    assert(t.toDF.count() === 5)
+    assert(t.toDF.where($"id" === 4).select("amount").as[Double].head() === 99.0)
+  }
+
+  test("OVERWRITE derives deletes of the old rows and inserts of the new") {
+    val path = tmpDir()
+    val t = cdfTable(path)
+    t.overwrite(Seq((10L, "HI", 1.0)).toDF("id", "state", "amount")) // v2
+    val ch = t.tableChanges(2L)
+    assert(ch.where(col(Cdc.CHANGE_TYPE) === Cdc.DELETE).count() === 5)
+    assert(ch.where(col(Cdc.CHANGE_TYPE) === Cdc.INSERT)
+      .select("id").as[Long].collect().toSeq === Seq(10L))
+  }
+
+  test("derived deletes respect deletion vectors of the previous snapshot") {
+    val path = tmpDir()
+    val t = cdfTable(path)
+    t.delete($"id" === 1) // v2: DV masks row 1
+    t.overwrite(Seq((10L, "HI", 1.0)).toDF("id", "state", "amount")) // v3
+    val del = typed(t, 3L, Cdc.DELETE)
+    // id=1 was already deleted at v2; the overwrite only deletes survivors
+    assert(del.select("id").as[Long].collect().sorted.toSeq === Seq(2L, 3L, 4L, 5L))
+  }
+
+  test("COMPACT emits no changes") {
+    val path = tmpDir()
+    val t = cdfTable(path)
+    t.append(Seq((6L, "WA", 60.0)).toDF("id", "state", "amount")) // v2
+    t.compact(targetFileBytes = 1L << 30) // v3
+    assert(t.tableChanges(3L, Some(3L)).count() === 0)
+    assert(t.tableChanges(0).count() === 6) // still just the inserts
+  }
+
+  test("DML before CDF enablement has no recorded changes and throws") {
+    val path = tmpDir()
+    val t = LakeTable.create(spark, path, base)
+    t.delete($"id" === 1) // v1, CDF off → no change data
+    t.setProperties(Map(Cdc.PROP -> "true")) // v2
+    val e = intercept[IllegalStateException] { t.tableChanges(0).count() }
+    assert(e.getMessage.contains("change data was not recorded"))
+    // but a range past the enablement works
+    t.delete($"id" === 2) // v3
+    assert(typed(t, 3L, Cdc.DELETE).count() === 1)
+  }
+
+  test("timestamp-bounded feed and empty-range schema") {
+    val path = tmpDir()
+    val t = cdfTable(path)
+    val t0 = t.log.readCommit(0L).flatMap(_.commitInfo).head.timestamp
+    val ch = t.tableChangesFrom(t0)
+    assert(ch.columns.takeRight(3).toSeq ===
+      Seq(Cdc.CHANGE_TYPE, "_commit_version", "_commit_timestamp"))
+    // a version range covering only the property commit is empty but typed
+    val empty = t.tableChanges(1L, Some(1L))
+    assert(empty.count() === 0)
+    assert(empty.columns.contains("id"))
+  }
+}
