@@ -40,6 +40,9 @@ object Graft {
       .config("spark.sql.session.timeZone", "UTC")
       // native functions + SQL DML/DV resolution rules
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
+      // storage-partitioned joins: co-bucketed lake tables join shuffle-free
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -71,4 +74,13 @@ object Graft {
     LakeTable.convert(spark, path, partitionSpec)
 
   def isTable(path: String): Boolean = LakeTable.isLakeTable(path)
+
+  /** Change data feed (Delta's `table_changes`): row-level changes of a
+    * lake table between two versions, with `_change_type` /
+    * `_commit_version` / `_commit_timestamp` columns. Requires
+    * `graft.enableChangeDataFeed=true` on the table for DML commits.
+    */
+  def tableChanges(spark: SparkSession, path: String, startingVersion: Long,
+      endingVersion: Option[Long] = None): org.apache.spark.sql.DataFrame =
+    LakeTable.forPath(spark, path).tableChanges(startingVersion, endingVersion)
 }

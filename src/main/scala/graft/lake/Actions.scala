@@ -30,6 +30,10 @@ final case class FileStats(
   * sidecar write + a metadata swap instead of a file rewrite; `stats`
   * stay physical (skipping stays conservative).
   */
+/** `bucket`: for hash-bucketed tables ([[Bucketing]]) the bucket id every
+  * row of this file hashes to — the DSv2 scan groups files by it to
+  * report a KeyGroupedPartitioning for storage-partitioned joins.
+  */
 final case class AddFile(
     path: String,
     partitionValues: Map[String, String] = Map.empty,
@@ -37,7 +41,8 @@ final case class AddFile(
     modificationTime: Long = 0L,
     stats: Option[FileStats] = None,
     dvPath: Option[String] = None,
-    dvCardinality: Long = 0L)
+    dvCardinality: Long = 0L,
+    bucket: Option[Int] = None)
 
 final case class RemoveFile(
     path: String,

@@ -34,6 +34,7 @@ private[lake] object Checkpoint {
       |    optional binary stats (STRING);
       |    optional binary dvPath (STRING);
       |    optional int64 dvCardinality;
+      |    optional int32 bucket;
       |  }
       |  optional group metaData {
       |    required binary id (STRING);
@@ -92,6 +93,7 @@ private[lake] object Checkpoint {
             ag.add("dvPath", dv)
             ag.add("dvCardinality", f.dvCardinality)
           }
+          f.bucket.foreach(b => ag.add("bucket", b))
         }
         a.metaData.foreach { m =>
           val mg = g.addGroup("metaData")
@@ -135,7 +137,9 @@ private[lake] object Checkpoint {
             opt("stats").map(stats),
             opt("dvPath"),
             if (ag.getFieldRepetitionCount("dvCardinality") > 0)
-              ag.getLong("dvCardinality", 0) else 0L))
+              ag.getLong("dvCardinality", 0) else 0L,
+            if (ag.getFieldRepetitionCount("bucket") > 0)
+              Some(ag.getInteger("bucket", 0)) else None))
         } else if (has("metaData")) {
           val mg = g.getGroup("metaData", 0)
           def opt(f: String): Option[String] =

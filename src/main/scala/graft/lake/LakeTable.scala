@@ -275,7 +275,8 @@ final class LakeTable private (
     val pcs = snap.metaData.partitionColumns
     val (aligned, newSchema) = LakeTable.align(df, snap.schema, pcs, mergeSchema,
       LakeTable.nextFieldId(snap))
-    val adds = LakeTable.stageFiles(spark, path, aligned, newSchema, pcs)
+    val adds = LakeTable.stageFiles(spark, path, aligned, newSchema, pcs,
+      Bucketing.specOf(snap.metaData))
     val rows = adds.flatMap(_.stats.map(_.numRecords)).sum
     val now = System.currentTimeMillis()
     val metaAction =
@@ -413,7 +414,8 @@ final class LakeTable private (
       op: String, params: Map[String, String],
       extra: Seq[Action] = Seq.empty): Long = {
     val pcs = snap.metaData.partitionColumns
-    val adds = LakeTable.stageFiles(spark, path, replacement, snap.schema, pcs)
+    val adds = LakeTable.stageFiles(spark, path, replacement, snap.schema, pcs,
+      Bucketing.specOf(snap.metaData))
     val now = System.currentTimeMillis()
     val rows = adds.flatMap(_.stats.map(_.numRecords)).sum
     val actions =
@@ -456,7 +458,7 @@ final class LakeTable private (
       if (cls.rewriteTargets.isEmpty) Seq.empty
       else LakeTable.stageFiles(spark, path,
         readFiles(snap, cls.rewriteTargets).where(!coalesceFalse(cond)),
-        snap.schema, pcs)
+        snap.schema, pcs, Bucketing.specOf(snap.metaData))
 
     val deleted = cls.matchedRows
     val removes = (cls.fullMatch ++ cls.dvTargets ++ cls.rewriteTargets)
@@ -581,7 +583,8 @@ final class LakeTable private (
       else {
         val updatedRows = applySet(
           readFiles(snap, appendTargets).where(coalesceFalse(cond)))
-        LakeTable.stageFiles(spark, path, updatedRows, snap.schema, pcs)
+        LakeTable.stageFiles(spark, path, updatedRows, snap.schema, pcs,
+          Bucketing.specOf(snap.metaData))
       }
 
     // heavy files: classic whole-file rewrite with conditional assignment
@@ -597,7 +600,8 @@ final class LakeTable private (
               case None => col(f.name)
             }
           }.toSeq: _*)
-        LakeTable.stageFiles(spark, path, rewritten, snap.schema, pcs)
+        LakeTable.stageFiles(spark, path, rewritten, snap.schema, pcs,
+          Bucketing.specOf(snap.metaData))
       }
 
     val removes = (cls.fullMatch ++ cls.dvTargets ++ cls.rewriteTargets)
@@ -870,13 +874,13 @@ final class LakeTable private (
               col("__dv_path"), col("__dv_idx"), lookup))
             .select(tgtSchema.fieldNames.map(col).toSeq: _*)
           LakeTable.stageFiles(spark, path, survivors, tgtSchema,
-            snap.metaData.partitionColumns)
+            snap.metaData.partitionColumns, Bucketing.specOf(snap.metaData))
         }
 
       val appendedAdds: Seq[AddFile] =
         if (newRows.isEmpty) Seq.empty
         else LakeTable.stageFiles(spark, path, newRows.reduce(_ unionByName _),
-          tgtSchema, snap.metaData.partitionColumns)
+          tgtSchema, snap.metaData.partitionColumns, Bucketing.specOf(snap.metaData))
 
       val outputRows = appendedAdds.flatMap(_.stats.map(_.numRecords)).sum
       val removes = (fullMatch ++ dvTargets ++ rewriteTargets)
@@ -1032,6 +1036,8 @@ final class LakeTable private (
     require(!snap.schema.fieldNames.contains(newName), s"column exists: $newName")
     require(!snap.metaData.partitionColumns.contains(oldName),
       s"cannot rename partition column $oldName (partition values are keyed by name)")
+    require(!Bucketing.specOf(snap.metaData).exists(_.columns.contains(oldName)),
+      s"cannot rename bucket column $oldName (file bucket ids are keyed by it)")
     val newSchema = StructType(snap.schema.fields.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f))
     commitSchemaChange(snap, newSchema, "RENAME COLUMN",
@@ -1048,6 +1054,8 @@ final class LakeTable private (
     require(snap.schema.fieldNames.contains(name), s"no such column: $name")
     require(!snap.metaData.partitionColumns.contains(name),
       s"cannot drop partition column $name")
+    require(!Bucketing.specOf(snap.metaData).exists(_.columns.contains(name)),
+      s"cannot drop bucket column $name (file bucket ids are keyed by it)")
     require(snap.schema.fields.length > 1, "cannot drop the last column")
     val newSchema = StructType(snap.schema.fields.filterNot(_.name == name))
     commitSchemaChange(snap, newSchema, "DROP COLUMN", Map("column" -> name))
@@ -1240,14 +1248,20 @@ object LakeTable {
     new LakeTable(spark, path, None)
   }
 
-  /** CREATE TABLE AS SELECT (K4-ish). mode: "error" | "overwrite". */
+  /** CREATE TABLE AS SELECT (K4-ish). mode: "error" | "overwrite".
+    * `bucketBy`/`numBuckets`: hash-bucketed layout ([[Bucketing]]) —
+    * equi-joins between tables co-bucketed on the same columns+count run
+    * shuffle-free via storage-partitioned joins.
+    */
   def create(
       spark: SparkSession,
       path: String,
       df: DataFrame,
       partitionBy: Seq[String] = Seq.empty,
       properties: Map[String, String] = Map.empty,
-      mode: String = "error"): LakeTable = {
+      mode: String = "error",
+      bucketBy: Seq[String] = Seq.empty,
+      numBuckets: Int = 0): LakeTable = {
     val existed = isLakeTable(path)
     if (existed && mode == "error")
       throw new IllegalStateException(s"lake table already exists: $path")
@@ -1256,15 +1270,21 @@ object LakeTable {
       t.overwrite(df)
       return t
     }
+    require(bucketBy.isEmpty == (numBuckets <= 0),
+      "bucketBy and numBuckets must be set together")
     val schema = assignFieldIds(df.schema)
-    val bad = partitionBy.filterNot(schema.fieldNames.contains)
-    require(bad.isEmpty, s"partition column(s) not in schema: ${bad.mkString(",")}")
+    val bad = (partitionBy ++ bucketBy).filterNot(schema.fieldNames.contains)
+    require(bad.isEmpty, s"partition/bucket column(s) not in schema: ${bad.mkString(",")}")
     Files.createDirectories(Paths.get(path))
     val now = System.currentTimeMillis()
+    val bucketProps =
+      if (bucketBy.isEmpty) Map.empty[String, String]
+      else Bucketing.props(bucketBy, numBuckets)
     val meta = MetaData(UUID.randomUUID().toString, schema.toDDL, partitionBy,
-      properties + (MAX_COLUMN_ID_PROP -> maxFieldId(schema).toString), now,
-      schemaJson = Some(schema.json))
-    val adds = stageFiles(spark, path, df, schema, partitionBy)
+      properties ++ bucketProps + (MAX_COLUMN_ID_PROP -> maxFieldId(schema).toString),
+      now, schemaJson = Some(schema.json))
+    val adds = stageFiles(spark, path, df, schema, partitionBy,
+      if (bucketBy.isEmpty) None else Some(Bucketing.Spec(bucketBy, numBuckets)))
     val rows = adds.flatMap(_.stats.map(_.numRecords)).sum
     val actions = Action.of(meta) +: adds.map(Action.of) :+
       Action.of(CommitInfo(now, "CREATE", Map("partitionBy" -> partitionBy.mkString(",")),
@@ -1386,7 +1406,8 @@ object LakeTable {
       tablePath: String,
       df: DataFrame,
       schema: StructType,
-      partitionCols: Seq[String]): Seq[AddFile] = {
+      partitionCols: Seq[String],
+      bucketSpec: Option[Bucketing.Spec] = None): Seq[AddFile] = {
     val stagingName = STAGING_PREFIX + UUID.randomUUID().toString
     val staging = Paths.get(tablePath, stagingName)
     // INT64 micros instead of legacy INT96: footer min/max stats become
@@ -1402,8 +1423,18 @@ object LakeTable {
         case None => col(n)
       }
     }.toSeq: _*)
-    val writer = df2.write.mode("overwrite")
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+    // bucketed layout: route rows into `__bucket=K/` staging dirs by the
+    // canonical bucket hash; each resulting file holds exactly one bucket
+    val (df3, writeCols) = bucketSpec match {
+      case Some(Bucketing.Spec(bcols, n)) =>
+        (df2.withColumn(Bucketing.BUCKET_DIR_COL,
+            Bucketing.bucketId(bcols.map(col), n))
+          .repartition(n, col(Bucketing.BUCKET_DIR_COL)),
+          partitionCols :+ Bucketing.BUCKET_DIR_COL)
+      case None => (df2, partitionCols)
+    }
+    val writer = df3.write.mode("overwrite")
+    (if (writeCols.nonEmpty) writer.partitionBy(writeCols: _*) else writer)
       .parquet(staging.toString)
 
     val root = Paths.get(tablePath)
@@ -1433,9 +1464,11 @@ object LakeTable {
     val dataSchema = StructType(schema.filterNot(f => partitionCols.contains(f.name)))
     val statsMap = Stats.collectFromFooters(spark, dataSchema, moved.map(_._2.toString).toSeq)
     moved.map { case (rel, abs) =>
-      AddFile(rel, parsePartitionValues(rel), Files.size(abs),
+      val pv = parsePartitionValues(rel)
+      AddFile(rel, pv - Bucketing.BUCKET_DIR_COL, Files.size(abs),
         Files.getLastModifiedTime(abs).toMillis,
-        statsMap.get(abs.toAbsolutePath.normalize.toString))
+        statsMap.get(abs.toAbsolutePath.normalize.toString),
+        bucket = pv.get(Bucketing.BUCKET_DIR_COL).flatMap(_.toIntOption))
     }.toSeq
   }
 }

@@ -32,7 +32,7 @@ import graft.lake.LakeTable
   *     "org.apache.spark.sql.graft.LakeCatalog")
   *   spark.conf.set("spark.sql.catalog.lake.warehouse", "/data")
   */
-class LakeCatalog extends TableCatalog with SupportsNamespaces {
+class LakeCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -109,18 +109,36 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    val partitionCols = partitions.map {
+    var bucketProps = Map.empty[String, String]
+    val partitionCols = partitions.flatMap {
       case t: org.apache.spark.sql.connector.expressions.IdentityTransform =>
-        t.ref.fieldNames.mkString(".")
+        Some(t.ref.fieldNames.mkString("."))
+      case b: org.apache.spark.sql.connector.expressions.BucketTransform =>
+        // CLUSTERED BY (cols) INTO n BUCKETS → hash-bucketed layout
+        bucketProps = graft.lake.Bucketing.props(
+          b.columns.map(_.fieldNames.mkString(".")).toSeq,
+          b.numBuckets.value())
+        None
       case other => throw new UnsupportedOperationException(
-        s"lake tables support identity partitioning only, got $other")
+        s"lake tables support identity partitioning and bucketing only, got $other")
     }.toSeq
     val props = properties.asScala.toMap -
       (TableCatalog.PROP_OWNER, TableCatalog.PROP_PROVIDER,
         TableCatalog.PROP_LOCATION, TableCatalog.PROP_EXTERNAL)
-    LakeTable.createEmpty(tablePath(ident), schema, partitionCols, props)
+    LakeTable.createEmpty(tablePath(ident), schema, partitionCols,
+      props ++ bucketProps)
     loadTable(ident)
   }
+
+  // ---- function catalog: the V2 `bucket` function SPJ resolves ---------
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "bucket"))
+
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name() == "bucket") GraftFunctions.BUCKET
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   /** SQL `ALTER TABLE lake.db.t ADD COLUMN c TYPE` / `SET TBLPROPERTIES`. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {

@@ -32,12 +32,15 @@ class LakeV2Table(
     * [[LakeDvReadRule]]'s substituted plan instead of the raw scan. */
   def hasDvs: Boolean = snap.files.exists(_.dvPath.isDefined)
 
+  private val bucketSpec = graft.lake.Bucketing.specOf(snap.metaData)
+
   override def name(): String = ident
 
   override def schema(): StructType = snap.schema
 
   override def partitioning(): Array[Transform] =
-    snap.metaData.partitionColumns.map(c => Expressions.identity(c)).toArray
+    (snap.metaData.partitionColumns.map(c => Expressions.identity(c)) ++
+      bucketSpec.map(s => Expressions.bucket(s.numBuckets, s.columns: _*))).toArray
 
   override def properties(): util.Map[String, String] =
     snap.metaData.properties.asJava
@@ -52,7 +55,21 @@ class LakeV2Table(
       TableCapability.OVERWRITE_DYNAMIC)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    inner.newScanBuilder(options)
+    bucketSpec match {
+      // DV'd tables read through the substituted union plan, and a file
+      // written before bucketing was enabled has no bucket id — both fall
+      // back to the stock parquet scan (correct, just shuffles on join)
+      case Some(spec) if !hasDvs && snap.files.forall(_.bucket.isDefined) =>
+        val fileToBucket = snap.files.map { f =>
+          java.nio.file.Paths.get(lake.path, f.path)
+            .toAbsolutePath.normalize.toString -> f.bucket.get
+        }.toMap
+        new LakeBucketedScanBuilder(
+          inner.newScanBuilder(options)
+            .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder],
+          spec, fileToBucket)
+      case _ => inner.newScanBuilder(options)
+    }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (!writable)

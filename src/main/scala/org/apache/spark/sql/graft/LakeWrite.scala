@@ -12,7 +12,7 @@ import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal, Murmur3Hash, Pmod, UnsafeProjection}
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
@@ -109,13 +109,15 @@ private[graft] class LakeWrite(
       new ParquetOptions(Map.empty[String, String], session.sessionState.conf))
     val stagingName = LakeTable.STAGING_PREFIX + "dsv2-" + UUID.randomUUID()
     Files.createDirectories(Paths.get(lake.path, stagingName))
-    new LakeBatchWrite(lake, enriched, dataSchema, partitionCols, stagingName,
+    new LakeBatchWrite(lake, enriched, dataSchema, partitionCols,
+      Bucketing.specOf(lake.snapshot.metaData), stagingName,
       factory, new SerializableConfiguration(job.getConfiguration), queryId, mode)
   }
 }
 
 private[graft] final case class LakeFileEntry(
-    relPath: String, partitionValues: Map[String, String])
+    relPath: String, partitionValues: Map[String, String],
+    bucket: Option[Int] = None)
 
 private[graft] final case class LakeWriteMessage(files: Seq[LakeFileEntry])
   extends WriterCommitMessage
@@ -125,6 +127,7 @@ private[graft] class LakeBatchWrite(
     val writeSchema: StructType,
     val dataSchema: StructType,
     val partitionCols: Seq[String],
+    val bucketSpec: Option[Bucketing.Spec],
     stagingName: String,
     val factory: OutputWriterFactory,
     val conf: SerializableConfiguration,
@@ -135,7 +138,7 @@ private[graft] class LakeBatchWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new LakeWriterFactory(stagingRoot.toString, factory, conf, writeSchema,
-      dataSchema, partitionCols)
+      dataSchema, partitionCols, bucketSpec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val entries = messages.flatMap(_.asInstanceOf[LakeWriteMessage].files).toSeq
@@ -176,7 +179,8 @@ private[graft] object LakePublish {
     val adds = moved.map { case (e, abs) =>
       AddFile(e.relPath, e.partitionValues, Files.size(abs),
         Files.getLastModifiedTime(abs).toMillis,
-        statsMap.get(abs.toAbsolutePath.normalize.toString))
+        statsMap.get(abs.toAbsolutePath.normalize.toString),
+        bucket = e.bucket)
     }
     val rows = adds.flatMap(_.stats.map(_.numRecords)).sum
 
@@ -250,7 +254,7 @@ private[graft] class LakeStreamingWrite(b: LakeBatchWrite)
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new LakeStreamingWriterFactory(b.stagingRoot.toString, b.factory, b.conf,
-      b.writeSchema, b.dataSchema, b.partitionCols)
+      b.writeSchema, b.dataSchema, b.partitionCols, b.bucketSpec)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val entries = messages.flatMap(_.asInstanceOf[LakeWriteMessage].files).toSeq
@@ -270,13 +274,14 @@ private[graft] class LakeStreamingWriterFactory(
     conf: SerializableConfiguration,
     writeSchema: StructType,
     dataSchema: StructType,
-    partitionCols: Seq[String])
+    partitionCols: Seq[String],
+    bucketSpec: Option[Bucketing.Spec])
   extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new LakeDataWriter(stagingRoot, factory, conf, writeSchema, dataSchema,
-      partitionCols, partitionId, taskId)
+      partitionCols, bucketSpec, partitionId, taskId)
 }
 
 private[graft] class LakeWriterFactory(
@@ -285,11 +290,12 @@ private[graft] class LakeWriterFactory(
     conf: SerializableConfiguration,
     writeSchema: StructType,
     dataSchema: StructType,
-    partitionCols: Seq[String]) extends DataWriterFactory {
+    partitionCols: Seq[String],
+    bucketSpec: Option[Bucketing.Spec]) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new LakeDataWriter(stagingRoot, factory, conf, writeSchema, dataSchema,
-      partitionCols, partitionId, taskId)
+      partitionCols, bucketSpec, partitionId, taskId)
 }
 
 /** Per-task writer: routes rows into hive partition directories (dynamic
@@ -305,6 +311,7 @@ private[graft] class LakeDataWriter(
     writeSchema: StructType,
     dataSchema: StructType,
     partitionCols: Seq[String],
+    bucketSpec: Option[Bucketing.Spec],
     partitionId: Int,
     taskId: Long) extends DataWriter[InternalRow] {
 
@@ -319,11 +326,22 @@ private[graft] class LakeDataWriter(
         Some("UTC")): Expression),
       fullAttrs)
 
+  // bucketed tables: per-row bucket id via the same murmur3-pmod the
+  // Scala write path uses (Bucketing.bucketId); routed like a partition
+  private val bucketProj = bucketSpec.map { spec =>
+    val exprs = spec.columns.map(c => fullAttrs.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"bucket column ${c} missing from write schema")): Expression)
+    UnsafeProjection.create(
+      Seq(Pmod(new Murmur3Hash(exprs), Literal(spec.numBuckets)): Expression),
+      fullAttrs)
+  }
+
   private val writers =
     mutable.LinkedHashMap[String, (OutputWriter, LakeFileEntry)]()
 
   override def write(row: InternalRow): Unit = {
-    val dirKey = if (partitionCols.isEmpty) "" else {
+    val partKey = if (partitionCols.isEmpty) "" else {
       val p = partProj(row)
       partitionCols.indices.map { i =>
         val c = ExternalCatalogUtils.escapePathName(partitionCols(i))
@@ -332,6 +350,10 @@ private[graft] class LakeDataWriter(
         s"$c=$v"
       }.mkString("/")
     }
+    val bucketId = bucketProj.map(_(row).getInt(0))
+    val dirKey = (Seq(partKey) ++
+      bucketId.map(b => s"${Bucketing.BUCKET_DIR_COL}=$b"))
+      .filter(_.nonEmpty).mkString("/")
     val writer = writers.getOrElse(dirKey, {
       val pv: Map[String, String] =
         if (partitionCols.isEmpty) Map.empty
@@ -341,14 +363,15 @@ private[graft] class LakeDataWriter(
             partitionCols(i) -> (if (p.isNullAt(i)) null else p.getUTF8String(i).toString)
           }.toMap
         }
-      val w = newWriter(dirKey, pv)
+      val w = newWriter(dirKey, pv, bucketId)
       writers(dirKey) = w
       w
     })._1
     writer.write(dataProj(row))
   }
 
-  private def newWriter(dir: String, pv: Map[String, String]): (OutputWriter, LakeFileEntry) = {
+  private def newWriter(dir: String, pv: Map[String, String],
+      bucketId: Option[Int]): (OutputWriter, LakeFileEntry) = {
     val fileName = f"part-$partitionId%05d-$taskId-${UUID.randomUUID()}.parquet"
     val rel = if (dir.isEmpty) fileName else s"$dir/$fileName"
     val abs = Paths.get(stagingRoot, rel)
@@ -356,7 +379,8 @@ private[graft] class LakeDataWriter(
     val attemptId = new TaskAttemptID(
       new TaskID(new JobID("graft", 0), TaskType.MAP, partitionId), taskId.toInt)
     val ctx = new TaskAttemptContextImpl(conf.value, attemptId)
-    (factory.newInstance(abs.toString, dataSchema, ctx), LakeFileEntry(rel, pv))
+    (factory.newInstance(abs.toString, dataSchema, ctx),
+      LakeFileEntry(rel, pv, bucketId))
   }
 
   override def commit(): WriterCommitMessage = {

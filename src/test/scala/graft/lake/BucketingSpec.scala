@@ -1,0 +1,118 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Hash-bucketed lake tables ([[Bucketing]]) and storage-partitioned
+  * joins: co-bucketed tables must join with NO shuffle on either side.
+  */
+class BucketingSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("bucket-wh-").toString
+    spark.conf.set("spark.sql.catalog.blake",
+      "org.apache.spark.sql.graft.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.blake.warehouse", w)
+    Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+    w
+  }
+
+  private def ordersDF = (1L to 200L).map(i =>
+    (i, s"cust${i % 40}", i * 1.5)).toDF("order_id", "cust", "amount")
+
+  private def itemsDF = (1L to 600L).map(i =>
+    (i % 200 + 1, s"sku${i % 17}", (i % 5 + 1).toInt)).toDF("order_id", "sku", "qty")
+
+  test("create writes one bucket per file; reads round-trip") {
+    val path = s"$warehouse/db/orders_b"
+    val t = LakeTable.create(spark, path, ordersDF,
+      bucketBy = Seq("order_id"), numBuckets = 8)
+    val snap = t.snapshot
+    assert(snap.files.nonEmpty)
+    assert(snap.files.forall(_.bucket.isDefined))
+    assert(snap.files.map(_.bucket.get).distinct.sorted === (0 until 8))
+    // every file's rows hash to its recorded bucket
+    snap.files.foreach { f =>
+      val distinctBuckets = spark.read.parquet(s"$path/${f.path}")
+        .select(Bucketing.bucketId(Seq(col("order_id")), 8)).distinct()
+        .as[Int].collect().toSeq
+      assert(distinctBuckets === Seq(f.bucket.get))
+    }
+    assert(t.toDF.count() === 200)
+  }
+
+  test("append and DML rewrites preserve bucket ids") {
+    val path = s"$warehouse/db/orders_dml"
+    val t = LakeTable.create(spark, path, ordersDF,
+      bucketBy = Seq("order_id"), numBuckets = 4)
+    t.append(Seq((201L, "cust1", 3.0)).toDF("order_id", "cust", "amount"))
+    assert(t.snapshot.files.forall(_.bucket.isDefined))
+    // heavy update → rewrite path; files must stay bucketed
+    t.update(col("amount") > 0, Map("amount" -> (col("amount") + 1)),
+      useDvs = false)
+    assert(t.snapshot.files.forall(_.bucket.isDefined))
+    assert(t.toDF.count() === 201)
+  }
+
+  test("co-bucketed equi-join plans with no shuffle (SPJ)") {
+    warehouse
+    LakeTable.create(spark, s"$warehouse/db/orders", ordersDF,
+      bucketBy = Seq("order_id"), numBuckets = 8)
+    LakeTable.create(spark, s"$warehouse/db/items", itemsDF,
+      bucketBy = Seq("order_id"), numBuckets = 8)
+    val joined = spark.sql(
+      """SELECT o.order_id, o.cust, i.sku, i.qty
+        |FROM blake.db.orders o JOIN blake.db.items i
+        |ON o.order_id = i.order_id""".stripMargin)
+    val expected = ordersDF.as("o").join(itemsDF.as("i"), "order_id").count()
+    assert(joined.count() === expected)
+    val shuffles = joined.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.isEmpty,
+      s"expected storage-partitioned join without shuffles, plan:\n" +
+        joined.queryExecution.executedPlan)
+  }
+
+  test("bucketed join result matches exactly") {
+    warehouse
+    val joined = spark.sql(
+      """SELECT o.order_id, count(*) AS n, sum(i.qty) AS q
+        |FROM blake.db.orders o JOIN blake.db.items i ON o.order_id = i.order_id
+        |GROUP BY o.order_id ORDER BY o.order_id""".stripMargin).collect()
+    val oracle = ordersDF.join(itemsDF, "order_id")
+      .groupBy("order_id").agg(count(lit(1)).as("n"), sum("qty").as("q"))
+      .orderBy("order_id").collect()
+    assert(joined.toSeq === oracle.toSeq)
+  }
+
+  test("SQL INSERT INTO a bucketed table stamps bucket ids") {
+    warehouse
+    spark.sql(
+      s"""CREATE TABLE blake.db.sql_b (id BIGINT, v DOUBLE)
+         |CLUSTERED BY (id) INTO 4 BUCKETS""".stripMargin)
+    spark.sql("INSERT INTO blake.db.sql_b VALUES (1, 1.0), (2, 2.0), (9, 9.0)")
+    val t = LakeTable.forPath(spark, s"$warehouse/db/sql_b")
+    assert(t.snapshot.files.nonEmpty)
+    assert(t.snapshot.files.forall(_.bucket.isDefined))
+    assert(spark.sql("SELECT sum(v) FROM blake.db.sql_b").as[Double].head() === 12.0)
+  }
+
+  test("bucket columns cannot be renamed or dropped") {
+    val path = s"$warehouse/db/guard"
+    val t = LakeTable.create(spark, path, ordersDF,
+      bucketBy = Seq("order_id"), numBuckets = 2)
+    intercept[IllegalArgumentException] {
+      t.alterRenameColumn("order_id", "oid")
+    }
+    intercept[IllegalArgumentException] { t.alterDropColumn("order_id") }
+  }
+}
