@@ -19,7 +19,8 @@ object SparkEntry {
     AdvancedQueries,
     TextQueries,
     DedupQueries,
-    SimilarityQueries)
+    SimilarityQueries,
+    LakeQueries)
 
   def allDefs: Seq[QueryDef] = groups.flatMap(_.defs)
 

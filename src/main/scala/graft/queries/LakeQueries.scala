@@ -1,0 +1,125 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.{Bucketing, Cdc, LakeTable, MergeClause}
+import graft.tables.Tables
+
+/** Driver-checkable lake DML (NEXT.md r2 #6): each query materializes a
+  * THROWAWAY lake table from the harness parquet, runs the DML through
+  * the real commit-log engine, and returns a deterministic result the
+  * DuckDB oracle reproduces with plain SQL over the same inputs — putting
+  * MERGE clause cascade, the change data feed, and the bucketed-join read
+  * path under the rows+schema+hash gate, not just ScalaTest.
+  */
+object LakeQueries extends QueryGroup {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  override def defs: Seq[QueryDef] = Seq(
+
+    // multi-clause MERGE with SQL cascade: matched+negative-balance rows
+    // delete, other matched rows update, unmatched source rows insert
+    QueryDef("lake1_merge_clauses", (s, d) => {
+      val customer = Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val t = LakeTable.create(s, tmp("lake-merge-"), customer)
+      val source = customer.where(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + 100).as("new_bal"))
+        .unionByName(customer.where(col("c_custkey") % 7 === 0)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            lit(1.0).as("new_bal")))
+      t.mergeClauses(source, col("t.c_custkey") === col("s.c_custkey"),
+        matchedClauses = Seq(
+          MergeClause.Delete(Some(col("t.c_acctbal") < 0)),
+          MergeClause.Update(None, Map("c_acctbal" -> col("s.new_bal")))),
+        notMatchedClauses = Seq(MergeClause.Insert(None, Map(
+          "c_custkey" -> col("s.c_custkey"),
+          "c_name" -> lit("merged"),
+          "c_acctbal" -> col("s.new_bal"),
+          "c_mktsegment" -> lit("NONE")))),
+        notMatchedBySourceClauses = Seq.empty)
+      t.toDF.select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }, oracle = Some("""
+      WITH src AS (
+        SELECT c_custkey, c_acctbal + 100 AS new_bal
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000 AS c_custkey, 1.0 AS new_bal
+        FROM customer WHERE c_custkey % 7 = 0)
+      SELECT t.c_custkey, t.c_name,
+             round(CASE WHEN s.c_custkey IS NOT NULL THEN s.new_bal
+                        ELSE t.c_acctbal END, 2) AS c_acctbal,
+             t.c_mktsegment
+      FROM customer t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+      WHERE NOT (s.c_custkey IS NOT NULL AND t.c_acctbal < 0)
+      UNION ALL
+      SELECT s.c_custkey, 'merged' AS c_name, round(s.new_bal, 2) AS c_acctbal,
+             'NONE' AS c_mktsegment
+      FROM src s LEFT JOIN customer t ON t.c_custkey = s.c_custkey
+      WHERE t.c_custkey IS NULL
+      ORDER BY c_custkey""")),
+
+    // change data feed: DELETE then UPDATE on a CDF table; the replayed
+    // feed (insert/delete/update pre+post) aggregates per change type
+    QueryDef("lake2_cdc_feed", (s, d) => {
+      val customer = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+      val t = LakeTable.create(s, tmp("lake-cdc-"), customer,
+        properties = Map(Cdc.PROP -> "true"))
+      t.delete(col("c_custkey") % 10 === 0)
+      t.update(col("c_acctbal") < 0,
+        Map("c_acctbal" -> (col("c_acctbal") * 2)))
+      t.tableChanges(0)
+        .groupBy(col(Cdc.CHANGE_TYPE).as("change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum("c_custkey").as("key_sum"),
+          round(sum("c_acctbal"), 2).as("bal_sum"))
+        .orderBy("change_type")
+    }, oracle = Some("""
+      WITH changes AS (
+        SELECT 'insert' AS change_type, c_custkey, c_acctbal FROM customer
+        UNION ALL
+        SELECT 'delete', c_custkey, c_acctbal FROM customer
+        WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT 'update_preimage', c_custkey, c_acctbal FROM customer
+        WHERE c_custkey % 10 <> 0 AND c_acctbal < 0
+        UNION ALL
+        SELECT 'update_postimage', c_custkey, c_acctbal * 2 FROM customer
+        WHERE c_custkey % 10 <> 0 AND c_acctbal < 0)
+      SELECT change_type, count(*) AS n,
+             CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+             round(sum(c_acctbal), 2) AS bal_sum
+      FROM changes GROUP BY change_type ORDER BY change_type""")),
+
+    // the bucketed DSv2 read path end-to-end: two co-bucketed lake tables
+    // joined through the catalog (storage-partitioned join — zero join
+    // shuffles, asserted in BucketingSpec; values gated here)
+    QueryDef("lake3_bucketed_join", (s, d) => {
+      val wh = tmp("lake-spj-")
+      Files.createDirectories(java.nio.file.Paths.get(s"$wh/db"))
+      s.conf.set("spark.sql.catalog.lakeq", "org.apache.spark.sql.graft.LakeCatalog")
+      s.conf.set("spark.sql.catalog.lakeq.warehouse", wh)
+      LakeTable.create(s, s"$wh/db/orders",
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+        bucketBy = Seq("o_custkey"), numBuckets = 8)
+      LakeTable.create(s, s"$wh/db/customer",
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+        bucketBy = Seq("c_custkey"), numBuckets = 8)
+      s.sql("""
+        SELECT c.c_mktsegment, count(*) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS revenue
+        FROM lakeq.db.orders o JOIN lakeq.db.customer c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""")
+    }, oracle = Some("""
+      SELECT c.c_mktsegment, count(*) AS n_orders,
+             round(sum(o.o_totalprice), 2) AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""")))
+}
