@@ -27,6 +27,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -75,13 +77,31 @@ object Bench {
     }
     writes("lake_compact") = timed(li.compact())
 
+    // ---- plan-shape audit (NEXT.md r2 #10): regressions in exchange /
+    // broadcast counts fail the round diff loudly, not as a timing smear
+    val auditNames = Seq("q1_pricing_summary", "q3_shipping_priority",
+      "q5_revenue_by_nation", "q18_large_orders", "d1_exact_dedup",
+      "lake3_bucketed_join")
+    val plans = auditNames.flatMap { n =>
+      SparkEntry.queries.get(n).flatMap { fn =>
+        try {
+          val s = PlanAudit.shape(fn(spark, sfDir))
+          Some(n -> (s"""{"broadcast":${s.broadcastJoins}""" +
+            s""","sortMerge":${s.sortMergeJoins}""" +
+            s""","exchanges":${s.exchanges}}"""))
+        } catch { case _: Throwable => None }
+      }
+    }
+
     def js(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val plansJs = plans.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val writesTotal = writes.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec"""" +
       s""","queries":${js(results)},"writes":${js(writes)}""" +
-      s""","writes_total":$writesTotal,"sf":"$sfDir"}""")
+      s""","writes_total":$writesTotal,"plans":$plansJs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -11,6 +11,26 @@ import org.apache.spark.sql.execution.QueryExecution
   * Usage: runMain graft.PlanAudit <sfDir> [queryName...]
   */
 object PlanAudit {
+
+  /** The shape facts a 100 TB plan lives or dies by. */
+  final case class PlanShape(broadcastJoins: Int, sortMergeJoins: Int,
+    exchanges: Int)
+
+  /** Count the shape of a query's physical plan (pre-AQE): used by the
+    * audit printout here and by [[Bench]]'s per-round `plans` JSON so a
+    * plan regression (new shuffle, lost broadcast) fails loudly in the
+    * round diff, not just as a wall-clock smear.
+    */
+  def shape(df: org.apache.spark.sql.DataFrame): PlanShape = {
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    PlanShape(
+      plan.linesIterator.count(_.contains("BroadcastHashJoin")),
+      plan.linesIterator.count(_.contains("SortMergeJoin")),
+      plan.linesIterator.count(_.trim.startsWith("Exchange")) +
+        plan.linesIterator.count(_.contains("+- Exchange")))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
@@ -32,14 +52,10 @@ object PlanAudit {
       val pushed = "PushedFilters: \\[[^\\]]+\\]".r
         .findAllIn(plan).toSeq.distinct
       val schemas = "ReadSchema: [^\n]+".r.findAllIn(plan).toSeq
-      val broadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
-      val sortMerge = plan.linesIterator.count(_.contains("SortMergeJoin"))
-      // codegen ids only appear after AQE finalizes at execution time
-      val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange")) +
-        plan.linesIterator.count(_.contains("+- Exchange"))
+      val s = shape(df)
       println(s"== $name")
-      println(s"   broadcastJoins=$broadcasts sortMergeJoins=$sortMerge " +
-        s"exchanges=$exchanges")
+      println(s"   broadcastJoins=${s.broadcastJoins} " +
+        s"sortMergeJoins=${s.sortMergeJoins} exchanges=${s.exchanges}")
       pushed.take(4).foreach(p => println(s"   $p"))
       schemas.take(4).foreach(s => println(s"   ${s.take(150)}"))
     }
