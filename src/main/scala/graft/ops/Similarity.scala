@@ -119,11 +119,20 @@ object Similarity {
       data: DataFrame, vecCol: String, idCol: String,
       indexPath: String, nLists: Int = 16,
       sampleSize: Int = 4096, seed: Long = 42L): Unit = {
-    import org.apache.spark.sql.graft.VectorExpressions.nearestCentroids
-    val spark = data.sparkSession
     val d = data.select(col(idCol).as("id"), normalized(col(vecCol)).as("nvec"))
       .repartition(col("id"))
-    val dimN = dim(data, vecCol)
+    writeIvfIndex(d, dim(data, vecCol), indexPath, nLists, sampleSize, seed)
+  }
+
+  /** Codebook table property: corpus size when the centroids were last
+    * trained — the drift baseline for [[maybeRetrainIvfIndex]]. */
+  val TRAINED_COUNT_PROP = "graft.ivf.trainedCount"
+
+  /** Train + persist from an already-normalized (id, nvec) frame. */
+  private def writeIvfIndex(d: DataFrame, dimN: Int, indexPath: String,
+      nLists: Int, sampleSize: Int, seed: Long): Unit = {
+    import org.apache.spark.sql.graft.VectorExpressions.nearestCentroids
+    val spark = d.sparkSession
     val sample = d.orderBy(xxhash64(col("id"), lit(seed))).limit(sampleSize)
       .select("nvec").collect().map(_.getSeq[Double](0).toArray)
     val centroids = trainSphericalKMeans(sample, nLists, dimN, iters = 10)
@@ -144,8 +153,74 @@ object Similarity {
 
     val assigned = d.withColumn("list_id",
       element_at(nearestCentroids(col("nvec"), centroids, dimN, 1), 1))
-    graft.lake.LakeTable.create(spark, s"$indexPath/assignments", assigned,
-      partitionBy = Seq("list_id"), mode = "overwrite")
+    val asg = graft.lake.LakeTable.create(spark, s"$indexPath/assignments",
+      assigned, partitionBy = Seq("list_id"), mode = "overwrite")
+    // corpus size from the staged files' footer stats — no extra job
+    graft.lake.LakeTable.forPath(spark, s"$indexPath/codebook")
+      .setProperties(Map(TRAINED_COUNT_PROP -> indexedRows(asg).toString))
+  }
+
+  private def indexedRows(t: graft.lake.LakeTable): Long =
+    t.snapshot.files.flatMap(_.stats.map(_.numRecords)).sum
+
+  /** The codebook as a flat row-major centroid matrix + dimension. */
+  private def loadCodebook(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): (Array[Double], Int) = {
+    val cb = graft.lake.LakeTable.forPath(spark, s"$indexPath/codebook").toDF
+      .orderBy("list_id").collect()
+    val dimN = cb.head.getSeq[Double](1).size
+    (cb.flatMap(_.getSeq[Double](1)).map(d => d: Double), dimN)
+  }
+
+  /** INCREMENTAL index maintenance (NEXT.md r2 #8): assign new vectors to
+    * the EXISTING centroids (one codegen'd argmin per row against the
+    * broadcast codebook — no shuffle, no retrain, no rebuild) and append
+    * them to the hive-partitioned assignments table. At 100 TB this is
+    * the only sane shape for a growing corpus: appends cost O(batch), and
+    * partition pruning at query time is untouched. Returns rows appended.
+    *
+    * Centroid quality degrades as the corpus drifts from the training
+    * distribution — pair with [[maybeRetrainIvfIndex]] on a schedule.
+    */
+  def appendToIvfIndex(
+      data: DataFrame, vecCol: String, idCol: String,
+      indexPath: String): Long = {
+    import org.apache.spark.sql.graft.VectorExpressions.nearestCentroids
+    val spark = data.sparkSession
+    val (centroids, dimN) = loadCodebook(spark, indexPath)
+    val assigned = data
+      .select(col(idCol).as("id"), normalized(col(vecCol)).as("nvec"))
+      .withColumn("list_id",
+        element_at(nearestCentroids(col("nvec"), centroids, dimN, 1), 1))
+    val t = graft.lake.LakeTable.forPath(spark, s"$indexPath/assignments")
+    val before = indexedRows(t)
+    t.append(assigned)
+    indexedRows(t) - before
+  }
+
+  /** Retrain the index when the corpus has drifted: if more than
+    * `driftRatio` × trained-size rows arrived since the last training,
+    * re-sample, re-train the centroids, and re-assign the WHOLE corpus
+    * (one full pass — the expensive path, paid only when the cheap
+    * appends have actually moved the distribution). Returns true if a
+    * retrain ran.
+    */
+  def maybeRetrainIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      driftRatio: Double = 0.5,
+      sampleSize: Int = 4096, seed: Long = 42L): Boolean = {
+    val cb = graft.lake.LakeTable.forPath(spark, s"$indexPath/codebook")
+    val asg = graft.lake.LakeTable.forPath(spark, s"$indexPath/assignments")
+    val trained = cb.snapshot.metaData.properties
+      .get(TRAINED_COUNT_PROP).map(_.toLong).getOrElse(0L)
+    val current = indexedRows(asg)
+    if (trained > 0 && current - trained <= (driftRatio * trained).toLong)
+      return false
+    val nLists = cb.toDF.count().toInt
+    val d = asg.toDF.select("id", "nvec").repartition(col("id"))
+    val dimN = d.select(size(col("nvec"))).head().getInt(0)
+    writeIvfIndex(d, dimN, indexPath, nLists, sampleSize, seed)
+    true
   }
 
   /** Query a persisted IVF index: probes resolve against the (tiny)
@@ -158,10 +233,7 @@ object Similarity {
       queries: DataFrame, qVecCol: String, qIdCol: String,
       k: Int, nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.graft.VectorExpressions.nearestCentroids
-    val cb = graft.lake.LakeTable.forPath(spark, s"$indexPath/codebook").toDF
-      .orderBy("list_id").collect()
-    val dimN = cb.head.getSeq[Double](1).size
-    val centroids = cb.flatMap(_.getSeq[Double](1)).map(d => d: Double)
+    val (centroids, dimN) = loadCodebook(spark, indexPath)
 
     val q = queries.select(col(qIdCol).as("q_id"), normalized(col(qVecCol)).as("q_nvec"))
     val probes = q.withColumn("list_id",

@@ -125,6 +125,53 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.where($"rank" === 1 && $"q_id" === $"id").count() === q.count())
   }
 
+  test("IVF append assigns to existing centroids; retrain fires on drift") {
+    val indexPath = java.nio.file.Files.createTempDirectory("ivf-inc-").toString
+    val base = embs.where($"vec_id" % 2 === 0)
+    val extra = embs.where($"vec_id" % 2 === 1)
+    Similarity.buildIvfIndex(base, "embedding", "vec_id", indexPath, nLists = 8)
+    val cb = graft.lake.LakeTable.forPath(spark, s"$indexPath/codebook")
+    val cbVersionAfterBuild = cb.version
+    val trained = cb.snapshot.metaData.properties(
+      Similarity.TRAINED_COUNT_PROP).toLong
+    assert(trained === base.count())
+
+    // append ~half the corpus again: no retrain, codebook untouched
+    val small = extra.where($"vec_id" % 8 === 1)
+    val n = Similarity.appendToIvfIndex(small, "embedding", "vec_id", indexPath)
+    assert(n === small.count())
+    assert(cb.version === cbVersionAfterBuild)
+    // appended vectors land in the list of their nearest centroid: querying
+    // an appended vector must return itself at rank 1
+    val q1 = small.limit(3)
+    val self = Similarity.ivfTopKIndexed(spark, indexPath,
+      q1, "embedding", "vec_id", k = 1, nprobe = 1)
+    assert(self.where($"rank" === 1 && $"q_id" === $"id").count() === 3)
+
+    // below the drift threshold: no retrain
+    assert(!Similarity.maybeRetrainIvfIndex(spark, indexPath, driftRatio = 0.5))
+
+    // push past the threshold and retrain: codebook version bumps,
+    // trained count resets to the full corpus, recall holds
+    Similarity.appendToIvfIndex(
+      extra.where($"vec_id" % 8 =!= 1), "embedding", "vec_id", indexPath)
+    assert(Similarity.maybeRetrainIvfIndex(spark, indexPath, driftRatio = 0.5))
+    val cb2 = graft.lake.LakeTable.forPath(spark, s"$indexPath/codebook")
+    assert(cb2.snapshot.metaData.properties(
+      Similarity.TRAINED_COUNT_PROP).toLong === embs.count())
+    assert(!Similarity.maybeRetrainIvfIndex(spark, indexPath, driftRatio = 0.5))
+
+    val q = embs.where($"vec_id" % 100 === 0)
+    val exact = Similarity.bruteForceTopK(embs, "embedding", "vec_id",
+      q, "embedding", "vec_id", k = 5)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val got = Similarity.ivfTopKIndexed(spark, indexPath,
+      q, "embedding", "vec_id", k = 5, nprobe = 3)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.75, s"post-retrain IVF recall $recall")
+  }
+
   test("native simhash64 expression == composed HOF implementation") {
     import graft.functions.TextFunctions
     val withHashes = docs
