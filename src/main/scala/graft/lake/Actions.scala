@@ -33,6 +33,11 @@ final case class FileStats(
 /** `bucket`: for hash-bucketed tables ([[Bucketing]]) the bucket id every
   * row of this file hashes to — the DSv2 scan groups files by it to
   * report a KeyGroupedPartitioning for storage-partitioned joins.
+  *
+  * `dvInline`: small deletion vectors (serialized ≤ [[Dv.INLINE_MAX_BYTES]])
+  * ride base64-inline in the action instead of as a sidecar — a point
+  * DELETE then costs zero extra file reads on every subsequent scan
+  * (Delta's inline DV storage). At most one of dvPath/dvInline is set.
   */
 final case class AddFile(
     path: String,
@@ -42,7 +47,8 @@ final case class AddFile(
     stats: Option[FileStats] = None,
     dvPath: Option[String] = None,
     dvCardinality: Long = 0L,
-    bucket: Option[Int] = None)
+    bucket: Option[Int] = None,
+    dvInline: Option[String] = None)
 
 final case class RemoveFile(
     path: String,

@@ -35,6 +35,7 @@ private[lake] object Checkpoint {
       |    optional binary dvPath (STRING);
       |    optional int64 dvCardinality;
       |    optional int32 bucket;
+      |    optional binary dvInline (STRING);
       |  }
       |  optional group metaData {
       |    required binary id (STRING);
@@ -89,10 +90,10 @@ private[lake] object Checkpoint {
           ag.add("size", f.size)
           ag.add("modificationTime", f.modificationTime)
           f.stats.foreach(st => ag.add("stats", toJson(st)))
-          f.dvPath.foreach { dv =>
-            ag.add("dvPath", dv)
+          f.dvPath.foreach(dv => ag.add("dvPath", dv))
+          f.dvInline.foreach(dv => ag.add("dvInline", dv))
+          if (f.dvPath.isDefined || f.dvInline.isDefined)
             ag.add("dvCardinality", f.dvCardinality)
-          }
           f.bucket.foreach(b => ag.add("bucket", b))
         }
         a.metaData.foreach { m =>
@@ -139,7 +140,8 @@ private[lake] object Checkpoint {
             if (ag.getFieldRepetitionCount("dvCardinality") > 0)
               ag.getLong("dvCardinality", 0) else 0L,
             if (ag.getFieldRepetitionCount("bucket") > 0)
-              Some(ag.getInteger("bucket", 0)) else None))
+              Some(ag.getInteger("bucket", 0)) else None,
+            opt("dvInline")))
         } else if (has("metaData")) {
           val mg = g.getGroup("metaData", 0)
           def opt(f: String): Option[String] =

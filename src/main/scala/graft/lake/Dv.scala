@@ -45,6 +45,35 @@ object Dv {
 
   def read(tablePath: String, rel: String): Roaring64Bitmap =
     deserialize(readBytes(tablePath, rel))
+
+  /** Vectors serializing at or below this ride base64-inline in the
+    * commit log / checkpoint (AddFile.dvInline) — no sidecar, no extra
+    * file read per scan. */
+  val INLINE_MAX_BYTES = 1024
+
+  def encode(bytes: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(bytes)
+
+  def decode(s: String): Array[Byte] =
+    java.util.Base64.getDecoder.decode(s)
+
+  /** The file's deletion vector, wherever it lives (sidecar or inline). */
+  def bitmapOf(tablePath: String, f: AddFile): Option[Roaring64Bitmap] =
+    f.dvPath.map(read(tablePath, _))
+      .orElse(f.dvInline.map(s => deserialize(decode(s))))
+
+  /** Attach `bm` to the file entry: inline when small, sidecar when not.
+    * The superseded sidecar (if any) is left for vacuum to age out. */
+  def attach(tablePath: String, f: AddFile, bm: Roaring64Bitmap,
+      now: Long, inlineMax: Int = INLINE_MAX_BYTES): AddFile = {
+    val bytes = serialize(bm)
+    if (bytes.length <= inlineMax)
+      f.copy(dvPath = None, dvInline = Some(encode(bytes)),
+        dvCardinality = bm.getLongCardinality, modificationTime = now)
+    else
+      f.copy(dvPath = Some(write(tablePath, bm)), dvInline = None,
+        dvCardinality = bm.getLongCardinality, modificationTime = now)
+  }
 }
 
 /** Executor-side deletion-vector lookup: absolute-normalized data-file

@@ -246,6 +246,12 @@ final class LakeTable private (
     }
   }
 
+  /** Inline-DV size threshold; tests force sidecars by setting the conf
+    * to 0. */
+  private def dvInlineMax: Int =
+    spark.conf.getOption("spark.graft.dv.inlineMaxBytes")
+      .map(_.toInt).getOrElse(Dv.INLINE_MAX_BYTES)
+
   /** Is the change data feed on for this snapshot's table properties? */
   private def cdfEnabled(snap: Snapshot): Boolean =
     snap.metaData.properties.get(Cdc.PROP).exists(_.equalsIgnoreCase("true"))
@@ -380,7 +386,7 @@ final class LakeTable private (
       .schema(snap.schema)
       .option("basePath", path)
       .parquet(fs.map(f => s"$path/${f.path}"): _*)
-    val (dvF, cleanF) = files.partition(_.dvPath.isDefined)
+    val (dvF, cleanF) = files.partition(f => f.dvPath.isDefined || f.dvInline.isDefined)
     val clean =
       if (cleanF.isEmpty) None
       else Some(scan(cleanF).select(dataCols ++ metaCols: _*))
@@ -388,7 +394,8 @@ final class LakeTable private (
       if (dvF.isEmpty) None
       else {
         val lookup = new DvLookup(path,
-          dvF.map(f => absPath(f) -> f.dvPath.get).toMap)
+          dvF.flatMap(f => f.dvPath.map(absPath(f) -> _)).toMap,
+          dvF.flatMap(f => f.dvInline.map(s => absPath(f) -> Dv.decode(s))).toMap)
         Some(scan(dvF)
           .where(!org.apache.spark.sql.graft.DvExpressions.rowDeleted(
             col("_metadata.file_path"), col("_metadata.row_index"), lookup))
@@ -531,11 +538,10 @@ final class LakeTable private (
       .collect()
       .groupBy(r => byAbs(Stats.normalizeFileUri(r.getString(0))))
     dvTargets.map { f =>
-      val bm = f.dvPath.map(Dv.read(path, _))
+      val bm = Dv.bitmapOf(path, f)
         .getOrElse(new org.roaringbitmap.longlong.Roaring64Bitmap())
       byFile(f.path).foreach(r => bm.addLong(r.getLong(1)))
-      f.copy(dvPath = Some(Dv.write(path, bm)),
-        dvCardinality = bm.getLongCardinality, modificationTime = now)
+      Dv.attach(path, f, bm, now, dvInlineMax)
     }
   }
 
@@ -851,11 +857,10 @@ final class LakeTable private (
 
       // bitmap union for DV'd files
       val dvAdds = dvTargets.map { f =>
-        val bm = f.dvPath.map(Dv.read(path, _))
+        val bm = Dv.bitmapOf(path, f)
           .getOrElse(new org.roaringbitmap.longlong.Roaring64Bitmap())
         claimedByFile(f.path).foreach(bm.addLong)
-        f.copy(dvPath = Some(Dv.write(path, bm)),
-          dvCardinality = bm.getLongCardinality, modificationTime = now)
+        Dv.attach(path, f, bm, now, dvInlineMax)
       }
 
       // heavily-claimed files rewrite to their surviving rows; the claim

@@ -30,7 +30,8 @@ class LakeV2Table(
 
   /** Any live deletion vectors? SQL reads then go through
     * [[LakeDvReadRule]]'s substituted plan instead of the raw scan. */
-  def hasDvs: Boolean = snap.files.exists(_.dvPath.isDefined)
+  def hasDvs: Boolean =
+    snap.files.exists(f => f.dvPath.isDefined || f.dvInline.isDefined)
 
   private val bucketSpec = graft.lake.Bucketing.specOf(snap.metaData)
 

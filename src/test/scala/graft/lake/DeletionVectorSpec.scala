@@ -18,6 +18,9 @@ class DeletionVectorSpec extends AnyFunSuite {
 
   private def tmp() = Files.createTempDirectory("dv-").toString
 
+  private def hasDv(f: AddFile): Boolean =
+    f.dvPath.isDefined || f.dvInline.isDefined
+
   test("small delete writes a sidecar, not a rewrite") {
     val path = tmp()
     val t = LakeTable.create(spark, path,
@@ -28,7 +31,7 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(n === 2L)
     val snap = t.snapshot
     assert(snap.files.map(_.path) === before) // SAME physical file
-    assert(snap.files.head.dvPath.isDefined)
+    assert(hasDv(snap.files.head))
     assert(snap.files.head.dvCardinality === 2L)
     assert(t.toDF.count() === 98)
     assert(t.toDF.where($"id" === 5L).count() === 0)
@@ -51,11 +54,11 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(t.delete($"p" === "a") === 10L)
     val snap = t.snapshot
     assert(snap.files.size < filesBefore)
-    assert(snap.files.forall(_.dvPath.isEmpty))
+    assert(!snap.files.exists(hasDv))
     assert(snap.commits.map(_._2).lastOption.map(_.numAddedFiles) === Some(0L))
     // 90% of remaining file: above dvMaxFraction → rewrite
     assert(t.delete($"id" <= 19L) === 9L)
-    assert(t.snapshot.files.forall(_.dvPath.isEmpty)) // rewrote, no DV
+    assert(!t.snapshot.files.exists(hasDv)) // rewrote, no DV
     assert(t.toDF.select("id").as[Long].collect().toSeq === Seq(20L))
   }
 
@@ -82,7 +85,7 @@ class DeletionVectorSpec extends AnyFunSuite {
     val t = LakeTable.create(spark, path,
       (1L to 30L).map(i => (i, 0.0)).toDF("id", "v").repartition(1))
     t.delete($"id" <= 3L)
-    assert(t.snapshot.files.head.dvPath.isDefined)
+    assert(hasDv(t.snapshot.files.head))
     // small UPDATE: DVs the old row version and appends only the new one
     val filesBefore = t.snapshot.files.map(_.path).toSet
     t.update($"id" === 10L, Map("v" -> lit(9.9)))
@@ -90,7 +93,7 @@ class DeletionVectorSpec extends AnyFunSuite {
     val snap = t.snapshot
     assert(snap.files.map(_.path).toSet.intersect(filesBefore) === filesBefore,
       "update must not rewrite the original file")
-    assert(snap.files.exists(f => f.dvPath.isDefined && f.dvCardinality === 4L),
+    assert(snap.files.exists(f => hasDv(f) && f.dvCardinality === 4L),
       "old row version joins the deleted set") // 3 deleted + 1 updated-old
     assert(t.toDF.where($"id" <= 3L).count() === 0)
     assert(t.toDF.where($"v" === 9.9).count() === 1)
@@ -147,13 +150,32 @@ class DeletionVectorSpec extends AnyFunSuite {
       whenNotMatchedInsert = None)
     val snap2 = t.snapshot
     assert(snap2.files.forall(f => !original(f.path)), "heavy merge rewrites")
-    assert(snap2.files.forall(_.dvPath.isEmpty))
+    assert(!snap2.files.exists(hasDv))
     assert(t.toDF.count() === 45)
     assert(t.toDF.where($"v" === 2.0).count() === 42) // ids 6..47
   }
 
+  test("small DVs inline in the commit log: no sidecar, no extra read") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path,
+      (1L to 100L).map(i => (i, i * 1.0)).toDF("id", "v").repartition(1))
+    t.delete($"id" <= 4L)
+    val f = t.snapshot.files.head
+    assert(f.dvInline.isDefined && f.dvPath.isEmpty)
+    assert(f.dvCardinality === 4L)
+    // nothing on disk: the vector rides in the log (and its checkpoints)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path, Dv.DV_DIR)))
+    assert(t.toDF.count() === 96)
+    assert(t.toDF.where($"id" <= 4L).count() === 0)
+    // inline vector round-trips the JSON log on a fresh handle
+    val t2 = LakeTable.forPath(spark, path)
+    assert(t2.snapshot.files.head.dvInline === f.dvInline)
+    assert(t2.toDF.count() === 96)
+  }
+
   test("time travel and vacuum interact correctly with DVs") {
     val path = tmp()
+    spark.conf.set("spark.graft.dv.inlineMaxBytes", "0") // force sidecars
     val t = LakeTable.create(spark, path,
       (1L to 10L).map(i => Tuple1(i)).toDF("id").repartition(1))
     t.delete($"id" === 1L) // v1: dv A
@@ -168,5 +190,6 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(removed.exists(_.endsWith(".dv"))) // orphaned vector A cleaned
     assert(java.nio.file.Files.list(dvDir).count() === 1)
     assert(t.toDF.count() === 8) // live vector untouched
+    spark.conf.unset("spark.graft.dv.inlineMaxBytes")
   }
 }

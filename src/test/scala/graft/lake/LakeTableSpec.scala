@@ -108,13 +108,13 @@ class LakeTableSpec extends AnyFunSuite {
     val last = t.history.collect().head
     assert(last.getString(2) === "DELETE")
     assert(last.getLong(5) === 0) // numRemovedFiles: nothing rewritten
-    assert(t.snapshot.files.count(_.dvPath.isDefined) === 1)
+    assert(t.snapshot.files.count(f => f.dvPath.isDefined || f.dvInline.isDefined) === 1)
 
     // classic copy-on-write path still works when DVs are disabled
     val deleted2 = t.delete($"id" >= 80, useDvs = false)
     assert(deleted2 === 10)
     assert(t.toDF.count() === 80)
-    assert(t.snapshot.files.forall(_.dvPath.isEmpty)) // rewrite cleared it
+    assert(!t.snapshot.files.exists(f => f.dvPath.isDefined || f.dvInline.isDefined)) // rewrite cleared it
   }
 
   test("update rewrites matching rows") {
