@@ -958,9 +958,19 @@ final class LakeTable private (
     * String columns cluster by xxhash64 (spreads, no range locality);
     * numeric/date/timestamp columns keep range locality.
     */
-  def zOrderBy(cols: String*): Unit = {
+  def zOrderBy(cols: String*): Unit = clusterByCurve(cols, hilbert = false)
+
+  /** Hilbert-curve clustering: same quantile bucketing as [[zOrderBy]]
+    * but the bucket coordinates collapse through the Hilbert curve,
+    * which is CONTINUOUS — adjacent codes are grid neighbors, so file
+    * min/max ranges stay tighter than Morton's quadrant jumps as the
+    * dimension count grows.
+    */
+  def hilbertBy(cols: String*): Unit = clusterByCurve(cols, hilbert = true)
+
+  private def clusterByCurve(cols: Seq[String], hilbert: Boolean): Unit = {
     require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
-    require(cols.nonEmpty, "zOrderBy needs at least one column")
+    require(cols.nonEmpty, "clustering needs at least one column")
     val snap = snapshot
     if (snap.files.isEmpty) return
     val bad = cols.filterNot(snap.schema.fieldNames.contains)
@@ -980,15 +990,18 @@ final class LakeTable private (
     val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     val bounds = tagged.stat.approxQuantile(
       cols.indices.map(i => s"__zd$i").toArray, probes, 0.001)
-    val z = org.apache.spark.sql.graft.ZOrderExpressions.zOrderCode(
-      cols.indices.map(i => col(s"__zd$i")), bounds)
+    val zcols = cols.indices.map(i => col(s"__zd$i"))
+    val z =
+      if (hilbert) org.apache.spark.sql.graft.ZOrderExpressions.hilbertCode(zcols, bounds)
+      else org.apache.spark.sql.graft.ZOrderExpressions.zOrderCode(zcols, bounds)
     val nFiles = math.max(snap.files.size, 1)
     val clustered = tagged
       .withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .select(snap.schema.fieldNames.map(col).toSeq: _*)
-    rewrite(snap, snap.files, clustered, "ZORDER BY",
+    rewrite(snap, snap.files, clustered,
+      if (hilbert) "HILBERT BY" else "ZORDER BY",
       Map("columns" -> cols.mkString(",")))
   }
 
@@ -1164,7 +1177,8 @@ object LakeTable {
 
   /** Commits that move rows between files without changing the table —
     * the change data feed emits nothing for them. */
-  private[lake] val REORG_OPS = Set("COMPACT", "ZORDER BY", "OPTIMIZE BY")
+  private[lake] val REORG_OPS =
+    Set("COMPACT", "ZORDER BY", "HILBERT BY", "OPTIMIZE BY")
 
   /** Commits whose changes can only come from recorded `_change_data`
     * (derived add/remove replay would be wrong: a rewritten file holds

@@ -47,6 +47,67 @@ class ZOrderSpec extends AnyFunSuite {
       (0 until 64 * 64).map(_.toDouble).sum)
   }
 
+  test("hilbert index is a bijection whose neighbors are grid-adjacent") {
+    import org.apache.spark.sql.graft.Hilbert
+    val bits = 4
+    val side = 1 << bits
+    val all = for (x <- 0L until side; y <- 0L until side)
+      yield Hilbert.index(Array(x, y), bits) -> (x, y)
+    val byIndex = all.toMap
+    // bijection over the full grid
+    assert(byIndex.size === side * side)
+    assert(byIndex.keys.min === 0L && byIndex.keys.max === side * side - 1L)
+    // continuity: consecutive indexes are manhattan-distance-1 neighbors
+    (0L until (side * side - 1L)).foreach { h =>
+      val (x1, y1) = byIndex(h)
+      val (x2, y2) = byIndex(h + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"jump at h=$h: ($x1,$y1)->($x2,$y2)")
+    }
+  }
+
+  test("hilbertBy prunes on every clustered dimension") {
+    val path = Files.createTempDirectory("hilbert-").toString
+    val grid = for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong, (x * 64 + y).toDouble)
+    val t = LakeTable.create(spark, path,
+      grid.toDF("x", "y", "v").repartitionByRange(16, $"x"))
+    def filesRead(cond: org.apache.spark.sql.Column): Int =
+      t.read(cond).inputFiles.length
+    assert(filesRead($"y" >= 10L && $"y" < 14L) === 16) // x-major: y can't prune
+
+    t.hilbertBy("x", "y")
+    assert(filesRead($"x" >= 20L && $"x" < 24L) <= 10)
+    assert(filesRead($"y" >= 10L && $"y" < 14L) <= 10)
+    assert(t.toDF.count() === 64 * 64)
+    assert(t.toDF.agg(sum($"v")).as[Double].head() ===
+      (0 until 64 * 64).map(_.toDouble).sum)
+    assert(t.history.select("operation").as[String].collect()
+      .contains("HILBERT BY"))
+  }
+
+  test("curve codes agree between codegen and interpreted eval") {
+    import org.apache.spark.sql.graft.ZOrderExpressions
+    val df = (0 until 512).map(i => ((i % 31).toDouble, (i % 17).toDouble))
+      .toDF("a", "b")
+    val bounds = Array((1 until 8).map(_ * 4.0).toArray,
+      (1 until 8).map(_ * 2.0).toArray)
+    for (mk <- Seq(ZOrderExpressions.zOrderCode _,
+        ZOrderExpressions.hilbertCode _)) {
+      val c = mk(Seq($"a", $"b"), bounds)
+      val whole = df.select(c.as("z")).collect().map(_.getLong(0))
+      // force the interpreted path for comparison
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = try df.select(c.as("z")).collect().map(_.getLong(0))
+      finally {
+        spark.conf.unset("spark.sql.codegen.wholeStage")
+        spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+      assert(whole.toSeq === interp.toSeq)
+    }
+  }
+
   test("zOrderBy handles string dims and survives further appends") {
     val path = Files.createTempDirectory("zorder-s-").toString
     val rows = (0 until 500).map(i => (i.toLong, s"k${i % 7}", i * 1.0))
