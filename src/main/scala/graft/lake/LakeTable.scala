@@ -1177,13 +1177,13 @@ object LakeTable {
 
   /** Commits that move rows between files without changing the table —
     * the change data feed emits nothing for them. */
-  private[lake] val REORG_OPS =
+  val REORG_OPS =
     Set("COMPACT", "ZORDER BY", "HILBERT BY", "OPTIMIZE BY")
 
   /** Commits whose changes can only come from recorded `_change_data`
     * (derived add/remove replay would be wrong: a rewritten file holds
     * both changed and carried-over rows). */
-  private[lake] val DML_OPS = Set("DELETE", "UPDATE", "MERGE")
+  val DML_OPS = Set("DELETE", "UPDATE", "MERGE")
 
   /** Staging dirs under the table root use this prefix; vacuum treats
     * orphaned ones (crashed writes) as garbage past retention.

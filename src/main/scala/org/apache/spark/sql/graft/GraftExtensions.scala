@@ -18,6 +18,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction(GraftExtensions.simhashDesc)
     e.injectFunction(GraftExtensions.dotDesc)
     e.injectFunction(GraftExtensions.avroDesc)
+    e.injectTableFunction(GraftExtensions.tableChangesDesc)
     e.injectPostHocResolutionRule(session => new LakeDmlRule(session))
     e.injectPostHocResolutionRule(session => new LakeDvReadRule(session))
   }
@@ -52,6 +53,48 @@ object GraftExtensions {
         }
         ConfluentAvroToJson(exprs.head, schema)
       })
+
+  /** `table_changes('lake.db.t' | '/path', startVersion[, endVersion])`
+    * — the change data feed as a SQL table-valued function (Delta's CDF
+    * surface). Dotted names resolve through the named catalog's
+    * warehouse; anything else is a table path.
+    */
+  private[graft] val tableChangesDesc =
+    (FunctionIdentifier("table_changes"),
+      info("table_changes",
+        "table_changes(table, startVersion[, endVersion]) - row-level change feed"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2 || exprs.size == 3,
+          s"table_changes expects (table, startVersion[, endVersion]), got ${exprs.size} args")
+        val spark = SparkSession.active
+        def str(e: Expression): String = e match {
+          case Literal(s: UTF8String, _) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"table_changes: table must be a string literal, got $other")
+        }
+        def lng(e: Expression): Long = e match {
+          case l: Literal => l.value.asInstanceOf[Number].longValue()
+          case other => throw new IllegalArgumentException(
+            s"table_changes: version must be an integer literal, got $other")
+        }
+        val path = resolveTablePath(spark, str(exprs.head))
+        graft.lake.LakeTable.forPath(spark, path)
+          .tableChanges(lng(exprs(1)), exprs.drop(2).headOption.map(lng))
+          .queryExecution.analyzed
+      })
+
+  /** A lake-table path from a TVF argument: a literal path wins; a
+    * dotted `cat.db.t` resolves against `spark.sql.catalog.cat.warehouse`. */
+  private def resolveTablePath(spark: SparkSession, s: String): String = {
+    if (graft.lake.LakeTable.isLakeTable(s)) return s
+    val parts = s.split('.')
+    if (parts.length >= 2) {
+      val wh = spark.conf.getOption(s"spark.sql.catalog.${parts.head}.warehouse")
+      wh.map(w => (w +: parts.tail).mkString("/"))
+        .filter(graft.lake.LakeTable.isLakeTable)
+        .getOrElse(throw new IllegalArgumentException(s"not a lake table: $s"))
+    } else throw new IllegalArgumentException(s"not a lake table: $s")
+  }
 
   /** Runtime registration on an existing session. */
   def register(spark: SparkSession): Unit = {

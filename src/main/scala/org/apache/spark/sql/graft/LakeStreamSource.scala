@@ -41,7 +41,10 @@ class LakeSourceProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val p = path(options)
     require(LakeTable.isLakeTable(p), s"not a lake table: $p")
-    new graft.lake.LakeLog(p).snapshot(None).schema
+    val table = new graft.lake.LakeLog(p).snapshot(None).schema
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
+      LakeStreamSource.cdfSchema(table)
+    else table
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -55,13 +58,26 @@ class LakeSourceProvider extends TableProvider {
         throw new IllegalArgumentException("lake source requires option 'path'")),
       schema,
       opt("startingVersion").map(_.toLong).getOrElse(0L),
-      opt("skipChangeCommits").forall(_.toBoolean))
+      opt("skipChangeCommits").forall(_.toBoolean),
+      opt("readChangeFeed").exists(_.toBoolean))
   }
+}
+
+private[graft] object LakeStreamSource {
+  /** The change-feed read schema: table columns + the three CDF columns. */
+  def cdfSchema(table: StructType): StructType =
+    StructType(table.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(graft.lake.Cdc.CHANGE_TYPE,
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_commit_timestamp",
+        org.apache.spark.sql.types.TimestampType)))
 }
 
 private[graft] class LakeStreamTable(
     path: String, tableSchema: StructType, startingVersion: Long,
-    skipChangeCommits: Boolean) extends Table with SupportsRead
+    skipChangeCommits: Boolean, cdf: Boolean) extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"lake-stream:$path"
@@ -83,7 +99,8 @@ private[graft] class LakeStreamTable(
     () => new Scan {
       override def readSchema(): StructType = tableSchema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new LakeMicroBatchStream(path, tableSchema, startingVersion,
+        if (cdf) new LakeCdfMicroBatchStream(path, tableSchema, startingVersion)
+        else new LakeMicroBatchStream(path, tableSchema, startingVersion,
           skipChangeCommits)
     }
 }
@@ -144,4 +161,124 @@ private[graft] class LakeMicroBatchStream(
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** Streaming CHANGE DATA FEED (Delta's `readChangeFeed` stream): each
+  * micro-batch carries the row-level changes of commits `(start, end]` —
+  * recorded `_change_data` files for DML, derived inserts for plain
+  * appends — with `_change_type` / `_commit_version` /
+  * `_commit_timestamp` appended per row. Downstream pipelines consume
+  * deltas (including deletes) incrementally instead of re-diffing
+  * snapshots. File reorganizations emit nothing; an overwrite/restore
+  * (or DML from before CDF was enabled) fails the stream explicitly
+  * rather than silently dropping changes.
+  */
+private[graft] class LakeCdfMicroBatchStream(
+    path: String, outSchema: StructType, startingVersion: Long)
+  extends MicroBatchStream {
+
+  private val log = new graft.lake.LakeLog(path)
+  private val tableSchema = StructType(outSchema.dropRight(3))
+  private val cdcFileSchema = StructType(tableSchema.fields :+
+    org.apache.spark.sql.types.StructField(graft.lake.Cdc.CHANGE_TYPE,
+      org.apache.spark.sql.types.StringType))
+  @volatile private var factory: CdfReaderFactory = _
+
+  override def initialOffset(): Offset = LakeSourceOffset(startingVersion - 1)
+  override def latestOffset(): Offset =
+    LakeSourceOffset(log.latestVersion.getOrElse(-1L))
+  override def deserializeOffset(json: String): Offset =
+    LakeSourceOffset("\"version\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(s"bad offset: $json")))
+
+  /** Pinned-file-list parquet batch for one schema kind. */
+  private def batchFor(files: Seq[String], schema: StructType)
+      : org.apache.spark.sql.connector.read.Batch = {
+    val spark = SparkSession.active.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+    val options = new CaseInsensitiveStringMap(Map("basePath" -> path).asJava)
+    ParquetTable(s"lake-cdf:$path", spark, options, files, Some(schema),
+      classOf[ParquetFileFormat]).newScanBuilder(options).build().toBatch
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LakeSourceOffset].version
+    val e = end.asInstanceOf[LakeSourceOffset].version
+    val out = scala.collection.mutable.ArrayBuffer[InputPartition]()
+    var cdcFactory: PartitionReaderFactory = null
+    var dataFactory: PartitionReaderFactory = null
+    for (v <- (s + 1) to e) {
+      val actions = log.readCommit(v)
+      val ci = actions.flatMap(_.commitInfo).headOption
+      val op = ci.map(_.operation).getOrElse("")
+      val tsMicros = ci.map(_.timestamp).getOrElse(0L) * 1000L
+      val cdcFiles = actions.flatMap(_.cdc).map(c => s"$path/${c.path}")
+      if (cdcFiles.nonEmpty) {
+        val b = batchFor(cdcFiles, cdcFileSchema)
+        if (cdcFactory == null) cdcFactory = b.createReaderFactory()
+        b.planInputPartitions().foreach(p =>
+          out += CdfInputPartition(p, fromCdcFile = true, v, tsMicros))
+      } else if (!graft.lake.LakeTable.REORG_OPS.contains(op)) {
+        val adds = actions.flatMap(_.add).map(f => s"$path/${f.path}")
+        if (actions.exists(_.remove.isDefined))
+          throw new IllegalStateException(
+            s"version $v of $path ($op) removes data without recorded " +
+              "change files; the change feed cannot stream past it " +
+              s"(enable ${graft.lake.Cdc.PROP} before DML, or start after this version)")
+        else if (adds.nonEmpty) {
+          val b = batchFor(adds, tableSchema)
+          if (dataFactory == null) dataFactory = b.createReaderFactory()
+          b.planInputPartitions().foreach(p =>
+            out += CdfInputPartition(p, fromCdcFile = false, v, tsMicros))
+        }
+      }
+    }
+    factory = new CdfReaderFactory(cdcFactory, dataFactory)
+    out.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = factory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[graft] case class CdfInputPartition(
+    inner: InputPartition, fromCdcFile: Boolean, version: Long,
+    tsMicros: Long) extends InputPartition
+
+/** Wraps the stock parquet readers, appending the CDF metadata columns
+  * per row: change files already carry `_change_type` (append version +
+  * timestamp); derived insert files append all three. Row-based by
+  * design — CDF batches are sized by changed rows, not the table.
+  */
+private[graft] class CdfReaderFactory(
+    cdcFactory: PartitionReaderFactory,
+    dataFactory: PartitionReaderFactory) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val cp = partition.asInstanceOf[CdfInputPartition]
+    val inner = (if (cp.fromCdcFile) cdcFactory else dataFactory)
+      .createReader(cp.inner)
+    val consts =
+      if (cp.fromCdcFile)
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](cp.version, cp.tsMicros))
+      else
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(
+            graft.lake.Cdc.INSERT), cp.version, cp.tsMicros))
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      private val joined =
+        new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+      override def next(): Boolean = inner.next()
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        joined(inner.get(), consts)
+      override def close(): Unit = inner.close()
+    }
+  }
 }

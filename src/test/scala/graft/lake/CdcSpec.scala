@@ -135,6 +135,28 @@ class CdcSpec extends AnyFunSuite {
     assert(typed(t, 3L, Cdc.DELETE).count() === 1)
   }
 
+  test("SQL table_changes TVF over a path and a catalog name") {
+    val path = tmpDir()
+    val t = cdfTable(path)
+    t.delete($"id" === 3) // v2
+    val byPath = spark.sql(
+      s"SELECT id, ${Cdc.CHANGE_TYPE}, _commit_version " +
+        s"FROM table_changes('$path', 2) ORDER BY id")
+    assert(byPath.select("id").as[Long].collect().toSeq === Seq(3L))
+    assert(byPath.select(Cdc.CHANGE_TYPE).as[String].head() === Cdc.DELETE)
+
+    // dotted catalog identifier resolves through the warehouse conf
+    val wh = Files.createTempDirectory("cdc-wh-").toString
+    spark.conf.set("spark.sql.catalog.cdc", "org.apache.spark.sql.graft.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.cdc.warehouse", wh)
+    Files.createDirectories(Paths.get(s"$wh/db"))
+    val t2 = cdfTable(s"$wh/db/t")
+    t2.update($"id" === 1, Map("amount" -> lit(0.0))) // v2
+    val n = spark.sql(
+      s"SELECT count(*) FROM table_changes('cdc.db.t', 2, 2)").as[Long].head()
+    assert(n === 2) // pre + post image
+  }
+
   test("timestamp-bounded feed and empty-range schema") {
     val path = tmpDir()
     val t = cdfTable(path)

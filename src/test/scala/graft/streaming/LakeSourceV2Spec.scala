@@ -93,6 +93,66 @@ class LakeSourceV2Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("readChangeFeed streams DML deltas including deletes") {
+    val path = Files.createTempDirectory("lake-cdf-src-").toString
+    val t = LakeTable.create(spark, path,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"),
+      properties = Map(graft.lake.Cdc.PROP -> "true"))
+
+    val q = readLake(path, "readChangeFeed" -> "true").writeStream
+      .format("memory").queryName("lake_cdf")
+      .option("checkpointLocation",
+        Files.createTempDirectory("lake-cdf-ckpt-").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      def seen: Set[(Long, String, String, Long)] =
+        spark.table("lake_cdf")
+          .select("id", "v", graft.lake.Cdc.CHANGE_TYPE, "_commit_version")
+          .as[(Long, String, String, Long)].collect().toSet
+      // initial snapshot arrives as derived inserts at v0
+      assert(seen === Set((1L, "a", "insert", 0L), (2L, "b", "insert", 0L),
+        (3L, "c", "insert", 0L)))
+
+      t.delete($"id" === 2L) // v1
+      q.processAllAvailable()
+      assert(seen.contains((2L, "b", "delete", 1L)))
+
+      t.update($"id" === 3L, Map("v" -> lit("c2"))) // v2
+      q.processAllAvailable()
+      assert(seen.contains((3L, "c", "update_preimage", 2L)))
+      assert(seen.contains((3L, "c2", "update_postimage", 2L)))
+
+      // appends keep flowing as inserts
+      t.append(Seq((4L, "d")).toDF("id", "v")) // v3
+      q.processAllAvailable()
+      assert(seen.contains((4L, "d", "insert", 3L)))
+      // and compaction emits nothing
+      t.compact()
+      q.processAllAvailable()
+      assert(seen.size === 7)
+    } finally q.stop()
+  }
+
+  test("readChangeFeed fails past an overwrite (no recorded change data)") {
+    val path = Files.createTempDirectory("lake-cdf-ow-").toString
+    val t = LakeTable.create(spark, path, Seq((1L, "a")).toDF("id", "v"),
+      properties = Map(graft.lake.Cdc.PROP -> "true"))
+    t.overwrite(Seq((2L, "b")).toDF("id", "v"))
+    val q = readLake(path, "readChangeFeed" -> "true").writeStream
+      .format("memory").queryName("lake_cdf_ow")
+      .option("checkpointLocation",
+        Files.createTempDirectory("lake-cdf-ckpt2-").toString)
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def m(t: Throwable): String =
+      Option(t).map(x => x.getMessage + Option(x.getCause).map(m).getOrElse("")).getOrElse("")
+    assert(m(e).contains("change feed cannot stream past"))
+  }
+
   test("DSv2 streaming SINK: writeStream lands atomic per-epoch commits") {
     val src = Files.createTempDirectory("sink-src-").toString
     val dst = Files.createTempDirectory("sink-dst-").toString + "/t"
