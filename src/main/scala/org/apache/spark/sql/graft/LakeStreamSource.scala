@@ -59,7 +59,8 @@ class LakeSourceProvider extends TableProvider {
       schema,
       opt("startingVersion").map(_.toLong).getOrElse(0L),
       opt("skipChangeCommits").forall(_.toBoolean),
-      opt("readChangeFeed").exists(_.toBoolean))
+      opt("readChangeFeed").exists(_.toBoolean),
+      opt("endingVersion").map(_.toLong))
   }
 }
 
@@ -77,13 +78,15 @@ private[graft] object LakeStreamSource {
 
 private[graft] class LakeStreamTable(
     path: String, tableSchema: StructType, startingVersion: Long,
-    skipChangeCommits: Boolean, cdf: Boolean) extends Table with SupportsRead
+    skipChangeCommits: Boolean, cdf: Boolean,
+    endingVersion: Option[Long] = None) extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"lake-stream:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ,
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
 
   /** `writeStream.format(provider).option("path",...)`: per-epoch atomic
@@ -102,6 +105,14 @@ private[graft] class LakeStreamTable(
         if (cdf) new LakeCdfMicroBatchStream(path, tableSchema, startingVersion)
         else new LakeMicroBatchStream(path, tableSchema, startingVersion,
           skipChangeCommits)
+      /** `spark.read.format(provider)`: CDF mode reads the change rows of
+        * `[startingVersion, endingVersion|latest]` as one batch. */
+      override def toBatch: org.apache.spark.sql.connector.read.Batch = {
+        require(cdf,
+          "batch reads of the table itself go through Graft.table / the " +
+            "lake catalog; this provider's batch mode is readChangeFeed=true")
+        new LakeCdfBatch(path, tableSchema, startingVersion, endingVersion)
+      }
     }
 }
 
@@ -179,9 +190,7 @@ private[graft] class LakeCdfMicroBatchStream(
 
   private val log = new graft.lake.LakeLog(path)
   private val tableSchema = StructType(outSchema.dropRight(3))
-  private val cdcFileSchema = StructType(tableSchema.fields :+
-    org.apache.spark.sql.types.StructField(graft.lake.Cdc.CHANGE_TYPE,
-      org.apache.spark.sql.types.StringType))
+  private val cdcFileSchema = LakeCdf.cdcFileSchema(tableSchema)
   @volatile private var factory: CdfReaderFactory = _
 
   override def initialOffset(): Offset = LakeSourceOffset(startingVersion - 1)
@@ -192,8 +201,29 @@ private[graft] class LakeCdfMicroBatchStream(
       .map(_.group(1).toLong)
       .getOrElse(throw new IllegalArgumentException(s"bad offset: $json")))
 
-  /** Pinned-file-list parquet batch for one schema kind. */
-  private def batchFor(files: Seq[String], schema: StructType)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (parts, f) = LakeCdf.plan(path, tableSchema, cdcFileSchema,
+      start.asInstanceOf[LakeSourceOffset].version + 1,
+      end.asInstanceOf[LakeSourceOffset].version, log)
+    factory = f
+    parts
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = factory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Shared CDF partition planning for the streaming source and the
+  * DataFrameReader batch mode. */
+private[graft] object LakeCdf {
+
+  def cdcFileSchema(tableSchema: StructType): StructType =
+    StructType(tableSchema.fields :+
+      org.apache.spark.sql.types.StructField(graft.lake.Cdc.CHANGE_TYPE,
+        org.apache.spark.sql.types.StringType))
+
+  private def batchFor(path: String, files: Seq[String], schema: StructType)
       : org.apache.spark.sql.connector.read.Batch = {
     val spark = SparkSession.active.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
@@ -203,20 +233,21 @@ private[graft] class LakeCdfMicroBatchStream(
       classOf[ParquetFileFormat]).newScanBuilder(options).build().toBatch
   }
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[LakeSourceOffset].version
-    val e = end.asInstanceOf[LakeSourceOffset].version
+  /** Change partitions of commits `[from, to]` + their reader factory. */
+  def plan(path: String, tableSchema: StructType, cdcSchema: StructType,
+      from: Long, to: Long, log: graft.lake.LakeLog)
+      : (Array[InputPartition], CdfReaderFactory) = {
     val out = scala.collection.mutable.ArrayBuffer[InputPartition]()
     var cdcFactory: PartitionReaderFactory = null
     var dataFactory: PartitionReaderFactory = null
-    for (v <- (s + 1) to e) {
+    for (v <- from to to) {
       val actions = log.readCommit(v)
       val ci = actions.flatMap(_.commitInfo).headOption
       val op = ci.map(_.operation).getOrElse("")
       val tsMicros = ci.map(_.timestamp).getOrElse(0L) * 1000L
       val cdcFiles = actions.flatMap(_.cdc).map(c => s"$path/${c.path}")
       if (cdcFiles.nonEmpty) {
-        val b = batchFor(cdcFiles, cdcFileSchema)
+        val b = batchFor(path, cdcFiles, cdcSchema)
         if (cdcFactory == null) cdcFactory = b.createReaderFactory()
         b.planInputPartitions().foreach(p =>
           out += CdfInputPartition(p, fromCdcFile = true, v, tsMicros))
@@ -228,20 +259,33 @@ private[graft] class LakeCdfMicroBatchStream(
               "change files; the change feed cannot stream past it " +
               s"(enable ${graft.lake.Cdc.PROP} before DML, or start after this version)")
         else if (adds.nonEmpty) {
-          val b = batchFor(adds, tableSchema)
+          val b = batchFor(path, adds, tableSchema)
           if (dataFactory == null) dataFactory = b.createReaderFactory()
           b.planInputPartitions().foreach(p =>
             out += CdfInputPartition(p, fromCdcFile = false, v, tsMicros))
         }
       }
     }
-    factory = new CdfReaderFactory(cdcFactory, dataFactory)
-    out.toArray
+    (out.toArray, new CdfReaderFactory(cdcFactory, dataFactory))
+  }
+}
+
+/** One-shot batch over a change-feed version range (DataFrameReader's
+  * `readChangeFeed` mode). */
+private[graft] class LakeCdfBatch(
+    path: String, outSchema: StructType, from: Long, toOpt: Option[Long])
+  extends org.apache.spark.sql.connector.read.Batch {
+
+  private lazy val planned: (Array[InputPartition], CdfReaderFactory) = {
+    val log = new graft.lake.LakeLog(path)
+    val to = toOpt.orElse(log.latestVersion).getOrElse(-1L)
+    val tableSchema = StructType(outSchema.dropRight(3))
+    LakeCdf.plan(path, tableSchema, LakeCdf.cdcFileSchema(tableSchema),
+      from, to, log)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = factory
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+  override def planInputPartitions(): Array[InputPartition] = planned._1
+  override def createReaderFactory(): PartitionReaderFactory = planned._2
 }
 
 private[graft] case class CdfInputPartition(

@@ -79,10 +79,21 @@ private[graft] class LakeWrite(
     mode: LakeWriteMode) extends Write with RequiresDistributionAndOrdering {
 
   private val partitionCols = lake.snapshot.metaData.partitionColumns
+  private val bucketSpec = Bucketing.specOf(lake.snapshot.metaData)
 
-  override def requiredDistribution(): Distribution =
-    if (partitionCols.isEmpty) Distributions.unspecified()
-    else Distributions.clustered(partitionCols.map(c => Expressions.column(c)).toArray)
+  /** Cluster incoming rows by partition AND bucket (resolved through the
+    * catalog's V2 bucket function), so a wide insert opens ~1 writer per
+    * task instead of one per (partition × bucket). */
+  override def requiredDistribution(): Distribution = {
+    val clustering =
+      partitionCols.map(c => Expressions.column(c):
+        org.apache.spark.sql.connector.expressions.Expression) ++
+        bucketSpec.map(s =>
+          Expressions.bucket(s.numBuckets, s.columns: _*):
+            org.apache.spark.sql.connector.expressions.Expression)
+    if (clustering.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(clustering.toArray)
+  }
 
   override def distributionStrictlyRequired(): Boolean = false
 

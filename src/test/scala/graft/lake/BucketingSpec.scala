@@ -62,6 +62,23 @@ class BucketingSpec extends AnyFunSuite {
     assert(t.toDF.count() === 201)
   }
 
+  test("compact preserves bucket ids and bucket purity") {
+    val path = s"$warehouse/db/orders_compact"
+    val t = LakeTable.create(spark, path, ordersDF,
+      bucketBy = Seq("order_id"), numBuckets = 4)
+    t.append(ordersDF.where($"order_id" <= 50))
+    t.compact(targetFileBytes = 1L << 30)
+    val snap = t.snapshot
+    assert(snap.files.forall(_.bucket.isDefined))
+    snap.files.foreach { f =>
+      val distinct = spark.read.parquet(s"$path/${f.path}")
+        .select(Bucketing.bucketId(Seq(col("order_id")), 4)).distinct()
+        .as[Int].collect().toSeq
+      assert(distinct === Seq(f.bucket.get))
+    }
+    assert(t.toDF.count() === 250)
+  }
+
   test("co-bucketed equi-join plans with no shuffle (SPJ)") {
     warehouse
     LakeTable.create(spark, s"$warehouse/db/orders", ordersDF,

@@ -157,6 +157,32 @@ class CdcSpec extends AnyFunSuite {
     assert(n === 2) // pre + post image
   }
 
+  test("DataFrameReader batch readChangeFeed over a version range") {
+    val path = tmpDir()
+    val t = cdfTable(path)
+    t.delete($"id" <= 2) // v2
+    t.append(Seq((9L, "HI", 9.0)).toDF("id", "state", "amount")) // v3
+    val ch = spark.read
+      .format("org.apache.spark.sql.graft.LakeSourceProvider")
+      .option("path", path)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2")
+      .load()
+    assert(ch.where(col(Cdc.CHANGE_TYPE) === Cdc.DELETE)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    assert(ch.where(col(Cdc.CHANGE_TYPE) === Cdc.INSERT)
+      .select("id").as[Long].collect().toSeq === Seq(9L))
+    // bounded range excludes the append
+    val bounded = spark.read
+      .format("org.apache.spark.sql.graft.LakeSourceProvider")
+      .option("path", path)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2")
+      .option("endingVersion", "2")
+      .load()
+    assert(bounded.count() === 2)
+  }
+
   test("timestamp-bounded feed and empty-range schema") {
     val path = tmpDir()
     val t = cdfTable(path)
