@@ -903,6 +903,38 @@ final class LakeTable private (
     } finally joined.unpersist()
   }
 
+  /** Re-bucket the table in ONE commit: rewrite every data file into a
+    * hash-bucket layout ([[Bucketing]]) and swing the spec — the
+    * migration path onto storage-partitioned joins for an existing
+    * table, and the resize path when a grown table needs more buckets.
+    * A reorg: rows only move between files, so the change data feed
+    * emits nothing.
+    */
+  def rebucket(cols: Seq[String], numBuckets: Int): Unit = {
+    require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
+    require(cols.nonEmpty && numBuckets > 0,
+      "rebucket needs bucket columns and a positive bucket count")
+    val snap = snapshot
+    val bad = cols.filterNot(snap.schema.fieldNames.contains)
+    require(bad.isEmpty, s"no such column(s): ${bad.mkString(",")}")
+    val adds = LakeTable.stageFiles(spark, path, readFiles(snap, snap.files),
+      snap.schema, snap.metaData.partitionColumns,
+      Some(Bucketing.Spec(cols, numBuckets)))
+    val now = System.currentTimeMillis()
+    val newMeta = snap.metaData.copy(properties =
+      snap.metaData.properties ++ Bucketing.props(cols, numBuckets))
+    val actions = Action.of(newMeta) +:
+      (snap.files.map(f => Action.of(RemoveFile(f.path, now, f.partitionValues))) ++
+        adds.map(Action.of)) :+
+      Action.of(CommitInfo(now, "REBUCKET",
+        Map("columns" -> cols.mkString(","),
+          "numBuckets" -> numBuckets.toString),
+        numAddedFiles = adds.size.toLong,
+        numRemovedFiles = snap.files.size.toLong,
+        numOutputRows = adds.flatMap(_.stats.map(_.numRecords)).sum))
+    commitWithRetry(snap.version, actions, rebaseable = false)
+  }
+
   /** RESTORE TABLE TO VERSION AS OF v (the write-side completion of
     * time travel): one commit that removes the current file set and
     * re-adds version v's — no data is copied, both states stay
@@ -1178,7 +1210,7 @@ object LakeTable {
   /** Commits that move rows between files without changing the table —
     * the change data feed emits nothing for them. */
   val REORG_OPS =
-    Set("COMPACT", "ZORDER BY", "HILBERT BY", "OPTIMIZE BY")
+    Set("COMPACT", "ZORDER BY", "HILBERT BY", "OPTIMIZE BY", "REBUCKET")
 
   /** Commits whose changes can only come from recorded `_change_data`
     * (derived add/remove replay would be wrong: a rewritten file holds

@@ -233,13 +233,28 @@ private[graft] object LakeCdf {
       classOf[ParquetFileFormat]).newScanBuilder(options).build().toBatch
   }
 
-  /** Change partitions of commits `[from, to]` + their reader factory. */
+  /** Change partitions of commits `[from, to]` + their reader factory.
+    * Recorded `_change_data` replays as-is; appends derive inserts;
+    * overwrites/restores derive deletes from the previous snapshot's
+    * removed files + inserts from the adds. Unstreamable: DML without
+    * recorded change data (pre-CDF) and derived deletes of DV-masked
+    * files (the raw reader cannot apply the bitmap) — both fail
+    * explicitly rather than dropping changes.
+    */
   def plan(path: String, tableSchema: StructType, cdcSchema: StructType,
       from: Long, to: Long, log: graft.lake.LakeLog)
       : (Array[InputPartition], CdfReaderFactory) = {
     val out = scala.collection.mutable.ArrayBuffer[InputPartition]()
     var cdcFactory: PartitionReaderFactory = null
     var dataFactory: PartitionReaderFactory = null
+    def dataParts(files: Seq[String], changeType: String, v: Long,
+        ts: Long): Unit = {
+      if (files.isEmpty) return
+      val b = batchFor(path, files, tableSchema)
+      if (dataFactory == null) dataFactory = b.createReaderFactory()
+      b.planInputPartitions().foreach(p =>
+        out += CdfInputPartition(p, Some(changeType), v, ts))
+    }
     for (v <- from to to) {
       val actions = log.readCommit(v)
       val ci = actions.flatMap(_.commitInfo).headOption
@@ -250,20 +265,29 @@ private[graft] object LakeCdf {
         val b = batchFor(path, cdcFiles, cdcSchema)
         if (cdcFactory == null) cdcFactory = b.createReaderFactory()
         b.planInputPartitions().foreach(p =>
-          out += CdfInputPartition(p, fromCdcFile = true, v, tsMicros))
+          out += CdfInputPartition(p, None, v, tsMicros))
       } else if (!graft.lake.LakeTable.REORG_OPS.contains(op)) {
-        val adds = actions.flatMap(_.add).map(f => s"$path/${f.path}")
-        if (actions.exists(_.remove.isDefined))
-          throw new IllegalStateException(
-            s"version $v of $path ($op) removes data without recorded " +
-              "change files; the change feed cannot stream past it " +
-              s"(enable ${graft.lake.Cdc.PROP} before DML, or start after this version)")
-        else if (adds.nonEmpty) {
-          val b = batchFor(path, adds, tableSchema)
-          if (dataFactory == null) dataFactory = b.createReaderFactory()
-          b.planInputPartitions().foreach(p =>
-            out += CdfInputPartition(p, fromCdcFile = false, v, tsMicros))
+        val removes = actions.flatMap(_.remove)
+        if (removes.nonEmpty) {
+          if (graft.lake.LakeTable.DML_OPS.contains(op))
+            throw new IllegalStateException(
+              s"version $v of $path ($op) removes data without recorded " +
+                "change files; the change feed cannot stream past it " +
+                s"(enable ${graft.lake.Cdc.PROP} before DML, or start after this version)")
+          // overwrite/restore: removed rows via the previous snapshot
+          val prev = log.snapshot(Some(v - 1))
+          val removedPaths = removes.map(_.path).toSet
+          val removedFiles = prev.files.filter(f => removedPaths.contains(f.path))
+          if (removedFiles.exists(f => f.dvPath.isDefined || f.dvInline.isDefined))
+            throw new IllegalStateException(
+              s"version $v of $path ($op) removes deletion-vector-masked " +
+                "files; stream the change feed from after it or use the " +
+                "batch tableChanges read")
+          dataParts(removedFiles.map(f => s"$path/${f.path}"),
+            graft.lake.Cdc.DELETE, v, tsMicros)
         }
+        dataParts(actions.flatMap(_.add).map(f => s"$path/${f.path}"),
+          graft.lake.Cdc.INSERT, v, tsMicros)
       }
     }
     (out.toArray, new CdfReaderFactory(cdcFactory, dataFactory))
@@ -288,8 +312,10 @@ private[graft] class LakeCdfBatch(
   override def createReaderFactory(): PartitionReaderFactory = planned._2
 }
 
+/** `changeType`: None = rows come from a `_change_data` file that
+  * already carries `_change_type`; Some(t) = derived rows, append `t`. */
 private[graft] case class CdfInputPartition(
-    inner: InputPartition, fromCdcFile: Boolean, version: Long,
+    inner: InputPartition, changeType: Option[String], version: Long,
     tsMicros: Long) extends InputPartition
 
 /** Wraps the stock parquet readers, appending the CDF metadata columns
@@ -305,16 +331,17 @@ private[graft] class CdfReaderFactory(
       : org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.catalyst.InternalRow] = {
     val cp = partition.asInstanceOf[CdfInputPartition]
-    val inner = (if (cp.fromCdcFile) cdcFactory else dataFactory)
+    val inner = (if (cp.changeType.isEmpty) cdcFactory else dataFactory)
       .createReader(cp.inner)
-    val consts =
-      if (cp.fromCdcFile)
+    val consts = cp.changeType match {
+      case None =>
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           Array[Any](cp.version, cp.tsMicros))
-      else
+      case Some(t) =>
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(
-            graft.lake.Cdc.INSERT), cp.version, cp.tsMicros))
+          Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(t),
+            cp.version, cp.tsMicros))
+    }
     new org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.catalyst.InternalRow] {
       private val joined =

@@ -123,6 +123,37 @@ class BucketingSpec extends AnyFunSuite {
     assert(spark.sql("SELECT sum(v) FROM blake.db.sql_b").as[Double].head() === 12.0)
   }
 
+  test("rebucket migrates an unbucketed table onto the SPJ path") {
+    warehouse
+    val path = s"$warehouse/db/orders_migrate"
+    val t = LakeTable.create(spark, path,
+      ordersDF.repartition(4)) // plain table, no buckets
+    assert(t.snapshot.files.forall(_.bucket.isEmpty))
+    t.rebucket(Seq("order_id"), 8)
+    val snap = t.snapshot
+    assert(Bucketing.specOf(snap.metaData) ===
+      Some(Bucketing.Spec(Seq("order_id"), 8)))
+    assert(snap.files.forall(_.bucket.isDefined))
+    assert(t.toDF.count() === 200)
+    // joins against an existing co-bucketed table now plan shuffle-free
+    LakeTable.create(spark, s"$warehouse/db/items_migrate", itemsDF,
+      bucketBy = Seq("order_id"), numBuckets = 8)
+    val joined = spark.sql(
+      """SELECT o.order_id, i.qty FROM blake.db.orders_migrate o
+        |JOIN blake.db.items_migrate i ON o.order_id = i.order_id""".stripMargin)
+    assert(joined.count() ===
+      ordersDF.join(itemsDF, "order_id").count())
+    val shuffles = joined.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.isEmpty, s"rebucketed join still shuffles")
+    // the reorg emits no change rows and time travel still works
+    assert(t.asOf(0).toDF.count() === 200)
+    // resize: double the bucket count in one commit
+    t.rebucket(Seq("order_id"), 16)
+    assert(t.snapshot.files.map(_.bucket.get).distinct.sorted === (0 until 16))
+  }
+
   test("bucket columns cannot be renamed or dropped") {
     val path = s"$warehouse/db/guard"
     val t = LakeTable.create(spark, path, ordersDF,

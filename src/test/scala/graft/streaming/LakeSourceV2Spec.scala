@@ -134,15 +134,36 @@ class LakeSourceV2Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("readChangeFeed fails past an overwrite (no recorded change data)") {
+  test("readChangeFeed derives delete+insert across an overwrite") {
     val path = Files.createTempDirectory("lake-cdf-ow-").toString
     val t = LakeTable.create(spark, path, Seq((1L, "a")).toDF("id", "v"),
       properties = Map(graft.lake.Cdc.PROP -> "true"))
-    t.overwrite(Seq((2L, "b")).toDF("id", "v"))
+    t.overwrite(Seq((2L, "b")).toDF("id", "v")) // v1
     val q = readLake(path, "readChangeFeed" -> "true").writeStream
       .format("memory").queryName("lake_cdf_ow")
       .option("checkpointLocation",
         Files.createTempDirectory("lake-cdf-ckpt2-").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val seen = spark.table("lake_cdf_ow")
+        .select("id", "v", graft.lake.Cdc.CHANGE_TYPE, "_commit_version")
+        .as[(Long, String, String, Long)].collect().toSet
+      assert(seen === Set(
+        (1L, "a", "insert", 0L),        // create
+        (1L, "a", "delete", 1L),        // overwrite removes the old row
+        (2L, "b", "insert", 1L)))       // ...and inserts the new one
+    } finally q.stop()
+  }
+
+  test("readChangeFeed fails at DML that recorded no change data") {
+    val path = Files.createTempDirectory("lake-cdf-nocdf-").toString
+    val t = LakeTable.create(spark, path, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.delete($"id" === 1L) // CDF off: no change data recorded
+    val q = readLake(path, "readChangeFeed" -> "true").writeStream
+      .format("memory").queryName("lake_cdf_nocdf")
+      .option("checkpointLocation",
+        Files.createTempDirectory("lake-cdf-ckpt3-").toString)
       .start()
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       q.processAllAvailable()
