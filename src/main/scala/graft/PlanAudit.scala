@@ -27,8 +27,11 @@ object PlanAudit {
     PlanShape(
       plan.linesIterator.count(_.contains("BroadcastHashJoin")),
       plan.linesIterator.count(_.contains("SortMergeJoin")),
-      plan.linesIterator.count(_.trim.startsWith("Exchange")) +
-        plan.linesIterator.count(_.contains("+- Exchange")))
+      // tree lines only ("+- Exchange" / ":- Exchange" / root "Exchange");
+      // the detail section prints nodes as "(4) Exchange" and is skipped
+      plan.linesIterator.count(l =>
+        l.contains("+- Exchange") || l.contains(":- Exchange") ||
+          l.trim.startsWith("Exchange")))
   }
 
   def main(args: Array[String]): Unit = {
@@ -41,6 +44,9 @@ object PlanAudit {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
