@@ -97,6 +97,35 @@ object LakeQueries extends QueryGroup {
              round(sum(c_acctbal), 2) AS bal_sum
       FROM changes GROUP BY change_type ORDER BY change_type""")),
 
+    // time travel under the gate: three versions (create / append /
+    // delete), each read back via asOf and aggregated — DuckDB rebuilds
+    // the same three states from the raw table
+    QueryDef("lake4_time_travel", (s, d) => {
+      val nation = Tables.nation(s, d)
+      val t = LakeTable.create(s, tmp("lake-tt-"), nation) // v0
+      t.append(nation.select((col("n_nationkey") + 1000).as("n_nationkey"),
+        col("n_name"), col("n_regionkey"))) // v1
+      t.delete(col("n_nationkey") % 2 === 1) // v2
+      (0 to 2).map { v =>
+        t.asOf(v).toDF.agg(
+          lit(v).as("version"),
+          count(lit(1)).as("n_rows"),
+          sum(col("n_nationkey").cast("long")).as("key_sum"))
+          .select("version", "n_rows", "key_sum")
+      }.reduce(_ unionByName _).orderBy("version")
+    }, oracle = Some("""
+      WITH v1 AS (
+        SELECT n_nationkey FROM nation
+        UNION ALL SELECT n_nationkey + 1000 FROM nation)
+      SELECT 0 AS version, count(*) AS n_rows,
+             CAST(sum(n_nationkey) AS BIGINT) AS key_sum FROM nation
+      UNION ALL
+      SELECT 1, count(*), CAST(sum(n_nationkey) AS BIGINT) FROM v1
+      UNION ALL
+      SELECT 2, count(*), CAST(sum(n_nationkey) AS BIGINT) FROM v1
+      WHERE n_nationkey % 2 <> 1
+      ORDER BY version""")),
+
     // the bucketed DSv2 read path end-to-end: two co-bucketed lake tables
     // joined through the catalog (storage-partitioned join — zero join
     // shuffles, asserted in BucketingSpec; values gated here)
