@@ -24,6 +24,7 @@ class DmlPropertySpec extends AnyFunSuite {
       val init = (0L until 40L).map(i => (i, i.toDouble))
       val t = LakeTable.create(spark, path,
         init.toDF("id", "v").repartition(3))
+      t.setProperties(Map(Cdc.PROP -> "true"))
       val model = scala.collection.mutable.Map(init: _*)
       var nextId = 1000L
 
@@ -64,6 +65,28 @@ class DmlPropertySpec extends AnyFunSuite {
       // and the history replays to the same state through a fresh handle
       val fresh = LakeTable.forPath(spark, path)
       assert(fresh.toDF.count() === model.size)
+
+      // CDC completeness: folding the change feed version by version
+      // (insert/update_postimage = put, delete = remove) reconstructs
+      // the final table exactly — no change escapes the feed
+      val folded = scala.collection.mutable.Map[Long, Double]()
+      t.tableChanges(0)
+        .select(col("id"), col("v"), col(Cdc.CHANGE_TYPE),
+          col("_commit_version"))
+        .collect()
+        .groupBy(_.getLong(3)).toSeq.sortBy(_._1)
+        .foreach { case (_, rows) =>
+          rows.foreach { r =>
+            r.getString(2) match {
+              case Cdc.INSERT | Cdc.UPDATE_POST =>
+                folded(r.getLong(0)) = r.getDouble(1)
+              case Cdc.DELETE => folded.remove(r.getLong(0))
+              case Cdc.UPDATE_PRE => ()
+            }
+          }
+        }
+      assert(folded.toMap === model.toMap,
+        "change feed fold diverged from the table state")
     }
   }
 }
