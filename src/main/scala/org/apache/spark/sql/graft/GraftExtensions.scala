@@ -19,6 +19,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction(GraftExtensions.dotDesc)
     e.injectFunction(GraftExtensions.avroDesc)
     e.injectTableFunction(GraftExtensions.tableChangesDesc)
+    e.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
     e.injectPostHocResolutionRule(session => new LakeDmlRule(session))
     e.injectPostHocResolutionRule(session => new LakeDvReadRule(session))
   }
@@ -85,7 +86,7 @@ object GraftExtensions {
 
   /** A lake-table path from a TVF argument: a literal path wins; a
     * dotted `cat.db.t` resolves against `spark.sql.catalog.cat.warehouse`. */
-  private def resolveTablePath(spark: SparkSession, s: String): String = {
+  private[graft] def resolveTablePath(spark: SparkSession, s: String): String = {
     if (graft.lake.LakeTable.isLakeTable(s)) return s
     val parts = s.split('.')
     if (parts.length >= 2) {

@@ -1,0 +1,96 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+
+/** Maintenance statements Spark's grammar lacks, parsed ahead of the
+  * stock parser (everything else delegates):
+  *
+  *   VACUUM lake.db.t [RETAIN n HOURS]     -- the reference's literal
+  *                                            `%sql VACUUM ...`
+  *                                            (`02.delta_lake_primer.py:442`)
+  *   OPTIMIZE lake.db.t [ZORDER BY (a, b)] -- compaction / clustering
+  *
+  * Table references resolve like the `table_changes` TVF: a dotted name
+  * through the named catalog's warehouse conf, anything else as a path.
+  */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+  extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case VACUUM_RE(ident, _, hours) =>
+      RunLakeVacuum(strip(ident), Option(hours).map(_.toDouble))
+    case OPTIMIZE_RE(ident, _, zcols) =>
+      RunLakeOptimize(strip(ident),
+        Option(zcols).map(_.split(',').map(c => strip(c.trim)).toSeq))
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+  // table ref: dotted/quoted identifier or a quoted path
+  private val TABLE = """([`'"]?[\w./\-]+[`'"]?(?:\.[`'"]?[\w\-]+[`'"]?)*)"""
+  private[graft] val VACUUM_RE =
+    ("""(?is)\s*VACUUM\s+""" + TABLE +
+      """(\s+RETAIN\s+([0-9.]+)\s+HOURS?)?\s*;?\s*""").r
+  private[graft] val OPTIMIZE_RE =
+    ("""(?is)\s*OPTIMIZE\s+""" + TABLE +
+      """(\s+ZORDER\s+BY\s+\(?\s*([\w`,\s]+?)\s*\)?)?\s*;?\s*""").r
+
+  private def strip(s: String): String =
+    s.stripPrefix("`").stripSuffix("`")
+      .stripPrefix("'").stripSuffix("'")
+      .stripPrefix("\"").stripSuffix("\"")
+}
+
+private[graft] case class RunLakeVacuum(ident: String,
+    retainHours: Option[Double]) extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] =
+    Seq(AttributeReference("path_deleted", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftExtensions.resolveTablePath(spark, ident)
+    val retention = retainHours
+      .map(h => (h * 3600 * 1000).toLong)
+      .getOrElse(7L * 24 * 3600 * 1000)
+    graft.lake.LakeTable.forPath(spark, path).vacuum(retention).map(Row(_))
+  }
+}
+
+private[graft] case class RunLakeOptimize(ident: String,
+    zorderCols: Option[Seq[String]]) extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] =
+    Seq(AttributeReference("num_files", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftExtensions.resolveTablePath(spark, ident)
+    val t = graft.lake.LakeTable.forPath(spark, path)
+    zorderCols match {
+      case Some(cols) => t.zOrderBy(cols: _*)
+      case None => t.compact()
+    }
+    Seq(Row(t.snapshot.numFiles))
+  }
+}

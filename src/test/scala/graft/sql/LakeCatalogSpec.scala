@@ -202,4 +202,30 @@ class LakeCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE lake.bronze.dropme")
     assert(!LakeTable.isLakeTable(s"$warehouse/bronze/dropme"))
   }
+
+  test("SQL VACUUM (the reference's literal statement) and OPTIMIZE") {
+    warehouse
+    spark.sql("CREATE TABLE lake.bronze.vac AS SELECT id, id * 2 AS v FROM range(100)")
+    val t = LakeTable.forPath(spark, s"$warehouse/bronze/vac")
+    t.overwrite(spark.range(10).selectExpr("id", "id * 3 AS v"))
+    // overwritten files are unreferenced → VACUUM RETAIN 0 removes them
+    val removed = spark.sql("VACUUM lake.bronze.vac RETAIN 0 HOURS")
+      .as[String].collect()
+    assert(removed.nonEmpty)
+    assert(spark.sql("SELECT count(*) FROM lake.bronze.vac").as[Long].head() === 10)
+
+    spark.sql("CREATE TABLE lake.bronze.opt AS SELECT id, id * 2 AS v FROM range(1000)")
+    val opt = LakeTable.forPath(spark, s"$warehouse/bronze/opt")
+    opt.append(spark.range(1000, 1200).selectExpr("id", "id * 2 AS v"))
+    val before = opt.snapshot.files.size
+    val after = spark.sql("OPTIMIZE lake.bronze.opt").as[Long].head()
+    assert(after <= before)
+    assert(spark.sql("SELECT count(*) FROM lake.bronze.opt").as[Long].head() === 1200)
+    // OPTIMIZE ... ZORDER BY clusters and stays readable
+    spark.sql("OPTIMIZE lake.bronze.opt ZORDER BY (id, v)")
+    assert(opt.history.select("operation").as[String].collect()
+      .contains("ZORDER BY"))
+    // the parser passthrough keeps ordinary SQL intact
+    assert(spark.sql("SELECT 1 + 1").as[Int].head() === 2)
+  }
 }
