@@ -30,6 +30,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case OPTIMIZE_RE(ident, _, zcols) =>
       RunLakeOptimize(strip(ident),
         Option(zcols).map(_.split(',').map(c => strip(c.trim)).toSeq))
+    case DESCRIBE_HISTORY_RE(ident) => RunLakeHistory(strip(ident))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -60,6 +61,8 @@ object GraftSqlParser {
   private[graft] val OPTIMIZE_RE =
     ("""(?is)\s*OPTIMIZE\s+""" + TABLE +
       """(\s+ZORDER\s+BY\s+\(?\s*([\w`,\s]+?)\s*\)?)?\s*;?\s*""").r
+  private[graft] val DESCRIBE_HISTORY_RE =
+    ("""(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+""" + TABLE + """\s*;?\s*""").r
 
   private def strip(s: String): String =
     s.stripPrefix("`").stripSuffix("`")
@@ -77,6 +80,24 @@ private[graft] case class RunLakeVacuum(ident: String,
       .map(h => (h * 3600 * 1000).toLong)
       .getOrElse(7L * 24 * 3600 * 1000)
     graft.lake.LakeTable.forPath(spark, path).vacuum(retention).map(Row(_))
+  }
+}
+
+/** `DESCRIBE HISTORY t` — the reference's literal statement
+  * (`02.delta_lake_primer.py:405`). */
+private[graft] case class RunLakeHistory(ident: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("timestamp", org.apache.spark.sql.types.TimestampType)(),
+    AttributeReference("operation", StringType)(),
+    AttributeReference("parameters", StringType)(),
+    AttributeReference("numAddedFiles", LongType)(),
+    AttributeReference("numRemovedFiles", LongType)(),
+    AttributeReference("numOutputRows", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftExtensions.resolveTablePath(spark, ident)
+    graft.lake.LakeTable.forPath(spark, path).history.collect().toSeq
   }
 }
 

@@ -228,4 +228,16 @@ class LakeCatalogSpec extends AnyFunSuite {
     // the parser passthrough keeps ordinary SQL intact
     assert(spark.sql("SELECT 1 + 1").as[Int].head() === 2)
   }
+
+  test("DESCRIBE HISTORY via SQL") {
+    warehouse
+    spark.sql("CREATE TABLE lake.bronze.hist AS SELECT 1 AS id")
+    spark.sql("INSERT INTO lake.bronze.hist VALUES (2)")
+    val ops = spark.sql("DESCRIBE HISTORY lake.bronze.hist")
+      .select("operation").as[String].collect().toSeq
+    assert(ops.contains("APPEND") &&
+      (ops.contains("CREATE TABLE") || ops.contains("CREATE")))
+    // DESCRIBE TABLE still goes to the stock parser
+    assert(spark.sql("DESCRIBE TABLE lake.bronze.hist").count() >= 1)
+  }
 }
