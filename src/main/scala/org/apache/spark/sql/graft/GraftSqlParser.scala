@@ -31,6 +31,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       RunLakeOptimize(strip(ident),
         Option(zcols).map(_.split(',').map(c => strip(c.trim)).toSeq))
     case DESCRIBE_HISTORY_RE(ident) => RunLakeHistory(strip(ident))
+    case RESTORE_RE(ident, version) => RunLakeRestore(strip(ident), version.toLong)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -63,6 +64,9 @@ object GraftSqlParser {
       """(\s+ZORDER\s+BY\s+\(?\s*([\w`,\s]+?)\s*\)?)?\s*;?\s*""").r
   private[graft] val DESCRIBE_HISTORY_RE =
     ("""(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+""" + TABLE + """\s*;?\s*""").r
+  private[graft] val RESTORE_RE =
+    ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?""" + TABLE +
+      """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
 
   private def strip(s: String): String =
     s.stripPrefix("`").stripSuffix("`")
@@ -98,6 +102,20 @@ private[graft] case class RunLakeHistory(ident: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftExtensions.resolveTablePath(spark, ident)
     graft.lake.LakeTable.forPath(spark, path).history.collect().toSeq
+  }
+}
+
+/** `RESTORE TABLE t TO VERSION AS OF v` — one commit that swings the
+  * file set back; both states stay time-travelable. */
+private[graft] case class RunLakeRestore(ident: String, toVersion: Long)
+  extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] =
+    Seq(AttributeReference("restored_version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftExtensions.resolveTablePath(spark, ident)
+    val t = graft.lake.LakeTable.forPath(spark, path)
+    t.restore(toVersion)
+    Seq(Row(toVersion))
   }
 }
 

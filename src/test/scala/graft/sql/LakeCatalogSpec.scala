@@ -240,4 +240,17 @@ class LakeCatalogSpec extends AnyFunSuite {
     // DESCRIBE TABLE still goes to the stock parser
     assert(spark.sql("DESCRIBE TABLE lake.bronze.hist").count() >= 1)
   }
+
+  test("RESTORE TABLE TO VERSION AS OF via SQL") {
+    warehouse
+    spark.sql("CREATE TABLE lake.bronze.rest AS SELECT 1 AS id")
+    spark.sql("INSERT INTO lake.bronze.rest VALUES (2), (3)")
+    assert(spark.sql("SELECT count(*) FROM lake.bronze.rest").as[Long].head() === 3)
+    // CTAS = CREATE (v0, empty) + the data append (v1)
+    spark.sql("RESTORE TABLE lake.bronze.rest TO VERSION AS OF 1")
+    assert(spark.sql("SELECT count(*) FROM lake.bronze.rest").as[Long].head() === 1)
+    // the restore itself is a commit; the pre-restore state is reachable
+    assert(spark.sql(
+      "SELECT count(*) FROM lake.bronze.rest VERSION AS OF 2").as[Long].head() === 3)
+  }
 }
