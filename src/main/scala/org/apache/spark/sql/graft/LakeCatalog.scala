@@ -32,6 +32,10 @@ import graft.lake.LakeTable
   *     "org.apache.spark.sql.graft.LakeCatalog")
   *   spark.conf.set("spark.sql.catalog.lake.warehouse", "/data")
   */
+object LakeCatalog {
+  private val AT_VERSION = """(.+)@v(\d+)""".r
+}
+
 class LakeCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
 
   private var catalogName: String = _
@@ -80,8 +84,16 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with FunctionCata
       writable = asOf.isEmpty && asOfTs.isEmpty)
   }
 
+  /** Plain load, plus Delta's `@v<N>` name suffix (the reference's
+    * `loan_by_state_delta@v0`, `02.delta_lake_primer.py:420`):
+    * `` SELECT * FROM lake.db.`t@v0` `` time-travels to version 0.
+    */
   override def loadTable(ident: Identifier): Table =
-    load(ident, None, None)
+    ident.name() match {
+      case LakeCatalog.AT_VERSION(base, v) =>
+        load(Identifier.of(ident.namespace(), base), Some(v.toLong), None)
+      case _ => load(ident, None, None)
+    }
 
   /** `VERSION AS OF v` */
   override def loadTable(ident: Identifier, version: String): Table =

@@ -45,6 +45,10 @@ class LakeCatalogSpec extends AnyFunSuite {
     val v0 = spark.sql(
       "SELECT count(*) FROM lake.bronze.orders VERSION AS OF 0").as[Long].head()
     assert(v0 === 3)
+    // Delta's @v suffix (the reference's loan_by_state_delta@v0)
+    val atV0 = spark.sql(
+      "SELECT count(*) FROM lake.bronze.`orders@v0`").as[Long].head()
+    assert(atV0 === 3)
   }
 
   test("SHOW TABLES lists lake tables") {
