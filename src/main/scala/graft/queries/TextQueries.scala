@@ -85,6 +85,54 @@ object TextQueries extends QueryGroup {
         SELECT lang, count(*) AS n_docs,
                round(avg(${qualityScoreSql("text")}), 4) AS avg_quality,
                round(avg(CAST(${tokenCountSql("text")} AS DOUBLE)), 4) AS avg_tokens
-        FROM documents GROUP BY lang ORDER BY lang"""))
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // ===== the training-data curation pipeline END TO END: score →
+    // filter (quality + language agreement) → exact-dedup (min doc_id
+    // per fingerprint) → per-language yield. The composition — not just
+    // each stage — sits under the rows+schema+hash gate.
+    QueryDef(
+      "t6_curation_pipeline",
+      (s, d) => {
+        val scored = Tables.documents(s, d).select(
+          col("doc_id"), col("lang"),
+          qualityScore(col("text")).as("quality"),
+          langId(col("text")).as("lang_pred"),
+          tokenCount(col("text")).as("n_tokens"),
+          fingerprint(col("text")).as("fp"))
+        val filtered = scored.where(col("quality") >= 0.5)
+        val dedup = filtered.groupBy(col("fp")).agg(
+          min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("n_copies"))
+        dedup.join(filtered, Seq("fp", "doc_id"))
+          .groupBy(col("lang_pred"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_copies")).as("n_raw"),
+            sum(col("n_tokens").cast("long")).as("total_tokens"),
+            sum(when(col("lang_pred") === col("lang"), 1L).otherwise(0L))
+              .as("n_label_agree"))
+          .orderBy(col("lang_pred"))
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT doc_id, lang,
+                 ${qualityScoreSql("text")} AS quality,
+                 ${langIdSql("text")} AS lang_pred,
+                 ${tokenCountSql("text")} AS n_tokens,
+                 ${fingerprintSql("text")} AS fp
+          FROM documents),
+        filtered AS (
+          SELECT * FROM scored WHERE quality >= 0.5),
+        dedup AS (
+          SELECT fp, min(doc_id) AS doc_id, count(*) AS n_copies
+          FROM filtered GROUP BY fp)
+        SELECT f.lang_pred, count(*) AS n_docs,
+               CAST(sum(d.n_copies) AS BIGINT) AS n_raw,
+               CAST(sum(f.n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(CASE WHEN f.lang_pred = f.lang THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_label_agree
+        FROM dedup d JOIN filtered f ON d.fp = f.fp AND d.doc_id = f.doc_id
+        GROUP BY f.lang_pred ORDER BY f.lang_pred"""))
   )
 }
