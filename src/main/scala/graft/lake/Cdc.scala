@@ -32,6 +32,20 @@ object Cdc {
   val UPDATE_PRE = "update_preimage"
   val UPDATE_POST = "update_postimage"
 
+  import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+
+  /** Change-FILE schema: table columns + `_change_type`. */
+  def fileSchema(table: StructType): StructType =
+    StructType(table.fields :+ StructField(CHANGE_TYPE, StringType))
+
+  /** Change-READ schema: table columns + the three CDF columns — the one
+    * shape `tableChanges`, the TVF, and the batch/stream readers share. */
+  def readSchema(table: StructType): StructType =
+    StructType(table.fields ++ Seq(
+      StructField(CHANGE_TYPE, StringType),
+      StructField("_commit_version", LongType),
+      StructField("_commit_timestamp", TimestampType)))
+
   /** Stage `df` (data columns + `_change_type`) as change files under
     * `_change_data/`. Executors write; the driver only moves (same-FS
     * renames) and lists sizes.

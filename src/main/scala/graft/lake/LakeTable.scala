@@ -183,13 +183,28 @@ final class LakeTable private (
     val endV = endingVersion.getOrElse(latest)
     require(startingVersion >= 0 && startingVersion <= endV && endV <= latest,
       s"invalid change range [$startingVersion, $endV] (latest committed = $latest)")
-    val frames = (startingVersion to endV).flatMap(changesAt)
+    // ONE snapshot resolution at the range start, then a single forward
+    // replay of the commit tail — O(range) commit reads, never O(range²)
+    var meta: MetaData = null
+    val files = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+    if (startingVersion > 0) {
+      val base = log.snapshot(Some(startingVersion - 1))
+      meta = base.metaData
+      base.files.foreach(f => files(f.path) = f)
+    }
+    val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (v <- startingVersion to endV) {
+      val actions = log.readCommit(v)
+      actions.flatMap(_.metaData).foreach(m => meta = m)
+      changesAt(v, actions, meta, files).foreach(frames += _)
+      actions.foreach { a =>
+        a.add.foreach(f => files(f.path) = f)
+        a.remove.foreach(r => files.remove(r.path))
+      }
+    }
     if (frames.isEmpty) {
-      val schema = StructType(log.snapshot(Some(endV)).schema.fields ++ Seq(
-        StructField(Cdc.CHANGE_TYPE, StringType),
-        StructField("_commit_version", LongType),
-        StructField("_commit_timestamp", TimestampType)))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        Cdc.readSchema(Snapshot(endV, meta, Seq.empty, Map.empty, Seq.empty).schema))
     } else frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -198,47 +213,51 @@ final class LakeTable private (
   def tableChangesFrom(tsMillis: Long): DataFrame =
     tableChanges(log.versionAtTimestamp(tsMillis))
 
-  /** The change rows of one commit, or None if it changed nothing. */
-  private def changesAt(v: Long): Option[DataFrame] = {
-    val actions = log.readCommit(v)
+  /** The change rows of one commit, or None if it changed nothing.
+    * `meta` is the table metadata AT `v` (post-commit); `prevFiles` the
+    * file state BEFORE it (for derived deletes — entries carry the DVs
+    * that still mask already-deleted rows).
+    */
+  private def changesAt(v: Long, actions: Seq[Action], meta: MetaData,
+      prevFiles: collection.Map[String, AddFile]): Option[DataFrame] = {
     val ci = actions.flatMap(_.commitInfo).headOption
     val op = ci.map(_.operation).getOrElse("")
     val ts = ci.map(_.timestamp).getOrElse(0L)
+    def snapAt(fs: Seq[AddFile]): Snapshot =
+      Snapshot(v, meta, fs, Map.empty, Seq.empty)
     def finish(df: DataFrame): DataFrame =
       df.withColumn("_commit_version", lit(v))
         .withColumn("_commit_timestamp", lit(new java.sql.Timestamp(ts)))
     val cdcFiles = actions.flatMap(_.cdc)
     if (cdcFiles.nonEmpty) {
-      val snap = log.snapshot(Some(v))
       LakeTable.enableFieldIdReads(spark)
-      val schema = StructType(
-        snap.schema.fields :+ StructField(Cdc.CHANGE_TYPE, StringType))
-      Some(finish(spark.read.schema(schema)
+      Some(finish(spark.read.schema(Cdc.fileSchema(snapAt(Seq.empty).schema))
         .parquet(cdcFiles.map(c => s"$path/${c.path}"): _*)))
     } else if (LakeTable.REORG_OPS.contains(op)) None
     else {
       val adds = actions.flatMap(_.add)
       val removes = actions.flatMap(_.remove)
       if (adds.isEmpty && removes.isEmpty) return None
-      if (LakeTable.DML_OPS.contains(op))
+      if (LakeTable.DML_OPS.contains(op)) {
+        // a CDF-enabled DML commit with no cdc actions changed nothing
+        // (zero rows matched every clause; the rewrite was a no-op) —
+        // only DML from BEFORE enablement is actually unrecoverable
+        if (meta.properties.get(Cdc.PROP).exists(_.equalsIgnoreCase("true")))
+          return None
         throw new IllegalStateException(
           s"change data was not recorded for version $v of $path " +
             s"($op committed before ${Cdc.PROP}=true)")
-      val snap = log.snapshot(Some(v))
+      }
       val inserted =
         if (adds.isEmpty) None
-        else Some(readFiles(snap, adds)
+        else Some(readFiles(snapAt(adds), adds)
           .withColumn(Cdc.CHANGE_TYPE, lit(Cdc.INSERT)))
-      val deletedRows =
-        if (removes.isEmpty || v == 0) None
-        else {
-          val prevSnap = log.snapshot(Some(v - 1))
-          val removedPaths = removes.map(_.path).toSet
-          val removedFiles = prevSnap.files.filter(f => removedPaths.contains(f.path))
-          if (removedFiles.isEmpty) None
-          else Some(readFiles(prevSnap, removedFiles)
-            .withColumn(Cdc.CHANGE_TYPE, lit(Cdc.DELETE)))
-        }
+      val deletedRows = {
+        val removedFiles = removes.flatMap(r => prevFiles.get(r.path))
+        if (removedFiles.isEmpty) None
+        else Some(readFiles(snapAt(removedFiles), removedFiles)
+          .withColumn(Cdc.CHANGE_TYPE, lit(Cdc.DELETE)))
+      }
       ((inserted, deletedRows) match {
         case (Some(a), Some(b)) => Some(a.unionByName(b, allowMissingColumns = true))
         case (a, b) => a.orElse(b)
@@ -1005,6 +1024,15 @@ final class LakeTable private (
     require(cols.nonEmpty, "clustering needs at least one column")
     val snap = snapshot
     if (snap.files.isEmpty) return
+    // hash bucketing routes each file to a hash-spread of keys, so a
+    // curve sort cannot tighten file min/max ranges afterwards — the
+    // rewrite would silently buy nothing (and stageFiles would re-route
+    // by bucket anyway). The two layouts are alternatives: pick SPJ
+    // (bucketing) or skipping (clustering), or rebucket first.
+    require(Bucketing.specOf(snap.metaData).isEmpty,
+      "cannot curve-cluster a hash-bucketed table: bucket routing and " +
+        "curve layout conflict (drop bucketing via a plain overwrite, " +
+        "or keep bucketing and use compact)")
     val bad = cols.filterNot(snap.schema.fieldNames.contains)
     require(bad.isEmpty, s"no such column(s): ${bad.mkString(",")}")
     val data = readFiles(snap, snap.files)
@@ -1316,13 +1344,19 @@ object LakeTable {
     val existed = isLakeTable(path)
     if (existed && mode == "error")
       throw new IllegalStateException(s"lake table already exists: $path")
+    require(bucketBy.isEmpty == (numBuckets <= 0),
+      "bucketBy and numBuckets must be set together")
     if (existed) {
       val t = forPath(spark, path)
+      if (bucketBy.nonEmpty) {
+        val cur = Bucketing.specOf(t.snapshot.metaData)
+        require(cur.contains(Bucketing.Spec(bucketBy, numBuckets)),
+          s"existing table at $path has bucketing $cur, not " +
+            s"(${bucketBy.mkString(",")} x $numBuckets) — use rebucket to change it")
+      }
       t.overwrite(df)
       return t
     }
-    require(bucketBy.isEmpty == (numBuckets <= 0),
-      "bucketBy and numBuckets must be set together")
     val schema = assignFieldIds(df.schema)
     val bad = (partitionBy ++ bucketBy).filterNot(schema.fieldNames.contains)
     require(bad.isEmpty, s"partition/bucket column(s) not in schema: ${bad.mkString(",")}")

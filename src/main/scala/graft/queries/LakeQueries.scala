@@ -130,16 +130,24 @@ object LakeQueries extends QueryGroup {
     // joined through the catalog (storage-partitioned join — zero join
     // shuffles, asserted in BucketingSpec; values gated here)
     QueryDef("lake3_bucketed_join", (s, d) => {
-      val wh = tmp("lake-spj-")
+      // Spark caches catalog instances by name with their init-time conf,
+      // so REUSE the session's warehouse once set (repeat invocations in
+      // one session would otherwise read a stale first warehouse)
+      val wh = s.conf.getOption("spark.sql.catalog.lakeq.warehouse")
+        .getOrElse {
+          val w = tmp("lake-spj-")
+          s.conf.set("spark.sql.catalog.lakeq",
+            "org.apache.spark.sql.graft.LakeCatalog")
+          s.conf.set("spark.sql.catalog.lakeq.warehouse", w)
+          w
+        }
       Files.createDirectories(java.nio.file.Paths.get(s"$wh/db"))
-      s.conf.set("spark.sql.catalog.lakeq", "org.apache.spark.sql.graft.LakeCatalog")
-      s.conf.set("spark.sql.catalog.lakeq.warehouse", wh)
       LakeTable.create(s, s"$wh/db/orders",
         Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
-        bucketBy = Seq("o_custkey"), numBuckets = 8)
+        bucketBy = Seq("o_custkey"), numBuckets = 8, mode = "overwrite")
       LakeTable.create(s, s"$wh/db/customer",
         Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
-        bucketBy = Seq("c_custkey"), numBuckets = 8)
+        bucketBy = Seq("c_custkey"), numBuckets = 8, mode = "overwrite")
       s.sql("""
         SELECT c.c_mktsegment, count(*) AS n_orders,
                round(sum(o.o_totalprice), 2) AS revenue

@@ -97,11 +97,17 @@ object GraftExtensions {
     } else throw new IllegalArgumentException(s"not a lake table: $s")
   }
 
-  /** Runtime registration on an existing session. */
+  /** Runtime registration on an existing session — keep in lockstep with
+    * the extensions `apply` (scalar functions AND the table_changes TVF;
+    * the parser/resolution rules need session construction and only come
+    * via `spark.sql.extensions`). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     Seq(simhashDesc, dotDesc, avroDesc).foreach { case (ident, inf, builder) =>
       registry.registerFunction(ident, inf, builder)
     }
+    val (tvfIdent, tvfInfo, tvfBuilder) = tableChangesDesc
+    spark.sessionState.tableFunctionRegistry
+      .registerFunction(tvfIdent, tvfInfo, tvfBuilder)
   }
 }

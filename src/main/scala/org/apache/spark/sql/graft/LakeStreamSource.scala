@@ -65,15 +65,9 @@ class LakeSourceProvider extends TableProvider {
 }
 
 private[graft] object LakeStreamSource {
-  /** The change-feed read schema: table columns + the three CDF columns. */
+  /** The change-feed read schema ([[graft.lake.Cdc.readSchema]]). */
   def cdfSchema(table: StructType): StructType =
-    StructType(table.fields ++ Seq(
-      org.apache.spark.sql.types.StructField(graft.lake.Cdc.CHANGE_TYPE,
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("_commit_version",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("_commit_timestamp",
-        org.apache.spark.sql.types.TimestampType)))
+    graft.lake.Cdc.readSchema(table)
 }
 
 private[graft] class LakeStreamTable(
@@ -95,7 +89,7 @@ private[graft] class LakeStreamTable(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     val lake = LakeTable.forPath(SparkSession.active, path)
-    new LakeWriteBuilder(lake, info)
+    new LakeWriteBuilder(lake, info, viaCatalog = false)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -219,9 +213,7 @@ private[graft] class LakeCdfMicroBatchStream(
 private[graft] object LakeCdf {
 
   def cdcFileSchema(tableSchema: StructType): StructType =
-    StructType(tableSchema.fields :+
-      org.apache.spark.sql.types.StructField(graft.lake.Cdc.CHANGE_TYPE,
-        org.apache.spark.sql.types.StringType))
+    graft.lake.Cdc.fileSchema(tableSchema)
 
   private def batchFor(path: String, files: Seq[String], schema: StructType)
       : org.apache.spark.sql.connector.read.Batch = {
@@ -255,8 +247,17 @@ private[graft] object LakeCdf {
       b.planInputPartitions().foreach(p =>
         out += CdfInputPartition(p, Some(changeType), v, ts))
     }
+    // one snapshot at the range start, then forward replay (O(range))
+    var props: Map[String, String] = Map.empty
+    val files = scala.collection.mutable.LinkedHashMap[String, graft.lake.AddFile]()
+    if (from > 0) {
+      val base = log.snapshot(Some(from - 1))
+      props = base.metaData.properties
+      base.files.foreach(f => files(f.path) = f)
+    }
     for (v <- from to to) {
       val actions = log.readCommit(v)
+      actions.flatMap(_.metaData).foreach(m => props = m.properties)
       val ci = actions.flatMap(_.commitInfo).headOption
       val op = ci.map(_.operation).getOrElse("")
       val tsMicros = ci.map(_.timestamp).getOrElse(0L) * 1000L
@@ -268,26 +269,34 @@ private[graft] object LakeCdf {
           out += CdfInputPartition(p, None, v, tsMicros))
       } else if (!graft.lake.LakeTable.REORG_OPS.contains(op)) {
         val removes = actions.flatMap(_.remove)
-        if (removes.nonEmpty) {
-          if (graft.lake.LakeTable.DML_OPS.contains(op))
+        if (removes.nonEmpty && graft.lake.LakeTable.DML_OPS.contains(op)) {
+          // a CDF-enabled DML commit with no cdc actions changed nothing
+          // (its adds are rewrite artifacts — emit NOTHING); only DML
+          // from before enablement is unrecoverable
+          if (!props.get(graft.lake.Cdc.PROP).exists(_.equalsIgnoreCase("true")))
             throw new IllegalStateException(
               s"version $v of $path ($op) removes data without recorded " +
                 "change files; the change feed cannot stream past it " +
                 s"(enable ${graft.lake.Cdc.PROP} before DML, or start after this version)")
-          // overwrite/restore: removed rows via the previous snapshot
-          val prev = log.snapshot(Some(v - 1))
-          val removedPaths = removes.map(_.path).toSet
-          val removedFiles = prev.files.filter(f => removedPaths.contains(f.path))
-          if (removedFiles.exists(f => f.dvPath.isDefined || f.dvInline.isDefined))
-            throw new IllegalStateException(
-              s"version $v of $path ($op) removes deletion-vector-masked " +
-                "files; stream the change feed from after it or use the " +
-                "batch tableChanges read")
-          dataParts(removedFiles.map(f => s"$path/${f.path}"),
-            graft.lake.Cdc.DELETE, v, tsMicros)
+        } else {
+          if (removes.nonEmpty) {
+            // overwrite/restore: removed rows via the pre-commit file state
+            val removedFiles = removes.flatMap(r => files.get(r.path))
+            if (removedFiles.exists(f => f.dvPath.isDefined || f.dvInline.isDefined))
+              throw new IllegalStateException(
+                s"version $v of $path ($op) removes deletion-vector-masked " +
+                  "files; stream the change feed from after it or use the " +
+                  "batch tableChanges read")
+            dataParts(removedFiles.map(f => s"$path/${f.path}"),
+              graft.lake.Cdc.DELETE, v, tsMicros)
+          }
+          dataParts(actions.flatMap(_.add).map(f => s"$path/${f.path}"),
+            graft.lake.Cdc.INSERT, v, tsMicros)
         }
-        dataParts(actions.flatMap(_.add).map(f => s"$path/${f.path}"),
-          graft.lake.Cdc.INSERT, v, tsMicros)
+      }
+      actions.foreach { a =>
+        a.add.foreach(f => files(f.path) = f)
+        a.remove.foreach(r => files.remove(r.path))
       }
     }
     (out.toArray, new CdfReaderFactory(cdcFactory, dataFactory))

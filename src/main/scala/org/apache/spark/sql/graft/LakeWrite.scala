@@ -44,7 +44,8 @@ private[graft] case object LakeAppend extends LakeWriteMode
 private[graft] final case class LakeOverwrite(filters: Seq[Filter]) extends LakeWriteMode
 private[graft] case object LakeDynamicOverwrite extends LakeWriteMode
 
-private[graft] class LakeWriteBuilder(lake: LakeTable, info: LogicalWriteInfo)
+private[graft] class LakeWriteBuilder(lake: LakeTable, info: LogicalWriteInfo,
+    viaCatalog: Boolean = true)
   extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
 
   private var mode: LakeWriteMode = LakeAppend
@@ -69,28 +70,35 @@ private[graft] class LakeWriteBuilder(lake: LakeTable, info: LogicalWriteInfo)
     this
   }
 
-  override def build(): Write = new LakeWrite(lake, info.schema(), info.queryId(), mode)
+  override def build(): Write =
+    new LakeWrite(lake, info.schema(), info.queryId(), mode, viaCatalog)
 }
 
 private[graft] class LakeWrite(
     lake: LakeTable,
     writeSchema: StructType,
     queryId: String,
-    mode: LakeWriteMode) extends Write with RequiresDistributionAndOrdering {
+    mode: LakeWriteMode,
+    viaCatalog: Boolean = true) extends Write with RequiresDistributionAndOrdering {
 
   private val partitionCols = lake.snapshot.metaData.partitionColumns
   private val bucketSpec = Bucketing.specOf(lake.snapshot.metaData)
 
-  /** Cluster incoming rows by partition AND bucket (resolved through the
-    * catalog's V2 bucket function), so a wide insert opens ~1 writer per
-    * task instead of one per (partition × bucket). */
+  /** Cluster incoming rows by partition AND bucket, so a wide insert
+    * opens ~1 writer per task instead of one per (partition × bucket).
+    * The bucket transform resolves through the catalog's V2 function —
+    * PATH-BASED writes (the streaming sink) have no FunctionCatalog and
+    * would fail analysis on it, so they cluster by partitions only
+    * (correct either way: the writer routes per row).
+    */
   override def requiredDistribution(): Distribution = {
     val clustering =
       partitionCols.map(c => Expressions.column(c):
         org.apache.spark.sql.connector.expressions.Expression) ++
-        bucketSpec.map(s =>
+        (if (viaCatalog) bucketSpec.map(s =>
           Expressions.bucket(s.numBuckets, s.columns: _*):
             org.apache.spark.sql.connector.expressions.Expression)
+        else None)
     if (clustering.isEmpty) Distributions.unspecified()
     else Distributions.clustered(clustering.toArray)
   }

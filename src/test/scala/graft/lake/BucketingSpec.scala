@@ -154,6 +154,48 @@ class BucketingSpec extends AnyFunSuite {
     assert(t.snapshot.files.map(_.bucket.get).distinct.sorted === (0 until 16))
   }
 
+  test("streaming sink writes into a bucketed table (path-based, no catalog)") {
+    val src = Files.createTempDirectory("bucket-stream-src-").toString
+    val dst = s"$warehouse/db/stream_b"
+    val srcT = LakeTable.create(spark, src,
+      (1L to 20L).map(i => (i, i * 1.0)).toDF("id", "v"))
+    LakeTable.create(spark, dst,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        srcT.snapshot.schema),
+      bucketBy = Seq("id"), numBuckets = 4)
+    val q = spark.readStream
+      .format("org.apache.spark.sql.graft.LakeSourceProvider")
+      .option("path", src).load()
+      .writeStream
+      .format("org.apache.spark.sql.graft.LakeSourceProvider")
+      .option("path", dst)
+      .option("checkpointLocation",
+        Files.createTempDirectory("bucket-stream-ckpt-").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val t = LakeTable.forPath(spark, dst)
+    assert(t.toDF.count() === 20)
+    assert(t.snapshot.files.forall(_.bucket.isDefined)) // still bucketed
+  }
+
+  test("curve clustering on a bucketed table is rejected, not silent") {
+    val path = s"$warehouse/db/curve_guard"
+    val t = LakeTable.create(spark, path, ordersDF,
+      bucketBy = Seq("order_id"), numBuckets = 2)
+    val e = intercept[IllegalArgumentException] { t.zOrderBy("amount") }
+    assert(e.getMessage.contains("curve-cluster"))
+    intercept[IllegalArgumentException] { t.hilbertBy("amount") }
+  }
+
+  test("create mode=overwrite cannot silently change bucketing") {
+    val path = s"$warehouse/db/ow_guard"
+    LakeTable.create(spark, path, ordersDF)
+    intercept[IllegalArgumentException] {
+      LakeTable.create(spark, path, ordersDF, mode = "overwrite",
+        bucketBy = Seq("order_id"), numBuckets = 4)
+    }
+  }
+
   test("bucket columns cannot be renamed or dropped") {
     val path = s"$warehouse/db/guard"
     val t = LakeTable.create(spark, path, ordersDF,

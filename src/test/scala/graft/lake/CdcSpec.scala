@@ -183,6 +183,26 @@ class CdcSpec extends AnyFunSuite {
     assert(bounded.count() === 2)
   }
 
+  test("zero-change DML under CDF does not poison the feed") {
+    val path = tmpDir()
+    val t = cdfTable(path)
+    // merge whose only matched clause matches no row: rewrites commit,
+    // but the change set is empty → no cdc action, and the feed must
+    // treat the version as changeless rather than throw
+    t.mergeClauses(
+      Seq((1L, "AZ", 10.0)).toDF("id", "state", "amount"),
+      col("t.id") === col("s.id"),
+      matchedClauses = Seq(MergeClause.Update(
+        Some(col("t.amount") > 1e9), Map("amount" -> col("s.amount")))),
+      notMatchedClauses = Seq.empty,
+      notMatchedBySourceClauses = Seq.empty,
+      useDvs = false) // force the rewrite path (adds+removes, no matches)
+    val ch = t.tableChanges(0)
+    assert(ch.where(col("_commit_version") === t.version).count() === 0)
+    assert(ch.count() === 5) // just the create's derived inserts
+    assert(t.toDF.count() === 5)
+  }
+
   test("timestamp-bounded feed and empty-range schema") {
     val path = tmpDir()
     val t = cdfTable(path)
