@@ -1173,7 +1173,14 @@ final class LakeTable private (
     * window stops working after a vacuum — same documented tradeoff as
     * the reference. Returns deleted relative paths.
     */
-  def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+  /** @param cdcRetentionMs retention for `_change_data` files; < 0
+    *   (default) ties them to `retentionMs`. Decoupling lets a pipeline
+    *   keep a long change-feed window while reclaiming data files
+    *   aggressively (or vice versa).
+    */
+  def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000,
+      cdcRetentionMs: Long = -1L): Seq[String] = {
+    val cdcRetention = if (cdcRetentionMs >= 0) cdcRetentionMs else retentionMs
     val snap = snapshot
     val now = System.currentTimeMillis()
     val live = snap.files.map(_.path).toSet
@@ -1210,8 +1217,11 @@ final class LakeTable private (
         } else if (name.endsWith(".parquet")) {
           val rel = root.relativize(p).toString
           if (!live.contains(rel)) {
+            val retention =
+              if (rel.startsWith(Cdc.CDC_DIR + "/")) cdcRetention
+              else retentionMs
             val cutoffRef = removedAt.getOrElse(rel, Files.getLastModifiedTime(p).toMillis)
-            if (now - cutoffRef >= retentionMs) {
+            if (now - cutoffRef >= retention) {
               Files.deleteIfExists(p)
               deleted += rel
             }

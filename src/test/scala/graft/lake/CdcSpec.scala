@@ -203,6 +203,20 @@ class CdcSpec extends AnyFunSuite {
     assert(t.toDF.count() === 5)
   }
 
+  test("vacuum retains change data on its own clock") {
+    val path = tmpDir()
+    val t = cdfTable(path)
+    t.delete($"id" === 1) // writes a change file
+    assert(Files.isDirectory(Paths.get(path, Cdc.CDC_DIR)))
+    // data retention 0 but CDC retention long: change files survive
+    val removed = t.vacuum(retentionMs = 0L, cdcRetentionMs = 1L << 40)
+    assert(!removed.exists(_.startsWith(Cdc.CDC_DIR + "/")))
+    assert(typed(t, 2L, Cdc.DELETE).count() === 1) // feed still replays
+    // now age CDC out too: the feed read fails (file gone)
+    val removed2 = t.vacuum(retentionMs = 0L, cdcRetentionMs = 0L)
+    assert(removed2.exists(_.startsWith(Cdc.CDC_DIR + "/")))
+  }
+
   test("timestamp-bounded feed and empty-range schema") {
     val path = tmpDir()
     val t = cdfTable(path)
