@@ -17,13 +17,19 @@ class DmlPropertySpec extends AnyFunSuite {
   lazy val spark = TestSpark.session
   import spark.implicits._
 
-  for (seed <- 1L to 4L) {
-    test(s"random DML sequence == model (seed $seed)") {
+  for ((seed, bucketed) <- Seq((1L, false), (2L, false), (3L, false),
+      (4L, false), (5L, true), (6L, true))) {
+    test(s"random DML sequence == model (seed $seed" +
+        (if (bucketed) ", bucketed)" else ")")) {
       val rnd = new scala.util.Random(seed)
       val path = Files.createTempDirectory(s"dml-prop-$seed-").toString
       val init = (0L until 40L).map(i => (i, i.toDouble))
-      val t = LakeTable.create(spark, path,
-        init.toDF("id", "v").repartition(3))
+      val t =
+        if (bucketed) LakeTable.create(spark, path,
+          init.toDF("id", "v").repartition(3),
+          bucketBy = Seq("id"), numBuckets = 4)
+        else LakeTable.create(spark, path,
+          init.toDF("id", "v").repartition(3))
       t.setProperties(Map(Cdc.PROP -> "true"))
       val model = scala.collection.mutable.Map(init: _*)
       var nextId = 1000L
@@ -87,6 +93,19 @@ class DmlPropertySpec extends AnyFunSuite {
         }
       assert(folded.toMap === model.toMap,
         "change feed fold diverged from the table state")
+
+      // bucketed tables: every surviving file keeps exactly its bucket
+      if (bucketed) {
+        val snap = t.snapshot
+        assert(snap.files.forall(_.bucket.isDefined))
+        snap.files.take(5).foreach { f =>
+          val distinct = spark.read.parquet(s"$path/${f.path}")
+            .select(Bucketing.bucketId(Seq(col("id")), 4)).distinct()
+            .as[Int].collect().toSeq
+          assert(distinct === Seq(f.bucket.get),
+            s"bucket impurity in ${f.path}")
+        }
+      }
     }
   }
 }
