@@ -43,6 +43,9 @@ object Graft {
       // storage-partitioned joins: co-bucketed lake tables join shuffle-free
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      // partitioned+bucketed tables key on (partitions, bucket); joins on
+      // just the bucket columns still SPJ by grouping on the subset
+      .config("spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -982,21 +982,53 @@ final class LakeTable private (
 
   // ---- layout optimization (SURVEY §4 "small-file compaction") --------
 
-  /** OPTIMIZE-lite: rewrite the table's data into ~`targetFileBytes`
-    * files (per partition directory), committing remove+add in one
-    * transaction. Fixes the small-file problem the reference
-    * demonstrates with coalesce(1) (`02.delta_lake_primer.py:46-49`)
-    * without collapsing parallelism table-wide.
+  /** OPTIMIZE-lite: bin-pack undersized files per (partition directory,
+    * bucket) group, committing remove+add in one transaction. Fixes the
+    * small-file problem the reference demonstrates with coalesce(1)
+    * (`02.delta_lake_primer.py:46-49`) without collapsing parallelism
+    * table-wide.
+    *
+    * Selective, like Delta's OPTIMIZE: a group rewrites only when it has
+    * something to gain — at least two undersized files to merge, or a
+    * deletion vector to materialize away. Files already at target size
+    * are untouched metadata, so at 100 TB a daily compaction pass costs
+    * proportional to the day's small-file churn, not the table. On a
+    * bucketed table every rewritten row re-routes to its same hash
+    * bucket, so the layout (and storage-partitioned joins) survives
+    * compaction without rewriting the other buckets.
     */
   def compact(targetFileBytes: Long = 128L << 20): Unit = {
     require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
     val snap = snapshot
-    if (snap.files.size <= 1) return
-    val nFiles = math.max(1, (snap.sizeInBytes / targetFileBytes).toInt +
-      (if (snap.sizeInBytes % targetFileBytes > 0) 1 else 0))
-    val data = readFiles(snap, snap.files).repartition(nFiles)
-    rewrite(snap, snap.files, data, "COMPACT",
-      Map("targetFileBytes" -> targetFileBytes.toString))
+    val pcs = snap.metaData.partitionColumns
+    val bucketed = Bucketing.specOf(snap.metaData).isDefined
+    def hasDv(f: AddFile) = f.dvPath.isDefined || f.dvInline.isDefined
+    val groups = snap.files.groupBy(f => (f.partitionValues, f.bucket)).values
+      .map { fs =>
+        val candidates = fs.filter(f => f.size < targetFileBytes || hasDv(f))
+        if (candidates.size >= 2 || candidates.exists(hasDv)) candidates
+        else Seq.empty
+      }.filter(_.nonEmpty).toSeq
+    val touched = groups.flatten
+    if (touched.isEmpty) return
+    val data = readFiles(snap, touched)
+    // one merged file per group: partitioned tables cluster by partition
+    // columns (one task per dir); bucketed tables are re-routed by
+    // stageFiles' own bucket repartition; a flat table packs to
+    // ceil(bytes/target) round-robin
+    val replacement =
+      if (bucketed) data
+      else if (pcs.nonEmpty) data.repartition(groups.size, pcs.map(col): _*)
+      else {
+        val bytes = touched.map(_.size).sum
+        val n = math.max(1L, bytes / targetFileBytes +
+          (if (bytes % targetFileBytes > 0) 1 else 0)).toInt
+        data.repartition(n)
+      }
+    rewrite(snap, touched, replacement, "COMPACT",
+      Map("targetFileBytes" -> targetFileBytes.toString,
+        "candidateFiles" -> touched.size.toString,
+        "skippedFiles" -> (snap.files.size - touched.size).toString))
   }
 
   /** Multi-dimensional Z-ORDER clustering: bucket each column by its

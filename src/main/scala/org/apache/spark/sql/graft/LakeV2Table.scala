@@ -60,15 +60,19 @@ class LakeV2Table(
       // DV'd tables read through the substituted union plan, and a file
       // written before bucketing was enabled has no bucket id — both fall
       // back to the stock parquet scan (correct, just shuffles on join)
-      case Some(spec) if !hasDvs && snap.files.forall(_.bucket.isDefined) =>
-        val fileToBucket = snap.files.map { f =>
+      case Some(spec) if !hasDvs && snap.files.nonEmpty &&
+          snap.files.forall(_.bucket.isDefined) =>
+        val pcs = snap.metaData.partitionColumns
+        val fileKeys = snap.files.map { f =>
           java.nio.file.Paths.get(lake.path, f.path)
-            .toAbsolutePath.normalize.toString -> f.bucket.get
+            .toAbsolutePath.normalize.toString ->
+            (pcs.map(c => f.partitionValues.getOrElse(c, null)), f.bucket.get)
         }.toMap
+        val partSchema = StructType(pcs.map(c => snap.schema(c)))
         new LakeBucketedScanBuilder(
           inner.newScanBuilder(options)
             .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder],
-          spec, fileToBucket)
+          spec, partSchema, fileKeys)
       case _ => inner.newScanBuilder(options)
     }
 

@@ -70,6 +70,9 @@ class BucketingSpec extends AnyFunSuite {
     t.compact(targetFileBytes = 1L << 30)
     val snap = t.snapshot
     assert(snap.files.forall(_.bucket.isDefined))
+    // per-bucket bin-packing: each bucket's small files merged into one
+    assert(snap.files.groupBy(_.bucket.get).values.forall(_.size === 1),
+      s"per-bucket counts: ${snap.files.groupBy(_.bucket.get).view.mapValues(_.size).toMap}")
     snap.files.foreach { f =>
       val distinct = spark.read.parquet(s"$path/${f.path}")
         .select(Bucketing.bucketId(Seq(col("order_id")), 4)).distinct()
@@ -152,6 +155,43 @@ class BucketingSpec extends AnyFunSuite {
     // resize: double the bucket count in one commit
     t.rebucket(Seq("order_id"), 16)
     assert(t.snapshot.files.map(_.bucket.get).distinct.sorted === (0 until 16))
+  }
+
+  test("partitioned+bucketed join on (partition, bucket) keys is shuffle-free") {
+    warehouse
+    val ordersP = ordersDF.withColumn("region",
+      concat(lit("r"), (col("order_id") % 3).cast("string")))
+    val itemsP = itemsDF.withColumn("region",
+      concat(lit("r"), (col("order_id") % 3).cast("string")))
+    LakeTable.create(spark, s"$warehouse/db/orders_pb", ordersP,
+      partitionBy = Seq("region"), bucketBy = Seq("order_id"), numBuckets = 4)
+    LakeTable.create(spark, s"$warehouse/db/items_pb", itemsP,
+      partitionBy = Seq("region"), bucketBy = Seq("order_id"), numBuckets = 4)
+    val joined = spark.sql(
+      """SELECT o.order_id, o.region, i.sku
+        |FROM blake.db.orders_pb o JOIN blake.db.items_pb i
+        |ON o.region = i.region AND o.order_id = i.order_id""".stripMargin)
+    assert(joined.count() ===
+      ordersP.join(itemsP, Seq("region", "order_id")).count())
+    val shuffles = joined.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.isEmpty,
+      s"expected partition+bucket SPJ without shuffles, plan:\n" +
+        joined.queryExecution.executedPlan)
+    // joining on just the bucket column still SPJs: Spark groups the
+    // (partition, bucket) splits on the join-key subset
+    val bucketOnly = spark.sql(
+      """SELECT o.order_id, i.sku
+        |FROM blake.db.orders_pb o JOIN blake.db.items_pb i
+        |ON o.order_id = i.order_id""".stripMargin)
+    assert(bucketOnly.count() === ordersP.join(itemsP, Seq("order_id")).count())
+    val shuffles2 = bucketOnly.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles2.isEmpty,
+      s"expected subset-key SPJ without shuffles, plan:\n" +
+        bucketOnly.queryExecution.executedPlan)
   }
 
   test("streaming sink writes into a bucketed table (path-based, no catalog)") {

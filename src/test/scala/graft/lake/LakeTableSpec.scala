@@ -261,6 +261,46 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.history.head().getString(2) === "COMPACT")
   }
 
+  test("compact is selective: at-target files stay untouched metadata") {
+    val path = tmpDir()
+    // one big file (well over the 16 KB target) + four 1-row stragglers
+    val big = spark.range(0, 100000)
+      .select($"id", lit("CA").as("state"), ($"id" * 1.5).as("amount"))
+    val t = LakeTable.create(spark, path, big.coalesce(1))
+    val bigFile = t.snapshot.files match {
+      case Seq(only) => only
+      case fs => fail(s"expected 1 initial file, got ${fs.size}")
+    }
+    assert(bigFile.size > 16384)
+    for (i <- 0 until 4)
+      t.append(Seq((200000L + i, "XX", i.toDouble)).toDF("id", "state", "amount"))
+    t.compact(targetFileBytes = 16384)
+    val after = t.snapshot.files
+    // the big file survives by path (no rewrite); the stragglers merged to 1
+    assert(after.exists(_.path === bigFile.path),
+      s"big file was rewritten: ${after.map(_.path)}")
+    assert(after.size === 2, s"expected big+merged, got ${after.map(_.path)}")
+    assert(t.toDF.count() === 100004)
+    // nothing left to gain → compact is a no-op (no new commit)
+    val v = t.version
+    t.compact(targetFileBytes = 16384)
+    assert(t.version === v)
+  }
+
+  test("compact bin-packs per partition directory") {
+    val path = tmpDir()
+    val t = LakeTable.create(spark, path, sampleDF, partitionBy = Seq("state"))
+    for (i <- 0 until 3)
+      t.append(Seq((300L + i, "CA", i.toDouble), (400L + i, "TX", i.toDouble))
+        .toDF("id", "state", "amount"))
+    t.compact()
+    val byPart = t.snapshot.files.groupBy(_.partitionValues("state"))
+    // every compacted dir collapses to one file
+    assert(byPart("CA").size === 1 && byPart("TX").size === 1,
+      s"per-dir counts: ${byPart.view.mapValues(_.size).toMap}")
+    assert(t.toDF.count() === 11)
+  }
+
   test("optimizeBy makes skipping selective on the clustered column") {
     val path = tmpDir()
     // 4 files each containing the FULL id range → skipping can't prune
