@@ -20,6 +20,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction(GraftExtensions.avroDesc)
     e.injectTableFunction(GraftExtensions.tableChangesDesc)
     e.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
+    e.injectResolutionRule(session => new LakeCdfReadRule(session))
     e.injectPostHocResolutionRule(session => new LakeDmlRule(session))
     e.injectPostHocResolutionRule(session => new LakeDvReadRule(session))
   }

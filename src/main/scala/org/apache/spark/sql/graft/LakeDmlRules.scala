@@ -140,6 +140,46 @@ class LakeDvReadRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
 }
 
+/** Batch change-feed reads through reader options (Delta's
+  * `spark.read.option("readChangeFeed","true").table("lake.db.t")`):
+  * swaps the relation for the change-feed plan DURING resolution — the
+  * plan above is still unresolved at that point, so `_change_type` /
+  * `_commit_version` / `_commit_timestamp` resolve against the
+  * substituted schema on the analyzer's next fixed-point pass. The
+  * path-based form (`spark.read.format(provider)`) and the SQL
+  * `table_changes` TVF share the same underlying
+  * [[graft.lake.LakeTable.tableChanges]] replay.
+  *
+  * Options: `startingVersion` (default 0) or `startingTimestamp`
+  * (epoch millis or `yyyy-mm-dd hh:mm:ss[.f...]`), and an optional
+  * `endingVersion`.
+  */
+class LakeCdfReadRule(session: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsDown {
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[LakeV2Table] &&
+            Option(r.options.get("readChangeFeed")).exists(_.toBoolean) =>
+        val t = r.table.asInstanceOf[LakeV2Table]
+        def opt(k: String) = Option(r.options.get(k))
+        require(opt("startingVersion").isEmpty || opt("startingTimestamp").isEmpty,
+          "readChangeFeed: set startingVersion OR startingTimestamp, not both")
+        val changes = opt("startingTimestamp") match {
+          case Some(ts) =>
+            require(opt("endingVersion").isEmpty,
+              "readChangeFeed: endingVersion composes with startingVersion only")
+            val millis = ts.toLongOption.getOrElse(
+              java.sql.Timestamp.valueOf(ts).getTime)
+            t.lake.tableChangesFrom(millis)
+          case None =>
+            t.lake.tableChanges(
+              opt("startingVersion").map(_.toLong).getOrElse(0L),
+              opt("endingVersion").map(_.toLong))
+        }
+        changes.queryExecution.analyzed
+    }
+}
+
 case class RunLakeDelete(
     @transient lake: LakeTable, cond: Column) extends LeafRunnableCommand {
   override val output: Seq[AttributeReference] =

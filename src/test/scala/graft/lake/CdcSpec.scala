@@ -183,6 +183,48 @@ class CdcSpec extends AnyFunSuite {
     assert(bounded.count() === 2)
   }
 
+  test("readChangeFeed through .table() reader options (catalog form)") {
+    val wh = Files.createTempDirectory("cdc-tbl-wh-").toString
+    spark.conf.set("spark.sql.catalog.cdct", "org.apache.spark.sql.graft.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.cdct.warehouse", wh)
+    Files.createDirectories(Paths.get(s"$wh/db"))
+    val t = cdfTable(s"$wh/db/feed")
+    t.delete($"id" <= 2) // v2
+    t.append(Seq((9L, "HI", 9.0)).toDF("id", "state", "amount")) // v3
+    val ch = spark.read
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 2)
+      .table("cdct.db.feed")
+    // the relation schema is the CDF schema, so downstream projections
+    // of _change_type resolve
+    assert(ch.columns.contains(Cdc.CHANGE_TYPE))
+    assert(ch.where(col(Cdc.CHANGE_TYPE) === Cdc.DELETE)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    assert(ch.where(col(Cdc.CHANGE_TYPE) === Cdc.INSERT)
+      .select("id").as[Long].collect().toSeq === Seq(9L))
+    // bounded range excludes the append
+    val bounded = spark.read
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 2)
+      .option("endingVersion", 2)
+      .table("cdct.db.feed")
+    assert(bounded.count() === 2)
+    // startingTimestamp form: from the table's first commit → everything
+    val t0 = t.log.readCommit(0L).flatMap(_.commitInfo).head.timestamp
+    val fromTs = spark.read
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", t0.toString)
+      .table("cdct.db.feed")
+    assert(fromTs.where(col(Cdc.CHANGE_TYPE) === Cdc.INSERT).count() === 6)
+    // without the option the same name still reads the table itself
+    assert(spark.table("cdct.db.feed").count() === 4)
+    intercept[IllegalArgumentException] {
+      spark.read.option("readChangeFeed", "true")
+        .option("startingVersion", 0).option("startingTimestamp", "0")
+        .table("cdct.db.feed").collect()
+    }
+  }
+
   test("zero-change DML under CDF does not poison the feed") {
     val path = tmpDir()
     val t = cdfTable(path)
