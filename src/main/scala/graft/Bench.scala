@@ -36,6 +36,17 @@ object Bench {
     // init isn't attributed to whichever query happens to run first
     try materialize(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
     catch { case _: Throwable => () }
+    // ...and the lake engine (stage/commit/DV/merge JIT) so the first
+    // lake* query measures its plan, not first-touch classloading
+    try {
+      val w = java.nio.file.Files.createTempDirectory("bench-warm-").toString
+      val df = spark.range(0, 100).selectExpr("id", "id * 1.0 as v")
+      val t = graft.lake.LakeTable.create(spark, s"$w/t", df)
+      t.merge(df.withColumn("v", col("v") + 1).where(col("id") % 2 === 0),
+        expr("t.id = s.id"))
+      t.delete(col("id") % 7 === 0)
+      t.compact()
+    } catch { case _: Throwable => () }
 
     def timed(body: => Unit): Double = {
       val t0 = System.nanoTime()
@@ -43,9 +54,16 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> timed(materialize(fn(spark, sfDir)))
-    }
+    // SPARK_GRAFT_ONLY=q1,q2 profiles a subset; SPARK_GRAFT_REPS=n times
+    // each query n times (min wins — isolates plan cost from warm-up)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val reps = sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption).getOrElse(1)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        name -> (1 to reps).map(_ => timed(materialize(fn(spark, sfDir)))).min
+      }
 
     // ---- write-path suite on a scratch lake table --------------------
     val scratch = java.nio.file.Files.createTempDirectory("bench-lake-").toString

@@ -719,9 +719,13 @@ final class LakeTable private (
     val srcCols = source.columns.toSet
 
     // 1. candidate target files: matches only — unless by-source clauses
-    // make every target row a candidate
+    // make every target row a candidate. The prefilter join is a pure
+    // scan optimization (untouched files fall out of the claim map
+    // below anyway on the DV path), so skip its job when the table is
+    // a handful of files.
     val touched =
       if (notMatchedBySourceClauses.nonEmpty) snap.files
+      else if (useDvs && snap.files.size <= 8) snap.files
       else {
         val withFile = toDF.withColumn("__file", input_file_name()).alias("t")
         val matchedFiles = withFile.join(source.alias("s"), condition, "inner")
@@ -739,14 +743,6 @@ final class LakeTable private (
     val sRows = source.withColumn("__src", lit(true))
     val joined = tRows.alias("t").join(sRows.alias("s"), condition, "full_outer").cache()
     try {
-      if (matchedClauses.nonEmpty) {
-        val dupes = joined.where(col("t.__tgt").isNotNull && col("s.__src").isNotNull)
-          .groupBy(col("t.__dv_path"), col("t.__dv_idx"))
-          .count().where(col("count") > 1).limit(1).count()
-        require(dupes == 0L,
-          "merge: a target row matches multiple source rows; make the condition more specific")
-      }
-
       def assemble(assigns: Map[String, Column], fromSource: Boolean): Seq[Column] =
         tgtSchema.fields.map { f =>
           val c = assigns.get(f.name) match {
@@ -761,14 +757,14 @@ final class LakeTable private (
 
       // SQL cascade: tag each row with the index of the first clause whose
       // condition holds (-1 = none)
-      def tag(rows: DataFrame, clauses: Seq[MergeClause]): DataFrame = {
-        val action = clauses.zipWithIndex.reverse
+      def actionExpr(clauses: Seq[MergeClause]): Column =
+        clauses.zipWithIndex.reverse
           .foldLeft(lit(-1)) { case (acc, (c, i)) =>
             when(coalesceFalse(c.condition.getOrElse(lit(true))), lit(i))
               .otherwise(acc)
           }
-        rows.withColumn("__action", action)
-      }
+      def tag(rows: DataFrame, clauses: Seq[MergeClause]): DataFrame =
+        rows.withColumn("__action", actionExpr(clauses))
 
       /** New row versions: one piece per update/insert clause; delete
         * clauses emit nothing. */
@@ -801,6 +797,38 @@ final class LakeTable private (
       val matchedT = tag(matchedRows, matchedClauses)
       val bySrcT = tag(targetOnly, notMatchedBySourceClauses)
       val srcT = tag(sourceOnly, notMatchedClauses)
+
+      // DV path: one aggregation job decides BOTH multi-match ambiguity
+      // and the claimed old row versions (the bitmap input). The CoW path
+      // never collects claims to the driver, so it keeps a short-circuit
+      // ambiguity probe instead.
+      val perRowIdentity: Array[Row] =
+        if (!useDvs) Array.empty
+        else {
+          val matched = col("s.__src").isNotNull
+          joined.where(col("t.__tgt").isNotNull)
+            .select(col("t.__dv_path").as("__p"), col("t.__dv_idx").as("__i"),
+              matched.as("__m"),
+              when(matched, actionExpr(matchedClauses))
+                .otherwise(actionExpr(notMatchedBySourceClauses)).as("__a"))
+            .groupBy("__p", "__i")
+            .agg(count(when(col("__m"), lit(1))).as("__matches"),
+              max(col("__a")).as("__act"))
+            .where(col("__matches") > 1 || col("__act") >= 0)
+            .collect()
+        }
+      if (useDvs) {
+        require(matchedClauses.isEmpty ||
+          !perRowIdentity.exists(_.getAs[Long]("__matches") > 1),
+          "merge: a target row matches multiple source rows; make the condition more specific")
+      } else if (matchedClauses.nonEmpty) {
+        val dupes = joined.where(col("t.__tgt").isNotNull && col("s.__src").isNotNull)
+          .groupBy(col("t.__dv_path"), col("t.__dv_idx"))
+          .count().where(col("count") > 1).limit(1).count()
+        require(dupes == 0L,
+          "merge: a target row matches multiple source rows; make the condition more specific")
+      }
+
       val newRows =
         emitted(matchedT, matchedClauses, fromSource = false) ++
           emitted(bySrcT, notMatchedBySourceClauses, fromSource = false) ++
@@ -851,16 +879,13 @@ final class LakeTable private (
 
       // ---- deletion-vector path ----------------------------------------
       // claimed old row versions: every matched/by-source row a clause
-      // applied to (update → superseded, delete → gone)
-      val claimed = matchedT.where(col("__action") >= 0)
-        .select(col("t.__dv_path"), col("t.__dv_idx"))
-        .unionByName(bySrcT.where(col("__action") >= 0)
-          .select(col("t.__dv_path"), col("t.__dv_idx")))
-        .distinct().collect()
+      // applied to (update → superseded, delete → gone) — already
+      // collected by the combined identity job above
+      val claimed = perRowIdentity.filter(_.getAs[Int]("__act") >= 0)
       val byAbs = touched.map(f => absPath(f) -> f.path).toMap
       val claimedByFile: Map[String, Array[Long]] = claimed
-        .groupBy(r => byAbs(Stats.normalizeFileUri(r.getString(0))))
-        .map { case (rel, rs) => rel -> rs.map(_.getLong(1)) }
+        .groupBy(r => byAbs(Stats.normalizeFileUri(r.getAs[String]("__p"))))
+        .map { case (rel, rs) => rel -> rs.map(_.getAs[Long]("__i")) }
 
       val affected = touched.filter(f => claimedByFile.contains(f.path))
       val (fullMatch, partial) = affected.partition { f =>
