@@ -20,6 +20,7 @@ object SparkEntry {
     TextQueries,
     DedupQueries,
     SimilarityQueries,
+    TemporalQueries,
     LakeQueries)
 
   def allDefs: Seq[QueryDef] = groups.flatMap(_.defs)
