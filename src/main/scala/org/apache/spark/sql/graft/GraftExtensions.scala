@@ -22,6 +22,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
     e.injectResolutionRule(session => new LakeCdfReadRule(session))
     e.injectPostHocResolutionRule(session => new LakeDmlRule(session))
+    // metadata-only aggregates must see the raw relation, so they run
+    // before the DV substitution (which they bail to when stats can't
+    // prove the answer)
+    e.injectPostHocResolutionRule(session => new LakeMetadataAggRule(session))
     e.injectPostHocResolutionRule(session => new LakeDvReadRule(session))
   }
 }

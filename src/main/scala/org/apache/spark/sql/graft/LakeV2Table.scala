@@ -26,7 +26,7 @@ class LakeV2Table(
     inner: ParquetTable,
     val writable: Boolean) extends Table with SupportsRead with SupportsWrite {
 
-  private val snap = lake.snapshot
+  private[graft] val snap = lake.snapshot
 
   /** Any live deletion vectors? SQL reads then go through
     * [[LakeDvReadRule]]'s substituted plan instead of the raw scan. */
