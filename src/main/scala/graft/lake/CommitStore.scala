@@ -1,0 +1,123 @@
+package graft.lake
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardOpenOption}
+import java.util.UUID
+
+import scala.collection.concurrent.TrieMap
+
+/** The ONE primitive the commit log needs from storage: conditional
+  * publication — "make these bytes visible at `dest` iff nothing is
+  * there yet". Everything else in the log (staging, checkpoints, reads)
+  * is plain file I/O.
+  *
+  * Implementations:
+  *  - [[LocalFsCommitStore]] (default): stage + `Files.createLink` —
+  *    hard links are atomic and fail if the destination exists, which
+  *    is exactly put-if-absent on any POSIX filesystem (and on NFS).
+  *  - An object-store adapter maps the same contract onto conditional
+  *    writes: S3 `PUT If-None-Match: *`, GCS `x-goog-if-generation-
+  *    match: 0`, ABFS `If-None-Match: *`. No SDKs ship in this build,
+  *    so deployments [[CommitStore.register]] their adapter per URI
+  *    scheme; the engine's commit/conflict semantics (rebase on a lost
+  *    race) are already exactly what a conditional PUT gives you.
+  *
+  * A losing publication MUST leave `dest` untouched and return false —
+  * [[LakeLog]] turns that into [[CommitConflictException]] and the
+  * writer rebases.
+  */
+trait CommitStore {
+
+  /** Publish `body` at `dest` iff absent. True = this writer won. */
+  def putIfAbsent(dest: Path, body: Array[Byte]): Boolean
+
+  /** Publish an already-staged local file (e.g. a parquet checkpoint)
+    * at `dest` iff absent. */
+  def putIfAbsentFile(dest: Path, staged: Path): Boolean
+
+  /** Overwrite `dest` atomically (the `_last_checkpoint` pointer —
+    * last-writer-wins is correct there, monotonicity is checked above). */
+  def replace(dest: Path, body: Array[Byte]): Unit
+}
+
+object CommitStore {
+
+  private val registry = TrieMap[String, String => CommitStore]()
+
+  /** Install an adapter for a URI scheme (`"s3"`, `"gs"`, `"abfss"`). */
+  def register(scheme: String, factory: String => CommitStore): Unit =
+    registry.put(scheme.toLowerCase, factory)
+
+  /** The store for a table path: scheme-registered adapter, else local. */
+  def forPath(tablePath: String): CommitStore = {
+    val scheme = tablePath.indexOf("://") match {
+      case -1 => "file"
+      case i => tablePath.substring(0, i).toLowerCase
+    }
+    registry.get(scheme).map(_(tablePath)).getOrElse(LocalFsCommitStore)
+  }
+}
+
+/** Default store: stage into a `.tmp/` sibling, publish with an atomic
+  * hard link, clean the staging file either way. */
+object LocalFsCommitStore extends CommitStore {
+
+  private def stage(dest: Path, suffix: String): Path = {
+    val tmpDir = dest.getParent.resolve(LakeLog.TMP_DIR)
+    Files.createDirectories(tmpDir)
+    tmpDir.resolve(UUID.randomUUID().toString + suffix)
+  }
+
+  override def putIfAbsent(dest: Path, body: Array[Byte]): Boolean = {
+    val tmp = stage(dest, ".json")
+    Files.write(tmp, body, StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    try {
+      Files.createLink(dest, tmp) // atomic; fails if dest exists
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  override def putIfAbsentFile(dest: Path, staged: Path): Boolean =
+    try {
+      Files.createLink(dest, staged)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
+
+  override def replace(dest: Path, body: Array[Byte]): Unit = {
+    val tmp = stage(dest, "")
+    Files.write(tmp, body, StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    Files.move(tmp, dest,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+/** Test double with object-store semantics: the conditional check is a
+  * separate atomic primitive (a concurrent map, standing in for S3's
+  * If-None-Match) and only the WINNER's bytes land on disk — losers
+  * never touch `dest`, exactly like a failed conditional PUT. */
+final class ConditionalPutCommitStore extends CommitStore {
+  private val published = TrieMap[String, Unit]()
+  @volatile var lostRaces: Int = 0
+
+  override def putIfAbsent(dest: Path, body: Array[Byte]): Boolean =
+    if (published.putIfAbsent(dest.toString, ()).isEmpty) {
+      Files.createDirectories(dest.getParent)
+      Files.write(dest, body, StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      true
+    } else { lostRaces += 1; false }
+
+  override def putIfAbsentFile(dest: Path, staged: Path): Boolean =
+    if (published.putIfAbsent(dest.toString, ()).isEmpty) {
+      Files.createDirectories(dest.getParent)
+      Files.copy(staged, dest)
+      true
+    } else { lostRaces += 1; false }
+
+  override def replace(dest: Path, body: Array[Byte]): Unit =
+    LocalFsCommitStore.replace(dest, body)
+}

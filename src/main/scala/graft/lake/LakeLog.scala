@@ -1,7 +1,7 @@
 package graft.lake
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
@@ -29,12 +29,12 @@ final case class Snapshot(
   * per line, modeled on the Delta log the reference dissects
   * (`01.parquet_primer.py:199-222`).
   *
-  * Atomicity on a shared filesystem: a commit is staged to
-  * `_lake_log/.tmp/<uuid>` then published with `Files.createLink` — hard
-  * links are atomic and FAIL if the destination exists, which is the
-  * mutual exclusion two concurrent writers need (loser gets
-  * [[CommitConflictException]] and rebases). Readers only ever see whole
-  * committed files.
+  * Atomicity: every publication goes through [[CommitStore.putIfAbsent]]
+  * — on a shared filesystem that's stage-to-`.tmp/` + `Files.createLink`
+  * (hard links are atomic and FAIL if the destination exists), on an
+  * object store a scheme-registered conditional-PUT adapter. Either way
+  * the loser of a race gets [[CommitConflictException]] and rebases;
+  * readers only ever see whole committed files.
   *
   * Scale: every CHECKPOINT_EVERY commits a columnar parquet checkpoint
   * (`NNN.checkpoint.parquet`, [[Checkpoint]]) is written and the
@@ -44,9 +44,16 @@ final case class Snapshot(
   * name — it never lists the log directory, so a 1e6-commit table
   * resolves in O(tail) file reads (CheckpointSpec proves ≤ 12).
   */
-final class LakeLog(val tablePath: String) {
+final class LakeLog(
+    val tablePath: String,
+    store: CommitStore = null) {
 
   import LakeLog._
+
+  /** Publication primitive: explicit override (tests) > scheme-registered
+    * adapter > local hard-link store. See [[CommitStore]]. */
+  private val commitStore: CommitStore =
+    Option(store).getOrElse(CommitStore.forPath(tablePath))
 
   val logDir: Path = Paths.get(tablePath, LOG_DIR)
 
@@ -229,22 +236,10 @@ final class LakeLog(val tablePath: String) {
     */
   def write(version: Long, actions: Seq[Action]): Unit = {
     Files.createDirectories(logDir)
-    val tmpDir = logDir.resolve(TMP_DIR)
-    Files.createDirectories(tmpDir)
-    val tmp = tmpDir.resolve(UUID.randomUUID().toString + ".json")
     val body = actions.map(Action.toJson).mkString("", "\n", "\n")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
     val dest = logDir.resolve(commitFileName(version))
-    try {
-      Files.createLink(dest, tmp) // atomic; fails if dest exists
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new CommitConflictException(tablePath, version)
-      case NonFatal(e) => throw e
-    } finally {
-      Files.deleteIfExists(tmp)
-    }
+    if (!commitStore.putIfAbsent(dest, body.getBytes(StandardCharsets.UTF_8)))
+      throw new CommitConflictException(tablePath, version)
     maybeCheckpoint(version)
   }
 
@@ -259,22 +254,19 @@ final class LakeLog(val tablePath: String) {
         Seq(Action.of(snap.metaData)) ++
           snap.txns.map { case (app, b) => Action.of(SetTxn(app, b)) } ++
           snap.files.map(Action.of)
-      val tmp = logDir.resolve(TMP_DIR).resolve(UUID.randomUUID().toString + ".parquet")
+      val tmpDir = logDir.resolve(TMP_DIR)
+      Files.createDirectories(tmpDir)
+      val tmp = tmpDir.resolve(UUID.randomUUID().toString + ".parquet")
       Checkpoint.write(tmp, actions)
-      try Files.createLink(logDir.resolve(parquetCheckpointFileName(version)), tmp)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      try commitStore.putIfAbsentFile(
+        logDir.resolve(parquetCheckpointFileName(version)), tmp)
       finally Files.deleteIfExists(tmp)
 
-      // pointer swap: write-then-atomic-move (REPLACE_EXISTING), and never
-      // move it backwards under a concurrent slower checkpointer
+      // pointer swap: last-writer-wins replace, and never move it
+      // backwards under a concurrent slower checkpointer
       if (!lastCheckpointVersion.exists(_ >= version)) {
-        val ptmp = logDir.resolve(TMP_DIR).resolve(UUID.randomUUID().toString)
-        Files.write(ptmp,
-          s"""{"version":$version}""".getBytes(StandardCharsets.UTF_8),
-          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-        Files.move(ptmp, logDir.resolve(LAST_CHECKPOINT),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        commitStore.replace(logDir.resolve(LAST_CHECKPOINT),
+          s"""{"version":$version}""".getBytes(StandardCharsets.UTF_8))
       }
     } catch {
       case NonFatal(_) => () // checkpoints are an optimization, never fail a commit
