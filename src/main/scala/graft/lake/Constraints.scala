@@ -1,0 +1,44 @@
+package graft.lake
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CHECK constraints (Delta's `ALTER TABLE ... ADD CONSTRAINT name
+  * CHECK (expr)`): the expression lives in table properties under
+  * `graft.constraints.<name>`, so it rides metadata commits,
+  * checkpoints, and CONVERT for free, and EVERY write path — Scala
+  * appends/DML, SQL INSERT/MERGE, the streaming sink — enforces it at
+  * the row level before staging.
+  *
+  * Standard SQL semantics: a row violates a CHECK only when the
+  * expression evaluates to FALSE; NULL (unknown) passes. Enforcement is
+  * codegen-friendly — the Scala paths inject a
+  * `when(expr).otherwise(raise_error)` filter into the write plan, the
+  * DSv2 writer evaluates one compiled predicate per row.
+  */
+object Constraints {
+
+  val PREFIX = "graft.constraints."
+
+  def propKey(name: String): String = PREFIX + name
+
+  def of(meta: MetaData): Map[String, String] =
+    meta.properties.collect {
+      case (k, v) if k.startsWith(PREFIX) => k.stripPrefix(PREFIX) -> v
+    }
+
+  /** The write-plan enforcement filter: rows pass through untouched
+    * unless a constraint is provably FALSE, which raises with the
+    * offending row rendered as JSON. The `where` survives column
+    * pruning (a projection-only check could be optimized away).
+    */
+  def enforce(df: DataFrame, constraints: Map[String, String]): DataFrame =
+    constraints.toSeq.sortBy(_._1).foldLeft(df) { case (d, (name, sql)) =>
+      d.where(
+        when(coalesce(expr(sql), lit(true)),
+          lit(true))
+          .otherwise(raise_error(concat(
+            lit(s"""CHECK constraint $name ($sql) violated by row """),
+            to_json(struct(d.columns.map(col).toSeq: _*))))))
+    }
+}

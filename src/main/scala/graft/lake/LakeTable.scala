@@ -301,7 +301,7 @@ final class LakeTable private (
     val (aligned, newSchema) = LakeTable.align(df, snap.schema, pcs, mergeSchema,
       LakeTable.nextFieldId(snap))
     val adds = LakeTable.stageFiles(spark, path, aligned, newSchema, pcs,
-      Bucketing.specOf(snap.metaData))
+      Bucketing.specOf(snap.metaData), Constraints.of(snap.metaData))
     val rows = adds.flatMap(_.stats.map(_.numRecords)).sum
     val now = System.currentTimeMillis()
     val metaAction =
@@ -438,10 +438,11 @@ final class LakeTable private (
     */
   private def rewrite(snap: Snapshot, touched: Seq[AddFile], replacement: DataFrame,
       op: String, params: Map[String, String],
-      extra: Seq[Action] = Seq.empty): Long = {
+      extra: Seq[Action] = Seq.empty,
+      constraints: Map[String, String] = Map.empty): Long = {
     val pcs = snap.metaData.partitionColumns
     val adds = LakeTable.stageFiles(spark, path, replacement, snap.schema, pcs,
-      Bucketing.specOf(snap.metaData))
+      Bucketing.specOf(snap.metaData), constraints)
     val now = System.currentTimeMillis()
     val rows = adds.flatMap(_.stats.map(_.numRecords)).sum
     val actions =
@@ -609,7 +610,7 @@ final class LakeTable private (
         val updatedRows = applySet(
           readFiles(snap, appendTargets).where(coalesceFalse(cond)))
         LakeTable.stageFiles(spark, path, updatedRows, snap.schema, pcs,
-          Bucketing.specOf(snap.metaData))
+          Bucketing.specOf(snap.metaData), Constraints.of(snap.metaData))
       }
 
     // heavy files: classic whole-file rewrite with conditional assignment
@@ -626,7 +627,7 @@ final class LakeTable private (
             }
           }.toSeq: _*)
         LakeTable.stageFiles(spark, path, rewritten, snap.schema, pcs,
-          Bucketing.specOf(snap.metaData))
+          Bucketing.specOf(snap.metaData), Constraints.of(snap.metaData))
       }
 
     val removes = (cls.fullMatch ++ cls.dvTargets ++ cls.rewriteTargets)
@@ -873,7 +874,8 @@ final class LakeTable private (
         // classic copy-on-write: rewrite every candidate file
         val result = (newRows ++ Seq(kept(matchedT), kept(bySrcT))).reduce(_ unionByName _)
         rewrite(snap, touched, result, "MERGE",
-          Map("condition" -> condition.toString), extra = cdcActions)
+          Map("condition" -> condition.toString), extra = cdcActions,
+          constraints = Constraints.of(snap.metaData))
         return
       }
 
@@ -929,7 +931,8 @@ final class LakeTable private (
       val appendedAdds: Seq[AddFile] =
         if (newRows.isEmpty) Seq.empty
         else LakeTable.stageFiles(spark, path, newRows.reduce(_ unionByName _),
-          tgtSchema, snap.metaData.partitionColumns, Bucketing.specOf(snap.metaData))
+          tgtSchema, snap.metaData.partitionColumns,
+          Bucketing.specOf(snap.metaData), Constraints.of(snap.metaData))
 
       val outputRows = appendedAdds.flatMap(_.stats.map(_.numRecords)).sum
       val removes = (fullMatch ++ dvTargets ++ rewriteTargets)
@@ -1207,6 +1210,47 @@ final class LakeTable private (
         properties = snap.metaData.properties +
           (LakeTable.MAX_COLUMN_ID_PROP -> maxId.toString))),
       Action.of(CommitInfo(now, op, params))),
+      rebaseable = false)
+  }
+
+  /** CHECK constraints in force ([[Constraints]]). */
+  def constraints: Map[String, String] = Constraints.of(snapshot.metaData)
+
+  /** ALTER TABLE ADD CONSTRAINT name CHECK (exprSql): validates the
+    * expression against EXISTING rows first (one short-circuit probe),
+    * then records it as a metadata commit. Every subsequent write —
+    * Scala, SQL, streaming — enforces it per row.
+    */
+  def addCheckConstraint(name: String, exprSql: String): Unit = {
+    require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad constraint name: $name")
+    val snap = snapshot
+    require(!snap.metaData.properties.contains(Constraints.propKey(name)),
+      s"constraint $name already exists")
+    val violating = toDF
+      .where(coalesce(expr(exprSql), lit(true)) === false).limit(1).count()
+    require(violating == 0L,
+      s"cannot add CHECK constraint $name: existing rows violate ($exprSql)")
+    val now = System.currentTimeMillis()
+    commitWithRetry(snap.version, Seq(
+      Action.of(snap.metaData.copy(properties =
+        snap.metaData.properties + (Constraints.propKey(name) -> exprSql))),
+      Action.of(CommitInfo(now, "ADD CONSTRAINT",
+        Map("name" -> name, "expr" -> exprSql)))),
+      rebaseable = false)
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT name (metadata-only commit). */
+  def dropConstraint(name: String): Unit = {
+    require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
+    val snap = snapshot
+    require(snap.metaData.properties.contains(Constraints.propKey(name)),
+      s"no such constraint: $name")
+    val now = System.currentTimeMillis()
+    commitWithRetry(snap.version, Seq(
+      Action.of(snap.metaData.copy(properties =
+        snap.metaData.properties - Constraints.propKey(name))),
+      Action.of(CommitInfo(now, "DROP CONSTRAINT", Map("name" -> name)))),
       rebaseable = false)
   }
 
@@ -1556,10 +1600,15 @@ object LakeTable {
   private[lake] def stageFiles(
       spark: SparkSession,
       tablePath: String,
-      df: DataFrame,
+      df0: DataFrame,
       schema: StructType,
       partitionCols: Seq[String],
-      bucketSpec: Option[Bucketing.Spec] = None): Seq[AddFile] = {
+      bucketSpec: Option[Bucketing.Spec] = None,
+      constraints: Map[String, String] = Map.empty): Seq[AddFile] = {
+    // CHECK enforcement rides the write plan itself — new-row paths pass
+    // the table's constraints; pure reorganizations (compact, rebucket,
+    // survivor rewrites) skip the re-validation of already-valid rows
+    val df = Constraints.enforce(df0, constraints)
     val stagingName = STAGING_PREFIX + UUID.randomUUID().toString
     val staging = Paths.get(tablePath, stagingName)
     // INT64 micros instead of legacy INT96: footer min/max stats become

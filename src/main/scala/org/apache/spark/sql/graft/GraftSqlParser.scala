@@ -32,8 +32,20 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         Option(zcols).map(_.split(',').map(c => strip(c.trim)).toSeq))
     case DESCRIBE_HISTORY_RE(ident) => RunLakeHistory(strip(ident))
     case RESTORE_RE(ident, version) => RunLakeRestore(strip(ident), version.toLong)
+    // only intercept constraint DDL aimed at a LAKE table; anything else
+    // falls through to Spark's own ALTER TABLE handling
+    case ADD_CONSTRAINT_RE(ident, name, check) if isLakeRef(ident) =>
+      RunLakeAddConstraint(strip(ident), name, check.trim)
+    case DROP_CONSTRAINT_RE(ident, name) if isLakeRef(ident) =>
+      RunLakeDropConstraint(strip(ident), name)
     case _ => delegate.parsePlan(sqlText)
   }
+
+  private def isLakeRef(ident: String): Boolean =
+    try {
+      GraftExtensions.resolveTablePath(session, GraftSqlParser.strip(ident))
+      true
+    } catch { case _: Exception => false }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -68,7 +80,14 @@ object GraftSqlParser {
     ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?""" + TABLE +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
 
-  private def strip(s: String): String =
+  private[graft] val ADD_CONSTRAINT_RE =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + TABLE +
+      """\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r
+  private[graft] val DROP_CONSTRAINT_RE =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + TABLE +
+      """\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""").r
+
+  private[graft] def strip(s: String): String =
     s.stripPrefix("`").stripSuffix("`")
       .stripPrefix("'").stripSuffix("'")
       .stripPrefix("\"").stripSuffix("\"")
@@ -131,5 +150,26 @@ private[graft] case class RunLakeOptimize(ident: String,
       case None => t.compact()
     }
     Seq(Row(t.snapshot.numFiles))
+  }
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` — Delta's constraint
+  * DDL: validates existing rows, then every write path enforces the
+  * expression per row ([[graft.lake.Constraints]]). */
+private[graft] case class RunLakeAddConstraint(ident: String, name: String,
+    check: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftExtensions.resolveTablePath(spark, ident)
+    graft.lake.LakeTable.forPath(spark, path).addCheckConstraint(name, check)
+    Seq.empty
+  }
+}
+
+private[graft] case class RunLakeDropConstraint(ident: String, name: String)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftExtensions.resolveTablePath(spark, ident)
+    graft.lake.LakeTable.forPath(spark, path).dropConstraint(name)
+    Seq.empty
   }
 }

@@ -12,7 +12,8 @@ import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal, Murmur3Hash, Pmod, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Alias, BindReferences, Cast, Expression, Literal, Murmur3Hash, Pmod, Predicate, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe => CatalystEqualNullSafe}
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
@@ -128,9 +129,27 @@ private[graft] class LakeWrite(
       new ParquetOptions(Map.empty[String, String], session.sessionState.conf))
     val stagingName = LakeTable.STAGING_PREFIX + "dsv2-" + UUID.randomUUID()
     Files.createDirectories(Paths.get(lake.path, stagingName))
+    // CHECK constraints: analyze each expression against the write schema
+    // on the DRIVER (full analyzer: functions, casts, coercion), bind to
+    // ordinals, and ship the bound expression to the row-level writers
+    val attrs = DataTypeUtils.toAttributes(enriched)
+    val constraintChecks: Seq[(String, String, Expression)] =
+      Constraints.of(lake.snapshot.metaData).toSeq.sortBy(_._1).map {
+        case (n, sql) =>
+          val parsed = session.sessionState.sqlParser.parseExpression(sql)
+          val plan = org.apache.spark.sql.catalyst.plans.logical.Project(
+            Seq(Alias(parsed, n)()),
+            org.apache.spark.sql.catalyst.plans.logical.LocalRelation(attrs))
+          val analyzed = session.sessionState.analyzer.execute(plan)
+          val bound = analyzed
+            .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+            .projectList.head.asInstanceOf[Alias].child
+          (n, sql, BindReferences.bindReference(bound, attrs))
+      }
     new LakeBatchWrite(lake, enriched, dataSchema, partitionCols,
       Bucketing.specOf(lake.snapshot.metaData), stagingName,
-      factory, new SerializableConfiguration(job.getConfiguration), queryId, mode)
+      factory, new SerializableConfiguration(job.getConfiguration), queryId, mode,
+      constraintChecks)
   }
 }
 
@@ -151,13 +170,15 @@ private[graft] class LakeBatchWrite(
     val factory: OutputWriterFactory,
     val conf: SerializableConfiguration,
     val queryId: String,
-    val mode: LakeWriteMode) extends BatchWrite {
+    val mode: LakeWriteMode,
+    val constraintChecks: Seq[(String, String, Expression)] = Seq.empty)
+  extends BatchWrite {
 
   private[graft] val stagingRoot = Paths.get(lake.path, stagingName)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new LakeWriterFactory(stagingRoot.toString, factory, conf, writeSchema,
-      dataSchema, partitionCols, bucketSpec)
+      dataSchema, partitionCols, bucketSpec, constraintChecks)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val entries = messages.flatMap(_.asInstanceOf[LakeWriteMessage].files).toSeq
@@ -273,7 +294,8 @@ private[graft] class LakeStreamingWrite(b: LakeBatchWrite)
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new LakeStreamingWriterFactory(b.stagingRoot.toString, b.factory, b.conf,
-      b.writeSchema, b.dataSchema, b.partitionCols, b.bucketSpec)
+      b.writeSchema, b.dataSchema, b.partitionCols, b.bucketSpec,
+      b.constraintChecks)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val entries = messages.flatMap(_.asInstanceOf[LakeWriteMessage].files).toSeq
@@ -294,13 +316,14 @@ private[graft] class LakeStreamingWriterFactory(
     writeSchema: StructType,
     dataSchema: StructType,
     partitionCols: Seq[String],
-    bucketSpec: Option[Bucketing.Spec])
+    bucketSpec: Option[Bucketing.Spec],
+    constraintChecks: Seq[(String, String, Expression)] = Seq.empty)
   extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new LakeDataWriter(stagingRoot, factory, conf, writeSchema, dataSchema,
-      partitionCols, bucketSpec, partitionId, taskId)
+      partitionCols, bucketSpec, partitionId, taskId, constraintChecks)
 }
 
 private[graft] class LakeWriterFactory(
@@ -310,11 +333,13 @@ private[graft] class LakeWriterFactory(
     writeSchema: StructType,
     dataSchema: StructType,
     partitionCols: Seq[String],
-    bucketSpec: Option[Bucketing.Spec]) extends DataWriterFactory {
+    bucketSpec: Option[Bucketing.Spec],
+    constraintChecks: Seq[(String, String, Expression)] = Seq.empty)
+  extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new LakeDataWriter(stagingRoot, factory, conf, writeSchema, dataSchema,
-      partitionCols, bucketSpec, partitionId, taskId)
+      partitionCols, bucketSpec, partitionId, taskId, constraintChecks)
 }
 
 /** Per-task writer: routes rows into hive partition directories (dynamic
@@ -332,9 +357,19 @@ private[graft] class LakeDataWriter(
     partitionCols: Seq[String],
     bucketSpec: Option[Bucketing.Spec],
     partitionId: Int,
-    taskId: Long) extends DataWriter[InternalRow] {
+    taskId: Long,
+    constraintChecks: Seq[(String, String, Expression)] = Seq.empty)
+  extends DataWriter[InternalRow] {
 
   private val fullAttrs = DataTypeUtils.toAttributes(writeSchema)
+
+  // CHECK constraints: one compiled predicate each; violation iff the
+  // expression IS FALSE (null-safe — SQL CHECK lets unknown pass)
+  private val constraintPreds = constraintChecks.map { case (n, sql, bound) =>
+    val p = Predicate.create(CatalystEqualNullSafe(bound, Literal(false)))
+    p.initialize(partitionId)
+    (n, sql, p)
+  }
   private val dataProj = UnsafeProjection.create(
     fullAttrs.filterNot(a => partitionCols.contains(a.name)).asInstanceOf[Seq[Expression]],
     fullAttrs)
@@ -360,6 +395,11 @@ private[graft] class LakeDataWriter(
     mutable.LinkedHashMap[String, (OutputWriter, LakeFileEntry)]()
 
   override def write(row: InternalRow): Unit = {
+    constraintPreds.foreach { case (n, sql, p) =>
+      if (p.eval(row))
+        throw new IllegalArgumentException(
+          s"CHECK constraint $n ($sql) violated")
+    }
     val partKey = if (partitionCols.isEmpty) "" else {
       val p = partProj(row)
       partitionCols.indices.map { i =>

@@ -243,4 +243,55 @@ class LakeSourceV2Spec extends AnyFunSuite {
       assert(buf.contains((2L, "b")))
     } finally q2.stop()
   }
+
+  test("spark.readStream.table streams a catalog lake table") {
+    val wh = Files.createTempDirectory("lake-rst-wh-").toString
+    spark.conf.set("spark.sql.catalog.rst", "org.apache.spark.sql.graft.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.rst.warehouse", wh)
+    Files.createDirectories(java.nio.file.Paths.get(s"$wh/db"))
+    val t = LakeTable.create(spark, s"$wh/db/s",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+
+    val q = spark.readStream.table("rst.db.s").writeStream
+      .format("memory").queryName("lake_rst")
+      .option("checkpointLocation",
+        Files.createTempDirectory("lake-rst-ckpt-").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      def seen: Set[(Long, String)] =
+        spark.table("lake_rst").as[(Long, String)].collect().toSet
+      assert(seen === Set((1L, "a"), (2L, "b")))
+      t.append(Seq((3L, "c")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(seen === Set((1L, "a"), (2L, "b"), (3L, "c")))
+      // DML is a change commit: skipped, not re-emitted
+      t.delete($"id" === 1L, useDvs = false)
+      t.append(Seq((4L, "d")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(seen === Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    } finally q.stop()
+    // batch reads through the same catalog still work (scan wrapper)
+    assert(spark.table("rst.db.s").count() === 3)
+  }
+
+  test("startingVersion option applies to readStream.table") {
+    val wh = Files.createTempDirectory("lake-rst2-wh-").toString
+    spark.conf.set("spark.sql.catalog.rst2", "org.apache.spark.sql.graft.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.rst2.warehouse", wh)
+    Files.createDirectories(java.nio.file.Paths.get(s"$wh/db"))
+    val t = LakeTable.create(spark, s"$wh/db/s2", Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq((2L, "b")).toDF("id", "v")) // v1
+    val q = spark.readStream.option("startingVersion", 1)
+      .table("rst2.db.s2").writeStream
+      .format("memory").queryName("lake_rst2")
+      .option("checkpointLocation",
+        Files.createTempDirectory("lake-rst2-ckpt-").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("lake_rst2").as[(Long, String)].collect().toSet ===
+        Set((2L, "b"))) // v0's rows are before the starting version
+    } finally q.stop()
+  }
 }
