@@ -693,6 +693,11 @@ final class LakeTable private (
     * With by-source clauses every target row is a candidate (same as
     * Delta), but untouched rows still stay in place under DVs.
     */
+  /** @param propsDelta table properties updated ATOMICALLY with the merge
+    *   commit — the exactly-once hook incremental consumers (e.g.
+    *   [[IncrementalMv]]) need to record "applied through version v"
+    *   in the same transaction as the data change.
+    */
   def mergeClauses(
       source: DataFrame,
       condition: Column,
@@ -700,7 +705,8 @@ final class LakeTable private (
       notMatchedClauses: Seq[MergeClause.Insert],
       notMatchedBySourceClauses: Seq[MergeClause],
       useDvs: Boolean = true,
-      dvMaxFraction: Double = 0.5): Unit = {
+      dvMaxFraction: Double = 0.5,
+      propsDelta: Map[String, String] = Map.empty): Unit = {
     require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
     matchedClauses.foreach {
       case _: MergeClause.Insert =>
@@ -870,11 +876,17 @@ final class LakeTable private (
           else Cdc.stage(path, pieces.reduce(_ unionByName _)).map(Action.of)
         }
 
+      val propsActions: Seq[Action] =
+        if (propsDelta.isEmpty) Seq.empty
+        else Seq(Action.of(snap.metaData.copy(
+          properties = snap.metaData.properties ++ propsDelta)))
+
       if (!useDvs) {
         // classic copy-on-write: rewrite every candidate file
         val result = (newRows ++ Seq(kept(matchedT), kept(bySrcT))).reduce(_ unionByName _)
         rewrite(snap, touched, result, "MERGE",
-          Map("condition" -> condition.toString), extra = cdcActions,
+          Map("condition" -> condition.toString),
+          extra = cdcActions ++ propsActions,
           constraints = Constraints.of(snap.metaData))
         return
       }
@@ -938,7 +950,7 @@ final class LakeTable private (
       val removes = (fullMatch ++ dvTargets ++ rewriteTargets)
         .map(f => Action.of(RemoveFile(f.path, now, f.partitionValues)))
       val adds = (dvAdds ++ rewriteAdds ++ appendedAdds).map(Action.of)
-      val actions = removes ++ adds ++ cdcActions :+
+      val actions = propsActions ++ removes ++ adds ++ cdcActions :+
         Action.of(CommitInfo(now, "MERGE",
           Map("condition" -> condition.toString,
             "deletionVectors" -> dvTargets.size.toString,
@@ -1025,13 +1037,32 @@ final class LakeTable private (
     * bucket, so the layout (and storage-partitioned joins) survives
     * compaction without rewriting the other buckets.
     */
-  def compact(targetFileBytes: Long = 128L << 20): Unit = {
+  /** @param where Delta's `OPTIMIZE ... WHERE`: restrict compaction to
+    *   partitions matching a partition-column predicate (exact
+    *   driver-side evaluation against partition values — referencing a
+    *   non-partition column is an error, not a silent full pass).
+    */
+  def compact(targetFileBytes: Long = 128L << 20,
+      where: Option[Column] = None): Unit = {
     require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
     val snap = snapshot
     val pcs = snap.metaData.partitionColumns
     val bucketed = Bucketing.specOf(snap.metaData).isDefined
+    val scoped = where match {
+      case None => snap.files
+      case Some(cond) =>
+        val e = resolveFilter(cond, snap.schema)
+        val refs = e.collect {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            a.name
+        }
+        val bad = refs.filterNot(pcs.contains)
+        require(bad.isEmpty,
+          s"OPTIMIZE WHERE supports partition columns only; got ${bad.mkString(",")}")
+        snap.files.filter(f => Stats.mightMatch(f, e, snap.schema, pcs))
+    }
     def hasDv(f: AddFile) = f.dvPath.isDefined || f.dvInline.isDefined
-    val groups = snap.files.groupBy(f => (f.partitionValues, f.bucket)).values
+    val groups = scoped.groupBy(f => (f.partitionValues, f.bucket)).values
       .map { fs =>
         val candidates = fs.filter(f => f.size < targetFileBytes || hasDv(f))
         if (candidates.size >= 2 || candidates.exists(hasDv)) candidates

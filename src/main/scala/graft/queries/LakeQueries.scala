@@ -126,6 +126,44 @@ object LakeQueries extends QueryGroup {
       WHERE n_nationkey % 2 <> 1
       ORDER BY version""")),
 
+    // incrementally-maintained aggregate view: create at v0, run DML on
+    // the source, refresh from the CHANGE FEED (cost ∝ changed rows) —
+    // the oracle recomputes the same aggregate from the final state
+    QueryDef("lake5_incremental_mv", (s, d) => {
+      val customer = Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      val srcPath = tmp("lake-mv-src-")
+      val t = LakeTable.create(s, srcPath, customer,
+        properties = Map(Cdc.PROP -> "true"))
+      val mvPath = tmp("lake-mv-") + "/mv"
+      graft.lake.IncrementalMv.create(s, mvPath, srcPath,
+        Seq("c_mktsegment"), Seq("c_acctbal"))
+      t.delete(col("c_custkey") % 10 === 0)
+      t.update(col("c_acctbal") < 0,
+        Map("c_acctbal" -> (col("c_acctbal") * 2)))
+      t.append(customer.where(col("c_custkey") % 7 === 0)
+        .select((col("c_custkey") + 500000).as("c_custkey"),
+          col("c_mktsegment"), (col("c_acctbal") + 10).as("c_acctbal")))
+      graft.lake.IncrementalMv.refresh(s, mvPath)
+      LakeTable.forPath(s, mvPath).toDF
+        .select(col("c_mktsegment"), col("n"),
+          round(col("sum_c_acctbal"), 2).as("bal_sum"),
+          col("nn_c_acctbal").as("nn"))
+        .orderBy("c_mktsegment")
+    }, oracle = Some("""
+      WITH final AS (
+        SELECT c_mktsegment,
+               CASE WHEN c_acctbal < 0 THEN c_acctbal * 2
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer WHERE c_custkey % 10 <> 0
+        UNION ALL
+        SELECT c_mktsegment, c_acctbal + 10
+        FROM customer WHERE c_custkey % 7 = 0)
+      SELECT c_mktsegment, count(*) AS n,
+             round(sum(c_acctbal), 2) AS bal_sum,
+             count(c_acctbal) AS nn
+      FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // the bucketed DSv2 read path end-to-end: two co-bucketed lake tables
     // joined through the catalog (storage-partitioned join — zero join
     // shuffles, asserted in BucketingSpec; values gated here)

@@ -27,9 +27,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case VACUUM_RE(ident, _, hours) =>
       RunLakeVacuum(strip(ident), Option(hours).map(_.toDouble))
-    case OPTIMIZE_RE(ident, _, zcols) =>
+    case OPTIMIZE_RE(ident, _, where, _, zcols) =>
       RunLakeOptimize(strip(ident),
-        Option(zcols).map(_.split(',').map(c => strip(c.trim)).toSeq))
+        Option(zcols).map(_.split(',').map(c => strip(c.trim)).toSeq),
+        Option(where).map(_.trim))
     case DESCRIBE_HISTORY_RE(ident) => RunLakeHistory(strip(ident))
     case RESTORE_RE(ident, version) => RunLakeRestore(strip(ident), version.toLong)
     // only intercept constraint DDL aimed at a LAKE table; anything else
@@ -73,7 +74,7 @@ object GraftSqlParser {
       """(\s+RETAIN\s+([0-9.]+)\s+HOURS?)?\s*;?\s*""").r
   private[graft] val OPTIMIZE_RE =
     ("""(?is)\s*OPTIMIZE\s+""" + TABLE +
-      """(\s+ZORDER\s+BY\s+\(?\s*([\w`,\s]+?)\s*\)?)?\s*;?\s*""").r
+      """(\s+WHERE\s+(.+?))?(\s+ZORDER\s+BY\s+\(?\s*([\w`,\s]+?)\s*\)?)?\s*;?\s*""").r
   private[graft] val DESCRIBE_HISTORY_RE =
     ("""(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+""" + TABLE + """\s*;?\s*""").r
   private[graft] val RESTORE_RE =
@@ -139,15 +140,19 @@ private[graft] case class RunLakeRestore(ident: String, toVersion: Long)
 }
 
 private[graft] case class RunLakeOptimize(ident: String,
-    zorderCols: Option[Seq[String]]) extends LeafRunnableCommand {
+    zorderCols: Option[Seq[String]],
+    where: Option[String] = None) extends LeafRunnableCommand {
   override val output: Seq[AttributeReference] =
     Seq(AttributeReference("num_files", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftExtensions.resolveTablePath(spark, ident)
     val t = graft.lake.LakeTable.forPath(spark, path)
-    zorderCols match {
-      case Some(cols) => t.zOrderBy(cols: _*)
-      case None => t.compact()
+    (zorderCols, where) match {
+      case (Some(_), Some(_)) => throw new UnsupportedOperationException(
+        "OPTIMIZE ... WHERE composes with compaction only, not ZORDER BY")
+      case (Some(cols), None) => t.zOrderBy(cols: _*)
+      case (None, w) =>
+        t.compact(where = w.map(org.apache.spark.sql.functions.expr))
     }
     Seq(Row(t.snapshot.numFiles))
   }

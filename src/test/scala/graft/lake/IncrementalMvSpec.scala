@@ -1,0 +1,135 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Incrementally-maintained aggregate views ([[IncrementalMv]]): every
+  * refresh must land the view EXACTLY where a full recompute would.
+  */
+class IncrementalMvSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def tmpDir(): String = Files.createTempDirectory("mv-test-").toString
+
+  private def sourceTable(path: String): LakeTable =
+    LakeTable.create(spark, path,
+      Seq((1L, "a", Option(10.0)), (2L, "a", Option(20.0)),
+        (3L, "b", Option(30.0)), (4L, "b", None), (5L, "c", Option(50.0)))
+        .toDF("id", "g", "v"),
+      properties = Map(Cdc.PROP -> "true"))
+
+  /** view state == full recompute of the source's current state */
+  private def assertParity(mvPath: String, src: LakeTable,
+      keys: Seq[String], sums: Seq[String]): Unit = {
+    val got = LakeTable.forPath(spark, mvPath).toDF
+      .orderBy(keys.map(col): _*).collect().toSeq
+    val want = IncrementalMv.aggregate(src.toDF, keys, sums)
+      .orderBy(keys.map(col): _*).collect().toSeq
+    assert(got === want)
+  }
+
+  test("create snapshots the aggregate; refresh applies inserts/deletes/updates") {
+    val srcPath = tmpDir()
+    val mvPath = tmpDir() + "/mv"
+    val t = sourceTable(srcPath)
+    IncrementalMv.create(spark, mvPath, srcPath, Seq("g"), Seq("v"))
+    assertParity(mvPath, t, Seq("g"), Seq("v"))
+
+    t.append(Seq((6L, "a", Option(6.0)), (7L, "d", Option(7.0)))
+      .toDF("id", "g", "v"))                         // new group d
+    t.delete($"id" === 3)                            // shrink b
+    t.update($"id" === 1, Map("v" -> lit(100.0)))    // change a's sum
+    val v = IncrementalMv.refresh(spark, mvPath)
+    assert(v === t.version)
+    assertParity(mvPath, t, Seq("g"), Seq("v"))
+    // refresh with nothing new is a cheap no-op
+    assert(IncrementalMv.refresh(spark, mvPath) === v)
+    assertParity(mvPath, t, Seq("g"), Seq("v"))
+  }
+
+  test("groups vanish at count 0 and sums return to NULL correctly") {
+    val srcPath = tmpDir()
+    val mvPath = tmpDir() + "/mv"
+    val t = sourceTable(srcPath)
+    IncrementalMv.create(spark, mvPath, srcPath, Seq("g"), Seq("v"))
+    t.delete($"g" === "c")  // whole group disappears
+    t.delete($"id" === 3)   // b keeps only the null-v row → sum_v NULL
+    IncrementalMv.refresh(spark, mvPath)
+    val mv = LakeTable.forPath(spark, mvPath).toDF
+    assert(mv.where($"g" === "c").count() === 0)
+    val b = mv.where($"g" === "b").collect().head
+    assert(b.getAs[Long]("n") === 1)
+    assert(b.isNullAt(b.fieldIndex("sum_v")))
+    assert(b.getAs[Long]("nn_v") === 0)
+    assertParity(mvPath, t, Seq("g"), Seq("v"))
+  }
+
+  test("group-key changes move rows between groups; MERGE source works") {
+    val srcPath = tmpDir()
+    val mvPath = tmpDir() + "/mv"
+    val t = sourceTable(srcPath)
+    IncrementalMv.create(spark, mvPath, srcPath, Seq("g"), Seq("v"))
+    // move id=1 from group a to group b, upsert id=9 into c
+    t.mergeClauses(
+      Seq((1L, "b", Option(10.0)), (9L, "c", Option(9.0)))
+        .toDF("id", "g", "v"),
+      col("t.id") === col("s.id"),
+      matchedClauses = Seq(MergeClause.Update(None, Map.empty)),
+      notMatchedClauses = Seq(MergeClause.Insert(None, Map.empty)),
+      notMatchedBySourceClauses = Seq.empty)
+    IncrementalMv.refresh(spark, mvPath)
+    assertParity(mvPath, t, Seq("g"), Seq("v"))
+  }
+
+  test("null group keys aggregate into their own group") {
+    val srcPath = tmpDir()
+    val mvPath = tmpDir() + "/mv"
+    val t = LakeTable.create(spark, srcPath,
+      Seq((1L, Option("a"), 1.0), (2L, Option.empty[String], 2.0),
+        (3L, None, 3.0)).toDF("id", "g", "v"),
+      properties = Map(Cdc.PROP -> "true"))
+    IncrementalMv.create(spark, mvPath, srcPath, Seq("g"), Seq("v"))
+    t.append(Seq((4L, Option.empty[String], 4.0)).toDF("id", "g", "v"))
+    t.delete($"id" === 2)
+    IncrementalMv.refresh(spark, mvPath)
+    assertParity(mvPath, t, Seq("g"), Seq("v"))
+    val nullRow = LakeTable.forPath(spark, mvPath).toDF
+      .where($"g".isNull).collect().head
+    assert(nullRow.getAs[Long]("n") === 2)
+  }
+
+  test("the applied-through version commits atomically with the merge") {
+    val srcPath = tmpDir()
+    val mvPath = tmpDir() + "/mv"
+    val t = sourceTable(srcPath)
+    IncrementalMv.create(spark, mvPath, srcPath, Seq("g"), Seq("v"))
+    t.append(Seq((8L, "a", Option(8.0))).toDF("id", "g", "v"))
+    IncrementalMv.refresh(spark, mvPath)
+    val mv = LakeTable.forPath(spark, mvPath)
+    // ONE commit carries both the data change and the version pointer
+    val last = mv.log.readCommit(mv.version)
+    assert(last.exists(_.metaData.exists(
+      _.properties(IncrementalMv.SRC_VERSION_PROP) == t.version.toString)))
+    assert(last.exists(a => a.add.isDefined || a.remove.isDefined))
+  }
+
+  test("count-only views and multi-key grouping") {
+    val srcPath = tmpDir()
+    val mvPath = tmpDir() + "/mv"
+    val t = LakeTable.create(spark, srcPath,
+      Seq((1L, "a", "x", 1.0), (2L, "a", "y", 2.0), (3L, "b", "x", 3.0))
+        .toDF("id", "g1", "g2", "v"),
+      properties = Map(Cdc.PROP -> "true"))
+    IncrementalMv.create(spark, mvPath, srcPath, Seq("g1", "g2"))
+    t.append(Seq((4L, "a", "x", 4.0)).toDF("id", "g1", "g2", "v"))
+    t.delete($"id" === 2)
+    IncrementalMv.refresh(spark, mvPath)
+    assertParity(mvPath, t, Seq("g1", "g2"), Seq.empty)
+  }
+}

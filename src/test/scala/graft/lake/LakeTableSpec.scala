@@ -301,6 +301,40 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.toDF.count() === 11)
   }
 
+  test("OPTIMIZE WHERE compacts only the matching partitions") {
+    val path = tmpDir()
+    val t = LakeTable.create(spark, path, sampleDF, partitionBy = Seq("state"))
+    for (i <- 0 until 3)
+      t.append(Seq((500L + i, "CA", i.toDouble), (600L + i, "TX", i.toDouble))
+        .toDF("id", "state", "amount"))
+    val txBefore = t.snapshot.files.filter(_.partitionValues("state") == "TX")
+    t.compact(where = Some($"state" === "CA"))
+    val byPart = t.snapshot.files.groupBy(_.partitionValues("state"))
+    assert(byPart("CA").size === 1)
+    // TX untouched — same files by path
+    assert(byPart("TX").map(_.path).toSet === txBefore.map(_.path).toSet)
+    // non-partition predicate is an error, not a full pass
+    val e = intercept[IllegalArgumentException] {
+      t.compact(where = Some($"amount" > 0))
+    }
+    assert(e.getMessage.contains("partition columns only"))
+    // SQL form through the catalog
+    val wh = java.nio.file.Files.createTempDirectory("opt-wh-").toString
+    spark.conf.set("spark.sql.catalog.optw", "org.apache.spark.sql.graft.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.optw.warehouse", wh)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$wh/db"))
+    val t2 = LakeTable.create(spark, s"$wh/db/t", sampleDF,
+      partitionBy = Seq("state"))
+    for (i <- 0 until 2)
+      t2.append(Seq((700L + i, "CA", 1.0), (800L + i, "NY", 1.0))
+        .toDF("id", "state", "amount"))
+    val nyBefore = t2.snapshot.files.filter(_.partitionValues("state") == "NY")
+    spark.sql("OPTIMIZE optw.db.t WHERE state = 'CA'")
+    val after = t2.snapshot.files.groupBy(_.partitionValues("state"))
+    assert(after("CA").size === 1)
+    assert(after("NY").map(_.path).toSet === nyBefore.map(_.path).toSet)
+  }
+
   test("optimizeBy makes skipping selective on the clustered column") {
     val path = tmpDir()
     // 4 files each containing the FULL id range → skipping can't prune
