@@ -129,4 +129,35 @@ object IncrementalMv {
       propsDelta = Map(SRC_VERSION_PROP -> latest.toString))
     latest
   }
+
+  /** Continuous maintenance: a change-feed stream on the source whose
+    * only job is to signal "there are new commits" — each micro-batch
+    * triggers one [[refresh]], which re-reads the exact version range
+    * from the feed itself and commits atomically. The stream is purely
+    * a TRIGGER, so a crashed/restarted query can never double-apply
+    * (refresh is exactly-once on its own bookkeeping) and the stream's
+    * offsets need no coordination with the view.
+    *
+    * Returns the running query; stop it to pause maintenance.
+    */
+  def continuousRefresh(
+      spark: SparkSession,
+      mvPath: String,
+      checkpointLocation: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val props = LakeTable.forPath(spark, mvPath).snapshot.metaData.properties
+    val sourcePath = props.getOrElse(SRC_PATH_PROP,
+      throw new IllegalArgumentException(s"$mvPath is not an incremental view"))
+    spark.readStream
+      .format("org.apache.spark.sql.graft.LakeSourceProvider")
+      .option("path", sourcePath)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", props(SRC_VERSION_PROP).toLong + 1)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        refresh(spark, mvPath): Unit
+      }
+      .start()
+  }
 }

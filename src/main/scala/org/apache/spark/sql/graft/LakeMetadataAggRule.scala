@@ -23,10 +23,11 @@ import graft.lake.AddFile
   *    subtract their cardinality.
   *  - count(c): additionally needs a nullCount for c in every file, and
   *    no DVs (a masked row's nullness is unknown to the log).
-  *  - min/max(c): numeric/date/timestamp columns only (string footer
-  *    stats order by unsigned bytes, not UTF-16 — not trusted for an
-  *    exact ANSWER, only for conservative skipping), no DVs (the
-  *    extremum could be a deleted row), and every file either carries
+  *  - min/max(c): numeric/date/timestamp columns, plus default-collation
+  *    strings with short recorded bounds (parquet footer bounds and
+  *    Spark's UTF8_BINARY collation share unsigned-byte order; bounds
+  *    long enough to be truncation artifacts bail); no DVs (the
+  *    extremum could be a deleted row); and every file either carries
   *    the column's range or is provably all-null in c.
   */
 class LakeMetadataAggRule(session: SparkSession) extends Rule[LogicalPlan] {
@@ -87,12 +88,27 @@ class LakeMetadataAggRule(session: SparkSession) extends Rule[LogicalPlan] {
           Some(org.apache.spark.sql.types.Decimal(BigDecimal(s), d.precision, d.scale))
         case DateType => Some(s.toInt)       // canonical: days
         case TimestampType => Some(s.toLong) // canonical: micros
+        case StringType =>
+          Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
         case _ => None
       } catch { case _: Exception => None }
 
     def numericCmp(dt: DataType, a: String, b: String): Int = dt match {
+      case StringType =>
+        // binary (unsigned byte) order — BOTH parquet footer bounds and
+        // Spark's default UTF8_BINARY collation compare this way
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
       case _ => BigDecimal(a).compare(BigDecimal(b))
     }
+
+    /** A string bound trusted as an exact VALUE: shorter than any
+      * plausible footer truncation threshold — a <64-char stored bound
+      * was not truncated under parquet-mr's 64 default OR its
+      * untruncated default. Longer bounds may be truncation artifacts
+      * (valid for skipping, not as an answer) → bail to the scan.
+      */
+    def trustedStringBound(s: String): Boolean = s.length < 64
 
     /** Fold min or max over files; Some(None) = provably null (no
       * non-null values), None = cannot prove. */
@@ -100,7 +116,8 @@ class LakeMetadataAggRule(session: SparkSession) extends Rule[LogicalPlan] {
       if (hasDvs) return None
       attr.dataType match {
         case ByteType | ShortType | IntegerType | LongType | FloatType |
-             DoubleType | DateType | TimestampType | (_: DecimalType) => ()
+             DoubleType | DateType | TimestampType | StringType |
+             (_: DecimalType) => ()
         case _ => return None
       }
       val name = attr.name
@@ -112,6 +129,8 @@ class LakeMetadataAggRule(session: SparkSession) extends Rule[LogicalPlan] {
             val bound = if (isMin) st.minValues.get(name) else st.maxValues.get(name)
             bound match {
               case Some(v) =>
+                if (attr.dataType == StringType && !trustedStringBound(v))
+                  return None
                 best = Some(best match {
                   case Some(b) =>
                     val c = numericCmp(attr.dataType, v, b)

@@ -119,6 +119,24 @@ class IncrementalMvSpec extends AnyFunSuite {
     assert(last.exists(a => a.add.isDefined || a.remove.isDefined))
   }
 
+  test("continuous refresh: the change-feed stream triggers maintenance") {
+    val srcPath = tmpDir()
+    val mvPath = tmpDir() + "/mv"
+    val t = sourceTable(srcPath)
+    IncrementalMv.create(spark, mvPath, srcPath, Seq("g"), Seq("v"))
+    val q = IncrementalMv.continuousRefresh(spark, mvPath,
+      Files.createTempDirectory("mv-ckpt-").toString)
+    try {
+      t.append(Seq((6L, "e", Option(6.0))).toDF("id", "g", "v"))
+      q.processAllAvailable()
+      assertParity(mvPath, t, Seq("g"), Seq("v"))
+      t.delete($"g" === "a")
+      t.update($"id" === 5, Map("v" -> lit(55.0)))
+      q.processAllAvailable()
+      assertParity(mvPath, t, Seq("g"), Seq("v"))
+    } finally q.stop()
+  }
+
   test("count-only views and multi-key grouping") {
     val srcPath = tmpDir()
     val mvPath = tmpDir() + "/mv"

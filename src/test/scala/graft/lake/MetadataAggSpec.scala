@@ -75,11 +75,25 @@ class MetadataAggSpec extends AnyFunSuite {
     assert(mx.as[Double].head() === 10.0) // 99.25 was deleted
   }
 
-  test("string min/max is not answered from footer stats") {
+  test("string min/max folds from short bounds, matching Spark's binary order") {
     fixture("t3")
-    val q = spark.sql("SELECT min(s) AS m FROM ma.db.t3")
-    assert(!isMetadataOnly(q))
-    assert(q.as[String].head() === "w")
+    val q = spark.sql("SELECT min(s) AS m, max(s) AS x FROM ma.db.t3")
+    assert(isMetadataOnly(q), s"string bounds should fold:\n${q.queryExecution.optimizedPlan}")
+    val r = q.collect().head
+    assert(r.getString(0) === "w" && r.getString(1) === "z")
+    // non-ASCII: parquet's byte order == Spark's UTF8_BINARY order —
+    // the fold MUST agree with the scan ("éclair" > "zzz" by bytes)
+    LakeTable.create(spark, s"$warehouse/db/t3u",
+      Seq((1L, "abc"), (2L, "éclair"), (3L, "zzz")).toDF("id", "s"))
+    val qu = spark.sql("SELECT max(s) AS m FROM ma.db.t3u")
+    assert(isMetadataOnly(qu))
+    assert(qu.as[String].head() === "éclair")
+    // bounds long enough to be truncation artifacts are not trusted
+    LakeTable.create(spark, s"$warehouse/db/t3l",
+      Seq((1L, "a" * 80), (2L, "b" * 80)).toDF("id", "s"))
+    val ql = spark.sql("SELECT max(s) AS m FROM ma.db.t3l")
+    assert(!isMetadataOnly(ql))
+    assert(ql.as[String].head() === "b" * 80)
   }
 
   test("filters, grouping, and distinct keep the scan") {
