@@ -59,7 +59,8 @@ object Bench {
     // each query n times (min wins — isolates plan cost from warm-up)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    val reps = sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption).getOrElse(1)
+    val reps = math.max(1,
+      sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption).getOrElse(1))
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

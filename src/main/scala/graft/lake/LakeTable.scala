@@ -728,11 +728,12 @@ final class LakeTable private (
     // 1. candidate target files: matches only — unless by-source clauses
     // make every target row a candidate. The prefilter join is a pure
     // scan optimization (untouched files fall out of the claim map
-    // below anyway on the DV path), so skip its job when the table is
-    // a handful of files.
+    // below anyway on the DV path), so skip its job when the whole
+    // table is small in BYTES (file count says nothing about the cost
+    // of the wide full-outer join the skip widens to).
     val touched =
       if (notMatchedBySourceClauses.nonEmpty) snap.files
-      else if (useDvs && snap.files.size <= 8) snap.files
+      else if (useDvs && snap.sizeInBytes <= (64L << 20)) snap.files
       else {
         val withFile = toDF.withColumn("__file", input_file_name()).alias("t")
         val matchedFiles = withFile.join(source.alias("s"), condition, "inner")

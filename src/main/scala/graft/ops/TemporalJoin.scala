@@ -71,16 +71,21 @@ object TemporalJoin {
         lit(1).as("__is_left") +:
         lit(null).cast(structType(right, payloadCols)).as("__rpay") +:
         left.columns.map(col).toSeq: _*)
-    val r = right.select(
-      col(rightTime).as("__t") +:
-        lit(0).as("__is_left") +:
-        struct(payloadCols.map(col): _*).as("__rpay") +:
-        left.columns.map { c =>
-          // right rows keep their join keys (they partition the window);
-          // every other left column is null padding
-          if (on.contains(c)) col(c)
-          else lit(null).cast(leftType(left, c)).as(c)
-        }.toSeq: _*)
+    val r = right
+      // SQL join equality: a NULL key matches nothing — drop such right
+      // rows up front (left rows with NULL keys stay, with null payloads,
+      // exactly like DuckDB's ASOF LEFT JOIN / pandas merge_asof)
+      .where(on.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        col(rightTime).as("__t") +:
+          lit(0).as("__is_left") +:
+          struct(payloadCols.map(col): _*).as("__rpay") +:
+          left.columns.map { c =>
+            // right rows keep their join keys (they partition the window);
+            // every other left column is null padding
+            if (on.contains(c)) col(c)
+            else lit(null).cast(leftType(left, c)).as(c)
+          }.toSeq: _*)
 
     val ord =
       if (forward) Seq(col("__t").desc, col("__is_left").asc, col("__rpay").desc)

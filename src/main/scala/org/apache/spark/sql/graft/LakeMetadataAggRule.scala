@@ -82,10 +82,6 @@ class LakeMetadataAggRule(session: SparkSession) extends Rule[LogicalPlan] {
         case ShortType => Some(s.toShort)
         case IntegerType => Some(s.toInt)
         case LongType => Some(s.toLong)
-        case FloatType => Some(s.toFloat)
-        case DoubleType => Some(s.toDouble)
-        case d: DecimalType =>
-          Some(org.apache.spark.sql.types.Decimal(BigDecimal(s), d.precision, d.scale))
         case DateType => Some(s.toInt)       // canonical: days
         case TimestampType => Some(s.toLong) // canonical: micros
         case StringType =>
@@ -114,10 +110,14 @@ class LakeMetadataAggRule(session: SparkSession) extends Rule[LogicalPlan] {
       * non-null values), None = cannot prove. */
     def extremum(attr: Attribute, isMin: Boolean): Option[Option[Any]] = {
       if (hasDvs) return None
+      // deliberately NOT foldable: float/double (a NaN-excluded footer
+      // bound understates Spark's NaN-greatest max, and Infinity breaks
+      // the numeric fold — Delta excludes them too) and decimals (footer
+      // stats carry the UNSCALED backing integer, the aggregation-path
+      // stats the scaled rendering — ambiguous at read time)
       attr.dataType match {
-        case ByteType | ShortType | IntegerType | LongType | FloatType |
-             DoubleType | DateType | TimestampType | StringType |
-             (_: DecimalType) => ()
+        case ByteType | ShortType | IntegerType | LongType |
+             DateType | TimestampType | StringType => ()
         case _ => return None
       }
       val name = attr.name
@@ -153,7 +153,8 @@ class LakeMetadataAggRule(session: SparkSession) extends Rule[LogicalPlan] {
       case Alias(ae: AggregateExpression, _)
           if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
-          case Count(Seq(_: Literal)) => countStar.map(v => v: Any)
+          case Count(Seq(l: Literal)) if l.value != null =>
+            countStar.map(v => v: Any) // count(NULL) counts nothing — bail
           case Count(Seq(a: AttributeReference)) => countCol(a.name).map(v => v: Any)
           case Min(a: AttributeReference) => extremum(a, isMin = true).map(_.orNull)
           case Max(a: AttributeReference) => extremum(a, isMin = false).map(_.orNull)

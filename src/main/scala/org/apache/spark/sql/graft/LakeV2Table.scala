@@ -155,11 +155,22 @@ private[graft] class LakeCatalogScan(
     options: CaseInsensitiveStringMap)
   extends org.apache.spark.sql.connector.read.Scan
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
-  import org.apache.spark.sql.connector.read.{Scan => V2Scan}
-
   override def readSchema(): StructType = inner.readSchema()
+
+  /** size/row statistics MUST survive the wrapper — a 1 MB dimension
+    * that reports unknown size loses its broadcast join. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    inner match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      }
+    }
   override def description(): String = inner.description()
   override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
 

@@ -47,14 +47,19 @@ class MetadataAggSpec extends AnyFunSuite {
   test("count(*), count(col), min, max fold from the log — no scan") {
     fixture("t1")
     val q = spark.sql(
-      "SELECT count(*) AS n, count(s) AS ns, min(v) AS mn, max(v) AS mx, min(id) AS mi FROM ma.db.t1")
+      "SELECT count(*) AS n, count(s) AS ns, min(id) AS mi, max(id) AS mx FROM ma.db.t1")
     assert(isMetadataOnly(q), s"expected metadata-only:\n${q.queryExecution.optimizedPlan}")
     val r = q.collect().head
     assert(r.getLong(0) === 5)
     assert(r.getLong(1) === 4) // one null in s
-    assert(r.getDouble(2) === -5.5)
-    assert(r.getDouble(3) === 99.25)
-    assert(r.getLong(4) === 1L)
+    assert(r.getLong(2) === 1L)
+    assert(r.getLong(3) === 5L)
+    // float/double and count(NULL) deliberately bail (NaN/Infinity and
+    // SQL-null semantics a stats fold can't prove) — but stay correct
+    val qv = spark.sql("SELECT min(v) AS mn, count(NULL) AS cn FROM ma.db.t1")
+    assert(!isMetadataOnly(qv))
+    val rv = qv.collect().head
+    assert(rv.getDouble(0) === -5.5 && rv.getLong(1) === 0L)
   }
 
   test("deletion vectors: count(*) subtracts, min/max bails to the scan") {
@@ -64,15 +69,15 @@ class MetadataAggSpec extends AnyFunSuite {
       (1L, 10.0, Option("x")), (2L, -5.5, None), (3L, 99.25, Option("y")),
       (4L, 0.0, Option("z")), (5L, 7.5, Option("w")))
       .toDF("id", "v", "s").coalesce(1))
-    t.delete($"id" === 3) // DV masks the max of v
+    t.delete($"id" === 5) // DV masks the max of id
     assert(t.snapshot.files.exists(f => f.dvPath.isDefined || f.dvInline.isDefined),
       "fixture must actually create a deletion vector")
     val cnt = spark.sql("SELECT count(*) AS n FROM ma.db.t2")
     assert(isMetadataOnly(cnt), "count(*) should still fold (DV cardinality)")
     assert(cnt.as[Long].head() === 4)
-    val mx = spark.sql("SELECT max(v) AS mx FROM ma.db.t2")
+    val mx = spark.sql("SELECT max(id) AS mx FROM ma.db.t2")
     assert(!isMetadataOnly(mx), "max over a DV'd table must scan")
-    assert(mx.as[Double].head() === 10.0) // 99.25 was deleted
+    assert(mx.as[Long].head() === 4L) // id=5 was deleted
   }
 
   test("string min/max folds from short bounds, matching Spark's binary order") {
@@ -125,7 +130,7 @@ class MetadataAggSpec extends AnyFunSuite {
     assert(df.count() === 5)
     // all-null column: min is provably null from nullCount == numRecords
     val t = LakeTable.create(spark, s"$warehouse/db/t7",
-      Seq((1L, Option.empty[java.lang.Double]), (2L, None)).toDF("id", "v"))
+      Seq((1L, Option.empty[java.lang.Long]), (2L, None)).toDF("id", "v"))
     val q = spark.sql("SELECT min(v) AS m, count(v) AS n FROM ma.db.t7")
     assert(isMetadataOnly(q), s"all-null min should fold:\n${q.queryExecution.optimizedPlan}")
     val r = q.collect().head

@@ -71,6 +71,18 @@ class TemporalJoinSpec extends AnyFunSuite {
       Seq("id", "user", "t", "tag", "rt", "tag_right"))
   }
 
+  test("NULL join keys never match (SQL equality, like ASOF JOIN)") {
+    val l = Seq((1L, Option("u1"), ts(10)), (2L, Option.empty[String], ts(10)))
+      .toDF("id", "user", "t")
+    val r = Seq((Option("u1"), ts(5), 1.0), (Option.empty[String], ts(5), 2.0))
+      .toDF("user", "rt", "rv")
+    val out = TemporalJoin.asofJoin(l, r, Seq("user"), "t", "rt")
+      .orderBy("id").select($"id", $"rv")
+      .as[(Long, Option[Double])].collect().toSeq
+    // the NULL-key left row survives but matches nothing
+    assert(out === Seq((1L, Some(1.0)), (2L, None)))
+  }
+
   test("as-of plans with no join operator (union + window only)") {
     val out = TemporalJoin.asofJoin(left, right, Seq("user"), "t", "rt")
     val plan = out.queryExecution.executedPlan
