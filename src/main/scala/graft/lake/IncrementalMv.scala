@@ -1,27 +1,33 @@
 package graft.lake
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incrementally-maintained aggregate table (materialized view) over a
-  * CDF-enabled lake table: `GROUP BY keys` with `count(*)` and `sum(c)`
-  * aggregates, refreshed from the CHANGE FEED instead of recomputed —
-  * each refresh reads only the commits since the last one, turns them
-  * into signed per-group deltas (+1 for insert/update_postimage, -1 for
-  * delete/update_preimage), and MERGEs the deltas into the view. At
-  * 100 TB a daily refresh costs the day's changes, not a table scan.
+  * CDF-enabled lake table: `GROUP BY keys` with `count(*)`, `sum(c)`,
+  * and `min/max(c)` aggregates, refreshed from the CHANGE FEED instead
+  * of recomputed — each refresh reads only the commits since the last
+  * one, turns them into signed per-group deltas (+1 for
+  * insert/update_postimage, -1 for delete/update_preimage), and MERGEs
+  * the deltas into the view. At 100 TB a daily refresh costs the day's
+  * changes, not a table scan.
   *
   * Exactness bookkeeping:
   *  - per sum column the view also stores `nn_<c>` (count of non-null
   *    values), so `sum_<c>` returns to SQL NULL when the last non-null
   *    value leaves the group — plain `old + delta` arithmetic can't
   *    distinguish "sums to 0" from "no values";
+  *  - min/max are monotone under inserts (`least/greatest` with the
+  *    batch's extremes) but NOT under deletes: a group whose current
+  *    extremum was deleted is re-aggregated FROM THE SOURCE — only
+  *    those groups (a semi-join on the flagged keys), everything else
+  *    stays arithmetic. Refresh cost is changes + the affected groups'
+  *    source rows, never the table;
   *  - the applied-through source version rides the SAME commit as the
   *    merge ([[LakeTable.mergeClauses]] `propsDelta`), so a refresh is
   *    exactly-once: replayed after a crash it either sees the bumped
   *    version (no-op) or re-applies from an unchanged one;
-  *  - groups whose count reaches 0 are deleted; min/max are NOT
-  *    supported (they need the group's full history on delete).
+  *  - groups whose count reaches 0 are deleted.
   */
 object IncrementalMv {
 
@@ -29,6 +35,7 @@ object IncrementalMv {
   val SRC_VERSION_PROP = "graft.mv.sourceVersion"
   val KEYS_PROP = "graft.mv.groupBy"
   val SUMS_PROP = "graft.mv.sums"
+  val MINMAX_PROP = "graft.mv.minMax"
 
   /** Build the view at the source's CURRENT version and record the
     * lineage + spec in the view's table properties.
@@ -38,30 +45,35 @@ object IncrementalMv {
       mvPath: String,
       sourcePath: String,
       groupBy: Seq[String],
-      sumCols: Seq[String] = Seq.empty): LakeTable = {
+      sumCols: Seq[String] = Seq.empty,
+      minMaxCols: Seq[String] = Seq.empty): LakeTable = {
     require(groupBy.nonEmpty, "an aggregate view needs group-by keys")
     val source = LakeTable.forPath(spark, sourcePath)
     require(source.snapshot.metaData.properties.get(Cdc.PROP).exists(_.toBoolean),
       s"incremental refresh needs $sourcePath to have ${Cdc.PROP}=true " +
         "(the change feed is the refresh input)")
     val version = source.version
-    val df = aggregate(source.asOf(version).toDF, groupBy, sumCols)
+    val df = aggregate(source.asOf(version).toDF, groupBy, sumCols, minMaxCols)
     LakeTable.create(spark, mvPath, df, properties = Map(
       SRC_PATH_PROP -> sourcePath,
       SRC_VERSION_PROP -> version.toString,
       KEYS_PROP -> groupBy.mkString(","),
-      SUMS_PROP -> sumCols.mkString(",")))
+      SUMS_PROP -> sumCols.mkString(","),
+      MINMAX_PROP -> minMaxCols.mkString(",")))
   }
 
   /** The view's aggregation shape — also what a full recompute runs
     * (spec parity checks compare refresh output against this). */
   def aggregate(df: DataFrame, groupBy: Seq[String],
-      sumCols: Seq[String]): DataFrame =
+      sumCols: Seq[String], minMaxCols: Seq[String] = Seq.empty): DataFrame =
     df.groupBy(groupBy.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sumCols.flatMap(c => Seq(
           sum(col(c)).as(s"sum_$c"),
-          count(col(c)).as(s"nn_$c"))): _*)
+          count(col(c)).as(s"nn_$c"))) ++
+          minMaxCols.flatMap(c => Seq(
+            min(col(c)).as(s"min_$c"),
+            max(col(c)).as(s"max_$c"))): _*)
 
   /** Apply all source commits since the last refresh. Returns the new
     * applied-through version (== previous when there was nothing new).
@@ -74,24 +86,34 @@ object IncrementalMv {
     val lastApplied = props(SRC_VERSION_PROP).toLong
     val keys = props(KEYS_PROP).split(',').toSeq.filter(_.nonEmpty)
     val sums = props.getOrElse(SUMS_PROP, "").split(',').toSeq.filter(_.nonEmpty)
+    val minMax = props.getOrElse(MINMAX_PROP, "").split(',').toSeq.filter(_.nonEmpty)
 
     val source = LakeTable.forPath(spark, sourcePath)
     val latest = source.version
     if (latest <= lastApplied) return lastApplied
 
     val changes = source.tableChanges(lastApplied + 1, Some(latest))
-    val sign = when(col(Cdc.CHANGE_TYPE).isin(Cdc.INSERT, Cdc.UPDATE_POST), 1)
-      .otherwise(-1)
+    val isAdd = col(Cdc.CHANGE_TYPE).isin(Cdc.INSERT, Cdc.UPDATE_POST)
+    val sign = when(isAdd, 1).otherwise(-1)
     val delta = changes.groupBy(keys.map(col): _*)
       .agg(sum(sign).as("dn"),
         sums.flatMap(c => Seq(
           sum(when(col(c).isNotNull, col(c) * sign).otherwise(lit(0)))
             .as(s"dsum_$c"),
-          sum(when(col(c).isNotNull, sign).otherwise(lit(0))).as(s"dnn_$c"))): _*)
+          sum(when(col(c).isNotNull, sign).otherwise(lit(0))).as(s"dnn_$c"))) ++
+          minMax.flatMap(c => Seq(
+            min(when(isAdd, col(c))).as(s"insMin_$c"),
+            max(when(isAdd, col(c))).as(s"insMax_$c"),
+            min(when(!isAdd, col(c))).as(s"delMin_$c"),
+            max(when(!isAdd, col(c))).as(s"delMax_$c"))): _*)
       // net-zero groups (e.g. an update that changed neither keys nor
-      // summed columns) would merge as no-op row rewrites — drop them
-      .where(((col("dn") =!= 0) +: sums.flatMap(c =>
-        Seq(col(s"dsum_$c") =!= 0, col(s"dnn_$c") =!= 0))).reduce(_ || _))
+      // aggregated columns) would merge as no-op row rewrites — drop
+      // them; any min/max activity keeps the group
+      .where(((col("dn") =!= 0) +: (sums.flatMap(c =>
+        Seq(col(s"dsum_$c") =!= 0, col(s"dnn_$c") =!= 0)) ++
+        minMax.flatMap(c => Seq(
+          col(s"insMin_$c").isNotNull, col(s"delMin_$c").isNotNull))))
+        .reduce(_ || _))
     if (delta.isEmpty) {
       // a range of property-only / reorganization commits: nothing to
       // apply, just move the applied-through pointer
@@ -99,32 +121,103 @@ object IncrementalMv {
       return latest
     }
 
-    val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
-    val updateSet: Map[String, org.apache.spark.sql.Column] =
-      Map("n" -> (col("t.n") + col("s.dn"))) ++
+    // min/max under deletes: flag groups whose CURRENT extremum may have
+    // left and re-aggregate exactly those from the source AT the applied
+    // version (pinned — concurrent newer commits must not leak in)
+    val enriched: DataFrame =
+      if (minMax.isEmpty) delta
+      else {
+        val state = mv.toDF.select((keys.map(col) ++ minMax.flatMap(c =>
+          Seq(col(s"min_$c").as(s"curMin_$c"), col(s"max_$c").as(s"curMax_$c"))) :+
+          lit(true).as("__inMv")): _*)
+        val dJoinS = keys.map(k => col(s"d.$k") <=> col(s"st.$k")).reduce(_ && _)
+        val anyDelete = minMax.map(c =>
+          col(s"d.delMin_$c").isNotNull || col(s"d.delMax_$c").isNotNull)
+          .reduce(_ || _)
+        val needs = minMax.map(c =>
+          (col(s"d.delMin_$c").isNotNull && col(s"st.curMin_$c").isNotNull &&
+            col(s"d.delMin_$c") <= col(s"st.curMin_$c")) ||
+            (col(s"d.delMax_$c").isNotNull && col(s"st.curMax_$c").isNotNull &&
+              col(s"d.delMax_$c") >= col(s"st.curMax_$c"))).reduce(_ || _) ||
+          // a group NOT in the view whose batch both inserts and deletes:
+          // the batch's insert extremes may include deleted rows — the
+          // arithmetic path can't tell, so recompute
+          (col("st.__inMv").isNull && anyDelete)
+        val flagged = delta.alias("d")
+          .join(state.alias("st"), dJoinS, "left")
+          .select((Seq(col("d.*")) :+ coalesce(needs, lit(false)).as("__recompute")): _*)
+        val hot = flagged.where(col("__recompute")).select(keys.map(col): _*)
+        // null-safe semi join: a NULL-key group must still find its rows
+        val svJoinH = keys.map(k => col(s"sv.$k") <=> col(s"h.$k")).reduce(_ && _)
+        val rec = aggregate(
+          source.asOf(latest).toDF.alias("sv")
+            .join(broadcast(hot.alias("h")), svJoinH, "left_semi"),
+          keys, sums, minMax)
+        val recCols = Seq("n") ++ sums.flatMap(c => Seq(s"sum_$c", s"nn_$c")) ++
+          minMax.flatMap(c => Seq(s"min_$c", s"max_$c"))
+        val fJoinR = keys.map(k => col(s"f.$k") <=> col(s"r.$k")).reduce(_ && _)
+        flagged.alias("f").join(
+            rec.select((keys.map(col) ++
+              recCols.map(c => col(c).as(s"r_$c"))): _*).alias("r"),
+            fJoinR, "left")
+          .select(col("f.*") +: recCols.map(c => col(s"r.r_$c")): _*)
+      }
+
+    // without min/max columns the enriched frame has no r_* columns at
+    // all — the recompute branch must not even be CONSTRUCTED then
+    // (an unresolvable reference fails analysis, taken or not)
+    def recAware(plain: Column, recCol: String): Column =
+      if (minMax.isEmpty) plain
+      else when(col("s.__recompute"), col(s"s.r_$recCol")).otherwise(plain)
+    val updateSet: Map[String, Column] =
+      Map("n" -> recAware(col("t.n") + col("s.dn"), "n")) ++
         sums.flatMap { c =>
           val nn = col(s"t.nn_$c") + col(s"s.dnn_$c")
           Seq(
-            s"nn_$c" -> nn,
-            s"sum_$c" -> when(nn === 0, lit(null))
-              .otherwise(coalesce(col(s"t.sum_$c"), lit(0)) + col(s"s.dsum_$c")))
+            s"nn_$c" -> recAware(nn, s"nn_$c"),
+            s"sum_$c" -> recAware(
+              when(nn === 0, lit(null))
+                .otherwise(coalesce(col(s"t.sum_$c"), lit(0)) + col(s"s.dsum_$c")),
+              s"sum_$c"))
+        } ++
+        minMax.flatMap { c =>
+          Seq(
+            // least/greatest skip nulls: no inserts → keep the current
+            s"min_$c" -> recAware(
+              least(col(s"t.min_$c"), col(s"s.insMin_$c")), s"min_$c"),
+            s"max_$c" -> recAware(
+              greatest(col(s"t.max_$c"), col(s"s.insMax_$c")), s"max_$c"))
         }
-    val insertSet: Map[String, org.apache.spark.sql.Column] =
+    val insertSet: Map[String, Column] =
       keys.map(k => k -> col(s"s.$k")).toMap ++
-        Map("n" -> col("s.dn")) ++
+        Map("n" -> recAware(col("s.dn"), "n")) ++
         sums.flatMap { c =>
           Seq(
-            s"nn_$c" -> col(s"s.dnn_$c"),
-            s"sum_$c" -> when(col(s"s.dnn_$c") === 0, lit(null))
-              .otherwise(col(s"s.dsum_$c")))
+            s"nn_$c" -> recAware(col(s"s.dnn_$c"), s"nn_$c"),
+            s"sum_$c" -> recAware(
+              when(col(s"s.dnn_$c") === 0, lit(null))
+                .otherwise(col(s"s.dsum_$c")),
+              s"sum_$c"))
+        } ++
+        minMax.flatMap { c =>
+          Seq(s"min_$c" -> recAware(col(s"s.insMin_$c"), s"min_$c"),
+            s"max_$c" -> recAware(col(s"s.insMax_$c"), s"max_$c"))
         }
 
-    mv.mergeClauses(delta, cond,
+    val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val deleteCond =
+      if (minMax.isEmpty) col("t.n") + col("s.dn") === 0
+      else when(col("s.__recompute"), coalesce(col("s.r_n"), lit(0)) === 0)
+        .otherwise(col("t.n") + col("s.dn") === 0)
+    mv.mergeClauses(enriched, cond,
       matchedClauses = Seq(
-        MergeClause.Delete(Some(col("t.n") + col("s.dn") === 0)),
+        MergeClause.Delete(Some(deleteCond)),
         MergeClause.Update(None, updateSet)),
       notMatchedClauses = Seq(
-        MergeClause.Insert(Some(col("s.dn") > 0), insertSet)),
+        MergeClause.Insert(Some(
+          if (minMax.isEmpty) col("s.dn") > 0
+          else when(col("s.__recompute"), coalesce(col("s.r_n"), lit(0)) > 0)
+            .otherwise(col("s.dn") > 0)), insertSet)),
       notMatchedBySourceClauses = Seq.empty,
       propsDelta = Map(SRC_VERSION_PROP -> latest.toString))
     latest

@@ -26,10 +26,11 @@ class IncrementalMvSpec extends AnyFunSuite {
 
   /** view state == full recompute of the source's current state */
   private def assertParity(mvPath: String, src: LakeTable,
-      keys: Seq[String], sums: Seq[String]): Unit = {
+      keys: Seq[String], sums: Seq[String],
+      minMax: Seq[String] = Seq.empty): Unit = {
     val got = LakeTable.forPath(spark, mvPath).toDF
       .orderBy(keys.map(col): _*).collect().toSeq
-    val want = IncrementalMv.aggregate(src.toDF, keys, sums)
+    val want = IncrementalMv.aggregate(src.toDF, keys, sums, minMax)
       .orderBy(keys.map(col): _*).collect().toSeq
     assert(got === want)
   }
@@ -135,6 +136,56 @@ class IncrementalMvSpec extends AnyFunSuite {
       q.processAllAvailable()
       assertParity(mvPath, t, Seq("g"), Seq("v"))
     } finally q.stop()
+  }
+
+  test("min/max maintenance: inserts fold, extremum deletes recompute") {
+    val srcPath = tmpDir()
+    val mvPath = tmpDir() + "/mv"
+    val t = sourceTable(srcPath)
+    IncrementalMv.create(spark, mvPath, srcPath, Seq("g"), Seq("v"), Seq("v"))
+    assertParity(mvPath, t, Seq("g"), Seq("v"), Seq("v"))
+    // insert-only batch: arithmetic path (least/greatest)
+    t.append(Seq((10L, "a", Option(5.0)), (11L, "a", Option(25.0)))
+      .toDF("id", "g", "v"))
+    IncrementalMv.refresh(spark, mvPath)
+    assertParity(mvPath, t, Seq("g"), Seq("v"), Seq("v"))
+    val a1 = LakeTable.forPath(spark, mvPath).toDF.where($"g" === "a").collect().head
+    assert(a1.getAs[Double]("min_v") === 5.0 && a1.getAs[Double]("max_v") === 25.0)
+    // delete the group's current min AND max → group recompute
+    t.delete($"id".isin(10L, 11L))
+    IncrementalMv.refresh(spark, mvPath)
+    assertParity(mvPath, t, Seq("g"), Seq("v"), Seq("v"))
+    val a2 = LakeTable.forPath(spark, mvPath).toDF.where($"g" === "a").collect().head
+    assert(a2.getAs[Double]("min_v") === 10.0 && a2.getAs[Double]("max_v") === 20.0)
+    // another extremum delete (v=10 is now a's min)
+    t.delete($"id" === 1)
+    IncrementalMv.refresh(spark, mvPath)
+    assertParity(mvPath, t, Seq("g"), Seq("v"), Seq("v"))
+    // update that moves a value across the extremum
+    t.update($"id" === 2, Map("v" -> lit(1000.0)))
+    IncrementalMv.refresh(spark, mvPath)
+    assertParity(mvPath, t, Seq("g"), Seq("v"), Seq("v"))
+  }
+
+  test("min/max: new group whose batch inserts AND deletes recomputes") {
+    val srcPath = tmpDir()
+    val mvPath = tmpDir() + "/mv"
+    val t = sourceTable(srcPath)
+    IncrementalMv.create(spark, mvPath, srcPath, Seq("g"), Seq("v"), Seq("v"))
+    // group z: three inserts then delete the extremes — in ONE refresh
+    t.append(Seq((20L, "z", Option(1.0)), (21L, "z", Option(50.0)),
+      (22L, "z", Option(7.0))).toDF("id", "g", "v"))
+    t.delete($"id".isin(20L, 21L))
+    IncrementalMv.refresh(spark, mvPath)
+    assertParity(mvPath, t, Seq("g"), Seq("v"), Seq("v"))
+    val z = LakeTable.forPath(spark, mvPath).toDF.where($"g" === "z").collect().head
+    assert(z.getAs[Double]("min_v") === 7.0 && z.getAs[Double]("max_v") === 7.0)
+    // and a group created+destroyed within one refresh never appears
+    t.append(Seq((30L, "q", Option(3.0))).toDF("id", "g", "v"))
+    t.delete($"g" === "q")
+    IncrementalMv.refresh(spark, mvPath)
+    assert(LakeTable.forPath(spark, mvPath).toDF.where($"g" === "q").count() === 0)
+    assertParity(mvPath, t, Seq("g"), Seq("v"), Seq("v"))
   }
 
   test("count-only views and multi-key grouping") {
