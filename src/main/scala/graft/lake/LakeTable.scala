@@ -1103,6 +1103,19 @@ final class LakeTable private (
     */
   def zOrderBy(cols: String*): Unit = clusterByCurve(cols, hilbert = false)
 
+  /** [[zOrderBy]] scoped to partitions matching a partition-column
+    * predicate (Delta's `OPTIMIZE ... WHERE ... ZORDER BY`): only the
+    * matching partitions' files rewrite — the curve sort is per
+    * partition directory anyway (partition values are constant within
+    * one), so clustering a subset loses nothing.
+    */
+  def zOrderByWhere(where: Column, cols: String*): Unit =
+    clusterByCurve(cols, hilbert = false, scope = Some(where))
+
+  /** [[hilbertBy]] scoped like [[zOrderByWhere]]. */
+  def hilbertByWhere(where: Column, cols: String*): Unit =
+    clusterByCurve(cols, hilbert = true, scope = Some(where))
+
   /** Hilbert-curve clustering: same quantile bucketing as [[zOrderBy]]
     * but the bucket coordinates collapse through the Hilbert curve,
     * which is CONTINUOUS — adjacent codes are grid neighbors, so file
@@ -1111,7 +1124,8 @@ final class LakeTable private (
     */
   def hilbertBy(cols: String*): Unit = clusterByCurve(cols, hilbert = true)
 
-  private def clusterByCurve(cols: Seq[String], hilbert: Boolean): Unit = {
+  private def clusterByCurve(cols: Seq[String], hilbert: Boolean,
+      scope: Option[Column] = None): Unit = {
     require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
     require(cols.nonEmpty, "clustering needs at least one column")
     val snap = snapshot
@@ -1127,7 +1141,23 @@ final class LakeTable private (
         "or keep bucketing and use compact)")
     val bad = cols.filterNot(snap.schema.fieldNames.contains)
     require(bad.isEmpty, s"no such column(s): ${bad.mkString(",")}")
-    val data = readFiles(snap, snap.files)
+    // partition scope: exact driver-side evaluation, partition columns only
+    val scoped = scope match {
+      case None => snap.files
+      case Some(cond) =>
+        val pcs = snap.metaData.partitionColumns
+        val e = resolveFilter(cond, snap.schema)
+        val refs = e.collect {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            a.name
+        }
+        val nonPart = refs.filterNot(pcs.contains)
+        require(nonPart.isEmpty,
+          s"cluster WHERE supports partition columns only; got ${nonPart.mkString(",")}")
+        snap.files.filter(f => Stats.mightMatch(f, e, snap.schema, pcs))
+    }
+    if (scoped.isEmpty) return
+    val data = readFiles(snap, scoped)
     val derived = cols.map { c =>
       snap.schema(c).dataType match {
         case _: StringType => xxhash64(col(c)).cast("double")
@@ -1146,13 +1176,13 @@ final class LakeTable private (
     val z =
       if (hilbert) org.apache.spark.sql.graft.ZOrderExpressions.hilbertCode(zcols, bounds)
       else org.apache.spark.sql.graft.ZOrderExpressions.zOrderCode(zcols, bounds)
-    val nFiles = math.max(snap.files.size, 1)
+    val nFiles = math.max(scoped.size, 1)
     val clustered = tagged
       .withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .select(snap.schema.fieldNames.map(col).toSeq: _*)
-    rewrite(snap, snap.files, clustered,
+    rewrite(snap, scoped, clustered,
       if (hilbert) "HILBERT BY" else "ZORDER BY",
       Map("columns" -> cols.mkString(",")))
   }

@@ -148,8 +148,8 @@ private[graft] case class RunLakeOptimize(ident: String,
     val path = GraftExtensions.resolveTablePath(spark, ident)
     val t = graft.lake.LakeTable.forPath(spark, path)
     (zorderCols, where) match {
-      case (Some(_), Some(_)) => throw new UnsupportedOperationException(
-        "OPTIMIZE ... WHERE composes with compaction only, not ZORDER BY")
+      case (Some(cols), Some(w)) =>
+        t.zOrderByWhere(org.apache.spark.sql.functions.expr(w), cols: _*)
       case (Some(cols), None) => t.zOrderBy(cols: _*)
       case (None, w) =>
         t.compact(where = w.map(org.apache.spark.sql.functions.expr))

@@ -157,6 +157,28 @@ class LakeDvReadRule(session: SparkSession) extends Rule[LogicalPlan] {
 class LakeCdfReadRule(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsDown {
+      // STREAMING form (`spark.readStream.option(...).table(...)`): swap
+      // the catalog table for the path-based CDF stream table, with the
+      // CDF read schema as the relation output
+      case r: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+          if r.table.isInstanceOf[LakeV2Table] &&
+            Option(r.extraOptions.get("readChangeFeed")).exists(_.toBoolean) =>
+        val t = r.table.asInstanceOf[LakeV2Table]
+        def opt(k: String) = Option(r.extraOptions.get(k))
+        val startingVersion = opt("startingTimestamp") match {
+          case Some(ts) =>
+            val millis = ts.toLongOption.getOrElse(
+              java.sql.Timestamp.valueOf(ts).getTime)
+            t.lake.log.versionAtTimestamp(millis)
+          case None => opt("startingVersion").map(_.toLong).getOrElse(0L)
+        }
+        val cdfSchema = graft.lake.Cdc.readSchema(t.snap.schema)
+        r.copy(
+          table = new LakeStreamTable(t.lake.path, cdfSchema,
+            startingVersion, skipChangeCommits = true, cdf = true),
+          output = org.apache.spark.sql.catalyst.types.DataTypeUtils
+            .toAttributes(cdfSchema))
+
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[LakeV2Table] &&
             Option(r.options.get("readChangeFeed")).exists(_.toBoolean) =>

@@ -335,6 +335,29 @@ class LakeTableSpec extends AnyFunSuite {
     assert(after("NY").map(_.path).toSet === nyBefore.map(_.path).toSet)
   }
 
+  test("OPTIMIZE WHERE ZORDER BY clusters only the matching partitions") {
+    val path = tmpDir()
+    // two partitions, 4 scrambled files each: full id range per file
+    val df = spark.range(0, 400)
+      .select($"id", (when($"id" % 2 === 0, "CA").otherwise("TX")).as("state"),
+        rand(7).as("v"))
+      .repartition(4)
+    val t = LakeTable.create(spark, path, df, partitionBy = Seq("state"))
+    val txBefore = t.snapshot.files.filter(_.partitionValues("state") == "TX")
+    t.zOrderByWhere($"state" === "CA", "id")
+    val after = t.snapshot.files
+    // TX untouched; CA clustered → id-predicates prune CA files
+    assert(after.filter(_.partitionValues("state") == "TX").map(_.path).toSet ===
+      txBefore.map(_.path).toSet)
+    val caPruned = t.read($"state" === "CA" && $"id" < 50).inputFiles.length
+    assert(caPruned === 1, s"expected 1 CA file after clustering, got $caPruned")
+    assert(t.toDF.count() === 400)
+    // non-partition WHERE rejected
+    intercept[IllegalArgumentException] {
+      t.zOrderByWhere($"v" > 0, "id")
+    }
+  }
+
   test("optimizeBy makes skipping selective on the clustered column") {
     val path = tmpDir()
     // 4 files each containing the FULL id range → skipping can't prune

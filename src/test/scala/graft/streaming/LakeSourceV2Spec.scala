@@ -275,6 +275,35 @@ class LakeSourceV2Spec extends AnyFunSuite {
     assert(spark.table("rst.db.s").count() === 3)
   }
 
+  test("readStream.table with readChangeFeed streams the CDF") {
+    val wh = Files.createTempDirectory("lake-rstcdf-wh-").toString
+    spark.conf.set("spark.sql.catalog.rstc", "org.apache.spark.sql.graft.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.rstc.warehouse", wh)
+    Files.createDirectories(java.nio.file.Paths.get(s"$wh/db"))
+    val t = LakeTable.create(spark, s"$wh/db/cdf",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      properties = Map(graft.lake.Cdc.PROP -> "true"))
+    val q = spark.readStream
+      .option("readChangeFeed", "true")
+      .table("rstc.db.cdf")
+      .writeStream
+      .format("memory").queryName("lake_rstcdf")
+      .option("checkpointLocation",
+        Files.createTempDirectory("lake-rstcdf-ckpt-").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      def seen: Set[(Long, String, String, Long)] =
+        spark.table("lake_rstcdf")
+          .select("id", "v", graft.lake.Cdc.CHANGE_TYPE, "_commit_version")
+          .as[(Long, String, String, Long)].collect().toSet
+      assert(seen === Set((1L, "a", "insert", 0L), (2L, "b", "insert", 0L)))
+      t.delete($"id" === 1L) // v1
+      q.processAllAvailable()
+      assert(seen.contains((1L, "a", "delete", 1L)))
+    } finally q.stop()
+  }
+
   test("startingVersion option applies to readStream.table") {
     val wh = Files.createTempDirectory("lake-rst2-wh-").toString
     spark.conf.set("spark.sql.catalog.rst2", "org.apache.spark.sql.graft.LakeCatalog")
