@@ -223,6 +223,20 @@ object IncrementalMv {
     latest
   }
 
+  /** Read the view with derived averages projected in: `avg_<c>` =
+    * `sum_<c> / nn_<c>` (SQL AVG semantics fall out of the stored
+    * pieces: NULL when the group holds no non-null values). */
+  def readView(spark: SparkSession, mvPath: String): DataFrame = {
+    val mv = LakeTable.forPath(spark, mvPath)
+    val sums = mv.snapshot.metaData.properties.getOrElse(SUMS_PROP, "")
+      .split(',').toSeq.filter(_.nonEmpty)
+    sums.foldLeft(mv.toDF) { (df, c) =>
+      df.withColumn(s"avg_$c",
+        when(col(s"nn_$c") === 0, lit(null))
+          .otherwise(col(s"sum_$c") / col(s"nn_$c")))
+    }
+  }
+
   /** Continuous maintenance: a change-feed stream on the source whose
     * only job is to signal "there are new commits" — each micro-batch
     * triggers one [[refresh]], which re-reads the exact version range

@@ -113,6 +113,32 @@ class ConstraintsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM ck.db.t").as[Long].head() === 5)
   }
 
+  test("the streaming sink enforces constraints per epoch") {
+    val src = Files.createTempDirectory("check-stream-src-").toString
+    val dst = Files.createTempDirectory("check-stream-dst-").toString
+    LakeTable.create(spark, src, Seq((1L, 1.0), (2L, -2.0)).toDF("id", "v"))
+    val t = LakeTable.create(spark, dst,
+      Seq.empty[(Long, Double)].toDF("id", "v"))
+    t.addCheckConstraint("v_pos", "v > 0")
+    val q = spark.readStream
+      .format("org.apache.spark.sql.graft.LakeSourceProvider")
+      .option("path", src).load()
+      .writeStream
+      .format("org.apache.spark.sql.graft.LakeSourceProvider")
+      .option("path", dst)
+      .option("checkpointLocation",
+        Files.createTempDirectory("check-stream-ckpt-").toString)
+      .start()
+    val e = intercept[Exception] { q.processAllAvailable() }
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(t => Option(t.getMessage).toSeq ++ msgs(t.getCause))
+    assert(msgs(e).exists(_.contains("v_pos")) ||
+      msgs(e).exists(_.contains("CHECK")),
+      s"expected a constraint failure, got: ${msgs(e).take(3)}")
+    q.stop()
+    assert(t.toDF.count() === 0) // the epoch never committed
+  }
+
   test("constraints use the full function surface (analyzer, not bare parser)") {
     val t = LakeTable.create(spark, tmpDir(), base)
     t.addCheckConstraint("state_upper", "state = upper(state) AND id % 2 >= 0")

@@ -188,6 +188,20 @@ class IncrementalMvSpec extends AnyFunSuite {
     assertParity(mvPath, t, Seq("g"), Seq("v"), Seq("v"))
   }
 
+  test("readView derives SQL-AVG semantics from the stored pieces") {
+    val srcPath = tmpDir()
+    val mvPath = tmpDir() + "/mv"
+    val t = sourceTable(srcPath)
+    IncrementalMv.create(spark, mvPath, srcPath, Seq("g"), Seq("v"))
+    t.delete($"id" === 3) // b keeps only its null-v row
+    IncrementalMv.refresh(spark, mvPath)
+    val view = IncrementalMv.readView(spark, mvPath)
+    val want = t.toDF.groupBy("g").agg(avg("v").as("avg_v"))
+    assert(view.select("g", "avg_v").orderBy("g").collect().toSeq ===
+      want.orderBy("g").collect().toSeq)
+    assert(view.where($"g" === "b").select("avg_v").collect().head.isNullAt(0))
+  }
+
   test("count-only views and multi-key grouping") {
     val srcPath = tmpDir()
     val mvPath = tmpDir() + "/mv"
