@@ -31,6 +31,67 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Connected components over a near-dup pair graph — the step that
+    * turns pairwise matches into dedup GROUPS (a ~ b ~ c must collapse
+    * to one cluster even though (a, c) was never emitted).
+    *
+    * Distributed min-label propagation: every vertex starts as its own
+    * component (its id); each round, every vertex adopts the smallest
+    * label among itself and its neighbors; converged when a round
+    * changes nothing. O(component diameter) rounds, each ONE
+    * shuffle-join + aggregation — near-dup clusters are shallow (a few
+    * hops), so this terminates in a handful of rounds at any corpus
+    * size; every round materializes through localCheckpoint so the plan
+    * (and lineage) stays FLAT — persist alone leaves an exponentially
+    * deepening logical tree under iteration.
+    *
+    * @return (id, component) for every vertex that appears in `pairs`;
+    *         component = the smallest id in the cluster
+    */
+  def components(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    // undirected: keep both directions so propagation is symmetric
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // neighbor labels flow along edges; keep the per-vertex minimum
+      val viaNeighbors = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("component"))
+      val next = labels.select("id", "component")
+        .unionByName(viaNeighbors)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint(true)
+      val changed = next.alias("n")
+        .join(labels.alias("l"), col("n.id") === col("l.id"))
+        .where(col("n.component") =!= col("l.component"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    require(converged,
+      s"components did not converge in $maxIter rounds (diameter that " +
+        "large suggests a degenerate pair graph — raise maxIter)")
+    labels
+  }
+
+  /** Keep one representative per near-dup cluster: rows whose id is its
+    * cluster's smallest (or that match no pair at all) survive.
+    */
+  def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comp = components(pairs, aCol, bCol)
+    val losers = comp.where(col("id") =!= col("component")).select("id")
+    df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** One side of the skew-safe band self-join. An LSH bucket stuffed with
     * boilerplate (everyone shares a shingle) otherwise lands its whole
     * O(m²) pair blow-up on ONE reducer. Buckets over `maxBucket` members

@@ -149,7 +149,40 @@ object DedupQueries extends QueryGroup {
         Dedup.embeddingPairsLsh(augmentedVecs(s, d),
           "embedding", "vec_id", threshold = 0.8)
           .orderBy(col("id_a"), col("id_b")),
-      None)
+      None),
+
+    // ===== connected components over the dup-pair graph: pairs are
+    // emitted as CHAINS within each exact-dup group (a↔b, b↔c — never
+    // a↔c), so the min-label propagation must genuinely multi-hop; the
+    // oracle reaches the same clusters by grouping on the fingerprint.
+    QueryDef(
+      "d7_dedup_components",
+      (s, d) => {
+        val docs = Tables.documents(s, d).where(col("doc_id") % 10 === 0)
+          .select("doc_id", "text")
+        def gen(offset: Long) = docs.where(col("doc_id") % 30 === 0)
+          .select((col("doc_id") + offset).as("doc_id"), col("text"))
+        val aug = docs.unionByName(gen(1000000L)).unionByName(gen(2000000L))
+        val fp = aug.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("fp").orderBy("doc_id")
+        val chain = fp.withColumn("prev", lag("doc_id", 1).over(w))
+          .where(col("prev").isNotNull)
+          .select(col("prev").as("id_a"), col("doc_id").as("id_b"))
+        Dedup.components(chain)
+          .groupBy("component").agg(count(lit(1)).as("members"))
+          .orderBy("component")
+      },
+      Some(s"""
+        WITH aug AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 30 = 0
+          UNION ALL
+          SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 30 = 0)
+        SELECT min(doc_id) AS component, count(*) AS members
+        FROM aug GROUP BY ${fingerprintSql("text")} HAVING count(*) > 1
+        ORDER BY component"""))
   )
 }
 
