@@ -89,6 +89,41 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream inner join with watermarked time-bound condition") {
+    // purchases enriched with the same user's clicks within the
+    // preceding hour — both sides streaming, state bounded by the
+    // watermark + time-range condition
+    val clicks = eventsStream.where($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("c_id"))
+      .withWatermark("c_ts", "30 minutes")
+    val purchases = eventsStream.where($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("p_id"))
+      .withWatermark("p_ts", "30 minutes")
+    val joined = purchases.join(clicks,
+      $"p_user" === $"c_user" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") && $"c_ts" <= $"p_ts")
+    val q = joined.writeStream
+      .format("memory").queryName("ss_join").outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ss-join-ckpt-").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ss_join").select("p_id", "c_id").collect().toSet
+      // batch reference over the same data
+      val ev = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+      val want = ev.where($"event_type" === "purchase").alias("p")
+        .join(ev.where($"event_type" === "click").alias("c"),
+          col("p.user_id") === col("c.user_id") &&
+            col("c.ts") >= col("p.ts") - expr("INTERVAL 1 HOUR") &&
+            col("c.ts") <= col("p.ts"))
+        .select(col("p.event_id"), col("c.event_id")).collect().toSet
+      assert(want.nonEmpty, "fixture must produce join matches")
+      assert(got.map(r => (r.getLong(0), r.getLong(1))) ===
+        want.map(r => (r.getLong(0), r.getLong(1))))
+    } finally q.stop()
+  }
+
   test("windowed streaming aggregate lands exactly-once in a lake table") {
     import graft.lake.LakeTable
     import graft.streaming.LakeStreaming
