@@ -155,6 +155,25 @@ object AdvancedQueries extends QueryGroup {
                round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // ===== mergeable HLL sketch state (graft.ops.Sketches): daily
+    // per-type sketches persisted as state, rolled up per type by
+    // UNIONING sketches — never rescanning raw rows. At the fixture's
+    // cardinality (150 users) the DataSketches HLL is in its exact
+    // coupon range, so the estimate equals DuckDB's true distinct.
+    QueryDef(
+      "a11_sketch_distinct",
+      (s, d) => {
+        val daily = graft.ops.Sketches.distinctSketches(
+          Tables.events(s, d)
+            .select(to_date(col("ts")).as("day"), col("event_type"), col("user_id")),
+          Seq("day", "event_type"), "user_id")
+        graft.ops.Sketches.estimateDistinct(daily, Seq("event_type"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type, count(DISTINCT user_id) AS distinct_count
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // ===== richer string functions.
     QueryDef(
       "f19_string_more",

@@ -1,0 +1,55 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.lake.LakeTable
+
+/** Mergeable HLL sketch state ([[Sketches]]): persisted fine-grained
+  * sketches roll up by union, refresh by appending batch sketches.
+  */
+class SketchesSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("small cardinalities estimate exactly; rollup = union of state") {
+    val df = (1L to 3000L).map(i => (i % 7, s"u${i % 97}")).toDF("g", "u")
+    val state = Sketches.distinctSketches(df, Seq("g"), "u")
+    val perG = Sketches.estimateDistinct(state, Seq("g"))
+      .orderBy("g").as[(Long, Long)].collect().toSeq
+    val exact = df.groupBy("g").agg(countDistinct("u").as("n"))
+      .orderBy("g").as[(Long, Long)].collect().toSeq
+    assert(perG === exact)
+    // global rollup from the SAME stored state (no rescan)
+    assert(Sketches.estimateDistinct(state, Seq.empty)
+      .as[Long].head() === 97L)
+  }
+
+  test("large cardinality estimates within HLL error bounds") {
+    val df = spark.range(0, 200000).select(($"id" % 3).as("g"), $"id".as("u"))
+    val est = Sketches.estimateDistinct(
+      Sketches.distinctSketches(df, Seq("g"), "u"), Seq.empty).as[Long].head()
+    assert(math.abs(est - 200000L).toDouble / 200000 < 0.03,
+      s"estimate $est off by more than 3%")
+  }
+
+  test("incremental maintenance: append a batch's sketches, union on read") {
+    val path = Files.createTempDirectory("sketch-state-").toString
+    val day1 = (1L to 500L).map(i => ("d1", s"u${i % 50}")).toDF("day", "u")
+    val day2 = (1L to 500L).map(i => ("d2", s"u${i % 80}")).toDF("day", "u")
+    val t = LakeTable.create(spark, path,
+      Sketches.distinctSketches(day1, Seq("day"), "u"))
+    // new day arrives: sketch ONLY the new rows, append the state
+    t.append(Sketches.distinctSketches(day2, Seq("day"), "u"))
+    val merged = Sketches.estimateDistinct(t.toDF, Seq.empty).as[Long].head()
+    val exact = day1.unionByName(day2).select(countDistinct("u")).as[Long].head()
+    assert(merged === exact) // u0..u79 overlap across days → union dedups
+    // per-day grain still readable from the same table
+    assert(Sketches.estimateDistinct(t.toDF, Seq("day")).orderBy("day")
+      .as[(String, Long)].collect().toSeq === Seq(("d1", 50L), ("d2", 80L)))
+  }
+}
