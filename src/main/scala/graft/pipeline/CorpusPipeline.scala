@@ -38,6 +38,13 @@ object CorpusPipeline {
 
   /** Run the full curation; writes `curated` and `lang_stats` lake
     * tables under `outRoot` and returns the stage row counts.
+    *
+    * @param transitiveNearDups near-dup removal policy. false (default):
+    *   drop the larger doc_id of each verified pair — a doc survives
+    *   unless it is a near-dup of a SMALLER surviving doc. true: cluster
+    *   pairs into connected components first ([[Dedup.dedupByPairs]]) and
+    *   keep ONE representative per cluster — a chain a~b~c keeps only a,
+    *   even though (a, c) was never a pair.
     */
   def curate(
       spark: SparkSession,
@@ -45,7 +52,8 @@ object CorpusPipeline {
       outRoot: String,
       minQuality: Double = 0.3,
       minTokens: Int = 5,
-      nearDupThreshold: Double = 0.5): CurateResult = {
+      nearDupThreshold: Double = 0.5,
+      transitiveNearDups: Boolean = false): CurateResult = {
 
     val input = docs.count()
     val annotated = annotate(docs)
@@ -65,8 +73,12 @@ object CorpusPipeline {
     // the larger doc_id of each surviving pair
     val pairs = Dedup.minhashLsh(exact, "text", "doc_id",
       shingleN = 3, bands = 8, rowsPerBand = 4, threshold = nearDupThreshold)
-    val dropList = pairs.select(col("id_b").as("doc_id")).distinct()
-    val curated = exact.join(broadcast(dropList), Seq("doc_id"), "left_anti")
+    val curated =
+      if (transitiveNearDups) Dedup.dedupByPairs(exact, "doc_id", pairs)
+      else {
+        val dropList = pairs.select(col("id_b").as("doc_id")).distinct()
+        exact.join(broadcast(dropList), Seq("doc_id"), "left_anti")
+      }
     val afterNear = curated.count()
 
     LakeTable.create(spark, s"$outRoot/curated", curated, mode = "overwrite")

@@ -32,6 +32,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         Option(zcols).map(_.split(',').map(c => strip(c.trim)).toSeq),
         Option(where).map(_.trim))
     case DESCRIBE_HISTORY_RE(ident) => RunLakeHistory(strip(ident))
+    case DESCRIBE_DETAIL_RE(ident) => RunLakeDetail(strip(ident))
     case RESTORE_RE(ident, version) => RunLakeRestore(strip(ident), version.toLong)
     // only intercept constraint DDL aimed at a LAKE table; anything else
     // falls through to Spark's own ALTER TABLE handling
@@ -77,6 +78,8 @@ object GraftSqlParser {
       """(\s+WHERE\s+(.+?))?(\s+ZORDER\s+BY\s+\(?\s*([\w`,\s]+?)\s*\)?)?\s*;?\s*""").r
   private[graft] val DESCRIBE_HISTORY_RE =
     ("""(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+""" + TABLE + """\s*;?\s*""").r
+  private[graft] val DESCRIBE_DETAIL_RE =
+    ("""(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+""" + TABLE + """\s*;?\s*""").r
   private[graft] val RESTORE_RE =
     ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?""" + TABLE +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
@@ -176,5 +179,23 @@ private[graft] case class RunLakeDropConstraint(ident: String, name: String)
     val path = GraftExtensions.resolveTablePath(spark, ident)
     graft.lake.LakeTable.forPath(spark, path).dropConstraint(name)
     Seq.empty
+  }
+}
+
+/** `DESCRIBE DETAIL t` — location/version/id/partitioning/size snapshot
+  * summary (Delta's statement). */
+private[graft] case class RunLakeDetail(ident: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] = Seq(
+    AttributeReference("location", StringType)(),
+    AttributeReference("version", LongType)(),
+    AttributeReference("id", StringType)(),
+    AttributeReference("partitionColumns", StringType)(),
+    AttributeReference("numFiles", LongType)(),
+    AttributeReference("sizeInBytes", LongType)(),
+    AttributeReference("createdTime", org.apache.spark.sql.types.TimestampType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftExtensions.resolveTablePath(spark, ident)
+    graft.lake.LakeTable.forPath(spark, path).detail.collect().toSeq
   }
 }

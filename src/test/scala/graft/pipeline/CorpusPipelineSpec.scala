@@ -51,4 +51,31 @@ class CorpusPipelineSpec extends AnyFunSuite {
     // the kept ids are the originals (smallest per fingerprint)
     assert(curated.where(col("doc_id") >= 100000L).count() === 0)
   }
+
+  test("transitive near-dup mode collapses chains to one representative") {
+    val out = Files.createTempDirectory("corpus-chain-").toString
+    import spark.implicits._
+    // a 3-doc near-dup chain (each differs a little more from the head)
+    // + distinct filler docs
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again while the observers take careful notes about it"
+    val docs = (Seq(
+      (1L, base),
+      (2L, base + " with a small appended tail"),
+      (3L, base + " with a small appended tail and a bit more drift")) ++
+      (10L to 29L).map(i => (i,
+        s"totally different document $i discussing topic$i " +
+          s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i")))
+      .toDF("doc_id", "text")
+    val res = CorpusPipeline.curate(spark, docs, out,
+      minQuality = 0.0, minTokens = 0, nearDupThreshold = 0.5,
+      transitiveNearDups = true)
+    val kept = LakeTable.forPath(spark, s"$out/curated").toDF
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L))
+    assert(!kept.contains(2L) && !kept.contains(3L),
+      s"chain should collapse to doc 1, kept: ${kept.filter(_ < 10)}")
+    assert((10L to 29L).forall(kept.contains))
+    assert(res.afterNear === res.afterExact - 2)
+  }
 }

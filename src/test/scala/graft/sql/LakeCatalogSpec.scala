@@ -245,6 +245,18 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(spark.sql("DESCRIBE TABLE lake.bronze.hist").count() >= 1)
   }
 
+  test("DESCRIBE DETAIL via SQL") {
+    warehouse
+    spark.sql("CREATE TABLE lake.bronze.det AS SELECT 1 AS id, 'x' AS s")
+    spark.sql("INSERT INTO lake.bronze.det VALUES (2, 'y')")
+    val d = spark.sql("DESCRIBE DETAIL lake.bronze.det").collect().head
+    // CTAS = CREATE (v0) + data append (v1); the INSERT is v2
+    assert(d.getAs[Long]("version") === 2L)
+    assert(d.getAs[Long]("numFiles") >= 1L)
+    assert(d.getAs[Long]("sizeInBytes") > 0L)
+    assert(d.getAs[String]("location").endsWith("bronze/det"))
+  }
+
   test("RESTORE TABLE TO VERSION AS OF via SQL") {
     warehouse
     spark.sql("CREATE TABLE lake.bronze.rest AS SELECT 1 AS id")
