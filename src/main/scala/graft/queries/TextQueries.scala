@@ -133,6 +133,42 @@ object TextQueries extends QueryGroup {
                CAST(sum(CASE WHEN f.lang_pred = f.lang THEN 1 ELSE 0 END)
                  AS BIGINT) AS n_label_agree
         FROM dedup d JOIN filtered f ON d.fp = f.fp AND d.doc_id = f.doc_id
-        GROUP BY f.lang_pred ORDER BY f.lang_pred"""))
+        GROUP BY f.lang_pred ORDER BY f.lang_pred""")),
+
+    // ===== BM25 lexical retrieval (graft.ops.Search): postings =
+    // explode + aggregate (the persistable inverted index), scoring =
+    // broadcast-IDF join + one groupBy — same arithmetic in DuckDB.
+    QueryDef(
+      "t7_bm25_search",
+      (s, d) =>
+        graft.ops.Search.bm25(Tables.documents(s, d), "text", "doc_id",
+          query = Seq("spark", "vector", "stream"), topN = 10),
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+        post AS (
+          SELECT doc_id, doc_len, term, count(*) AS tf FROM (
+            SELECT doc_id, len(toks) AS doc_len, unnest(toks) AS term
+            FROM toks WHERE len(toks) > 0)
+          GROUP BY doc_id, doc_len, term),
+        stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doc_len) AS avg_len
+          FROM (SELECT doc_id, any_value(doc_len) AS doc_len
+                FROM post GROUP BY doc_id)),
+        hits AS (
+          SELECT * FROM post WHERE term IN ('spark', 'vector', 'stream')),
+        df AS (
+          SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+          FROM hits GROUP BY term)
+        SELECT h.doc_id,
+               round(sum(
+                 ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+                 (h.tf * (1.2 + 1)) /
+                 (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.doc_len / s.avg_len))
+               ), 4) AS score,
+               count(*) AS n_terms
+        FROM hits h JOIN df ON h.term = df.term CROSS JOIN stats s
+        GROUP BY h.doc_id
+        ORDER BY score DESC, doc_id LIMIT 10"""))
   )
 }
