@@ -169,6 +169,36 @@ object TextQueries extends QueryGroup {
                count(*) AS n_terms
         FROM hits h JOIN df ON h.term = df.term CROSS JOIN stats s
         GROUP BY h.doc_id
-        ORDER BY score DESC, doc_id LIMIT 10"""))
+        ORDER BY score DESC, doc_id LIMIT 10""")),
+
+    // ===== token-budget sequence packing (graft.ops.Packing): greedy
+    // in-order packing per language shard as one window pass — the
+    // "pack short docs into fixed-token training examples" step.
+    QueryDef(
+      "t8_sequence_packing",
+      (s, d) => {
+        val toks = Tables.documents(s, d).select(
+          col("lang"), col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+        graft.ops.Packing.sequences(
+          graft.ops.Packing.packGreedy(toks, "doc_id", "n_tokens",
+            budget = 512L, shardCols = Seq("lang")),
+          "n_tokens", Seq("lang"))
+          .orderBy(col("lang"), col("seq_id"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT lang, doc_id,
+                 CAST(${tokenCountSql("text")} AS BIGINT) AS n_tokens
+          FROM documents),
+        packed AS (
+          SELECT lang, n_tokens,
+                 CAST(FLOOR(CAST(
+                   sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                     - n_tokens AS DOUBLE) / 512) AS BIGINT) AS seq_id
+          FROM toks)
+        SELECT lang, seq_id, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM packed GROUP BY lang, seq_id ORDER BY lang, seq_id"""))
   )
 }
