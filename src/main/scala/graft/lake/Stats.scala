@@ -171,7 +171,45 @@ object Stats {
       file: AddFile,
       pred: Expression,
       schema: StructType,
-      partitionCols: Seq[String]): Boolean = eval(file, pred, schema, partitionCols).getOrElse(true)
+      partitionCols: Seq[String]): Boolean =
+    eval(file, nnf(pred), schema, partitionCols).getOrElse(true)
+
+  /** Negation normal form for the skipping evaluator: NOT is pushed down
+    * to the atoms with comparisons flipped. The evaluator's verdicts are
+    * "might match" / "provably no match" — negating a MIGHT-match as if
+    * it were an ALL-match skips files that do contain qualifying rows
+    * (a `delete(col =!= v)` would silently miss rows), so a bare NOT
+    * must never reach the atom evaluator.
+    *
+    * NULL semantics are preserved: a NULL row satisfies neither
+    * `NOT(a = v)` nor `a < v OR a > v` (both evaluate to NULL, so the
+    * row is unselected either way). EqualNullSafe differs there and is
+    * deliberately NOT rewritten — it stays under Not, which the
+    * evaluator treats as unknown.
+    */
+  private def nnf(e: Expression): Expression = e match {
+    case Not(inner) => negate(inner)
+    case And(l, r) => And(nnf(l), nnf(r))
+    case Or(l, r) => Or(nnf(l), nnf(r))
+    case other => other
+  }
+
+  private def negate(e: Expression): Expression = e match {
+    case Not(inner) => nnf(inner)
+    case And(l, r) => Or(negate(l), negate(r))
+    case Or(l, r) => And(negate(l), negate(r))
+    case GreaterThan(l, r) => LessThanOrEqual(l, r)
+    case GreaterThanOrEqual(l, r) => LessThan(l, r)
+    case LessThan(l, r) => GreaterThanOrEqual(l, r)
+    case LessThanOrEqual(l, r) => GreaterThan(l, r)
+    case EqualTo(l, r) => Or(LessThan(l, r), GreaterThan(l, r))
+    case In(c, list) if list.nonEmpty =>
+      list.map(v => Or(LessThan(c, v), GreaterThan(c, v)): Expression)
+        .reduceLeft(And)
+    case IsNull(c) => IsNotNull(c)
+    case IsNotNull(c) => IsNull(c)
+    case other => Not(other) // unknown atom: evaluator returns None
+  }
 
   /** Three-valued: Some(false) = provably no row matches. */
   private def eval(
@@ -263,7 +301,10 @@ object Stats {
           case (Some(false), Some(false)) => Some(false)
           case _ => None
         }
-      case Not(inner) => eval(f, inner, schema, pcs).map(!_)
+      // NOT is eliminated by [[nnf]] before evaluation; one surviving a
+      // rewrite wraps an unsupported atom → unknown, never a flipped
+      // might-match verdict (that skip would be unsound).
+      case Not(_) => None
 
       case EqualTo(l, r) =>
         (for (n <- colName(l); v <- litVal(r); dt <- dtOf(n); (cmi, cma) <- cmpRange(n, dt, v))
