@@ -27,6 +27,19 @@ object Constraints {
       case (k, v) if k.startsWith(PREFIX) => k.stripPrefix(PREFIX) -> v
     }
 
+  /** Constraint expressions parsed for the pruning evaluator
+    * ([[Stats.contradictsConstraints]]); unparseable entries are skipped
+    * (they then simply don't tighten any bound).
+    */
+  def parsed(meta: MetaData): Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    of(meta).values.toSeq.flatMap { sql =>
+      // CatalystSqlParser yields the actual expression tree (a Column's
+      // node is a lazy SQL wrapper the bounds-builder can't inspect)
+      try Some(org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(sql))
+      catch { case _: Throwable => None }
+    }
+
   /** The write-plan enforcement filter: rows pass through untouched
     * unless a constraint is provably FALSE, which raises with the
     * offending row rendered as JSON. The `where` survives column

@@ -68,9 +68,15 @@ final class LakeTable private (
     val snap = snapshot
     val pcs = snap.metaData.partitionColumns
     val resolved = filters.map(resolveFilter(_, snap.schema))
-    val kept = snap.files.filter { f =>
-      resolved.forall(e => Stats.mightMatch(f, e, snap.schema, pcs))
-    }
+    // CHECK constraints hold for every row, so a filter contradicting
+    // them is answered empty before any file is listed
+    val constraintExprs = Constraints.parsed(snap.metaData)
+    val kept =
+      if (resolved.exists(e =>
+        Stats.contradictsConstraints(e, constraintExprs, snap.schema))) Nil
+      else snap.files.filter { f =>
+        resolved.forall(e => Stats.mightMatch(f, e, snap.schema, pcs))
+      }
     filters.foldLeft(readFiles(snap, kept))(_ where _)
   }
 

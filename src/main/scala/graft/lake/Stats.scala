@@ -358,4 +358,165 @@ object Stats {
   // compat shim: unresolved attribute in a freshly built Column
   private type UnresolvedAttributeLike =
     org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+
+  // ---- constraint-implied pruning --------------------------------------
+
+  /** Numeric sentinel bounds for one-sided constraints: wider than any
+    * representable long/double/decimal(38)/timestamp-micros value, so
+    * claiming them as the missing side of an interval is conservative
+    * (the evaluator needs BOTH bounds to emit a verdict).
+    */
+  private val NUM_LO = "-1E+512"
+  private val NUM_HI = "1E+512"
+
+  /** TABLE-level synthetic stats implied by CHECK constraints: every row
+    * of every file satisfies each constraint (validated on ADD, enforced
+    * on every write), so constraint bounds are valid min/max for the
+    * whole table. Encoding them as a phantom [[AddFile]] lets the SAME
+    * three-valued evaluator that skips files prove a query predicate
+    * can match no row at all — metadata-only empty-result pruning.
+    *
+    * Supported constraint atoms (conjuncts after [[nnf]]): comparisons
+    * between a column and a foldable literal (either operand order),
+    * IN lists, and IS NOT NULL. Anything else simply does not tighten
+    * the bounds — never unsound, only less precise. One-sided numeric
+    * intervals are completed with sentinel bounds; one-sided string
+    * intervals get the true lexicographic minimum "" and stay inert on
+    * the missing upper side.
+    */
+  def constraintStats(
+      constraints: Seq[Expression],
+      schema: StructType): Option[AddFile] = {
+    if (constraints.isEmpty) return None
+    val loN = scala.collection.mutable.Map[String, BigDecimal]()
+    val hiN = scala.collection.mutable.Map[String, BigDecimal]()
+    val loS = scala.collection.mutable.Map[String, String]()
+    val hiS = scala.collection.mutable.Map[String, String]()
+    val notNull = scala.collection.mutable.Set[String]()
+
+    def colName(x: Expression): Option[String] = x match {
+      case a: AttributeReference => Some(a.name)
+      case u: UnresolvedAttributeLike => Some(u.nameParts.mkString("."))
+      case _ => None
+    }
+    def litVal(x: Expression): Option[Any] = x match {
+      case Literal(v, _) => Option(v)
+      case e if e.foldable =>
+        try Option(e.eval(null)) catch { case _: Throwable => None }
+      case _ => None
+    }
+    def dtOf(name: String): Option[DataType] =
+      schema.fields.find(_.name == name).map(_.dataType)
+    def asNum(v: Any): Option[BigDecimal] = v match {
+      case n: Number => Some(BigDecimal(n.toString))
+      case d: Decimal => Some(d.toBigDecimal)
+      case _ => None
+    }
+    def asStr(v: Any): Option[String] = v match {
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case s: String => Some(s)
+      case _ => None
+    }
+    def tightenLo(n: String, dt: DataType, v: Any): Unit =
+      if (isNumericLike(dt))
+        asNum(v).foreach(b => loN(n) = loN.get(n).map(_.max(b)).getOrElse(b))
+      else if (dt == StringType)
+        asStr(v).foreach(s => loS(n) =
+          loS.get(n).map(o => if (o.compareTo(s) >= 0) o else s).getOrElse(s))
+    def tightenHi(n: String, dt: DataType, v: Any): Unit =
+      if (isNumericLike(dt))
+        asNum(v).foreach(b => hiN(n) = hiN.get(n).map(_.min(b)).getOrElse(b))
+      else if (dt == StringType)
+        asStr(v).foreach(s => hiS(n) =
+          hiS.get(n).map(o => if (o.compareTo(s) <= 0) o else s).getOrElse(s))
+
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    // strict bounds: CHECK (x < 3) implies max <= 2 for integral-valued
+    // encodings (ints, dates-as-days, timestamps-as-micros) and widens
+    // to max <= 3 for fractional types (conservative)
+    def atom(e: Expression): Unit = e match {
+      case LessThan(l, r) =>
+        bound(l, r, hiSide = true, strict = true)
+        bound(r, l, hiSide = false, strict = true)
+      case LessThanOrEqual(l, r) => bound(l, r, hiSide = true); bound(r, l, hiSide = false)
+      case GreaterThan(l, r) =>
+        bound(l, r, hiSide = false, strict = true)
+        bound(r, l, hiSide = true, strict = true)
+      case GreaterThanOrEqual(l, r) => bound(l, r, hiSide = false); bound(r, l, hiSide = true)
+      case EqualTo(l, r) =>
+        bound(l, r, hiSide = true); bound(l, r, hiSide = false)
+        bound(r, l, hiSide = true); bound(r, l, hiSide = false)
+      case In(c, list) if list.nonEmpty =>
+        for (n <- colName(c); dt <- dtOf(n)) {
+          val vs = list.flatMap(litVal)
+          if (vs.size == list.size) {
+            if (isNumericLike(dt)) {
+              val nums = vs.flatMap(asNum)
+              if (nums.size == vs.size) {
+                tightenLo(n, dt, nums.min.bigDecimal)
+                tightenHi(n, dt, nums.max.bigDecimal)
+              }
+            } else if (dt == StringType) {
+              val strs = vs.flatMap(asStr)
+              if (strs.size == vs.size) {
+                tightenLo(n, dt, strs.min); tightenHi(n, dt, strs.max)
+              }
+            }
+          }
+        }
+      case IsNotNull(c) => colName(c).foreach(notNull += _)
+      case _ => () // unsupported conjunct: no tightening
+    }
+    // `bound(col, lit, hiSide=true)` records lit as an upper bound of col
+    def integralEncoded(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           DateType | TimestampType => true
+      case _ => false
+    }
+    def bound(c: Expression, l: Expression, hiSide: Boolean,
+        strict: Boolean = false): Unit =
+      for (n <- colName(c); v <- litVal(l); dt <- dtOf(n)) {
+        val adj =
+          if (strict && integralEncoded(dt))
+            asNum(v).map(b => (if (hiSide) b - 1 else b + 1).bigDecimal)
+              .getOrElse(v)
+          else v
+        if (hiSide) tightenHi(n, dt, adj) else tightenLo(n, dt, adj)
+      }
+
+    constraints.map(nnf).flatMap(conjuncts).foreach(atom)
+
+    if (loN.isEmpty && hiN.isEmpty && loS.isEmpty && hiS.isEmpty &&
+      notNull.isEmpty) return None
+
+    val mins = scala.collection.mutable.Map[String, String]()
+    val maxs = scala.collection.mutable.Map[String, String]()
+    (loN.keySet ++ hiN.keySet).foreach { n =>
+      mins(n) = loN.get(n).map(_.bigDecimal.toString).getOrElse(NUM_LO)
+      maxs(n) = hiN.get(n).map(_.bigDecimal.toString).getOrElse(NUM_HI)
+    }
+    (loS.keySet ++ hiS.keySet).foreach { n =>
+      mins(n) = loS.getOrElse(n, "") // "" = true lexicographic minimum
+      hiS.get(n).foreach(maxs(n) = _) // no safe string max sentinel
+    }
+    Some(AddFile("__constraints__", stats = Some(FileStats(
+      numRecords = 1L,
+      minValues = mins.toMap,
+      maxValues = maxs.toMap,
+      nullCount = notNull.map(_ -> 0L).toMap))))
+  }
+
+  /** True iff `pred` contradicts the table's CHECK constraints — no row
+    * that satisfies every constraint can satisfy `pred`, so the scan can
+    * be answered empty from metadata alone.
+    */
+  def contradictsConstraints(
+      pred: Expression,
+      constraints: Seq[Expression],
+      schema: StructType): Boolean =
+    constraintStats(constraints, schema)
+      .exists(f => !mightMatch(f, pred, schema, Nil))
 }

@@ -27,6 +27,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // prove the answer)
     e.injectPostHocResolutionRule(session => new LakeMetadataAggRule(session))
     e.injectPostHocResolutionRule(session => new LakeDvReadRule(session))
+    e.injectOptimizerRule(session => new LakeConstraintPruneRule(session))
   }
 }
 
