@@ -174,16 +174,24 @@ object TextFunctions {
     * the affine transform never overflows under ANSI arithmetic. */
   val MINHASH_PRIME: Long = (1L << 31) - 1
 
-  def minhashSignature(shingleCol: Column, k: Int, seed: Long = 42L): Column = {
+  def minhashSignature(shingleCol: Column, k: Int, seed: Long = 42L): Column =
+    minhashSignatureFromHashes(
+      transform(shingleCol, s => xxhash64(s)), k, seed)
+
+  /** Signature from an already-xxhash64'd shingle array (reuse the
+    * hashes the verification set-ops need anyway). One-pass native
+    * expression; bit-identical to the k-HOF composition it replaced
+    * (same coefficients from the same seeded RNG, same mod-prime
+    * arithmetic — see [[org.apache.spark.sql.graft.MinHashSignature]]).
+    */
+  def minhashSignatureFromHashes(hashesCol: Column, k: Int,
+      seed: Long = 42L): Column = {
     val rnd = new scala.util.Random(seed)
     val coeffs = Seq.fill(k)((1L + rnd.nextLong(MINHASH_PRIME - 1),
       rnd.nextLong(MINHASH_PRIME)))
-    val hashes = transform(shingleCol, s => pmod(xxhash64(s), lit(MINHASH_PRIME)))
-    val sig = coeffs.map { case (a, b) =>
-      array_min(transform(hashes, h =>
-        pmod(h * lit(a) + lit(b), lit(MINHASH_PRIME))))
-    }
-    array(sig: _*)
+    org.apache.spark.sql.graft.TextExpressions.minhashSignature(
+      hashesCol, coeffs.map(_._1).toArray, coeffs.map(_._2).toArray,
+      MINHASH_PRIME)
   }
 
   /** Token xxhash64 array — materialize this ONCE per row (withColumn)

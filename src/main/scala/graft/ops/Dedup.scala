@@ -159,9 +159,10 @@ object Dedup {
     val withSig = df
       .withColumn("__shs", shingles(col(textCol), shingleN))
       .where(size(col("__shs")) > 0)
-      .withColumn("__sig", minhashSignature(col("__shs"), k))
-      // verification set-ops run on hashed shingles (see ngramJaccardPairs)
+      // verification set-ops run on hashed shingles (see ngramJaccardPairs);
+      // the signature reuses the same hash array in one native pass
       .withColumn("__sh", transform(col("__shs"), x => xxhash64(x)))
+      .withColumn("__sig", minhashSignatureFromHashes(col("__sh"), k))
       .select(col(idCol).as("id"), col("__sh"), col("__sig"))
       .repartition(col("id"))
 
@@ -185,8 +186,20 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity for all pairs above a threshold —
-    * the small-scale oracle-checkable ground truth that LSH approximates.
-    * O(n²) pairs; only for verification / small inputs.
+    * the oracle-checkable ground truth that LSH approximates.
+    *
+    * Computed as an inverted-index set-similarity join, NOT a crossJoin:
+    * each document's DISTINCT shingle hashes explode into (shingle, id)
+    * postings, an equi-join on the shingle yields one row per shared
+    * shingle per pair, and |A∩B| falls out of a count aggregation;
+    * |A∪B| = |A|+|B|−|A∩B|. For any threshold > 0 the result is
+    * IDENTICAL to the all-pairs formulation (a pair sharing zero
+    * shingles has Jaccard 0 and can never pass), while the cost tracks
+    * shared-shingle volume instead of n² — the join shuffles on the
+    * shingle hash, the count shuffles on the pair key, both scale out.
+    * Remaining scale hazard: a shingle common to m documents contributes
+    * m² join rows; at corpus scale, band it with [[minhashLsh]] or drop
+    * top-frequency shingles from the index (prefix filtering) first.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -194,19 +207,26 @@ object Dedup {
       idCol: String,
       shingleN: Int = 3,
       threshold: Double = 0.2): DataFrame = {
+    require(threshold > 0.0,
+      "inverted-index jaccard join requires threshold > 0 (zero-overlap " +
+        "pairs are not enumerated)")
     // set ops run on xxhash64'd shingles (8-byte longs), not the strings:
-    // same Jaccard value (collision odds ~1e-10 at harness scale), ~2×
-    // cheaper intersect/union per pair.
+    // same Jaccard value (collision odds ~1e-10 at harness scale)
     val s = df.select(col(idCol).as("id"),
-      transform(shingles(col(textCol), shingleN), x => xxhash64(x)).as("sh"))
+      array_distinct(transform(shingles(col(textCol), shingleN), x => xxhash64(x)))
+        .as("sh"))
       .where(size(col("sh")) > 0)
-      .repartition(col("id")) // materialize shingles once, not per pair
-    val a = s.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = s.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .select(col("id"), col("sh"), size(col("sh")).as("nsh"))
+    val postings = s.select(col("id"), col("nsh"), explode(col("sh")).as("tok"))
+    val a = postings.select(col("id").as("id_a"), col("nsh").as("nsh_a"), col("tok"))
+    val b = postings.select(col("id").as("id_b"), col("nsh").as("nsh_b"), col("tok"))
+    a.join(b, Seq("tok"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("nsh_a"), col("nsh_b"))
+      .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("inter").cast("double") /
+          (col("nsh_a") + col("nsh_b") - col("inter")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -27,11 +27,13 @@ object Similarity {
     dot(a, b) / (norm(a) * norm(b))
 
   /** Unit-normalized double vector (cosine of two normalized vectors is
-    * their dot product). */
-  def normalized(a: Column): Column = {
-    val n = norm(a)
-    transform(a, x => x.cast("double") / n)
-  }
+    * their dot product) — native one-pass codegen'd expression,
+    * bit-identical to `transform(a, x => x.cast("double") / norm(a))`
+    * (same per-element double arithmetic in the same order) but without
+    * the HOF lambda interpreter re-evaluating the norm per element.
+    */
+  def normalized(a: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.normalizeD(a)
 
   /** Brute-force cosine top-k: every query vector against every row.
     * One broadcast of the (small) query set; norms computed once per

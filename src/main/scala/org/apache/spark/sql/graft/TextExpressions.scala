@@ -74,8 +74,83 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** MinHash signature over an xxhash64'd shingle array in ONE pass. The
+  * builtin composition evaluates k `transform`+`array_min` HOFs — k
+  * interpreted walks per row; this keeps k running minima and walks
+  * once, codegen'd. Arithmetic replicates the composition exactly
+  * (`pmod(pmod(h,P)*a + b, P)` with wrapping 64-bit multiply), so
+  * signatures — and therefore LSH candidate sets — are bit-identical.
+  */
+case class MinHashSignature(
+    child: Expression, coeffA: Array[Long], coeffB: Array[Long], prime: Long)
+  extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  require(coeffA.length == coeffB.length && coeffA.nonEmpty)
+  private val k = coeffA.length
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = ((hs.getLong(i) % prime) + prime) % prime
+      var j = 0
+      while (j < k) {
+        val v = h * coeffA(j) + coeffB(j) // wrapping, as Spark's non-ANSI *
+        val m = ((v % prime) + prime) % prime
+        if (m < mins(j)) mins(j) = m
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ca = ctx.addReferenceObj("coeffA", coeffA, "long[]")
+      val cb = ctx.addReferenceObj("coeffB", coeffB, "long[]")
+      val n = ctx.freshName("n")
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val m = ctx.freshName("m")
+      s"""
+        int $n = $a.numElements();
+        long[] $mins = new long[$k];
+        java.util.Arrays.fill($mins, Long.MAX_VALUE);
+        for (int $i = 0; $i < $n; $i++) {
+          long $h = (($a.getLong($i) % ${prime}L) + ${prime}L) % ${prime}L;
+          for (int $j = 0; $j < $k; $j++) {
+            long $v = $h * $ca[$j] + $cb[$j];
+            long $m = (($v % ${prime}L) + ${prime}L) % ${prime}L;
+            if ($m < $mins[$j]) $mins[$j] = $m;
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Column API: one-pass simhash over array<long> token hashes. */
   def simhash64(tokenHashes: Column): Column =
     Bridge.column(SimHash64(Bridge.expr(tokenHashes)))
+
+  /** Column API: one-pass minhash signature over array<long> shingle
+    * hashes. */
+  def minhashSignature(shingleHashes: Column, coeffA: Array[Long],
+      coeffB: Array[Long], prime: Long): Column =
+    Bridge.column(MinHashSignature(Bridge.expr(shingleHashes), coeffA, coeffB, prime))
 }

@@ -220,10 +220,86 @@ case class NearestCentroids(
     copy(child = newChild)
 }
 
+/** Unit-normalization (float or double array → unit double array) as ONE
+  * codegen'd pass: s = Σ (double)xᵢ² summed left-to-right, then each
+  * element (double)xᵢ / sqrt(s) — the same operations in the same order
+  * as the composed `transform(a, x / sqrt(aggregate(zip_with(a,a,*))))`,
+  * so results are bit-identical to it AND to the DuckDB oracle twin.
+  * The HOF composition re-evaluates the norm aggregate PER ELEMENT of
+  * the transform through the lambda interpreter — ~dim² boxed ops per
+  * row; this is 2·dim primitive ops per row.
+  */
+case class NormalizeDouble(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    org.apache.spark.sql.types.TypeCollection(
+      ArrayType(org.apache.spark.sql.types.FloatType), ArrayType(DoubleType)))
+  // containsNull matches the HOF composition's output type, so schemas
+  // written before this expression existed keep casting cleanly
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "normalize_d"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Double](n)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      out(i) = x
+      s += x * x
+      i += 1
+    }
+    val norm = math.sqrt(s)
+    i = 0
+    while (i < n) { out(i) = out(i) / norm; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val norm = ctx.freshName("norm")
+      val get = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+        int $n = $a.numElements();
+        double[] $out = new double[$n];
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $x = $get;
+          $out[$i] = $x;
+          $s += $x * $x;
+        }
+        double $norm = java.lang.Math.sqrt($s);
+        for (int $i = 0; $i < $n; $i++) { $out[$i] = $out[$i] / $norm; }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column API for the native dot product (double arrays). */
   def dotD(a: Column, b: Column): Column =
     Bridge.column(DotProductDouble(Bridge.expr(a), Bridge.expr(b)))
+
+  /** Column API for native unit-normalization. */
+  def normalizeD(a: Column): Column =
+    Bridge.column(NormalizeDouble(Bridge.expr(a)))
 
   /** Column API for the sign-bit hyperplane signature. */
   def hyperplaneBits(v: Column, planes: Array[Double], dim: Int): Column =
