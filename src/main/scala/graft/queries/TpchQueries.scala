@@ -103,6 +103,264 @@ object TpchQueries extends QueryGroup {
                      THEN l_extendedprice * (1.0 - l_discount)
                      ELSE 0.0 END) * 100.0 /
                  sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_pct
-        FROM lineitem JOIN part ON l_partkey = p_partkey"""))
+        FROM lineitem JOIN part ON l_partkey = p_partkey""")),
+
+    // ===== Q7-shaped: volume shipping between two nations — the nation
+    // table joins TWICE under different roles (supplier side, customer
+    // side); both roles broadcast, the fact-fact join is the only
+    // shuffle.
+    QueryDef(
+      "q7_volume_shipping",
+      (s, d) => {
+        val n1 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        Tables.lineitem(s, d)
+          .where(col("l_shipdate") >= ts("1995-01-01") &&
+            col("l_shipdate") < ts("1997-01-01"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some("""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR
+               (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // ===== Q8-shaped: market share of one supplier nation within a
+    // customer region, per year — 7-way star with a region roll-up and
+    // a conditional-ratio aggregate.
+    QueryDef(
+      "q8_market_share",
+      (s, d) => {
+        val n1 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+        val n2 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val volume = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d).where(col("p_type") === "ECONOMY")),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .where(col("o_orderdate") >= ts("1995-01-01") &&
+            col("o_orderdate") < ts("1997-01-01"))
+          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+          .join(broadcast(Tables.region(s, d).where(col("r_name") === "AMERICA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(round(
+            sum(when(col("supp_nation") === "NATION_3", volume).otherwise(0.0)) /
+              sum(volume), 4).as("mkt_share"))
+          .orderBy(col("o_year"))
+      },
+      Some("""
+        SELECT year(o_orderdate) AS o_year,
+               round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                          THEN l_extendedprice * (1.0 - l_discount)
+                          ELSE 0.0 END) /
+                     sum(l_extendedprice * (1.0 - l_discount)), 4) AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY o_year ORDER BY o_year""")),
+
+    // ===== Q9-shaped: profit by supplier nation and year over a part
+    // name pattern (no partsupp table in the harness schema, so profit
+    // is revenue rather than revenue minus supply cost).
+    QueryDef(
+      "q9_profit_by_nation",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d).where(col("p_name").like("%red%"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("profit"))
+          .orderBy(col("nation"), col("o_year")),
+      Some("""
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ===== Q13-shaped: customer order-count distribution — left outer
+    // join with an extra join-side predicate, then a two-level count
+    // histogram.
+    QueryDef(
+      "q13_customer_distribution",
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+        val cust = Tables.customer(s, d)
+        val perCust = cust.join(ord,
+          cust("c_custkey") === ord("o_custkey") &&
+            ord("o_orderpriority") =!= "1-URGENT", "left")
+          .groupBy(cust("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+        perCust.groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
+
+    // ===== Q15-shaped: top supplier by quarterly revenue — aggregate
+    // reused as both join input and scalar-max subquery.
+    QueryDef(
+      "q15_top_supplier",
+      (s, d) => {
+        val revenue = Tables.lineitem(s, d)
+          .where(col("l_shipdate") >= ts("1996-01-01") &&
+            col("l_shipdate") < ts("1996-04-01"))
+          .groupBy(col("l_suppkey"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("total_revenue"))
+        val maxRev = revenue.agg(max(col("total_revenue")).as("mr"))
+        Tables.supplier(s, d)
+          .join(revenue, col("s_suppkey") === col("l_suppkey"))
+          .join(broadcast(maxRev), col("total_revenue") === col("mr"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""
+        WITH revenue AS (
+          SELECT l_suppkey,
+                 round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey""")),
+
+    // ===== Q17-shaped: small-quantity-order revenue — correlated scalar
+    // subquery (per-part average quantity) expressed as an aggregate
+    // self-join.
+    QueryDef(
+      "q17_small_quantity",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val thresh = li.groupBy(col("l_partkey").as("t_partkey"))
+          .agg((avg(col("l_quantity")) * 0.2).as("qty_thresh"))
+        li.join(broadcast(Tables.part(s, d).where(col("p_brand") === "Brand#23")),
+          col("l_partkey") === col("p_partkey"))
+          .join(thresh, col("l_partkey") === col("t_partkey"))
+          .where(col("l_quantity") < col("qty_thresh"))
+          .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+      },
+      Some("""
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < (
+            SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = p_partkey)""")),
+
+    // ===== Q19-shaped: discounted revenue under OR'd bracket predicates
+    // — each disjunct pairs part attributes with lineitem ranges; the
+    // common p_partkey join is the only join.
+    QueryDef(
+      "q19_bracket_revenue",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .where(
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+              col("l_quantity").between(1, 11)) ||
+              (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+                col("l_quantity").between(10, 20)) ||
+              (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+                col("l_quantity").between(20, 30)))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue")),
+      Some("""
+        SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)""")),
+
+    // ===== Q22-shaped: wealthy customers with no urgent orders — scalar
+    // average subquery + anti join + per-nation rollup. (Every customer
+    // in the harness data has SOME order, so the anti join targets the
+    // urgent subset to keep the result non-vacuous.)
+    QueryDef(
+      "q22_wealthy_inactive",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val avgBal = cust.where(col("c_acctbal") > 0.0)
+          .agg(avg(col("c_acctbal")).as("ab"))
+        val urgent = Tables.orders(s, d)
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey"))
+        cust.join(broadcast(avgBal), col("c_acctbal") > col("ab"))
+          .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("numcust"),
+            round(sum(col("c_acctbal")), 2).as("totacctbal"))
+          .orderBy(col("n_name"))
+      },
+      Some("""
+        SELECT n_name, count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY n_name ORDER BY n_name"""))
   )
 }
