@@ -58,21 +58,26 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
+    val idType = pairs.schema(pairs.schema.fieldIndex(aCol)).dataType
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // neighbor labels flow along edges; keep the per-vertex minimum
+      // neighbor labels flow along edges; keep the per-vertex minimum.
+      // Each vertex's single prior-label row rides along as `prev`
+      // (max ignores the neighbor rows' nulls), so convergence falls out
+      // of the SAME aggregation — no per-round labels⋈next check join.
       val viaNeighbors = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("component"))
-      val next = labels.select("id", "component")
+        .select(col("dst").as("id"), col("component"),
+          lit(null).cast(idType).as("prev"))
+      val next = labels.select(col("id"), col("component"),
+        col("component").as("prev"))
         .unionByName(viaNeighbors)
-        .groupBy("id").agg(min("component").as("component"))
+        .groupBy("id").agg(min("component").as("component"),
+          max("prev").as("prev"))
         .localCheckpoint(true)
-      val changed = next.alias("n")
-        .join(labels.alias("l"), col("n.id") === col("l.id"))
-        .where(col("n.component") =!= col("l.component"))
+      val changed = next.where(col("component") =!= col("prev"))
         .limit(1).count()
-      labels = next
+      labels = next.select("id", "component")
       converged = changed == 0L
       iter += 1
     }
