@@ -26,6 +26,19 @@ object Bucketing {
     * stripped from partitionValues when the AddFile is built. */
   val BUCKET_DIR_COL = "__bucket"
 
+  /** DSv2 METADATA column exposing each row's bucket id (constant per
+    * file, served from the commit log — never stored or read from
+    * parquet). Multi-column bucket specs can't engage SPJ through the V2
+    * bucket transform (Spark's transform-to-join-key resolution is
+    * single-reference), so the convention is: include `_bucket` in the
+    * join — `ON a.k1 = b.k1 AND a.k2 = b.k2 AND a._bucket = b._bucket`
+    * — and the scan reports `identity(_bucket)` instead, which matches.
+    * The extra equi-condition is implied by the others (both sides hash
+    * the same key columns with the same function and count), so results
+    * are unchanged.
+    */
+  val BUCKET_META_COL = "_bucket"
+
   final case class Spec(columns: Seq[String], numBuckets: Int)
 
   def props(columns: Seq[String], numBuckets: Int): Map[String, String] =

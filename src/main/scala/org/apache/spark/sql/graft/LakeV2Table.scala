@@ -24,7 +24,8 @@ class LakeV2Table(
     val lake: LakeTable,
     ident: String,
     inner: ParquetTable,
-    val writable: Boolean) extends Table with SupportsRead with SupportsWrite {
+    val writable: Boolean) extends Table with SupportsRead with SupportsWrite
+  with SupportsMetadataColumns {
 
   private[graft] val snap = lake.snapshot
 
@@ -34,6 +35,24 @@ class LakeV2Table(
     snap.files.exists(f => f.dvPath.isDefined || f.dvInline.isDefined)
 
   private val bucketSpec = graft.lake.Bucketing.specOf(snap.metaData)
+
+  /** The bucketed scan engages only on a fully-bucketed, DV-free
+    * snapshot; `_bucket` is advertised under exactly that condition. */
+  private def bucketedScanActive: Boolean =
+    bucketSpec.isDefined && !hasDvs && snap.files.nonEmpty &&
+      snap.files.forall(_.bucket.isDefined)
+
+  override def metadataColumns(): Array[MetadataColumn] =
+    if (bucketedScanActive)
+      Array(new MetadataColumn {
+        override def name(): String = graft.lake.Bucketing.BUCKET_META_COL
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.IntegerType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "bucket id of the row's file (served from the commit log)"
+      })
+    else Array.empty
 
   override def name(): String = ident
 
@@ -61,8 +80,7 @@ class LakeV2Table(
       // DV'd tables read through the substituted union plan, and a file
       // written before bucketing was enabled has no bucket id — both fall
       // back to the stock parquet scan (correct, just shuffles on join)
-      case Some(spec) if !hasDvs && snap.files.nonEmpty &&
-          snap.files.forall(_.bucket.isDefined) =>
+      case Some(spec) if bucketedScanActive =>
         val pcs = snap.metaData.partitionColumns
         val fileKeys = snap.files.map { f =>
           java.nio.file.Paths.get(lake.path, f.path)
