@@ -33,4 +33,62 @@ object Sketches {
     if (keyCols.isEmpty) sketches.agg(est)
     else sketches.groupBy(keyCols.map(col): _*).agg(est)
   }
+
+  /** Count-min frequency state over `valueCol` (Spark's built-in
+    * `count_min_sketch` aggregate — mergeable binary state, same
+    * append-only maintenance story as the HLL sketches above). One
+    * sketch per `keyCols` group; ε/δ size the width/depth.
+    */
+  def frequencySketches(df: DataFrame, keyCols: Seq[String],
+      valueCol: String, eps: Double = 1e-3, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    val agg = count_min_sketch(col(valueCol), lit(eps), lit(confidence),
+      lit(seed)).as("cms")
+    if (keyCols.isEmpty) df.agg(agg)
+    else df.groupBy(keyCols.map(col): _*).agg(agg)
+  }
+
+  /** Top-k heavy hitters of `valueCol` estimated from count-min state:
+    * merge the stored sketches (a driver-side fold over a few KB each),
+    * probe each candidate value, keep the k largest estimates. CMS
+    * guarantees est ≥ true and est ≤ true + ε·N with prob. 1-δ
+    * (asserted in SketchesSpec).
+    *
+    * `candidates` enumerates the probe values — for a categorical
+    * column its distinct set (cheap); for an unbounded domain pass a
+    * sampled/known candidate list instead (the sketch itself cannot
+    * enumerate). Estimation cost is |candidates|, independent of N.
+    */
+  def heavyHitters(df: DataFrame, valueCol: String, k: Int,
+      eps: Double = 1e-3, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val spark = df.sparkSession
+    val merged = frequencySketches(df, Seq.empty, valueCol, eps, confidence,
+      seed).head().getAs[Array[Byte]](0)
+    val cms = CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(merged))
+    val candidates = df.select(valueCol).distinct()
+      .collect().map(_.get(0)).filter(_ != null)
+    val rows = candidates
+      .map { v =>
+        // Spark's agg path adds strings via addBinary(utf8 bytes), so
+        // probe with the same byte representation
+        val est = v match {
+          case s: String =>
+            cms.estimateCount(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          case other => cms.estimateCount(other)
+        }
+        (v, est)
+      }
+      .sortBy { case (v, est) => (-est, String.valueOf(v)) }
+      .take(k)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map { case (v, e) => org.apache.spark.sql.Row(v, e) }.toList.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        df.select(valueCol).schema.fields.head.copy(name = valueCol),
+        org.apache.spark.sql.types.StructField("est_count",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
 }

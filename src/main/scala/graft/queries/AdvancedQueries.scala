@@ -174,6 +174,53 @@ object AdvancedQueries extends QueryGroup {
         SELECT event_type, count(DISTINCT user_id) AS distinct_count
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ===== mergeable quantile sketch (Spark's percentile_approx — GK
+    // state, partial-aggregates map-side like any sketch). accuracy 1e5
+    // exceeds every sf0.01 group size, so the sketch answers EXACTLY
+    // there and the DuckDB discrete-quantile oracle hash-matches; at
+    // bench scale (sf0.1+) the same query runs genuinely approximate.
+    QueryDef(
+      "a12_quantile_sketch",
+      (s, d) => {
+        val qs = percentile_approx(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(100000))
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(qs.as("qarr"), count(lit(1)).as("n"))
+          .select(col("l_returnflag"),
+            element_at(col("qarr"), 1).as("q25"),
+            element_at(col("qarr"), 2).as("q50"),
+            element_at(col("qarr"), 3).as("q75"),
+            element_at(col("qarr"), 4).as("q95"),
+            col("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        SELECT l_returnflag,
+               quantile_disc(l_extendedprice, 0.25) AS q25,
+               quantile_disc(l_extendedprice, 0.5) AS q50,
+               quantile_disc(l_extendedprice, 0.75) AS q75,
+               quantile_disc(l_extendedprice, 0.95) AS q95,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ===== count-min heavy hitters (graft.ops.Sketches.heavyHitters):
+    // mergeable CMS state + candidate probes. With ε=1e-3 and a
+    // 5-value domain the deterministic (seeded) sketch is collision-free
+    // here, so estimates equal DuckDB's exact counts; the ε·N
+    // overestimate bound is asserted separately in SketchesSpec.
+    QueryDef(
+      "a13_heavy_hitters",
+      (s, d) =>
+        graft.ops.Sketches.heavyHitters(
+          Tables.events(s, d), "event_type", k = 5)
+          .select(col("event_type"), col("est_count"))
+          .orderBy(col("est_count").desc, col("event_type")),
+      Some("""
+        SELECT event_type, count(*) AS est_count
+        FROM events GROUP BY event_type
+        ORDER BY est_count DESC, event_type LIMIT 5""")),
+
     // ===== richer string functions.
     QueryDef(
       "f19_string_more",

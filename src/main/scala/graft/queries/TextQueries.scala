@@ -199,6 +199,55 @@ object TextQueries extends QueryGroup {
           FROM toks)
         SELECT lang, seq_id, count(*) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-        FROM packed GROUP BY lang, seq_id ORDER BY lang, seq_id"""))
+        FROM packed GROUP BY lang, seq_id ORDER BY lang, seq_id""")),
+
+    // ===== PII redaction (curation-pipeline scrub step): emails and
+    // IPv4 addresses replaced by placeholder tags, with per-doc match
+    // counts. The fixture has no PII, so deterministic synthetic
+    // addresses derived from doc_id are appended to every 3rd sampled
+    // doc — identically in both engines — keeping the oracle
+    // non-vacuous. Patterns are Java-regex/RE2 portable.
+    QueryDef(
+      "t9_pii_redaction",
+      (s, d) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ip = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+        val aug = Tables.documents(s, d)
+          .where(col("doc_id") % 10 === 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 3 === 0,
+              concat(col("text"), lit(" contact user"),
+                col("doc_id").cast("string"), lit("@example.com from "),
+                (col("doc_id") % 200 + 10).cast("string"), lit("."),
+                (col("doc_id") % 250).cast("string"), lit("."),
+                (col("doc_id") % 100).cast("string"), lit(".7")))
+              .otherwise(col("text")).as("text"))
+        aug.select(
+          col("doc_id"),
+          regexp_count(col("text"), lit(email)).cast("long").as("n_emails"),
+          regexp_count(col("text"), lit(ip)).cast("long").as("n_ips"),
+          regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+            ip, "<IP>").as("redacted"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH aug AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN
+                   text || ' contact user' || doc_id || '@example.com from '
+                        || (doc_id % 200 + 10) || '.' || (doc_id % 250)
+                        || '.' || (doc_id % 100) || '.7'
+                 ELSE text END AS text
+          FROM documents WHERE doc_id % 10 = 0)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(text,
+                 '\b\d{1,3}(\.\d{1,3}){3}\b')) AS BIGINT) AS n_ips,
+               regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+                 'g'), '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g') AS redacted
+        FROM aug ORDER BY doc_id"""))
   )
 }

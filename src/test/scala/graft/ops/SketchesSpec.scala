@@ -37,6 +37,38 @@ class SketchesSpec extends AnyFunSuite {
       s"estimate $est off by more than 3%")
   }
 
+  test("count-min heavy hitters: overestimate-only within eps*N") {
+    // zipf-ish skew: value v appears ~N/v times
+    val rows = (1 to 200).flatMap(v => Seq.fill(2000 / v)(s"val$v"))
+    val df = rows.toDF("x")
+    val n = rows.size.toLong
+    val eps = 1e-3
+    val exact = rows.groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+    val hh = Sketches.heavyHitters(df, "x", k = 10, eps = eps)
+      .as[(String, Long)].collect()
+    assert(hh.length === 10)
+    // the true top value must surface first (largest margin)
+    assert(hh.head._1 === "val1")
+    hh.foreach { case (v, est) =>
+      val truth = exact(v)
+      assert(est >= truth, s"$v: CMS must never underestimate")
+      assert(est <= truth + (eps * n).toLong + 1,
+        s"$v: est $est exceeds eps*N bound over $truth")
+    }
+  }
+
+  test("count-min state merges across batches like any sketch") {
+    val b1 = (1 to 1000).map(i => s"u${i % 10}").toDF("x")
+    val b2 = (1 to 500).map(_ => "u3").toDF("x")
+    // union of raw data vs the same data sketched in one pass: the
+    // mergeable path is what frequencySketches' partial aggregation
+    // exercises across partitions; assert the combined estimate
+    val est = Sketches.heavyHitters(b1.unionByName(b2), "x", k = 1)
+      .as[(String, Long)].head()
+    assert(est._1 === "u3")
+    assert(est._2 >= 600L) // 100 from b1 + 500 from b2
+  }
+
   test("incremental maintenance: append a batch's sketches, union on read") {
     val path = Files.createTempDirectory("sketch-state-").toString
     val day1 = (1L to 500L).map(i => ("d1", s"u${i % 50}")).toDF("day", "u")

@@ -124,6 +124,36 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: dropDuplicatesWithinWatermark bounds its state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+    val dedup = in.toDF().toDF("id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_wm").start()
+    try {
+      // batch 1: duplicate ids inside one batch collapse
+      in.addData((1L, ts(0)), (1L, ts(1)), (2L, ts(2)))
+      q.processAllAvailable()
+      // batch 2: id 1 again within the watermark window → still a dupe;
+      // id 3 is new; event at :40 advances the watermark past :30
+      in.addData((1L, ts(3)), (3L, ts(5)), (9L, ts(40)))
+      q.processAllAvailable()
+      // batch 3: id 1 reappears AFTER its dedup state expired (watermark
+      // :30 > first-seen :00 + 10 min) → emitted again, by design
+      in.addData((1L, ts(45)))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT id FROM dedup_wm").as[Long].collect().toSeq
+      assert(ids.count(_ == 1L) === 2,
+        s"id 1 should emit once per watermark window, got $ids")
+      assert(ids.count(_ == 2L) === 1 && ids.count(_ == 3L) === 1)
+    } finally q.stop()
+  }
+
   test("windowed streaming aggregate lands exactly-once in a lake table") {
     import graft.lake.LakeTable
     import graft.streaming.LakeStreaming
