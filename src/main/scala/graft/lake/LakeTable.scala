@@ -712,8 +712,17 @@ final class LakeTable private (
       notMatchedBySourceClauses: Seq[MergeClause],
       useDvs: Boolean = true,
       dvMaxFraction: Double = 0.5,
-      propsDelta: Map[String, String] = Map.empty): Unit = {
+      propsDelta: Map[String, String] = Map.empty,
+      schemaEvolution: Boolean = false): Unit = {
     require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
+    // MERGE WITH SCHEMA EVOLUTION: source-only top-level columns evolve
+    // the target schema FIRST (a metadata-only ADD COLUMN commit per
+    // column — existing files read NULL), then the merge sees the
+    // widened schema and star-actions carry the new columns through.
+    if (schemaEvolution)
+      source.schema.fields
+        .filterNot(f => snapshot.schema.fieldNames.contains(f.name))
+        .foreach(f => alterAddColumn(f.name, f.dataType.sql))
     matchedClauses.foreach {
       case _: MergeClause.Insert =>
         throw new IllegalArgumentException("WHEN MATCHED cannot INSERT")

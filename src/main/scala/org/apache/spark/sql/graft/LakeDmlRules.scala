@@ -79,7 +79,8 @@ class LakeDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     RunLakeMerge(t.lake, m.sourceTable, conv(m.mergeCondition),
       m.matchedActions.map(clause),
       m.notMatchedActions.map(clause).map(_.asInstanceOf[graft.lake.MergeClause.Insert]),
-      m.notMatchedBySourceActions.map(clause))
+      m.notMatchedBySourceActions.map(clause),
+      schemaEvolution = m.withSchemaEvolution)
   }
 }
 
@@ -225,12 +226,13 @@ case class RunLakeMerge(
     condition: Column,
     matchedClauses: Seq[graft.lake.MergeClause],
     notMatchedClauses: Seq[graft.lake.MergeClause.Insert],
-    notMatchedBySourceClauses: Seq[graft.lake.MergeClause]) extends LeafRunnableCommand {
+    notMatchedBySourceClauses: Seq[graft.lake.MergeClause],
+    schemaEvolution: Boolean = false) extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val source = org.apache.spark.sql.classic.Dataset.ofRows(
       sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession], sourcePlan)
     lake.mergeClauses(source, condition, matchedClauses, notMatchedClauses,
-      notMatchedBySourceClauses)
+      notMatchedBySourceClauses, schemaEvolution = schemaEvolution)
     Seq.empty
   }
 }

@@ -73,7 +73,11 @@ class LakeV2Table(
       TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.OVERWRITE_DYNAMIC,
+      // MERGE WITH SCHEMA EVOLUTION: the analyzer alters the table
+      // through LakeCatalog.alterTable (metadata-only ADD COLUMN
+      // commits) before expanding star actions
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val base: ScanBuilder = bucketSpec match {
