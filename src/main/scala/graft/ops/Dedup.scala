@@ -236,6 +236,57 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact Jaccard pairs with PPJoin-style PREFIX FILTERING — the same
+    * result as [[ngramJaccardPairs]] (asserted in DedupSimilaritySpec)
+    * with the hot-shingle m² hazard bounded exactly.
+    *
+    * Prefix lemma (PPJoin, public literature): order every document's
+    * shingles by one GLOBAL frequency order (rarest first, ties by
+    * hash); if J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, so A and B must share
+    * at least one shingle among each one's first |A| − ⌈t·|A|⌉ + 1
+    * shingles. Candidates therefore come from an equi-join of PREFIX
+    * postings only — ultra-common shingles (stop-phrases, boilerplate)
+    * sit at the END of the order and rarely enter a prefix, so the
+    * join fans out on rare shingles instead of hot ones. Each
+    * candidate pair is then verified exactly on the full hash arrays.
+    */
+  def ngramJaccardPairsPrefix(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.2): DataFrame = {
+    require(threshold > 0.0, "prefix filtering requires threshold > 0")
+    import org.apache.spark.sql.expressions.Window
+    val s = df.select(col(idCol).as("id"),
+      array_distinct(transform(shingles(col(textCol), shingleN), x => xxhash64(x)))
+        .as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("id"), col("sh"), size(col("sh")).as("nsh"))
+      .repartition(col("id")) // materialize shingling once
+    val postings = s.select(col("id"), col("nsh"), explode(col("sh")).as("tok"))
+    val freq = postings.groupBy("tok").agg(count(lit(1)).as("__df"))
+    // rarest-first global order; prefix length = nsh - ceil(t*nsh) + 1
+    val w = Window.partitionBy("id").orderBy(col("__df"), col("tok"))
+    val prefix = postings.join(freq, Seq("tok"))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <=
+        col("nsh") - ceil(col("nsh") * threshold).cast("int") + 1)
+      .select(col("id"), col("tok"))
+    val cand = prefix.select(col("id").as("id_a"), col("tok"))
+      .join(prefix.select(col("id").as("id_b"), col("tok")), Seq("tok"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val av = s.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val bv = s.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    cand.join(av, Seq("id_a")).join(bv, Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** SimHash near-dup pairs: signatures bucketed on the top `prefixBits`
     * bits (near-dups almost always share them), Hamming distance <=
     * maxHamming verified within buckets.

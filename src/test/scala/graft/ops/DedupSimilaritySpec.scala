@@ -26,6 +26,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.agg(sum("n_copies")).as[Long].head() === docs.count())
   }
 
+  test("prefix-filtered jaccard equals the inverted-index join exactly") {
+    // augment with near-dups so qualifying pairs exist, and add
+    // boilerplate-heavy docs sharing one ultra-common tail so the
+    // prefix filter actually has a hot shingle to exclude
+    val tail = " the quick brown fox jumps over the lazy dog again and again"
+    val aug = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(col("text"), lit(" near dup tail")).as("text")))
+      .unionByName(docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 900000).as("doc_id"),
+          concat(col("text"), lit(tail)).as("text")))
+    for (t <- Seq(0.2, 0.5, 0.8)) {
+      val base = Dedup.ngramJaccardPairs(aug, "text", "doc_id",
+        shingleN = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = Dedup.ngramJaccardPairsPrefix(aug, "text", "doc_id",
+        shingleN = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref === base, s"threshold $t: prefix-filtered result differs")
+      assert(base.nonEmpty || t > 0.5, s"threshold $t fixture vacuous")
+    }
+  }
+
   test("minhash LSH pairs are a subset of exact jaccard pairs (precision 1)") {
     val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
       shingleN = 3, threshold = 0.5)
