@@ -509,14 +509,116 @@ object Stats {
       nullCount = notNull.map(_ -> 0L).toMap))))
   }
 
+  /** Canonical value rendering for the constraint value-set check:
+    * numeric-likes normalize through BigDecimal (so 3 == 3.0), strings
+    * stay raw. None for unsupported shapes.
+    */
+  private def canonValueString(dt: DataType, v: Any): Option[String] = v match {
+    case n: Number if isNumericLike(dt) =>
+      Some(BigDecimal(n.toString).bigDecimal.stripTrailingZeros.toPlainString)
+    case d: Decimal => Some(d.toBigDecimal.bigDecimal.stripTrailingZeros.toPlainString)
+    case u: org.apache.spark.unsafe.types.UTF8String if dt == StringType =>
+      Some(u.toString)
+    case s: String if dt == StringType => Some(s)
+    case _ => None
+  }
+
+  /** Per-column ALLOWED VALUE SETS implied by CHECK constraints of the
+    * form `c = lit` or `c IN (lits)` (conjuncts only). Interval bounds
+    * can't see gaps — `CHECK (c IN ('A','C'))` admits 'B' under min/max
+    * reasoning — so the sets catch equality/IN predicates targeting
+    * values outside the list.
+    */
+  def constraintValueSets(
+      constraints: Seq[Expression],
+      schema: StructType): Map[String, Set[String]] = {
+    def colName(x: Expression): Option[String] = x match {
+      case a: AttributeReference => Some(a.name)
+      case u: UnresolvedAttributeLike => Some(u.nameParts.mkString("."))
+      case _ => None
+    }
+    def litVal(x: Expression): Option[Any] = x match {
+      case Literal(v, _) => Option(v)
+      case e if e.foldable =>
+        try Option(e.eval(null)) catch { case _: Throwable => None }
+      case _ => None
+    }
+    def dtOf(name: String): Option[DataType] =
+      schema.fields.find(_.name == name).map(_.dataType)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val out = scala.collection.mutable.Map[String, Set[String]]()
+    def record(c: Expression, vs: Seq[Expression]): Unit =
+      for (n <- colName(c); dt <- dtOf(n)) {
+        val canon = vs.flatMap(litVal).flatMap(canonValueString(dt, _))
+        if (canon.size == vs.size) {
+          val set = canon.toSet
+          out(n) = out.get(n).map(_.intersect(set)).getOrElse(set)
+        }
+      }
+    constraints.map(nnf).flatMap(conjuncts).foreach {
+      case EqualTo(l, r) if litVal(r).isDefined => record(l, Seq(r))
+      case EqualTo(l, r) if litVal(l).isDefined => record(r, Seq(l))
+      case In(c, list) if list.nonEmpty => record(c, list)
+      case _ => ()
+    }
+    out.toMap
+  }
+
+  /** A conjunct of `pred` pins a constrained column to values entirely
+    * OUTSIDE its allowed set → provably empty. Conjuncts only — an OR
+    * branch never prunes through this path.
+    */
+  private def valueSetContradiction(
+      pred: Expression,
+      allowed: Map[String, Set[String]],
+      schema: StructType): Boolean = {
+    if (allowed.isEmpty) return false
+    def colName(x: Expression): Option[String] = x match {
+      case a: AttributeReference => Some(a.name)
+      case u: UnresolvedAttributeLike => Some(u.nameParts.mkString("."))
+      case _ => None
+    }
+    def litVal(x: Expression): Option[Any] = x match {
+      case Literal(v, _) => Option(v)
+      case e if e.foldable =>
+        try Option(e.eval(null)) catch { case _: Throwable => None }
+      case _ => None
+    }
+    def dtOf(name: String): Option[DataType] =
+      schema.fields.find(_.name == name).map(_.dataType)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def outside(c: Expression, vs: Seq[Expression]): Boolean =
+      (for (n <- colName(c); dt <- dtOf(n); set <- allowed.get(n)) yield {
+        val canon = vs.flatMap(litVal).flatMap(canonValueString(dt, _))
+        canon.size == vs.size && canon.forall(!set.contains(_))
+      }).getOrElse(false)
+    conjuncts(nnf(pred)).exists {
+      case EqualTo(l, r) if litVal(r).isDefined => outside(l, Seq(r))
+      case EqualTo(l, r) if litVal(l).isDefined => outside(r, Seq(l))
+      case In(c, list) if list.nonEmpty => outside(c, list)
+      case _ => false
+    }
+  }
+
   /** True iff `pred` contradicts the table's CHECK constraints — no row
     * that satisfies every constraint can satisfy `pred`, so the scan can
-    * be answered empty from metadata alone.
+    * be answered empty from metadata alone. Two complementary checks:
+    * interval reasoning through the phantom-stats evaluator, and
+    * value-set reasoning for IN-list constraints whose gaps intervals
+    * cannot see.
     */
   def contradictsConstraints(
       pred: Expression,
       constraints: Seq[Expression],
       schema: StructType): Boolean =
     constraintStats(constraints, schema)
-      .exists(f => !mightMatch(f, pred, schema, Nil))
+      .exists(f => !mightMatch(f, pred, schema, Nil)) ||
+      valueSetContradiction(pred,
+        constraintValueSets(constraints, schema), schema)
 }

@@ -59,17 +59,29 @@ object Sketches {
     * sampled/known candidate list instead (the sketch itself cannot
     * enumerate). Estimation cost is |candidates|, independent of N.
     */
+  /** With `maxCandidates` set, candidate enumeration is BOUNDED for
+    * unbounded domains: a single Misra-Gries-style pass (Spark's
+    * `stat.freqItems`, mergeable per-partition summaries) yields at
+    * most ~maxCandidates items, guaranteed to include everything with
+    * frequency above N/maxCandidates; the CMS probe then orders them.
+    * Both passes are one scan each and O(maxCandidates) state.
+    */
   def heavyHitters(df: DataFrame, valueCol: String, k: Int,
       eps: Double = 1e-3, confidence: Double = 0.99,
-      seed: Int = 42): DataFrame = {
+      seed: Int = 42, maxCandidates: Option[Int] = None): DataFrame = {
     import org.apache.spark.util.sketch.CountMinSketch
     val spark = df.sparkSession
     val merged = frequencySketches(df, Seq.empty, valueCol, eps, confidence,
       seed).head().getAs[Array[Byte]](0)
     val cms = CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(merged))
-    val candidates = df.select(valueCol).distinct()
-      .collect().map(_.get(0)).filter(_ != null)
+    val candidates = (maxCandidates match {
+      case Some(m) =>
+        require(m >= k, s"maxCandidates $m must be >= k $k")
+        df.stat.freqItems(Seq(valueCol), 1.0 / m)
+          .head().getSeq[Any](0).toArray
+      case None => df.select(valueCol).distinct().collect().map(_.get(0))
+    }).filter(_ != null)
     val rows = candidates
       .map { v =>
         // Spark's agg path adds strings via addBinary(utf8 bytes), so

@@ -61,6 +61,26 @@ class ConstraintPruneSpec extends AnyFunSuite {
     assert(verdict(Seq("NOT (n > 10)"), "n = 11", schema))
   }
 
+  test("IN-list value sets prune gaps that intervals cannot") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("n", LongType), StructField("tier", StringType)))
+    // 'B' lies INSIDE the [A, C] interval but outside the list
+    assert(verdict(Seq("tier IN ('A', 'C')"), "tier = 'B'", schema))
+    assert(verdict(Seq("tier IN ('A', 'C')"), "tier IN ('B', 'D')", schema))
+    // numeric gap, with 3.0 == 3 canonicalization
+    assert(verdict(Seq("n IN (1, 3, 5)"), "n = 4", schema))
+    assert(!verdict(Seq("n IN (1, 3, 5)"), "n = 3.0", schema))
+    // partial overlap stays satisfiable
+    assert(!verdict(Seq("tier IN ('A', 'C')"), "tier IN ('C', 'D')", schema))
+    // two constraints intersect their sets
+    assert(verdict(Seq("tier IN ('A', 'B')", "tier IN ('B', 'C')"),
+      "tier = 'A'", schema))
+    // OR-shaped predicates never prune through the set path
+    assert(!verdict(Seq("tier IN ('A', 'C')"),
+      "tier = 'B' OR n > 5", schema))
+  }
+
   test("satisfiable or unsupported shapes never claim a contradiction") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(

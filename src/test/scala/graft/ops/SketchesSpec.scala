@@ -57,6 +57,20 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("bounded candidate pass still surfaces the true heavy hitters") {
+    // 10k-value domain, zipf-ish: distinct() enumeration would collect
+    // 10k candidates; the freqItems pass keeps O(maxCandidates) state
+    val rows = (1 to 10000).flatMap(v => Seq.fill(20000 / v max 1)(s"val$v"))
+    val df = rows.toDF("x")
+    val exact = rows.groupBy(identity).map { case (kk, vs) => kk -> vs.size.toLong }
+    val topTrue = exact.toSeq.sortBy { case (v, c) => (-c, v) }.take(5).map(_._1)
+    val hh = Sketches.heavyHitters(df, "x", k = 5, maxCandidates = Some(200))
+      .as[(String, Long)].collect()
+    assert(hh.map(_._1).toSeq === topTrue,
+      s"bounded-candidate top-5 ${hh.toSeq} != true top-5 $topTrue")
+    hh.foreach { case (v, est) => assert(est >= exact(v)) }
+  }
+
   test("count-min state merges across batches like any sketch") {
     val b1 = (1 to 1000).map(i => s"u${i % 10}").toDF("x")
     val b2 = (1 to 500).map(_ => "u3").toDF("x")
