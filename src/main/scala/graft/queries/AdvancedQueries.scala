@@ -221,6 +221,57 @@ object AdvancedQueries extends QueryGroup {
         FROM events GROUP BY event_type
         ORDER BY est_count DESC, event_type LIMIT 5""")),
 
+    // ===== one-pass dataset profiling (graft.ops.Profile): per-column
+    // row/null/distinct counts + canonical min/max — the data-quality
+    // gate a curation pipeline stores per ingest batch. Oracle mirrors
+    // the canonical encodings (timestamps as epoch micros).
+    QueryDef(
+      "prof1_profile_orders",
+      (s, d) =>
+        graft.ops.Profile.profile(Tables.orders(s, d))
+          .orderBy(col("col_name")),
+      Some("""
+        SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+               count(*) - count(o_custkey) AS n_nulls,
+               count(DISTINCT o_custkey) AS n_distinct,
+               CAST(min(o_custkey) AS VARCHAR) AS min_value,
+               CAST(max(o_custkey) AS VARCHAR) AS max_value
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', count(*),
+               count(*) - count(o_orderdate),
+               count(DISTINCT o_orderdate),
+               CAST(epoch_us(min(o_orderdate)) AS VARCHAR),
+               CAST(epoch_us(max(o_orderdate)) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderkey', count(*),
+               count(*) - count(o_orderkey),
+               count(DISTINCT o_orderkey),
+               CAST(min(o_orderkey) AS VARCHAR),
+               CAST(max(o_orderkey) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*),
+               count(*) - count(o_orderpriority),
+               count(DISTINCT o_orderpriority),
+               min(o_orderpriority), max(o_orderpriority)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*),
+               count(*) - count(o_orderstatus),
+               count(DISTINCT o_orderstatus),
+               min(o_orderstatus), max(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(*),
+               count(*) - count(o_totalprice),
+               count(DISTINCT o_totalprice),
+               CAST(min(o_totalprice) AS VARCHAR),
+               CAST(max(o_totalprice) AS VARCHAR)
+        FROM orders
+        ORDER BY col_name""")),
+
     // ===== richer string functions.
     QueryDef(
       "f19_string_more",
