@@ -98,6 +98,30 @@ object DedupQueries extends QueryGroup {
         SELECT id_a, id_b, jaccard FROM pairs
         WHERE jaccard >= 0.2 ORDER BY id_a, id_b""")),
 
+    // ===== PPJoin-prefix-filtered exact Jaccard — the scale path for
+    // d2: same oracle SQL (results are provably identical), candidates
+    // from rarest-shingle prefixes instead of the full inverted index.
+    QueryDef(
+      "d8_jaccard_prefix",
+      (s, d) =>
+        Dedup.ngramJaccardPairsPrefix(augmentedDocs(s, d),
+          "text", "doc_id", shingleN = 3, threshold = 0.2)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(s"""
+        WITH aug AS ($augmentedDocsSql
+        ), s AS (
+          SELECT doc_id AS id, ${shinglesSql("text", 3)} AS sh FROM aug
+        ), pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+                   AS jaccard
+          FROM s a, s b
+          WHERE a.id < b.id AND len(a.sh) > 0 AND len(b.sh) > 0
+        )
+        SELECT id_a, id_b, jaccard FROM pairs
+        WHERE jaccard >= 0.2 ORDER BY id_a, id_b""")),
+
     // ===== MinHash+LSH near-dup candidates (banded signature join) —
     // approximate; rows-only check here, precision-vs-exact covered in
     // DedupSpec.
