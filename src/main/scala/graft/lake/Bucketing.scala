@@ -33,9 +33,11 @@ object Bucketing {
     * single-reference), so the convention is: include `_bucket` in the
     * join — `ON a.k1 = b.k1 AND a.k2 = b.k2 AND a._bucket = b._bucket`
     * — and the scan reports `identity(_bucket)` instead, which matches.
-    * The extra equi-condition is implied by the others (both sides hash
-    * the same key columns with the same function and count), so results
-    * are unchanged.
+    * The extra equi-condition is implied by the others ONLY when both
+    * tables bucket the same key columns with the same function AND the
+    * same numBuckets; with mismatched counts the predicate is NOT
+    * implied and silently drops matches (and SPJ would not engage
+    * anyway) — rebucket one side first ([[graft.lake.LakeTable.rebucket]]).
     */
   val BUCKET_META_COL = "_bucket"
 

@@ -29,16 +29,28 @@ object Constraints {
 
   /** Constraint expressions parsed for the pruning evaluator
     * ([[Stats.contradictsConstraints]]); unparseable entries are skipped
-    * (they then simply don't tighten any bound).
+    * (they then simply don't tighten any bound). Memoized per MetaData —
+    * reads and every optimizer fixed-point pass ask repeatedly, and the
+    * parse is a pure function of the properties (weak keys let old
+    * snapshots' entries collect).
     */
-  def parsed(meta: MetaData): Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
-    of(meta).values.toSeq.flatMap { sql =>
+  def parsed(meta: MetaData): Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    val cached = parseCache.get(meta)
+    if (cached != null) return cached
+    val result = of(meta).values.toSeq.flatMap { sql =>
       // CatalystSqlParser yields the actual expression tree (a Column's
       // node is a lazy SQL wrapper the bounds-builder can't inspect)
       try Some(org.apache.spark.sql.catalyst.parser.CatalystSqlParser
         .parseExpression(sql))
       catch { case _: Throwable => None }
     }
+    parseCache.put(meta, result)
+    result
+  }
+
+  private val parseCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[MetaData,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression]]())
 
   /** The write-plan enforcement filter: rows pass through untouched
     * unless a constraint is provably FALSE, which raises with the

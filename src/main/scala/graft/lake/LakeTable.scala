@@ -70,10 +70,10 @@ final class LakeTable private (
     val resolved = filters.map(resolveFilter(_, snap.schema))
     // CHECK constraints hold for every row, so a filter contradicting
     // them is answered empty before any file is listed
-    val constraintExprs = Constraints.parsed(snap.metaData)
     val kept =
-      if (resolved.exists(e =>
-        Stats.contradictsConstraints(e, constraintExprs, snap.schema))) Nil
+      if (resolved.nonEmpty && resolved.exists(e =>
+        Stats.contradictsConstraints(e,
+          Constraints.parsed(snap.metaData), snap.schema))) Nil
       else snap.files.filter { f =>
         resolved.forall(e => Stats.mightMatch(f, e, snap.schema, pcs))
       }
@@ -719,10 +719,15 @@ final class LakeTable private (
     // the target schema FIRST (a metadata-only ADD COLUMN commit per
     // column — existing files read NULL), then the merge sees the
     // widened schema and star-actions carry the new columns through.
-    if (schemaEvolution)
+    if (schemaEvolution) {
+      // case-INsensitive match (Spark's default resolution): a source
+      // column differing only in case must not become a duplicate that
+      // makes every later reference ambiguous
+      val existing = snapshot.schema.fieldNames.map(_.toLowerCase).toSet
       source.schema.fields
-        .filterNot(f => snapshot.schema.fieldNames.contains(f.name))
+        .filterNot(f => existing.contains(f.name.toLowerCase))
         .foreach(f => alterAddColumn(f.name, f.dataType.sql))
+    }
     matchedClauses.foreach {
       case _: MergeClause.Insert =>
         throw new IllegalArgumentException("WHEN MATCHED cannot INSERT")
@@ -738,7 +743,10 @@ final class LakeTable private (
     }
     val snap = snapshot
     val tgtSchema = snap.schema
-    val srcCols = source.columns.toSet
+    // source columns resolve case-INsensitively against the target
+    // schema (Spark's default resolution; star expansion and WITH
+    // SCHEMA EVOLUTION both rely on it)
+    val srcByLower = source.columns.map(c => c.toLowerCase -> c).toMap
 
     // 1. candidate target files: matches only — unless by-source clauses
     // make every target row a candidate. The prefilter join is a pure
@@ -772,7 +780,8 @@ final class LakeTable private (
             case Some(v) => v
             case None =>
               if (fromSource) {
-                if (srcCols.contains(f.name)) col(s"s.${f.name}") else lit(null)
+                srcByLower.get(f.name.toLowerCase)
+                  .map(c => col(s"s.$c")).getOrElse(lit(null))
               } else col(s"t.${f.name}")
           }
           c.cast(f.dataType).as(f.name)
@@ -797,8 +806,8 @@ final class LakeTable private (
           case (MergeClause.Update(_, as), i) =>
             val effective =
               if (as.isEmpty)
-                srcCols.intersect(tgtSchema.fieldNames.toSet)
-                  .map(c => c -> col(s"s.$c")).toMap
+                tgtSchema.fieldNames.toSeq.flatMap(f =>
+                  srcByLower.get(f.toLowerCase).map(c => f -> col(s"s.$c"))).toMap
               else as
             Some(tagged.where(col("__action") === i)
               .select(assemble(effective, fromSource = false): _*))
@@ -864,8 +873,8 @@ final class LakeTable private (
           case (MergeClause.Update(_, as), i) =>
             val effective =
               if (as.isEmpty)
-                srcCols.intersect(tgtSchema.fieldNames.toSet)
-                  .map(c => c -> col(s"s.$c")).toMap
+                tgtSchema.fieldNames.toSeq.flatMap(f =>
+                  srcByLower.get(f.toLowerCase).map(c => f -> col(s"s.$c"))).toMap
               else as
             val hit = tagged.where(col("__action") === i)
             Seq(hit.select(assemble(Map.empty, fromSource = false): _*)

@@ -218,24 +218,6 @@ object Stats {
       schema: StructType,
       pcs: Seq[String]): Option[Boolean] = {
 
-    def colName(x: Expression): Option[String] = x match {
-      case a: AttributeReference => Some(a.name)
-      case u: UnresolvedAttributeLike => Some(u.nameParts.mkString("."))
-      // numeric widening casts preserve order under the BigDecimal compare
-      case Cast(child, to, _, _) if isNumericLike(to) &&
-          child.dataType != null && isNumericLike(child.dataType) &&
-          child.dataType != TimestampType && child.dataType != DateType &&
-          to != TimestampType && to != DateType =>
-        colName(child)
-      case _ => None
-    }
-    def litVal(x: Expression): Option[Any] = x match {
-      case Literal(v, _) => Option(v)
-      case e if e.foldable =>
-        try Option(e.eval(null)) catch { case _: Throwable => None }
-      case _ => None
-    }
-
     /** canonical double for comparison of a literal against stats strings */
     def toCmp(dt: DataType, statsStr: String): Option[BigDecimal] =
       if (isNumericLike(dt))
@@ -285,8 +267,6 @@ object Stats {
       }
     }
 
-    def dtOf(name: String): Option[DataType] =
-      schema.fields.find(_.name == name).map(_.dataType)
 
     e match {
       case And(l, r) =>
@@ -307,33 +287,33 @@ object Stats {
       case Not(_) => None
 
       case EqualTo(l, r) =>
-        (for (n <- colName(l); v <- litVal(r); dt <- dtOf(n); (cmi, cma) <- cmpRange(n, dt, v))
+        (for (n <- colName(l); v <- litVal(r); dt <- dtOf(schema, n); (cmi, cma) <- cmpRange(n, dt, v))
           yield !(cmi > 0 || cma < 0))
-          .orElse(for (n <- colName(r); v <- litVal(l); dt <- dtOf(n); (cmi, cma) <- cmpRange(n, dt, v))
+          .orElse(for (n <- colName(r); v <- litVal(l); dt <- dtOf(schema, n); (cmi, cma) <- cmpRange(n, dt, v))
             yield !(cmi > 0 || cma < 0))
       case GreaterThan(l, r) =>
-        (for (n <- colName(l); v <- litVal(r); dt <- dtOf(n); (_, cma) <- cmpRange(n, dt, v))
+        (for (n <- colName(l); v <- litVal(r); dt <- dtOf(schema, n); (_, cma) <- cmpRange(n, dt, v))
           yield cma > 0)
-          .orElse(for (n <- colName(r); v <- litVal(l); dt <- dtOf(n); (cmi, _) <- cmpRange(n, dt, v))
+          .orElse(for (n <- colName(r); v <- litVal(l); dt <- dtOf(schema, n); (cmi, _) <- cmpRange(n, dt, v))
             yield cmi < 0)
       case GreaterThanOrEqual(l, r) =>
-        (for (n <- colName(l); v <- litVal(r); dt <- dtOf(n); (_, cma) <- cmpRange(n, dt, v))
+        (for (n <- colName(l); v <- litVal(r); dt <- dtOf(schema, n); (_, cma) <- cmpRange(n, dt, v))
           yield cma >= 0)
-          .orElse(for (n <- colName(r); v <- litVal(l); dt <- dtOf(n); (cmi, _) <- cmpRange(n, dt, v))
+          .orElse(for (n <- colName(r); v <- litVal(l); dt <- dtOf(schema, n); (cmi, _) <- cmpRange(n, dt, v))
             yield cmi <= 0)
       case LessThan(l, r) =>
-        (for (n <- colName(l); v <- litVal(r); dt <- dtOf(n); (cmi, _) <- cmpRange(n, dt, v))
+        (for (n <- colName(l); v <- litVal(r); dt <- dtOf(schema, n); (cmi, _) <- cmpRange(n, dt, v))
           yield cmi < 0)
-          .orElse(for (n <- colName(r); v <- litVal(l); dt <- dtOf(n); (_, cma) <- cmpRange(n, dt, v))
+          .orElse(for (n <- colName(r); v <- litVal(l); dt <- dtOf(schema, n); (_, cma) <- cmpRange(n, dt, v))
             yield cma > 0)
       case LessThanOrEqual(l, r) =>
-        (for (n <- colName(l); v <- litVal(r); dt <- dtOf(n); (cmi, _) <- cmpRange(n, dt, v))
+        (for (n <- colName(l); v <- litVal(r); dt <- dtOf(schema, n); (cmi, _) <- cmpRange(n, dt, v))
           yield cmi <= 0)
-          .orElse(for (n <- colName(r); v <- litVal(l); dt <- dtOf(n); (_, cma) <- cmpRange(n, dt, v))
+          .orElse(for (n <- colName(r); v <- litVal(l); dt <- dtOf(schema, n); (_, cma) <- cmpRange(n, dt, v))
             yield cma >= 0)
       case In(c, list) if list.forall(_.isInstanceOf[Literal]) =>
         colName(c).flatMap { n =>
-          dtOf(n).flatMap { dt =>
+          dtOf(schema, n).flatMap { dt =>
             val verdicts = list.flatMap(l => litVal(l)).map { v =>
               cmpRange(n, dt, v).map { case (cmi, cma) => !(cmi > 0 || cma < 0) }
             }
@@ -358,6 +338,37 @@ object Stats {
   // compat shim: unresolved attribute in a freshly built Column
   private type UnresolvedAttributeLike =
     org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+
+  // ---- shared expression helpers (eval + the constraint paths) ---------
+
+  /** Column behind an attribute / unresolved name / order-preserving
+    * numeric widening cast. */
+  private def colName(x: Expression): Option[String] = x match {
+    case a: AttributeReference => Some(a.name)
+    case u: UnresolvedAttributeLike => Some(u.nameParts.mkString("."))
+    // numeric widening casts preserve order under the BigDecimal compare
+    case Cast(child, to, _, _) if isNumericLike(to) &&
+        child.dataType != null && isNumericLike(child.dataType) &&
+        child.dataType != TimestampType && child.dataType != DateType &&
+        to != TimestampType && to != DateType =>
+      colName(child)
+    case _ => None
+  }
+
+  private def litVal(x: Expression): Option[Any] = x match {
+    case Literal(v, _) => Option(v)
+    case e if e.foldable =>
+      try Option(e.eval(null)) catch { case _: Throwable => None }
+    case _ => None
+  }
+
+  private def dtOf(schema: StructType, name: String): Option[DataType] =
+    schema.fields.find(_.name == name).map(_.dataType)
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
 
   // ---- constraint-implied pruning --------------------------------------
 
@@ -394,19 +405,6 @@ object Stats {
     val hiS = scala.collection.mutable.Map[String, String]()
     val notNull = scala.collection.mutable.Set[String]()
 
-    def colName(x: Expression): Option[String] = x match {
-      case a: AttributeReference => Some(a.name)
-      case u: UnresolvedAttributeLike => Some(u.nameParts.mkString("."))
-      case _ => None
-    }
-    def litVal(x: Expression): Option[Any] = x match {
-      case Literal(v, _) => Option(v)
-      case e if e.foldable =>
-        try Option(e.eval(null)) catch { case _: Throwable => None }
-      case _ => None
-    }
-    def dtOf(name: String): Option[DataType] =
-      schema.fields.find(_.name == name).map(_.dataType)
     def asNum(v: Any): Option[BigDecimal] = v match {
       case n: Number => Some(BigDecimal(n.toString))
       case d: Decimal => Some(d.toBigDecimal)
@@ -430,10 +428,6 @@ object Stats {
         asStr(v).foreach(s => hiS(n) =
           hiS.get(n).map(o => if (o.compareTo(s) <= 0) o else s).getOrElse(s))
 
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
     // strict bounds: CHECK (x < 3) implies max <= 2 for integral-valued
     // encodings (ints, dates-as-days, timestamps-as-micros) and widens
     // to max <= 3 for fractional types (conservative)
@@ -450,7 +444,7 @@ object Stats {
         bound(l, r, hiSide = true); bound(l, r, hiSide = false)
         bound(r, l, hiSide = true); bound(r, l, hiSide = false)
       case In(c, list) if list.nonEmpty =>
-        for (n <- colName(c); dt <- dtOf(n)) {
+        for (n <- colName(c); dt <- dtOf(schema, n)) {
           val vs = list.flatMap(litVal)
           if (vs.size == list.size) {
             if (isNumericLike(dt)) {
@@ -478,7 +472,7 @@ object Stats {
     }
     def bound(c: Expression, l: Expression, hiSide: Boolean,
         strict: Boolean = false): Unit =
-      for (n <- colName(c); v <- litVal(l); dt <- dtOf(n)) {
+      for (n <- colName(c); v <- litVal(l); dt <- dtOf(schema, n)) {
         val adj =
           if (strict && integralEncoded(dt))
             asNum(v).map(b => (if (hiSide) b - 1 else b + 1).bigDecimal)
@@ -532,26 +526,9 @@ object Stats {
   def constraintValueSets(
       constraints: Seq[Expression],
       schema: StructType): Map[String, Set[String]] = {
-    def colName(x: Expression): Option[String] = x match {
-      case a: AttributeReference => Some(a.name)
-      case u: UnresolvedAttributeLike => Some(u.nameParts.mkString("."))
-      case _ => None
-    }
-    def litVal(x: Expression): Option[Any] = x match {
-      case Literal(v, _) => Option(v)
-      case e if e.foldable =>
-        try Option(e.eval(null)) catch { case _: Throwable => None }
-      case _ => None
-    }
-    def dtOf(name: String): Option[DataType] =
-      schema.fields.find(_.name == name).map(_.dataType)
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
     val out = scala.collection.mutable.Map[String, Set[String]]()
     def record(c: Expression, vs: Seq[Expression]): Unit =
-      for (n <- colName(c); dt <- dtOf(n)) {
+      for (n <- colName(c); dt <- dtOf(schema, n)) {
         val canon = vs.flatMap(litVal).flatMap(canonValueString(dt, _))
         if (canon.size == vs.size) {
           val set = canon.toSet
@@ -576,25 +553,8 @@ object Stats {
       allowed: Map[String, Set[String]],
       schema: StructType): Boolean = {
     if (allowed.isEmpty) return false
-    def colName(x: Expression): Option[String] = x match {
-      case a: AttributeReference => Some(a.name)
-      case u: UnresolvedAttributeLike => Some(u.nameParts.mkString("."))
-      case _ => None
-    }
-    def litVal(x: Expression): Option[Any] = x match {
-      case Literal(v, _) => Option(v)
-      case e if e.foldable =>
-        try Option(e.eval(null)) catch { case _: Throwable => None }
-      case _ => None
-    }
-    def dtOf(name: String): Option[DataType] =
-      schema.fields.find(_.name == name).map(_.dataType)
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
     def outside(c: Expression, vs: Seq[Expression]): Boolean =
-      (for (n <- colName(c); dt <- dtOf(n); set <- allowed.get(n)) yield {
+      (for (n <- colName(c); dt <- dtOf(schema, n); set <- allowed.get(n)) yield {
         val canon = vs.flatMap(litVal).flatMap(canonValueString(dt, _))
         canon.size == vs.size && canon.forall(!set.contains(_))
       }).getOrElse(false)

@@ -222,7 +222,11 @@ object Dedup {
         .as("sh"))
       .where(size(col("sh")) > 0)
       .select(col("id"), col("sh"), size(col("sh")).as("nsh"))
+    // the tok repartition is the materialization barrier AND the join
+    // distribution: shingling runs once (ReuseExchange covers both join
+    // branches) and the self-join needs no further shuffle
     val postings = s.select(col("id"), col("nsh"), explode(col("sh")).as("tok"))
+      .repartition(col("tok"))
     val a = postings.select(col("id").as("id_a"), col("nsh").as("nsh_a"), col("tok"))
     val b = postings.select(col("id").as("id_b"), col("nsh").as("nsh_b"), col("tok"))
     a.join(b, Seq("tok"))

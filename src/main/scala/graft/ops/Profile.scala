@@ -62,9 +62,12 @@ object Profile {
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
 
-    // stack(k, name1, nulls1, nd1, min1, max1, ...) → one row per column
+    // stack(k, name1, nulls1, nd1, min1, max1, ...) → one row per column;
+    // names escape into both the string literal and the backtick quoting
     val stackArgs = names.flatMap { n =>
-      Seq(s"'$n'", s"`__nulls__$n`", s"`__nd__$n`", s"`__min__$n`", s"`__max__$n`")
+      val lit = n.replace("\\", "\\\\").replace("'", "\\'")
+      val bt = n.replace("`", "``")
+      Seq(s"'$lit'", s"`__nulls__$bt`", s"`__nd__$bt`", s"`__min__$bt`", s"`__max__$bt`")
     }.mkString(", ")
     one.selectExpr("__n",
       s"stack(${names.size}, $stackArgs) as (col_name, n_nulls, n_distinct, min_value, max_value)")

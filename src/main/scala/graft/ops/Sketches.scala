@@ -78,7 +78,8 @@ object Sketches {
     val candidates = (maxCandidates match {
       case Some(m) =>
         require(m >= k, s"maxCandidates $m must be >= k $k")
-        df.stat.freqItems(Seq(valueCol), 1.0 / m)
+        // freqItems requires support >= 1e-4 (i.e. <= 10k tracked items)
+        df.stat.freqItems(Seq(valueCol), math.max(1.0 / m, 1e-4))
           .head().getSeq[Any](0).toArray
       case None => df.select(valueCol).distinct().collect().map(_.get(0))
     }).filter(_ != null)

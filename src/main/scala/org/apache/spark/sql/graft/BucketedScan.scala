@@ -230,7 +230,7 @@ private[graft] class LakeBucketedScan(
   private lazy val groupKeys: Seq[(Seq[String], Int)] =
     if (partSchema.isEmpty) (0 until spec.numBuckets).map(b => (Seq.empty[String], b))
     else fileKeys.values.toSeq.distinct.sortBy { case (pv, b) =>
-      (pv.map(s => if (s == null) "" else s).mkString(" "), b)
+      (pv.map(s => if (s == null) "" else s).mkString("\u0000"), b)
     }
 
   /** Hive dir strings → catalyst internal partition values (the key row

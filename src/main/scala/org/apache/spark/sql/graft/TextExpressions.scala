@@ -90,26 +90,35 @@ case class MinHashSignature(
   private val k = coeffA.length
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // all-null signature when no hash contributes (empty array / all-null
+  // elements) — matching array_min's null-on-empty in the composition
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "minhash_signature"
 
   override def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
     val n = hs.numElements()
     val mins = Array.fill(k)(Long.MaxValue)
+    var any = false
     var i = 0
     while (i < n) {
-      val h = ((hs.getLong(i) % prime) + prime) % prime
-      var j = 0
-      while (j < k) {
-        val v = h * coeffA(j) + coeffB(j) // wrapping, as Spark's non-ANSI *
-        val m = ((v % prime) + prime) % prime
-        if (m < mins(j)) mins(j) = m
-        j += 1
+      if (!hs.isNullAt(i)) { // array_min skips null elements
+        any = true
+        val h = ((hs.getLong(i) % prime) + prime) % prime
+        var j = 0
+        while (j < k) {
+          val v = h * coeffA(j) + coeffB(j) // wrapping, as Spark's non-ANSI *
+          val m = ((v % prime) + prime) % prime
+          if (m < mins(j)) mins(j) = m
+          j += 1
+        }
       }
       i += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+    if (!any)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](k))
+    else
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -118,6 +127,7 @@ case class MinHashSignature(
       val cb = ctx.addReferenceObj("coeffB", coeffB, "long[]")
       val n = ctx.freshName("n")
       val mins = ctx.freshName("mins")
+      val any = ctx.freshName("any")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val h = ctx.freshName("h")
@@ -127,15 +137,21 @@ case class MinHashSignature(
         int $n = $a.numElements();
         long[] $mins = new long[$k];
         java.util.Arrays.fill($mins, Long.MAX_VALUE);
+        boolean $any = false;
         for (int $i = 0; $i < $n; $i++) {
-          long $h = (($a.getLong($i) % ${prime}L) + ${prime}L) % ${prime}L;
-          for (int $j = 0; $j < $k; $j++) {
-            long $v = $h * $ca[$j] + $cb[$j];
-            long $m = (($v % ${prime}L) + ${prime}L) % ${prime}L;
-            if ($m < $mins[$j]) $mins[$j] = $m;
+          if (!$a.isNullAt($i)) {
+            $any = true;
+            long $h = (($a.getLong($i) % ${prime}L) + ${prime}L) % ${prime}L;
+            for (int $j = 0; $j < $k; $j++) {
+              long $v = $h * $ca[$j] + $cb[$j];
+              long $m = (($v % ${prime}L) + ${prime}L) % ${prime}L;
+              if ($m < $mins[$j]) $mins[$j] = $m;
+            }
           }
         }
-        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+        ${ev.value} = $any
+          ? new org.apache.spark.sql.catalyst.util.GenericArrayData($mins)
+          : new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[$k]);
       """
     })
 

@@ -249,9 +249,18 @@ case class NormalizeDouble(child: Expression)
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val n = v.numElements()
+    // a NULL element nulls the norm in the HOF composition, which nulls
+    // EVERY output element — mirror that instead of folding nulls to 0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i))
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          new Array[Any](n))
+      i += 1
+    }
     val out = new Array[Double](n)
     var s = 0.0
-    var i = 0
+    i = 0
     while (i < n) {
       val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
       out(i) = x
@@ -272,19 +281,29 @@ case class NormalizeDouble(child: Expression)
       val i = ctx.freshName("i")
       val x = ctx.freshName("x")
       val norm = ctx.freshName("norm")
+      val anyNull = ctx.freshName("anyNull")
       val get = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       s"""
         int $n = $a.numElements();
-        double[] $out = new double[$n];
-        double $s = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $x = $get;
-          $out[$i] = $x;
-          $s += $x * $x;
+        boolean $anyNull = false;
+        for (int $i = 0; $i < $n && !$anyNull; $i++) {
+          if ($a.isNullAt($i)) $anyNull = true;
         }
-        double $norm = java.lang.Math.sqrt($s);
-        for (int $i = 0; $i < $n; $i++) { $out[$i] = $out[$i] / $norm; }
-        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        if ($anyNull) {
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            new Object[$n]);
+        } else {
+          double[] $out = new double[$n];
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $x = $get;
+            $out[$i] = $x;
+            $s += $x * $x;
+          }
+          double $norm = java.lang.Math.sqrt($s);
+          for (int $i = 0; $i < $n; $i++) { $out[$i] = $out[$i] / $norm; }
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        }
       """
     })
 

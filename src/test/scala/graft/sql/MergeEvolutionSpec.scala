@@ -58,6 +58,22 @@ class MergeEvolutionSpec extends AnyFunSuite {
       === Seq((1L, "A", Some(9L)), (2L, "b", Some(2L))))
   }
 
+  test("a source column differing only in case does not duplicate") {
+    val dir = Files.createTempDirectory("mev-case-").toString
+    val t = LakeTable.create(spark, dir, Seq((1L, 2.0)).toDF("id", "score"))
+    t.mergeClauses(
+      Seq((1L, 9.0), (2L, 3.0)).toDF("id", "Score").alias("s"),
+      expr("t.id = s.id"),
+      matchedClauses = Seq(graft.lake.MergeClause.Update(None, Map.empty)),
+      notMatchedClauses = Seq(graft.lake.MergeClause.Insert(None, Map.empty)),
+      notMatchedBySourceClauses = Seq.empty,
+      schemaEvolution = true)
+    assert(t.snapshot.schema.fieldNames.toSeq === Seq("id", "score"),
+      "case-variant column must not become a duplicate")
+    assert(t.toDF.orderBy("id").as[(Long, Double)].collect().toSeq
+      === Seq((1L, 9.0), (2L, 3.0)))
+  }
+
   test("without the clause, extra source columns do not evolve the schema") {
     val wh = Files.createTempDirectory("mev2-wh-").toString
     spark.conf.set("spark.sql.catalog.mev2", "org.apache.spark.sql.graft.LakeCatalog")
