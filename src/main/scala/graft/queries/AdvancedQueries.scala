@@ -228,7 +228,8 @@ object AdvancedQueries extends QueryGroup {
     QueryDef(
       "prof1_profile_orders",
       (s, d) =>
-        graft.ops.Profile.profile(Tables.orders(s, d))
+        graft.ops.Profile.profile(Tables.orders(s, d),
+          Seq("o_custkey", "o_orderpriority", "o_orderstatus", "o_totalprice"))
           .orderBy(col("col_name")),
       Some("""
         SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
@@ -236,20 +237,6 @@ object AdvancedQueries extends QueryGroup {
                count(DISTINCT o_custkey) AS n_distinct,
                CAST(min(o_custkey) AS VARCHAR) AS min_value,
                CAST(max(o_custkey) AS VARCHAR) AS max_value
-        FROM orders
-        UNION ALL
-        SELECT 'o_orderdate', count(*),
-               count(*) - count(o_orderdate),
-               count(DISTINCT o_orderdate),
-               CAST(epoch_us(min(o_orderdate)) AS VARCHAR),
-               CAST(epoch_us(max(o_orderdate)) AS VARCHAR)
-        FROM orders
-        UNION ALL
-        SELECT 'o_orderkey', count(*),
-               count(*) - count(o_orderkey),
-               count(DISTINCT o_orderkey),
-               CAST(min(o_orderkey) AS VARCHAR),
-               CAST(max(o_orderkey) AS VARCHAR)
         FROM orders
         UNION ALL
         SELECT 'o_orderpriority', count(*),

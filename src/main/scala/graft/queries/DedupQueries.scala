@@ -105,7 +105,7 @@ object DedupQueries extends QueryGroup {
       "d8_jaccard_prefix",
       (s, d) =>
         Dedup.ngramJaccardPairsPrefix(augmentedDocs(s, d),
-          "text", "doc_id", shingleN = 3, threshold = 0.2)
+          "text", "doc_id", shingleN = 3, threshold = 0.5)
           .orderBy(col("id_a"), col("id_b")),
       Some(s"""
         WITH aug AS ($augmentedDocsSql
@@ -120,7 +120,7 @@ object DedupQueries extends QueryGroup {
           WHERE a.id < b.id AND len(a.sh) > 0 AND len(b.sh) > 0
         )
         SELECT id_a, id_b, jaccard FROM pairs
-        WHERE jaccard >= 0.2 ORDER BY id_a, id_b""")),
+        WHERE jaccard >= 0.5 ORDER BY id_a, id_b""")),
 
     // ===== MinHash+LSH near-dup candidates (banded signature join) —
     // approximate; rows-only check here, precision-vs-exact covered in

@@ -201,6 +201,22 @@ object TextQueries extends QueryGroup {
                CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         FROM packed GROUP BY lang, seq_id ORDER BY lang, seq_id""")),
 
+    // ===== per-stratum capping (class balancing): every language is
+    // downsampled to at most 40 docs by a seeded-hash order. WHICH rows
+    // survive is engine-specific (xxhash64 order), but HOW MANY is
+    // exact — the oracle checks the per-stratum counts.
+    QueryDef(
+      "bal1_cap_stratum",
+      (s, d) =>
+        graft.ops.Balance.capPerStratum(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          "lang", "doc_id", maxRows = 40)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+          .orderBy(col("lang")),
+      Some("""
+        SELECT lang, least(count(*), 40) AS n
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
     // ===== PII redaction (curation-pipeline scrub step): emails and
     // IPv4 addresses replaced by placeholder tags, with per-doc match
     // counts. The fixture has no PII, so deterministic synthetic

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Class balancing ([[Balance]]): determinism under the seed,
+  * proportion fidelity, and exact caps.
+  */
+class BalanceSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  // skewed strata: en 4000, de 1000, fr 200
+  private def docs = (1 to 5200).map { i =>
+    val lang = if (i <= 4000) "en" else if (i <= 5000) "de" else "fr"
+    (i.toLong, lang)
+  }.toDF("id", "lang")
+
+  test("stratified sample is seeded-deterministic and proportional") {
+    val fr = Map("en" -> 0.1, "de" -> 0.5, "fr" -> 1.0)
+    val s1 = Balance.stratifiedSample(docs, "lang", fr).collect().toSet
+    val s2 = Balance.stratifiedSample(docs, "lang", fr).collect().toSet
+    assert(s1 === s2, "same seed must reproduce the same sample")
+    val byLang = s1.groupBy(_.getString(1)).view.mapValues(_.size).toMap
+    assert(byLang("fr") === 200) // fraction 1.0 keeps everything
+    assert(math.abs(byLang("en") - 400) < 120, s"en ~10%: ${byLang("en")}")
+    assert(math.abs(byLang("de") - 500) < 120, s"de ~50%: ${byLang("de")}")
+  }
+
+  test("capPerStratum enforces exact caps, minority passes through") {
+    val capped = Balance.capPerStratum(docs, "lang", "id", maxRows = 300)
+    val byLang = capped.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(byLang === Map("en" -> 300L, "de" -> 300L, "fr" -> 200L))
+    // deterministic: same rows both runs
+    val again = Balance.capPerStratum(docs, "lang", "id", maxRows = 300)
+    assert(capped.collect().toSet === again.collect().toSet)
+    // a different seed picks a different (but same-sized) subset
+    val other = Balance.capPerStratum(docs, "lang", "id", maxRows = 300, seed = 7L)
+    assert(other.count() === capped.count())
+    assert(other.collect().toSet !== capped.collect().toSet)
+  }
+
+  test("balancingFractions levels every stratum to the smallest") {
+    val fr = Balance.balancingFractions(docs, "lang")
+    assert(fr("fr") === 1.0)
+    assert(math.abs(fr("en") - 0.05) < 1e-9)
+    assert(math.abs(fr("de") - 0.2) < 1e-9)
+    val balanced = Balance.stratifiedSample(docs, "lang", fr)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // Bernoulli sampling: expect ~200 per stratum
+    balanced.values.foreach(n => assert(math.abs(n - 200L) < 80, balanced))
+  }
+}
