@@ -554,19 +554,30 @@ final class LakeTable private (
 
   /** Union matched row indexes into each target's bitmap and write the
     * new sidecars; returns the re-add entries.
+    *
+    * The bitmaps are built ON EXECUTORS ([[DvAgg]]): the driver receives
+    * one serialized blob per target file, never the matched rows — a
+    * DELETE claiming 40% of a huge table collects O(files) bytes.
     */
   private def buildDvs(snap: Snapshot, cond: Column,
       dvTargets: Seq[AddFile], now: Long): Seq[AddFile] = {
     if (dvTargets.isEmpty) return Seq.empty
     val byAbs = dvTargets.map(f => absPath(f) -> f.path).toMap
-    val byFile = readFilesInternal(snap, dvTargets, withMeta = true)
-      .where(cond).select(col("__dv_path"), col("__dv_idx"))
+    val blobs = readFilesInternal(snap, dvTargets, withMeta = true)
+      .where(cond)
+      .groupBy(col("__dv_path"))
+      .agg(DvAgg.bitmap(col("__dv_idx")).as("__bm"))
       .collect()
-      .groupBy(r => byAbs(Stats.normalizeFileUri(r.getString(0))))
+    DmlMetrics.lastIdentityRowsCollected.set(blobs.length.toLong)
+    val byFile: Map[String, org.roaringbitmap.longlong.Roaring64Bitmap] =
+      blobs.flatMap { r =>
+        byAbs.get(Stats.normalizeFileUri(r.getString(0)))
+          .map(_ -> Dv.deserialize(r.getAs[Array[Byte]](1)))
+      }.toMap
     dvTargets.map { f =>
       val bm = Dv.bitmapOf(path, f)
         .getOrElse(new org.roaringbitmap.longlong.Roaring64Bitmap())
-      byFile(f.path).foreach(r => bm.addLong(r.getLong(1)))
+      bm.or(byFile(f.path))
       Dv.attach(path, f, bm, now, dvInlineMax)
     }
   }
@@ -831,14 +842,16 @@ final class LakeTable private (
       val srcT = tag(sourceOnly, notMatchedClauses)
 
       // DV path: one aggregation job decides BOTH multi-match ambiguity
-      // and the claimed old row versions (the bitmap input). The CoW path
-      // never collects claims to the driver, so it keeps a short-circuit
-      // ambiguity probe instead.
-      val perRowIdentity: Array[Row] =
+      // and the claimed old row versions (the bitmap input). The claim
+      // bitmaps are built ON EXECUTORS ([[DvAgg]]) and the driver receives
+      // one (file, bitmap blob, maxMatches) row per affected FILE — never
+      // a row per claimed target row. The CoW path never collects claims
+      // to the driver, so it keeps a short-circuit ambiguity probe instead.
+      val perFileClaims: Array[Row] =
         if (!useDvs) Array.empty
         else {
           val matched = col("s.__src").isNotNull
-          joined.where(col("t.__tgt").isNotNull)
+          val rows = joined.where(col("t.__tgt").isNotNull)
             .select(col("t.__dv_path").as("__p"), col("t.__dv_idx").as("__i"),
               matched.as("__m"),
               when(matched, actionExpr(matchedClauses))
@@ -847,11 +860,17 @@ final class LakeTable private (
             .agg(count(when(col("__m"), lit(1))).as("__matches"),
               max(col("__a")).as("__act"))
             .where(col("__matches") > 1 || col("__act") >= 0)
+            .groupBy("__p")
+            .agg(DvAgg.bitmap(
+                when(col("__act") >= 0, col("__i")).otherwise(lit(-1L))).as("__bm"),
+              max(col("__matches")).as("__mm"))
             .collect()
+          DmlMetrics.lastIdentityRowsCollected.set(rows.length.toLong)
+          rows
         }
       if (useDvs) {
         require(matchedClauses.isEmpty ||
-          !perRowIdentity.exists(_.getAs[Long]("__matches") > 1),
+          !perFileClaims.exists(_.getAs[Long]("__mm") > 1),
           "merge: a target row matches multiple source rows; make the condition more specific")
       } else if (matchedClauses.nonEmpty) {
         val dupes = joined.where(col("t.__tgt").isNotNull && col("s.__src").isNotNull)
@@ -919,21 +938,23 @@ final class LakeTable private (
       // ---- deletion-vector path ----------------------------------------
       // claimed old row versions: every matched/by-source row a clause
       // applied to (update → superseded, delete → gone) — already
-      // collected by the combined identity job above
-      val claimed = perRowIdentity.filter(_.getAs[Int]("__act") >= 0)
+      // aggregated into per-file bitmaps by the identity job above
       val byAbs = touched.map(f => absPath(f) -> f.path).toMap
-      val claimedByFile: Map[String, Array[Long]] = claimed
-        .groupBy(r => byAbs(Stats.normalizeFileUri(r.getAs[String]("__p"))))
-        .map { case (rel, rs) => rel -> rs.map(_.getAs[Long]("__i")) }
+      val claimedByFile: Map[String, org.roaringbitmap.longlong.Roaring64Bitmap] =
+        perFileClaims.flatMap { r =>
+          val bm = Dv.deserialize(r.getAs[Array[Byte]]("__bm"))
+          if (bm.isEmpty) None // ambiguity-only file, no clause claimed a row
+          else byAbs.get(Stats.normalizeFileUri(r.getAs[String]("__p"))).map(_ -> bm)
+        }.toMap
 
       val affected = touched.filter(f => claimedByFile.contains(f.path))
       val (fullMatch, partial) = affected.partition { f =>
         f.stats.exists(st =>
-          claimedByFile(f.path).length == st.numRecords - f.dvCardinality)
+          claimedByFile(f.path).getLongCardinality == st.numRecords - f.dvCardinality)
       }
       val (dvTargets, rewriteTargets) = partial.partition { f =>
         f.stats.exists(st =>
-          claimedByFile(f.path).length <=
+          claimedByFile(f.path).getLongCardinality <=
             dvMaxFraction * (st.numRecords - f.dvCardinality))
       }
       val now = System.currentTimeMillis()
@@ -942,7 +963,7 @@ final class LakeTable private (
       val dvAdds = dvTargets.map { f =>
         val bm = Dv.bitmapOf(path, f)
           .getOrElse(new org.roaringbitmap.longlong.Roaring64Bitmap())
-        claimedByFile(f.path).foreach(bm.addLong)
+        bm.or(claimedByFile(f.path))
         Dv.attach(path, f, bm, now, dvInlineMax)
       }
 
@@ -952,9 +973,7 @@ final class LakeTable private (
         if (rewriteTargets.isEmpty) Seq.empty
         else {
           val inline = rewriteTargets.map { f =>
-            val bm = new org.roaringbitmap.longlong.Roaring64Bitmap()
-            claimedByFile(f.path).foreach(bm.addLong)
-            absPath(f) -> Dv.serialize(bm)
+            absPath(f) -> Dv.serialize(claimedByFile(f.path))
           }.toMap
           val lookup = new DvLookup(path, Map.empty, inline)
           val survivors = readFilesInternal(snap, rewriteTargets, withMeta = true)
