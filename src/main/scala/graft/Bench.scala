@@ -31,8 +31,12 @@ object Bench {
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.ui.showConsoleProgress", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver captures a bounded amount of output and
+    // the round-2 bench JSON was truncated mid-line because per-query WARN
+    // noise ate the capture budget before the result line printed
+    spark.sparkContext.setLogLevel("ERROR")
     // session warm-up (scan + shuffle + codegen paths) so JVM/classloader
     // init isn't attributed to whichever query happens to run first
     try materialize(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
@@ -121,15 +125,26 @@ object Bench {
       }
     }
 
+    // millisecond resolution keeps the result line compact — the driver's
+    // output capture is bounded, and full double precision doubled the
+    // line size for no signal
+    def fmt(v: Double): String = f"$v%.3f"
     def js(m: Iterable[(String, Double)]): String =
-      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      m.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val plansJs = plans.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val writesTotal = writes.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec"""" +
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
       s""","queries":${js(results)},"writes":${js(writes)}""" +
-      s""","writes_total":$writesTotal,"plans":$plansJs,"sf":"$sfDir"}""")
+      s""","writes_total":${fmt(writesTotal)},"plans":$plansJs,"sf":"$sfDir"}"""
+    // belt and braces: the same JSON lands at a known path so a truncated
+    // stdout capture never loses the round's perf record
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    println(json)
+    System.out.flush()
     spark.stop()
   }
 }
