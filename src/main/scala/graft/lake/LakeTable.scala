@@ -735,8 +735,26 @@ final class LakeTable private (
       // column differing only in case must not become a duplicate that
       // makes every later reference ambiguous
       val existing = snapshot.schema.fieldNames.map(_.toLowerCase).toSet
+      // evolve only what the clauses can actually carry: every source-only
+      // column under a star action (`UPDATE SET *` / `INSERT *`), or the
+      // specific source columns named as assignment targets — a merge
+      // whose clauses are all explicit assignments must not widen the
+      // target with columns no clause ever writes
+      val allClauses = matchedClauses ++ notMatchedClauses ++
+        notMatchedBySourceClauses
+      val hasStar = allClauses.exists {
+        case MergeClause.Update(_, as) => as.isEmpty
+        case MergeClause.Insert(_, as) => as.isEmpty
+        case _ => false
+      }
+      val assignedTargets = allClauses.flatMap {
+        case MergeClause.Update(_, as) => as.keys
+        case MergeClause.Insert(_, as) => as.keys
+        case _ => Nil
+      }.map(_.toLowerCase).toSet
       source.schema.fields
         .filterNot(f => existing.contains(f.name.toLowerCase))
+        .filter(f => hasStar || assignedTargets.contains(f.name.toLowerCase))
         .foreach(f => alterAddColumn(f.name, f.dataType.sql))
     }
     matchedClauses.foreach {

@@ -17,9 +17,14 @@ object Balance {
 
   /** Stratified sample: keep ~`fractions(stratum)` of each stratum
     * (strata absent from the map are dropped). Spark's `sampleBy` —
-    * per-row Bernoulli against the stratum's fraction, seeded. */
-  def stratifiedSample(df: DataFrame, stratumCol: String,
-      fractions: Map[String, Double], seed: Long = 42L): DataFrame =
+    * per-row Bernoulli against the stratum's fraction, seeded.
+    *
+    * Keys must be the stratum column's RAW values (`sampleBy` looks up
+    * by value, not string form) — [[balancingFractions]] returns exactly
+    * that shape for any column type.
+    */
+  def stratifiedSample[T](df: DataFrame, stratumCol: String,
+      fractions: Map[T, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
 
   /** Downsample every stratum to at most `maxRows` rows, chosen by a
@@ -39,11 +44,15 @@ object Balance {
 
   /** Proportions that downsample every stratum to the size of the
     * smallest (uniform class balance), computed from one count pass —
-    * feed to [[stratifiedSample]].
+    * feed to [[stratifiedSample]]. Keyed by the stratum column's RAW
+    * values so `sampleBy`'s per-value lookup hits for any column type
+    * (an int class id as much as a string label). One collected row per
+    * stratum: assumes a bounded label domain, as class-balancing does by
+    * definition.
     */
-  def balancingFractions(df: DataFrame, stratumCol: String): Map[String, Double] = {
+  def balancingFractions(df: DataFrame, stratumCol: String): Map[Any, Double] = {
     val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("n"))
-      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "empty input")
     val minN = counts.values.min.toDouble
     counts.map { case (k, n) => k -> (minN / n) }

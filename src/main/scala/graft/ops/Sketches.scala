@@ -59,16 +59,23 @@ object Sketches {
     * sampled/known candidate list instead (the sketch itself cannot
     * enumerate). Estimation cost is |candidates|, independent of N.
     */
-  /** With `maxCandidates` set, candidate enumeration is BOUNDED for
-    * unbounded domains: a single Misra-Gries-style pass (Spark's
-    * `stat.freqItems`, mergeable per-partition summaries) yields at
-    * most ~maxCandidates items, guaranteed to include everything with
-    * frequency above N/maxCandidates; the CMS probe then orders them.
-    * Both passes are one scan each and O(maxCandidates) state.
+  /** Candidate enumeration is BOUNDED by default: a single
+    * Misra-Gries-style pass (Spark's `stat.freqItems`, mergeable
+    * per-partition summaries) yields at most ~maxCandidates items,
+    * guaranteed to include everything with frequency above
+    * N/maxCandidates; the CMS probe then orders them. Both passes are
+    * one scan each and O(maxCandidates) state — safe on unbounded
+    * domains. Pass `maxCandidates = None` to opt IN to exhaustive
+    * `distinct()` enumeration (exact candidate set, but collects every
+    * distinct value to the driver — only for domains known to be small).
+    *
+    * `maxCandidates` is capped at 10,000: Spark's freqItems floors
+    * support at 1e-4, so a larger m would silently weaken the
+    * N/maxCandidates inclusion bound rather than honor it.
     */
   def heavyHitters(df: DataFrame, valueCol: String, k: Int,
       eps: Double = 1e-3, confidence: Double = 0.99,
-      seed: Int = 42, maxCandidates: Option[Int] = None): DataFrame = {
+      seed: Int = 42, maxCandidates: Option[Int] = Some(10000)): DataFrame = {
     import org.apache.spark.util.sketch.CountMinSketch
     val spark = df.sparkSession
     val merged = frequencySketches(df, Seq.empty, valueCol, eps, confidence,
@@ -78,8 +85,10 @@ object Sketches {
     val candidates = (maxCandidates match {
       case Some(m) =>
         require(m >= k, s"maxCandidates $m must be >= k $k")
-        // freqItems requires support >= 1e-4 (i.e. <= 10k tracked items)
-        df.stat.freqItems(Seq(valueCol), math.max(1.0 / m, 1e-4))
+        require(m <= 10000,
+          s"maxCandidates $m exceeds 10000 — freqItems floors support at " +
+            "1e-4, so the N/maxCandidates inclusion bound would not hold")
+        df.stat.freqItems(Seq(valueCol), 1.0 / m)
           .head().getSeq[Any](0).toArray
       case None => df.select(valueCol).distinct().collect().map(_.get(0))
     }).filter(_ != null)

@@ -28,6 +28,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectPostHocResolutionRule(session => new LakeMetadataAggRule(session))
     e.injectPostHocResolutionRule(session => new LakeDvReadRule(session))
     e.injectOptimizerRule(session => new LakeConstraintPruneRule(session))
+    e.injectCheckRule(session => new BucketMismatchGuard(session))
   }
 }
 

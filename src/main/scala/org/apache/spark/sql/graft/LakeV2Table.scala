@@ -36,6 +36,9 @@ class LakeV2Table(
 
   private val bucketSpec = graft.lake.Bucketing.specOf(snap.metaData)
 
+  /** Exposed for [[BucketMismatchGuard]]'s plan-time layout check. */
+  private[graft] def bucketingSpec: Option[graft.lake.Bucketing.Spec] = bucketSpec
+
   /** The bucketed scan engages only on a fully-bucketed, DV-free
     * snapshot; `_bucket` is advertised under exactly that condition. */
   private def bucketedScanActive: Boolean =

@@ -88,4 +88,28 @@ class MultiColBucketSpec extends AnyFunSuite {
         s"expected shuffle-free agg:\n${agg.queryExecution.executedPlan}")
     }
   }
+
+  test("mismatched numBuckets on a _bucket join fails analysis loudly") {
+    warehouse
+    // same key columns, DIFFERENT bucket count: the _bucket equality is
+    // not implied by the key equalities and would silently drop matches
+    val c = (1L to 100L).map(i => (i % 10, i % 7, i * 3.0)).toDF("k1", "k2", "u")
+    LakeTable.create(spark, s"$warehouse/db/c", c,
+      bucketBy = Seq("k1", "k2"), numBuckets = 8)
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT a.k1 FROM mcb.db.a a JOIN mcb.db.c c
+          |ON a.k1 = c.k1 AND a.k2 = c.k2 AND a._bucket = c._bucket""".stripMargin)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("rebucket")),
+      s"expected the bucket-layout guard, got: $e")
+    // the same join WITHOUT the _bucket convention is legal (plain shuffle)
+    val ok = spark.sql(
+      """SELECT a.k1 FROM mcb.db.a a JOIN mcb.db.c c
+        |ON a.k1 = c.k1 AND a.k2 = c.k2""".stripMargin)
+    assert(ok.count() > 0)
+  }
 }

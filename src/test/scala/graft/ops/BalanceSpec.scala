@@ -44,6 +44,20 @@ class BalanceSpec extends AnyFunSuite {
     assert(other.collect().toSet !== capped.collect().toSet)
   }
 
+  test("balancingFractions keys by raw value: int strata sample correctly") {
+    // regression: the map was keyed by String.valueOf, so sampleBy's
+    // by-value lookup missed every non-string stratum and returned empty
+    val intStrata = (1 to 1000).map(i => (i.toLong, if (i <= 800) 1 else 2))
+      .toDF("id", "cls")
+    val fr = Balance.balancingFractions(intStrata, "cls")
+    assert(fr(2) === 1.0)
+    assert(math.abs(fr(1) - 0.25) < 1e-9)
+    val byCls = Balance.stratifiedSample(intStrata, "cls", fr)
+      .groupBy("cls").count().as[(Int, Long)].collect().toMap
+    assert(byCls(2) === 200L) // fraction 1.0 keeps everything
+    assert(math.abs(byCls(1) - 200L) < 80, byCls.toString)
+  }
+
   test("balancingFractions levels every stratum to the smallest") {
     val fr = Balance.balancingFractions(docs, "lang")
     assert(fr("fr") === 1.0)

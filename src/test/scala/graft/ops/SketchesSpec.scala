@@ -71,6 +71,29 @@ class SketchesSpec extends AnyFunSuite {
     hh.foreach { case (v, est) => assert(est >= exact(v)) }
   }
 
+  test("DEFAULT path is bounded: large domain never collects distinct()") {
+    // 20k-value domain, zipf-ish — bigger than the 10k candidate cap, so
+    // an exhaustive enumeration would be the old driver-collect hazard;
+    // the default freqItems pass keeps O(10k) state and still surfaces
+    // the true top-k
+    val rows = (1 to 20000).flatMap(v => Seq.fill(40000 / v max 1)(s"val$v"))
+    val df = rows.toDF("x")
+    val exact = rows.groupBy(identity).map { case (kk, vs) => kk -> vs.size.toLong }
+    val topTrue = exact.toSeq.sortBy { case (v, c) => (-c, v) }.take(5).map(_._1)
+    val hh = Sketches.heavyHitters(df, "x", k = 5) // defaults
+      .as[(String, Long)].collect()
+    assert(hh.map(_._1).toSeq === topTrue,
+      s"default-path top-5 ${hh.toSeq} != true top-5 $topTrue")
+  }
+
+  test("maxCandidates beyond freqItems' support floor is rejected") {
+    val df = (1 to 10).map(i => s"v$i").toDF("x")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.heavyHitters(df, "x", k = 5, maxCandidates = Some(20000))
+    }
+    assert(e.getMessage.contains("10000"))
+  }
+
   test("count-min state merges across batches like any sketch") {
     val b1 = (1 to 1000).map(i => s"u${i % 10}").toDF("x")
     val b2 = (1 to 500).map(_ => "u3").toDF("x")

@@ -74,6 +74,28 @@ class MergeEvolutionSpec extends AnyFunSuite {
       === Seq((1L, 9.0), (2L, 3.0)))
   }
 
+  test("explicit-assignment merges evolve only assigned source columns") {
+    val dir = Files.createTempDirectory("mev-narrow-").toString
+    val t = LakeTable.create(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    // source carries TWO new columns; the clauses assign only `extra` —
+    // `junk` must not widen the target (no clause ever writes it)
+    t.mergeClauses(
+      Seq((1L, "A", 9L, 1.0), (2L, "b", 2L, 2.0))
+        .toDF("id", "v", "extra", "junk").alias("s"),
+      expr("t.id = s.id"),
+      matchedClauses = Seq(graft.lake.MergeClause.Update(None,
+        Map("v" -> expr("s.v"), "extra" -> expr("s.extra")))),
+      notMatchedClauses = Seq(graft.lake.MergeClause.Insert(None,
+        Map("id" -> expr("s.id"), "v" -> expr("s.v"),
+          "extra" -> expr("s.extra")))),
+      notMatchedBySourceClauses = Seq.empty,
+      schemaEvolution = true)
+    assert(t.snapshot.schema.fieldNames.toSeq === Seq("id", "v", "extra"),
+      "only the assigned source-only column evolves")
+    assert(t.toDF.orderBy("id").as[(Long, String, Option[Long])].collect().toSeq
+      === Seq((1L, "A", Some(9L)), (2L, "b", Some(2L))))
+  }
+
   test("without the clause, extra source columns do not evolve the schema") {
     val wh = Files.createTempDirectory("mev2-wh-").toString
     spark.conf.set("spark.sql.catalog.mev2", "org.apache.spark.sql.graft.LakeCatalog")
