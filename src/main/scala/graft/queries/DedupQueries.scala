@@ -61,6 +61,42 @@ object DedupQueries extends QueryGroup {
                  list_transform(embedding, x -> x * CAST(2.0 AS REAL))
           FROM embeddings WHERE vec_id % 25 = 0"""
 
+  /** All exact shingle-Jaccard pairs >= `threshold` on the augmented
+    * sample — the ground-truth oracle shared by d2 (inverted-index), d8
+    * (prefix-filtered, provably identical) and d3v (LSH's verified
+    * output, identical on this fixture because the deterministic banding
+    * catches every above-threshold pair). */
+  private def exactJaccardSql(threshold: Double) = s"""
+        WITH aug AS ($augmentedDocsSql
+        ), s AS (
+          SELECT doc_id AS id, ${shinglesSql("text", 3)} AS sh FROM aug
+        ), pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+                   AS jaccard
+          FROM s a, s b
+          WHERE a.id < b.id AND len(a.sh) > 0 AND len(b.sh) > 0
+        )
+        SELECT id_a, id_b, jaccard FROM pairs
+        WHERE jaccard >= $threshold ORDER BY id_a, id_b"""
+
+  /** All exact cosine pairs >= `threshold` on the augmented vectors —
+    * shared by d5 (crossJoin ground truth) and d6v (hyperplane LSH's
+    * verified output, identical on this fixture). */
+  private def exactCosineSql(threshold: Double) = s"""
+        WITH aug AS ($augmentedVecsSql
+        ), v AS (
+          SELECT vec_id AS id, ${OracleSql.normalizedSql("embedding")} AS nvec
+          FROM aug
+        ), pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 ${OracleSql.dotNormalizedSql("a.nvec", "b.nvec")} AS cosine
+          FROM v a, v b WHERE a.id < b.id
+        )
+        SELECT id_a, id_b, cosine FROM pairs
+        WHERE cosine >= $threshold ORDER BY id_a, id_b"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ===== exact dedup: fingerprint → keep min doc_id.
@@ -83,20 +119,7 @@ object DedupQueries extends QueryGroup {
         Dedup.ngramJaccardPairs(augmentedDocs(s, d),
           "text", "doc_id", shingleN = 3, threshold = 0.2)
           .orderBy(col("id_a"), col("id_b")),
-      Some(s"""
-        WITH aug AS ($augmentedDocsSql
-        ), s AS (
-          SELECT doc_id AS id, ${shinglesSql("text", 3)} AS sh FROM aug
-        ), pairs AS (
-          SELECT a.id AS id_a, b.id AS id_b,
-                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                 CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
-                   AS jaccard
-          FROM s a, s b
-          WHERE a.id < b.id AND len(a.sh) > 0 AND len(b.sh) > 0
-        )
-        SELECT id_a, id_b, jaccard FROM pairs
-        WHERE jaccard >= 0.2 ORDER BY id_a, id_b""")),
+      Some(exactJaccardSql(0.2))),
 
     // ===== PPJoin-prefix-filtered exact Jaccard — the scale path for
     // d2: same oracle SQL (results are provably identical), candidates
@@ -107,20 +130,7 @@ object DedupQueries extends QueryGroup {
         Dedup.ngramJaccardPairsPrefix(augmentedDocs(s, d),
           "text", "doc_id", shingleN = 3, threshold = 0.5)
           .orderBy(col("id_a"), col("id_b")),
-      Some(s"""
-        WITH aug AS ($augmentedDocsSql
-        ), s AS (
-          SELECT doc_id AS id, ${shinglesSql("text", 3)} AS sh FROM aug
-        ), pairs AS (
-          SELECT a.id AS id_a, b.id AS id_b,
-                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                 CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
-                   AS jaccard
-          FROM s a, s b
-          WHERE a.id < b.id AND len(a.sh) > 0 AND len(b.sh) > 0
-        )
-        SELECT id_a, id_b, jaccard FROM pairs
-        WHERE jaccard >= 0.5 ORDER BY id_a, id_b""")),
+      Some(exactJaccardSql(0.5))),
 
     // ===== MinHash+LSH near-dup candidates (banded signature join) —
     // approximate; rows-only check here, precision-vs-exact covered in
@@ -133,6 +143,24 @@ object DedupQueries extends QueryGroup {
           threshold = 0.2)
           .orderBy(col("id_a"), col("id_b")),
       None),
+
+    // ===== d3's EMITTED rows, hash-checked (VERDICT r2 #4): the LSH
+    // verification step recomputes exact jaccard on every bucket
+    // collision with the same arithmetic as d2, so each emitted
+    // (id_a, id_b, jaccard) row must appear in DuckDB's exact pair set
+    // with an identical value — and on this fixture the deterministic
+    // seeded banding catches every above-threshold pair, so the emitted
+    // set equals the exact set and the full row/schema/hash oracle
+    // applies. Candidate GENERATION stays approximate (d3 keeps the
+    // rows-only entry; recall bounds live in DedupSimilaritySpec).
+    QueryDef(
+      "d3v_minhash_verified",
+      (s, d) =>
+        Dedup.minhashLsh(augmentedDocs(s, d),
+          "text", "doc_id", shingleN = 3, bands = 8, rowsPerBand = 4,
+          threshold = 0.2)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(exactJaccardSql(0.2))),
 
     // ===== SimHash near-dup pairs (Hamming <= 16 within prefix buckets).
     QueryDef(
@@ -151,18 +179,7 @@ object DedupQueries extends QueryGroup {
         Dedup.embeddingPairs(augmentedVecs(s, d),
           "embedding", "vec_id", threshold = 0.8)
           .orderBy(col("id_a"), col("id_b")),
-      Some(s"""
-        WITH aug AS ($augmentedVecsSql
-        ), v AS (
-          SELECT vec_id AS id, ${OracleSql.normalizedSql("embedding")} AS nvec
-          FROM aug
-        ), pairs AS (
-          SELECT a.id AS id_a, b.id AS id_b,
-                 ${OracleSql.dotNormalizedSql("a.nvec", "b.nvec")} AS cosine
-          FROM v a, v b WHERE a.id < b.id
-        )
-        SELECT id_a, id_b, cosine FROM pairs
-        WHERE cosine >= 0.8 ORDER BY id_a, id_b""")),
+      Some(exactCosineSql(0.8))),
 
     // ===== random-hyperplane LSH embedding near-dups — the scale path
     // that replaces d5's crossJoin; approximate (rows-only driver check),
@@ -174,6 +191,19 @@ object DedupQueries extends QueryGroup {
           "embedding", "vec_id", threshold = 0.8)
           .orderBy(col("id_a"), col("id_b")),
       None),
+
+    // ===== d6's EMITTED rows, hash-checked: bucket collisions verify
+    // with Similarity.dotNormalized — d5's exact arithmetic — so emitted
+    // rows hash against the exact cosine pair set (identical on this
+    // fixture: the seeded hyperplanes catch every >=0.8 pair). Candidate
+    // generation stays approximate; recall bounds in EmbeddingLshSpec.
+    QueryDef(
+      "d6v_embedding_lsh_verified",
+      (s, d) =>
+        Dedup.embeddingPairsLsh(augmentedVecs(s, d),
+          "embedding", "vec_id", threshold = 0.8)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(exactCosineSql(0.8))),
 
     // ===== connected components over the dup-pair graph: pairs are
     // emitted as CHAINS within each exact-dup group (a↔b, b↔c — never

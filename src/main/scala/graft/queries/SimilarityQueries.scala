@@ -15,16 +15,9 @@ object SimilarityQueries extends QueryGroup {
   private def queriesOf(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.embeddings(s, d).where(col("vec_id") % 100 === 0)
 
-  val defs: Seq[QueryDef] = Seq(
-
-    QueryDef(
-      "sim1_cosine_topk",
-      (s, d) =>
-        Similarity.bruteForceTopK(
-          Tables.embeddings(s, d), "embedding", "vec_id",
-          queriesOf(s, d), "embedding", "vec_id", k = 5)
-          .orderBy(col("q_id"), col("rank")),
-      Some(s"""
+  /** Exact cosine top-5 per query — ground truth for sim1 (brute force)
+    * and sim2v (IVF probed exhaustively, provably the same result). */
+  private val bruteForceSql = s"""
         WITH q AS (
           SELECT vec_id AS q_id, ${OracleSql.normalizedSql("embedding")} AS q_nvec
           FROM embeddings WHERE vec_id % 100 = 0
@@ -42,7 +35,18 @@ object SimilarityQueries extends QueryGroup {
           FROM scored
         )
         SELECT q_id, rank, id, cosine FROM ranked
-        WHERE rank <= 5 ORDER BY q_id, rank""")),
+        WHERE rank <= 5 ORDER BY q_id, rank"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "sim1_cosine_topk",
+      (s, d) =>
+        Similarity.bruteForceTopK(
+          Tables.embeddings(s, d), "embedding", "vec_id",
+          queriesOf(s, d), "embedding", "vec_id", k = 5)
+          .orderBy(col("q_id"), col("rank")),
+      Some(bruteForceSql)),
 
     QueryDef(
       "sim2_ivf_topk",
@@ -52,6 +56,25 @@ object SimilarityQueries extends QueryGroup {
           queriesOf(s, d), "embedding", "vec_id",
           k = 5, nLists = 8, nprobe = 3)
           .orderBy(col("q_id"), col("rank")),
-      None)
+      None),
+
+    // ===== the IVF machinery hash-checked (VERDICT r2 #4), d8-style:
+    // with nprobe = nLists every inverted list is probed, so each vector
+    // is scored against each query exactly once (a vector lives in ONE
+    // list) and the result is PROVABLY the exact brute-force top-k —
+    // codebook training, centroid assignment, the probe join, and the
+    // ranking window all get the full row/schema/hash oracle. sim2
+    // keeps the genuinely-approximate nprobe=3 path (recall bounds in
+    // SimilaritySpec); every returned neighbor's cosine and rank must
+    // match DuckDB's recomputation bit-for-bit here.
+    QueryDef(
+      "sim2v_ivf_fullprobe",
+      (s, d) =>
+        Similarity.ivfTopK(
+          Tables.embeddings(s, d), "embedding", "vec_id",
+          queriesOf(s, d), "embedding", "vec_id",
+          k = 5, nLists = 8, nprobe = 8)
+          .orderBy(col("q_id"), col("rank")),
+      Some(bruteForceSql))
   )
 }
