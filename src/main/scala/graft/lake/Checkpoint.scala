@@ -65,6 +65,12 @@ private[lake] object Checkpoint {
   private def stringSeq(s: String): Seq[String] =
     mapper.readValue(s, new TypeReference[Seq[String]] {})
 
+  // executor-side decode for [[DistributedState]]'s checkpoint scan —
+  // same wire format, parsed where the rows are
+  private[lake] def decodeStringMap(s: String): Map[String, String] = stringMap(s)
+  private[lake] def decodeStringSeq(s: String): Seq[String] = stringSeq(s)
+  private[lake] def decodeStats(s: String): FileStats = stats(s)
+
   private def stats(s: String): FileStats = {
     val st = mapper.readValue(s, classOf[FileStats])
     // Jackson gives Integer for small JSON ints under erasure; re-widen

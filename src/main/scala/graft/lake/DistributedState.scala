@@ -1,0 +1,122 @@
+package graft.lake
+
+import java.nio.file.Path
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** Distributed snapshot state for huge commit logs (VERDICT r2 #5): at
+  * 100 TB / millions of files, materializing `Snapshot.files` as a
+  * driver-side Seq and filtering it in a loop is itself a scale hazard.
+  * This is the Delta trick — the parquet CHECKPOINT is read as a normal
+  * Spark DataFrame (distributed, column-pruned), the bounded JSON tail
+  * (at most [[LakeLog.CHECKPOINT_EVERY]] commits) is applied as a
+  * broadcast set, and per-file stats pruning runs ON EXECUTORS; only the
+  * SURVIVING candidate files come back to the driver for scan planning.
+  *
+  * Everything here is a standalone object function so the typed-filter
+  * closures capture only serializable arguments (expressions, schemas,
+  * small sets) — never a SparkSession or a LakeTable.
+  */
+private[lake] object DistributedState {
+
+  /** Checkpoint row count from the parquet FOOTER only — the cheap
+    * driver-side signal for "is this table big enough to bother". */
+  def checkpointRows(ckpt: Path): Long = {
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(ckpt.toString), new Configuration(false))
+    val r = ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** The checkpoint's AddFile rows as a typed Dataset — Spark's parquet
+    * scan (prunes to the `add` column), JSON sub-blobs decoded per row on
+    * executors with the same Jackson helpers the driver log reader uses.
+    */
+  def checkpointFiles(spark: SparkSession, ckpt: Path): Dataset[AddFile] =
+    spark.read.parquet(ckpt.toString)
+      .where(col("add").isNotNull)
+      .select("add.*")
+      .map(decodeAdd)(Encoders.product[AddFile])
+
+  private def decodeAdd(r: Row): AddFile = {
+    def optStr(name: String): Option[String] = {
+      val i = r.fieldIndex(name)
+      if (r.isNullAt(i)) None else Some(r.getString(i))
+    }
+    AddFile(
+      r.getAs[String]("path"),
+      optStr("partitionValues").map(Checkpoint.decodeStringMap).getOrElse(Map.empty),
+      r.getAs[Long]("size"),
+      r.getAs[Long]("modificationTime"),
+      optStr("stats").map(Checkpoint.decodeStats),
+      optStr("dvPath"),
+      { val i = r.fieldIndex("dvCardinality")
+        if (r.isNullAt(i)) 0L else r.getLong(i) },
+      { val i = r.fieldIndex("bucket")
+        if (r.isNullAt(i)) None else Some(r.getInt(i)) },
+      optStr("dvInline"))
+  }
+
+  /** Table metadata out of the checkpoint without touching its add rows
+    * on the driver: one column-pruned distributed scan, one collected row.
+    */
+  def checkpointMeta(spark: SparkSession, ckpt: Path): Option[MetaData] =
+    spark.read.parquet(ckpt.toString)
+      .where(col("metaData").isNotNull)
+      .select("metaData.*")
+      .limit(1).collect().headOption.map { r =>
+        def optStr(name: String): Option[String] = {
+          val i = r.fieldIndex(name)
+          if (r.isNullAt(i)) None else Some(r.getString(i))
+        }
+        MetaData(
+          r.getAs[String]("id"),
+          r.getAs[String]("schemaDdl"),
+          optStr("partitionColumns").map(Checkpoint.decodeStringSeq)
+            .getOrElse(Seq.empty),
+          optStr("properties").map(Checkpoint.decodeStringMap)
+            .getOrElse(Map.empty),
+          r.getAs[Long]("createdTime"),
+          optStr("schemaJson"))
+      }
+
+  /** Live files = checkpoint adds minus tail-touched paths, plus the
+    * tail's surviving adds; then stats pruning distributed across the
+    * cluster. `touched`/`tailAdds` are bounded by the tail's size (≤
+    * CHECKPOINT_EVERY commits), so shipping them in the closure is O(KB).
+    */
+  def pruneLive(
+      ckptFiles: Dataset[AddFile],
+      touched: Set[String],
+      tailAdds: Seq[AddFile],
+      resolved: Seq[Expression],
+      schema: StructType,
+      partitionCols: Seq[String]): Array[AddFile] = {
+    val spark = ckptFiles.sparkSession
+    val base =
+      if (touched.isEmpty) ckptFiles
+      else ckptFiles.filter((f: AddFile) => !touched.contains(f.path))
+    val all =
+      if (tailAdds.isEmpty) base
+      else base.unionByName(
+        spark.createDataset(tailAdds)(Encoders.product[AddFile]))
+    val pruned =
+      if (resolved.isEmpty) all
+      else all.filter((f: AddFile) =>
+        resolved.forall(e => Stats.mightMatch(f, e, schema, partitionCols)))
+    pruned.collect()
+  }
+}
+
+/** Test observability: how the most recent [[LakeTable.read]] resolved
+  * its candidate files. */
+private[graft] object ReadMetrics {
+  /** true = distributed checkpoint scan; false = driver-side Seq. */
+  val lastReadDistributed = new java.util.concurrent.atomic.AtomicBoolean(false)
+}

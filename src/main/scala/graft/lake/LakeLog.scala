@@ -189,6 +189,23 @@ final class LakeLog(
       files.values.toSeq, txns.toMap, commits.toSeq)
   }
 
+  /** Locate the latest parquet checkpoint + commit tail WITHOUT reading
+    * the checkpoint body — the entry point for [[DistributedState]]'s
+    * executor-side snapshot resolution. Returns
+    * (targetVersion, (checkpointVersion, checkpointPath), tailVersions);
+    * None when no parquet checkpoint exists yet (young table → the
+    * driver-side path is the right one anyway).
+    */
+  private[lake] def distributedParts: Option[(Long, (Long, Path), Seq[Long])] =
+    lastCheckpointVersion.flatMap { cv =>
+      val pq = logDir.resolve(parquetCheckpointFileName(cv))
+      if (!Files.isRegularFile(pq)) None
+      else {
+        val target = probeForward(cv)
+        Some((target, (cv, pq), (cv + 1) to target))
+      }
+    }
+
   /** Newest checkpoint (parquet or legacy JSON) at or below `target`,
     * discovered by listing — the time-travel path.
     */

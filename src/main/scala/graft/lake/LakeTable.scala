@@ -63,21 +63,72 @@ final class LakeTable private (
   /** Read with data skipping: `filters` are evaluated against partition
     * values and per-file min/max stats BEFORE Spark lists any file, then
     * re-applied exactly on the surviving rows.
+    *
+    * Above `spark.graft.log.distributedThreshold` checkpoint rows
+    * (default 100,000) candidate files resolve via a DISTRIBUTED scan of
+    * the parquet checkpoint ([[DistributedState]]) — at millions of
+    * files the log itself is big data, and a driver-side Seq + filter
+    * loop is the wrong shape; only surviving candidates reach the driver.
     */
-  def read(filters: Column*): DataFrame = {
-    val snap = snapshot
-    val pcs = snap.metaData.partitionColumns
-    val resolved = filters.map(resolveFilter(_, snap.schema))
-    // CHECK constraints hold for every row, so a filter contradicting
-    // them is answered empty before any file is listed
-    val kept =
-      if (resolved.nonEmpty && resolved.exists(e =>
-        Stats.contradictsConstraints(e,
-          Constraints.parsed(snap.metaData), snap.schema))) Nil
-      else snap.files.filter { f =>
-        resolved.forall(e => Stats.mightMatch(f, e, snap.schema, pcs))
-      }
-    filters.foldLeft(readFiles(snap, kept))(_ where _)
+  def read(filters: Column*): DataFrame =
+    distributedRead(filters).getOrElse {
+      ReadMetrics.lastReadDistributed.set(false)
+      val snap = snapshot
+      val pcs = snap.metaData.partitionColumns
+      val resolved = filters.map(resolveFilter(_, snap.schema))
+      // CHECK constraints hold for every row, so a filter contradicting
+      // them is answered empty before any file is listed
+      val kept =
+        if (resolved.nonEmpty && resolved.exists(e =>
+          Stats.contradictsConstraints(e,
+            Constraints.parsed(snap.metaData), snap.schema))) Nil
+        else snap.files.filter { f =>
+          resolved.forall(e => Stats.mightMatch(f, e, snap.schema, pcs))
+        }
+      filters.foldLeft(readFiles(snap, kept))(_ where _)
+    }
+
+  /** The big-log read path: checkpoint scanned distributed, bounded JSON
+    * tail applied on top, stats pruning on executors. None → caller uses
+    * the driver-side path (young/small table, pinned version, or no
+    * parquet checkpoint yet).
+    */
+  private def distributedRead(filters: Seq[Column]): Option[DataFrame] = {
+    if (pinnedVersion.isDefined) return None
+    val threshold = spark.conf.getOption("spark.graft.log.distributedThreshold")
+      .flatMap(_.toLongOption).getOrElse(100000L)
+    log.distributedParts match {
+      case Some((target, (_, ckptPath), tailVs))
+          if DistributedState.checkpointRows(ckptPath) >= threshold =>
+        // bounded tail (≤ CHECKPOINT_EVERY commits) replayed driver-side:
+        // per-path FINAL state decides which checkpoint rows are stale
+        val tailActions = tailVs.flatMap(v => log.readCommit(v))
+        val finalByPath =
+          scala.collection.mutable.LinkedHashMap[String, Option[AddFile]]()
+        tailActions.foreach { a =>
+          a.add.foreach(f => finalByPath(f.path) = Some(f))
+          a.remove.foreach(r => finalByPath(r.path) = None)
+        }
+        tailActions.flatMap(_.metaData).lastOption
+          .orElse(DistributedState.checkpointMeta(spark, ckptPath))
+          .map { meta =>
+            val lite = Snapshot(target, meta, Seq.empty, Map.empty, Seq.empty)
+            val resolved = filters.map(resolveFilter(_, lite.schema))
+            val candidates: Seq[AddFile] =
+              if (resolved.nonEmpty && resolved.exists(e =>
+                Stats.contradictsConstraints(e,
+                  Constraints.parsed(meta), lite.schema))) Nil
+              else DistributedState.pruneLive(
+                DistributedState.checkpointFiles(spark, ckptPath),
+                finalByPath.keySet.toSet,
+                finalByPath.values.flatten.toSeq,
+                resolved, lite.schema, meta.partitionColumns).toSeq
+            ReadMetrics.lastReadDistributed.set(true)
+            filters.foldLeft(readFiles(lite.copy(files = candidates),
+              candidates))(_ where _)
+          }
+      case _ => None
+    }
   }
 
   /** Time travel (`VERSION AS OF`). */

@@ -1,0 +1,86 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Distributed snapshot state (the Delta trick): above a file-count
+  * threshold, `LakeTable.read` resolves candidate files by scanning the
+  * parquet CHECKPOINT as a DataFrame — stats pruning on executors, only
+  * survivors collected — instead of filtering a driver-side Seq. The
+  * synthetic log here has a checkpoint (version 10) plus a live tail with
+  * appends AND removes, so the distributed path must reproduce exactly
+  * what the driver-side replay sees.
+  */
+class DistributedSnapshotSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private val THRESH = "spark.graft.log.distributedThreshold"
+
+  /** v0 create (partitioned, many files) + 10 appends → parquet
+    * checkpoint at v10; then a tail: one append (v11) and one
+    * whole-partition delete (v12, pure-metadata removes). */
+  private def buildManyFileTable(): (String, LakeTable) = {
+    val path = Files.createTempDirectory("dist-log-").toString
+    def batch(lo: Long, hi: Long) =
+      spark.range(lo, hi).select($"id", ($"id" % 20).as("p"), ($"id" * 2).as("v"))
+    val t = LakeTable.create(spark, path, batch(0, 2000), partitionBy = Seq("p"))
+    (1 to 10).foreach(i => t.append(batch(2000L * i, 2000L * i + 2000)))
+    assert(Files.isRegularFile(t.log.logDir.resolve(
+      LakeLog.parquetCheckpointFileName(10L))), "checkpoint at v10 expected")
+    t.append(batch(22000, 24000))        // v11: tail adds
+    t.delete($"p" === 7L)                // v12: tail removes (whole partition)
+    (path, t)
+  }
+
+  test("distributed read reproduces the driver-side replay exactly") {
+    val (_, t) = buildManyFileTable()
+    try {
+      spark.conf.set(THRESH, "1000000")
+      val legacy = t.read().collect().toSet
+      assert(!ReadMetrics.lastReadDistributed.get())
+
+      spark.conf.set(THRESH, "10")
+      val distributed = t.read().collect().toSet
+      assert(ReadMetrics.lastReadDistributed.get(),
+        "checkpoint-scan path should engage above the threshold")
+      assert(distributed === legacy)
+      assert(!distributed.exists(_.getLong(1) == 7L), "tail delete applied")
+      assert(distributed.exists(_.getLong(0) >= 22000L), "tail append applied")
+    } finally spark.conf.unset(THRESH)
+  }
+
+  test("stats pruning happens in the distributed pass: fewer input files") {
+    val (_, t) = buildManyFileTable()
+    try {
+      spark.conf.set(THRESH, "10")
+      val all = t.read()
+      val one = t.read($"p" === 3L)
+      assert(ReadMetrics.lastReadDistributed.get())
+      assert(one.inputFiles.length < all.inputFiles.length / 5,
+        s"partition filter should prune: ${one.inputFiles.length} vs " +
+          s"${all.inputFiles.length}")
+      assert(one.count() === t.toDF.where($"p" === 3L).count())
+      // a filter contradicting per-file stats prunes everything
+      val none = t.read($"id" === -1L)
+      assert(none.inputFiles.isEmpty && none.count() === 0)
+    } finally spark.conf.unset(THRESH)
+  }
+
+  test("pinned time-travel handles stay on the driver-side path") {
+    val (_, t) = buildManyFileTable()
+    try {
+      spark.conf.set(THRESH, "10")
+      ReadMetrics.lastReadDistributed.set(true)
+      val v0 = t.asOf(0).toDF
+      assert(v0.count() === 2000)
+      assert(!ReadMetrics.lastReadDistributed.get(),
+        "time travel resolves driver-side (correct, just not distributed)")
+    } finally spark.conf.unset(THRESH)
+  }
+}
