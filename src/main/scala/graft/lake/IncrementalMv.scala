@@ -95,7 +95,7 @@ object IncrementalMv {
     val changes = source.tableChanges(lastApplied + 1, Some(latest))
     val isAdd = col(Cdc.CHANGE_TYPE).isin(Cdc.INSERT, Cdc.UPDATE_POST)
     val sign = when(isAdd, 1).otherwise(-1)
-    val delta = changes.groupBy(keys.map(col): _*)
+    val delta0 = changes.groupBy(keys.map(col): _*)
       .agg(sum(sign).as("dn"),
         sums.flatMap(c => Seq(
           sum(when(col(c).isNotNull, col(c) * sign).otherwise(lit(0)))
@@ -114,6 +114,11 @@ object IncrementalMv {
         minMax.flatMap(c => Seq(
           col(s"insMin_$c").isNotNull, col(s"delMin_$c").isNotNull))))
         .reduce(_ || _))
+    // the delta is small (changed groups only) but derives from a CDF
+    // scan + aggregation; materialize it ONCE — the emptiness probe, the
+    // min/max enrichment join, and the merge's full-outer join all read
+    // the checkpointed rows instead of re-running the feed aggregation
+    val delta = delta0.localCheckpoint(true)
     if (delta.isEmpty) {
       // a range of property-only / reorganization commits: nothing to
       // apply, just move the applied-through pointer

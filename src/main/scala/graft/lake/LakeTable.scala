@@ -535,7 +535,7 @@ final class LakeTable private (
       if (!cdfEnabled(snap)) Seq.empty
       else Cdc.stage(path, readFiles(snap, cls.touched).where(cond)
         .withColumn(Cdc.CHANGE_TYPE, lit(Cdc.DELETE))).map(Action.of)
-    val dvAdds = buildDvs(snap, cond, cls.dvTargets, now)
+    val dvAdds = buildDvs(cls, now)
 
     // heavily-hit files: classic copy-on-write
     val rewriteAdds: Seq[AddFile] =
@@ -562,10 +562,14 @@ final class LakeTable private (
 
   /** Per-file match classification shared by DV-based DML: which files
     * match entirely (pure metadata ops), which get a bitmap, which
-    * rewrite.
+    * rewrite. `bitmaps` carries each touched file's matched row indexes —
+    * built in the SAME aggregation job as the counts ([[DvAgg]], on
+    * executors), so the DV build never re-scans the candidates and the
+    * driver receives one blob per file, never the matched rows.
     */
   private case class MatchClassification(
       counts: Map[String, Long],
+      bitmaps: Map[String, org.roaringbitmap.longlong.Roaring64Bitmap],
       touched: Seq[AddFile],
       fullMatch: Seq[AddFile],
       dvTargets: Seq[AddFile],
@@ -580,16 +584,27 @@ final class LakeTable private (
     val candidates = snap.files.filter(f =>
       Stats.mightMatch(f, resolvedCond, snap.schema, pcs))
     if (candidates.isEmpty)
-      return MatchClassification(Map.empty, Seq.empty, Seq.empty, Seq.empty, Seq.empty)
-    // per-file match counts (already excludes rows a previous DV deleted);
-    // keyed by table-relative path
+      return MatchClassification(Map.empty, Map.empty,
+        Seq.empty, Seq.empty, Seq.empty, Seq.empty)
+    // ONE job: per-file match counts AND matched-index bitmaps (already
+    // excludes rows a previous DV deleted); keyed by table-relative path
     val byAbs: Map[String, String] = candidates.map(f => absPath(f) -> f.path).toMap
-    val counts: Map[String, Long] =
-      readFilesInternal(snap, candidates, withMeta = true)
-        .where(cond).groupBy(col("__dv_path")).count()
-        .collect()
-        .flatMap(r => byAbs.get(Stats.normalizeFileUri(r.getString(0)))
-          .map(_ -> r.getLong(1))).toMap
+    val rows = readFilesInternal(snap, candidates, withMeta = true)
+      .where(cond).groupBy(col("__dv_path"))
+      .agg(count(lit(1)).as("__n"),
+        (if (useDvs) DvAgg.bitmap(col("__dv_idx"))
+         else lit(null).cast("binary")).as("__bm"))
+      .collect()
+    DmlMetrics.lastIdentityRowsCollected.set(rows.length.toLong)
+    val counts: Map[String, Long] = rows
+      .flatMap(r => byAbs.get(Stats.normalizeFileUri(r.getString(0)))
+        .map(_ -> r.getLong(1))).toMap
+    val bitmaps: Map[String, org.roaringbitmap.longlong.Roaring64Bitmap] =
+      if (!useDvs) Map.empty
+      else rows.flatMap { r =>
+        byAbs.get(Stats.normalizeFileUri(r.getString(0)))
+          .map(_ -> Dv.deserialize(r.getAs[Array[Byte]](2)))
+      }.toMap
     val touched = candidates.filter(f => counts.contains(f.path))
     val (fullMatch, partial) = touched.partition { f =>
       f.stats.exists(st => counts(f.path) == st.numRecords - f.dvCardinality)
@@ -600,38 +615,21 @@ final class LakeTable private (
         f.stats.exists(st =>
           counts(f.path) <= dvMaxFraction * (st.numRecords - f.dvCardinality))
       }
-    MatchClassification(counts, touched, fullMatch, dvTargets, rewriteTargets)
+    MatchClassification(counts, bitmaps, touched, fullMatch, dvTargets,
+      rewriteTargets)
   }
 
-  /** Union matched row indexes into each target's bitmap and write the
-    * new sidecars; returns the re-add entries.
-    *
-    * The bitmaps are built ON EXECUTORS ([[DvAgg]]): the driver receives
-    * one serialized blob per target file, never the matched rows — a
-    * DELETE claiming 40% of a huge table collects O(files) bytes.
+  /** Union each target's matched-index bitmap (already computed by
+    * [[classifyMatches]]'s single aggregation job — no re-scan) into its
+    * live deletion vector and write the new sidecars.
     */
-  private def buildDvs(snap: Snapshot, cond: Column,
-      dvTargets: Seq[AddFile], now: Long): Seq[AddFile] = {
-    if (dvTargets.isEmpty) return Seq.empty
-    val byAbs = dvTargets.map(f => absPath(f) -> f.path).toMap
-    val blobs = readFilesInternal(snap, dvTargets, withMeta = true)
-      .where(cond)
-      .groupBy(col("__dv_path"))
-      .agg(DvAgg.bitmap(col("__dv_idx")).as("__bm"))
-      .collect()
-    DmlMetrics.lastIdentityRowsCollected.set(blobs.length.toLong)
-    val byFile: Map[String, org.roaringbitmap.longlong.Roaring64Bitmap] =
-      blobs.flatMap { r =>
-        byAbs.get(Stats.normalizeFileUri(r.getString(0)))
-          .map(_ -> Dv.deserialize(r.getAs[Array[Byte]](1)))
-      }.toMap
-    dvTargets.map { f =>
+  private def buildDvs(cls: MatchClassification, now: Long): Seq[AddFile] =
+    cls.dvTargets.map { f =>
       val bm = Dv.bitmapOf(path, f)
         .getOrElse(new org.roaringbitmap.longlong.Roaring64Bitmap())
-      bm.or(byFile(f.path))
+      bm.or(cls.bitmaps(f.path))
       Dv.attach(path, f, bm, now, dvInlineMax)
     }
-  }
 
   /** UPDATE SET WHERE (L3) with deletion vectors: a small update DVs the
     * old row versions in place and APPENDS only the updated rows — cost
@@ -657,58 +655,73 @@ final class LakeTable private (
         }
       }.toSeq: _*)
 
-    // change data feed: matched rows before and after assignment
-    val cdcActions: Seq[Action] =
-      if (!cdfEnabled(snap)) Seq.empty
-      else {
-        val matched = readFiles(snap, cls.touched).where(coalesceFalse(cond))
-        Cdc.stage(path,
-          matched.withColumn(Cdc.CHANGE_TYPE, lit(Cdc.UPDATE_PRE))
-            .unionByName(applySet(matched)
-              .withColumn(Cdc.CHANGE_TYPE, lit(Cdc.UPDATE_POST)))).map(Action.of)
-      }
+    // every consumer below needs the MATCHED rows (CDC pre/post images,
+    // the re-appended post-images): scan the candidates ONCE into the
+    // block manager instead of once per consumer
+    val dataCols = snap.schema.fieldNames.map(col).toSeq
+    val matchedAll = readFilesInternal(snap, cls.touched, withMeta = true)
+      .where(coalesceFalse(cond)).cache()
+    try {
+      // change data feed: matched rows before and after assignment
+      val cdcActions: Seq[Action] =
+        if (!cdfEnabled(snap)) Seq.empty
+        else {
+          val matched = matchedAll.select(dataCols: _*)
+          Cdc.stage(path,
+            matched.withColumn(Cdc.CHANGE_TYPE, lit(Cdc.UPDATE_PRE))
+              .unionByName(applySet(matched)
+                .withColumn(Cdc.CHANGE_TYPE, lit(Cdc.UPDATE_POST)))).map(Action.of)
+        }
 
-    // full-match + DV'd files: their old row versions vanish (remove /
-    // bitmap); ONLY the matched rows re-append with assignments applied
-    val dvAdds = buildDvs(snap, cond, cls.dvTargets, now)
-    val appendTargets = cls.fullMatch ++ cls.dvTargets
-    val appendedAdds: Seq[AddFile] =
-      if (appendTargets.isEmpty) Seq.empty
-      else {
-        val updatedRows = applySet(
-          readFiles(snap, appendTargets).where(coalesceFalse(cond)))
-        LakeTable.stageFiles(spark, path, updatedRows, snap.schema, pcs,
-          Bucketing.specOf(snap.metaData), Constraints.of(snap.metaData))
-      }
-
-    // heavy files: classic whole-file rewrite with conditional assignment
-    val rewriteAdds: Seq[AddFile] =
-      if (cls.rewriteTargets.isEmpty) Seq.empty
-      else {
-        val rewritten = readFiles(snap, cls.rewriteTargets)
-          .select(snap.schema.fields.map { f =>
-            set.get(f.name) match {
-              case Some(v) =>
-                when(coalesceFalse(cond), v.cast(f.dataType))
-                  .otherwise(col(f.name)).as(f.name)
-              case None => col(f.name)
+      // full-match + DV'd files: their old row versions vanish (remove /
+      // bitmap); ONLY the matched rows re-append with assignments applied
+      val dvAdds = buildDvs(cls, now)
+      val appendTargets = cls.fullMatch ++ cls.dvTargets
+      val appendedAdds: Seq[AddFile] =
+        if (appendTargets.isEmpty) Seq.empty
+        else {
+          val fromTargets =
+            if (cls.rewriteTargets.isEmpty) matchedAll // touched == targets
+            else {
+              val keep = appendTargets.map(absPath).toSet
+              val inTargets = udf((p: String) =>
+                keep.contains(Stats.normalizeFileUri(p)))
+              matchedAll.where(inTargets(col("__dv_path")))
             }
-          }.toSeq: _*)
-        LakeTable.stageFiles(spark, path, rewritten, snap.schema, pcs,
-          Bucketing.specOf(snap.metaData), Constraints.of(snap.metaData))
-      }
+          LakeTable.stageFiles(spark, path,
+            applySet(fromTargets.select(dataCols: _*)), snap.schema, pcs,
+            Bucketing.specOf(snap.metaData), Constraints.of(snap.metaData))
+        }
 
-    val removes = (cls.fullMatch ++ cls.dvTargets ++ cls.rewriteTargets)
-      .map(f => Action.of(RemoveFile(f.path, now, f.partitionValues)))
-    val adds = (dvAdds ++ appendedAdds ++ rewriteAdds).map(Action.of)
-    val actions = removes ++ adds ++ cdcActions :+
-      Action.of(CommitInfo(now, "UPDATE",
-        Map("predicate" -> cond.toString, "set" -> set.keys.mkString(","),
-          "deletionVectors" -> cls.dvTargets.size.toString),
-        numAddedFiles = (appendedAdds.size + rewriteAdds.size).toLong,
-        numRemovedFiles = (cls.fullMatch.size + cls.rewriteTargets.size).toLong,
-        numOutputRows = cls.matchedRows))
-    commitWithRetry(snap.version, actions, rebaseable = false)
+      // heavy files: classic whole-file rewrite with conditional assignment
+      val rewriteAdds: Seq[AddFile] =
+        if (cls.rewriteTargets.isEmpty) Seq.empty
+        else {
+          val rewritten = readFiles(snap, cls.rewriteTargets)
+            .select(snap.schema.fields.map { f =>
+              set.get(f.name) match {
+                case Some(v) =>
+                  when(coalesceFalse(cond), v.cast(f.dataType))
+                    .otherwise(col(f.name)).as(f.name)
+                case None => col(f.name)
+              }
+            }.toSeq: _*)
+          LakeTable.stageFiles(spark, path, rewritten, snap.schema, pcs,
+            Bucketing.specOf(snap.metaData), Constraints.of(snap.metaData))
+        }
+
+      val removes = (cls.fullMatch ++ cls.dvTargets ++ cls.rewriteTargets)
+        .map(f => Action.of(RemoveFile(f.path, now, f.partitionValues)))
+      val adds = (dvAdds ++ appendedAdds ++ rewriteAdds).map(Action.of)
+      val actions = removes ++ adds ++ cdcActions :+
+        Action.of(CommitInfo(now, "UPDATE",
+          Map("predicate" -> cond.toString, "set" -> set.keys.mkString(","),
+            "deletionVectors" -> cls.dvTargets.size.toString),
+          numAddedFiles = (appendedAdds.size + rewriteAdds.size).toLong,
+          numRemovedFiles = (cls.fullMatch.size + cls.rewriteTargets.size).toLong,
+          numOutputRows = cls.matchedRows))
+      commitWithRetry(snap.version, actions, rebaseable = false)
+    } finally matchedAll.unpersist()
   }
 
   /** MERGE INTO (L4/J1): copy-on-write upsert, the
@@ -878,29 +891,66 @@ final class LakeTable private (
       def tag(rows: DataFrame, clauses: Seq[MergeClause]): DataFrame =
         rows.withColumn("__action", actionExpr(clauses))
 
-      /** New row versions: one piece per update/insert clause; delete
-        * clauses emit nothing. */
-      def emitted(tagged: DataFrame, clauses: Seq[MergeClause],
-          fromSource: Boolean): Seq[DataFrame] =
-        clauses.zipWithIndex.flatMap {
-          case (MergeClause.Update(_, as), i) =>
-            val effective =
-              if (as.isEmpty)
-                tgtSchema.fieldNames.toSeq.flatMap(f =>
-                  srcByLower.get(f.toLowerCase).map(c => f -> col(s"s.$c"))).toMap
-              else as
-            Some(tagged.where(col("__action") === i)
-              .select(assemble(effective, fromSource = false): _*))
-          case (MergeClause.Insert(_, as), i) =>
-            Some(tagged.where(col("__action") === i)
-              .select(assemble(as, fromSource = true): _*))
-          case (_: MergeClause.Delete, _) => None
-        }
+      def starAssigns: Map[String, Column] =
+        tgtSchema.fieldNames.toSeq.flatMap(f =>
+          srcByLower.get(f.toLowerCase).map(c => f -> col(s"s.$c"))).toMap
 
-      /** Rows no clause claimed, re-assembled as-is (rewrite path only). */
-      def kept(tagged: DataFrame): DataFrame =
-        tagged.where(col("__action") === -1)
-          .select(assemble(Map.empty, fromSource = false): _*)
+      /** ALL new row versions in ONE pass over the cached join: each row
+        * is tagged with its group (0 matched / 1 by-source / 2 not
+        * matched) and first-applicable clause index, kept iff that pair
+        * emits (update → post-image, insert → source projection, CoW also
+        * keeps unclaimed target rows as-is), and projected per field with
+        * one CASE chain over the emitting pairs. The per-clause
+        * filter+union shape scanned the cache once per clause; this scans
+        * it once per MERGE — per-commit cost at 100 TB tracks the join,
+        * not the clause count. (VERDICT r2 #7)
+        */
+      def newRowsOnePass(includeKept: Boolean): Option[DataFrame] = {
+        case class Emit(g: Int, i: Int, assigns: Map[String, Column],
+          fromSource: Boolean)
+        def emitsOf(g: Int, clauses: Seq[MergeClause]): Seq[Emit] =
+          clauses.zipWithIndex.collect {
+            case (MergeClause.Update(_, as), i) =>
+              Emit(g, i, if (as.isEmpty) starAssigns else as, fromSource = false)
+            case (MergeClause.Insert(_, as), i) =>
+              Emit(g, i, as, fromSource = true)
+          }
+        // unclaimed (action -1) matched/by-source rows survive a rewrite;
+        // unclaimed source-only rows are dropped in every mode
+        val emits = emitsOf(0, matchedClauses) ++
+          emitsOf(1, notMatchedBySourceClauses) ++
+          emitsOf(2, notMatchedClauses) ++
+          (if (includeKept)
+            Seq(Emit(0, -1, Map.empty, fromSource = false),
+              Emit(1, -1, Map.empty, fromSource = false))
+          else Seq.empty)
+        if (emits.isEmpty) return None
+        val isMatched = col("t.__tgt").isNotNull && col("s.__src").isNotNull
+        val isTgtOnly = col("t.__tgt").isNotNull && col("s.__src").isNull
+        val tagged = joined
+          .withColumn("__g", when(isMatched, 0).when(isTgtOnly, 1).otherwise(2))
+          .withColumn("__a",
+            when(isMatched, actionExpr(matchedClauses))
+              .when(isTgtOnly, actionExpr(notMatchedBySourceClauses))
+              .otherwise(actionExpr(notMatchedClauses)))
+        val keep = emits.map(e => col("__g") === e.g && col("__a") === e.i)
+          .reduce(_ || _)
+        val fields = tgtSchema.fields.map { f =>
+          emits.foldRight(lit(null).cast(f.dataType)) { (e, acc) =>
+            val v = e.assigns.get(f.name) match {
+              case Some(c) => c
+              case None =>
+                if (e.fromSource)
+                  srcByLower.get(f.name.toLowerCase)
+                    .map(c => col(s"s.$c")).getOrElse(lit(null))
+                else col(s"t.${f.name}")
+            }
+            when(col("__g") === e.g && col("__a") === e.i, v.cast(f.dataType))
+              .otherwise(acc)
+          }.as(f.name)
+        }.toSeq
+        Some(tagged.where(keep).select(fields: _*))
+      }
 
       val matchedRows = joined.where(col("t.__tgt").isNotNull && col("s.__src").isNotNull)
       val targetOnly = joined.where(col("t.__tgt").isNotNull && col("s.__src").isNull)
@@ -949,10 +999,7 @@ final class LakeTable private (
           "merge: a target row matches multiple source rows; make the condition more specific")
       }
 
-      val newRows =
-        emitted(matchedT, matchedClauses, fromSource = false) ++
-          emitted(bySrcT, notMatchedBySourceClauses, fromSource = false) ++
-          emitted(srcT, notMatchedClauses, fromSource = true)
+      val newRows: Option[DataFrame] = newRowsOnePass(includeKept = false)
 
       /** Change-data rows for one tagged frame: update clauses emit a
         * pre/post image pair, deletes the old row, inserts the new one. */
@@ -995,8 +1042,9 @@ final class LakeTable private (
           properties = snap.metaData.properties ++ propsDelta)))
 
       if (!useDvs) {
-        // classic copy-on-write: rewrite every candidate file
-        val result = (newRows ++ Seq(kept(matchedT), kept(bySrcT))).reduce(_ unionByName _)
+        // classic copy-on-write: rewrite every candidate file (kept rows
+        // included — always a Some, since includeKept adds emits)
+        val result = newRowsOnePass(includeKept = true).get
         rewrite(snap, touched, result, "MERGE",
           Map("condition" -> condition.toString),
           extra = cdcActions ++ propsActions,
@@ -1053,11 +1101,11 @@ final class LakeTable private (
             snap.metaData.partitionColumns, Bucketing.specOf(snap.metaData))
         }
 
-      val appendedAdds: Seq[AddFile] =
-        if (newRows.isEmpty) Seq.empty
-        else LakeTable.stageFiles(spark, path, newRows.reduce(_ unionByName _),
+      val appendedAdds: Seq[AddFile] = newRows
+        .map(nr => LakeTable.stageFiles(spark, path, nr,
           tgtSchema, snap.metaData.partitionColumns,
-          Bucketing.specOf(snap.metaData), Constraints.of(snap.metaData))
+          Bucketing.specOf(snap.metaData), Constraints.of(snap.metaData)))
+        .getOrElse(Seq.empty)
 
       val outputRows = appendedAdds.flatMap(_.stats.map(_.numRecords)).sum
       val removes = (fullMatch ++ dvTargets ++ rewriteTargets)

@@ -69,16 +69,26 @@ object Dedup {
       val viaNeighbors = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("component"),
           lit(null).cast(idType).as("prev"))
-      val next = labels.select(col("id"), col("component"),
+      // the changed-count rides the checkpoint materialization as an
+      // accumulator side effect — ONE job per round, no follow-up probe
+      // scan. At-least-once accumulator semantics are safe here: a task
+      // retry can only re-count rows that genuinely changed, so the
+      // zero/nonzero convergence test is exact.
+      val acc = pairs.sparkSession.sparkContext
+        .longAccumulator("graft.components.changed")
+      val bump = udf { (changed: Boolean) =>
+        if (changed) acc.add(1L)
+        true
+      }
+      labels = labels.select(col("id"), col("component"),
         col("component").as("prev"))
         .unionByName(viaNeighbors)
         .groupBy("id").agg(min("component").as("component"),
           max("prev").as("prev"))
+        .where(bump(col("component") =!= col("prev")))
+        .select("id", "component")
         .localCheckpoint(true)
-      val changed = next.where(col("component") =!= col("prev"))
-        .limit(1).count()
-      labels = next.select("id", "component")
-      converged = changed == 0L
+      converged = acc.value == 0L
       iter += 1
     }
     require(converged,

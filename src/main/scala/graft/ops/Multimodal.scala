@@ -95,6 +95,19 @@ object Multimodal {
 
   // ---- video / audio (STUBS — no codec libs in this container) ---------
 
+  /** Session flag gating the stub decoders below: they produce
+    * deterministic FAKE frames/features (real Spark-side plumbing, fake
+    * decode), and a production pipeline must never mistake them for real
+    * codecs. Callers opt in explicitly — typically test/CI sessions. */
+  val ALLOW_STUBS_CONF = "spark.graft.multimodal.allowStubDecoders"
+
+  private def requireStubsAllowed(df: DataFrame, what: String): Unit =
+    require(df.sparkSession.conf.getOption(ALLOW_STUBS_CONF)
+      .exists(_.toBoolean),
+      s"$what is a STUB (deterministic fake decode — no codec libraries " +
+        s"in this build); set $ALLOW_STUBS_CONF=true to acknowledge, or " +
+        "swap in a real decoder for production")
+
   val frameMetaType: StructType = DataType.fromDDL(
     "frame_index int, offset bigint, frame binary").asInstanceOf[StructType]
 
@@ -118,7 +131,8 @@ object Multimodal {
     * for downstream per-frame featurization.
     */
   def sampleFrames(df: DataFrame, everyNth: Int = 10, frameSize: Int = 4096,
-      contentCol: String = "content"): DataFrame =
+      contentCol: String = "content"): DataFrame = {
+    requireStubsAllowed(df, "sampleFrames")
     df.withColumn("__frames",
         frameSampleUdf(col(contentCol), lit(everyNth), lit(frameSize))
           .cast(ArrayType(frameMetaType)))
@@ -126,6 +140,7 @@ object Multimodal {
       .drop("__frames", contentCol)
       .select(col("*"), col("frame_info.*"))
       .drop("frame_info")
+  }
 
   /** STUB audio featurizer: production swaps the body for a real
     * decode + spectrogram; the fake derives a fixed-length deterministic
@@ -147,8 +162,10 @@ object Multimodal {
   }
 
   def withAudioFeatures(df: DataFrame, dim: Int = 16,
-      contentCol: String = "content", outCol: String = "audio_features"): DataFrame =
+      contentCol: String = "content", outCol: String = "audio_features"): DataFrame = {
+    requireStubsAllowed(df, "withAudioFeatures")
     df.withColumn(outCol, audioFeatureUdf(col(contentCol), lit(dim)))
+  }
 
   // ---- partitioning ----------------------------------------------------
 

@@ -57,9 +57,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sizes === Set((4, 4)))
   }
 
+  test("stub decoders refuse to run unless explicitly acknowledged") {
+    val dir = Files.createTempDirectory("gate-")
+    Files.write(dir.resolve("v.bin"), Array.fill[Byte](100)(1))
+    val df = Multimodal.readBinaryDir(spark, dir.toString)
+    spark.conf.unset(Multimodal.ALLOW_STUBS_CONF)
+    val e1 = intercept[IllegalArgumentException](Multimodal.sampleFrames(df))
+    assert(e1.getMessage.contains("STUB"))
+    val e2 = intercept[IllegalArgumentException](Multimodal.withAudioFeatures(df))
+    assert(e2.getMessage.contains(Multimodal.ALLOW_STUBS_CONF))
+  }
+
   test("frame sampling explodes deterministic frame rows") {
     val dir = Files.createTempDirectory("vids-")
     Files.write(dir.resolve("v.bin"), Array.fill[Byte](10000)(7))
+    spark.conf.set(Multimodal.ALLOW_STUBS_CONF, "true")
     val frames = Multimodal.sampleFrames(
       Multimodal.readBinaryDir(spark, dir.toString), everyNth = 1, frameSize = 4096)
     val rows = frames.select("frame_index", "offset").as[(Int, Long)]
@@ -72,6 +84,7 @@ class MultimodalSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("audio-")
     Files.write(dir.resolve("x.pcm"), Array.tabulate[Byte](2048)(i => (i % 120).toByte))
     Files.write(dir.resolve("y.pcm"), Array.tabulate[Byte](2048)(i => (i % 120).toByte))
+    spark.conf.set(Multimodal.ALLOW_STUBS_CONF, "true")
     val df = Multimodal.withAudioFeatures(
       Multimodal.readBinaryDir(spark, dir.toString), dim = 16)
     assert(df.select(size(col("audio_features"))).as[Int].collect().forall(_ === 16))
