@@ -361,6 +361,236 @@ object TpchQueries extends QueryGroup {
           AND NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey
                             AND o_orderpriority = '1-URGENT')
-        GROUP BY n_name ORDER BY n_name"""))
+        GROUP BY n_name ORDER BY n_name""")),
+
+    // ===== Q2-shaped: min-cost supplier — correlated MIN subquery over a
+    // 5-way join with a region filter. The harness has no partsupp, so
+    // lineitem is the part↔supplier bridge and unit price
+    // (l_extendedprice / l_quantity) stands in for ps_supplycost; both
+    // engines compute the SAME IEEE doubles, so the min-equality join is
+    // exact.
+    QueryDef(
+      "q2_min_cost_supplier",
+      (s, d) => {
+        val offers = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey"),
+            (col("l_extendedprice") / col("l_quantity")).as("unit"))
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)
+            .where(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+        val minUnit = offers.groupBy(col("l_partkey").as("mk"))
+          .agg(min(col("unit")).as("min_unit"))
+        Tables.part(s, d)
+          .where(col("p_size").isin(5, 15, 25, 35, 45) && col("p_type") === "LARGE")
+          .join(offers, col("p_partkey") === col("l_partkey"))
+          .join(minUnit,
+            col("p_partkey") === col("mk") && col("unit") === col("min_unit"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), round(col("unit"), 4).as("unit_cost"))
+          .distinct()
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+            col("p_partkey"))
+      },
+      Some("""
+        WITH offers AS (
+          SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit,
+                 s_acctbal, s_name, n_name
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE')
+        SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey,
+               round(unit, 4) AS unit_cost
+        FROM part JOIN offers ON p_partkey = l_partkey
+        WHERE p_size IN (5, 15, 25, 35, 45) AND p_type = 'LARGE'
+          AND unit = (SELECT min(unit) FROM offers o
+                      WHERE o.l_partkey = p_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""")),
+
+    // ===== Q11-shaped: important parts — per-group value vs a scalar
+    // fraction of the global total (HAVING against a subquery). Value =
+    // quantity-weighted volume from one nation's suppliers; quantities
+    // are whole numbers, so the double sums are exact and the threshold
+    // compare is engine-stable.
+    QueryDef(
+      "q11_important_parts",
+      (s, d) => {
+        val natLines = Tables.lineitem(s, d)
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)
+            .where(col("n_name") === "NATION_7")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("l_partkey"), col("l_quantity"))
+        val byPart = natLines.groupBy(col("l_partkey"))
+          .agg(sum(col("l_quantity")).as("value"))
+        val threshold = byPart.agg((sum(col("value")) * 0.002).as("thr"))
+        byPart.join(broadcast(threshold), col("value") > col("thr"))
+          .select(col("l_partkey"), col("value"))
+          .orderBy(col("value").desc, col("l_partkey"))
+      },
+      Some("""
+        WITH natlines AS (
+          SELECT l_partkey, l_quantity
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_7'),
+        bypart AS (
+          SELECT l_partkey, sum(l_quantity) AS value
+          FROM natlines GROUP BY l_partkey)
+        SELECT l_partkey, value FROM bypart
+        WHERE value > (SELECT sum(value) * 0.002 FROM bypart)
+        ORDER BY value DESC, l_partkey""")),
+
+    // ===== Q12-shaped: shipping-priority split — join + conditional
+    // aggregation (CASE inside SUM), grouped by a line attribute
+    // (l_returnflag stands in for the absent l_shipmode).
+    QueryDef(
+      "q12_priority_by_flag",
+      (s, d) => {
+        val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        Tables.lineitem(s, d)
+          .where(col("l_shipdate") >= ts("1995-01-01") &&
+            col("l_shipdate") < ts("1996-01-01"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ===== Q16-shaped: supplier diversity per part group — NOT-IN
+    // exclusion subquery + multi-key COUNT DISTINCT (negative-balance
+    // suppliers stand in for the complaints filter).
+    QueryDef(
+      "q16_part_supplier_counts",
+      (s, d) => {
+        val excluded = Tables.supplier(s, d)
+          .where(col("s_acctbal") < 0).select(col("s_suppkey").as("xk"))
+        Tables.lineitem(s, d)
+          .join(Tables.part(s, d)
+            .where(col("p_type") =!= "MEDIUM" && col("p_size").isin(1, 9, 19, 29, 39, 49)),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(excluded), col("l_suppkey") === col("xk"), "left_anti")
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      Some("""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type <> 'MEDIUM' AND p_size IN (1, 9, 19, 29, 39, 49)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
+    // ===== Q20-shaped: dominant suppliers — nested aggregate subquery
+    // (a supplier qualifies when its 1995 shipped quantity of some 'red'
+    // part exceeds 30% of that part's total) feeding a semi join.
+    // Quantities are whole numbers → exact double sums.
+    QueryDef(
+      "q20_dominant_suppliers",
+      (s, d) => {
+        val y95 = Tables.lineitem(s, d)
+          .where(col("l_shipdate") >= ts("1995-01-01") &&
+            col("l_shipdate") < ts("1996-01-01"))
+          .join(Tables.part(s, d).where(col("p_name").startsWith("red")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity")).as("sq"))
+        val tot = y95.groupBy(col("l_partkey").as("tk"))
+          .agg(sum(col("sq")).as("tot"))
+        val dominant = y95.join(tot, col("l_partkey") === col("tk"))
+          .where(col("sq") > col("tot") * 0.3)
+          .select(col("l_suppkey")).distinct()
+        Tables.supplier(s, d)
+          .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_name"), col("s_acctbal"))
+          .orderBy(col("s_name"))
+      },
+      Some("""
+        WITH y95 AS (
+          SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+            AND p_name LIKE 'red%'
+          GROUP BY l_partkey, l_suppkey)
+        SELECT s_name, s_acctbal FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM y95 a
+          WHERE sq > 0.3 * (SELECT sum(sq) FROM y95 b
+                            WHERE b.l_partkey = a.l_partkey))
+        ORDER BY s_name""")),
+
+    // ===== Q21-shaped: suppliers who kept orders waiting — the
+    // EXISTS + NOT-EXISTS double self-join. "Late" is shipping >90 days
+    // after the order date (the harness has no commit/receipt dates);
+    // a supplier waits an order when it shipped late, ANOTHER supplier
+    // shipped in the same order, and NO other supplier shipped late.
+    QueryDef(
+      "q21_waiting_suppliers",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        val late = li
+          .join(Tables.orders(s, d).where(col("o_orderstatus") === "F"),
+            col("l_orderkey") === col("o_orderkey"))
+          .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .distinct()
+        val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+          .distinct()
+        val l3 = late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+        val waiting = late.alias("l1")
+          .join(l2, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+            "left_semi")
+          .join(l3, col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
+            "left_anti")
+        waiting
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)
+            .where(col("n_name").isin("NATION_3", "NATION_4"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+      },
+      Some("""
+        WITH late AS (
+          SELECT DISTINCT l_orderkey, l_suppkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+            AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        SELECT s_name, count(*) AS numwait
+        FROM late l1
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_3', 'NATION_4')
+          AND EXISTS (SELECT 1 FROM (SELECT DISTINCT l_orderkey, l_suppkey
+                                     FROM lineitem) l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY s_name ORDER BY numwait DESC, s_name"""))
   )
 }
