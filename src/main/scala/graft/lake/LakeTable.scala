@@ -982,15 +982,22 @@ final class LakeTable private (
             .groupBy("__p")
             .agg(DvAgg.bitmap(
                 when(col("__act") >= 0, col("__i")).otherwise(lit(-1L))).as("__bm"),
-              max(col("__matches")).as("__mm"))
+              max(col("__matches")).as("__mm"),
+              max(when(col("__matches") > 1, col("__i"))).as("__mmIdx"))
             .collect()
           DmlMetrics.lastIdentityRowsCollected.set(rows.length.toLong)
           rows
         }
       if (useDvs) {
-        require(matchedClauses.isEmpty ||
-          !perFileClaims.exists(_.getAs[Long]("__mm") > 1),
-          "merge: a target row matches multiple source rows; make the condition more specific")
+        if (matchedClauses.nonEmpty) {
+          perFileClaims.find(_.getAs[Long]("__mm") > 1).foreach { r =>
+            throw new IllegalArgumentException(
+              "merge: a target row matches multiple source rows (e.g. row " +
+                s"${r.getAs[Long]("__mmIdx")} of ${r.getAs[String]("__p")} " +
+                s"matched ${r.getAs[Long]("__mm")} times); make the " +
+                "condition more specific")
+          }
+        }
       } else if (matchedClauses.nonEmpty) {
         val dupes = joined.where(col("t.__tgt").isNotNull && col("s.__src").isNotNull)
           .groupBy(col("t.__dv_path"), col("t.__dv_idx"))

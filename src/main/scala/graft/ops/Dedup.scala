@@ -31,6 +31,41 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Incremental dedup of a NEW batch against an EXISTING corpus without
+    * shuffling the batch against the corpus: a Bloom filter over the
+    * corpus fingerprints (built distributed via `stat.bloomFilter`'s
+    * tree aggregation, a few MB for 10⁸ docs at 1% fpp) ships with the
+    * tasks, and batch rows whose fingerprint MISSES it are DEFINITELY
+    * new — they pass map-side, no join, which at 100 TB is almost every
+    * row of a mostly-novel batch. Only the bloom HITS (true dups + fpp
+    * false positives) verify exactly with an anti join against the
+    * corpus fingerprints. The result is EXACT: Bloom filters have no
+    * false negatives, and the verification join removes the false
+    * positives.
+    *
+    * @param expectedCorpusItems sizes the filter (overestimate is safe,
+    *                            underestimate degrades fpp → more rows
+    *                            take the verification join, never wrong
+    *                            results)
+    * @return the rows of `newDocs` whose content does not occur in
+    *         `corpus`
+    */
+  def newAgainstCorpus(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      expectedCorpusItems: Long = 10_000_000L,
+      fpp: Double = 0.01): DataFrame = {
+    val corpusFp = corpus.select(fingerprint(col(textCol)).as("__fp"))
+    val bf = corpusFp.stat.bloomFilter("__fp", expectedCorpusItems, fpp)
+    val mightContain = udf((f: String) => f != null && bf.mightContainString(f))
+    val tagged = newDocs.withColumn("__fp", fingerprint(col(textCol)))
+    val definitelyNew = tagged.where(!mightContain(col("__fp")))
+    val verifiedNew = tagged.where(mightContain(col("__fp")))
+      .join(corpusFp.distinct(), Seq("__fp"), "left_anti")
+    definitelyNew.unionByName(verifiedNew).drop("__fp")
+  }
+
   /** Connected components over a near-dup pair graph — the step that
     * turns pairwise matches into dedup GROUPS (a ~ b ~ c must collapse
     * to one cluster even though (a, c) was never emitted).

@@ -205,6 +205,41 @@ object DedupQueries extends QueryGroup {
           .orderBy(col("id_a"), col("id_b")),
       Some(exactCosineSql(0.8))),
 
+    // ===== Bloom-gated incremental dedup: a new batch against an
+    // existing corpus — definitely-new rows pass MAP-SIDE off the
+    // broadcast filter (no join at all), only bloom hits take the exact
+    // anti join. Result is exact (no false negatives + verification), so
+    // the full oracle applies. The fixture's repeated texts give real
+    // overlap in both directions.
+    QueryDef(
+      "d9_bloom_new_docs",
+      (s, d) => {
+        // the raw fixture has no cross-batch dups, so the "new batch" is
+        // the 1-in-10 sample plus EXACT COPIES of some corpus docs —
+        // both outcomes (definitely-new map-side pass, verified-dup
+        // rejection) are exercised and the oracle is non-vacuous
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val corpus = docs.where(col("doc_id") % 10 =!= 0)
+        val fresh = docs.where(col("doc_id") % 10 === 0)
+          .unionByName(corpus.where(col("doc_id") % 20 === 5)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        Dedup.newAgainstCorpus(fresh, corpus, "text",
+          expectedCorpusItems = 100000L)
+          .select("doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        fresh AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM corpus WHERE doc_id % 20 = 5)
+        SELECT doc_id FROM fresh
+        WHERE ${fingerprintSql("text")} NOT IN (
+          SELECT ${fingerprintSql("text")} FROM corpus)
+        ORDER BY doc_id""")),
+
     // ===== connected components over the dup-pair graph: pairs are
     // emitted as CHAINS within each exact-dup group (a↔b, b↔c — never
     // a↔c), so the min-label propagation must genuinely multi-hop; the

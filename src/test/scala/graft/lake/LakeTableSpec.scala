@@ -151,13 +151,15 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.toDF.where($"id" <= 2).count() === 0)
   }
 
-  test("merge rejects ambiguous multi-match") {
+  test("merge rejects ambiguous multi-match, naming an offending row") {
     val path = tmpDir()
     val t = LakeTable.create(spark, path, sampleDF)
     val dup = Seq((2L, "CA", 1.0), (2L, "CA", 2.0)).toDF("id", "state", "amount")
-    intercept[IllegalArgumentException] {
+    val e = intercept[IllegalArgumentException] {
       t.merge(dup, expr("t.id = s.id"))
     }
+    assert(e.getMessage.contains("matched 2 times"),
+      s"error should carry the example row: ${e.getMessage}")
   }
 
   test("idempotent append skips replayed batch") {

@@ -26,6 +26,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.agg(sum("n_copies")).as[Long].head() === docs.count())
   }
 
+  test("bloom-gated incremental dedup is EXACT vs the plain anti join") {
+    val corpus = docs.where($"doc_id" % 10 =!= 0).select("doc_id", "text")
+    // inject exact copies of corpus docs: the raw fixture has no
+    // cross-batch dups, and the test needs both outcomes
+    val fresh = docs.where($"doc_id" % 10 === 0).select("doc_id", "text")
+      .unionByName(corpus.where($"doc_id" % 20 === 5)
+        .select(($"doc_id" + 1000000).as("doc_id"), $"text"))
+    val got = Dedup.newAgainstCorpus(fresh, corpus, "text",
+      expectedCorpusItems = 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = fresh.join(corpus.select("text").distinct(),
+      Seq("text"), "left_anti").select("doc_id").as[Long].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty && got.size < fresh.count(),
+      "fixture must exercise both outcomes (some new, some dups)")
+    // a deliberately UNDERSIZED filter degrades fpp, never correctness
+    val tiny = Dedup.newAgainstCorpus(fresh, corpus, "text",
+      expectedCorpusItems = 10L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tiny === expected)
+  }
+
   test("prefix-filtered jaccard equals the inverted-index join exactly") {
     // augment with near-dups so qualifying pairs exist, and add
     // boilerplate-heavy docs sharing one ultra-common tail so the
