@@ -62,4 +62,7 @@ object DvAgg extends Aggregator[Long, DvBitmapBuffer, Array[Byte]] {
   */
 private[graft] object DmlMetrics {
   val lastIdentityRowsCollected = new java.util.concurrent.atomic.AtomicLong(-1L)
+  /** true when the most recent DELETE/UPDATE resolved its candidates via
+    * the distributed checkpoint scan instead of a materialized snapshot. */
+  val lastDmlDistributed = new java.util.concurrent.atomic.AtomicBoolean(false)
 }

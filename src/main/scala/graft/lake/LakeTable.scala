@@ -93,7 +93,20 @@ final class LakeTable private (
     * the driver-side path (young/small table, pinned version, or no
     * parquet checkpoint yet).
     */
-  private def distributedRead(filters: Seq[Column]): Option[DataFrame] = {
+  private def distributedRead(filters: Seq[Column]): Option[DataFrame] =
+    distributedResolve(filters).map { case (lite, candidates) =>
+      ReadMetrics.lastReadDistributed.set(true)
+      filters.foldLeft(readFiles(lite, candidates))(_ where _)
+    }
+
+  /** Shared big-log resolution for reads AND DML: a LITE snapshot
+    * (version + metadata, NO materialized file list — callers must not
+    * touch `.files`) plus the `filters`-pruned candidate files, resolved
+    * through the distributed checkpoint scan. None → materialize the
+    * snapshot normally.
+    */
+  private def distributedResolve(
+      filters: Seq[Column]): Option[(Snapshot, Seq[AddFile])] = {
     if (pinnedVersion.isDefined) return None
     val threshold = spark.conf.getOption("spark.graft.log.distributedThreshold")
       .flatMap(_.toLongOption).getOrElse(100000L)
@@ -123,13 +136,26 @@ final class LakeTable private (
                 finalByPath.keySet.toSet,
                 finalByPath.values.flatten.toSeq,
                 resolved, lite.schema, meta.partitionColumns).toSeq
-            ReadMetrics.lastReadDistributed.set(true)
-            filters.foldLeft(readFiles(lite.copy(files = candidates),
-              candidates))(_ where _)
+            (lite, candidates)
           }
       case _ => None
     }
   }
+
+  /** DML entry to the big-log path: (lite snapshot, pre-pruned candidate
+    * files) when engaged, else the materialized snapshot. DELETE/UPDATE
+    * over a million-file table never hold the full file list on the
+    * driver — only the condition's candidates.
+    */
+  private def snapshotForDml(cond: Column): (Snapshot, Option[Seq[AddFile]]) =
+    distributedResolve(Seq(cond)) match {
+      case Some((lite, candidates)) =>
+        DmlMetrics.lastDmlDistributed.set(true)
+        (lite, Some(candidates))
+      case None =>
+        DmlMetrics.lastDmlDistributed.set(false)
+        (snapshot, None)
+    }
 
   /** Time travel (`VERSION AS OF`). */
   def asOf(v: Long): LakeTable = {
@@ -525,9 +551,9 @@ final class LakeTable private (
   def delete(cond: Column, useDvs: Boolean = true,
       dvMaxFraction: Double = 0.5): Long = {
     require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
-    val snap = snapshot
+    val (snap, distCands) = snapshotForDml(cond)
     val pcs = snap.metaData.partitionColumns
-    val cls = classifyMatches(snap, cond, useDvs, dvMaxFraction)
+    val cls = classifyMatches(snap, cond, useDvs, dvMaxFraction, distCands)
     if (cls.touched.isEmpty) return 0L
     val now = System.currentTimeMillis()
     // change data feed: the matched rows ARE the change set
@@ -578,11 +604,16 @@ final class LakeTable private (
   }
 
   private def classifyMatches(snap: Snapshot, cond: Column,
-      useDvs: Boolean, dvMaxFraction: Double): MatchClassification = {
-    val resolvedCond = resolveFilter(cond, snap.schema)
-    val pcs = snap.metaData.partitionColumns
-    val candidates = snap.files.filter(f =>
-      Stats.mightMatch(f, resolvedCond, snap.schema, pcs))
+      useDvs: Boolean, dvMaxFraction: Double,
+      candidatesOverride: Option[Seq[AddFile]] = None): MatchClassification = {
+    // override = the big-log path already pruned candidates on executors
+    // (snap is then a LITE snapshot whose .files must not be touched)
+    val candidates = candidatesOverride.getOrElse {
+      val resolvedCond = resolveFilter(cond, snap.schema)
+      val pcs = snap.metaData.partitionColumns
+      snap.files.filter(f =>
+        Stats.mightMatch(f, resolvedCond, snap.schema, pcs))
+    }
     if (candidates.isEmpty)
       return MatchClassification(Map.empty, Map.empty,
         Seq.empty, Seq.empty, Seq.empty, Seq.empty)
@@ -639,11 +670,11 @@ final class LakeTable private (
   def update(cond: Column, set: Map[String, Column], useDvs: Boolean = true,
       dvMaxFraction: Double = 0.5): Unit = {
     require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
-    val snap = snapshot
+    val (snap, distCands) = snapshotForDml(cond)
     val pcs = snap.metaData.partitionColumns
     val bad = set.keys.filterNot(snap.schema.fieldNames.contains)
     require(bad.isEmpty, s"UPDATE SET on unknown column(s): ${bad.mkString(",")}")
-    val cls = classifyMatches(snap, cond, useDvs, dvMaxFraction)
+    val cls = classifyMatches(snap, cond, useDvs, dvMaxFraction, distCands)
     if (cls.touched.isEmpty) return
     val now = System.currentTimeMillis()
 

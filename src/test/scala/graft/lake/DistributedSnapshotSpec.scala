@@ -72,6 +72,33 @@ class DistributedSnapshotSpec extends AnyFunSuite {
     } finally spark.conf.unset(THRESH)
   }
 
+  test("DELETE and UPDATE over a big log resolve candidates distributed") {
+    val (_, t) = buildManyFileTable() // 22800 rows live (p=7 already deleted)
+    try {
+      spark.conf.set(THRESH, "10")
+      DmlMetrics.lastDmlDistributed.set(false)
+      // whole-partition delete: pure-metadata removes through the big-log path
+      assert(t.delete($"p" === 3L) === 1200L)
+      assert(DmlMetrics.lastDmlDistributed.get(),
+        "DELETE should resolve candidates via the checkpoint scan")
+      // partial delete (half of partition 6): DV path through the
+      // big-log resolution
+      assert(t.delete($"id" % 40 === 6L && $"p" === 6L) === 600L)
+      // update through the big-log path (all p=4 ids are divisible by 4)
+      t.update($"p" === 4L, Map("v" -> lit(-1L)))
+      assert(DmlMetrics.lastDmlDistributed.get())
+
+      // the committed state is correct from BOTH resolution paths
+      val viaDistributed = t.toDF.collect().toSet
+      spark.conf.set(THRESH, "1000000")
+      val viaDriver = t.toDF.collect().toSet
+      assert(viaDistributed === viaDriver)
+      assert(t.toDF.count() === 22800 - 1200 - 600)
+      assert(t.toDF.where($"p" === 3L).count() === 0)
+      assert(t.toDF.where($"v" === -1L).count() === 1200)
+    } finally spark.conf.unset(THRESH)
+  }
+
   test("pinned time-travel handles stay on the driver-side path") {
     val (_, t) = buildManyFileTable()
     try {
