@@ -58,6 +58,22 @@ object SimilarityQueries extends QueryGroup {
           .orderBy(col("q_id"), col("rank")),
       None),
 
+    // ===== product-quantization ANN: the scan reads m-byte codes (64×
+    // compression) and scores them with codegen'd ADC table lookups;
+    // the top k·refine candidates re-rank EXACTLY, so emitted cosines
+    // are exact and only the candidate choice is approximate (rows-only
+    // driver check; recall bound + cosine-exactness in
+    // DedupSimilaritySpec).
+    QueryDef(
+      "sim3_pq_topk",
+      (s, d) =>
+        Similarity.pqTopK(
+          Tables.embeddings(s, d), "embedding", "vec_id",
+          queriesOf(s, d), "embedding", "vec_id",
+          k = 5, m = 16, codebookK = 16, refine = 4)
+          .orderBy(col("q_id"), col("rank")),
+      None),
+
     // ===== the IVF machinery hash-checked (VERDICT r2 #4), d8-style:
     // with nprobe = nLists every inverted list is probed, so each vector
     // is scored against each query exactly once (a vector lives in ONE

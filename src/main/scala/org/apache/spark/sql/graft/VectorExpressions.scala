@@ -311,6 +311,190 @@ case class NormalizeDouble(child: Expression)
     copy(child = newChild)
 }
 
+/** Product-quantization encode: split the vector into `m` subvectors of
+  * `dim/m` dims each and store, per subvector, the index of its nearest
+  * (L2) codebook centroid — one byte per subvector with k ≤ 256. A
+  * 64-dim double vector compresses 64× to an 8-byte code; the ADC scan
+  * ([[PqAdcScore]]) then reads codes, not vectors.
+  *
+  * `codebooks` is row-major [m][k][dim/m], trained on the driver from a
+  * deterministic sample and shipped as a codegen reference (m·k·dim/m
+  * doubles — a few KB).
+  */
+case class PqEncode(child: Expression, codebooks: Array[Double], m: Int,
+    k: Int, dim: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  require(m > 0 && dim % m == 0, s"dim $dim must divide into m $m subvectors")
+  require(k >= 2 && k <= 256, "2..256 centroids per subquantizer (one byte)")
+  private val sub = dim / m
+  require(codebooks.length == m * k * sub, "codebooks must be m*k*(dim/m)")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    PqEncode.encode(v, codebooks, m, k, sub)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cb = ctx.addReferenceObj("codebooks", codebooks, "double[]")
+      s"${ev.value} = org.apache.spark.sql.graft.PqEncode.encode($a, $cb, $m, $k, $sub);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqEncode {
+  /** Shared by eval and codegen: argmin-L2 centroid per subvector. */
+  def encode(v: ArrayData, codebooks: Array[Double], m: Int, k: Int,
+      sub: Int): Array[Byte] = {
+    val out = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val off = (j * k + c) * sub
+        var d = 0.0
+        var i = 0
+        while (i < sub) {
+          val x = v.getDouble(j * sub + i) - codebooks(off + i)
+          d += x * x
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best.toByte
+      j += 1
+    }
+    out
+  }
+}
+
+/** Asymmetric-distance table for one query: entry [j*k + c] is the
+  * squared L2 distance between the query's j-th subvector and codebook
+  * centroid (j, c). Computed once per QUERY row (queries are the tiny
+  * broadcast side), so the per-code scan is a pure table lookup.
+  */
+case class PqAdcTable(child: Expression, codebooks: Array[Double], m: Int,
+    k: Int, dim: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  require(m > 0 && dim % m == 0)
+  private val sub = dim / m
+  require(codebooks.length == m * k * sub)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_adc_table"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val out = new Array[Double](m * k)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < k) {
+        val off = (j * k + c) * sub
+        var d = 0.0
+        var i = 0
+        while (i < sub) {
+          val x = v.getDouble(j * sub + i) - codebooks(off + i)
+          d += x * x
+          i += 1
+        }
+        out(j * k + c) = d
+        c += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cb = ctx.addReferenceObj("codebooks", codebooks, "double[]")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val off = ctx.freshName("off")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      s"""
+        double[] $out = new double[${m * k}];
+        for (int $j = 0; $j < $m; $j++) {
+          for (int $c = 0; $c < $k; $c++) {
+            int $off = ($j * $k + $c) * $sub;
+            double $d = 0.0;
+            for (int $i = 0; $i < $sub; $i++) {
+              double $x = $a.getDouble($j * $sub + $i) - $cb[$off + $i];
+              $d += $x * $x;
+            }
+            $out[$j * $k + $c] = $d;
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ADC scan primitive: approximate squared L2 between a PQ code and the
+  * query behind an [[PqAdcTable]] — m byte-indexed table lookups, no
+  * vector math. This is the expression the codes × queries scan spends
+  * its time in, so it stays inside whole-stage codegen.
+  */
+case class PqAdcScore(left: Expression, right: Expression, m: Int, k: Int)
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.BinaryType, ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_score"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val code = a.asInstanceOf[Array[Byte]]
+    val table = b.asInstanceOf[ArrayData]
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      s += table.getDouble(j * k + (code(j) & 0xff))
+      j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      s"""
+        double $s = 0.0;
+        for (int $j = 0; $j < $m; $j++) {
+          $s += $b.getDouble($j * $k + ($a[$j] & 0xff));
+        }
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column API for the native dot product (double arrays). */
   def dotD(a: Column, b: Column): Column =
@@ -328,4 +512,18 @@ object VectorExpressions {
   def nearestCentroids(v: Column, centroids: Array[Double], dim: Int,
       nProbe: Int): Column =
     Bridge.column(NearestCentroids(Bridge.expr(v), centroids, dim, nProbe))
+
+  /** Column API for product-quantization encode. */
+  def pqEncode(v: Column, codebooks: Array[Double], m: Int, k: Int,
+      dim: Int): Column =
+    Bridge.column(PqEncode(Bridge.expr(v), codebooks, m, k, dim))
+
+  /** Column API for the per-query ADC distance table. */
+  def pqAdcTable(v: Column, codebooks: Array[Double], m: Int, k: Int,
+      dim: Int): Column =
+    Bridge.column(PqAdcTable(Bridge.expr(v), codebooks, m, k, dim))
+
+  /** Column API for the code-vs-table ADC score. */
+  def pqAdcScore(code: Column, table: Column, m: Int, k: Int): Column =
+    Bridge.column(PqAdcScore(Bridge.expr(code), Bridge.expr(table), m, k))
 }
