@@ -42,6 +42,40 @@ object Balance {
       .drop("__rn")
   }
 
+  /** Deterministic uniform in [0,1) from a row id: an md5-prefix hash,
+    * not an RNG — reproducible across engines, re-runs, and partitionings
+    * (the DuckDB twin is `('0x'||substr(md5(id),1,8))::BIGINT /
+    * 4294967296.0`). */
+  def hash01(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") /
+      lit(4294967296.0)
+
+  /** Dataset MIXTURE sampling — the weighting step of a training-data
+    * pipeline: given `(name, df, weight)` sources, emit a mix whose
+    * composition follows the weights, sampling WITHOUT replacement (the
+    * scarcest source relative to its weight pins the total; no source
+    * oversamples). Rows are chosen by the deterministic [[hash01]]
+    * threshold, so the mix is reproducible row-for-row across engines
+    * and re-runs — no RNG partition state.
+    *
+    * One `count()` per source sizes the fractions (bounded by the number
+    * of datasets, not their size); the sampling itself is a map-side
+    * filter per source — no shuffle, no join.
+    */
+  def mixture(sources: Seq[(String, DataFrame, Double)],
+      idCol: String): DataFrame = {
+    require(sources.nonEmpty, "mixture needs at least one source")
+    require(sources.forall(_._3 > 0), "weights must be positive")
+    val counted = sources.map { case (name, df, w) => (name, df, w, df.count()) }
+    require(counted.forall(_._4 > 0L), "every source must be non-empty")
+    val total = counted.map { case (_, _, w, n) => n / w }.min
+    counted.map { case (name, df, w, n) =>
+      val frac = math.min(1.0, w * total / n)
+      df.where(hash01(col(idCol)) < frac)
+        .withColumn("dataset", lit(name))
+    }.reduce(_ unionByName _)
+  }
+
   /** Proportions that downsample every stratum to the size of the
     * smallest (uniform class balance), computed from one count pass —
     * feed to [[stratifiedSample]]. Keyed by the stratum column's RAW

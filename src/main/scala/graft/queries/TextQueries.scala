@@ -217,6 +217,45 @@ object TextQueries extends QueryGroup {
         SELECT lang, least(count(*), 40) AS n
         FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // ===== dataset MIXTURE weighting (the training-mix step): three
+    // synthetic corpora (doc_id mod 3) mixed at 0.5/0.3/0.2 by the
+    // deterministic md5-threshold sampler — both engines compute the
+    // SAME hash and the SAME double fractions from the SAME counts, so
+    // the emitted row set is identical and fully hash-checked (unlike
+    // RNG samplers, whose row choice is engine-private).
+    QueryDef(
+      "mix1_dataset_mixture",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id")
+        graft.ops.Balance.mixture(Seq(
+          ("books", docs.where(col("doc_id") % 3 === 1), 0.3),
+          ("code", docs.where(col("doc_id") % 3 === 2), 0.2),
+          ("web", docs.where(col("doc_id") % 3 === 0), 0.5)),
+          "doc_id")
+          .select(col("dataset"), col("doc_id"))
+          .orderBy(col("dataset"), col("doc_id"))
+      },
+      Some("""
+        WITH src AS (
+          SELECT doc_id,
+                 CASE doc_id % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'books'
+                      ELSE 'code' END AS dataset,
+                 CASE doc_id % 3 WHEN 0 THEN CAST(0.5 AS DOUBLE)
+                      WHEN 1 THEN CAST(0.3 AS DOUBLE)
+                      ELSE CAST(0.2 AS DOUBLE) END AS wt
+          FROM documents),
+        c AS (SELECT dataset, wt, count(*) AS n FROM src GROUP BY dataset, wt),
+        t AS (SELECT min(n / wt) AS total FROM c),
+        f AS (SELECT dataset,
+                     least(CAST(1.0 AS DOUBLE), wt * (SELECT total FROM t) / n)
+                       AS frac
+              FROM c)
+        SELECT s.dataset, s.doc_id
+        FROM src s JOIN f ON s.dataset = f.dataset
+        WHERE (('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8))::BIGINT)
+              / 4294967296.0 < f.frac
+        ORDER BY s.dataset, s.doc_id""")),
+
     // ===== PII redaction (curation-pipeline scrub step): emails and
     // IPv4 addresses replaced by placeholder tags, with per-doc match
     // counts. The fixture has no PII, so deterministic synthetic

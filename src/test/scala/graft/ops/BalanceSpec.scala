@@ -44,6 +44,23 @@ class BalanceSpec extends AnyFunSuite {
     assert(other.collect().toSet !== capped.collect().toSet)
   }
 
+  test("mixture follows weights, never oversamples, and is deterministic") {
+    // en 4000 / de 1000 / fr 200 at weights .5/.3/.2: fr is the scarce
+    // source (200/0.2 = 1000 pins the total) → expect ~500/~300/200
+    val srcs = Seq(
+      ("en", docs.where($"lang" === "en"), 0.5),
+      ("de", docs.where($"lang" === "de"), 0.3),
+      ("fr", docs.where($"lang" === "fr"), 0.2))
+    val mix = Balance.mixture(srcs, "id")
+    val byDs = mix.groupBy("dataset").count().as[(String, Long)].collect().toMap
+    assert(byDs("fr") === 200L, "scarce source keeps everything (frac 1.0)")
+    assert(math.abs(byDs("en") - 500L) < 80, byDs.toString)
+    assert(math.abs(byDs("de") - 300L) < 80, byDs.toString)
+    // deterministic: identical row set on a re-run
+    val again = Balance.mixture(srcs, "id").collect().toSet
+    assert(mix.collect().toSet === again)
+  }
+
   test("balancingFractions keys by raw value: int strata sample correctly") {
     // regression: the map was keyed by String.valueOf, so sampleBy's
     // by-value lookup missed every non-string stratum and returned empty
