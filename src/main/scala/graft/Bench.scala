@@ -113,7 +113,8 @@ object Bench {
     // broadcast counts fail the round diff loudly, not as a timing smear
     val auditNames = Seq("q1_pricing_summary", "q3_shipping_priority",
       "q5_revenue_by_nation", "q18_large_orders", "d1_exact_dedup",
-      "lake3_bucketed_join", "aj1_asof_join", "rj1_range_join")
+      "lake3_bucketed_join", "aj1_asof_join", "rj1_range_join",
+      "q21_waiting_suppliers", "d9_bloom_new_docs", "mix1_dataset_mixture")
     val plans = auditNames.flatMap { n =>
       SparkEntry.queries.get(n).flatMap { fn =>
         try {
