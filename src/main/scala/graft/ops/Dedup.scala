@@ -50,16 +50,27 @@ object Dedup {
     * @return the rows of `newDocs` whose content does not occur in
     *         `corpus`
     */
+  /** @param fpCol when both frames already carry this fingerprint column
+    *              (e.g. [[graft.pipeline.CorpusPipeline.annotate]]'s
+    *              `fp`), reuse it instead of recomputing from `textCol`
+    */
   def newAgainstCorpus(
       newDocs: DataFrame,
       corpus: DataFrame,
       textCol: String,
       expectedCorpusItems: Long = 10_000_000L,
-      fpp: Double = 0.01): DataFrame = {
-    val corpusFp = corpus.select(fingerprint(col(textCol)).as("__fp"))
+      fpp: Double = 0.01,
+      fpCol: Option[String] = None): DataFrame = {
+    val corpusFp = fpCol match {
+      case Some(c) => corpus.select(col(c).as("__fp"))
+      case None => corpus.select(fingerprint(col(textCol)).as("__fp"))
+    }
     val bf = corpusFp.stat.bloomFilter("__fp", expectedCorpusItems, fpp)
     val mightContain = udf((f: String) => f != null && bf.mightContainString(f))
-    val tagged = newDocs.withColumn("__fp", fingerprint(col(textCol)))
+    val tagged = fpCol match {
+      case Some(c) => newDocs.withColumn("__fp", col(c))
+      case None => newDocs.withColumn("__fp", fingerprint(col(textCol)))
+    }
     val definitelyNew = tagged.where(!mightContain(col("__fp")))
     val verifiedNew = tagged.where(mightContain(col("__fp")))
       .join(corpusFp.distinct(), Seq("__fp"), "left_anti")

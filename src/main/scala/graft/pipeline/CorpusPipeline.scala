@@ -81,15 +81,70 @@ object CorpusPipeline {
       }
     val afterNear = curated.count()
 
-    LakeTable.create(spark, s"$outRoot/curated", curated, mode = "overwrite")
-    val stats = curated.groupBy(col("lang_pred"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        round(avg(col("quality")), 4).as("avg_quality"),
-        sum(col("n_tokens")).cast("long").as("total_tokens"))
-    LakeTable.create(spark, s"$outRoot/lang_stats", stats, mode = "overwrite")
+    // CDC-enabled curated table + per-language stats as an INCREMENTAL
+    // materialized view over its change feed: [[curateIncremental]]'s
+    // daily batches refresh the stats from the appended rows alone,
+    // never a rescan of the corpus (the lake5 composition applied to
+    // the curation pipeline)
+    LakeTable.create(spark, s"$outRoot/curated", curated, mode = "overwrite",
+      properties = Map(graft.lake.Cdc.PROP -> "true"))
+    graft.lake.IncrementalMv.create(spark, s"$outRoot/lang_stats",
+      s"$outRoot/curated", groupBy = Seq("lang_pred"),
+      sumCols = Seq("quality", "n_tokens"))
 
     good.unpersist(); exact.unpersist()
     CurateResult(input, afterQuality, afterExact, afterNear)
+  }
+
+  /** The per-language stats in reporting shape, derived from the
+    * incrementally-maintained view (avg = stored sum / non-null count).
+    */
+  def langStats(spark: SparkSession, outRoot: String): DataFrame =
+    LakeTable.forPath(spark, s"$outRoot/lang_stats").toDF
+      .select(col("lang_pred"), col("n").as("n_docs"),
+        round(col("sum_quality") / col("nn_quality"), 4).as("avg_quality"),
+        col("sum_n_tokens").cast("long").as("total_tokens"))
+
+  final case class IncrementResult(
+      input: Long, afterQuality: Long, appended: Long)
+
+  /** Incremental curation — the daily-batch path over a corpus built by
+    * [[curate]]: annotate → quality gate → within-batch exact dedup →
+    * BLOOM-GATED cross-corpus dedup ([[Dedup.newAgainstCorpus]], reusing
+    * the corpus's stored `fp` column — definitely-new rows pass map-side,
+    * only bloom hits take the verification anti join) → append survivors
+    * → refresh the stats view from the change feed. Cost tracks the
+    * BATCH: the corpus contributes one bloom build plus the tiny
+    * verification side, and the stats refresh reads only the appended
+    * rows.
+    */
+  def curateIncremental(
+      spark: SparkSession,
+      newDocs: DataFrame,
+      outRoot: String,
+      minQuality: Double = 0.3,
+      minTokens: Int = 5,
+      expectedCorpusItems: Long = 10_000_000L): IncrementResult = {
+    val curatedT = LakeTable.forPath(spark, s"$outRoot/curated")
+    val input = newDocs.count()
+    val good = annotate(newDocs)
+      .where(col("quality") >= minQuality && col("n_tokens") >= minTokens)
+      .cache()
+    val afterQuality = good.count()
+
+    // within-batch exact dedup, then cross-corpus bloom gate
+    val keepers = good.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val batchUnique = good.join(keepers, Seq("fp", "doc_id"), "left_semi")
+    val fresh = Dedup.newAgainstCorpus(batchUnique, curatedT.toDF, "text",
+      expectedCorpusItems, fpCol = Some("fp")).cache()
+    val appended = fresh.count()
+
+    if (appended > 0)
+      curatedT.append(
+        fresh.select(curatedT.snapshot.schema.fieldNames.map(col).toSeq: _*))
+    graft.lake.IncrementalMv.refresh(spark, s"$outRoot/lang_stats")
+
+    good.unpersist(); fresh.unpersist()
+    IncrementResult(input, afterQuality, appended)
   }
 }

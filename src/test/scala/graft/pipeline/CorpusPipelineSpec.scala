@@ -30,11 +30,52 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(curated.count() === res.afterNear)
     // curated corpus has no exact dups left
     assert(curated.select("fp").distinct().count() === curated.count())
-    // stats table covers every predicted language present
-    val stats = LakeTable.forPath(spark, s"$out/lang_stats").toDF
+    // stats view covers every predicted language present
+    val stats = CorpusPipeline.langStats(spark, out)
     val langs = curated.select("lang_pred").distinct().count()
     assert(stats.count() === langs)
     assert(stats.agg(sum("n_docs")).head().getLong(0) === res.afterNear)
+  }
+
+  test("incremental curation: bloom-gated batch append + stats refresh") {
+    val out = Files.createTempDirectory("corpus-inc-").toString
+    val all = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang", "text")
+    val base = all.where($"doc_id" % 2 === 0)
+    CorpusPipeline.curate(spark, base, out,
+      minQuality = 0.2, minTokens = 3, nearDupThreshold = 0.99)
+    val curatedBefore = LakeTable.forPath(spark, s"$out/curated").toDF
+      .count()
+
+    // batch = genuinely new docs + exact copies of corpus docs (dropped
+    // by the bloom gate) + an in-batch duplicate pair
+    val newOnes = all.where($"doc_id" % 2 === 1)
+    val corpusCopies = base.limit(20)
+      .select(($"doc_id" + 500000).as("doc_id"), $"lang", $"text")
+    val batch = newOnes.unionByName(corpusCopies)
+      .unionByName(newOnes.limit(1)
+        .select(($"doc_id" + 900000).as("doc_id"), $"lang", $"text"))
+    val res = CorpusPipeline.curateIncremental(spark, batch, out,
+      minQuality = 0.2, minTokens = 3, expectedCorpusItems = 1000L)
+
+    val curated = LakeTable.forPath(spark, s"$out/curated").toDF
+    assert(res.appended > 0 && res.appended < res.afterQuality,
+      s"both outcomes must occur: $res")
+    assert(curated.count() === curatedBefore + res.appended)
+    // no fingerprint appears twice after the incremental pass
+    assert(curated.select("fp").distinct().count() === curated.count())
+    // corpus copies and the in-batch dup were rejected
+    assert(curated.where($"doc_id" >= 500000L).count() === 0)
+
+    // the incrementally-refreshed stats equal a from-scratch recompute
+    val stats = CorpusPipeline.langStats(spark, out)
+      .orderBy("lang_pred").collect().toSeq
+    val recomputed = curated.groupBy($"lang_pred")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum($"quality") / count($"quality"), 4).as("avg_quality"),
+        sum($"n_tokens").cast("long").as("total_tokens"))
+      .orderBy("lang_pred").collect().toSeq
+    assert(stats === recomputed)
   }
 
   test("exact duplicates are actually removed") {
