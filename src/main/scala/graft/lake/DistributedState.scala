@@ -26,23 +26,57 @@ import org.apache.spark.sql.types.StructType
 private[lake] object DistributedState {
 
   /** Checkpoint row count from the parquet FOOTER only — the cheap
-    * driver-side signal for "is this table big enough to bother". */
-  def checkpointRows(ckpt: Path): Long = {
-    val in = HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(ckpt.toString), new Configuration(false))
-    val r = ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
-  }
+    * driver-side signal for "is this table big enough to bother". A
+    * checkpoint file is immutable once written, so the count caches
+    * forever (entries are a few bytes; VACUUMed paths just go stale).
+    */
+  def checkpointRows(ckpt: Path): Long =
+    rowsCache.getOrElseUpdate(ckpt.toAbsolutePath.toString, {
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(ckpt.toString), new Configuration(false))
+      val r = ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    })
+
+  private val rowsCache = scala.collection.concurrent.TrieMap.empty[String, Long]
 
   /** The checkpoint's AddFile rows as a typed Dataset — Spark's parquet
     * scan (prunes to the `add` column), JSON sub-blobs decoded per row on
     * executors with the same Jackson helpers the driver log reader uses.
+    *
+    * Checkpoint-to-checkpoint reuse (NEXT r3 #2): the decoded Dataset is
+    * PERSISTED and cached per (session, checkpoint path) — a checkpoint
+    * is immutable, so every read of a hot table between checkpoints
+    * reuses the materialized decode instead of re-scanning the parquet
+    * and re-parsing the JSON stat blobs. Small LRU; evicted entries
+    * unpersist.
     */
   def checkpointFiles(spark: SparkSession, ckpt: Path): Dataset[AddFile] =
-    spark.read.parquet(ckpt.toString)
-      .where(col("add").isNotNull)
-      .select("add.*")
-      .map(decodeAdd)(Encoders.product[AddFile])
+    fileCache.synchronized {
+      val key = System.identityHashCode(spark) + ":" + ckpt.toAbsolutePath
+      Option(fileCache.get(key)).getOrElse {
+        decodeMisses.incrementAndGet()
+        val ds = spark.read.parquet(ckpt.toString)
+          .where(col("add").isNotNull)
+          .select("add.*")
+          .map(decodeAdd)(Encoders.product[AddFile])
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        fileCache.put(key, ds)
+        ds
+      }
+    }
+
+  private val MAX_CACHED = 8
+  private val fileCache =
+    new java.util.LinkedHashMap[String, Dataset[AddFile]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Dataset[AddFile]]): Boolean =
+        if (size > MAX_CACHED) { e.getValue.unpersist(false); true }
+        else false
+    }
+
+  /** Test observability: cache misses that triggered a fresh decode. */
+  private[lake] val decodeMisses = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def decodeAdd(r: Row): AddFile = {
     def optStr(name: String): Option[String] = {

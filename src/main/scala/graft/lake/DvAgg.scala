@@ -62,7 +62,11 @@ object DvAgg extends Aggregator[Long, DvBitmapBuffer, Array[Byte]] {
   */
 private[graft] object DmlMetrics {
   val lastIdentityRowsCollected = new java.util.concurrent.atomic.AtomicLong(-1L)
-  /** true when the most recent DELETE/UPDATE resolved its candidates via
-    * the distributed checkpoint scan instead of a materialized snapshot. */
+  /** true when the most recent DELETE/UPDATE/MERGE resolved its candidates
+    * via the distributed checkpoint scan instead of a materialized
+    * snapshot. */
   val lastDmlDistributed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  /** Touched-file count of the most recent MERGE (post key-range pruning
+    * and prefilter) — lets specs assert the scan really narrowed. */
+  val lastMergeCandidateFiles = new java.util.concurrent.atomic.AtomicLong(-1L)
 }

@@ -94,7 +94,7 @@ final class LakeTable private (
     * parquet checkpoint yet).
     */
   private def distributedRead(filters: Seq[Column]): Option[DataFrame] =
-    distributedResolve(filters).map { case (lite, candidates) =>
+    distributedResolve(_ => filters).map { case (lite, candidates) =>
       ReadMetrics.lastReadDistributed.set(true)
       filters.foldLeft(readFiles(lite, candidates))(_ where _)
     }
@@ -104,9 +104,13 @@ final class LakeTable private (
     * touch `.files`) plus the `filters`-pruned candidate files, resolved
     * through the distributed checkpoint scan. None → materialize the
     * snapshot normally.
+    *
+    * `filtersFor` sees the resolved table schema and runs ONLY when the
+    * big-log path engages — merge's source-range derivation spends its
+    * aggregation job exclusively on tables big enough to benefit.
     */
   private def distributedResolve(
-      filters: Seq[Column]): Option[(Snapshot, Seq[AddFile])] = {
+      filtersFor: StructType => Seq[Column]): Option[(Snapshot, Seq[AddFile])] = {
     if (pinnedVersion.isDefined) return None
     val threshold = spark.conf.getOption("spark.graft.log.distributedThreshold")
       .flatMap(_.toLongOption).getOrElse(100000L)
@@ -126,7 +130,7 @@ final class LakeTable private (
           .orElse(DistributedState.checkpointMeta(spark, ckptPath))
           .map { meta =>
             val lite = Snapshot(target, meta, Seq.empty, Map.empty, Seq.empty)
-            val resolved = filters.map(resolveFilter(_, lite.schema))
+            val resolved = filtersFor(lite.schema).map(resolveFilter(_, lite.schema))
             val candidates: Seq[AddFile] =
               if (resolved.nonEmpty && resolved.exists(e =>
                 Stats.contradictsConstraints(e,
@@ -148,7 +152,7 @@ final class LakeTable private (
     * driver — only the condition's candidates.
     */
   private def snapshotForDml(cond: Column): (Snapshot, Option[Seq[AddFile]]) =
-    distributedResolve(Seq(cond)) match {
+    distributedResolve(_ => Seq(cond)) match {
       case Some((lite, candidates)) =>
         DmlMetrics.lastDmlDistributed.set(true)
         (lite, Some(candidates))
@@ -865,7 +869,37 @@ final class LakeTable private (
           "WHEN NOT MATCHED BY SOURCE UPDATE needs explicit assignments")
       case _ => ()
     }
-    val snap = snapshot
+    // Candidate pruning facts from the source's equi-key ranges
+    // ([[MergePrune]]): at most one aggregation job over the source, run
+    // lazily and only on paths that can use it. With by-source clauses
+    // every target row is a candidate, so no pruning is possible.
+    var keyRangeMemo: Option[Option[Seq[Column]]] = None
+    def keyRange(schema: StructType): Option[Seq[Column]] = {
+      if (keyRangeMemo.isEmpty) keyRangeMemo = Some(
+        if (notMatchedBySourceClauses.nonEmpty) Some(Seq.empty)
+        else try MergePrune.sourceRangeFilters(spark, source, condition, schema)
+        catch { case scala.util.control.NonFatal(_) => Some(Seq.empty) })
+      keyRangeMemo.get
+    }
+
+    // Big-log path (NEXT r3 #1): resolve merge candidates through the
+    // distributed checkpoint scan — the stats filter derived from the
+    // source's key range prunes ON EXECUTORS, and only overlapping
+    // AddFiles ever reach the driver. A merge into a million-file table
+    // holds O(candidate) entries, not O(files).
+    val (snap, distCands) = distributedResolve { schema =>
+      keyRange(schema) match {
+        case None => Seq(lit(false)) // source proves no row can match
+        case Some(fs) => fs
+      }
+    } match {
+      case Some((lite, cands)) =>
+        DmlMetrics.lastDmlDistributed.set(true)
+        (lite, Some(cands))
+      case None =>
+        DmlMetrics.lastDmlDistributed.set(false)
+        (snapshot, None)
+    }
     val tgtSchema = snap.schema
     // source columns resolve case-INsensitively against the target
     // schema (Spark's default resolution; star expansion and WITH
@@ -873,21 +907,39 @@ final class LakeTable private (
     val srcByLower = source.columns.map(c => c.toLowerCase -> c).toMap
 
     // 1. candidate target files: matches only — unless by-source clauses
-    // make every target row a candidate. The prefilter join is a pure
-    // scan optimization (untouched files fall out of the claim map
-    // below anyway on the DV path), so skip its job when the whole
-    // table is small in BYTES (file count says nothing about the cost
-    // of the wide full-outer join the skip widens to).
-    val touched =
-      if (notMatchedBySourceClauses.nonEmpty) snap.files
-      else if (useDvs && snap.sizeInBytes <= (64L << 20)) snap.files
+    // make every target row a candidate. Stats-prune via the source key
+    // ranges first, then the prefilter join narrows to files with ACTUAL
+    // matches (a pure scan optimization — untouched files fall out of
+    // the claim map below anyway on the DV path). The join is skipped
+    // when the whole table is small in BYTES (file count says nothing
+    // about the cost of the wide full-outer join the skip widens to).
+    def prefilterTouched(cands: Seq[AddFile]): Seq[AddFile] =
+      if (cands.isEmpty) Seq.empty
       else {
-        val withFile = toDF.withColumn("__file", input_file_name()).alias("t")
+        val withFile = readFiles(snap, cands)
+          .withColumn("__file", input_file_name()).alias("t")
         val matchedFiles = withFile.join(source.alias("s"), condition, "inner")
           .select(col("t.__file")).distinct().collect()
           .map(r => Stats.normalizeFileUri(r.getString(0))).toSet
-        snap.files.filter(f => matchedFiles.contains(absPath(f)))
+        cands.filter(f => matchedFiles.contains(absPath(f)))
       }
+    val touched = distCands match {
+      case Some(cands) =>
+        if (notMatchedBySourceClauses.nonEmpty) cands
+        else prefilterTouched(cands)
+      case None =>
+        if (notMatchedBySourceClauses.nonEmpty) snap.files
+        else if (useDvs && snap.sizeInBytes <= (64L << 20)) snap.files
+        else keyRange(tgtSchema) match {
+          case None => Seq.empty // no row can match; inserts may still land
+          case Some(fs) =>
+            val resolved = fs.map(resolveFilter(_, tgtSchema))
+            val pcs = snap.metaData.partitionColumns
+            prefilterTouched(snap.files.filter(f =>
+              resolved.forall(e => Stats.mightMatch(f, e, tgtSchema, pcs))))
+        }
+    }
+    DmlMetrics.lastMergeCandidateFiles.set(touched.size.toLong)
 
     // 2. full-outer join of candidate target rows vs source; each target
     // row carries its physical identity (__dv_path, __dv_idx) — the DV
@@ -1558,7 +1610,7 @@ final class LakeTable private (
     val deleted = scala.collection.mutable.ArrayBuffer[String]()
     def walk(dir: Path): Unit = {
       if (!Files.isDirectory(dir)) return
-      Files.list(dir).iterator().asScala.foreach { p =>
+      graft.util.Fs.listDir(dir).foreach { p =>
         val name = p.getFileName.toString
         if (Files.isDirectory(p)) {
           if (name.startsWith(LakeTable.STAGING_PREFIX)) {
@@ -1566,7 +1618,7 @@ final class LakeTable private (
             // never committed — remove wholesale past retention
             if (now - Files.getLastModifiedTime(p).toMillis >= retentionMs) {
               def rm(d: Path): Unit = {
-                Files.list(d).iterator().asScala.foreach { q =>
+                graft.util.Fs.listDir(d).foreach { q =>
                   if (Files.isDirectory(q)) rm(q)
                   else { deleted += root.relativize(q).toString; Files.deleteIfExists(q) }
                 }
@@ -1764,7 +1816,7 @@ object LakeTable {
 
     val dataFiles = scala.collection.mutable.ArrayBuffer[Path]()
     def walk(dir: Path): Unit =
-      Files.list(dir).iterator().asScala.foreach { p =>
+      graft.util.Fs.listDir(dir).foreach { p =>
         if (Files.isDirectory(p)) walk(p)
         else if (p.getFileName.toString.endsWith(".parquet")) dataFiles += p
       }
@@ -1901,7 +1953,7 @@ object LakeTable {
     val root = Paths.get(tablePath)
     val moved = scala.collection.mutable.ArrayBuffer[(String, Path)]()
     def walk(dir: Path): Unit =
-      Files.list(dir).iterator().asScala.foreach { p =>
+      graft.util.Fs.listDir(dir).foreach { p =>
         if (Files.isDirectory(p)) walk(p)
         else if (p.getFileName.toString.endsWith(".parquet")) {
           val rel = staging.relativize(p).toString
@@ -1914,7 +1966,7 @@ object LakeTable {
     walk(staging)
     // clear staging remnants (_SUCCESS etc.)
     def rmdir(dir: Path): Unit = {
-      Files.list(dir).iterator().asScala.foreach { p =>
+      graft.util.Fs.listDir(dir).foreach { p =>
         if (Files.isDirectory(p)) rmdir(p) else Files.deleteIfExists(p)
       }
       Files.deleteIfExists(dir)

@@ -269,6 +269,10 @@ object Stats {
 
 
     e match {
+      // a constant predicate needs no stats at all (merge's "source proves
+      // no match" pruning ships a bare false literal)
+      case Literal(true, BooleanType) => Some(true)
+      case Literal(v, BooleanType) if v == null || v == false => Some(false)
       case And(l, r) =>
         (eval(f, l, schema, pcs), eval(f, r, schema, pcs)) match {
           case (Some(false), _) | (_, Some(false)) => Some(false)
@@ -544,25 +548,61 @@ object Stats {
     out.toMap
   }
 
-  /** A conjunct of `pred` pins a constrained column to values entirely
-    * OUTSIDE its allowed set → provably empty. Conjuncts only — an OR
-    * branch never prunes through this path.
+  /** The conjuncts of `pred` that target one constrained column exclude
+    * EVERY allowed value → provably empty. All recognized conjuncts
+    * (equality, IN, and one-sided comparisons) apply TOGETHER per
+    * column, so a BETWEEN window falling entirely in a GAP of the value
+    * list prunes too — which neither interval min/max reasoning nor
+    * conjunct-at-a-time set membership can see (`CHECK (c IN (1,9))`
+    * admits `c >= 3` and `c <= 5` separately, but no listed value
+    * satisfies both). Unrecognized conjuncts and incomparable values
+    * simply don't exclude (weaker tests keep more values — never an
+    * unsound prune); OR branches never prune through this path.
     */
   private def valueSetContradiction(
       pred: Expression,
       allowed: Map[String, Set[String]],
       schema: StructType): Boolean = {
     if (allowed.isEmpty) return false
-    def outside(c: Expression, vs: Seq[Expression]): Boolean =
-      (for (n <- colName(c); dt <- dtOf(schema, n); set <- allowed.get(n)) yield {
-        val canon = vs.flatMap(litVal).flatMap(canonValueString(dt, _))
-        canon.size == vs.size && canon.forall(!set.contains(_))
-      }).getOrElse(false)
-    conjuncts(nnf(pred)).exists {
-      case EqualTo(l, r) if litVal(r).isDefined => outside(l, Seq(r))
-      case EqualTo(l, r) if litVal(l).isDefined => outside(r, Seq(l))
-      case In(c, list) if list.nonEmpty => outside(c, list)
-      case _ => false
+    val cs = conjuncts(nnf(pred))
+
+    def contradicts(n: String, dt: DataType, set: Set[String]): Boolean = {
+      // canonical-space compare: numerics through BigDecimal, strings
+      // lexicographic; None = incomparable (never grounds an exclusion)
+      def cmp(a: String, b: String): Option[Int] =
+        if (isNumericLike(dt))
+          try Some(BigDecimal(a).compare(BigDecimal(b)))
+          catch { case _: NumberFormatException => None }
+        else Some(a.compareTo(b))
+      def canonLit(e: Expression): Option[String] =
+        litVal(e).flatMap(canonValueString(dt, _))
+      def onCol(e: Expression): Boolean = colName(e).contains(n)
+      // unknown comparison → the value MIGHT satisfy the conjunct
+      def rel(b: String, f: Int => Boolean): String => Boolean =
+        v => cmp(v, b).forall(f)
+
+      val tests: Seq[String => Boolean] = cs.flatMap {
+        case EqualTo(l, r) if onCol(l) => canonLit(r).map(rel(_, _ == 0))
+        case EqualTo(l, r) if onCol(r) => canonLit(l).map(rel(_, _ == 0))
+        case In(c0, list) if onCol(c0) && list.nonEmpty =>
+          val bs = list.flatMap(canonLit)
+          if (bs.size != list.size) None
+          else Some((v: String) => bs.exists(b => cmp(v, b).forall(_ == 0)))
+        case GreaterThan(l, r) if onCol(l) => canonLit(r).map(rel(_, _ > 0))
+        case GreaterThan(l, r) if onCol(r) => canonLit(l).map(rel(_, _ < 0))
+        case GreaterThanOrEqual(l, r) if onCol(l) => canonLit(r).map(rel(_, _ >= 0))
+        case GreaterThanOrEqual(l, r) if onCol(r) => canonLit(l).map(rel(_, _ <= 0))
+        case LessThan(l, r) if onCol(l) => canonLit(r).map(rel(_, _ < 0))
+        case LessThan(l, r) if onCol(r) => canonLit(l).map(rel(_, _ > 0))
+        case LessThanOrEqual(l, r) if onCol(l) => canonLit(r).map(rel(_, _ <= 0))
+        case LessThanOrEqual(l, r) if onCol(r) => canonLit(l).map(rel(_, _ >= 0))
+        case _ => None
+      }
+      tests.nonEmpty && set.forall(v => !tests.forall(t => t(v)))
+    }
+
+    allowed.exists { case (n, set) =>
+      dtOf(schema, n).exists(dt => contradicts(n, dt, set))
     }
   }
 

@@ -81,6 +81,32 @@ class ConstraintPruneSpec extends AnyFunSuite {
       "tier = 'B' OR n > 5", schema))
   }
 
+  test("range windows falling in a gap of the value list prune (NEXT r3 #5)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("n", LongType), StructField("tier", StringType)))
+    // [3,5] sits strictly between allowed 1 and 9: each bound alone is
+    // satisfiable, the conjunction is not
+    assert(verdict(Seq("n IN (1, 9)"), "n >= 3 AND n <= 5", schema))
+    assert(verdict(Seq("n IN (1, 9)"), "n > 1 AND n < 9", schema))
+    // touching an allowed value keeps the window satisfiable
+    assert(!verdict(Seq("n IN (1, 9)"), "n >= 3 AND n <= 9", schema))
+    assert(!verdict(Seq("n IN (1, 9)"), "n >= 1 AND n <= 5", schema))
+    // one-sided beyond the extremes (also caught by interval reasoning,
+    // but must hold through the set path's combined tests)
+    assert(verdict(Seq("n IN (1, 9)"), "n > 9", schema))
+    assert(verdict(Seq("n IN (1, 9)"), "n < 1", schema))
+    // string gap window: 'AB'..'AX' excludes both 'AA' and 'AZ'
+    assert(verdict(Seq("tier IN ('AA', 'AZ')"), "tier >= 'AB' AND tier <= 'AX'", schema))
+    assert(!verdict(Seq("tier IN ('AA', 'AZ')"), "tier >= 'AB'", schema))
+    // mixed: equality + range on the same column combine
+    assert(verdict(Seq("n IN (1, 5, 9)"), "n = 5 AND n > 6", schema))
+    // literal-on-the-left comparisons flip correctly
+    assert(verdict(Seq("n IN (1, 9)"), "3 <= n AND 5 >= n", schema))
+    // reversed BETWEEN over a gap with NOT normalization
+    assert(verdict(Seq("n IN (1, 9)"), "NOT (n < 3 OR n > 5)", schema))
+  }
+
   test("satisfiable or unsupported shapes never claim a contradiction") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(

@@ -99,6 +99,70 @@ class DistributedSnapshotSpec extends AnyFunSuite {
     } finally spark.conf.unset(THRESH)
   }
 
+  test("MERGE over a big log resolves candidates distributed and prunes by source key range") {
+    val (_, t) = buildManyFileTable() // live ids: 0..21999 minus p=7, plus 22000..23999
+    try {
+      spark.conf.set(THRESH, "10")
+      DmlMetrics.lastDmlDistributed.set(false)
+      DmlMetrics.lastMergeCandidateFiles.set(-1L)
+      // source touches a narrow id band: the checkpoint scan must prune
+      // candidate files to the overlapping stats range on executors
+      val source = spark.range(1000, 1020)
+        .select($"id", lit(-5L).as("v2"))
+      t.mergeClauses(source,
+        expr("t.id = s.id"),
+        matchedClauses = Seq(MergeClause.Update(None, Map("v" -> col("s.v2")))),
+        notMatchedClauses = Seq.empty,
+        notMatchedBySourceClauses = Seq.empty)
+      assert(DmlMetrics.lastDmlDistributed.get(),
+        "MERGE should resolve candidates via the checkpoint scan")
+      // ids 1000..1019 live in one batch-0 file per partition (p = id%20,
+      // p=7 deleted) → ~19 touched files out of ~230 live
+      val candidates = DmlMetrics.lastMergeCandidateFiles.get()
+      assert(candidates >= 1 && candidates <= 25,
+        s"source key range [1000,1019] should prune to ~19 files, got $candidates")
+      assert(t.toDF.where($"v" === -5L).count() === 19) // id=1007 (p=7) is deleted
+
+      // upsert: updates + inserts through the same path
+      val source2 = spark.range(23990, 24010)
+        .select($"id", ($"id" * 100).as("v2"))
+      t.mergeClauses(source2,
+        expr("t.id = s.id"),
+        matchedClauses = Seq(MergeClause.Update(None, Map("v" -> col("s.v2")))),
+        notMatchedClauses = Seq(MergeClause.Insert(None, Map(
+          "id" -> col("s.id"), "p" -> (col("s.id") % 20), "v" -> col("s.v2")))),
+        notMatchedBySourceClauses = Seq.empty)
+      assert(t.toDF.where($"id" >= 24000).count() === 10, "inserts landed")
+      assert(t.toDF.where($"v" === 23990L * 100).count() === 1, "updates landed")
+
+      // committed state identical to what the driver-side path computes
+      val viaDistributed = t.toDF.collect().toSet
+      spark.conf.set(THRESH, "1000000")
+      val viaDriver = t.toDF.collect().toSet
+      assert(viaDistributed === viaDriver)
+    } finally spark.conf.unset(THRESH)
+  }
+
+  test("repeated big-log reads reuse the decoded checkpoint (one decode per checkpoint)") {
+    val (_, t) = buildManyFileTable()
+    try {
+      spark.conf.set(THRESH, "10")
+      t.read($"p" === 1L).count()
+      val after1 = DistributedState.decodeMisses.get()
+      t.read($"p" === 2L).count()
+      t.read($"id" > 5000L).count()
+      t.toDF.count()
+      assert(DistributedState.decodeMisses.get() === after1,
+        "same checkpoint: later reads must hit the decoded cache")
+      // a new checkpoint version is a new cache entry
+      (1 to 10).foreach(_ => t.append(
+        spark.range(0, 10).select($"id", ($"id" % 20).as("p"), ($"id" * 2).as("v"))))
+      t.read($"p" === 1L).count()
+      assert(DistributedState.decodeMisses.get() === after1 + 1,
+        "new checkpoint: exactly one fresh decode")
+    } finally spark.conf.unset(THRESH)
+  }
+
   test("pinned time-travel handles stay on the driver-side path") {
     val (_, t) = buildManyFileTable()
     try {
