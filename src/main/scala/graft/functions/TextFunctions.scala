@@ -148,19 +148,56 @@ object TextFunctions {
 
   /** Character n-gram shingles (n consecutive tokens joined) — the MinHash
     * input. */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-  }
+  def shingles(c: Column, n: Int): Column =
+    array_distinct(shinglesAll(c, n))
 
   def shinglesSql(c: String, n: Int): String = {
     val toksSql = tokensSql(c)
     s"""list_distinct(list_transform(
         range(1, greatest(len($toksSql) - ${n - 1}, 0) + 1),
         i -> array_to_string($toksSql[i:i+${n - 1}], ' ')))"""
+  }
+
+  /** Token n-grams WITHOUT dedup — the denominator of the repetition
+    * ratio needs every occurrence. Spark's `sequence(1, 0)` DESCENDS
+    * (yielding a slice at index 0), so documents shorter than n tokens
+    * short-circuit to an empty array instead.
+    */
+  def shinglesAll(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+  }
+
+  private def shinglesAllSql(c: String, n: Int): String = {
+    val toksSql = tokensSql(c)
+    s"""list_transform(
+        range(1, greatest(len($toksSql) - ${n - 1}, 0) + 1),
+        i -> array_to_string($toksSql[i:i+${n - 1}], ' '))"""
+  }
+
+  /** Intra-document REPETITION ratio (the Gopher-style quality rule from
+    * public LLM-data work): `1 − distinct n-grams / total n-grams`; 0
+    * for documents shorter than n tokens. Heavily repetitive documents
+    * (boilerplate, template spam, degenerate generations) score high
+    * and get filtered before training. Integer counts + one final
+    * division in fixed operand order → bit-identical doubles across
+    * engines.
+    */
+  def repetitionRatio(c: Column, n: Int): Column = {
+    val all = shinglesAll(c, n)
+    val tot = size(all).cast("double")
+    when(tot <= 0.0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(all)).cast("double") / tot)
+  }
+
+  def repetitionRatioSql(c: String, n: Int): String = {
+    val all = shinglesAllSql(c, n)
+    s"""CASE WHEN len($all) <= 0 THEN 0.0 ELSE
+        1.0 - CAST(len(list_distinct($all)) AS DOUBLE) /
+              CAST(len($all) AS DOUBLE) END"""
   }
 
   /** MinHash signature: k permutation-hash minima over the shingle set,

@@ -76,6 +76,29 @@ object Balance {
     }.reduce(_ unionByName _)
   }
 
+  /** Deterministic GLOBAL SHUFFLE into training shards — the final
+    * ordering step of a data pipeline: examples must reach the trainer
+    * in a reproducible pseudo-random order, sharded so that no global
+    * sort exists anywhere. `shard` = md5-derived hash of the id mod
+    * `numShards`; `pos` = rank of the full md5 key within the shard
+    * (id tie-break). md5 is engine-portable (unlike RNG or xxhash
+    * orderings), so the layout is identical across engines and re-runs.
+    * One partitioned window per shard — shards shuffle independently;
+    * nothing ever orders the whole corpus on one node.
+    */
+  def shardShuffle(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    df.withColumn("__key", md5(col(idCol).cast("string")))
+      .withColumn("shard",
+        pmod(conv(substring(col("__key"), 1, 8), 16, 10).cast("long"),
+          lit(numShards.toLong)).cast("int"))
+      .withColumn("pos",
+        row_number().over(
+          Window.partitionBy(col("shard"))
+            .orderBy(col("__key"), col(idCol))).cast("long"))
+      .drop("__key")
+  }
+
   /** Proportions that downsample every stratum to the size of the
     * smallest (uniform class balance), computed from one count pass —
     * feed to [[stratifiedSample]]. Keyed by the stratum column's RAW

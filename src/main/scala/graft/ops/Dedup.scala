@@ -77,6 +77,56 @@ object Dedup {
     definitelyNew.unionByName(verifiedNew).drop("__fp")
   }
 
+  /** Train/benchmark DECONTAMINATION report (the eval-leakage scrub of a
+    * training-data pipeline; the n-gram overlap rule of public LLM data
+    * work — e.g. the 13-gram filters described in the GPT-3 and PaLM
+    * papers): a training document is contaminated when it shares at
+    * least `minOverlap` distinct token n-grams with some benchmark
+    * document. Returns one `(train_id, bench_id, overlap)` row per
+    * contaminated pair.
+    *
+    * Inverted-index join on xxhash64'd shingles — the postings shape of
+    * [[ngramJaccardPairs]], but cross-corpus and ASYMMETRIC: a benchmark
+    * is tiny next to a 100 TB train corpus, so its postings broadcast
+    * (no shuffle of the train side beyond the overlap-count aggregation,
+    * which only carries posting hits, never clean documents).
+    */
+  def contaminationReport(
+      train: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      minOverlap: Int = 8): DataFrame = {
+    def postings(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as),
+        array_distinct(transform(shingles(col(textCol), shingleN),
+          x => xxhash64(x))).as("__sh"))
+      .select(col(as), explode(col("__sh")).as("tok"))
+    postings(train, "train_id")
+      .join(broadcast(postings(bench, "bench_id")), Seq("tok"))
+      .groupBy("train_id", "bench_id")
+      .agg(count(lit(1)).as("overlap"))
+      .where(col("overlap") >= minOverlap)
+  }
+
+  /** Training rows with every contaminated document removed — the apply
+    * step over [[contaminationReport]]. Anti join on the report's
+    * distinct train ids: one broadcast-sized set at real benchmark
+    * sizes.
+    */
+  def decontaminate(
+      train: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      minOverlap: Int = 8): DataFrame =
+    train.join(
+      contaminationReport(train, bench, textCol, idCol, shingleN, minOverlap)
+        .select(col("train_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** Connected components over a near-dup pair graph — the step that
     * turns pairwise matches into dedup GROUPS (a ~ b ~ c must collapse
     * to one cluster even though (a, c) was never emitted).
@@ -343,6 +393,67 @@ object Dedup {
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** COMPLETE simhash near-dup pairs within a Hamming radius, with exact
+    * Jaccard verification — the production simhash-dedup shape (Manku,
+    * Jain & Das Sarma, WWW'07; public literature): the 64-bit signature
+    * splits into `maxHamming + 1` contiguous blocks, and two signatures
+    * within the radius differ in at most `maxHamming` bit positions, so
+    * at least one whole block matches exactly (pigeonhole) and the pair
+    * meets in that block's bucket. Candidate recall within the radius is
+    * therefore 1.0 BY CONSTRUCTION — unlike [[simhashPairs]]'s
+    * single-prefix heuristic, which silently drops pairs whose leading
+    * bits differ. Every collision then verifies the exact shingle
+    * Jaccard (same arithmetic as [[ngramJaccardPairs]]), so the output
+    * is deterministic: exactly the >=threshold-Jaccard pairs whose
+    * signatures sit within `maxHamming` bits of each other.
+    *
+    * Scale shape: B-way band explode → salted bucket self-join (the same
+    * skew split as the MinHash path) → O(1) popcount per collision + one
+    * set intersection per survivor; no crossJoin anywhere. Smaller
+    * radii make wider blocks (fewer collisions) — at corpus scale keep
+    * `maxHamming` in the 3-8 range.
+    */
+  def simhashPairsVerified(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 6,
+      shingleN: Int = 3,
+      threshold: Double = 0.2,
+      maxBucket: Int = 4096): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
+    val blocks = maxHamming + 1
+    val base = 64 / blocks
+    val rem = 64 % blocks // the first `rem` blocks carry one extra bit
+    val withSig = df
+      .withColumn("__hs", tokenHashes(col(textCol)))
+      .where(size(col("__hs")) > 0)
+      .withColumn("__sh",
+        array_distinct(transform(shingles(col(textCol), shingleN), x => xxhash64(x))))
+      .withColumn("__sig",
+        org.apache.spark.sql.graft.TextExpressions.simhash64(col("__hs")))
+      .select(col(idCol).as("id"), col("__sh"), col("__sig"))
+      .repartition(col("id")) // materialize signature + shingle set once
+    val banded = withSig.select(
+      col("id"), col("__sh"), col("__sig"),
+      explode(array((0 until blocks).map { bI =>
+        val width = base + (if (bI < rem) 1 else 0)
+        val off = (0 until bI).map(j => base + (if (j < rem) 1 else 0)).sum
+        struct(lit(bI).as("band"),
+          shiftrightunsigned(col("__sig"), off)
+            .bitwiseAND(lit((1L << width) - 1)).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("__sh"), col("__sig"),
+        col("bb.band"), col("bb.bucket"))
+    saltedPairs(banded, maxBucket, Seq("__sh", "__sig"))
+      .where(hamming64(col("__sig_a"), col("__sig_b")) <= maxHamming)
+      .withColumn("jaccard",
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
+          size(array_union(col("__sh_a"), col("__sh_b"))).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -171,6 +171,22 @@ object DedupQueries extends QueryGroup {
           .orderBy(col("id_a"), col("id_b")),
       None),
 
+    // ===== d4's verified companion (NEXT r3 #3): COMPLETE multi-block
+    // simhash banding — pigeonhole guarantees every pair within Hamming 8
+    // shares a block, so candidate recall is 1.0 by construction — plus
+    // exact-Jaccard verification on each collision. On this fixture every
+    // >=0.2-Jaccard pair sits within Hamming 6 of its twin (probed), so
+    // the emitted rows EQUAL the exact pair set and the full
+    // row/schema/hash oracle applies. d4 keeps the heuristic prefix
+    // variant as rows-only; this entry pins the deterministic scale path.
+    QueryDef(
+      "d4v_simhash_verified",
+      (s, d) =>
+        Dedup.simhashPairsVerified(augmentedDocs(s, d),
+          "text", "doc_id", maxHamming = 8, shingleN = 3, threshold = 0.2)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(exactJaccardSql(0.2))),
+
     // ===== embedding-cosine near-dup pairs on a 1-in-5 sample, exact
     // arithmetic twin in DuckDB (list_reduce = same left-to-right order).
     QueryDef(
@@ -239,6 +255,40 @@ object DedupQueries extends QueryGroup {
         WHERE ${fingerprintSql("text")} NOT IN (
           SELECT ${fingerprintSql("text")} FROM corpus)
         ORDER BY doc_id""")),
+
+    // ===== train/benchmark DECONTAMINATION (eval-leakage scrub): the
+    // benchmark is the 1-in-10 sample; the train set is everything else
+    // PLUS verbatim copies of the benchmark (+2000000) — the leaked
+    // docs a real pipeline must catch. Word-soup texts share no 8
+    // 3-grams by accident, so the report is exactly the injected
+    // copies, each overlapping only its own source; counts are exact
+    // (hashed shingles vs DuckDB's string lists — same cardinalities).
+    QueryDef(
+      "d10_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val bench = docs.where(col("doc_id") % 10 === 0)
+        val train = docs.where(col("doc_id") % 10 =!= 0)
+          .unionByName(bench.select(
+            (col("doc_id") + 2000000).as("doc_id"), col("text")))
+        Dedup.contaminationReport(train, bench, "text", "doc_id",
+          shingleN = 3, minOverlap = 8)
+          .orderBy(col("train_id"), col("bench_id"))
+      },
+      Some(s"""
+        WITH bench AS (
+          SELECT doc_id, ${shinglesSql("text", 3)} AS sh FROM documents
+          WHERE doc_id % 10 = 0),
+        train AS (
+          SELECT doc_id, ${shinglesSql("text", 3)} AS sh FROM documents
+          WHERE doc_id % 10 <> 0
+          UNION ALL
+          SELECT doc_id + 2000000, sh FROM bench)
+        SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+               CAST(len(list_intersect(t.sh, b.sh)) AS BIGINT) AS overlap
+        FROM train t, bench b
+        WHERE len(list_intersect(t.sh, b.sh)) >= 8
+        ORDER BY train_id, bench_id""")),
 
     // ===== connected components over the dup-pair graph: pairs are
     // emitted as CHAINS within each exact-dup group (a↔b, b↔c — never

@@ -256,6 +256,63 @@ object TextQueries extends QueryGroup {
               / 4294967296.0 < f.frac
         ORDER BY s.dataset, s.doc_id""")),
 
+    // ===== deterministic SHUFFLE-INTO-SHARDS (the training-order step):
+    // md5-keyed shard assignment + in-shard rank. Both engines compute
+    // the same md5, so shard AND position hash-check exactly — a
+    // trainer reading shard files in pos order sees the identical
+    // example stream from either engine.
+    QueryDef(
+      "mix2_shard_shuffle",
+      (s, d) =>
+        graft.ops.Balance.shardShuffle(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id",
+          numShards = 8)
+          .select(col("shard"), col("pos"), col("doc_id"))
+          .orderBy(col("shard"), col("pos")),
+      Some("""
+        WITH keyed AS (
+          SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      % 8 AS INT) AS shard
+          FROM documents)
+        SELECT shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                    AS BIGINT) AS pos,
+               doc_id
+        FROM keyed ORDER BY shard, pos""")),
+
+    // ===== intra-document REPETITION filter (Gopher-style quality
+    // rule): 1 - distinct/total 3-grams. The fixture's word soup has
+    // near-zero natural repetition, so every 5th sampled doc is DOUBLED
+    // (text || text) — its n-grams all repeat and the ratio jumps ~0.5,
+    // exercising both outcomes. Integer counts + fixed-order division →
+    // bit-identical doubles, full hash check.
+    QueryDef(
+      "rep1_repetition_filter",
+      (s, d) => {
+        val aug = Tables.documents(s, d)
+          .where(col("doc_id") % 10 === 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 50 === 0,
+              concat(col("text"), lit(" "), col("text")))
+              .otherwise(col("text")).as("text"))
+        aug.select(
+          col("doc_id"),
+          repetitionRatio(col("text"), 3).as("rep3"),
+          (repetitionRatio(col("text"), 3) <= 0.2).as("kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH aug AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 50 = 0 THEN text || ' ' || text
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 10 = 0)
+        SELECT doc_id,
+               ${repetitionRatioSql("text", 3)} AS rep3,
+               (${repetitionRatioSql("text", 3)}) <= 0.2 AS kept
+        FROM aug ORDER BY doc_id""")),
+
     // ===== PII redaction (curation-pipeline scrub step): emails and
     // IPv4 addresses replaced by placeholder tags, with per-doc match
     // counts. The fixture has no PII, so deterministic synthetic

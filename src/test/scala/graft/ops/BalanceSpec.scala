@@ -61,6 +61,30 @@ class BalanceSpec extends AnyFunSuite {
     assert(mix.collect().toSet === again)
   }
 
+  test("shardShuffle: a permutation into contiguous per-shard positions") {
+    val ids = spark.range(0, 1000).select($"id")
+    val out = Balance.shardShuffle(ids, "id", numShards = 8)
+    // every input row appears exactly once
+    assert(out.count() === 1000L)
+    assert(out.select("id").distinct().count() === 1000L)
+    // shards are 0..7 and positions are 1..n within each shard
+    val byShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .collect()
+    assert(byShard.map(_.getInt(0)).toSet.subsetOf((0 until 8).toSet))
+    byShard.foreach { r =>
+      assert(r.getLong(2) === 1L && r.getLong(3) === r.getLong(1))
+    }
+    // md5 keying: deterministic across runs, and actually shuffled
+    // (not id order)
+    val again = Balance.shardShuffle(ids, "id", numShards = 8)
+    assert(out.collect().toSet === again.collect().toSet)
+    val firstShard = out.where($"shard" === 0).orderBy($"pos")
+      .select("id").collect().map(_.getLong(0))
+    assert(firstShard.length > 10 && !(firstShard.sorted sameElements firstShard),
+      "in-shard order must be hash order, not id order")
+  }
+
   test("balancingFractions keys by raw value: int strata sample correctly") {
     // regression: the map was keyed by String.valueOf, so sampleBy's
     // by-value lookup missed every non-string stratum and returned empty
