@@ -123,7 +123,7 @@ final class IncrementalLoader(
     val matcher = glob.map(g =>
       root.getFileSystem.getPathMatcher("glob:" + g))
     def walk(dir: java.nio.file.Path): Unit = {
-      val it = Files.list(dir).iterator()
+      val it = graft.util.Fs.listDir(dir).iterator
       while (it.hasNext) {
         val p = it.next()
         if (Files.isDirectory(p)) { if (config.recursiveFileLookup) walk(p) }

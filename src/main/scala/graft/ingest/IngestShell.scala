@@ -55,7 +55,7 @@ object IngestShell {
     val bronze = LakeTable.forPath(spark, ds.tableDir)
     println(s"[ingest-shell] wave1: rows=${bronze.toDF.count()} " +
       s"rescued=${bronze.toDF.where(col("_rescued_data").isNotNull).count()} " +
-      s"landingLeft=${Files.list(landing).count()}")
+      s"landingLeft=${graft.util.Fs.listDir(landing).size}")
 
     wave("w2.json", Seq("""{"id": 3, "item": "cola", "qty": 6}"""))
     runOnce(spark, ds)

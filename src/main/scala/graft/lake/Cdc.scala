@@ -57,7 +57,7 @@ object Cdc {
     val destDir = Paths.get(tablePath, CDC_DIR)
     Files.createDirectories(destDir)
     val moved = scala.collection.mutable.ArrayBuffer[Path]()
-    Files.list(staging).iterator().asScala.foreach { p =>
+    graft.util.Fs.listDir(staging).foreach { p =>
       val name = p.getFileName.toString
       if (name.endsWith(".parquet")) {
         val dest = destDir.resolve(name)

@@ -68,7 +68,7 @@ final class LakeLog(
 
   private def listLog(suffix: String): Seq[(Long, Path)] = {
     if (!Files.isDirectory(logDir)) return Seq.empty
-    val out = Files.list(logDir).iterator().asScala
+    val out = graft.util.Fs.listDir(logDir).iterator
       .flatMap { p =>
         val n = p.getFileName.toString
         if (n.endsWith(suffix) && n.length > suffix.length) {

@@ -106,7 +106,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with FunctionCata
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = Paths.get((warehouse +: namespace).mkString("/"))
     if (!Files.isDirectory(dir)) return Array.empty
-    Files.list(dir).iterator().asScala
+    graft.util.Fs.listDir(dir).iterator
       .filter(p => LakeTable.isLakeTable(p.toString))
       .map(p => Identifier.of(namespace, p.getFileName.toString))
       .toArray
@@ -181,7 +181,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with FunctionCata
     if (!LakeTable.isLakeTable(path.toString)) return false
     def rm(p: java.nio.file.Path): Unit = {
       if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.foreach(rm)
+        graft.util.Fs.listDir(p).foreach(rm)
       Files.deleteIfExists(p)
     }
     rm(path)
@@ -196,7 +196,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with FunctionCata
   override def listNamespaces(): Array[Array[String]] = {
     val root = Paths.get(warehouse)
     if (!Files.isDirectory(root)) return Array.empty
-    Files.list(root).iterator().asScala
+    graft.util.Fs.listDir(root).iterator
       .filter(p => Files.isDirectory(p) && !LakeTable.isLakeTable(p.toString))
       .map(p => Array(p.getFileName.toString))
       .toArray

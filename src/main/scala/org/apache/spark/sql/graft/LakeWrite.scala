@@ -274,7 +274,7 @@ private[graft] object LakePublish {
   def deleteRecursively(p: Path): Unit = {
     if (!Files.exists(p)) return
     if (Files.isDirectory(p)) {
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+      graft.util.Fs.listDir(p).foreach(deleteRecursively)
     }
     Files.deleteIfExists(p)
   }
