@@ -76,6 +76,11 @@ object Bench {
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+        // full GC between queries: the previous query's allocation debt
+        // otherwise lands in THIS query's timer as collection pauses —
+        // a ±1-2 s smear on commit-heavy entries at the driver's reps=1
+        // (GC time runs outside the timer, so totals aren't inflated)
+        System.gc()
         name -> (1 to reps).map(_ => timed(materialize(fn(spark, sfDir)))).min
       }
 

@@ -187,10 +187,15 @@ object TextFunctions {
     * engines.
     */
   def repetitionRatio(c: Column, n: Int): Column = {
-    val all = shinglesAll(c, n)
-    val tot = size(all).cast("double")
+    // counts come from the compiled hash expression, not the string HOF
+    // chain: |windows| and |distinct windows| are equal either way
+    // (modulo ~1e-10 hash collisions), and the division is the same
+    // fixed-order double arithmetic the DuckDB twin performs on strings
+    val x = org.apache.spark.sql.graft.TextExpressions
+    val tot = size(x.allShingleHashes64(lower(c), n)).cast("double")
     when(tot <= 0.0, lit(0.0))
-      .otherwise(lit(1.0) - size(array_distinct(all)).cast("double") / tot)
+      .otherwise(lit(1.0) -
+        size(x.shingleHashes64(lower(c), n)).cast("double") / tot)
   }
 
   def repetitionRatioSql(c: String, n: Int): String = {
@@ -234,7 +239,16 @@ object TextFunctions {
   /** Token xxhash64 array — materialize this ONCE per row (withColumn)
     * before feeding [[simhash64FromHashes]], which walks it 64 times.
     */
-  def tokenHashes(c: Column): Column = transform(tokens(c), t => xxhash64(t))
+  def tokenHashes(c: Column): Column =
+    org.apache.spark.sql.graft.TextExpressions.tokenHashes64(lower(c))
+
+  /** Distinct xxhash64'd n-token shingles in ONE compiled pass — the
+    * fast twin of `array_distinct(transform(shingles(c, n), xxhash64))`
+    * (hash-identical; parity pinned in ShingleHashParitySpec). Every
+    * shingle-based dedup operator feeds from this.
+    */
+  def shingleHashes(c: Column, n: Int): Column =
+    org.apache.spark.sql.graft.TextExpressions.shingleHashes64(lower(c), n)
 
   /** 64-bit SimHash over a materialized hash array: bit j of the result
     * is the sign of Σ(±1) across hashes' j-th bits. Builtin-composed

@@ -100,8 +100,7 @@ object Dedup {
       minOverlap: Int = 8): DataFrame = {
     def postings(df: DataFrame, as: String) = df
       .select(col(idCol).as(as),
-        array_distinct(transform(shingles(col(textCol), shingleN),
-          x => xxhash64(x))).as("__sh"))
+        shingleHashes(col(textCol), shingleN).as("__sh"))
       .select(col(as), explode(col("__sh")).as("tok"))
     postings(train, "train_id")
       .join(broadcast(postings(bench, "bench_id")), Seq("tok"))
@@ -268,11 +267,11 @@ object Dedup {
     // ONCE per row here instead of being inlined (and recomputed) in
     // every downstream join output projection.
     val withSig = df
-      .withColumn("__shs", shingles(col(textCol), shingleN))
-      .where(size(col("__shs")) > 0)
-      // verification set-ops run on hashed shingles (see ngramJaccardPairs);
-      // the signature reuses the same hash array in one native pass
-      .withColumn("__sh", transform(col("__shs"), x => xxhash64(x)))
+      // one compiled pass tokenizes, windows, and hashes (shingleHashes);
+      // verification set-ops run on the same hash array, and the
+      // signature reuses it in a second native pass
+      .withColumn("__sh", shingleHashes(col(textCol), shingleN))
+      .where(size(col("__sh")) > 0)
       .withColumn("__sig", minhashSignatureFromHashes(col("__sh"), k))
       .select(col(idCol).as("id"), col("__sh"), col("__sig"))
       .repartition(col("id"))
@@ -324,7 +323,7 @@ object Dedup {
     // set ops run on xxhash64'd shingles (8-byte longs), not the strings:
     // same Jaccard value (collision odds ~1e-10 at harness scale)
     val s = df.select(col(idCol).as("id"),
-      array_distinct(transform(shingles(col(textCol), shingleN), x => xxhash64(x)))
+      shingleHashes(col(textCol), shingleN)
         .as("sh"))
       .where(size(col("sh")) > 0)
       .select(col("id"), col("sh"), size(col("sh")).as("nsh"))
@@ -369,7 +368,7 @@ object Dedup {
     require(threshold > 0.0, "prefix filtering requires threshold > 0")
     import org.apache.spark.sql.expressions.Window
     val s = df.select(col(idCol).as("id"),
-      array_distinct(transform(shingles(col(textCol), shingleN), x => xxhash64(x)))
+      shingleHashes(col(textCol), shingleN)
         .as("sh"))
       .where(size(col("sh")) > 0)
       .select(col("id"), col("sh"), size(col("sh")).as("nsh"))
@@ -433,7 +432,7 @@ object Dedup {
       .withColumn("__hs", tokenHashes(col(textCol)))
       .where(size(col("__hs")) > 0)
       .withColumn("__sh",
-        array_distinct(transform(shingles(col(textCol), shingleN), x => xxhash64(x))))
+        shingleHashes(col(textCol), shingleN))
       .withColumn("__sig",
         org.apache.spark.sql.graft.TextExpressions.simhash64(col("__hs")))
       .select(col(idCol).as("id"), col("__sh"), col("__sig"))

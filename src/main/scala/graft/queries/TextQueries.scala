@@ -296,10 +296,15 @@ object TextQueries extends QueryGroup {
             when(col("doc_id") % 50 === 0,
               concat(col("text"), lit(" "), col("text")))
               .otherwise(col("text")).as("text"))
-        aug.select(
-          col("doc_id"),
-          repetitionRatio(col("text"), 3).as("rep3"),
-          (repetitionRatio(col("text"), 3) <= 0.2).as("kept"))
+        // repartition = pipeline breaker: the n-gram ratio computes ONCE
+        // per row; `kept` reads the materialized column instead of
+        // re-running the token pipeline (CollapseProject would otherwise
+        // inline it into every use)
+        aug.select(col("doc_id"),
+          repetitionRatio(col("text"), 3).as("rep3"))
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), col("rep3"),
+            (col("rep3") <= 0.2).as("kept"))
           .orderBy(col("doc_id"))
       },
       Some(s"""

@@ -3,8 +3,9 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass 64-bit SimHash over a token-hash array. The builtin
   * composition (64 static-shift `aggregate` HOFs) walks the array 64
@@ -159,10 +160,139 @@ case class MinHashSignature(
     copy(child = newChild)
 }
 
+/** Byte-level tokenize + n-gram window hashing in one compiled pass.
+  *
+  * The composed pipeline — `split` on `\s+`, `filter`, `transform` over
+  * a `sequence`, `array_join(slice(...))`, `xxhash64`, `array_distinct`
+  * — evaluates four higher-order functions through the lambda
+  * INTERPRETER per document, which dominates every shingle-based
+  * operator's runtime (measured ~1 ms/doc). This expression produces
+  * BIT-IDENTICAL hashes in one tight loop:
+  *
+  *  - tokens are maximal runs of non-whitespace BYTES (the ASCII set
+  *    `\s` matches: space, \t, \n, \x0B, \f, \r — multi-byte UTF-8
+  *    units never collide with ASCII, so byte scanning equals the
+  *    regex split + non-empty filter on code points);
+  *  - each n-token window hashes the exact bytes of
+  *    `array_join(slice(tokens, i, n), " ")` (token bytes + 0x20
+  *    separators) through the same XXH64(seed=42) as `xxhash64`;
+  *  - `distinct = true` dedups by hash keeping first occurrence —
+  *    `array_distinct` order.
+  *
+  * Lower-casing stays OUTSIDE (pass `lower(text)`): Spark's `lower` is
+  * already codegen'd and its full-Unicode semantics are not worth
+  * reimplementing.
+  */
+object ShingleHash {
+  // regex `\\s` without UNICODE_CHARACTER_CLASS: space, \t, \n, \x0B, \f, \r
+  private val WS = {
+    val a = new Array[Boolean](128)
+    Seq(32, 9, 10, 11, 12, 13).foreach(a(_) = true)
+    a
+  }
+  @inline private def isWs(b: Byte): Boolean = b >= 0 && b < 128 && WS(b)
+
+  def hashWindows(s: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    // token boundaries (byte ranges)
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nTok = 0
+    var i = 0
+    while (i < len) {
+      if (!isWs(bytes(i))) {
+        val st = i
+        while (i < len && !isWs(bytes(i))) i += 1
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = st; ends(nTok) = i; nTok += 1
+      } else i += 1
+    }
+    val nWin = nTok - n + 1
+    if (nWin <= 0) return new GenericArrayData(Array.emptyLongArray)
+    var buf = new Array[Byte](64)
+    val out = new Array[Long](nWin)
+    var nOut = 0
+    val seen = if (distinct) new java.util.HashSet[java.lang.Long]() else null
+    var w = 0
+    while (w < nWin) {
+      var need = n - 1 // separators
+      var t = w
+      while (t < w + n) { need += ends(t) - starts(t); t += 1 }
+      if (need > buf.length)
+        buf = new Array[Byte](java.lang.Integer.highestOneBit(need) * 2)
+      var pos = 0
+      t = w
+      while (t < w + n) {
+        if (t > w) { buf(pos) = ' '; pos += 1 }
+        val l = ends(t) - starts(t)
+        System.arraycopy(bytes, starts(t), buf, pos, l)
+        pos += l
+        t += 1
+      }
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          pos, 42L)
+      if (seen == null || seen.add(h)) { out(nOut) = h; nOut += 1 }
+      w += 1
+    }
+    new GenericArrayData(
+      if (nOut == out.length) out else java.util.Arrays.copyOf(out, nOut))
+  }
+}
+
+/** Codegen'd wrapper over [[ShingleHash.hashWindows]]: whole-stage
+  * codegen emits ONE static call per row — all per-window work runs in
+  * compiled scala, no lambda interpretation. `n = 1, distinct = false`
+  * is exactly `transform(tokens(c), xxhash64)` (per-token hashes).
+  */
+case class ShingleHashes64(child: Expression, n: Int, distinct: Boolean)
+  extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  require(n >= 1, "window size must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes64"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHash.hashWindows(input.asInstanceOf[UTF8String], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""
+        ${ev.value} = org.apache.spark.sql.graft.ShingleHash.hashWindows(
+          $s, $n, $distinct);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Column API: one-pass simhash over array<long> token hashes. */
   def simhash64(tokenHashes: Column): Column =
     Bridge.column(SimHash64(Bridge.expr(tokenHashes)))
+
+  /** Column API: distinct xxhash64'd n-token shingles of an
+    * already-lowercased text column, one compiled pass. */
+  def shingleHashes64(loweredText: Column, n: Int): Column =
+    Bridge.column(ShingleHashes64(Bridge.expr(loweredText), n, distinct = true))
+
+  /** Column API: per-token xxhash64 (order + duplicates kept) — the
+    * compiled twin of `transform(tokens(c), xxhash64)`. */
+  def tokenHashes64(loweredText: Column): Column =
+    Bridge.column(ShingleHashes64(Bridge.expr(loweredText), 1, distinct = false))
+
+  /** Column API: EVERY n-token window's hash, duplicates kept — the
+    * denominator side of repetition ratios. */
+  def allShingleHashes64(loweredText: Column, n: Int): Column =
+    Bridge.column(ShingleHashes64(Bridge.expr(loweredText), n, distinct = false))
 
   /** Column API: one-pass minhash signature over array<long> shingle
     * hashes. */
