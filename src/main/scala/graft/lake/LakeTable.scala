@@ -492,20 +492,33 @@ final class LakeTable private (
       .schema(snap.schema)
       .option("basePath", path)
       .parquet(fs.map(f => s"$path/${f.path}"): _*)
+    // Partition-spec EVOLUTION: files written under different specs have
+    // different elided-column sets and incompatible directory layouts —
+    // one mixed scan would trip Spark's partition discovery. Scan each
+    // layout GENERATION (distinct elided-column set) separately — the
+    // explicit schema fills elided columns from the hive path and
+    // in-file columns from the data, so every generation produces the
+    // same logical schema — and union.
+    def generations(fs: Seq[AddFile]): Seq[Seq[AddFile]] =
+      fs.groupBy(_.partitionValues.keySet).values.toSeq
     val (dvF, cleanF) = files.partition(f => f.dvPath.isDefined || f.dvInline.isDefined)
     val clean =
       if (cleanF.isEmpty) None
-      else Some(scan(cleanF).select(dataCols ++ metaCols: _*))
+      else Some(generations(cleanF)
+        .map(g => scan(g).select(dataCols ++ metaCols: _*))
+        .reduce(_ unionByName _))
     val masked =
       if (dvF.isEmpty) None
       else {
         val lookup = new DvLookup(path,
           dvF.flatMap(f => f.dvPath.map(absPath(f) -> _)).toMap,
           dvF.flatMap(f => f.dvInline.map(s => absPath(f) -> Dv.decode(s))).toMap)
-        Some(scan(dvF)
-          .where(!org.apache.spark.sql.graft.DvExpressions.rowDeleted(
-            col("_metadata.file_path"), col("_metadata.row_index"), lookup))
-          .select(dataCols ++ metaCols: _*))
+        Some(generations(dvF)
+          .map(g => scan(g)
+            .where(!org.apache.spark.sql.graft.DvExpressions.rowDeleted(
+              col("_metadata.file_path"), col("_metadata.row_index"), lookup))
+            .select(dataCols ++ metaCols: _*))
+          .reduce(_ unionByName _))
       }
     (clean, masked) match {
       case (Some(a), Some(b)) => a.unionByName(b)
@@ -1509,6 +1522,29 @@ final class LakeTable private (
     require(snap.schema.fields.length > 1, "cannot drop the last column")
     val newSchema = StructType(snap.schema.fields.filterNot(_.name == name))
     commitSchemaChange(snap, newSchema, "DROP COLUMN", Map("column" -> name))
+  }
+
+  /** Iceberg-style PARTITION SPEC EVOLUTION — metadata-only (the spec
+    * flexibility the reference's Iceberg primer demonstrates): future
+    * writes lay out under the new spec; existing files stay exactly
+    * where they are and keep their own recorded partition values. Reads
+    * scan each layout generation separately and union; data skipping
+    * consults each FILE's own partition values, so old-generation files
+    * keep pruning on the old spec and new files on the new. Empty
+    * `cols` returns the table to unpartitioned writes.
+    */
+  def alterPartitionSpec(cols: Seq[String]): Unit = {
+    require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
+    val snap = snapshot
+    val bad = cols.filterNot(snap.schema.fieldNames.contains)
+    require(bad.isEmpty, s"no such column(s): ${bad.mkString(",")}")
+    require(cols.distinct.size == cols.size, "duplicate partition columns")
+    val now = System.currentTimeMillis()
+    commitWithRetry(snap.version, Seq(
+      Action.of(snap.metaData.copy(partitionColumns = cols)),
+      Action.of(CommitInfo(now, "SET PARTITION SPEC",
+        Map("partitionColumns" -> cols.mkString(","))))),
+      rebaseable = false)
   }
 
   private def commitSchemaChange(snap: Snapshot, newSchema: StructType,

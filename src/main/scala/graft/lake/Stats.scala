@@ -233,11 +233,15 @@ object Stats {
 
     def cmpRange(name: String, dt: DataType, v: Any)
         : Option[(Int /*min cmp lit*/, Int /*max cmp lit*/)] = {
-      if (pcs.contains(name)) {
+      // THE FILE's own partition values, not the snapshot's current
+      // spec: under partition-spec evolution each generation elides a
+      // different column set, and a file prunes exactly on the columns
+      // IT recorded (old files on the old spec, new on the new — `pcs`
+      // alone would miss the former and misread the latter)
+      if (f.partitionValues.contains(name)) {
         // exact: partition value is a single point
-        val pv = f.partitionValues.get(name)
-        pv match {
-          case Some(s) =>
+        f.partitionValues.get(name) match {
+          case Some(s) if s != null =>
             (dt, v) match {
               case (StringType, lv: org.apache.spark.unsafe.types.UTF8String) =>
                 val c = s.compareTo(lv.toString); Some((c, c))
@@ -246,7 +250,7 @@ object Stats {
                 catch { case _: NumberFormatException => None }
               case _ => None
             }
-          case None => None
+          case _ => None
         }
       } else dt match {
         case StringType =>
@@ -327,12 +331,15 @@ object Stats {
         }
       case IsNull(c) =>
         colName(c).flatMap { n =>
-          if (pcs.contains(n)) Some(f.partitionValues.get(n).contains(null))
+          // per-FILE partition values (spec evolution — see cmpRange)
+          if (f.partitionValues.contains(n))
+            Some(f.partitionValues.get(n).contains(null))
           else f.stats.flatMap(_.nullCount.get(n)).map(_ > 0)
         }
       case IsNotNull(c) =>
         colName(c).flatMap { n =>
-          if (pcs.contains(n)) Some(!f.partitionValues.get(n).contains(null))
+          if (f.partitionValues.contains(n))
+            Some(!f.partitionValues.get(n).contains(null))
           else f.stats.map(s => s.nullCount.getOrElse(n, 0L) < s.numRecords)
         }
       case _ => None // unsupported shape → can't skip

@@ -164,6 +164,35 @@ object LakeQueries extends QueryGroup {
              count(c_acctbal) AS nn
       FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // Iceberg-style partition-spec EVOLUTION under the oracle gate:
+    // create unpartitioned, evolve to PARTITIONED BY o_orderstatus
+    // (metadata-only), append a second slice in the new hive layout,
+    // run a DML that spans BOTH generations, then aggregate behind a
+    // partition filter — the read must prune the new generation on its
+    // directory values, read the old generation's in-file column, and
+    // apply the delete everywhere. DuckDB rebuilds the final state from
+    // the raw table.
+    QueryDef("lake6_partition_evolution", (s, d) => {
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      val t = LakeTable.create(s, tmp("lake-pevo-"),
+        orders.where(col("o_orderkey") % 2 === 0)) // v0: unpartitioned
+      t.alterPartitionSpec(Seq("o_orderstatus")) // v1: metadata-only
+      t.append(orders.where(col("o_orderkey") % 2 === 1)) // v2: p= layout
+      t.delete(col("o_orderstatus") === "P" && col("o_custkey") % 5 === 0)
+      t.toDF.where(col("o_orderstatus") =!= "O")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("o_orderstatus")
+    }, oracle = Some("""
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      FROM orders
+      WHERE NOT (o_orderstatus = 'P' AND o_custkey % 5 = 0)
+        AND o_orderstatus <> 'O'
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // the bucketed DSv2 read path end-to-end: two co-bucketed lake tables
     // joined through the catalog (storage-partitioned join — zero join
     // shuffles, asserted in BucketingSpec; values gated here)

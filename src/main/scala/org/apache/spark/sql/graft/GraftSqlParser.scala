@@ -40,6 +40,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       RunLakeAddConstraint(strip(ident), name, check.trim)
     case DROP_CONSTRAINT_RE(ident, name) if isLakeRef(ident) =>
       RunLakeDropConstraint(strip(ident), name)
+    case SET_PARTITION_SPEC_RE(ident, cols) if isLakeRef(ident) =>
+      RunLakeSetPartitionSpec(strip(ident),
+        cols.split(',').map(c => strip(c.trim)).filter(_.nonEmpty).toSeq)
+    case SET_PARTITION_SPEC_NONE_RE(ident) if isLakeRef(ident) =>
+      RunLakeSetPartitionSpec(strip(ident), Seq.empty)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -87,6 +92,12 @@ object GraftSqlParser {
   private[graft] val ADD_CONSTRAINT_RE =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + TABLE +
       """\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r
+  private[graft] val SET_PARTITION_SPEC_RE =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + TABLE +
+      """\s+SET\s+PARTITION\s+SPEC\s*\(([^)]*)\)\s*;?\s*""").r
+  private[graft] val SET_PARTITION_SPEC_NONE_RE =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + TABLE +
+      """\s+SET\s+PARTITION\s+SPEC\s+NONE\s*;?\s*""").r
   private[graft] val DROP_CONSTRAINT_RE =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + TABLE +
       """\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""").r
@@ -158,6 +169,18 @@ private[graft] case class RunLakeOptimize(ident: String,
         t.compact(where = w.map(org.apache.spark.sql.functions.expr))
     }
     Seq(Row(t.snapshot.numFiles))
+  }
+}
+
+/** `ALTER TABLE t SET PARTITION SPEC (a, b)` / `... SET PARTITION SPEC
+  * NONE` — Iceberg-style partition evolution as SQL: metadata-only;
+  * see [[graft.lake.LakeTable.alterPartitionSpec]]. */
+private[graft] case class RunLakeSetPartitionSpec(ident: String,
+    cols: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftExtensions.resolveTablePath(spark, ident)
+    graft.lake.LakeTable.forPath(spark, path).alterPartitionSpec(cols)
+    Seq.empty
   }
 }
 

@@ -118,10 +118,12 @@ object LakeDmlRule {
   }
 }
 
-/** SQL reads of tables with live deletion vectors: the pinned parquet
-  * scan cannot apply bitmap filters, so substitute the engine's own read
-  * plan (clean-files scan ∪ dv-filtered scan) aliased back to the
-  * relation's exprIds. Write targets are unaffected — V2 write commands
+/** SQL reads of tables with live deletion vectors — or files spanning
+  * multiple partition specs (partition-spec evolution): the pinned
+  * parquet scan cannot apply bitmap filters, and it can only infer ONE
+  * directory layout (other generations' elided columns would read as
+  * null). Substitute the engine's own read plan (per-generation scans,
+  * clean ∪ dv-filtered) aliased back to the relation's exprIds. Write targets are unaffected — V2 write commands
   * hold their table outside the transformed child tree, and DML nodes
   * were already converted by [[LakeDmlRule]] (injected before this).
   */
@@ -130,7 +132,7 @@ class LakeDvReadRule(session: SparkSession) extends Rule[LogicalPlan] {
     plan.resolveOperatorsDown {
       case r: DataSourceV2Relation =>
         r.table match {
-          case t: LakeV2Table if t.hasDvs =>
+          case t: LakeV2Table if t.hasDvs || t.hasMixedPartitionSpecs =>
             val read = t.lake.toDF.queryExecution.analyzed
             Project(read.output.zip(r.output).map { case (a, o) =>
               org.apache.spark.sql.catalyst.expressions.Alias(a, o.name)(

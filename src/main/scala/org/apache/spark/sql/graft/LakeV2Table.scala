@@ -34,6 +34,14 @@ class LakeV2Table(
   def hasDvs: Boolean =
     snap.files.exists(f => f.dvPath.isDefined || f.dvInline.isDefined)
 
+  /** Files written under more than one partition spec (partition-spec
+    * EVOLUTION)? The stock parquet scan can only infer ONE directory
+    * layout — elided columns of the other generations would read as
+    * null — so SQL reads substitute the engine's generation-aware plan,
+    * same as the DV route. */
+  def hasMixedPartitionSpecs: Boolean =
+    snap.files.iterator.map(_.partitionValues.keySet).distinct.size > 1
+
   private val bucketSpec = graft.lake.Bucketing.specOf(snap.metaData)
 
   /** Exposed for [[BucketMismatchGuard]]'s plan-time layout check. */
