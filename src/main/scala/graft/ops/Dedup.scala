@@ -553,4 +553,66 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Semantic (embedding-cluster) near-dup pairs — the SemDeDup recipe
+    * (Abbas et al. 2023, arXiv:2303.09540): spherical k-means clusters
+    * the corpus, pairs are compared only WITHIN a cluster with exact
+    * cosine. Candidate cost is Σ|cluster|², never n², and the cluster id
+    * is the natural 100 TB partitioning key — each reducer sees one
+    * cluster slice, oversized clusters are salted exactly like LSH
+    * buckets ([[saltedPairs]]). Centroid-boundary pairs are caught by
+    * multi-assignment: every vector joins its `nProbe` nearest lists, so
+    * a pair split by one boundary still meets in the other's list
+    * (recall vs the exact baseline is spec-verified; SemanticDedupSpec).
+    * Emitted pairs carry EXACT cosine ([[Similarity.dotNormalized]]) —
+    * candidate generation is the only approximation.
+    *
+    * Centroids train like [[Similarity.ivfTopK]]'s: spherical KMeans on
+    * a hash-ordered driver sample, deterministic under the seed.
+    */
+  def semanticDedupPairs(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double = 0.8,
+      nClusters: Int = 16,
+      nProbe: Int = 2,
+      sampleSize: Int = 4096,
+      seed: Long = 42L,
+      maxBucket: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions.nearestCentroids
+    val dimN = df.select(size(col(vecCol))).head().getInt(0)
+    val v = df.select(col(idCol).as("id"),
+      Similarity.normalized(col(vecCol)).as("nvec"))
+      .repartition(col("id")) // materialize normalization once
+    val sample = v
+      .orderBy(xxhash64(col("id"), lit(seed))) // pseudo-random, deterministic
+      .limit(sampleSize)
+      .select("nvec").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val centroids =
+      Similarity.trainSphericalKMeans(sample, nClusters, dimN, iters = 10)
+    val banded = v.select(col("id"), col("nvec"), lit(0).as("band"),
+      explode(nearestCentroids(col("nvec"), centroids, dimN, nProbe))
+        .as("bucket"))
+    // a pair sharing several probed lists collides more than once;
+    // saltedPairs' global distinct collapses the duplicates
+    saltedPairs(banded, maxBucket, Seq("nvec"))
+      .withColumn("cosine",
+        Similarity.dotNormalized(col("nvec_a"), col("nvec_b")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** SemDeDup keep-set: drop all but one representative (the min id) per
+    * connected component of the semantic pair graph. */
+  def semanticDedup(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double = 0.8,
+      nClusters: Int = 16,
+      nProbe: Int = 2): DataFrame =
+    dedupByPairs(df, idCol,
+      semanticDedupPairs(df, vecCol, idCol, threshold, nClusters, nProbe))
 }

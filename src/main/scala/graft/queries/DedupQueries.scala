@@ -221,6 +221,22 @@ object DedupQueries extends QueryGroup {
           .orderBy(col("id_a"), col("id_b")),
       Some(exactCosineSql(0.8))),
 
+    // ===== SemDeDup semantic dedup (cluster-bounded embedding pairs):
+    // spherical-kmeans clusters, exact cosine only WITHIN a cluster
+    // (multi-assignment catches boundary pairs). On this fixture every
+    // >=0.8 pair is a bit-identical normalized copy of its source, so
+    // both members always land in the same cluster and the emitted rows
+    // EQUAL the exact cosine pair set — full oracle. Recall on harder
+    // (perturbed, boundary-straddling) corpora is spec-verified in
+    // SemanticDedupSpec.
+    QueryDef(
+      "d11_semantic_dedup",
+      (s, d) =>
+        Dedup.semanticDedupPairs(augmentedVecs(s, d),
+          "embedding", "vec_id", threshold = 0.8, nClusters = 8, nProbe = 2)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(exactCosineSql(0.8))),
+
     // ===== Bloom-gated incremental dedup: a new batch against an
     // existing corpus — definitely-new rows pass MAP-SIDE off the
     // broadcast filter (no join at all), only bloom hits take the exact
