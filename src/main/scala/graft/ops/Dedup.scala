@@ -604,6 +604,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Paragraph-level exact dedup (the CCNet boilerplate rule, Wenzek et
+    * al. 2019, arXiv:1911.00359): split each document on `sep`, drop
+    * every paragraph whose exact text already occurred EARLIER in the
+    * corpus (first occurrence by (id, position) wins, globally), and
+    * reassemble the survivors in document order. Documents whose every
+    * paragraph was seen before disappear (their text would be empty).
+    *
+    * Shape at 100 TB: one partial-agg groupBy finds each paragraph's
+    * first occurrence (map-side combine collapses the hot boilerplate
+    * paragraphs inside each task before any shuffle), one join tags
+    * survivors (m×1 on the hot keys — AQE skew-split spreads the copies),
+    * one groupBy(id) reassembles. No window over an unbounded paragraph
+    * group, no driver-side state.
+    */
+  def paragraphDedup(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      sep: String = "\n"): DataFrame = {
+    val segs = df
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .toDF("id", "pos", "seg")
+    val firsts = segs.groupBy("seg")
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
+    segs.join(firsts, Seq("seg"))
+      .where(struct(col("id"), col("pos")) === col("first"))
+      .groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+          x => x("seg")), sep).as(textCol))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** SemDeDup keep-set: drop all but one representative (the min id) per
     * connected component of the semantic pair graph. */
   def semanticDedup(

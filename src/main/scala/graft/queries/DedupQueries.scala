@@ -237,6 +237,54 @@ object DedupQueries extends QueryGroup {
           .orderBy(col("id_a"), col("id_b")),
       Some(exactCosineSql(0.8))),
 
+    // ===== paragraph-level exact dedup (CCNet boilerplate rule): each
+    // doc is recomposed as head ¶ BOILERPLATE ¶ tail, plus full copies
+    // of every 50th doc — so the shared boilerplate paragraph survives
+    // only in the first doc, copy docs lose every paragraph and vanish,
+    // and unique head/tail paragraphs pass through. Exact semantics →
+    // full oracle (DuckDB window replays first-occurrence-wins).
+    QueryDef(
+      "d12_paragraph_dedup",
+      (s, d) => {
+        val boiler = lit("subscribe to our newsletter for updates")
+        def compose(idC: org.apache.spark.sql.Column) =
+          Seq(idC.as("doc_id"),
+            concat_ws("\n", substring(col("text"), 1, 80), boiler,
+              substring(col("text"), 81, 1000000)).as("text"))
+        val docs = Tables.documents(s, d).where(col("doc_id") % 10 === 0)
+        val aug = docs.select(compose(col("doc_id")): _*)
+          .unionByName(docs.where(col("doc_id") % 50 === 0)
+            .select(compose(col("doc_id") + 1000000): _*))
+        Dedup.paragraphDedup(aug, "text", "doc_id").orderBy("doc_id")
+      },
+      Some("""
+        WITH aug AS (
+          SELECT doc_id,
+                 substr(text,1,80) || chr(10) ||
+                 'subscribe to our newsletter for updates' || chr(10) ||
+                 substr(text,81,1000000) AS text
+          FROM documents WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id + 1000000,
+                 substr(text,1,80) || chr(10) ||
+                 'subscribe to our newsletter for updates' || chr(10) ||
+                 substr(text,81,1000000) AS text
+          FROM documents WHERE doc_id % 50 = 0
+        ), segs AS (
+          SELECT doc_id, i AS pos, parts[i] AS seg
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS parts
+                FROM aug),
+               UNNEST(generate_series(1, len(parts))) AS u(i)
+        ), kept AS (
+          SELECT doc_id, pos, seg,
+                 row_number() OVER (PARTITION BY seg
+                                    ORDER BY doc_id, pos) AS rn
+          FROM segs
+        )
+        SELECT doc_id, string_agg(seg, chr(10) ORDER BY pos) AS text
+        FROM kept WHERE rn = 1
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // ===== Bloom-gated incremental dedup: a new batch against an
     // existing corpus — definitely-new rows pass MAP-SIDE off the
     // broadcast filter (no join at all), only bloom hits take the exact

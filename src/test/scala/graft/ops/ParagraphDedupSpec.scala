@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** CCNet-style paragraph dedup: global first-occurrence-wins on exact
+  * paragraph text, reassembly in document order.
+  */
+class ParagraphDedupSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def run(rows: (Long, String)*): Map[Long, String] =
+    Dedup.paragraphDedup(rows.toDF("id", "text"), "text", "id")
+      .as[(Long, String)].collect().toMap
+
+  test("shared boilerplate survives only in its first occurrence") {
+    val out = run(
+      1L -> "alpha\nBOILER\nbeta",
+      2L -> "gamma\nBOILER\ndelta",
+      3L -> "BOILER\nepsilon")
+    assert(out(1L) === "alpha\nBOILER\nbeta")
+    assert(out(2L) === "gamma\ndelta")
+    assert(out(3L) === "epsilon")
+  }
+
+  test("within-doc repeats keep only the first position") {
+    val out = run(4L -> "x\ny\nx\nz\ny")
+    assert(out(4L) === "x\ny\nz")
+  }
+
+  test("a doc whose every paragraph was seen before disappears") {
+    val out = run(
+      1L -> "a\nb",
+      2L -> "a\nb") // exact copy — both paragraphs are dups
+    assert(out === Map(1L -> "a\nb"))
+  }
+
+  test("first occurrence is by (id, position), not input order") {
+    // 'p' appears at (1, pos 1) and (2, pos 0): doc 1 wins
+    val out = run(
+      2L -> "p\nq",
+      1L -> "r\np")
+    assert(out(1L) === "r\np")
+    assert(out(2L) === "q")
+  }
+
+  test("unique paragraphs pass through untouched") {
+    val out = run(5L -> "one\ntwo\nthree", 6L -> "four")
+    assert(out(5L) === "one\ntwo\nthree")
+    assert(out(6L) === "four")
+  }
+}
