@@ -276,18 +276,25 @@ object Dedup {
       .select(col(idCol).as("id"), col("__sh"), col("__sig"))
       .repartition(col("id"))
 
-    // explode into (band, bucketKey) — bucketKey is the band's hash slice
+    // explode into (band, bucketKey) — bucketKey is the band's hash slice.
+    // IDs ONLY through the band join: a doc's shingle set would otherwise
+    // ship once per band (×bands) and the pair-dedup distinct would
+    // compare kilobyte rows; instead candidates dedup on 16-byte id
+    // pairs and the shingle sets join back once per survivor below.
     val banded = withSig.select(
-      col("id"), col("__sh"),
+      col("id"),
       explode(
         array((0 until bands).map { b =>
           struct(lit(b).as("band"),
             array_join(slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand), ",")
               .as("bucket"))
         }: _*)).as("bb"))
-      .select(col("id"), col("__sh"), col("bb.band"), col("bb.bucket"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
 
-    saltedPairs(banded, maxBucket, Seq("__sh"))
+    val sh = withSig.select(col("id"), col("__sh"))
+    saltedPairs(banded, maxBucket, Seq.empty)
+      .join(sh.select(col("id").as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
           size(array_union(col("__sh_a"), col("__sh_b"))).cast("double"))
@@ -437,8 +444,11 @@ object Dedup {
         org.apache.spark.sql.graft.TextExpressions.simhash64(col("__hs")))
       .select(col(idCol).as("id"), col("__sh"), col("__sig"))
       .repartition(col("id")) // materialize signature + shingle set once
+    // only the 8-byte signature rides the band join (the hamming
+    // prefilter needs it); shingle sets join back once per unique
+    // hamming-surviving pair — never ×blocks through the shuffle
     val banded = withSig.select(
-      col("id"), col("__sh"), col("__sig"),
+      col("id"), col("__sig"),
       explode(array((0 until blocks).map { bI =>
         val width = base + (if (bI < rem) 1 else 0)
         val off = (0 until bI).map(j => base + (if (j < rem) 1 else 0)).sum
@@ -446,10 +456,12 @@ object Dedup {
           shiftrightunsigned(col("__sig"), off)
             .bitwiseAND(lit((1L << width) - 1)).as("bucket"))
       }: _*)).as("bb"))
-      .select(col("id"), col("__sh"), col("__sig"),
-        col("bb.band"), col("bb.bucket"))
-    saltedPairs(banded, maxBucket, Seq("__sh", "__sig"))
+      .select(col("id"), col("__sig"), col("bb.band"), col("bb.bucket"))
+    val sh = withSig.select(col("id"), col("__sh"))
+    saltedPairs(banded, maxBucket, Seq("__sig"))
       .where(hamming64(col("__sig_a"), col("__sig_b")) <= maxHamming)
+      .join(sh.select(col("id").as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
           size(array_union(col("__sh_a"), col("__sh_b"))).cast("double"))
@@ -539,15 +551,21 @@ object Dedup {
         org.apache.spark.sql.graft.VectorExpressions
           .hyperplaneBits(col("nvec"), planes, dim))
       .repartition(col("id")) // materialize nvec + signature once
+    // ids only through the band join — the normalized vector would ship
+    // once per band and bloat the pair-dedup distinct; it joins back
+    // once per unique candidate for the exact-cosine verification
     val banded = v.select(
-      col("id"), col("nvec"),
+      col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("__sig"), b * rowsPerBand)
             .bitwiseAND(lit(mask)).as("bucket"))
       }: _*)).as("bb"))
-      .select(col("id"), col("nvec"), col("bb.band"), col("bb.bucket"))
-    saltedPairs(banded, maxBucket, Seq("nvec"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val nv = v.select(col("id"), col("nvec"))
+    saltedPairs(banded, maxBucket, Seq.empty)
+      .join(nv.select(col("id").as("id_a"), col("nvec").as("nvec_a")), Seq("id_a"))
+      .join(nv.select(col("id").as("id_b"), col("nvec").as("nvec_b")), Seq("id_b"))
       .withColumn("cosine",
         Similarity.dotNormalized(col("nvec_a"), col("nvec_b")))
       .where(col("cosine") >= threshold)
@@ -592,12 +610,17 @@ object Dedup {
       .map(_.getSeq[Double](0).toArray)
     val centroids =
       Similarity.trainSphericalKMeans(sample, nClusters, dimN, iters = 10)
-    val banded = v.select(col("id"), col("nvec"), lit(0).as("band"),
+    // ids only through the cluster join (a pair sharing several probed
+    // lists collides more than once; the distinct collapses 16-byte id
+    // pairs, not vector-carrying rows); vectors join back once per
+    // unique candidate for the exact-cosine verification
+    val banded = v.select(col("id"), lit(0).as("band"),
       explode(nearestCentroids(col("nvec"), centroids, dimN, nProbe))
         .as("bucket"))
-    // a pair sharing several probed lists collides more than once;
-    // saltedPairs' global distinct collapses the duplicates
-    saltedPairs(banded, maxBucket, Seq("nvec"))
+    val nv = v.select(col("id"), col("nvec"))
+    saltedPairs(banded, maxBucket, Seq.empty)
+      .join(nv.select(col("id").as("id_a"), col("nvec").as("nvec_a")), Seq("id_a"))
+      .join(nv.select(col("id").as("id_b"), col("nvec").as("nvec_b")), Seq("id_b"))
       .withColumn("cosine",
         Similarity.dotNormalized(col("nvec_a"), col("nvec_b")))
       .where(col("cosine") >= threshold)
