@@ -1547,6 +1547,36 @@ final class LakeTable private (
       rebaseable = false)
   }
 
+  /** Rewrite files whose layout predates the current partition spec into
+    * the current one — Iceberg's `rewrite_data_files` migration path.
+    * [[alterPartitionSpec]] stays metadata-only (old files keep their
+    * layout and reads union per generation); `reorganize` is the
+    * optional, incremental route back to ONE layout: each pass rewrites
+    * only the old-generation files (current-spec files are untouched
+    * metadata), so the cost tracks how much data predates the evolution,
+    * not table size. Files carrying deletion vectors materialize them
+    * away in the same pass ([[readFiles]] applies the bitmaps). Once no
+    * mixed generations remain, SQL reads return to the stock pinned
+    * parquet scan. Returns the number of rows rewritten.
+    */
+  def reorganize(): Long = {
+    require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
+    val snap = snapshot
+    val cur = snap.metaData.partitionColumns
+    val old = snap.files.filter(_.partitionValues.keySet != cur.toSet)
+    if (old.isEmpty) return 0L
+    val data = readFiles(snap, old)
+    val bucketed = Bucketing.specOf(snap.metaData).isDefined
+    // bucketed: stageFiles re-routes rows by hash bucket itself;
+    // partitioned: cluster rows so each new directory gets whole tasks
+    val replacement =
+      if (bucketed || cur.isEmpty) data
+      else data.repartition(cur.map(col): _*)
+    rewrite(snap, old, replacement, "REORGANIZE",
+      Map("rewrittenFiles" -> old.size.toString,
+        "partitionColumns" -> cur.mkString(",")))
+  }
+
   private def commitSchemaChange(snap: Snapshot, newSchema: StructType,
       op: String, params: Map[String, String]): Unit = {
     val now = System.currentTimeMillis()

@@ -77,6 +77,53 @@ object Dedup {
     definitelyNew.unionByName(verifiedNew).drop("__fp")
   }
 
+  /** Incremental [[paragraphDedup]]: scrub a NEW batch against an
+    * existing corpus — batch paragraphs equal to any corpus paragraph
+    * (or to an earlier batch paragraph) drop; survivors reassemble in
+    * document order; fully-deduped documents disappear.
+    *
+    * The corpus side costs one bloom-filter build (or none, if the
+    * caller reuses a persisted filter's fingerprints via `corpusFpCol`
+    * semantics of [[newAgainstCorpus]]): batch paragraphs that MISS the
+    * broadcast filter are definitely-new map-side — no join, no shuffle
+    * of the clean majority — and only bloom hits take the exact anti
+    * join against corpus paragraphs. Batch-proportional cost, the d9
+    * shape applied per paragraph.
+    */
+  def paragraphDedupAgainstCorpus(
+      batch: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      sep: String = "\n",
+      expectedCorpusItems: Long = 10_000_000L,
+      fpp: Double = 0.01): DataFrame = {
+    val q = java.util.regex.Pattern.quote(sep)
+    def segsOf(df: DataFrame) = df
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), q)))
+      .toDF("id", "pos", "seg")
+    val corpusSegs = segsOf(corpus).select("seg")
+    val bf = corpusSegs.stat.bloomFilter("seg", expectedCorpusItems, fpp)
+    val mightContain = udf((s: String) => s != null && bf.mightContainString(s))
+
+    val segs = segsOf(batch)
+    val definitelyNew = segs.where(!mightContain(col("seg")))
+    val verifiedNew = segs.where(mightContain(col("seg")))
+      .join(corpusSegs.distinct(), Seq("seg"), "left_anti")
+    val fresh = definitelyNew.unionByName(verifiedNew)
+    // within-batch first-occurrence-wins, then reassembly — the same
+    // tail as paragraphDedup
+    val firsts = fresh.groupBy("seg")
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
+    fresh.join(firsts, Seq("seg"))
+      .where(struct(col("id"), col("pos")) === col("first"))
+      .groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+          x => x("seg")), sep).as(textCol))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Train/benchmark DECONTAMINATION report (the eval-leakage scrub of a
     * training-data pipeline; the n-gram overlap rule of public LLM data
     * work — e.g. the 13-gram filters described in the GPT-3 and PaLM
@@ -610,6 +657,16 @@ object Dedup {
       .map(_.getSeq[Double](0).toArray)
     val centroids =
       Similarity.trainSphericalKMeans(sample, nClusters, dimN, iters = 10)
+    clusterPairs(v, centroids, dimN, nProbe, threshold, maxBucket)
+  }
+
+  /** Shared tail of the semantic dedup variants: multi-probe cluster
+    * assignment → id-only salted pair join → exact-cosine verification
+    * with the vectors joined back once per unique candidate.
+    */
+  private def clusterPairs(v: DataFrame, centroids: Array[Double],
+      dimN: Int, nProbe: Int, threshold: Double, maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions.nearestCentroids
     // ids only through the cluster join (a pair sharing several probed
     // lists collides more than once; the distinct collapses 16-byte id
     // pairs, not vector-carrying rows); vectors join back once per
@@ -625,6 +682,28 @@ object Dedup {
         Similarity.dotNormalized(col("nvec_a"), col("nvec_b")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** [[semanticDedupPairs]] over a PERSISTED cluster space: centroids and
+    * normalized vectors come from an existing IVF index
+    * ([[Similarity.buildIvfIndex]] / [[Similarity.appendToIvfIndex]]), so
+    * incremental corpus batches dedup in a STABLE cluster space — no
+    * per-call retrain, cluster ids comparable across days, and retrain
+    * cadence delegated to the index's drift gate
+    * ([[Similarity.maybeRetrainIvfIndex]]). The assignments table is
+    * hive-partitioned by list_id, so at scale each cluster's pair join
+    * reads its own inverted-list partition.
+    */
+  def semanticDedupPairsIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      threshold: Double = 0.8,
+      nProbe: Int = 2,
+      maxBucket: Int = 4096): DataFrame = {
+    val (centroids, dimN) = Similarity.loadCodebook(spark, indexPath)
+    val v = graft.lake.LakeTable.forPath(spark, s"$indexPath/assignments")
+      .toDF.select(col("id"), col("nvec"))
+    clusterPairs(v, centroids, dimN, nProbe, threshold, maxBucket)
   }
 
   /** Paragraph-level exact dedup (the CCNet boilerplate rule, Wenzek et

@@ -166,7 +166,7 @@ object Similarity {
     t.snapshot.files.flatMap(_.stats.map(_.numRecords)).sum
 
   /** The codebook as a flat row-major centroid matrix + dimension. */
-  private def loadCodebook(spark: org.apache.spark.sql.SparkSession,
+  private[ops] def loadCodebook(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): (Array[Double], Int) = {
     val cb = graft.lake.LakeTable.forPath(spark, s"$indexPath/codebook").toDF
       .orderBy("list_id").collect()

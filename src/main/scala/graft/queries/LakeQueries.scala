@@ -180,6 +180,7 @@ object LakeQueries extends QueryGroup {
       t.alterPartitionSpec(Seq("o_orderstatus")) // v1: metadata-only
       t.append(orders.where(col("o_orderkey") % 2 === 1)) // v2: p= layout
       t.delete(col("o_orderstatus") === "P" && col("o_custkey") % 5 === 0)
+      t.reorganize() // converge to ONE layout; result must be unchanged
       t.toDF.where(col("o_orderstatus") =!= "O")
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),

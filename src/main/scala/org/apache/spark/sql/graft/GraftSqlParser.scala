@@ -27,6 +27,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case VACUUM_RE(ident, _, hours) =>
       RunLakeVacuum(strip(ident), Option(hours).map(_.toDouble))
+    case REORGANIZE_RE(ident) => RunLakeReorganize(strip(ident))
     case OPTIMIZE_RE(ident, _, where, _, zcols) =>
       RunLakeOptimize(strip(ident),
         Option(zcols).map(_.split(',').map(c => strip(c.trim)).toSeq),
@@ -78,6 +79,8 @@ object GraftSqlParser {
   private[graft] val VACUUM_RE =
     ("""(?is)\s*VACUUM\s+""" + TABLE +
       """(\s+RETAIN\s+([0-9.]+)\s+HOURS?)?\s*;?\s*""").r
+  private[graft] val REORGANIZE_RE =
+    ("""(?is)\s*OPTIMIZE\s+""" + TABLE + """\s+REORGANIZE\s*;?\s*""").r
   private[graft] val OPTIMIZE_RE =
     ("""(?is)\s*OPTIMIZE\s+""" + TABLE +
       """(\s+WHERE\s+(.+?))?(\s+ZORDER\s+BY\s+\(?\s*([\w`,\s]+?)\s*\)?)?\s*;?\s*""").r
@@ -169,6 +172,19 @@ private[graft] case class RunLakeOptimize(ident: String,
         t.compact(where = w.map(org.apache.spark.sql.functions.expr))
     }
     Seq(Row(t.snapshot.numFiles))
+  }
+}
+
+/** `OPTIMIZE t REORGANIZE` — rewrite old-generation files into the
+  * current partition spec; see [[graft.lake.LakeTable.reorganize]]. */
+private[graft] case class RunLakeReorganize(ident: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] =
+    Seq(AttributeReference("num_rows", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftExtensions.resolveTablePath(spark, ident)
+    val n = graft.lake.LakeTable.forPath(spark, path).reorganize()
+    Seq(Row(n))
   }
 }
 

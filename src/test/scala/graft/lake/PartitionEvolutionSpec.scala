@@ -101,6 +101,56 @@ class PartitionEvolutionSpec extends AnyFunSuite {
     assert(t.snapshot.metaData.partitionColumns === Seq.empty)
   }
 
+  test("reorganize rewrites only old-generation files into the current spec") {
+    val path = Files.createTempDirectory("pevo5-").toString
+    val t = LakeTable.create(spark, path, batch(0, 500)) // gen 0: flat
+    t.alterPartitionSpec(Seq("p"))
+    t.append(batch(500, 1000)) // gen 1: p= layout
+    val newGenFiles = t.snapshot.files
+      .filter(_.partitionValues.keySet == Set("p")).map(_.path).toSet
+    assert(newGenFiles.nonEmpty)
+
+    assert(t.reorganize() === 500L) // only the flat generation rewrites
+    val after = t.snapshot.files
+    // one layout remains, current-spec files untouched
+    assert(after.forall(_.partitionValues.keySet == Set("p")))
+    assert(newGenFiles.subsetOf(after.map(_.path).toSet))
+    assert(t.history.select("operation").head.getString(0) === "REORGANIZE")
+    // content unchanged; pruning now applies to every file
+    assert(t.toDF.collect().toSet === batch(0, 1000).collect().toSet)
+    assert(t.read($"p" === 3).inputFiles.length < after.size)
+    assert(t.reorganize() === 0L) // idempotent: nothing left to rewrite
+  }
+
+  test("reorganize materializes deletion vectors of old-generation files") {
+    val path = Files.createTempDirectory("pevo6-").toString
+    val t = LakeTable.create(spark, path, batch(0, 200))
+    t.delete($"id" < 10L) // small fraction → DV sidecar, no rewrite
+    def hasDv(f: AddFile) = f.dvPath.isDefined || f.dvInline.isDefined
+    assert(t.snapshot.files.exists(hasDv))
+    t.alterPartitionSpec(Seq("p"))
+    assert(t.reorganize() === 190L) // live rows only
+    assert(!t.snapshot.files.exists(hasDv))
+    assert(t.toDF.count() === 190)
+    assert(t.toDF.where($"id" < 10L).count() === 0)
+  }
+
+  test("SQL surface: OPTIMIZE ... REORGANIZE") {
+    val w = Files.createTempDirectory("pevo-wh2-").toString
+    spark.conf.set("spark.sql.catalog.pevolake2",
+      "org.apache.spark.sql.graft.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.pevolake2.warehouse", w)
+    Files.createDirectories(java.nio.file.Paths.get(s"$w/db"))
+    val t = LakeTable.create(spark, s"$w/db/pevo_r", batch(0, 100))
+    spark.sql("ALTER TABLE pevolake2.db.pevo_r SET PARTITION SPEC (p)")
+    t.append(batch(100, 200))
+    val n = spark.sql("OPTIMIZE pevolake2.db.pevo_r REORGANIZE")
+      .head().getLong(0)
+    assert(n === 100L)
+    assert(t.snapshot.files.forall(_.partitionValues.keySet == Set("p")))
+    assert(spark.sql("SELECT count(*) FROM pevolake2.db.pevo_r").head().getLong(0) === 200)
+  }
+
   test("validation: unknown and duplicate columns are rejected") {
     val path = Files.createTempDirectory("pevo4-").toString
     val t = LakeTable.create(spark, path, batch(0, 10))

@@ -52,4 +52,35 @@ class ParagraphDedupSpec extends AnyFunSuite {
     assert(out(5L) === "one\ntwo\nthree")
     assert(out(6L) === "four")
   }
+
+  test("incremental: batch paragraphs scrub against the corpus") {
+    val corpus = Seq(
+      1L -> "alpha\nBOILER",
+      2L -> "beta").toDF("id", "text")
+    val batch = Seq(
+      10L -> "gamma\nBOILER\ndelta", // BOILER known to the corpus
+      11L -> "alpha\nbeta",          // both paragraphs known
+      12L -> "epsilon\nzeta\nepsilon") // within-batch repeat
+      .toDF("id", "text")
+    val out = Dedup.paragraphDedupAgainstCorpus(
+      batch, corpus, "text", "id", expectedCorpusItems = 100L)
+      .as[(Long, String)].collect().toMap
+    assert(out(10L) === "gamma\ndelta")
+    assert(!out.contains(11L)) // fully deduped → dropped
+    assert(out(12L) === "epsilon\nzeta")
+  }
+
+  test("incremental equals batch dedup restricted to the new docs") {
+    // running corpus+batch through the global dedup and keeping only
+    // batch ids must equal the incremental result (corpus ids < batch)
+    val corpus = Seq(1L -> "a\nb", 2L -> "c").toDF("id", "text")
+    val batch = Seq(10L -> "b\nd", 11L -> "e\na\ne").toDF("id", "text")
+    val global = Dedup.paragraphDedup(
+        corpus.unionByName(batch), "text", "id")
+      .as[(Long, String)].collect().toMap.filter(_._1 >= 10L)
+    val inc = Dedup.paragraphDedupAgainstCorpus(
+        batch, corpus, "text", "id", expectedCorpusItems = 100L)
+      .as[(Long, String)].collect().toMap
+    assert(inc === global)
+  }
 }

@@ -87,6 +87,30 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(keptIds.size === vecs.count() - losers.size)
   }
 
+  test("indexed variant: persisted cluster space, stable across batches") {
+    val idx = java.nio.file.Files.createTempDirectory("semidx-").toString
+    val (first, second) = {
+      val all = vecs.as[(Long, Array[Float])].collect().sortBy(_._1)
+      val (a, b) = all.splitAt(all.length / 2)
+      (a.toSeq.toDF("vec_id", "embedding"), b.toSeq.toDF("vec_id", "embedding"))
+    }
+    Similarity.buildIvfIndex(first, "embedding", "vec_id", idx, nLists = 6)
+    Similarity.appendToIvfIndex(second, "embedding", "vec_id", idx)
+
+    val indexed = Dedup.semanticDedupPairsIndexed(spark, idx,
+      threshold = 0.9, nProbe = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.embeddingPairs(vecs, "embedding", "vec_id",
+      threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // same structural guarantees as the per-call variant: candidates
+    // verify exactly (no false positives) and cluster-bounded recall
+    // holds even though half the corpus was assigned incrementally
+    assert(indexed.subsetOf(exact))
+    assert(indexed.size.toDouble / exact.size >= 0.9,
+      s"recall ${indexed.size}/${exact.size}")
+  }
+
   test("deterministic under the seed") {
     def run() = Dedup.semanticDedupPairs(vecs, "embedding", "vec_id",
       threshold = 0.9, nClusters = 6, nProbe = 2)
