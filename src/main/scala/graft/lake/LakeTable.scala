@@ -440,11 +440,18 @@ final class LakeTable private (
   private def resolveFilter(
       c: Column,
       schema: StructType): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.optimizer.{ConstantFolding, ReplaceExpressions}
     import org.apache.spark.sql.catalyst.plans.logical.Filter
     val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    empty.where(c).queryExecution.analyzed.collectFirst {
+    // fold computed literals (to_date('…'), date arithmetic) so the stats
+    // evaluator sees plain Literals — otherwise date filters never prune;
+    // ReplaceExpressions first: to_date and friends are RuntimeReplaceable
+    // (not directly evaluable) until rewritten to their runtime form
+    val analyzed = empty.where(c).queryExecution.analyzed
+    ConstantFolding(ReplaceExpressions(analyzed)).collectFirst {
       case f: Filter => f.condition
-    }.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal(true))
+    }.getOrElse(Literal(true))
   }
 
   // ---- DML (copy-on-write rewrites, SURVEY §7.3) -----------------------
@@ -1341,7 +1348,8 @@ final class LakeTable private (
     // ceil(bytes/target) round-robin
     val replacement =
       if (bucketed) data
-      else if (pcs.nonEmpty) data.repartition(groups.size, pcs.map(col): _*)
+      else if (pcs.nonEmpty) data.repartition(groups.size,
+        PartitionTransforms.layoutColumns(pcs, snap.schema): _*)
       else {
         val bytes = touched.map(_.size).sum
         val n = math.max(1L, bytes / targetFileBytes +
@@ -1499,6 +1507,9 @@ final class LakeTable private (
     require(!snap.schema.fieldNames.contains(newName), s"column exists: $newName")
     require(!snap.metaData.partitionColumns.contains(oldName),
       s"cannot rename partition column $oldName (partition values are keyed by name)")
+    require(!PartitionTransforms.transforms(snap.metaData.partitionColumns)
+        .exists(_.col == oldName),
+      s"cannot rename partition-transform source column $oldName")
     require(!Bucketing.specOf(snap.metaData).exists(_.columns.contains(oldName)),
       s"cannot rename bucket column $oldName (file bucket ids are keyed by it)")
     val newSchema = StructType(snap.schema.fields.map(f =>
@@ -1517,6 +1528,9 @@ final class LakeTable private (
     require(snap.schema.fieldNames.contains(name), s"no such column: $name")
     require(!snap.metaData.partitionColumns.contains(name),
       s"cannot drop partition column $name")
+    require(!PartitionTransforms.transforms(snap.metaData.partitionColumns)
+        .exists(_.col == name),
+      s"cannot drop partition-transform source column $name")
     require(!Bucketing.specOf(snap.metaData).exists(_.columns.contains(name)),
       s"cannot drop bucket column $name (file bucket ids are keyed by it)")
     require(snap.schema.fields.length > 1, "cannot drop the last column")
@@ -1536,9 +1550,7 @@ final class LakeTable private (
   def alterPartitionSpec(cols: Seq[String]): Unit = {
     require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
     val snap = snapshot
-    val bad = cols.filterNot(snap.schema.fieldNames.contains)
-    require(bad.isEmpty, s"no such column(s): ${bad.mkString(",")}")
-    require(cols.distinct.size == cols.size, "duplicate partition columns")
+    PartitionTransforms.validate(cols, snap.schema)
     val now = System.currentTimeMillis()
     commitWithRetry(snap.version, Seq(
       Action.of(snap.metaData.copy(partitionColumns = cols)),
@@ -1571,7 +1583,8 @@ final class LakeTable private (
     // partitioned: cluster rows so each new directory gets whole tasks
     val replacement =
       if (bucketed || cur.isEmpty) data
-      else data.repartition(cur.map(col): _*)
+      else data.repartition(
+        PartitionTransforms.layoutColumns(cur, snap.schema): _*)
     rewrite(snap, old, replacement, "REORGANIZE",
       Map("rewrittenFiles" -> old.size.toString,
         "partitionColumns" -> cur.mkString(",")))
@@ -1796,8 +1809,7 @@ object LakeTable {
       partitionBy: Seq[String] = Seq.empty,
       properties: Map[String, String] = Map.empty): Unit = {
     require(!isLakeTable(path), s"lake table already exists: $path")
-    val bad = partitionBy.filterNot(schema.fieldNames.contains)
-    require(bad.isEmpty, s"partition column(s) not in schema: ${bad.mkString(",")}")
+    PartitionTransforms.validate(partitionBy, schema)
     Files.createDirectories(Paths.get(path))
     val now = System.currentTimeMillis()
     val withIds = assignFieldIds(schema)
@@ -1847,8 +1859,9 @@ object LakeTable {
       return t
     }
     val schema = assignFieldIds(df.schema)
-    val bad = (partitionBy ++ bucketBy).filterNot(schema.fieldNames.contains)
-    require(bad.isEmpty, s"partition/bucket column(s) not in schema: ${bad.mkString(",")}")
+    PartitionTransforms.validate(partitionBy, schema)
+    val bad = bucketBy.filterNot(schema.fieldNames.contains)
+    require(bad.isEmpty, s"bucket column(s) not in schema: ${bad.mkString(",")}")
     Files.createDirectories(Paths.get(path))
     val now = System.currentTimeMillis()
     val bucketProps =
@@ -2002,15 +2015,29 @@ object LakeTable {
         case None => col(n)
       }
     }.toSeq: _*)
+    // hidden partitioning: transform entries materialize their synthetic
+    // __pt_ directory column (the source column stays in the data file);
+    // identity entries elide as plain hive dirs
+    val pFields = PartitionTransforms.parseAll(partitionCols)
+    val layoutCols = pFields.map {
+      case PartitionTransforms.Identity(c) => c
+      case t: PartitionTransforms.Transform => t.dirName
+    }
+    val df2t = pFields.foldLeft(df2) {
+      case (d, t: PartitionTransforms.Transform) =>
+        d.withColumn(t.dirName,
+          PartitionTransforms.column(t, schema(t.col).dataType))
+      case (d, _) => d
+    }
     // bucketed layout: route rows into `__bucket=K/` staging dirs by the
     // canonical bucket hash; each resulting file holds exactly one bucket
     val (df3, writeCols) = bucketSpec match {
       case Some(Bucketing.Spec(bcols, n)) =>
-        (df2.withColumn(Bucketing.BUCKET_DIR_COL,
+        (df2t.withColumn(Bucketing.BUCKET_DIR_COL,
             Bucketing.bucketId(bcols.map(col), n))
           .repartition(n, col(Bucketing.BUCKET_DIR_COL)),
-          partitionCols :+ Bucketing.BUCKET_DIR_COL)
-      case None => (df2, partitionCols)
+          layoutCols :+ Bucketing.BUCKET_DIR_COL)
+      case None => (df2t, layoutCols)
     }
     val writer = df3.write.mode("overwrite")
     (if (writeCols.nonEmpty) writer.partitionBy(writeCols: _*) else writer)

@@ -231,6 +231,45 @@ object Stats {
     def strState(name: String): (Option[String], Option[String]) =
       (f.stats.flatMap(_.minValues.get(name)), f.stats.flatMap(_.maxValues.get(name)))
 
+    /** A hidden-partitioning (`__pt_*`) entry whose transform SOURCE is
+      * `name` — self-describing from the dir key, so it works for any
+      * generation without consulting the current spec. */
+    def transformEntry(name: String)
+        : Option[(PartitionTransforms.Transform, String)] =
+      f.partitionValues.collectFirst(scala.Function.unlift {
+        case (k, value) =>
+          PartitionTransforms.parseDirKey(k)
+            .filter(_.col == name).map(_ -> value)
+      })
+
+    /** Source-column range implied by a transform partition value,
+      * mapped into cmpRange's (min cmp lit, max cmp lit) contract. The
+      * range is OUTER ([lo, hi), hi possibly exclusive): comparisons
+      * resolve to ±1/0 only when sound for skipping, else widen. */
+    def transformCmp(name: String, dt: DataType, v: Any): Option[(Int, Int)] =
+      transformEntry(name).filter(_._2 != null).flatMap { case (tf, value) =>
+        PartitionTransforms.sourceRange(tf, value, dt).flatMap {
+          case (scala.Left(lo), scala.Left(hi), hiExcl) =>
+            litCmp(dt, v).map { lc =>
+              val cmi = lo.compare(lc)
+              val raw = hi.compare(lc)
+              // exclusive hi: rows are < hi, so hi<=lit proves max<lit;
+              // otherwise the true max is unknown — claim >0 (no skip)
+              (cmi, if (!hiExcl) raw else if (raw <= 0) -1 else 1)
+            }
+          case (scala.Right(lo), scala.Right(hi), _) =>
+            (v match {
+              case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+              case s: String => Some(s)
+              case _ => None
+            }).map { lv =>
+              val raw = hi.compareTo(lv)
+              (lo.compareTo(lv), if (raw <= 0) -1 else 1)
+            }
+          case _ => None
+        }
+      }
+
     def cmpRange(name: String, dt: DataType, v: Any)
         : Option[(Int /*min cmp lit*/, Int /*max cmp lit*/)] = {
       // THE FILE's own partition values, not the snapshot's current
@@ -252,13 +291,13 @@ object Stats {
             }
           case _ => None
         }
-      } else dt match {
+      } else (dt match {
         case StringType =>
           val (mi, ma) = strState(name)
           val lv = v match {
             case u: org.apache.spark.unsafe.types.UTF8String => u.toString
             case s: String => s
-            case _ => return None
+            case _ => return transformCmp(name, dt, v)
           }
           for (a <- mi; b <- ma) yield (a.compareTo(lv), b.compareTo(lv))
         case _ =>
@@ -268,7 +307,9 @@ object Stats {
             ac <- toCmp(dt, a); bc <- toCmp(dt, b)
             lc <- litCmp(dt, v)
           } yield (ac.compare(lc), bc.compare(lc))
-      }
+      // footer stats are tighter when present; the transform range is
+      // the fallback (stats-capped columns, stats-free files)
+      }).orElse(transformCmp(name, dt, v))
     }
 
 
@@ -335,12 +376,15 @@ object Stats {
           if (f.partitionValues.contains(n))
             Some(f.partitionValues.get(n).contains(null))
           else f.stats.flatMap(_.nullCount.get(n)).map(_ > 0)
+            // transform layout: the null dir holds ALL null-source rows
+            .orElse(transformEntry(n).map(_._2 == null))
         }
       case IsNotNull(c) =>
         colName(c).flatMap { n =>
           if (f.partitionValues.contains(n))
             Some(!f.partitionValues.get(n).contains(null))
           else f.stats.map(s => s.nullCount.getOrElse(n, 0L) < s.numRecords)
+            .orElse(transformEntry(n).map(_._2 != null))
         }
       case _ => None // unsupported shape → can't skip
     }

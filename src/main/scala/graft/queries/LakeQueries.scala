@@ -194,6 +194,35 @@ object LakeQueries extends QueryGroup {
         AND o_orderstatus <> 'O'
       GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Iceberg-style HIDDEN PARTITIONING under the oracle gate: the table
+    // is PARTITIONED BY year(o_orderdate) — files lay out under synthetic
+    // __pt_year_o_orderdate=YYYY dirs, the source column stays in-file —
+    // then a cross-year DML runs and a date-range aggregate reads back.
+    // The filter prunes whole year directories via each file's recorded
+    // transform value (plus footer stats); DuckDB rebuilds the final
+    // state from the raw table.
+    QueryDef("lake7_hidden_partitioning", (s, d) => {
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val t = LakeTable.create(s, tmp("lake-hpart-"), orders,
+        partitionBy = Seq("year(o_orderdate)"))
+      t.delete(col("o_custkey") % 7 === 0)
+      t.toDF
+        .where(col("o_orderdate") >= to_date(lit("1996-01-01")) &&
+          col("o_orderdate") < to_date(lit("1998-01-01")))
+        .groupBy(year(col("o_orderdate")).cast("int").as("yr"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("yr")
+    }, oracle = Some("""
+      SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders
+      WHERE o_custkey % 7 <> 0
+        AND o_orderdate >= TIMESTAMP'1996-01-01'
+        AND o_orderdate < TIMESTAMP'1998-01-01'
+      GROUP BY 1 ORDER BY yr""")),
+
     // the bucketed DSv2 read path end-to-end: two co-bucketed lake tables
     // joined through the catalog (storage-partitioned join — zero join
     // shuffles, asserted in BucketingSpec; values gated here)

@@ -43,7 +43,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       RunLakeDropConstraint(strip(ident), name)
     case SET_PARTITION_SPEC_RE(ident, cols) if isLakeRef(ident) =>
       RunLakeSetPartitionSpec(strip(ident),
-        cols.split(',').map(c => strip(c.trim)).filter(_.nonEmpty).toSeq)
+        graft.lake.PartitionTransforms.splitTopLevel(cols).map(strip))
     case SET_PARTITION_SPEC_NONE_RE(ident) if isLakeRef(ident) =>
       RunLakeSetPartitionSpec(strip(ident), Seq.empty)
     case _ => delegate.parsePlan(sqlText)
@@ -97,7 +97,7 @@ object GraftSqlParser {
       """\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r
   private[graft] val SET_PARTITION_SPEC_RE =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + TABLE +
-      """\s+SET\s+PARTITION\s+SPEC\s*\(([^)]*)\)\s*;?\s*""").r
+      """\s+SET\s+PARTITION\s+SPEC\s*\((.*)\)\s*;?\s*""").r
   private[graft] val SET_PARTITION_SPEC_NONE_RE =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + TABLE +
       """\s+SET\s+PARTITION\s+SPEC\s+NONE\s*;?\s*""").r

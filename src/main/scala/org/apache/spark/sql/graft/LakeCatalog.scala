@@ -131,8 +131,34 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces with FunctionCata
           b.columns.map(_.fieldNames.mkString(".")).toSeq,
           b.numBuckets.value())
         None
-      case other => throw new UnsupportedOperationException(
-        s"lake tables support identity partitioning and bucketing only, got $other")
+      // hidden partitioning — PARTITIONED BY (YEAR(c) / MONTH(c) /
+      // DAY(c) / TRUNCATE(n, c)), the Iceberg transform DDL
+      // (03.iceberg_primer.py:124)
+      case y: org.apache.spark.sql.connector.expressions.YearsTransform =>
+        Some(s"year(${y.ref.fieldNames.mkString(".")})")
+      case m: org.apache.spark.sql.connector.expressions.MonthsTransform =>
+        Some(s"month(${m.ref.fieldNames.mkString(".")})")
+      case d: org.apache.spark.sql.connector.expressions.DaysTransform =>
+        Some(s"day(${d.ref.fieldNames.mkString(".")})")
+      case other =>
+        // SQL DDL like PARTITIONED BY (YEAR(c)) reaches the catalog as a
+        // generic ApplyTransform (only lowercase years(c) normalizes to
+        // YearsTransform) — match by name
+        val args = other.arguments()
+        val refs = other.references()
+        val fn = other.name().toLowerCase
+        if (Seq("year", "years", "month", "months", "day", "days")
+            .contains(fn) && refs.length == 1)
+          Some(s"${fn.stripSuffix("s")}(${refs.head.fieldNames.mkString(".")})")
+        else if (fn == "truncate" && args.length == 2 && refs.length == 1)
+          args.collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              s"truncate(${l.value()},${refs.head.fieldNames.mkString(".")})"
+          }.orElse(throw new UnsupportedOperationException(
+            s"unsupported truncate transform shape: $other"))
+        else throw new UnsupportedOperationException(
+          "lake tables support identity/year/month/day/truncate " +
+            s"partitioning and bucketing, got $other")
     }.toSeq
     val props = properties.asScala.toMap -
       (TableCatalog.PROP_OWNER, TableCatalog.PROP_PROVIDER,

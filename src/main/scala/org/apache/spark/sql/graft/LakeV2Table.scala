@@ -48,10 +48,13 @@ class LakeV2Table(
   private[graft] def bucketingSpec: Option[graft.lake.Bucketing.Spec] = bucketSpec
 
   /** The bucketed scan engages only on a fully-bucketed, DV-free
-    * snapshot; `_bucket` is advertised under exactly that condition. */
+    * snapshot with a plain (identity-only) partition spec; `_bucket` is
+    * advertised under exactly that condition. */
   private def bucketedScanActive: Boolean =
     bucketSpec.isDefined && !hasDvs && snap.files.nonEmpty &&
-      snap.files.forall(_.bucket.isDefined)
+      snap.files.forall(_.bucket.isDefined) &&
+      graft.lake.PartitionTransforms
+        .transforms(snap.metaData.partitionColumns).isEmpty
 
   override def metadataColumns(): Array[MetadataColumn] =
     if (bucketedScanActive)
@@ -70,7 +73,21 @@ class LakeV2Table(
   override def schema(): StructType = snap.schema
 
   override def partitioning(): Array[Transform] =
-    (snap.metaData.partitionColumns.map(c => Expressions.identity(c)) ++
+    (snap.metaData.partitionColumns.map(e =>
+      graft.lake.PartitionTransforms.parse(e) match {
+        case graft.lake.PartitionTransforms.Identity(c) => Expressions.identity(c)
+        case graft.lake.PartitionTransforms.Transform("year", _, c) =>
+          Expressions.years(c)
+        case graft.lake.PartitionTransforms.Transform("month", _, c) =>
+          Expressions.months(c)
+        case graft.lake.PartitionTransforms.Transform("day", _, c) =>
+          Expressions.days(c)
+        case graft.lake.PartitionTransforms.Transform("truncate", Some(n), c) =>
+          Expressions.apply("truncate",
+            Expressions.literal(n), Expressions.column(c))
+        case graft.lake.PartitionTransforms.Transform(_, _, c) =>
+          Expressions.identity(c)
+      }) ++
       bucketSpec.map(s => Expressions.bucket(s.numBuckets, s.columns: _*))).toArray
 
   override def properties(): util.Map[String, String] =

@@ -94,8 +94,15 @@ private[graft] class LakeWrite(
     */
   override def requiredDistribution(): Distribution = {
     val clustering =
-      partitionCols.map(c => Expressions.column(c):
-        org.apache.spark.sql.connector.expressions.Expression) ++
+      // transform entries cluster by their SOURCE column — finer than
+      // the directory value but correct, and resolvable without a
+      // FunctionCatalog
+      graft.lake.PartitionTransforms.parseAll(partitionCols).map {
+        case graft.lake.PartitionTransforms.Identity(c) => Expressions.column(c):
+          org.apache.spark.sql.connector.expressions.Expression
+        case t: graft.lake.PartitionTransforms.Transform => Expressions.column(t.col):
+          org.apache.spark.sql.connector.expressions.Expression
+      } ++
         (if (viaCatalog) bucketSpec.map(s =>
           Expressions.bucket(s.numBuckets, s.columns: _*):
             org.apache.spark.sql.connector.expressions.Expression)
@@ -373,11 +380,27 @@ private[graft] class LakeDataWriter(
   private val dataProj = UnsafeProjection.create(
     fullAttrs.filterNot(a => partitionCols.contains(a.name)).asInstanceOf[Seq[Expression]],
     fullAttrs)
+  // hidden partitioning: a transform entry's directory key is its
+  // synthetic __pt_ name and its value is the transform of the source
+  // attribute (which stays in the data file); identity entries elide
+  private val pFields = graft.lake.PartitionTransforms.parseAll(partitionCols)
+  private val partDirNames = pFields.map {
+    case graft.lake.PartitionTransforms.Identity(c) => c
+    case t: graft.lake.PartitionTransforms.Transform => t.dirName
+  }
   private val partProj =
     if (partitionCols.isEmpty) null
     else UnsafeProjection.create(
-      partitionCols.map(c => Cast(fullAttrs.find(_.name == c).get, StringType,
-        Some("UTC")): Expression),
+      pFields.map {
+        case graft.lake.PartitionTransforms.Identity(c) =>
+          Cast(fullAttrs.find(_.name == c).get, StringType, Some("UTC")): Expression
+        case t: graft.lake.PartitionTransforms.Transform =>
+          val a = fullAttrs.find(_.name == t.col).getOrElse(
+            throw new IllegalArgumentException(
+              s"partition-transform source ${t.col} missing from write schema"))
+          Cast(graft.lake.PartitionTransforms.expression(t, a, a.dataType),
+            StringType, Some("UTC"))
+      },
       fullAttrs)
 
   // bucketed tables: per-row bucket id via the same murmur3-pmod the
@@ -402,8 +425,8 @@ private[graft] class LakeDataWriter(
     }
     val partKey = if (partitionCols.isEmpty) "" else {
       val p = partProj(row)
-      partitionCols.indices.map { i =>
-        val c = ExternalCatalogUtils.escapePathName(partitionCols(i))
+      partDirNames.indices.map { i =>
+        val c = ExternalCatalogUtils.escapePathName(partDirNames(i))
         val v = if (p.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"
         else ExternalCatalogUtils.escapePathName(p.getUTF8String(i).toString)
         s"$c=$v"
@@ -418,8 +441,8 @@ private[graft] class LakeDataWriter(
         if (partitionCols.isEmpty) Map.empty
         else {
           val p = partProj(row)
-          partitionCols.indices.map { i =>
-            partitionCols(i) -> (if (p.isNullAt(i)) null else p.getUTF8String(i).toString)
+          partDirNames.indices.map { i =>
+            partDirNames(i) -> (if (p.isNullAt(i)) null else p.getUTF8String(i).toString)
           }.toMap
         }
       val w = newWriter(dirKey, pv, bucketId)
