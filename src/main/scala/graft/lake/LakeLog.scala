@@ -108,9 +108,17 @@ final class LakeLog(
       .filter(_.nonEmpty).map(Action.fromJson)
   }
 
-  /** Actions of one committed version (for vacuum / audit). */
-  def readCommit(v: Long): Seq[Action] =
-    readActions(logDir.resolve(LakeLog.commitFileName(v)))
+  /** Actions of one committed version (for vacuum / audit / CDC). */
+  def readCommit(v: Long): Seq[Action] = {
+    val p = logDir.resolve(LakeLog.commitFileName(v))
+    if (!Files.isRegularFile(p))
+      throw new IllegalStateException(
+        s"commit $v of $tablePath is unavailable" +
+          firstAvailableVersion.filter(_ > v)
+            .map(f => s" — expired by expireSnapshots (earliest available: $f)")
+            .getOrElse(" (no such version)"))
+    readActions(p)
+  }
 
   /** `_last_checkpoint` pointer: `{"version":N}`. */
   private def lastCheckpointVersion: Option[Long] = {
@@ -157,8 +165,12 @@ final class LakeLog(
       case Some(v) =>
         // versions are dense, so existence of the commit file IS the
         // validation — no listing needed when the pointer helps
-        require(Files.isRegularFile(logDir.resolve(commitFileName(v))),
-          s"version $v does not exist for $tablePath")
+        if (!Files.isRegularFile(logDir.resolve(commitFileName(v))))
+          throw new IllegalArgumentException(
+            s"version $v does not exist for $tablePath" +
+              firstAvailableVersion.filter(_ > v)
+                .map(f => s" — expired by expireSnapshots (earliest available: $f)")
+                .getOrElse(""))
         val ck = lastCheckpointVersion.filter(_ <= v)
           .flatMap(cv => readCheckpoint(cv).map(cv -> _))
           .orElse(resolveCheckpointByListing(v))
@@ -234,10 +246,16 @@ final class LakeLog(
       throw new IllegalStateException(s"not a lake table: $tablePath"))
     def tsOf(v: Long): Long =
       readCommit(v).flatMap(_.commitInfo).headOption.map(_.timestamp).getOrElse(0L)
-    if (tsOf(0L) > tsMillis)
+    // versions are dense from the first RETAINED one (0 until expiry)
+    val first =
+      if (Files.isRegularFile(logDir.resolve(commitFileName(0L)))) 0L
+      else firstAvailableVersion.getOrElse(
+        throw new IllegalStateException(s"not a lake table: $tablePath"))
+    if (tsOf(first) > tsMillis)
       throw new IllegalArgumentException(
-        s"no commit at or before timestamp $tsMillis for $tablePath")
-    var lo = 0L
+        s"no commit at or before timestamp $tsMillis for $tablePath" +
+          (if (first > 0) s" (earliest retained version: $first)" else ""))
+    var lo = first
     var hi = last
     while (lo < hi) { // invariant: tsOf(lo) <= tsMillis
       val mid = (lo + hi + 1) / 2
@@ -265,29 +283,72 @@ final class LakeLog(
     */
   private def maybeCheckpoint(version: Long): Unit = {
     if (version == 0 || version % CHECKPOINT_EVERY != 0) return
-    try {
-      val snap = snapshot(Some(version))
-      val actions =
-        Seq(Action.of(snap.metaData)) ++
-          snap.txns.map { case (app, b) => Action.of(SetTxn(app, b)) } ++
-          snap.files.map(Action.of)
-      val tmpDir = logDir.resolve(TMP_DIR)
-      Files.createDirectories(tmpDir)
-      val tmp = tmpDir.resolve(UUID.randomUUID().toString + ".parquet")
-      Checkpoint.write(tmp, actions)
-      try commitStore.putIfAbsentFile(
-        logDir.resolve(parquetCheckpointFileName(version)), tmp)
-      finally Files.deleteIfExists(tmp)
-
-      // pointer swap: last-writer-wins replace, and never move it
-      // backwards under a concurrent slower checkpointer
-      if (!lastCheckpointVersion.exists(_ >= version)) {
-        commitStore.replace(logDir.resolve(LAST_CHECKPOINT),
-          s"""{"version":$version}""".getBytes(StandardCharsets.UTF_8))
-      }
-    } catch {
+    try writeCheckpointAt(version)
+    catch {
       case NonFatal(_) => () // checkpoints are an optimization, never fail a commit
     }
+  }
+
+  /** Materialize the columnar checkpoint for `version` (idempotent — a
+    * losing racer's putIfAbsent is a no-op) and swing `_last_checkpoint`
+    * forward to it. The commit path wraps this in catch-and-ignore; the
+    * expiry path lets failures propagate — commits must never be deleted
+    * until the checkpoint that replaces them is durable.
+    */
+  private[lake] def writeCheckpointAt(version: Long): Unit = {
+    val snap = snapshot(Some(version))
+    val actions =
+      Seq(Action.of(snap.metaData)) ++
+        snap.txns.map { case (app, b) => Action.of(SetTxn(app, b)) } ++
+        snap.files.map(Action.of)
+    val tmpDir = logDir.resolve(TMP_DIR)
+    Files.createDirectories(tmpDir)
+    val tmp = tmpDir.resolve(UUID.randomUUID().toString + ".parquet")
+    Checkpoint.write(tmp, actions)
+    try commitStore.putIfAbsentFile(
+      logDir.resolve(parquetCheckpointFileName(version)), tmp)
+    finally Files.deleteIfExists(tmp)
+
+    // pointer swap: last-writer-wins replace, and never move it
+    // backwards under a concurrent slower checkpointer
+    if (!lastCheckpointVersion.exists(_ >= version)) {
+      commitStore.replace(logDir.resolve(LAST_CHECKPOINT),
+        s"""{"version":$version}""".getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Oldest version still present in the log (0 until snapshots are
+    * expired). Lists the directory — maintenance/error paths only. */
+  def firstAvailableVersion: Option[Long] =
+    if (Files.isRegularFile(logDir.resolve(commitFileName(0L)))) Some(0L)
+    else listVersions.headOption
+
+  /** Truncate the log BELOW `horizon`: first materialize a checkpoint at
+    * `horizon` (every retained version then resolves from it + tail —
+    * nothing below is ever needed again), then delete older commit files
+    * and checkpoints. Versions below the horizon stop being readable:
+    * time travel, CDC reads, and streaming starts below it raise.
+    * NOT itself a commit (mirrors VACUUM); concurrent writers are safe
+    * (they only touch versions past `horizon`), concurrent readers OF
+    * EXPIRED VERSIONS race exactly like readers of vacuumed data files.
+    * Returns the number of commit files deleted.
+    */
+  private[lake] def expireBefore(horizon: Long): Long = {
+    val last = latestVersion.getOrElse(return 0L)
+    require(horizon <= last, s"horizon $horizon is past latest version $last")
+    val first = firstAvailableVersion.getOrElse(return 0L)
+    if (horizon <= first) return 0L
+    writeCheckpointAt(horizon)
+    require(Files.isRegularFile(logDir.resolve(parquetCheckpointFileName(horizon))),
+      s"checkpoint at $horizon missing after write — refusing to expire")
+    var deleted = 0L
+    listLog(COMMIT_SUFFIX).takeWhile(_._1 < horizon).foreach { case (_, p) =>
+      if (Files.deleteIfExists(p)) deleted += 1
+    }
+    (listLog(PARQUET_CHECKPOINT_SUFFIX) ++ listLog(CHECKPOINT_SUFFIX))
+      .takeWhile(_._1 < horizon)
+      .foreach { case (_, p) => Files.deleteIfExists(p) }
+    deleted
   }
 }
 

@@ -1733,6 +1733,36 @@ final class LakeTable private (
     walk(root)
     deleted.toSeq
   }
+
+  /** Iceberg's `expire_snapshots` / Delta's log retention: truncate the
+    * commit log so table HISTORY stops growing with table age — at 100 TB
+    * a busy table accretes millions of commit files and the checkpoint
+    * alone should carry state. Keeps every version committed within
+    * `olderThanMs` AND the newest `retainLast` versions, whichever
+    * retains more; a checkpoint is materialized at the horizon BEFORE any
+    * deletion, so every retained version still resolves and time-travels.
+    * Expired versions stop being readable (time travel / CDC / streaming
+    * starts below the horizon raise, naming the earliest retained
+    * version). Data files are untouched — that's [[vacuum]]'s job, which
+    * stays correct after expiry (it falls back to file mtimes for removal
+    * ages once the removing commits are gone). Like VACUUM this is a
+    * maintenance op, not a commit. Returns the number of expired commits.
+    */
+  def expireSnapshots(olderThanMs: Long = 7L * 24 * 3600 * 1000,
+      retainLast: Int = 30): Long = {
+    require(pinnedVersion.isEmpty, "cannot expire through a time-travel handle")
+    require(olderThanMs >= 0, "olderThanMs must be >= 0")
+    require(retainLast >= 1, "retainLast must be >= 1")
+    val last = log.latestVersion.getOrElse(return 0L)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val first = log.firstAvailableVersion.getOrElse(return 0L)
+    // oldest version to KEEP: min of the count floor and the age floor
+    val byCount = math.max(last - retainLast + 1, first)
+    val byAge = // smallest version committed at/after the cutoff
+      try log.versionAtTimestamp(cutoff - 1) + 1
+      catch { case _: IllegalArgumentException => first } // all commits newer
+    log.expireBefore(math.min(byCount, byAge))
+  }
 }
 
 object LakeTable {

@@ -27,6 +27,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case VACUUM_RE(ident, _, hours) =>
       RunLakeVacuum(strip(ident), Option(hours).map(_.toDouble))
+    case EXPIRE_SNAPSHOTS_RE(ident, _, hours, _, retain) =>
+      RunLakeExpireSnapshots(strip(ident),
+        Option(hours).map(_.toDouble), Option(retain).map(_.toInt))
     case REORGANIZE_RE(ident) => RunLakeReorganize(strip(ident))
     case OPTIMIZE_RE(ident, _, where, _, zcols) =>
       RunLakeOptimize(strip(ident),
@@ -79,6 +82,9 @@ object GraftSqlParser {
   private[graft] val VACUUM_RE =
     ("""(?is)\s*VACUUM\s+""" + TABLE +
       """(\s+RETAIN\s+([0-9.]+)\s+HOURS?)?\s*;?\s*""").r
+  private[graft] val EXPIRE_SNAPSHOTS_RE =
+    ("""(?is)\s*EXPIRE\s+SNAPSHOTS\s+""" + TABLE +
+      """(\s+OLDER\s+THAN\s+([0-9.]+)\s+HOURS?)?(\s+RETAIN\s+LAST\s+(\d+))?\s*;?\s*""").r
   private[graft] val REORGANIZE_RE =
     ("""(?is)\s*OPTIMIZE\s+""" + TABLE + """\s+REORGANIZE\s*;?\s*""").r
   private[graft] val OPTIMIZE_RE =
@@ -121,6 +127,24 @@ private[graft] case class RunLakeVacuum(ident: String,
       .map(h => (h * 3600 * 1000).toLong)
       .getOrElse(7L * 24 * 3600 * 1000)
     graft.lake.LakeTable.forPath(spark, path).vacuum(retention).map(Row(_))
+  }
+}
+
+/** `EXPIRE SNAPSHOTS t [OLDER THAN n HOURS] [RETAIN LAST k]` — commit-log
+  * retention (Iceberg's expire_snapshots procedure as a statement); see
+  * [[graft.lake.LakeTable.expireSnapshots]]. */
+private[graft] case class RunLakeExpireSnapshots(ident: String,
+    olderThanHours: Option[Double], retainLast: Option[Int])
+  extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] =
+    Seq(AttributeReference("expired_commits", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftExtensions.resolveTablePath(spark, ident)
+    val n = graft.lake.LakeTable.forPath(spark, path).expireSnapshots(
+      olderThanHours.map(h => (h * 3600 * 1000).toLong)
+        .getOrElse(7L * 24 * 3600 * 1000),
+      retainLast.getOrElse(30))
+    Seq(Row(n))
   }
 }
 
