@@ -312,6 +312,31 @@ object Stats {
       }).orElse(transformCmp(name, dt, v))
     }
 
+    def asStrVal(v: Any): Option[String] = v match {
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case s: String => Some(s)
+      case _ => None
+    }
+
+    /** Might any row of the file start with `p`? Provably-no when the
+      * file's max < p, or its min >= the prefix range's exclusive upper
+      * bound. Some(true) = can't exclude. */
+    def prefixMightMatch(c: Expression, p: String): Option[Boolean] =
+      colName(c).flatMap(n => dtOf(schema, n).flatMap {
+        case StringType =>
+          val lower = cmpRange(n, StringType, p).map { case (_, cma) => cma >= 0 }
+          val upper = prefixUpper(p) match {
+            case Some(u) =>
+              cmpRange(n, StringType, u).map { case (cmi, _) => cmi < 0 }
+            case None => Some(true) // all-U+FFFF prefix: no finite bound
+          }
+          (lower, upper) match { // one side proving FALSE suffices
+            case (Some(false), _) | (_, Some(false)) => Some(false)
+            case (Some(true), Some(true)) => Some(true)
+            case _ => None
+          }
+        case _ => None
+      })
 
     e match {
       // a constant predicate needs no stats at all (merge's "source proves
@@ -370,6 +395,17 @@ object Stats {
             else Some(verdicts.flatten.exists(identity))
           }
         }
+      // LIKE 'p%' / startsWith(c, p): matching rows lie in
+      // [p, prefixUpper(p)) — skip when max < p or min >= upper. Both
+      // Like and StartsWith appear (LikeSimplification may or may not
+      // have rewritten by the time a predicate reaches the evaluator).
+      case StartsWith(c, p) =>
+        (for (v <- litVal(p); s <- asStrVal(v)) yield s)
+          .flatMap(prefixMightMatch(c, _))
+      case Like(c, p, esc) =>
+        (for (v <- litVal(p); s <- asStrVal(v); pre <- likePrefix(s, esc))
+          yield pre).flatMap(prefixMightMatch(c, _))
+
       case IsNull(c) =>
         colName(c).flatMap { n =>
           // per-FILE partition values (spec evolution — see cmpRange)
@@ -517,6 +553,20 @@ object Stats {
           }
         }
       case IsNotNull(c) => colName(c).foreach(notNull += _)
+      // CHECK (c LIKE 'p%') / startswith(c, p): min >= p, max <= upper
+      // (outer bound — conservative)
+      case StartsWith(c, l) =>
+        for (n <- colName(c); dt <- dtOf(schema, n) if dt == StringType;
+             v <- litVal(l); p <- asStr(v)) {
+          tightenLo(n, dt, p)
+          prefixUpper(p).foreach(tightenHi(n, dt, _))
+        }
+      case Like(c, l, esc) =>
+        for (n <- colName(c); dt <- dtOf(schema, n) if dt == StringType;
+             v <- litVal(l); s <- asStr(v); p <- likePrefix(s, esc)) {
+          tightenLo(n, dt, p)
+          prefixUpper(p).foreach(tightenHi(n, dt, _))
+        }
       case _ => () // unsupported conjunct: no tightening
     }
     // `bound(col, lit, hiSide=true)` records lit as an upper bound of col
@@ -558,6 +608,26 @@ object Stats {
       nullCount = notNull.map(_ -> 0L).toMap))))
   }
 
+  /** Prefix implied by a LIKE pattern with a single TRAILING '%' and no
+    * other wildcard or escape use — the only LIKE shape with a sound
+    * lexicographic range. None for anything else. */
+  private def likePrefix(pattern: String, escape: Char): Option[String] = {
+    if (pattern.isEmpty || pattern.last != '%') return None
+    val body = pattern.dropRight(1)
+    if (body.exists(ch => ch == '%' || ch == '_' || ch == escape)) None
+    else Some(body)
+  }
+
+  /** Exclusive upper bound of the `startsWith(p)` range: increment the
+    * last non-U+FFFF char and truncate (every string with prefix `p` is
+    * `< bound`; strings without the prefix but between `p` and the bound
+    * exist — use only as an OUTER bound). None when p is all U+FFFF. */
+  private def prefixUpper(p: String): Option[String] = {
+    val i = p.lastIndexWhere(_ != Character.MAX_VALUE)
+    if (i < 0) None
+    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+  }
+
   /** Canonical value rendering for the constraint value-set check:
     * numeric-likes normalize through BigDecimal (so 3 == 3.0), strings
     * stay raw. None for unsupported shapes.
@@ -590,14 +660,36 @@ object Stats {
           out(n) = out.get(n).map(_.intersect(set)).getOrElse(set)
         }
       }
-    constraints.map(nnf).flatMap(conjuncts).foreach {
+    val atoms = constraints.map(nnf).flatMap(conjuncts)
+    atoms.foreach {
       case EqualTo(l, r) if litVal(r).isDefined => record(l, Seq(r))
       case EqualTo(l, r) if litVal(l).isDefined => record(r, Seq(l))
       case In(c, list) if list.nonEmpty => record(c, list)
       case _ => ()
     }
+    // second pass: `c <> lit` conjuncts SUBTRACT from an established set
+    // (CHECK (c IN (1,2,3)) + CHECK (c <> 2) → {1,3}). nnf renders <> as
+    // Or(<lit, >lit), so that's the shape to recognize; without a finite
+    // set to subtract from, <> alone implies nothing enumerable.
+    atoms.foreach(a => neqColLit(a).foreach { case (c, l) =>
+      for (n <- colName(c); dt <- dtOf(schema, n); set <- out.get(n);
+           v <- litVal(l); cv <- canonValueString(dt, v))
+        out(n) = set - cv
+    })
     out.toMap
   }
+
+  /** `(col, lit)` of a post-nnf `col <> lit` — i.e. `Or(LessThan,
+    * GreaterThan)` over the same operand pair, either orientation. */
+  private def neqColLit(e: Expression): Option[(Expression, Expression)] =
+    e match {
+      case Or(LessThan(a1, b1), GreaterThan(a2, b2))
+          if a1.semanticEquals(a2) && b1.semanticEquals(b2) =>
+        if (colName(a1).isDefined && litVal(b1).isDefined) Some((a1, b1))
+        else if (litVal(a1).isDefined && colName(b1).isDefined) Some((b1, a1))
+        else None
+      case _ => None
+    }
 
   /** The conjuncts of `pred` that target one constrained column exclude
     * EVERY allowed value → provably empty. All recognized conjuncts
@@ -606,9 +698,11 @@ object Stats {
     * list prunes too — which neither interval min/max reasoning nor
     * conjunct-at-a-time set membership can see (`CHECK (c IN (1,9))`
     * admits `c >= 3` and `c <= 5` separately, but no listed value
-    * satisfies both). Unrecognized conjuncts and incomparable values
-    * simply don't exclude (weaker tests keep more values — never an
-    * unsound prune); OR branches never prune through this path.
+    * satisfies both). Per-column boolean shapes recurse: `c <> 1`
+    * (post-nnf `Or(<,>)`), disjunction windows, and LIKE-'p%' prefixes
+    * all exclude. Unrecognized conjuncts and incomparable values simply
+    * don't exclude (weaker tests keep more values — never an unsound
+    * prune); an OR with an undecidable leg can't exclude.
     */
   private def valueSetContradiction(
       pred: Expression,
@@ -632,7 +726,20 @@ object Stats {
       def rel(b: String, f: Int => Boolean): String => Boolean =
         v => cmp(v, b).forall(f)
 
-      val tests: Seq[String => Boolean] = cs.flatMap {
+      /** "Could canonical value v satisfy e?" — None when e says nothing
+        * decidable about THIS column. And/Or recurse, so per-column
+        * boolean shapes work: `c <> 1` (post-nnf `Or(<1, >1)`), BETWEEN
+        * gaps, disjunction windows. An And with one undecidable leg still
+        * tests the other (v must pass both); an Or can't exclude unless
+        * BOTH legs are decidable. */
+      def testOf(e: Expression): Option[String => Boolean] = e match {
+        case And(a, b) => (testOf(a), testOf(b)) match {
+          case (None, None) => None
+          case (x, y) => Some((v: String) => x.forall(_(v)) && y.forall(_(v)))
+        }
+        case Or(a, b) =>
+          for (ta <- testOf(a); tb <- testOf(b))
+            yield (v: String) => ta(v) || tb(v)
         case EqualTo(l, r) if onCol(l) => canonLit(r).map(rel(_, _ == 0))
         case EqualTo(l, r) if onCol(r) => canonLit(l).map(rel(_, _ == 0))
         case In(c0, list) if onCol(c0) && list.nonEmpty =>
@@ -647,8 +754,14 @@ object Stats {
         case LessThan(l, r) if onCol(r) => canonLit(l).map(rel(_, _ > 0))
         case LessThanOrEqual(l, r) if onCol(l) => canonLit(r).map(rel(_, _ <= 0))
         case LessThanOrEqual(l, r) if onCol(r) => canonLit(l).map(rel(_, _ >= 0))
+        case StartsWith(c0, p0) if onCol(c0) && dt == StringType =>
+          canonLit(p0).map(p => (v: String) => v.startsWith(p))
+        case Like(c0, p0, esc) if onCol(c0) && dt == StringType =>
+          canonLit(p0).flatMap(likePrefix(_, esc))
+            .map(p => (v: String) => v.startsWith(p))
         case _ => None
       }
+      val tests: Seq[String => Boolean] = cs.flatMap(testOf)
       tests.nonEmpty && set.forall(v => !tests.forall(t => t(v)))
     }
 

@@ -107,6 +107,45 @@ class ConstraintPruneSpec extends AnyFunSuite {
     assert(verdict(Seq("n IN (1, 9)"), "NOT (n < 3 OR n > 5)", schema))
   }
 
+  test("<> subtraction and per-column OR shapes (NEXT r7 #7)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("n", LongType), StructField("tier", StringType)))
+    // <> in the CONSTRAINT subtracts from an established value set
+    assert(verdict(Seq("tier IN ('A', 'B')", "tier <> 'B'"),
+      "tier = 'B'", schema))
+    assert(!verdict(Seq("tier IN ('A', 'B')", "tier <> 'B'"),
+      "tier = 'A'", schema))
+    // <> alone implies nothing enumerable
+    assert(!verdict(Seq("tier <> 'B'"), "tier = 'C'", schema))
+    // <> in the PREDICATE excludes the last allowed value
+    assert(verdict(Seq("n IN (7)"), "n <> 7", schema))
+    assert(verdict(Seq("tier = 'GOLD'"), "tier <> 'GOLD'", schema))
+    assert(!verdict(Seq("n IN (7, 8)"), "n <> 7", schema))
+    // disjunction windows on ONE column combine
+    assert(verdict(Seq("n IN (4, 5)"), "n < 3 OR n > 6", schema))
+    assert(!verdict(Seq("n IN (4, 9)"), "n < 3 OR n > 6", schema))
+    // an OR with a leg on another column still never excludes
+    assert(!verdict(Seq("n IN (4, 5)"), "n < 3 OR tier = 'X'", schema))
+  }
+
+  test("LIKE prefix constraints and predicates (NEXT r7 #7)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("n", LongType), StructField("tier", StringType)))
+    // CHECK (tier LIKE 'p%') bounds the interval: other prefixes prune
+    assert(verdict(Seq("tier LIKE 'GOLD%'"), "tier = 'SILVER'", schema))
+    assert(verdict(Seq("tier LIKE 'GOLD%'"), "tier LIKE 'SILV%'", schema))
+    assert(!verdict(Seq("tier LIKE 'GOLD%'"), "tier = 'GOLD-PLUS'", schema))
+    assert(verdict(Seq("tier LIKE 'GOLD%'"), "tier < 'GOLD'", schema))
+    // prefix PREDICATE against a value set
+    assert(verdict(Seq("tier IN ('ALPHA', 'CHARLIE')"), "tier LIKE 'B%'", schema))
+    assert(!verdict(Seq("tier IN ('ALPHA', 'CHARLIE')"), "tier LIKE 'CH%'", schema))
+    // non-prefix patterns imply nothing
+    assert(!verdict(Seq("tier LIKE '%GOLD'"), "tier = 'SILVER'", schema))
+    assert(!verdict(Seq("tier LIKE 'G_LD%'"), "tier = 'SILVER'", schema))
+  }
+
   test("satisfiable or unsupported shapes never claim a contradiction") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
