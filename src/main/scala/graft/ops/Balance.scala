@@ -114,4 +114,31 @@ object Balance {
     val minN = counts.values.min.toDouble
     counts.map { case (k, n) => k -> (minN / n) }
   }
+
+  /** Deterministic holdout split (train/val/test): each row lands in the
+    * named slice whose cumulative-[[hash01]] window contains its id's
+    * hash. No RNG and no count pass: a row's slice is a pure function of
+    * its id, so it NEVER changes as the corpus grows or repartitions —
+    * the stability a train/test contamination boundary needs (a val doc
+    * must not drift into train on the next pipeline run). Fractions must
+    * sum to <= 1; rows past the last boundary (when the sum is < 1) get
+    * a null slice — an explicit holdout.
+    *
+    * Map-side-only (one projection, no shuffle) at any scale. The slice
+    * expression is the same md5-threshold arithmetic as [[mixture]], so
+    * an external engine reproduces the exact row sets from the SQL twin.
+    */
+  def holdoutSplit(df: DataFrame, idCol: String,
+      slices: Seq[(String, Double)]): DataFrame = {
+    require(slices.nonEmpty, "holdoutSplit needs at least one slice")
+    require(slices.forall(_._2 > 0), "slice fractions must be positive")
+    require(slices.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum to <= 1")
+    val h = hash01(col(idCol))
+    val cums = slices.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val first = when(h < lit(cums.head), lit(slices.head._1))
+    val assigned = slices.tail.zip(cums.tail).foldLeft(first) {
+      case (acc, ((name, _), cum)) => acc.when(h < lit(cum), lit(name))
+    }
+    df.withColumn("slice", assigned)
+  }
 }

@@ -281,6 +281,35 @@ object TextQueries extends QueryGroup {
                doc_id
         FROM keyed ORDER BY shard, pos""")),
 
+    // ===== deterministic train/val/test HOLDOUT split: slice = which
+    // cumulative-hash window the doc id falls in. A row's slice is a
+    // pure function of its id (no RNG, no count pass), so it never
+    // drifts as the corpus grows — the contamination boundary a
+    // training pipeline needs. The oracle mirrors the SAME cumulative
+    // double arithmetic (0.8, then 0.8+0.1) — spelling the boundary
+    // 0.9 would be a DIFFERENT double and could flip a knife-edge row.
+    QueryDef(
+      "split1_holdout",
+      (s, d) =>
+        graft.ops.Balance.holdoutSplit(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+          .select(col("slice"), col("doc_id"))
+          .orderBy(col("slice"), col("doc_id")),
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+                 (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+                   / 4294967296.0 AS u
+          FROM documents)
+        SELECT CASE
+                 WHEN u < CAST(0.8 AS DOUBLE) THEN 'train'
+                 WHEN u < CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE) THEN 'val'
+                 WHEN u < CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE)
+                          + CAST(0.1 AS DOUBLE) THEN 'test'
+               END AS slice, doc_id
+        FROM h ORDER BY slice, doc_id""")),
+
     // ===== intra-document REPETITION filter (Gopher-style quality
     // rule): 1 - distinct/total 3-grams. The fixture's word soup has
     // near-zero natural repetition, so every 5th sampled doc is DOUBLED

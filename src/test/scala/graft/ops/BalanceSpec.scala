@@ -85,6 +85,28 @@ class BalanceSpec extends AnyFunSuite {
       "in-shard order must be hash order, not id order")
   }
 
+  test("holdoutSplit: stable under growth, exhaustive, shuffle-free") {
+    val slices = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val small = Balance.holdoutSplit(docs.limit(1000), "id", slices)
+      .select("id", "slice").as[(Long, String)].collect().toMap
+    val full = Balance.holdoutSplit(docs, "id", slices)
+      .select("id", "slice").as[(Long, String)].collect().toMap
+    // a row's slice never changes when the corpus grows around it
+    small.foreach { case (id, s) => assert(full(id) === s) }
+    // fractions summing to 1 assign every row, roughly proportionally
+    assert(full.size === 5200 && !full.values.exists(_ == null))
+    val train = full.values.count(_ == "train").toDouble / full.size
+    assert(train > 0.75 && train < 0.85, s"train frac $train")
+    // sum < 1 leaves an explicit null holdout
+    val held = Balance.holdoutSplit(docs, "id", Seq(("train", 0.5)))
+      .where(col("slice").isNull).count()
+    assert(held > 2000 && held < 3200)
+    // map-side only: no exchange in the plan
+    val plan = Balance.holdoutSplit(docs, "id", slices)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("balancingFractions keys by raw value: int strata sample correctly") {
     // regression: the map was keyed by String.valueOf, so sampleBy's
     // by-value lookup missed every non-string stratum and returned empty
