@@ -310,6 +310,23 @@ object TextQueries extends QueryGroup {
                END AS slice, doc_id
         FROM h ORDER BY slice, doc_id""")),
 
+    // ===== sliding-window CHUNKING (RAG/embedding prep): 32-token
+    // windows advancing by 16, so adjacent chunks share 16 tokens of
+    // context. chunk_start (a token offset) is the stable chunk id;
+    // redundant short tails (fully inside the previous window) are
+    // dropped. Map-side only — tokenize, sequence of starts, explode,
+    // slice — the SQL twin generated by the op itself.
+    QueryDef(
+      "chunk1_doc_chunks",
+      (s, d) =>
+        graft.ops.Chunking.chunkByWords(
+          Tables.documents(s, d), "doc_id", "text",
+          chunkWords = 32, strideWords = 16)
+          .orderBy(col("doc_id"), col("chunk_start")),
+      Some(graft.ops.Chunking.chunkByWordsSql(
+        "documents", "doc_id", "text", chunkWords = 32, strideWords = 16)
+        + "\n    ORDER BY doc_id, chunk_start")),
+
     // ===== intra-document REPETITION filter (Gopher-style quality
     // rule): 1 - distinct/total 3-grams. The fixture's word soup has
     // near-zero natural repetition, so every 5th sampled doc is DOUBLED
