@@ -221,6 +221,43 @@ object AdvancedQueries extends QueryGroup {
         FROM events GROUP BY event_type
         ORDER BY est_count DESC, event_type LIMIT 5""")),
 
+    // ===== theta-sketch SOURCE OVERLAP (graft.ops.Sketches): per-source
+    // distinct-shingle state, then pairwise |A∩B|/|A∪B|/jaccard from the
+    // sketches ALONE — the cross-source duplication audit HLL state
+    // can't answer (no intersection). At lgK=14 every source (~1.4k
+    // shingles) and union stays in theta EXACT mode, so the estimates
+    // equal DuckDB's exact set arithmetic; at bench scale the same
+    // query runs genuinely approximate.
+    QueryDef(
+      "a14_source_overlap",
+      (s, d) => {
+        val sh = Tables.documents(s, d).select(col("source"),
+          explode(graft.functions.TextFunctions.shingles(col("text"), 3)).as("sh"))
+        graft.ops.Sketches.pairwiseOverlap(
+          graft.ops.Sketches.thetaSketches(sh, Seq("source"), "sh"), "source")
+          .orderBy(col("a"), col("b"))
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT source,
+                 unnest(${graft.functions.TextFunctions.shinglesSql("text", 3)})
+                   AS sh
+          FROM documents),
+        d AS (SELECT DISTINCT source, sh FROM g),
+        c AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+        i AS (SELECT x.source AS a, y.source AS b, count(*) AS n_common
+              FROM d x JOIN d y ON x.sh = y.sh AND x.source < y.source
+              GROUP BY 1, 2)
+        SELECT ca.source AS a, cb.source AS b, ca.n AS n_a, cb.n AS n_b,
+               coalesce(i.n_common, 0) AS n_common,
+               ca.n + cb.n - coalesce(i.n_common, 0) AS n_union,
+               round(CAST(coalesce(i.n_common, 0) AS DOUBLE) /
+                     CAST(ca.n + cb.n - coalesce(i.n_common, 0) AS DOUBLE),
+                     6) AS jaccard
+        FROM c ca JOIN c cb ON ca.source < cb.source
+        LEFT JOIN i ON i.a = ca.source AND i.b = cb.source
+        ORDER BY a, b""")),
+
     // ===== one-pass dataset profiling (graft.ops.Profile): per-column
     // row/null/distinct counts + canonical min/max — the data-quality
     // gate a curation pipeline stores per ingest batch. Oracle mirrors

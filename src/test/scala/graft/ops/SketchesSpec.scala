@@ -121,4 +121,31 @@ class SketchesSpec extends AnyFunSuite {
     assert(Sketches.estimateDistinct(t.toDF, Seq("day")).orderBy("day")
       .as[(String, Long)].collect().toSeq === Seq(("d1", 50L), ("d2", 80L)))
   }
+
+  test("theta overlap: exact set algebra below lgK, from state alone") {
+    // A = 0..999, B = 500..1499, C = 2000..2099 (disjoint from both)
+    val rows = (0 to 999).map(i => ("A", s"v$i")) ++
+      (500 to 1499).map(i => ("B", s"v$i")) ++
+      (2000 to 2099).map(i => ("C", s"v$i"))
+    val sk = Sketches.thetaSketches(rows.toDF("src", "v"), Seq("src"), "v")
+    val got = Sketches.pairwiseOverlap(sk, "src").orderBy("a", "b")
+      .as[(String, String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      ("A", "B", 1000L, 1000L, 500L, 1500L, 0.333333),
+      ("A", "C", 1000L, 100L, 0L, 1100L, 0.0),
+      ("B", "C", 1000L, 100L, 0L, 1100L, 0.0)))
+  }
+
+  test("theta overlap stays sane above exact mode (sampling kicks in)") {
+    val n = 60000
+    val rows = (0 until n).map(i => ("A", s"v$i")) ++
+      (n / 2 until n + n / 2).map(i => ("B", s"v$i"))
+    val sk = Sketches.thetaSketches(rows.toDF("src", "v"), Seq("src"), "v")
+    val r = Sketches.pairwiseOverlap(sk, "src")
+      .as[(String, String, Long, Long, Long, Long, Double)].head()
+    // intersection of sampled sketches carries more variance than a
+    // plain distinct estimate — allow 10%
+    assert(math.abs(r._5 - n / 2).toDouble / (n / 2) < 0.10, r)
+    assert(math.abs(r._6 - n * 3 / 2).toDouble / (n * 3 / 2) < 0.10, r)
+  }
 }
