@@ -57,8 +57,14 @@ object Sketches {
     */
   def pairwiseOverlap(sketches: DataFrame, keyCol: String,
       lgK: Int = 14): DataFrame = {
-    val a = sketches.select(col(keyCol).as("a"), col("theta").as("__ta"))
-    val b = sketches.select(col(keyCol).as("b"), col("theta").as("__tb"))
+    // materialize the state ONCE: the self-join would otherwise run the
+    // whole upstream sketch aggregation twice (once per side) and ship
+    // its fat update-mode partial buffers through two shuffles. Sketch
+    // state is m small rows BY DESIGN (that's the op's premise), so an
+    // eager localCheckpoint is cheap and truncates the lineage.
+    val st = sketches.localCheckpoint()
+    val a = st.select(col(keyCol).as("a"), col("theta").as("__ta"))
+    val b = st.select(col(keyCol).as("b"), col("theta").as("__tb"))
     val common = theta_sketch_estimate(
       theta_intersection(col("__ta"), col("__tb"))).cast("long")
     val uni = theta_sketch_estimate(

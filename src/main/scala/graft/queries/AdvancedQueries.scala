@@ -227,12 +227,17 @@ object AdvancedQueries extends QueryGroup {
     // can't answer (no intersection). At lgK=14 every source (~1.4k
     // shingles) and union stays in theta EXACT mode, so the estimates
     // equal DuckDB's exact set arithmetic; at bench scale the same
-    // query runs genuinely approximate.
+    // query runs genuinely approximate. Shingles enter the sketch as
+    // their compiled one-pass xxhash64 (d2's convention: distinct
+    // hashes ≡ distinct shingles modulo ~1e-10 collisions) — the HOF
+    // shingle chain re-evaluates tokenization per window inside the
+    // lambda, and longs beat strings through the shuffle.
     QueryDef(
       "a14_source_overlap",
       (s, d) => {
         val sh = Tables.documents(s, d).select(col("source"),
-          explode(graft.functions.TextFunctions.shingles(col("text"), 3)).as("sh"))
+          explode(org.apache.spark.sql.graft.TextExpressions
+            .shingleHashes64(lower(col("text")), 3)).as("sh"))
         graft.ops.Sketches.pairwiseOverlap(
           graft.ops.Sketches.thetaSketches(sh, Seq("source"), "sh"), "source")
           .orderBy(col("a"), col("b"))
