@@ -78,6 +78,66 @@ object Sketches {
         round(col("n_common").cast("double") / col("n_union").cast("double"), 6))
   }
 
+  /** KLL quantile state per group — the quantile analog of
+    * [[distinctSketches]]: sketch each fine grain once, persist the
+    * few-KB blobs, answer any coarser quantile later from state alone.
+    * `k` trades size for rank error (~1.65% normalized at the default
+    * 200); a sketch stays EXACT while its input fits in level 0 (n ≤ k).
+    */
+  def quantileSketches(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      k: Int = 200): DataFrame = {
+    val agg = kll_sketch_agg_double(col(valueCol).cast("double"), k).as("kll")
+    if (keyCols.isEmpty) df.agg(agg)
+    else df.groupBy(keyCols.map(col): _*).agg(agg)
+  }
+
+  /** Merge AGGREGATE for stored KLL state. Spark 4.1 ships the sketch
+    * aggregate (`kll_sketch_agg_double`) and a PAIRWISE scalar merge
+    * (`kll_sketch_merge_double`) but no merge aggregate, so rolling
+    * stored state up needs this small typed Aggregator over the blobs —
+    * associative/commutative, partial-merges map-side like any agg.
+    */
+  val kllMerge: org.apache.spark.sql.expressions.UserDefinedFunction = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    val agg = new org.apache.spark.sql.expressions.Aggregator[
+        Array[Byte], Array[Byte], Array[Byte]] {
+      private def merge2(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+        if (a == null || a.isEmpty) b
+        else if (b == null || b.isEmpty) a
+        else {
+          val s = KllDoublesSketch.heapify(Memory.wrap(a))
+          s.merge(KllDoublesSketch.heapify(Memory.wrap(b)))
+          s.toByteArray
+        }
+      def zero: Array[Byte] = Array.emptyByteArray
+      def reduce(buf: Array[Byte], x: Array[Byte]): Array[Byte] = merge2(buf, x)
+      def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = merge2(a, b)
+      def finish(b: Array[Byte]): Array[Byte] = if (b.isEmpty) null else b
+      def bufferEncoder = org.apache.spark.sql.Encoders.BINARY
+      def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+    }
+    org.apache.spark.sql.functions.udaf(agg)
+  }
+
+  /** Roll stored KLL state up to `keyCols` (subset of the stored grain,
+    * or empty for global) and read the requested quantiles — cost ∝
+    * stored sketch rows, never the raw data. Output: key columns plus
+    * one `q<pct>` column per requested quantile.
+    */
+  def rollupQuantiles(sketches: DataFrame, keyCols: Seq[String],
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
+      "quantiles must be in [0, 1]")
+    val merged = kllMerge(col("kll")).as("kll")
+    val base =
+      if (keyCols.isEmpty) sketches.agg(merged)
+      else sketches.groupBy(keyCols.map(col): _*).agg(merged)
+    val qcols = qs.map(q => kll_sketch_get_quantile_double(col("kll"), lit(q))
+      .as(s"q${(q * 100).round}"))
+    base.select(keyCols.map(col) ++ qcols: _*)
+  }
+
   /** Count-min frequency state over `valueCol` (Spark's built-in
     * `count_min_sketch` aggregate — mergeable binary state, same
     * append-only maintenance story as the HLL sketches above). One

@@ -122,6 +122,39 @@ class SketchesSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSeq === Seq(("d1", 50L), ("d2", 80L)))
   }
 
+  test("KLL rollup from stored state: exact below k, merge == direct") {
+    // 150 values over 3 days — fits level 0 (k=200), so state is exact
+    val rows = (1 to 150).map(i => (s"d${i % 3}", i.toDouble)).toDF("day", "v")
+    val state = Sketches.quantileSketches(rows, Seq("day"), "v")
+    val global = Sketches.rollupQuantiles(state, Seq.empty, Seq(0.5))
+      .as[Double].head()
+    assert(global === 75.0 || global === 76.0, s"median $global")
+    // rolling up stored state must equal sketching the raw data at once
+    val direct = Sketches.rollupQuantiles(
+      Sketches.quantileSketches(rows, Seq.empty, "v"), Seq.empty,
+      Seq(0.25, 0.5, 0.95)).head()
+    val rolled = Sketches.rollupQuantiles(state, Seq.empty,
+      Seq(0.25, 0.5, 0.95)).head()
+    assert(rolled === direct)
+    // per-day grain still readable from the same state
+    val perDay = Sketches.rollupQuantiles(state, Seq("day"), Seq(0.5))
+      .orderBy("day").as[(String, Double)].collect()
+    assert(perDay.length === 3 && perDay.forall(r => r._2 > 60 && r._2 < 90))
+  }
+
+  test("KLL rollup stays within rank-error bounds above k") {
+    val n = 50000
+    val rows = (1 to n).map(i => (s"g${i % 20}", i.toDouble)).toDF("g", "v")
+    val state = Sketches.quantileSketches(rows, Seq("g"), "v")
+    val Seq(q50, q95) = Seq(0.5, 0.95).map { q =>
+      Sketches.rollupQuantiles(state, Seq.empty, Seq(q)).as[Double].head()
+    }
+    // normalized rank error ~1.65% at k=200; 20-way merge stays well
+    // inside 3%
+    assert(math.abs(q50 - n * 0.5) / n < 0.03, s"q50 $q50")
+    assert(math.abs(q95 - n * 0.95) / n < 0.03, s"q95 $q95")
+  }
+
   test("theta overlap: exact set algebra below lgK, from state alone") {
     // A = 0..999, B = 500..1499, C = 2000..2099 (disjoint from both)
     val rows = (0 to 999).map(i => ("A", s"v$i")) ++
