@@ -263,6 +263,29 @@ object AdvancedQueries extends QueryGroup {
         LEFT JOIN i ON i.a = ca.source AND i.b = cb.source
         ORDER BY a, b""")),
 
+    // ===== KLL quantile-state ROLLUP (graft.ops.Sketches): sketch at
+    // the fine (source, lang) grain, then answer per-SOURCE quantiles
+    // by MERGING the stored blobs (kllMerge typed Aggregator) — the
+    // persisted-state path, never a rescan. k=2048 keeps every sketch
+    // and merge in KLL exact mode at fixture scale, where the
+    // inclusive-rank quantile definition coincides with DuckDB's
+    // quantile_disc (verified: per-grain AND merged values identical);
+    // at larger scale the same query degrades to ~1.65% rank error.
+    QueryDef(
+      "a15_quantile_rollup",
+      (s, d) => {
+        val state = graft.ops.Sketches.quantileSketches(
+          Tables.documents(s, d), Seq("source", "lang"), "n_chars", k = 2048)
+        graft.ops.Sketches.rollupQuantiles(state, Seq("source"),
+          Seq(0.25, 0.5, 0.95)).orderBy(col("source"))
+      },
+      Some("""
+        SELECT source,
+               CAST(quantile_disc(n_chars, 0.25) AS DOUBLE) AS q25,
+               CAST(quantile_disc(n_chars, 0.5) AS DOUBLE) AS q50,
+               CAST(quantile_disc(n_chars, 0.95) AS DOUBLE) AS q95
+        FROM documents GROUP BY source ORDER BY source""")),
+
     // ===== one-pass dataset profiling (graft.ops.Profile): per-column
     // row/null/distinct counts + canonical min/max — the data-quality
     // gate a curation pipeline stores per ingest batch. Oracle mirrors
