@@ -147,4 +147,43 @@ object CorpusPipeline {
     good.unpersist(); fresh.unpersist()
     IncrementResult(input, afterQuality, appended)
   }
+
+  /** Continuous curation — the streaming form of [[curateIncremental]]:
+    * the LANDING lake table's commit log streams through the v2 source
+    * ([[graft.streaming.LakeStreaming.asStreamV2]] — exact version
+    * offsets, DML-safe) and each micro-batch runs the incremental path
+    * (annotate → gate → in-batch dedup → bloom-gated cross-corpus
+    * dedup → append → change-feed stats refresh).
+    *
+    * Exactly-once WITHOUT txn bookkeeping, at the content level: a
+    * batch replayed after a crash re-enters the cross-corpus dedup
+    * gate, whose fingerprints it already populated, so it appends
+    * nothing; and the stats view refreshes from the curated table's
+    * change feed, so a no-op append moves no stats. The checkpoint
+    * only bounds REREAD volume, not correctness.
+    */
+  def curateContinuously(
+      spark: SparkSession,
+      landingPath: String,
+      outRoot: String,
+      checkpointLocation: String,
+      minQuality: Double = 0.3,
+      minTokens: Int = 5,
+      expectedCorpusItems: Long = 10_000_000L,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      startingVersion: Long = 0L): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.LakeStreaming.asStreamV2(spark, landingPath, startingVersion)
+      .writeStream
+      .queryName(s"curate:$outRoot")
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          curateIncremental(spark, batch, outRoot, minQuality, minTokens,
+            expectedCorpusItems)
+          ()
+        }
+      }
+      .start()
 }

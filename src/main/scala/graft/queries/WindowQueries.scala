@@ -106,6 +106,36 @@ object WindowQueries extends QueryGroup {
         SELECT l_suppkey, revenue,
                CAST(rank() OVER (ORDER BY revenue DESC, l_suppkey) AS BIGINT) AS rnk,
                CAST(dense_rank() OVER (ORDER BY revenue DESC, l_suppkey) AS BIGINT) AS drnk
-        FROM rev ORDER BY rnk, l_suppkey"""))
+        FROM rev ORDER BY rnk, l_suppkey""")),
+
+    // ===== bounded ROWS frames: trailing moving average (2 PRECEDING ..
+    // CURRENT) and a centered sum (1 PRECEDING .. 1 FOLLOWING) — the
+    // frame shapes w1-w4 don't cover. o_orderkey is unique, so the
+    // ordering is total and every frame's membership (hence its short
+    // fixed-order double sum) is identical across engines.
+    QueryDef(
+      "w5_bounded_frames",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d)
+          // no rounding: the ≤3-element frames sum in identical order on
+          // both engines (bit-equal IEEE), while round() itself disagrees
+          // on exact .xx5 boundaries (half-up vs nearbyint)
+          .withColumn("ma3", avg(col("o_totalprice")).over(w.rowsBetween(-2, 0)))
+          .withColumn("ctr3", sum(col("o_totalprice")).over(w.rowsBetween(-1, 1)))
+          .select(col("o_custkey"), col("o_orderkey"), col("ma3"), col("ctr3"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               avg(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3,
+               sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS ctr3
+        FROM orders
+        ORDER BY o_custkey, o_orderkey"""))
   )
 }

@@ -116,14 +116,31 @@ private[graft] case class LakeSourceOffset(version: Long) extends Offset {
 
 private[graft] class LakeMicroBatchStream(
     path: String, schema: StructType, startingVersion: Long,
-    skipChangeCommits: Boolean) extends MicroBatchStream {
+    skipChangeCommits: Boolean) extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val log = new graft.lake.LakeLog(path)
   @volatile private var readerFactory: PartitionReaderFactory = _
 
+  // Trigger.AvailableNow (T1-T4): the engine calls prepare() once at
+  // query start; the backlog END is pinned to the commit-log version of
+  // that moment, so the query drains exactly the versions that existed
+  // at start and stops — concurrent writers can keep committing without
+  // extending the run (the same contract Delta's source implements).
+  @volatile private var pinnedEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinnedEnd = Some(log.latestVersion.getOrElse(-1L))
+
   override def initialOffset(): Offset = LakeSourceOffset(startingVersion - 1)
 
   override def latestOffset(): Offset =
+    LakeSourceOffset(pinnedEnd.getOrElse(log.latestVersion.getOrElse(-1L)))
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+
+  override def reportLatestOffset(): Offset =
     LakeSourceOffset(log.latestVersion.getOrElse(-1L))
 
   override def deserializeOffset(json: String): Offset =
@@ -180,15 +197,26 @@ private[graft] class LakeMicroBatchStream(
   */
 private[graft] class LakeCdfMicroBatchStream(
     path: String, outSchema: StructType, startingVersion: Long)
-  extends MicroBatchStream {
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val log = new graft.lake.LakeLog(path)
   private val tableSchema = StructType(outSchema.dropRight(3))
   private val cdcFileSchema = LakeCdf.cdcFileSchema(tableSchema)
   @volatile private var factory: CdfReaderFactory = _
 
+  // see LakeMicroBatchStream: AvailableNow pins the backlog end at start
+  @volatile private var pinnedEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinnedEnd = Some(log.latestVersion.getOrElse(-1L))
+
   override def initialOffset(): Offset = LakeSourceOffset(startingVersion - 1)
   override def latestOffset(): Offset =
+    LakeSourceOffset(pinnedEnd.getOrElse(log.latestVersion.getOrElse(-1L)))
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+  override def reportLatestOffset(): Offset =
     LakeSourceOffset(log.latestVersion.getOrElse(-1L))
   override def deserializeOffset(json: String): Offset =
     LakeSourceOffset("\"version\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(json)

@@ -119,4 +119,53 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert((10L to 29L).forall(kept.contains))
     assert(res.afterNear === res.afterExact - 2)
   }
+
+  test("continuous curation: landing stream drives the incremental path") {
+    val root = Files.createTempDirectory("corpus-stream-").toString
+    val all = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang", "text")
+    val base = all.where($"doc_id" % 2 === 0)
+    CorpusPipeline.curate(spark, base, root,
+      minQuality = 0.2, minTokens = 3, nearDupThreshold = 0.99)
+    val before = LakeTable.forPath(spark, s"$root/curated").toDF.count()
+
+    val wave1 = all.where($"doc_id" % 4 === 1)
+    val wave2 = all.where($"doc_id" % 4 === 3)
+    val landing = LakeTable.create(spark, s"$root/landing", wave1)
+    def runOnce(): Unit = {
+      val q = CorpusPipeline.curateContinuously(spark, s"$root/landing",
+        root, s"$root/ckpt", minQuality = 0.2, minTokens = 3,
+        expectedCorpusItems = 1000L)
+      q.awaitTermination() // AvailableNow: drains the backlog, stops
+    }
+    runOnce()
+    val afterW1 = LakeTable.forPath(spark, s"$root/curated").toDF.count()
+    assert(afterW1 > before, s"wave 1 must append: $before -> $afterW1")
+
+    // wave 2 adds new docs PLUS replays of wave-1 content (other ids):
+    // the checkpoint feeds them through, the corpus gate drops them
+    landing.append(wave2.unionByName(
+      wave1.limit(5).select(($"doc_id" + 700000).as("doc_id"), $"lang", $"text")))
+    runOnce()
+    val curated = LakeTable.forPath(spark, s"$root/curated").toDF
+    val afterW2 = curated.count()
+    assert(afterW2 > afterW1)
+    assert(curated.where($"doc_id" >= 700000L).count() === 0,
+      "replayed content must not re-enter the corpus")
+    assert(curated.select("fp").distinct().count() === afterW2)
+
+    // restart with NO new landing commits: nothing to process, no drift
+    runOnce()
+    assert(LakeTable.forPath(spark, s"$root/curated").toDF.count() === afterW2)
+
+    // the stream-maintained stats equal a from-scratch recompute
+    val stats = CorpusPipeline.langStats(spark, root)
+      .orderBy("lang_pred").collect().toSeq
+    val recomputed = curated.groupBy($"lang_pred")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum($"quality") / count($"quality"), 4).as("avg_quality"),
+        sum($"n_tokens").cast("long").as("total_tokens"))
+      .orderBy("lang_pred").collect().toSeq
+    assert(stats === recomputed)
+  }
 }
