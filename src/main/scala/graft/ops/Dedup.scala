@@ -740,6 +740,112 @@ object Dedup {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Exact SUBSTRING dedup (the ExactSubstr rule of Lee et al. 2022,
+    * arXiv:2107.06499, in window-hash form): any `windowTokens`-token
+    * span whose exact text occurs at more than one (doc, offset)
+    * position in the corpus is a duplicated substring; every occurrence
+    * EXCEPT the globally first one (min (id, offset)) has its covered
+    * tokens removed from its document. Unlike whole-doc or paragraph
+    * dedup this catches boilerplate spliced INTO otherwise-unique
+    * documents — the dominant duplication mode in web corpora.
+    *
+    * The reference implementation builds a corpus-wide suffix array on
+    * one machine; this is the distributed equivalent over fixed-length
+    * windows: stride-1 windows hashed to 16 bytes (md5 so external
+    * engines reproduce the keys), one partial-agg groupBy finds each
+    * hash's occurrence count and first position, duplicated occurrences
+    * explode to covered token positions, and the final map-side lambda
+    * filters each doc's token array against its covered set. Cost at
+    * 100 TB: the window stream is one narrow (id, offset, hash) row per
+    * corpus token — same asymptotics as the suffix-array input — with
+    * map-side combine collapsing hot boilerplate windows before the
+    * shuffle; the ×windowTokens position explode is paid only on
+    * duplicated spans. Docs shorter than the window never match (the
+    * rule's stated semantics: only spans ≥ the threshold length dedup).
+    *
+    * First-occurrence keys are encoded `id * 1e9 + offset` so the
+    * min-aggregate is a plain BIGINT both here and in external SQL
+    * twins; callers need `id < ~9.2e9` and offsets < 1e9.
+    *
+    * Output: (idCol, n_tokens, n_removed, clean_text) — one row per
+    * input doc, `clean_text` the surviving tokens space-joined (empty
+    * when the whole doc was duplicated coverage).
+    */
+  def substringDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int): DataFrame = {
+    require(windowTokens > 0, "window must be positive")
+    val L = windowTokens
+    val enc = 1000000000L // (id, offset) -> orderable BIGINT
+    val toks = df.select(col(idCol),
+      filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("__w"))
+    val occ = toks.where(size(col("__w")) >= L)
+      .select(col(idCol),
+        explode(sequence(lit(0), size(col("__w")) - L)).as("__s"),
+        col("__w"))
+      .select(col(idCol), col("__s"),
+        md5(array_join(slice(col("__w"), col("__s") + 1, lit(L)), " "))
+          .as("__h"))
+    val g = occ.groupBy("__h").agg(count(lit(1)).as("__c"),
+      min(col(idCol) * enc + col("__s")).as("__first"))
+    val dup = occ.join(g.where(col("__c") > 1), "__h")
+      .where(col(idCol) * enc + col("__s") =!= col("__first"))
+    // covered token positions, 1-based (matches SQL twins' list indexing)
+    val cover = dup
+      .select(col(idCol), explode(sequence(col("__s") + 1, col("__s") + L))
+        .as("__p"))
+      .groupBy(idCol).agg(collect_set(col("__p")).as("__cov"))
+    toks.join(cover, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("__w")).as("n_tokens"),
+        coalesce(size(col("__cov")), lit(0)).as("n_removed"),
+        array_join(
+          when(col("__cov").isNull, col("__w"))
+            .otherwise(filter(col("__w"),
+              (t, i) => !array_contains(col("__cov"), i + 1))),
+          " ").as("clean_text"))
+  }
+
+  /** DuckDB twin of [[substringDedup]] over table (or CTE) `tbl`; same
+    * output columns and row set. DuckDB's `list_filter` index lambda is
+    * 1-based, which is why covered positions are stored 1-based in both
+    * engines.
+    */
+  def substringDedupSql(tbl: String, idCol: String, textCol: String,
+      windowTokens: Int): String = {
+    val L = windowTokens
+    s"""
+    WITH __toks AS (
+      SELECT $idCol, list_filter(string_split_regex($textCol, '\\s+'),
+                                 t -> length(t) > 0) AS w
+      FROM $tbl),
+    __occ AS (
+      SELECT $idCol, s, md5(array_to_string(w[s+1 : s+$L], ' ')) AS h
+      FROM (SELECT $idCol, w,
+                   unnest(generate_series(0, len(w) - $L)) AS s
+            FROM __toks WHERE len(w) >= $L)),
+    __g AS (
+      SELECT h, count(*) AS c, min($idCol * 1000000000 + s) AS firstk
+      FROM __occ GROUP BY h),
+    __dup AS (
+      SELECT o.$idCol, o.s FROM __occ o JOIN __g g USING (h)
+      WHERE g.c > 1 AND o.$idCol * 1000000000 + o.s <> g.firstk),
+    __cov AS (
+      SELECT $idCol, list(p) AS ps
+      FROM (SELECT DISTINCT $idCol, unnest(generate_series(s + 1, s + $L)) AS p
+            FROM __dup)
+      GROUP BY $idCol)
+    SELECT t.$idCol, CAST(len(t.w) AS INT) AS n_tokens,
+           CAST(coalesce(len(c.ps), 0) AS INT) AS n_removed,
+           CASE WHEN c.ps IS NULL THEN array_to_string(t.w, ' ')
+                ELSE array_to_string(
+                  list_filter(t.w, (t2, i) -> NOT list_contains(c.ps, i)),
+                  ' ') END AS clean_text
+    FROM __toks t LEFT JOIN __cov c USING ($idCol)"""
+  }
+
   /** SemDeDup keep-set: drop all but one representative (the min id) per
     * connected component of the semantic pair graph. */
   def semanticDedup(

@@ -21,16 +21,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which vanilla Spark rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as raw long nanos (legacy conf) and
-    * rebuild a proper TimestampType column at microsecond precision —
-    * matching DuckDB's TIMESTAMP_NS→TIMESTAMP truncation.
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) (which vanilla
+    * Spark rejects — [PARQUET_TYPE_ILLEGAL]) and as TIMESTAMP(MICROS)
+    * without UTC adjustment (which Spark reads as TIMESTAMP_NTZ) across
+    * harness revisions. Normalize every encoding to the same session-tz
+    * TimestampType column at microsecond precision — matching DuckDB's
+    * naive TIMESTAMP view of the file.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => // nanos-as-long files: rebuild micros
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // micros, not UTC-adjusted
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
