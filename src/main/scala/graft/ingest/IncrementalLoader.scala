@@ -34,7 +34,11 @@ final case class LoaderConfig(
     inferColumnTypes: Boolean = true,
     rescuedDataColumn: String = "_rescued_data",
     evolveSchema: Boolean = true,         // addNewColumns
-    maxFilesPerTrigger: Option[Int] = None,
+    /** Files per micro-batch. Bounded BY DEFAULT (Auto Loader's own
+      * default is 1000): the per-batch work — and the evolution guard's
+      * per-batch filename collect in [[EvolvingStream]] — must stay
+      * O(trigger), never O(backlog). None = unbounded, opt-in only. */
+    maxFilesPerTrigger: Option[Int] = Some(1000),
     pathGlobFilter: Option[String] = None,
     recursiveFileLookup: Boolean = false,
     csvHeader: Boolean = true,

