@@ -189,9 +189,15 @@ object CorpusPipeline {
     if (appended > 0) {
       curatedT.append(
         fresh.select(curatedT.snapshot.schema.fieldNames.map(col).toSeq: _*))
-      // index the survivors so the NEXT wave's semantic gate sees them
-      vecCol.foreach(c => graft.ops.Similarity.appendToIvfIndex(
-        fresh, c, "doc_id", s"$outRoot/semindex"))
+      // index the survivors so the NEXT wave's semantic gate sees them;
+      // the drift gate (one table-property read vs stored stats) retrains
+      // the cluster space only when cheap appends have actually moved the
+      // distribution — the streaming pipeline is fully self-maintaining
+      vecCol.foreach { c =>
+        graft.ops.Similarity.appendToIvfIndex(
+          fresh, c, "doc_id", s"$outRoot/semindex")
+        graft.ops.Similarity.maybeRetrainIvfIndex(spark, s"$outRoot/semindex")
+      }
     }
     graft.lake.IncrementalMv.refresh(spark, s"$outRoot/lang_stats")
 

@@ -224,5 +224,12 @@ class CorpusPipelineSpec extends AnyFunSuite {
       "a semantic near-dup of a wave-1 appendee must drop in wave 2")
     // earlier state untouched
     assert(t2(10L) === "epsilon five\nzeta six" && t2(12L) === t1(12L))
+
+    // the drift gate retrained after wave 1 (2 appended on a 2-doc
+    // training set exceeds the 0.5 ratio → trained-count becomes 4) and
+    // correctly did NOT retrain after wave 2 (1 appended ≤ 0.5 × 4)
+    val trained = LakeTable.forPath(spark, s"$root/semindex/codebook")
+      .snapshot.metaData.properties(graft.ops.Similarity.TRAINED_COUNT_PROP)
+    assert(trained === "4", s"drift-gated retrain cadence wrong: $trained")
   }
 }
