@@ -35,8 +35,22 @@ object TextFunctions {
   def tokensSql(c: String): String =
     s"list_filter(string_split_regex(trim(lower($c)), '\\s+'), t -> length(t) > 0)"
 
+  /** One-pass compiled token statistics (count / distinct / stopword
+    * hits / language argmax) — the hot-path core of tokenCount,
+    * stopwordCount, langId and qualityScore. The HOF composition
+    * re-tokenized per REFERENCE (langId's argmax chain alone held ~25
+    * split+filter occurrences, none rescued by subexpression elimination
+    * because lambdas are excluded from it); this evaluates the byte-scan
+    * once per row with identical semantics (ASCII `\s`, exact string
+    * distinct, distinct-union stopword set, first-language tie-break).
+    */
+  private def tokenStats(c: Column): Column =
+    org.apache.spark.sql.graft.TextExpressions
+      .tokenStats(trim(lower(c)), stopwords)
+
   /** Whitespace token count. */
-  def tokenCount(c: Column): Column = size(tokens(c)).cast("int")
+  def tokenCount(c: Column): Column =
+    tokenStats(c).getField("n_tokens")
   def tokenCountSql(c: String): String = s"CAST(length(${tokensSql(c)}) AS INT)"
 
   /** BPE-ish subword count: word-piece runs of letters / digits /
@@ -49,9 +63,8 @@ object TextFunctions {
 
   // ---- language ID -----------------------------------------------------
 
-  /** Stopword hits for one language. */
-  private def hits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isInCollection(words)))
+  /** Stopword hits for one language (SQL-twin side; the Spark side
+    * computes all languages in the one-pass [[tokenStats]]). */
   private def hitsSql(toksSql: String, words: Seq[String]): String = {
     val inList = words.map(w => s"'$w'").mkString(", ")
     s"len(list_filter($toksSql, t -> t IN ($inList)))"
@@ -61,18 +74,8 @@ object TextFunctions {
     * "und" (undetermined) when no stopword hits at all. Ties go to the
     * earlier language in `stopwords`.
     */
-  def langId(c: Column): Column = {
-    val toks = tokens(c)
-    val scores = stopwords.map { case (lang, words) => lang -> hits(toks, words) }
-    val maxScore = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    // when-chains evaluate in order → the FIRST language hitting the max
-    // wins ties, matching the SQL CASE twin below.
-    val chain = scores.tail.foldLeft(
-      when(scores.head._2 === maxScore && maxScore > 0, lit(scores.head._1))) {
-      case (acc, (lang, s)) => acc.when(s === maxScore && maxScore > 0, lit(lang))
-    }
-    chain.otherwise(lit("und"))
-  }
+  def langId(c: Column): Column =
+    tokenStats(c).getField("lang_pred")
 
   def langIdSql(c: String): String = {
     val toksSql = tokensSql(c)
@@ -93,10 +96,8 @@ object TextFunctions {
     s"CAST(length(regexp_replace($c, '${punctClass.replace("\\", "\\\\")}', '', 'g')) AS INT)"
 
   /** Stopword hits across all languages (quality signal). */
-  def stopwordCount(c: Column): Column = {
-    val all = stopwords.flatMap(_._2).distinct
-    size(filter(tokens(c), t => t.isInCollection(all))).cast("int")
-  }
+  def stopwordCount(c: Column): Column =
+    tokenStats(c).getField("stop_hits")
   def stopwordCountSql(c: String): String = {
     val all = stopwords.flatMap(_._2).distinct
     val inList = all.map(w => s"'$w'").mkString(", ")
@@ -111,11 +112,15 @@ object TextFunctions {
     *       + 0.2*(1 - punct/chars) + 0.1*(distinctTokens/tokens)
     */
   def qualityScore(c: Column): Column = {
-    val nt = tokenCount(c).cast("double")
-    val sw = stopwordCount(c).cast("double")
+    // one TokenStats subtree shared by all three token-derived counts —
+    // lambda-free, so subexpression elimination hoists it; worst case
+    // it re-runs the single compiled byte-scan, never the HOF pipeline
+    val st = tokenStats(c)
+    val nt = st.getField("n_tokens").cast("double")
+    val sw = st.getField("stop_hits").cast("double")
     val pc = punctCount(c).cast("double")
     val ch = length(c).cast("double")
-    val dt = size(array_distinct(tokens(c))).cast("double")
+    val dt = st.getField("n_distinct").cast("double")
     when(nt === 0.0 || ch === 0.0, 0.0).otherwise(
       lit(0.4) * least(lit(1.0), nt / 50.0) +
         lit(0.3) * (sw / nt) +

@@ -274,7 +274,137 @@ case class ShingleHashes64(child: Expression, n: Int, distinct: Boolean)
     copy(child = newChild)
 }
 
+/** One-pass token statistics for the text-analysis operators. The
+  * composed pipeline evaluated `filter(split(trim(lower(c)),"\\s+"),…)`
+  * once per REFERENCE — and langId's argmax chain plus qualityScore's
+  * ratio formula reference token-derived counts dozens of times, with
+  * no common-subexpression rescue because every occurrence sits under a
+  * lambda (HOF subtrees are excluded from subexpression elimination).
+  * This expression tokenizes once per row (byte scan, same ASCII-`\s`
+  * semantics as the regex split — see [[ShingleHash]]) and returns every
+  * count the operators need:
+  *
+  *   struct<n_tokens int, n_distinct int, stop_hits int, lang_pred string>
+  *
+  *  - `n_distinct`: exact string-distinct tokens (`array_distinct`);
+  *  - `stop_hits`: occurrences of any word in the DISTINCT union of all
+  *    language lists (a word shared by two languages counts once) —
+  *    `stopwordCount` semantics;
+  *  - `lang_pred`: argmax of per-language hit counts, ties to the
+  *    earlier language in `langWords` order, "und" when no hits —
+  *    `langId` semantics.
+  *
+  * Pass `trim(lower(c))` as the child: casing stays on Spark's codegen'd
+  * full-Unicode `lower`, exactly like the shingle expressions.
+  */
+object TokenStatsImpl {
+  import java.util.{HashSet => JHashSet}
+
+  final class WordSets(langWords: Seq[(String, Seq[String])]) extends Serializable {
+    val langs: Array[UTF8String] =
+      langWords.map(l => UTF8String.fromString(l._1)).toArray
+    val perLang: Array[JHashSet[UTF8String]] = langWords.map { case (_, ws) =>
+      val s = new JHashSet[UTF8String]()
+      ws.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }.toArray
+    val union: JHashSet[UTF8String] = {
+      val s = new JHashSet[UTF8String]()
+      langWords.flatMap(_._2).foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }
+    val und: UTF8String = UTF8String.fromString("und")
+  }
+
+  private val WS = {
+    val a = new Array[Boolean](128)
+    Seq(32, 9, 10, 11, 12, 13).foreach(a(_) = true)
+    a
+  }
+  @inline private def isWs(b: Byte): Boolean = b >= 0 && b < 128 && WS(b)
+
+  def eval(s: UTF8String, sets: WordSets): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val nLangs = sets.perLang.length
+    val langHits = new Array[Int](nLangs)
+    val distinct = new JHashSet[UTF8String]()
+    var nTok = 0
+    var stopHits = 0
+    var i = 0
+    while (i < len) {
+      if (!isWs(bytes(i))) {
+        val st = i
+        while (i < len && !isWs(bytes(i))) i += 1
+        nTok += 1
+        val tok = UTF8String.fromBytes(bytes, st, i - st)
+        distinct.add(tok)
+        if (sets.union.contains(tok)) {
+          stopHits += 1
+          var j = 0
+          while (j < nLangs) {
+            if (sets.perLang(j).contains(tok)) langHits(j) += 1
+            j += 1
+          }
+        }
+      } else i += 1
+    }
+    var best = -1
+    var bestScore = 0
+    var j = nLangs - 1
+    while (j >= 0) { // reverse: earlier language wins ties
+      if (langHits(j) >= bestScore && langHits(j) > 0) {
+        best = j; bestScore = langHits(j)
+      }
+      j -= 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTok, distinct.size(), stopHits,
+        if (best < 0) sets.und else sets.langs(best)))
+  }
+}
+
+case class TokenStats(child: Expression, langWords: Seq[(String, Seq[String])])
+  extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_distinct",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("stop_hits",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("lang_pred",
+      StringType, nullable = false)))
+  override def prettyName: String = "token_stats"
+
+  @transient private lazy val sets = new TokenStatsImpl.WordSets(langWords)
+
+  override def nullSafeEval(input: Any): Any =
+    TokenStatsImpl.eval(input.asInstanceOf[UTF8String], sets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val ref = ctx.addReferenceObj("wordSets", sets,
+        classOf[TokenStatsImpl.WordSets].getName)
+      s"""
+        ${ev.value} = org.apache.spark.sql.graft.TokenStatsImpl.eval($s, $ref);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
+  /** Column API: one-pass token statistics of an already-lowercased,
+    * trimmed text column. */
+  def tokenStats(loweredText: Column,
+      langWords: Seq[(String, Seq[String])]): Column =
+    Bridge.column(TokenStats(Bridge.expr(loweredText), langWords))
+
   /** Column API: one-pass simhash over array<long> token hashes. */
   def simhash64(tokenHashes: Column): Column =
     Bridge.column(SimHash64(Bridge.expr(tokenHashes)))
