@@ -89,9 +89,12 @@ object TextFunctions {
 
   // ---- quality scoring -------------------------------------------------
 
-  /** Punctuation-character count. */
+  /** Punctuation-character count — one compiled byte scan (the
+    * `regexp_replace` form built and measured a filtered copy of every
+    * document; counts are identical for an ASCII class). */
   def punctCount(c: Column): Column =
-    length(regexp_replace(c, punctClass, "")).cast("int")
+    org.apache.spark.sql.graft.TextExpressions
+      .asciiCharCount(c, ".,;:!?")
   def punctCountSql(c: String): String =
     s"CAST(length(regexp_replace($c, '${punctClass.replace("\\", "\\\\")}', '', 'g')) AS INT)"
 
@@ -144,10 +147,14 @@ object TextFunctions {
   // ---- fingerprinting --------------------------------------------------
 
   /** Content fingerprint: md5 of whitespace-normalized lower-cased text
-    * (md5 is identical across engines — exact-dedup key).
+    * (md5 is identical across engines — exact-dedup key). The
+    * normalization is one compiled pass (ws-run collapse + trim ≡ the
+    * tokenize→join composition byte-for-byte); md5 stays the codegen'd
+    * builtin.
     */
   def fingerprint(c: Column): Column =
-    md5(array_join(tokens(c), " "))
+    md5(org.apache.spark.sql.graft.TextExpressions
+      .normalizeWs(trim(lower(c))))
   def fingerprintSql(c: String): String =
     s"md5(list_aggregate(${tokensSql(c)}, 'string_agg', ' '))"
 

@@ -398,12 +398,132 @@ case class TokenStats(child: Expression, langWords: Seq[(String, Seq[String])])
     copy(child = newChild)
 }
 
+/** Count of characters from an ASCII set, one byte scan — the compiled
+  * twin of `length(regexp_replace(c, "[^<set>]", ""))` (which builds and
+  * measures a filtered COPY of every document). ASCII bytes never occur
+  * inside multi-byte UTF-8 sequences, so byte counting equals code-point
+  * counting for an ASCII set.
+  */
+case class AsciiCharCount(child: Expression, chars: String)
+  extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  require(chars.nonEmpty && chars.forall(_ < 128), "ASCII set only")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "ascii_char_count"
+
+  @transient private lazy val mask: Array[Boolean] = {
+    val a = new Array[Boolean](128)
+    chars.foreach(c => a(c.toInt) = true)
+    a
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var n = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b >= 0 && mask(b)) n += 1
+      i += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val m = ctx.addReferenceObj("mask", mask, "boolean[]")
+      val bytes = ctx.freshName("bytes")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      s"""
+        byte[] $bytes = $s.getBytes();
+        int $n = 0;
+        for (int $i = 0; $i < $bytes.length; $i++) {
+          byte $b = $bytes[$i];
+          if ($b >= 0 && $m[$b]) $n++;
+        }
+        ${ev.value} = $n;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Whitespace normalization in one pass: collapse ASCII-`\s` runs to a
+  * single space and trim — byte-identical to
+  * `array_join(filter(split(trim(lower(c)),"\\s+"), …), " ")` when fed
+  * the trimmed, lowered string (token bytes + 0x20 separators). Feeds
+  * `md5(...)` for content fingerprints without the HOF pipeline or the
+  * intermediate array.
+  */
+case class NormalizeWs(child: Expression)
+  extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_ws"
+
+  override def nullSafeEval(input: Any): Any =
+    NormalizeWs.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""
+        ${ev.value} = org.apache.spark.sql.graft.NormalizeWs.normalize($s);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NormalizeWs {
+  private val WS = {
+    val a = new Array[Boolean](128)
+    Seq(32, 9, 10, 11, 12, 13).foreach(a(_) = true)
+    a
+  }
+  @inline private def isWs(b: Byte): Boolean = b >= 0 && b < 128 && WS(b)
+
+  def normalize(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val out = new Array[Byte](len)
+    var pos = 0
+    var i = 0
+    while (i < len) {
+      if (!isWs(bytes(i))) {
+        if (pos > 0) { out(pos) = ' '; pos += 1 }
+        val st = i
+        while (i < len && !isWs(bytes(i))) i += 1
+        System.arraycopy(bytes, st, out, pos, i - st)
+        pos += i - st
+      } else i += 1
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, pos))
+  }
+}
+
 object TextExpressions {
   /** Column API: one-pass token statistics of an already-lowercased,
     * trimmed text column. */
   def tokenStats(loweredText: Column,
       langWords: Seq[(String, Seq[String])]): Column =
     Bridge.column(TokenStats(Bridge.expr(loweredText), langWords))
+
+  /** Column API: count of the given ASCII characters, one byte scan. */
+  def asciiCharCount(text: Column, chars: String): Column =
+    Bridge.column(AsciiCharCount(Bridge.expr(text), chars))
+
+  /** Column API: ASCII-whitespace-run collapse + trim, one pass. */
+  def normalizeWs(text: Column): Column =
+    Bridge.column(NormalizeWs(Bridge.expr(text)))
 
   /** Column API: one-pass simhash over array<long> token hashes. */
   def simhash64(tokenHashes: Column): Column =

@@ -97,6 +97,21 @@ class TokenStatsParitySpec extends AnyFunSuite {
     }
   }
 
+  test("punctCount and fingerprint match their composed forms exactly") {
+    val composedPunct =
+      length(regexp_replace($"t", punctClass, "")).cast("int")
+    val composedFp = md5(array_join(tokens($"t"), " "))
+    val punctFixtures = fixtures ++ Seq(
+      "wait... what?! yes; no: maybe, ok.", "¡unicode! ¿punct? — café...")
+    val rows = punctFixtures.toDF("t")
+      .select(punctCount($"t"), composedPunct, fingerprint($"t"), composedFp)
+      .collect()
+    rows.zip(punctFixtures).foreach { case (r, s) =>
+      assert(r.getInt(0) === r.getInt(1), s"punctCount: '$s'")
+      assert(r.getString(2) === r.getString(3), s"fingerprint: '$s'")
+    }
+  }
+
   test("null text stays null through every derived function") {
     val df = Seq[Option[String]](None, Some("the fox")).toDF("t")
     val r = df.select(tokenCount($"t"), stopwordCount($"t"), langId($"t"))
