@@ -111,31 +111,52 @@ object LocalFsCommitStore extends CommitStore {
   * having won the condition, not from create-new semantics on `dest`).
   *
   * Works on any FS with atomic `O_CREAT|O_EXCL` (POSIX, NFSv3+), i.e.
-  * also where hard links are unavailable. Crash window, documented as in
+  * also where hard links are unavailable. Crash window, handled as in
   * the DynamoDB-mutex LogStore designs this mirrors: a winner that dies
   * between reserving and publishing leaves the key reserved with no
-  * object; repair is deleting markers whose `dest` is absent and older
-  * than the commit timeout. Real S3/GCS conditional PUTs are atomic
-  * check+publish, so THEY have no such window — the marker split exists
-  * only because a plain filesystem lacks a conditional overwrite.
+  * object, and any later writer REPAIRS it — a marker whose `dest` is
+  * absent after `staleMarkerMs` is deleted and the condition re-contended
+  * (so a crashed writer never wedges the log). The inherited limitation
+  * is the same as every lease-based mutex: a LIVE writer stalled longer
+  * than the window between reserve and publish can be repaired over,
+  * so size the window well above a publish (default 60 s vs
+  * milliseconds). Real S3/GCS conditional PUTs are atomic check+publish,
+  * so THEY have neither the window nor the caveat — the marker split
+  * exists only because a plain filesystem lacks a conditional overwrite.
   */
-final class MarkerFsCommitStore extends CommitStore {
+final class MarkerFsCommitStore(staleMarkerMs: Long = 60000L)
+  extends CommitStore {
   /** Condition wins / losses, for contention observability in specs. */
   @volatile var wins: Int = 0
   @volatile var lostRaces: Int = 0
+  @volatile var repairs: Int = 0
 
   private def reserve(dest: Path): Boolean = {
     val dir = dest.getParent.resolve(".cond")
     Files.createDirectories(dir)
-    try {
-      Files.createFile(dir.resolve(dest.getFileName.toString + ".reserved"))
-      synchronized { wins += 1 }
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        synchronized { lostRaces += 1 }
-        false
+    val marker = dir.resolve(dest.getFileName.toString + ".reserved")
+    def tryCreate(): Boolean =
+      try { Files.createFile(marker); synchronized { wins += 1 }; true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (tryCreate()) return true
+    // crashed-winner repair: reserved, nothing published, lease expired.
+    // dest is checked FIRST — a published object's marker is never stale.
+    // A concurrent repairer may delete the marker between our checks
+    // (NoSuchFile → just re-contend); losing the re-created marker race
+    // is an ordinary loss.
+    val stale =
+      try !Files.exists(dest) &&
+        System.currentTimeMillis() -
+          Files.getLastModifiedTime(marker).toMillis > staleMarkerMs
+      catch { case _: java.nio.file.NoSuchFileException => true }
+    if (stale) {
+      try Files.deleteIfExists(marker)
+      catch { case _: java.io.IOException => () }
+      synchronized { repairs += 1 }
+      if (tryCreate()) return true
     }
+    synchronized { lostRaces += 1 }
+    false
   }
 
   private def publish(dest: Path, write: Path => Unit): Boolean = {

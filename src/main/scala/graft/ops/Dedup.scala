@@ -708,14 +708,16 @@ object Dedup {
 
   /** Batch-vs-corpus SEMANTIC gate over a persisted IVF index (the
     * streaming-wave form of SemDeDup, VERDICT r3 #6): batch rows whose
-    * embedding is ≥ `threshold` cosine to ANY indexed corpus vector are
-    * dropped; survivors return unchanged for append +
-    * [[Similarity.appendToIvfIndex]]. Cost tracks the BATCH: probes
+    * embedding is ≥ `threshold` cosine to ANY indexed corpus vector — or
+    * to an EARLIER (smaller-id) row of the same batch, the batch path's
+    * drop-the-larger-id policy — are dropped; survivors return unchanged
+    * for append + index maintenance. Cost tracks the BATCH: probes
     * resolve against the broadcast codebook, the assignments table is
     * read partition-pruned to the probed lists only, and the batch side
     * broadcasts (micro-batches are small by construction) — the corpus
-    * never shuffles. Candidate generation is approximate (nProbe lists);
-    * every emitted drop is exact-cosine verified.
+    * never shuffles; the within-batch pass is a batch×batch cluster join.
+    * Candidate generation is approximate (nProbe lists); every emitted
+    * drop is exact-cosine verified.
     */
   def semanticNewAgainstIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -739,9 +741,20 @@ object Dedup {
     val corpus = graft.lake.LakeTable
       .forPath(spark, s"$indexPath/assignments")
       .read(col("list_id").isin(probedLists: _*)) // partition-pruned
-    val dups = corpus.join(broadcast(probes), Seq("list_id"))
+    val corpusDups = corpus.join(broadcast(probes), Seq("list_id"))
       .where(Similarity.dotNormalized(col("nvec"), col("__bnvec")) >= threshold)
-      .select(col("__bid").as(idCol)).distinct()
+      .select(col("__bid").as(idCol))
+    // two near-identical docs arriving in the SAME wave must not both
+    // land (one wave apart they would have deduped against the index)
+    val a = probes.select(col("list_id"), col("__bid").as("__ida"),
+      col("__bnvec").as("__va"))
+    val b = probes.select(col("list_id"), col("__bid").as("__idb"),
+      col("__bnvec").as("__vb"))
+    val batchDups = a.join(b, Seq("list_id"))
+      .where(col("__ida") < col("__idb") &&
+        Similarity.dotNormalized(col("__va"), col("__vb")) >= threshold)
+      .select(col("__idb").as(idCol))
+    val dups = corpusDups.unionByName(batchDups).distinct()
     batch.join(broadcast(dups), Seq(idCol), "left_anti")
   }
 
@@ -794,8 +807,9 @@ object Dedup {
     * engines reproduce the keys), one partial-agg groupBy finds each
     * hash's occurrence count and first position, duplicated occurrences
     * explode to covered token positions, and the final map-side pass
-    * merge-scans each doc's token array against its sorted covered set
-    * in one linear sweep. Cost at
+    * takes the hash-based position difference (array_except) and
+    * rebuilds the text from the surviving positions — linear per doc.
+    * Cost at
     * 100 TB: the window stream is one narrow (id, offset, hash) row per
     * corpus token — same asymptotics as the suffix-array input — with
     * map-side combine collapsing hot boilerplate windows before the
@@ -832,31 +846,21 @@ object Dedup {
       min(col(idCol) * enc + col("__s")).as("__first"))
     val dup = occ.join(g.where(col("__c") > 1), "__h")
       .where(col(idCol) * enc + col("__s") =!= col("__first"))
-    // covered token positions, 1-based (matches SQL twins' list indexing);
-    // SORTED at aggregation time so the projection below can merge-scan
+    // covered token positions, 1-based (matches SQL twins' list indexing)
     val cover = dup
       .select(col(idCol), explode(sequence(col("__s") + 1, col("__s") + L))
         .as("__p"))
-      .groupBy(idCol).agg(sort_array(collect_set(col("__p"))).as("__cov"))
-    // Surviving tokens via ONE forward merge-scan per doc: token positions
-    // enumerate 1..n in order and __cov is sorted distinct, so a single
-    // cursor k into __cov advances exactly when the current position is
-    // covered — O(n_tokens + n_covered) per doc, vs the quadratic
-    // per-token array_contains probe (ADVICE r3). try_element_at past the
-    // end yields NULL, so the cursor parks after the last covered
-    // position. The DuckDB twin keeps list_contains: it is an oracle run
-    // at small SF, not a production path.
-    val zipped = zip_with(col("__w"), sequence(lit(1), size(col("__w"))),
-      (t, p) => struct(t.as("t"), p.as("p")))
-    val scan = aggregate(
-      zipped,
-      struct(lit(1).as("k"), slice(col("__w"), 1, 0).as("out")),
-      (acc, x) =>
-        when(try_element_at(col("__cov"), acc("k")) === x("p"),
-          struct((acc("k") + 1).as("k"), acc("out").as("out")))
-          .otherwise(struct(acc("k").as("k"),
-            concat(acc("out"), array(x("t"))).as("out"))),
-      acc => array_join(acc("out"), " "))
+      .groupBy(idCol).agg(collect_set(col("__p")).as("__cov"))
+    // Surviving tokens in LINEAR time per doc: surviving POSITIONS come
+    // from one hash-based array_except (O(n_tokens + n_covered), order
+    // of the left/ascending side preserved), then one element_at
+    // projection rebuilds the text — vs the quadratic per-token
+    // array_contains probe (ADVICE r3). No per-element accumulator
+    // copying, no sort of the cover set.
+    val kept = array_except(
+      sequence(lit(1), size(col("__w"))), col("__cov"))
+    val scan = array_join(
+      transform(kept, p => element_at(col("__w"), p)), " ")
     toks.join(cover, Seq(idCol), "left")
       .select(col(idCol),
         size(col("__w")).as("n_tokens"),
@@ -899,12 +903,16 @@ object Dedup {
       GROUP BY $idCol)
     SELECT t.$idCol, CAST(len(t.w) AS INT) AS n_tokens,
            CAST(coalesce(len(c.ps), 0) AS INT) AS n_removed,
-           coalesce(
+           CASE WHEN t.w IS NULL THEN NULL -- NULL text stays NULL (Spark)
+                ELSE coalesce(             -- '' when every token removed:
+                                           -- array_to_string of an empty
+                                           -- list is NULL in DuckDB, ''
+                                           -- in Spark's array_join
              CASE WHEN c.ps IS NULL THEN array_to_string(t.w, ' ')
                   ELSE array_to_string(
                     list_filter(t.w, (t2, i) -> NOT list_contains(c.ps, i)),
                     ' ') END,
-             '') AS clean_text
+             '') END AS clean_text
     FROM __toks t LEFT JOIN __cov c USING ($idCol)"""
   }
 

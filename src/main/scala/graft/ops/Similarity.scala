@@ -200,6 +200,63 @@ object Similarity {
     indexedRows(t) - before
   }
 
+  /** Txn app-id prefix for [[syncIvfIndexFromTable]]'s exactly-once
+    * bookkeeping (recorded in the ASSIGNMENTS table's own commit log). */
+  val SYNC_TXN_APP = "graft.ivf.sync"
+  /** Codebook property: source version the index was current through at
+    * BUILD time (the pre-first-sync baseline; build is single-threaded
+    * setup, so a plain property write is safe there). */
+  val SYNCED_PROP = "graft.ivf.syncedThrough"
+
+  private def syncAppId(sourcePath: String) = s"$SYNC_TXN_APP:$sourcePath"
+
+  /** Record at build time that the index covers `sourcePath` through
+    * `version` — the baseline [[syncIvfIndexFromTable]] starts from. */
+  def markIvfSynced(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, version: Long): Unit =
+    graft.lake.LakeTable.forPath(spark, s"$indexPath/codebook")
+      .setProperties(Map(SYNCED_PROP -> version.toString))
+
+  /** EXACTLY-ONCE index maintenance from the source table's change feed
+    * (the crash-safe replacement for calling [[appendToIvfIndex]] with
+    * an in-memory batch): reads the source's inserted rows from the
+    * first un-applied version, assigns them to the existing centroids,
+    * and appends them with a SetTxn recording the applied source version
+    * IN THE SAME COMMIT — a crash between the source append and the
+    * index append just means the next sync picks the rows up from the
+    * feed, and a replayed sync is a no-op. Cost tracks the CHANGED rows.
+    *
+    * Deletes/updates on the source leave stale vectors behind (extra
+    * dedup candidates — same accepted semantics as every ANN index);
+    * the next drift-gated retrain rebuilds from live rows.
+    *
+    * @return rows appended to the index
+    */
+  def syncIvfIndexFromTable(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      sourcePath: String, vecCol: String, idCol: String): Long = {
+    import org.apache.spark.sql.graft.VectorExpressions.nearestCentroids
+    val src = graft.lake.LakeTable.forPath(spark, sourcePath)
+    val latest = src.snapshot.version
+    val asg = graft.lake.LakeTable.forPath(spark, s"$indexPath/assignments")
+    val cb = graft.lake.LakeTable.forPath(spark, s"$indexPath/codebook")
+    val applied = math.max(
+      asg.snapshot.txns.getOrElse(syncAppId(sourcePath), -1L),
+      cb.snapshot.metaData.properties.get(SYNCED_PROP)
+        .flatMap(_.toLongOption).getOrElse(-1L))
+    if (latest <= applied) return 0L
+    val inserts = src.tableChanges(applied + 1)
+      .where(col(graft.lake.Cdc.CHANGE_TYPE) === "insert")
+      .select(col(idCol).as("id"), normalized(col(vecCol)).as("nvec"))
+    val (centroids, dimN) = loadCodebook(spark, indexPath)
+    val assigned = inserts.withColumn("list_id",
+      element_at(nearestCentroids(col("nvec"), centroids, dimN, 1), 1))
+    val before = indexedRows(asg)
+    if (asg.idempotentAppend(assigned, syncAppId(sourcePath), latest))
+      indexedRows(asg) - before // snapshot re-reads the log — post-append
+    else 0L
+  }
+
   /** Retrain the index when the corpus has drifted: if more than
     * `driftRatio` × trained-size rows arrived since the last training,
     * re-sample, re-train the centroids, and re-assign the WHOLE corpus

@@ -97,9 +97,15 @@ object CorpusPipeline {
     graft.lake.IncrementalMv.create(spark, s"$outRoot/lang_stats",
       s"$outRoot/curated", groupBy = Seq("lang_pred"),
       sumCols = Seq("quality", "n_tokens"))
-    // the semantic gate's stable cluster space for later waves
-    vecCol.foreach(c => graft.ops.Similarity.buildIvfIndex(
-      curated, c, "doc_id", s"$outRoot/semindex", nLists = semNLists))
+    // the semantic gate's stable cluster space for later waves; the
+    // recorded source version is the change-feed baseline incremental
+    // syncs start from
+    vecCol.foreach { c =>
+      graft.ops.Similarity.buildIvfIndex(
+        curated, c, "doc_id", s"$outRoot/semindex", nLists = semNLists)
+      graft.ops.Similarity.markIvfSynced(spark, s"$outRoot/semindex",
+        LakeTable.forPath(spark, s"$outRoot/curated").snapshot.version)
+    }
 
     good.unpersist(); exact.unpersist()
     CurateResult(input, afterQuality, afterExact, afterNear)
@@ -135,9 +141,15 @@ object CorpusPipeline {
     *   re-gated, and fully-boilerplate docs disappear.
     * @param vecCol run the SEMANTIC gate over the `outRoot/semindex` IVF
     *   index built by [[curate]]: batch docs ≥ `semThreshold` cosine to
-    *   any corpus vector drop ([[Dedup.semanticNewAgainstIndex]]);
-    *   survivors join the index ([[Similarity.appendToIvfIndex]]) so the
-    *   NEXT wave dedups against them too.
+    *   any corpus vector — or to an earlier same-batch doc — drop
+    *   ([[Dedup.semanticNewAgainstIndex]]); survivors join the index via
+    *   the curated table's CHANGE FEED
+    *   ([[Similarity.syncIvfIndexFromTable]] — the applied source
+    *   version commits atomically with the index append, so a crash
+    *   between the corpus append and the index append just defers those
+    *   vectors to the next wave's sync instead of losing them).
+    * @param semNProbe inverted lists probed by the semantic gate; raise
+    *   toward `semNLists` for recall, lower for cost.
     */
   def curateIncremental(
       spark: SparkSession,
@@ -148,19 +160,28 @@ object CorpusPipeline {
       expectedCorpusItems: Long = 10_000_000L,
       paragraphScrub: Boolean = false,
       vecCol: Option[String] = None,
-      semThreshold: Double = 0.8): IncrementResult = {
+      semThreshold: Double = 0.8,
+      semNProbe: Int = 2): IncrementResult = {
     val curatedT = LakeTable.forPath(spark, s"$outRoot/curated")
+    // catch-up sync BEFORE the semantic gate: normally an instant no-op
+    // (applied == latest), but after a crash between the corpus append
+    // and the index append it folds the deferred vectors in first, so
+    // the gate below never has a recall gap against them
+    vecCol.foreach(c => graft.ops.Similarity.syncIvfIndexFromTable(spark,
+      s"$outRoot/semindex", s"$outRoot/curated", c, "doc_id"))
     val input = newDocs.count()
     val good = annotate(newDocs)
       .where(col("quality") >= minQuality && col("n_tokens") >= minTokens)
       .cache()
     val afterQuality = good.count()
 
-    // within-batch exact dedup, then cross-corpus bloom gate
+    // within-batch exact dedup, then cross-corpus bloom gate; cached —
+    // the scrub and semantic stages below each reference it more than
+    // once (the bloom UDF filter + anti join must not recompute per use)
     val keepers = good.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
     val batchUnique = good.join(keepers, Seq("fp", "doc_id"), "left_semi")
     val docFresh = Dedup.newAgainstCorpus(batchUnique, curatedT.toDF, "text",
-      expectedCorpusItems, fpCol = Some("fp"))
+      expectedCorpusItems, fpCol = Some("fp")).cache()
 
     // paragraph scrub vs the corpus: survivors' text changed, so the
     // derived columns (quality, token count, fingerprint) recompute and
@@ -178,30 +199,30 @@ object CorpusPipeline {
           .where(col("quality") >= minQuality && col("n_tokens") >= minTokens)
       }
 
-    // semantic gate vs the persisted cluster space
+    // semantic gate vs the persisted cluster space (and within-batch)
     val fresh = (vecCol match {
       case Some(c) => Dedup.semanticNewAgainstIndex(spark,
-        s"$outRoot/semindex", scrubbed, c, "doc_id", semThreshold)
+        s"$outRoot/semindex", scrubbed, c, "doc_id", semThreshold, semNProbe)
       case None => scrubbed
     }).cache()
     val appended = fresh.count()
 
-    if (appended > 0) {
+    if (appended > 0)
       curatedT.append(
         fresh.select(curatedT.snapshot.schema.fieldNames.map(col).toSeq: _*))
-      // index the survivors so the NEXT wave's semantic gate sees them;
-      // the drift gate (one table-property read vs stored stats) retrains
-      // the cluster space only when cheap appends have actually moved the
-      // distribution — the streaming pipeline is fully self-maintaining
-      vecCol.foreach { c =>
-        graft.ops.Similarity.appendToIvfIndex(
-          fresh, c, "doc_id", s"$outRoot/semindex")
-        graft.ops.Similarity.maybeRetrainIvfIndex(spark, s"$outRoot/semindex")
-      }
+    // index maintenance from the curated CHANGE FEED, not the in-memory
+    // batch: exactly-once under crashes (see scaladoc above), and it runs
+    // even on appended == 0 waves so vectors deferred by an earlier crash
+    // are picked up. The drift gate then retrains the cluster space only
+    // when cheap appends have actually moved the distribution.
+    vecCol.foreach { c =>
+      graft.ops.Similarity.syncIvfIndexFromTable(spark,
+        s"$outRoot/semindex", s"$outRoot/curated", c, "doc_id")
+      graft.ops.Similarity.maybeRetrainIvfIndex(spark, s"$outRoot/semindex")
     }
     graft.lake.IncrementalMv.refresh(spark, s"$outRoot/lang_stats")
 
-    good.unpersist(); fresh.unpersist()
+    good.unpersist(); docFresh.unpersist(); fresh.unpersist()
     IncrementResult(input, afterQuality, appended)
   }
 
@@ -232,7 +253,8 @@ object CorpusPipeline {
       startingVersion: Long = 0L,
       paragraphScrub: Boolean = false,
       vecCol: Option[String] = None,
-      semThreshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery =
+      semThreshold: Double = 0.8,
+      semNProbe: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
     graft.streaming.LakeStreaming.asStreamV2(spark, landingPath, startingVersion)
       .writeStream
       .queryName(s"curate:$outRoot")
@@ -241,7 +263,8 @@ object CorpusPipeline {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           curateIncremental(spark, batch, outRoot, minQuality, minTokens,
-            expectedCorpusItems, paragraphScrub, vecCol, semThreshold)
+            expectedCorpusItems, paragraphScrub, vecCol, semThreshold,
+            semNProbe)
           ()
         }
       }

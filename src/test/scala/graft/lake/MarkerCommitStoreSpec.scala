@@ -35,6 +35,26 @@ class MarkerCommitStoreSpec extends AnyFunSuite {
       d.resolve(".cond/00000000000000000001.json.reserved")))
   }
 
+  test("a crashed winner's stale marker is repaired, not a wedge") {
+    val store = new MarkerFsCommitStore(staleMarkerMs = 100L)
+    val d = Files.createTempDirectory("marker-repair-")
+    val dest = d.resolve("00000000000000000002.json")
+    // simulate a winner that reserved and died before publishing
+    Files.createDirectories(d.resolve(".cond"))
+    Files.createFile(d.resolve(".cond/00000000000000000002.json.reserved"))
+    // inside the lease window the condition is honestly refused...
+    assert(!store.putIfAbsent(dest, "x".getBytes))
+    Thread.sleep(150L)
+    // ...after it, any writer repairs the orphan and wins
+    assert(store.putIfAbsent(dest, "recovered".getBytes))
+    assert(store.repairs >= 1)
+    assert(new String(Files.readAllBytes(dest)) === "recovered")
+    // a PUBLISHED object's marker is never stale: the condition still holds
+    Thread.sleep(150L)
+    assert(!store.putIfAbsent(dest, "late".getBytes))
+    assert(new String(Files.readAllBytes(dest)) === "recovered")
+  }
+
   test("full protocol through the registry: create, rebase, checkpoint") {
     val adapter = new MarkerFsCommitStore
     // plain local paths carry no scheme and resolve as "file": installing

@@ -232,4 +232,46 @@ class CorpusPipelineSpec extends AnyFunSuite {
       .snapshot.metaData.properties(graft.ops.Similarity.TRAINED_COUNT_PROP)
     assert(trained === "4", s"drift-gated retrain cadence wrong: $trained")
   }
+
+  test("semantic index recovers rows a crash kept out of it (change feed)") {
+    val root = Files.createTempDirectory("corpus-recover-").toString
+    val corpus = Seq(
+      (1L, "alpha one beta two", Array(1f, 0f, 0f, 0f)),
+      (2L, "gamma three delta four", Array(0f, 1f, 0f, 0f)))
+      .toDF("doc_id", "text", "embedding")
+    CorpusPipeline.curate(spark, corpus, root, minQuality = 0.0,
+      minTokens = 0, nearDupThreshold = 0.99,
+      vecCol = Some("embedding"), semNLists = 2)
+
+    // crash simulation: doc 30 reached the curated table but the index
+    // append never ran (the old in-memory appendToIvfIndex shape lost
+    // these vectors FOREVER — replays are swallowed by the content gates)
+    val curated = LakeTable.forPath(spark, s"$root/curated")
+    val lost = CorpusPipeline.annotate(
+      Seq((30L, "epsilon five zeta six", Array(0f, 0f, 1f, 0f)))
+        .toDF("doc_id", "text", "embedding"))
+    curated.append(lost.select(
+      curated.snapshot.schema.fieldNames.map(col).toSeq: _*))
+
+    // the very next wave must drop a semantic near-dup of doc 30: the
+    // start-of-wave catch-up sync folds the deferred vector in BEFORE
+    // the gate runs
+    val landing = LakeTable.create(spark, s"$root/landing", Seq(
+      (31L, "wholly different words entirely", Array(0.1f, 0f, 0.99f, 0f)))
+      .toDF("doc_id", "text", "embedding"))
+    val q = CorpusPipeline.curateContinuously(spark, s"$root/landing",
+      root, s"$root/ckpt", minQuality = 0.0, minTokens = 0,
+      expectedCorpusItems = 100L, vecCol = Some("embedding"))
+    q.awaitTermination()
+
+    val ids = LakeTable.forPath(spark, s"$root/curated").toDF
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids.contains(30L))
+    assert(!ids.contains(31L),
+      "near-dup of the crash-deferred doc must drop in the NEXT wave")
+    // and the vector itself is now indexed
+    val indexed = LakeTable.forPath(spark, s"$root/semindex/assignments")
+      .toDF.select($"id").as[Long].collect().toSet
+    assert(indexed.contains(30L))
+  }
 }
