@@ -140,20 +140,56 @@ final class MarkerFsCommitStore(staleMarkerMs: Long = 60000L)
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
     if (tryCreate()) return true
     // crashed-winner repair: reserved, nothing published, lease expired.
-    // dest is checked FIRST — a published object's marker is never stale.
-    // A concurrent repairer may delete the marker between our checks
-    // (NoSuchFile → just re-contend); losing the re-created marker race
-    // is an ordinary loss.
-    val stale =
-      try !Files.exists(dest) &&
-        System.currentTimeMillis() -
-          Files.getLastModifiedTime(marker).toMillis > staleMarkerMs
-      catch { case _: java.nio.file.NoSuchFileException => true }
-    if (stale) {
-      try Files.deleteIfExists(marker)
-      catch { case _: java.io.IOException => () }
-      synchronized { repairs += 1 }
-      if (tryCreate()) return true
+    // The takeover is an ATOMIC RENAME of the specific marker instance
+    // we observed as stale — exactly one repairer can move it, a marker
+    // that vanished concurrently (another repairer won) is re-contended
+    // rather than deleted, and a FRESH marker re-created inside the
+    // window is detected by inode comparison after the move and
+    // restored. dest is checked first: a published object's marker is
+    // never stale.
+    import java.nio.file.attribute.BasicFileAttributes
+    val observed =
+      try Some(Files.readAttributes(marker, classOf[BasicFileAttributes]))
+      catch { case _: java.io.IOException => None }
+    observed match {
+      case None =>
+        // marker vanished: someone else repaired (and may have already
+        // released) — one fresh contention attempt, never a delete
+        if (tryCreate()) return true
+      case Some(a) if !Files.exists(dest) &&
+          System.currentTimeMillis() -
+            a.lastModifiedTime.toMillis > staleMarkerMs =>
+        val tomb = dir.resolve(
+          marker.getFileName.toString + ".tomb." + UUID.randomUUID())
+        val moved =
+          try { Files.move(marker, tomb); true } // atomic: single mover
+          catch { case _: java.io.IOException => false }
+        if (moved) {
+          val sameInstance =
+            try {
+              val t = Files.readAttributes(tomb, classOf[BasicFileAttributes])
+              if (t.fileKey != null && a.fileKey != null)
+                t.fileKey == a.fileKey
+              else t.lastModifiedTime == a.lastModifiedTime
+            } catch { case _: java.io.IOException => false }
+          if (sameInstance) {
+            try Files.deleteIfExists(tomb)
+            catch { case _: java.io.IOException => () }
+            synchronized { repairs += 1 }
+            if (tryCreate()) return true
+          } else {
+            // we moved a marker that was re-created after our staleness
+            // read — put it back (best effort; see the class doc's
+            // lease-theft caveat this mirrors)
+            try Files.move(tomb, marker)
+            catch {
+              case _: java.io.IOException =>
+                try Files.deleteIfExists(tomb)
+                catch { case _: java.io.IOException => () }
+            }
+          }
+        }
+      case _ => ()
     }
     synchronized { lostRaces += 1 }
     false

@@ -729,33 +729,42 @@ object Dedup {
       nProbe: Int = 2): DataFrame = {
     import org.apache.spark.sql.graft.VectorExpressions.nearestCentroids
     val (centroids, dimN) = Similarity.loadCodebook(spark, indexPath)
+    // cached: referenced by the probed-list collect, the corpus join,
+    // BOTH sides of the within-batch self-join, and transitively by the
+    // final anti-join — without it the caller's annotate/scrub lineage
+    // would recompute once per reference
     val probes = batch
       .select(col(idCol).as("__bid"),
         Similarity.normalized(col(vecCol)).as("__bnvec"))
       .withColumn("list_id",
         explode(nearestCentroids(col("__bnvec"), centroids, dimN, nProbe)))
-    // O(nLists) ints — bounded by the codebook size, not the corpus
-    val probedLists = probes.select("list_id").distinct()
-      .collect().map(_.getInt(0)).toSeq
-    if (probedLists.isEmpty) return batch
-    val corpus = graft.lake.LakeTable
-      .forPath(spark, s"$indexPath/assignments")
-      .read(col("list_id").isin(probedLists: _*)) // partition-pruned
-    val corpusDups = corpus.join(broadcast(probes), Seq("list_id"))
-      .where(Similarity.dotNormalized(col("nvec"), col("__bnvec")) >= threshold)
-      .select(col("__bid").as(idCol))
-    // two near-identical docs arriving in the SAME wave must not both
-    // land (one wave apart they would have deduped against the index)
-    val a = probes.select(col("list_id"), col("__bid").as("__ida"),
-      col("__bnvec").as("__va"))
-    val b = probes.select(col("list_id"), col("__bid").as("__idb"),
-      col("__bnvec").as("__vb"))
-    val batchDups = a.join(b, Seq("list_id"))
-      .where(col("__ida") < col("__idb") &&
-        Similarity.dotNormalized(col("__va"), col("__vb")) >= threshold)
-      .select(col("__idb").as(idCol))
-    val dups = corpusDups.unionByName(batchDups).distinct()
-    batch.join(broadcast(dups), Seq(idCol), "left_anti")
+      .cache()
+    try {
+      // O(nLists) ints — bounded by the codebook size, not the corpus
+      val probedLists = probes.select("list_id").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      if (probedLists.isEmpty) return batch
+      val corpus = graft.lake.LakeTable
+        .forPath(spark, s"$indexPath/assignments")
+        .read(col("list_id").isin(probedLists: _*)) // partition-pruned
+      val corpusDups = corpus.join(broadcast(probes), Seq("list_id"))
+        .where(Similarity.dotNormalized(col("nvec"), col("__bnvec")) >= threshold)
+        .select(col("__bid").as(idCol))
+      // two near-identical docs arriving in the SAME wave must not both
+      // land (one wave apart they would have deduped against the index)
+      val a = probes.select(col("list_id"), col("__bid").as("__ida"),
+        col("__bnvec").as("__va"))
+      val b = probes.select(col("list_id"), col("__bid").as("__idb"),
+        col("__bnvec").as("__vb"))
+      val batchDups = a.join(broadcast(b), Seq("list_id"))
+        .where(col("__ida") < col("__idb") &&
+          Similarity.dotNormalized(col("__va"), col("__vb")) >= threshold)
+        .select(col("__idb").as(idCol))
+      // materialized eagerly (batch-bounded rows) so the returned plan
+      // no longer references the cached probes after the unpersist below
+      val dups = corpusDups.unionByName(batchDups).distinct().localCheckpoint()
+      batch.join(broadcast(dups), Seq(idCol), "left_anti")
+    } finally probes.unpersist()
   }
 
   /** Paragraph-level exact dedup (the CCNet boilerplate rule, Wenzek et
@@ -863,9 +872,12 @@ object Dedup {
       transform(kept, p => element_at(col("__w"), p)), " ")
     toks.join(cover, Seq(idCol), "left")
       .select(col(idCol),
-        size(col("__w")).as("n_tokens"),
-        // explicit NULL branch, not size()-of-NULL: size(null) is -1 with
-        // ANSI off, null with ANSI on — this is engine-config independent
+        // explicit NULL branches, not size()-of-NULL: size(null) is -1
+        // with ANSI off, null with ANSI on — these stay engine-config
+        // independent (NULL text → NULL n_tokens, 0 removed, NULL text,
+        // matching the DuckDB twin under every config)
+        when(col("__w").isNull, lit(null).cast("int"))
+          .otherwise(size(col("__w"))).as("n_tokens"),
         when(col("__cov").isNull, lit(0))
           .otherwise(size(col("__cov"))).as("n_removed"),
         when(col("__cov").isNull, array_join(col("__w"), " "))

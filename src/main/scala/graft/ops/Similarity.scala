@@ -240,12 +240,28 @@ object Similarity {
     val latest = src.snapshot.version
     val asg = graft.lake.LakeTable.forPath(spark, s"$indexPath/assignments")
     val cb = graft.lake.LakeTable.forPath(spark, s"$indexPath/codebook")
-    val applied = math.max(
-      asg.snapshot.txns.getOrElse(syncAppId(sourcePath), -1L),
-      cb.snapshot.metaData.properties.get(SYNCED_PROP)
-        .flatMap(_.toLongOption).getOrElse(-1L))
+    val txnApplied = asg.snapshot.txns.getOrElse(syncAppId(sourcePath), -1L)
+    val propApplied = cb.snapshot.metaData.properties.get(SYNCED_PROP)
+      .flatMap(_.toLongOption).getOrElse(-1L)
+    // An index with NO baseline (built before sync existed, or by a
+    // direct buildIvfIndex caller that never called markIvfSynced) must
+    // not replay the source's whole history into rows it already holds —
+    // duplicates would survive even a retrain (it rebuilds from the
+    // assignments). buildIvfIndex always trains from the source's
+    // CURRENT state, so the safe reading of "no marker" is "current
+    // through latest": record that baseline and sync nothing. Vectors
+    // appended between an old-style build and the first sync need a
+    // one-time appendToIvfIndex backfill or a rebuild (documented).
+    if (txnApplied < 0 && propApplied < 0) {
+      markIvfSynced(spark, indexPath, latest)
+      return 0L
+    }
+    val applied = math.max(txnApplied, propApplied)
     if (latest <= applied) return 0L
-    val inserts = src.tableChanges(applied + 1)
+    // bounded at the version captured above: a commit racing in between
+    // would otherwise be applied now but recorded as un-applied, and the
+    // next sync would append its rows AGAIN
+    val inserts = src.tableChanges(applied + 1, Some(latest))
       .where(col(graft.lake.Cdc.CHANGE_TYPE) === "insert")
       .select(col(idCol).as("id"), normalized(col(vecCol)).as("nvec"))
     val (centroids, dimN) = loadCodebook(spark, indexPath)
