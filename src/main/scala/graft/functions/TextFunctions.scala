@@ -54,10 +54,12 @@ object TextFunctions {
   def tokenCountSql(c: String): String = s"CAST(length(${tokensSql(c)}) AS INT)"
 
   /** BPE-ish subword count: word-piece runs of letters / digits /
-    * single punctuation, the usual pre-tokenizer regex shape.
+    * single punctuation, the usual pre-tokenizer regex shape — one
+    * compiled byte scan (the regexp form materialized the whole match
+    * array per document just to count it).
     */
   def subwordCount(c: Column): Column =
-    size(regexp_extract_all(c, lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"), lit(0))).cast("int")
+    org.apache.spark.sql.graft.TextExpressions.subwordCount(c)
   def subwordCountSql(c: String): String =
     s"CAST(length(regexp_extract_all($c, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS INT)"
 

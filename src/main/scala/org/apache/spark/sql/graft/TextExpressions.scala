@@ -398,6 +398,66 @@ case class TokenStats(child: Expression, langWords: Seq[(String, Seq[String])])
     copy(child = newChild)
 }
 
+/** BPE-ish subword count in one byte scan — the compiled twin of
+  * `size(regexp_extract_all(c, "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]", 0))`
+  * without materializing the match array. Replicates the Java-regex
+  * alternation exactly: a maximal ASCII-letter run counts once, an
+  * ASCII digit counts once, any other non-`\s` CODE POINT counts once
+  * (negated classes match one code point; a UTF-8 lead byte is one code
+  * point — surrogates don't exist in UTF-8), ASCII whitespace separates.
+  */
+case class SubwordCount(child: Expression)
+  extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "subword_count"
+
+  override def nullSafeEval(input: Any): Any =
+    SubwordCount.count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""
+        ${ev.value} = org.apache.spark.sql.graft.SubwordCount.count($s);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SubwordCount {
+  @inline private def isWs(b: Byte): Boolean =
+    b == 32 || (b >= 9 && b <= 13)
+  @inline private def isLetter(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')
+
+  def count(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    var n = 0
+    var i = 0
+    while (i < len) {
+      val b = bytes(i)
+      if (isLetter(b)) {
+        n += 1
+        i += 1
+        while (i < len && isLetter(bytes(i))) i += 1
+      } else if (b >= 0) { // ASCII digit / ws / punct
+        if (!isWs(b)) n += 1
+        i += 1
+      } else { // UTF-8 lead byte: one code point
+        n += 1
+        i += 1
+        while (i < len && (bytes(i) & 0xC0) == 0x80) i += 1
+      }
+    }
+    n
+  }
+}
+
 /** Count of characters from an ASCII set, one byte scan — the compiled
   * twin of `length(regexp_replace(c, "[^<set>]", ""))` (which builds and
   * measures a filtered COPY of every document). ASCII bytes never occur
@@ -520,6 +580,10 @@ object TextExpressions {
   /** Column API: count of the given ASCII characters, one byte scan. */
   def asciiCharCount(text: Column, chars: String): Column =
     Bridge.column(AsciiCharCount(Bridge.expr(text), chars))
+
+  /** Column API: one-pass BPE-ish subword count. */
+  def subwordCount(text: Column): Column =
+    Bridge.column(SubwordCount(Bridge.expr(text)))
 
   /** Column API: ASCII-whitespace-run collapse + trim, one pass. */
   def normalizeWs(text: Column): Column =

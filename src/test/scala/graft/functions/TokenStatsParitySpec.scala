@@ -112,6 +112,20 @@ class TokenStatsParitySpec extends AnyFunSuite {
     }
   }
 
+  test("subwordCount matches the regexp composition exactly") {
+    val composed = size(regexp_extract_all($"t",
+      lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"), lit(0))).cast("int")
+    val swFixtures = fixtures ++ Seq(
+      "abc123 def", "a1b2c3", "word, word! 42.0",
+      "mixedé runs breakàhere", "数字123と文字", "ctrlchars",
+      "hyphen-ated under_scored")
+    val rows = swFixtures.toDF("t")
+      .select(subwordCount($"t"), composed).collect()
+    rows.zip(swFixtures).foreach { case (r, s) =>
+      assert(r.getInt(0) === r.getInt(1), s"subwordCount: '$s'")
+    }
+  }
+
   test("null text stays null through every derived function") {
     val df = Seq[Option[String]](None, Some("the fox")).toDF("t")
     val r = df.select(tokenCount($"t"), stopwordCount($"t"), langId($"t"))
