@@ -77,7 +77,11 @@ object TextFunctions {
     * earlier language in `stopwords`.
     */
   def langId(c: Column): Column =
-    tokenStats(c).getField("lang_pred")
+    // NULL text is "und", not NULL: the composed when-chain this
+    // replaced fell through its otherwise("und") on NULL input, and the
+    // SQL twin's CASE ... ELSE 'und' still does — coalesce keeps the
+    // three implementations agreeing
+    coalesce(tokenStats(c).getField("lang_pred"), lit("und"))
 
   def langIdSql(c: String): String = {
     val toksSql = tokensSql(c)

@@ -107,8 +107,9 @@ object LocalFsCommitStore extends CommitStore {
   * atomic primitive separate from the data bytes — here an atomically
   * created reservation marker under `<logDir>/.cond/`, standing in for
   * the store's `If-None-Match: *` response — and only the winner then
-  * publishes the object (plain overwrite move; visibility follows from
-  * having won the condition, not from create-new semantics on `dest`).
+  * publishes the object (same-directory rename that REFUSES an existing
+  * `dest`, so even a pathological double-reservation degrades to a lost
+  * race, never to overwriting a committed object).
   *
   * Works on any FS with atomic `O_CREAT|O_EXCL` (POSIX, NFSv3+), i.e.
   * also where hard links are unavailable. Crash window, handled as in
@@ -199,10 +200,19 @@ final class MarkerFsCommitStore(staleMarkerMs: Long = 60000L)
     val tmp = dest.getParent.resolve(
       ".cond/" + UUID.randomUUID().toString + ".staged")
     write(tmp)
-    Files.move(tmp, dest,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    true
+    // NO REPLACE_EXISTING: if dest is already published this publication
+    // LOSES (FileAlreadyExists → false) instead of silently overwriting
+    // a committed object — the backstop that turns any residual
+    // double-reservation (multi-party repair races) into an ordinary
+    // lost race. The underlying rename is still same-directory, so a
+    // winning publication appears atomically.
+    try { Files.move(tmp, dest); true }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        try Files.deleteIfExists(tmp)
+        catch { case _: java.io.IOException => () }
+        false
+    }
   }
 
   override def putIfAbsent(dest: Path, body: Array[Byte]): Boolean =
@@ -215,6 +225,38 @@ final class MarkerFsCommitStore(staleMarkerMs: Long = 60000L)
 
   override def replace(dest: Path, body: Array[Byte]): Unit =
     LocalFsCommitStore.replace(dest, body)
+
+  /** Reclaim `.cond/` state that is no longer load-bearing: markers
+    * whose object IS published (publish refuses an existing `dest`, so
+    * a late re-reservation cannot overwrite it — the marker's job is
+    * done) and orphaned `.staged`/`.tomb.` temporaries older than the
+    * lease window. Run from the same cadence as data VACUUM; without it
+    * a long-lived table accumulates one marker file per commit forever.
+    * Returns the number of entries deleted.
+    */
+  def vacuumMarkers(logDir: Path): Int = {
+    val dir = logDir.resolve(".cond")
+    if (!Files.isDirectory(dir)) return 0
+    var removed = 0
+    val it = Files.list(dir).iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      val name = p.getFileName.toString
+      val deletable =
+        if (name.endsWith(".reserved"))
+          Files.exists(logDir.resolve(name.stripSuffix(".reserved")))
+        else if (name.contains(".tomb.") || name.endsWith(".staged"))
+          try System.currentTimeMillis() -
+            Files.getLastModifiedTime(p).toMillis > staleMarkerMs
+          catch { case _: java.io.IOException => false }
+        else false
+      if (deletable) {
+        try { if (Files.deleteIfExists(p)) removed += 1 }
+        catch { case _: java.io.IOException => () }
+      }
+    }
+    removed
+  }
 }
 
 /** Test double with object-store semantics: the conditional check is a

@@ -97,14 +97,17 @@ object CorpusPipeline {
     graft.lake.IncrementalMv.create(spark, s"$outRoot/lang_stats",
       s"$outRoot/curated", groupBy = Seq("lang_pred"),
       sumCols = Seq("quality", "n_tokens"))
-    // the semantic gate's stable cluster space for later waves; the
-    // recorded source version is the change-feed baseline incremental
-    // syncs start from
+    // the semantic gate's stable cluster space for later waves, built by
+    // READING BACK the just-written curated table — the in-memory plan
+    // would re-run the LSH near-dup stage once per index action, and the
+    // read-back guarantees the index matches exactly the version the
+    // change-feed baseline below records
     vecCol.foreach { c =>
+      val curatedT = LakeTable.forPath(spark, s"$outRoot/curated")
       graft.ops.Similarity.buildIvfIndex(
-        curated, c, "doc_id", s"$outRoot/semindex", nLists = semNLists)
+        curatedT.toDF, c, "doc_id", s"$outRoot/semindex", nLists = semNLists)
       graft.ops.Similarity.markIvfSynced(spark, s"$outRoot/semindex",
-        LakeTable.forPath(spark, s"$outRoot/curated").snapshot.version)
+        curatedT.snapshot.version)
     }
 
     good.unpersist(); exact.unpersist()
@@ -185,18 +188,27 @@ object CorpusPipeline {
 
     // paragraph scrub vs the corpus: survivors' text changed, so the
     // derived columns (quality, token count, fingerprint) recompute and
-    // the quality gate re-applies to the scrubbed text
+    // the quality gate re-applies to the scrubbed text. Cached when it
+    // is a distinct plan from docFresh — the semantic gate references it
+    // twice (probe build + final anti join) and this scrub chain is the
+    // wave's most expensive stage
     val scrubbed =
       if (!paragraphScrub) docFresh
       else {
         val cleanTexts = Dedup.paragraphDedupAgainstCorpus(
           docFresh.select(col("doc_id"), col("text")),
           curatedT.toDF.select(col("doc_id"), col("text")),
-          "text", "doc_id")
+          "text", "doc_id",
+          // sized to the corpus-items estimate: paragraph counts are a
+          // small multiple of doc counts and bloom over-capacity only
+          // degrades the false-positive rate (more rows take the exact
+          // verification join), never correctness
+          expectedCorpusItems = expectedCorpusItems)
         annotate(docFresh
             .drop("text", "lang_pred", "quality", "n_tokens", "fp")
             .join(cleanTexts, Seq("doc_id")))
           .where(col("quality") >= minQuality && col("n_tokens") >= minTokens)
+          .cache()
       }
 
     // semantic gate vs the persisted cluster space (and within-batch)
@@ -223,6 +235,7 @@ object CorpusPipeline {
     graft.lake.IncrementalMv.refresh(spark, s"$outRoot/lang_stats")
 
     good.unpersist(); docFresh.unpersist(); fresh.unpersist()
+    if (paragraphScrub) scrubbed.unpersist()
     IncrementResult(input, afterQuality, appended)
   }
 

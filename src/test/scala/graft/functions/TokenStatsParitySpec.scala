@@ -126,11 +126,17 @@ class TokenStatsParitySpec extends AnyFunSuite {
     }
   }
 
-  test("null text stays null through every derived function") {
+  test("null text: counts stay null, langId falls through to 'und'") {
+    // the composed forms' NULL behavior, pinned: size-of-null counts are
+    // NULL, but langId's when-chain fell through to "und" (and the SQL
+    // twin's CASE ... ELSE 'und' still does)
     val df = Seq[Option[String]](None, Some("the fox")).toDF("t")
-    val r = df.select(tokenCount($"t"), stopwordCount($"t"), langId($"t"))
+    val r = df.select(tokenCount($"t"), stopwordCount($"t"), langId($"t"),
+        composedLangId($"t"))
       .collect()
-    assert(r(0).isNullAt(0) && r(0).isNullAt(1) && r(0).isNullAt(2))
+    assert(r(0).isNullAt(0) && r(0).isNullAt(1))
+    assert(r(0).getString(2) === "und")
+    assert(r(0).getString(2) === r(0).getString(3))
     assert(!r(1).isNullAt(0))
   }
 }

@@ -35,6 +35,19 @@ class MarkerCommitStoreSpec extends AnyFunSuite {
       d.resolve(".cond/00000000000000000001.json.reserved")))
   }
 
+  test("published objects stay immutable and their markers vacuum away") {
+    val store = new MarkerFsCommitStore
+    val d = Files.createTempDirectory("marker-vac-")
+    val dest = d.resolve("00000000000000000003.json")
+    assert(store.putIfAbsent(dest, "committed".getBytes))
+    // the marker is reclaimable once its object is published...
+    assert(store.vacuumMarkers(d) === 1)
+    // ...because publish refuses an existing dest: a late writer that
+    // re-wins the now-markerless condition still cannot overwrite
+    assert(!store.putIfAbsent(dest, "intruder".getBytes))
+    assert(new String(Files.readAllBytes(dest)) === "committed")
+  }
+
   test("a crashed winner's stale marker is repaired, not a wedge") {
     val store = new MarkerFsCommitStore(staleMarkerMs = 100L)
     val d = Files.createTempDirectory("marker-repair-")
