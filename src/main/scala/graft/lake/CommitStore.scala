@@ -238,23 +238,26 @@ final class MarkerFsCommitStore(staleMarkerMs: Long = 60000L)
     val dir = logDir.resolve(".cond")
     if (!Files.isDirectory(dir)) return 0
     var removed = 0
-    val it = Files.list(dir).iterator()
-    while (it.hasNext) {
-      val p = it.next()
-      val name = p.getFileName.toString
-      val deletable =
-        if (name.endsWith(".reserved"))
-          Files.exists(logDir.resolve(name.stripSuffix(".reserved")))
-        else if (name.contains(".tomb.") || name.endsWith(".staged"))
-          try System.currentTimeMillis() -
-            Files.getLastModifiedTime(p).toMillis > staleMarkerMs
-          catch { case _: java.io.IOException => false }
-        else false
-      if (deletable) {
-        try { if (Files.deleteIfExists(p)) removed += 1 }
-        catch { case _: java.io.IOException => () }
+    val stream = Files.list(dir)
+    try {
+      val it = stream.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val name = p.getFileName.toString
+        val deletable =
+          if (name.endsWith(".reserved"))
+            Files.exists(logDir.resolve(name.stripSuffix(".reserved")))
+          else if (name.contains(".tomb.") || name.endsWith(".staged"))
+            try System.currentTimeMillis() -
+              Files.getLastModifiedTime(p).toMillis > staleMarkerMs
+            catch { case _: java.io.IOException => false }
+          else false
+        if (deletable) {
+          try { if (Files.deleteIfExists(p)) removed += 1 }
+          catch { case _: java.io.IOException => () }
+        }
       }
-    }
+    } finally stream.close()
     removed
   }
 }
