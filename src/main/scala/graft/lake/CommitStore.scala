@@ -107,9 +107,11 @@ object LocalFsCommitStore extends CommitStore {
   * atomic primitive separate from the data bytes — here an atomically
   * created reservation marker under `<logDir>/.cond/`, standing in for
   * the store's `If-None-Match: *` response — and only the winner then
-  * publishes the object (same-directory rename that REFUSES an existing
-  * `dest`, so even a pathological double-reservation degrades to a lost
-  * race, never to overwriting a committed object).
+  * publishes the object, REFUSING an existing `dest` (atomically via
+  * hard link where the FS supports it; elsewhere a no-replace move
+  * whose one-syscall window is the residual share of the lease-theft
+  * caveat below), so even a pathological double-reservation degrades to
+  * a lost race rather than overwriting a committed object.
   *
   * Works on any FS with atomic `O_CREAT|O_EXCL` (POSIX, NFSv3+), i.e.
   * also where hard links are unavailable. Crash window, handled as in
@@ -127,10 +129,15 @@ object LocalFsCommitStore extends CommitStore {
   */
 final class MarkerFsCommitStore(staleMarkerMs: Long = 60000L)
   extends CommitStore {
-  /** Condition wins / losses, for contention observability in specs. */
+  /** Contention observability (specs/monitoring): `wins` counts WON
+    * CONDITIONS (reservations), not published objects — a publication
+    * refused at an already-existing dest (possible after a marker
+    * vacuum) increments `publishRefused` instead of un-counting the
+    * reservation. published ≈ wins − publishRefused. */
   @volatile var wins: Int = 0
   @volatile var lostRaces: Int = 0
   @volatile var repairs: Int = 0
+  @volatile var publishRefused: Int = 0
 
   private def reserve(dest: Path): Boolean = {
     val dir = dest.getParent.resolve(".cond")
@@ -200,19 +207,38 @@ final class MarkerFsCommitStore(staleMarkerMs: Long = 60000L)
     val tmp = dest.getParent.resolve(
       ".cond/" + UUID.randomUUID().toString + ".staged")
     write(tmp)
-    // NO REPLACE_EXISTING: if dest is already published this publication
-    // LOSES (FileAlreadyExists → false) instead of silently overwriting
-    // a committed object — the backstop that turns any residual
-    // double-reservation (multi-party repair races) into an ordinary
-    // lost race. The underlying rename is still same-directory, so a
-    // winning publication appears atomically.
-    try { Files.move(tmp, dest); true }
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        try Files.deleteIfExists(tmp)
-        catch { case _: java.io.IOException => () }
-        false
+    // Publication must REFUSE an existing dest — the backstop that turns
+    // any residual double-reservation (multi-party repair races) into an
+    // ordinary lost race instead of overwriting a committed object.
+    // Where the FS supports hard links the refusal is ATOMIC
+    // (O_EXCL-class link); on link-less filesystems the fallback is a
+    // no-replace move whose exists-check+rename leaves a one-syscall
+    // window — the residual share of the documented lease-theft caveat.
+    // A vanished tmp (a concurrent marker vacuum reclaimed a staged file
+    // past the lease window) is a LOSS, not an exception: the contract
+    // is true/false, never a throw for losing.
+    def cleanup(): Unit =
+      try Files.deleteIfExists(tmp)
+      catch { case _: java.io.IOException => () }
+    val linked =
+      try { Files.createLink(dest, tmp); cleanup(); Some(true) }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          cleanup(); Some(false)
+        case _: java.nio.file.NoSuchFileException =>
+          cleanup(); Some(false)
+        case _: UnsupportedOperationException => None
+        case _: java.nio.file.FileSystemException => None // links refused
+      }
+    val ok = linked.getOrElse {
+      try { Files.move(tmp, dest); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => cleanup(); false
+        case _: java.nio.file.NoSuchFileException => cleanup(); false
+      }
     }
+    if (!ok) synchronized { publishRefused += 1 }
+    ok
   }
 
   override def putIfAbsent(dest: Path, body: Array[Byte]): Boolean =
@@ -229,12 +255,16 @@ final class MarkerFsCommitStore(staleMarkerMs: Long = 60000L)
   /** Reclaim `.cond/` state that is no longer load-bearing: markers
     * whose object IS published (publish refuses an existing `dest`, so
     * a late re-reservation cannot overwrite it — the marker's job is
-    * done) and orphaned `.staged`/`.tomb.` temporaries older than the
-    * lease window. Run from the same cadence as data VACUUM; without it
-    * a long-lived table accumulates one marker file per commit forever.
-    * Returns the number of entries deleted.
+    * done), markers lexicographically below `expiredBelow` (commit
+    * names are zero-padded, so pass the snapshot-expiry floor: the
+    * object was deliberately DELETED and the protocol never re-attempts
+    * versions at or below the latest), and orphaned `.staged`/`.tomb.`
+    * temporaries older than the lease window. Run from the same cadence
+    * as data VACUUM / expireSnapshots; without it a long-lived table
+    * accumulates one marker file per commit forever. Returns the number
+    * of entries deleted.
     */
-  def vacuumMarkers(logDir: Path): Int = {
+  def vacuumMarkers(logDir: Path, expiredBelow: Option[String] = None): Int = {
     val dir = logDir.resolve(".cond")
     if (!Files.isDirectory(dir)) return 0
     var removed = 0
@@ -245,9 +275,11 @@ final class MarkerFsCommitStore(staleMarkerMs: Long = 60000L)
         val p = it.next()
         val name = p.getFileName.toString
         val deletable =
-          if (name.endsWith(".reserved"))
-            Files.exists(logDir.resolve(name.stripSuffix(".reserved")))
-          else if (name.contains(".tomb.") || name.endsWith(".staged"))
+          if (name.endsWith(".reserved")) {
+            val obj = name.stripSuffix(".reserved")
+            Files.exists(logDir.resolve(obj)) ||
+              expiredBelow.exists(floor => obj < floor)
+          } else if (name.contains(".tomb.") || name.endsWith(".staged"))
             try System.currentTimeMillis() -
               Files.getLastModifiedTime(p).toMillis > staleMarkerMs
             catch { case _: java.io.IOException => false }

@@ -46,6 +46,15 @@ class MarkerCommitStoreSpec extends AnyFunSuite {
     // re-wins the now-markerless condition still cannot overwrite
     assert(!store.putIfAbsent(dest, "intruder".getBytes))
     assert(new String(Files.readAllBytes(dest)) === "committed")
+    assert(store.publishRefused === 1) // the refusal is counted, not hidden
+
+    // a marker whose object was EXPIRED (deleted by snapshot retention)
+    // is reclaimable only under an explicit expiry floor
+    Files.createFile(d.resolve(".cond/00000000000000000001.json.reserved"))
+    assert(store.vacuumMarkers(d) === 1) // re-created marker of dest only
+    assert(Files.exists(d.resolve(".cond/00000000000000000001.json.reserved")))
+    assert(store.vacuumMarkers(d, Some("00000000000000000002")) === 1)
+    assert(!Files.exists(d.resolve(".cond/00000000000000000001.json.reserved")))
   }
 
   test("a crashed winner's stale marker is repaired, not a wedge") {
