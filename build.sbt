@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
+// JSON. Two sbt decorations defeated that for three rounds (VERDICT r4
+// "what's wrong" #1): forked-process output is re-logged with an
+// "[info] " prefix, and sbt appends its own "[success] Total time" line
+// after the summary. StdoutOutput passes the forked process's stdout
+// through verbatim; showSuccess kills the trailing line.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -162,6 +162,63 @@ object Bench {
       }
     }
 
+    // ---- cold block: smear-free re-measurement of the disputed merge
+    // path (VERDICT r4 "next round" #2). Builder and driver boxes have
+    // disagreed 2× on lake1/lake_merge for two rounds; the builder's
+    // clean fresh-JVM min-of-3 reads ~2.3 s but the driver only ever saw
+    // the in-full-run number. Re-measure both in a FRESH SparkContext
+    // (old one stopped — its codegen cache, broadcast state, and block
+    // manager are gone) with min-of-3 after System.gc(), so the number
+    // the driver records is the plan cost, not 117 neighbors' debris.
+    val cold: Map[String, Double] =
+      if (only.isDefined) Map.empty
+      else {
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        val s2 = SparkSession.builder()
+          .master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
+          .config("spark.sql.codegen.cache.maxEntries", "10000")
+          .config("spark.ui.enabled", "false")
+          .config("spark.ui.showConsoleProgress", "false")
+          .getOrCreate()
+        s2.sparkContext.setLogLevel("ERROR")
+        // one tiny warm-up merge so rep 1 measures the plan, not
+        // first-touch classloading of the fresh context; min-of-3
+        // absorbs the rest of the JIT ramp
+        try {
+          val w = java.nio.file.Files.createTempDirectory("bench-cold-w-").toString
+          val df = s2.range(0, 100).selectExpr("id", "id * 1.0 as v")
+          val t = LakeTable.create(s2, s"$w/t", df)
+          t.merge(df.withColumn("v", col("v") + 1).where(col("id") % 2 === 0),
+            expr("t.id = s.id"))
+        } catch { case _: Throwable => () }
+        val lake1 = (1 to 3).map { _ =>
+          System.gc()
+          timed(materialize(SparkEntry.queries("lake1_merge_clauses")(s2, sfDir)))
+        }.min
+        val ordersCold = tables.Tables.orders(s2, sfDir)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        val mergeW = (1 to 3).map { i =>
+          // table recreated per rep OUTSIDE the timer: merge mutates it,
+          // so rep 2 on the same table would measure a different state
+          val tbl = LakeTable.create(s2,
+            s"$scratch/orders_cold_$i", ordersCold)
+          val src = ordersCold.where(col("o_orderkey") % 10 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+          System.gc()
+          timed {
+            tbl.merge(src, expr("t.o_orderkey = s.o_orderkey"),
+              whenMatchedUpdate = Some(Map.empty),
+              whenNotMatchedInsert = None)
+          }
+        }.min
+        s2.stop()
+        Map("lake1_merge_clauses" -> lake1, "lake_merge" -> mergeW)
+      }
+
     // millisecond resolution keeps the result line compact — the driver's
     // output capture is bounded, and full double precision doubled the
     // line size for no signal
@@ -177,6 +234,8 @@ object Bench {
       s""","writes_total":${fmt(writesTotal)}""" +
       (if (isolated.nonEmpty)
         s""","isolated":${js(isolated.toSeq.sortBy(_._1))}"""
+      else "") +
+      (if (cold.nonEmpty) s""","cold":${js(cold.toSeq.sortBy(_._1))}"""
       else "") +
       s""","plans":$plansJs,"sf":"$sfDir"}"""
     // belt and braces: the same JSON lands at a known path so a truncated
@@ -194,9 +253,13 @@ object Bench {
     val slow10 = results.toSeq.sortBy(-_._2).take(10)
     val summary = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
       s""","queries":${js(slow10)},"writes_total":${fmt(writesTotal)}""" +
+      (if (cold.nonEmpty) s""","cold":${js(cold.toSeq.sortBy(_._1))}"""
+      else "") +
       s""","n":${results.size},"sf":"$sfDir","detail":"bench.json"}"""
     println(summary)
     System.out.flush()
+    // the primary session was already stopped before the cold block ran;
+    // stop() on a stopped session is a no-op, kept for the ONLY-subset path
     spark.stop()
   }
 }
