@@ -123,7 +123,14 @@ object LocalFsCommitStore extends CommitStore {
   * is the same as every lease-based mutex: a LIVE writer stalled longer
   * than the window between reserve and publish can be repaired over,
   * so size the window well above a publish (default 60 s vs
-  * milliseconds). Real S3/GCS conditional PUTs are atomic check+publish,
+  * milliseconds). Staleness additionally compares the repairer's LOCAL
+  * clock against the marker mtime assigned by the shared filesystem's
+  * server (NFS et al.), so writer↔server clock skew shrinks or extends
+  * the effective lease by the skew amount — this adapter assumes the
+  * fleet runs synchronized clocks (NTP-level skew, seconds at worst)
+  * and `staleMarkerMs` should be sized to cover the expected skew on
+  * top of the worst-case publish. Real S3/GCS conditional PUTs are
+  * atomic check+publish,
   * so THEY have neither the window nor the caveat — the marker split
   * exists only because a plain filesystem lacks a conditional overwrite.
   */

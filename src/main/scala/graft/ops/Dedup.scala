@@ -65,6 +65,10 @@ object Dedup {
       case Some(c) => corpus.select(col(c).as("__fp"))
       case None => corpus.select(fingerprint(col(textCol)).as("__fp"))
     }
+    // empty corpus (first wave of a from-scratch pipeline): everything is
+    // new — and stat.bloomFilter over zero rows yields a null-buffer
+    // filter that NPEs on the first probe
+    if (corpusFp.isEmpty) return newDocs
     val bf = corpusFp.stat.bloomFilter("__fp", expectedCorpusItems, fpp)
     val mightContain = udf((f: String) => f != null && bf.mightContainString(f))
     val tagged = fpCol match {
@@ -103,14 +107,20 @@ object Dedup {
       .select(col(idCol).as("id"), posexplode(split(col(textCol), q)))
       .toDF("id", "pos", "seg")
     val corpusSegs = segsOf(corpus).select("seg")
-    val bf = corpusSegs.stat.bloomFilter("seg", expectedCorpusItems, fpp)
-    val mightContain = udf((s: String) => s != null && bf.mightContainString(s))
-
     val segs = segsOf(batch)
-    val definitelyNew = segs.where(!mightContain(col("seg")))
-    val verifiedNew = segs.where(mightContain(col("seg")))
-      .join(corpusSegs.distinct(), Seq("seg"), "left_anti")
-    val fresh = definitelyNew.unionByName(verifiedNew)
+    // empty corpus: every batch paragraph is corpus-fresh (and
+    // stat.bloomFilter over zero rows yields a null-buffer filter that
+    // NPEs on the first probe); the within-batch keep-first below still
+    // applies
+    val fresh = if (corpusSegs.isEmpty) segs else {
+      val bf = corpusSegs.stat.bloomFilter("seg", expectedCorpusItems, fpp)
+      val mightContain =
+        udf((s: String) => s != null && bf.mightContainString(s))
+      val definitelyNew = segs.where(!mightContain(col("seg")))
+      val verifiedNew = segs.where(mightContain(col("seg")))
+        .join(corpusSegs.distinct(), Seq("seg"), "left_anti")
+      definitelyNew.unionByName(verifiedNew)
+    }
     // within-batch first-occurrence-wins, then reassembly — the same
     // tail as paragraphDedup
     val firsts = fresh.groupBy("seg")

@@ -253,6 +253,17 @@ object Similarity {
     // appended between an old-style build and the first sync need a
     // one-time appendToIvfIndex backfill or a rebuild (documented).
     if (txnApplied < 0 && propApplied < 0) {
+      // loud, not silent (ADVICE r4): the fabricated baseline is
+      // indistinguishable from a no-op 0L to the caller, but it means
+      // any vectors appended to the source between an old-style build
+      // and this first sync are PERMANENTLY skipped unless the operator
+      // runs a one-time appendToIvfIndex backfill or a rebuild
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"IVF index at $indexPath has no sync baseline for $sourcePath; " +
+          s"adopting 'current through version $latest' without replay. " +
+          "Rows appended to the source between the index build and this " +
+          "first sync are NOT in the index — backfill with " +
+          "appendToIvfIndex or rebuild if any exist.")
       markIvfSynced(spark, indexPath, latest)
       return 0L
     }

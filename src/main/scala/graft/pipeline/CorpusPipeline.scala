@@ -103,11 +103,22 @@ object CorpusPipeline {
     // read-back guarantees the index matches exactly the version the
     // change-feed baseline below records
     vecCol.foreach { c =>
-      val curatedT = LakeTable.forPath(spark, s"$outRoot/curated")
-      graft.ops.Similarity.buildIvfIndex(
-        curatedT.toDF, c, "doc_id", s"$outRoot/semindex", nLists = semNLists)
-      graft.ops.Similarity.markIvfSynced(spark, s"$outRoot/semindex",
-        curatedT.snapshot.version)
+      // an EMPTY curated corpus (every doc lost to the gates) has nothing
+      // to train centroids on — trainSphericalKMeans would throw AFTER
+      // the curated/lang_stats tables were already written, leaving the
+      // pipeline half-initialized (ADVICE r4). Defer the index to the
+      // first non-empty wave: [[curateIncremental]] builds it when the
+      // codebook is missing and the corpus has rows.
+      if (afterNear > 0) {
+        val curatedT = LakeTable.forPath(spark, s"$outRoot/curated")
+        graft.ops.Similarity.buildIvfIndex(
+          curatedT.toDF, c, "doc_id", s"$outRoot/semindex", nLists = semNLists)
+        graft.ops.Similarity.markIvfSynced(spark, s"$outRoot/semindex",
+          curatedT.snapshot.version)
+      } else
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"curate($outRoot): curated corpus is empty — semantic index " +
+            "deferred to the first non-empty incremental wave")
     }
 
     good.unpersist(); exact.unpersist()
@@ -141,7 +152,10 @@ object CorpusPipeline {
     *   ([[Dedup.paragraphDedupAgainstCorpus]] — boilerplate spliced into
     *   otherwise-new docs drops even though the whole-doc fingerprint is
     *   new); surviving docs are re-annotated (their text changed) and
-    *   re-gated, and fully-boilerplate docs disappear.
+    *   re-gated, fully-boilerplate docs disappear, and the doc-level
+    *   dedups (within-batch keep-one + cross-corpus bloom gate) run on
+    *   the RECOMPUTED post-scrub fingerprint so a scrub that collapses
+    *   two docs onto one normalized text cannot append exact duplicates.
     * @param vecCol run the SEMANTIC gate over the `outRoot/semindex` IVF
     *   index built by [[curate]]: batch docs ≥ `semThreshold` cosine to
     *   any corpus vector — or to an earlier same-batch doc — drop
@@ -153,6 +167,10 @@ object CorpusPipeline {
     *   vectors to the next wave's sync instead of losing them).
     * @param semNProbe inverted lists probed by the semantic gate; raise
     *   toward `semNLists` for recall, lower for cost.
+    * @param semNLists inverted lists for the DEFERRED index build only
+    *   (when [[curate]] skipped the build because the initial corpus
+    *   came out empty, the first non-empty wave trains the index here);
+    *   an index built by [[curate]] keeps its own list count.
     */
   def curateIncremental(
       spark: SparkSession,
@@ -164,39 +182,56 @@ object CorpusPipeline {
       paragraphScrub: Boolean = false,
       vecCol: Option[String] = None,
       semThreshold: Double = 0.8,
-      semNProbe: Int = 2): IncrementResult = {
+      semNProbe: Int = 2,
+      semNLists: Int = 8): IncrementResult = {
     val curatedT = LakeTable.forPath(spark, s"$outRoot/curated")
+    // [[curate]] defers the index when the initial corpus came out empty
+    // (nothing to train on); until the first non-empty wave builds it
+    // (below), the semantic gate is skipped — an empty corpus has no
+    // near-dups to gate against, though WITHIN-batch semantic near-pairs
+    // leak through that one wave (they are still exact/paragraph-gated)
+    def semindexReady = vecCol.isDefined &&
+      LakeTable.isLakeTable(s"$outRoot/semindex/codebook")
     // catch-up sync BEFORE the semantic gate: normally an instant no-op
     // (applied == latest), but after a crash between the corpus append
     // and the index append it folds the deferred vectors in first, so
     // the gate below never has a recall gap against them
-    vecCol.foreach(c => graft.ops.Similarity.syncIvfIndexFromTable(spark,
-      s"$outRoot/semindex", s"$outRoot/curated", c, "doc_id"))
+    if (semindexReady)
+      vecCol.foreach(c => graft.ops.Similarity.syncIvfIndexFromTable(spark,
+        s"$outRoot/semindex", s"$outRoot/curated", c, "doc_id"))
     val input = newDocs.count()
     val good = annotate(newDocs)
       .where(col("quality") >= minQuality && col("n_tokens") >= minTokens)
       .cache()
     val afterQuality = good.count()
 
-    // within-batch exact dedup, then cross-corpus bloom gate; cached —
-    // the scrub and semantic stages below each reference it more than
-    // once (the bloom UDF filter + anti join must not recompute per use)
+    // within-batch exact dedup on the pre-scrub fingerprint (cheap, and
+    // it shrinks the scrub input)
     val keepers = good.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
     val batchUnique = good.join(keepers, Seq("fp", "doc_id"), "left_semi")
-    val docFresh = Dedup.newAgainstCorpus(batchUnique, curatedT.toDF, "text",
-      expectedCorpusItems, fpCol = Some("fp")).cache()
 
-    // paragraph scrub vs the corpus: survivors' text changed, so the
-    // derived columns (quality, token count, fingerprint) recompute and
-    // the quality gate re-applies to the scrubbed text. Cached when it
-    // is a distinct plan from docFresh — the semantic gate references it
-    // twice (probe build + final anti join) and this scrub chain is the
-    // wave's most expensive stage
-    val scrubbed =
-      if (!paragraphScrub) docFresh
-      else {
+    // Doc-level cross-corpus gate + (optionally) the paragraph scrub.
+    // When the scrub runs, BOTH doc-level dedups run on the RECOMPUTED
+    // post-scrub fingerprint (ADVICE r4): fingerprint() collapses the
+    // paragraph separator, so a scrubbed doc can fingerprint-collide
+    // with a batch neighbor or a corpus doc whose PARAGRAPH sets are
+    // disjoint — invisible to the paragraph gate's own within-batch
+    // keep-first and corpus anti join. Scrub first, then run the
+    // within-batch keep-one and the single doc-level bloom gate on the
+    // scrubbed text — same corpus-side cost as gating pre-scrub (one
+    // doc-level bloom build per wave), no leak. Docs that were exact
+    // corpus dups pre-scrub lose every paragraph to the corpus side and
+    // disappear inside the scrub itself. Cached: the bloom UDF filter +
+    // anti join and the semantic stage below each reference the result
+    // more than once.
+    val preScrub = if (paragraphScrub) Some(batchUnique.cache()) else None
+    val docFresh = preScrub match {
+      case None =>
+        Dedup.newAgainstCorpus(batchUnique, curatedT.toDF, "text",
+          expectedCorpusItems, fpCol = Some("fp")).cache()
+      case Some(pre) =>
         val cleanTexts = Dedup.paragraphDedupAgainstCorpus(
-          docFresh.select(col("doc_id"), col("text")),
+          pre.select(col("doc_id"), col("text")),
           curatedT.toDF.select(col("doc_id"), col("text")),
           "text", "doc_id",
           // sized to the corpus-items estimate: paragraph counts are a
@@ -204,19 +239,29 @@ object CorpusPipeline {
           // degrades the false-positive rate (more rows take the exact
           // verification join), never correctness
           expectedCorpusItems = expectedCorpusItems)
-        annotate(docFresh
+        // survivors' text changed: re-derive lang/quality/tokens/fp and
+        // re-apply the quality gate to the scrubbed text
+        val rescrubbed = annotate(pre
             .drop("text", "lang_pred", "quality", "n_tokens", "fp")
             .join(cleanTexts, Seq("doc_id")))
           .where(col("quality") >= minQuality && col("n_tokens") >= minTokens)
-          .cache()
-      }
+        val keep2 = rescrubbed.groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val uniq2 = rescrubbed.join(keep2, Seq("fp", "doc_id"), "left_semi")
+        Dedup.newAgainstCorpus(uniq2, curatedT.toDF, "text",
+          expectedCorpusItems, fpCol = Some("fp")).cache()
+    }
 
-    // semantic gate vs the persisted cluster space (and within-batch)
-    val fresh = (vecCol match {
-      case Some(c) => Dedup.semanticNewAgainstIndex(spark,
-        s"$outRoot/semindex", scrubbed, c, "doc_id", semThreshold, semNProbe)
-      case None => scrubbed
-    }).cache()
+    // semantic gate vs the persisted cluster space (and within-batch);
+    // docFresh is already cached, so the no-gate arm takes it as-is
+    // (re-caching it raised the CacheManager already-cached WARN every
+    // wave — VERDICT r4 minor (a))
+    val fresh = vecCol match {
+      case Some(c) if semindexReady => Dedup.semanticNewAgainstIndex(spark,
+        s"$outRoot/semindex", docFresh, c, "doc_id", semThreshold, semNProbe)
+        .cache()
+      case _ => docFresh
+    }
     val appended = fresh.count()
 
     if (appended > 0)
@@ -228,14 +273,26 @@ object CorpusPipeline {
     // are picked up. The drift gate then retrains the cluster space only
     // when cheap appends have actually moved the distribution.
     vecCol.foreach { c =>
-      graft.ops.Similarity.syncIvfIndexFromTable(spark,
-        s"$outRoot/semindex", s"$outRoot/curated", c, "doc_id")
-      graft.ops.Similarity.maybeRetrainIvfIndex(spark, s"$outRoot/semindex")
+      if (semindexReady) {
+        graft.ops.Similarity.syncIvfIndexFromTable(spark,
+          s"$outRoot/semindex", s"$outRoot/curated", c, "doc_id")
+        graft.ops.Similarity.maybeRetrainIvfIndex(spark, s"$outRoot/semindex")
+      } else if (!curatedT.toDF.isEmpty) {
+        // deferred first build ([[curate]] skipped it on an empty
+        // corpus): train from the now-non-empty curated table and
+        // baseline the change feed at its current version, so the NEXT
+        // wave's gate and sync run the normal path
+        graft.ops.Similarity.buildIvfIndex(curatedT.toDF, c, "doc_id",
+          s"$outRoot/semindex", nLists = semNLists)
+        graft.ops.Similarity.markIvfSynced(spark, s"$outRoot/semindex",
+          curatedT.snapshot.version)
+      }
     }
     graft.lake.IncrementalMv.refresh(spark, s"$outRoot/lang_stats")
 
-    good.unpersist(); docFresh.unpersist(); fresh.unpersist()
-    if (paragraphScrub) scrubbed.unpersist()
+    good.unpersist(); docFresh.unpersist()
+    if (fresh ne docFresh) fresh.unpersist()
+    preScrub.foreach(_.unpersist())
     IncrementResult(input, afterQuality, appended)
   }
 
@@ -267,7 +324,8 @@ object CorpusPipeline {
       paragraphScrub: Boolean = false,
       vecCol: Option[String] = None,
       semThreshold: Double = 0.8,
-      semNProbe: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+      semNProbe: Int = 2,
+      semNLists: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
     graft.streaming.LakeStreaming.asStreamV2(spark, landingPath, startingVersion)
       .writeStream
       .queryName(s"curate:$outRoot")
@@ -277,7 +335,7 @@ object CorpusPipeline {
         if (!batch.isEmpty) {
           curateIncremental(spark, batch, outRoot, minQuality, minTokens,
             expectedCorpusItems, paragraphScrub, vecCol, semThreshold,
-            semNProbe)
+            semNProbe, semNLists)
           ()
         }
       }

@@ -5,6 +5,7 @@ import java.util.concurrent.Executors
 
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration._
+import scala.jdk.CollectionConverters._
 
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -128,12 +129,14 @@ class MarkerCommitStoreSpec extends AnyFunSuite {
       assert(Files.isRegularFile(
         dir.resolve(LakeLog.LOG_DIR).resolve(LakeLog.LAST_CHECKPOINT)))
       // every published commit object holds exactly one won condition
-      val markers = Files.list(dir.resolve(LakeLog.LOG_DIR).resolve(".cond"))
-        .iterator()
-      var reserved = 0
-      while (markers.hasNext) {
-        if (markers.next().toString.endsWith(".reserved")) reserved += 1
-      }
+      // (directory stream closed — the leak class c0b36b5 fixed in
+      // vacuumMarkers)
+      val markerStream =
+        Files.list(dir.resolve(LakeLog.LOG_DIR).resolve(".cond"))
+      val reserved =
+        try markerStream.iterator().asScala
+          .count(_.toString.endsWith(".reserved"))
+        finally markerStream.close()
       assert(reserved === adapter.wins)
     } finally CommitStore.unregister("file")
     assert(CommitStore.forPath("/plain/path") eq LocalFsCommitStore)

@@ -274,4 +274,81 @@ class CorpusPipelineSpec extends AnyFunSuite {
       .toDF.select($"id").as[Long].collect().toSet
     assert(indexed.contains(30L))
   }
+
+  test("post-scrub fingerprint collisions dedup on the RECOMPUTED fp") {
+    // fingerprint() collapses the paragraph separator, so a scrubbed doc
+    // can fp-collide with a doc whose PARAGRAPH sets are disjoint — the
+    // paragraph gate can't see it, only a doc-level dedup on the
+    // post-scrub fingerprint can (ADVICE r4 #1)
+    val root = Files.createTempDirectory("corpus-postscrub-").toString
+    val corpus = Seq((1L, "p\nq"), (2L, "BOILER"))
+      .toDF("doc_id", "text")
+    CorpusPipeline.curate(spark, corpus, root, minQuality = 0.0,
+      minTokens = 0, nearDupThreshold = 0.99)
+
+    val batch = Seq(
+      // A scrubs BOILER → "x y"; B is untouched "x\ny" — paragraphs
+      // ("x y") vs ("x","y") are disjoint, but the normalized
+      // fingerprints collide post-scrub → keep-one (min doc_id = A)
+      (30L, "x y\nBOILER"),
+      (31L, "x\ny"),
+      // C scrubs BOILER → "p q", whose fingerprint equals corpus doc 1's
+      // ("p\nq" normalizes to "p q") though no paragraph is shared —
+      // the cross-corpus bloom gate must run on the post-scrub fp
+      (32L, "p q\nBOILER"))
+      .toDF("doc_id", "text")
+    CorpusPipeline.curateIncremental(spark, batch, root, minQuality = 0.0,
+      minTokens = 0, expectedCorpusItems = 100L, paragraphScrub = true)
+
+    val texts = LakeTable.forPath(spark, s"$root/curated").toDF
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(texts(30L) === "x y")
+    assert(!texts.contains(31L),
+      "batch doc fp-colliding with a scrubbed batch neighbor must drop")
+    assert(!texts.contains(32L),
+      "scrubbed doc fp-colliding with a corpus doc must drop")
+    // the curated invariant the leak would have broken
+    val curated = LakeTable.forPath(spark, s"$root/curated").toDF
+    assert(curated.select("fp").distinct().count() === curated.count())
+  }
+
+  test("empty initial corpus defers the semantic index to the first wave") {
+    val root = Files.createTempDirectory("corpus-empty-").toString
+    // every doc fails the token gate → curated is written EMPTY; the
+    // index build must be skipped (training would throw after the
+    // tables were already written — ADVICE r4 #2), not crash
+    val junk = Seq((1L, "tiny", Array(1f, 0f, 0f, 0f)))
+      .toDF("doc_id", "text", "embedding")
+    val res = CorpusPipeline.curate(spark, junk, root, minQuality = 0.0,
+      minTokens = 100, nearDupThreshold = 0.99,
+      vecCol = Some("embedding"), semNLists = 2)
+    assert(res.afterNear === 0L)
+    assert(!LakeTable.isLakeTable(s"$root/semindex/codebook"))
+
+    // wave 1 (non-empty): appends, then builds the deferred index from
+    // the curated table and baselines the change feed
+    CorpusPipeline.curateIncremental(spark,
+      Seq((10L, "alpha one beta two", Array(1f, 0f, 0f, 0f)),
+        (11L, "gamma three delta four", Array(0f, 1f, 0f, 0f)))
+        .toDF("doc_id", "text", "embedding"),
+      root, minQuality = 0.0, minTokens = 0, expectedCorpusItems = 100L,
+      vecCol = Some("embedding"), semNLists = 2)
+    assert(LakeTable.isLakeTable(s"$root/semindex/codebook"))
+    val indexed = LakeTable.forPath(spark, s"$root/semindex/assignments")
+      .toDF.select($"id").as[Long].collect().toSet
+    assert(indexed === Set(10L, 11L))
+
+    // wave 2 gates semantically against the deferred-built index
+    CorpusPipeline.curateIncremental(spark,
+      Seq((20L, "totally fresh words here", Array(0.99f, 0.14f, 0f, 0f)),
+        (21L, "eta seven theta eight", Array(0f, 0f, 0f, 1f)))
+        .toDF("doc_id", "text", "embedding"),
+      root, minQuality = 0.0, minTokens = 0, expectedCorpusItems = 100L,
+      vecCol = Some("embedding"), semNLists = 2)
+    val ids = LakeTable.forPath(spark, s"$root/curated").toDF
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!ids.contains(20L),
+      "semantic near-dup of a wave-1 doc must drop once the index exists")
+    assert(ids === Set(10L, 11L, 21L))
+  }
 }
