@@ -838,6 +838,11 @@ object Dedup {
     * shuffle; the duplicated share of the corpus shuffles one START
     * offset per duplicated window (not windowTokens positions), so a
     * boilerplate-heavy corpus no longer pays a ×L term anywhere.
+    * The window-hash projection is DELIBERATELY computed twice (once
+    * into the count groupBy, once as the join probe side, uncached): at
+    * corpus scale a narrow md5 re-projection over the scan is cheaper
+    * than persisting one 16-byte row per corpus token just to read it
+    * back once, and it keeps both passes inside whole-stage codegen.
     * Docs shorter than the window never match (the
     * rule's stated semantics: only spans ≥ the threshold length dedup).
     *

@@ -66,4 +66,46 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(out(1L) === ((4, 0, "a b c d")))
     assert(out(2L) === ((4, 4, "")))
   }
+
+  /** Model check for the round-5 INTERVAL-form cover (sorted starts →
+    * disjoint-slice expansion): tiny vocab + short docs force dense
+    * overlapping duplicate windows — exactly the regime where an
+    * interval-merge off-by-one (slice bounds, adjacent-interval seams,
+    * within-doc overlaps) would diverge from the per-position model.
+    */
+  for (seed <- 1L to 8L) {
+    test(s"interval cover == per-position brute-force model (seed $seed)") {
+      val rnd = new scala.util.Random(seed)
+      val L = 2 + rnd.nextInt(3) // windows of 2..4 tokens
+      val vocab = Vector("a", "b", "c")
+      val docs = (1L to (3 + rnd.nextInt(4)).toLong).map { id =>
+        id -> Vector.fill(rnd.nextInt(13))(vocab(rnd.nextInt(vocab.size)))
+      }
+
+      // reference model: materialize every window occurrence, find each
+      // window text's first (id, offset), mark the L positions of every
+      // other occurrence
+      val occs = for {
+        (id, toks) <- docs
+        s <- 0 to toks.size - L
+        if toks.size >= L
+      } yield (toks.slice(s, s + L).mkString(" "), id, s)
+      val first = occs.groupBy(_._1)
+        .map { case (w, os) => w -> os.map(o => o._2 * 1000000000L + o._3).min }
+      val expected = docs.map { case (id, toks) =>
+        val cov = occs.collect {
+          case (w, `id`, s) if first(w) != id * 1000000000L + s =>
+            (s + 1) to (s + L)
+        }.flatten.toSet
+        val keptToks = toks.zipWithIndex.collect {
+          case (t, i) if !cov.contains(i + 1) => t
+        }
+        id -> ((toks.size, cov.size, keptToks.mkString(" ")))
+      }.toMap
+
+      val out = run(L, docs.map { case (id, toks) =>
+        id -> toks.mkString(" ") }: _*)
+      assert(out === expected, s"L=$L docs=$docs")
+    }
+  }
 }
