@@ -124,13 +124,22 @@ object Bench {
     val writes = scala.collection.mutable.LinkedHashMap[String, Double]()
     var li: LakeTable = null
     var ord: LakeTable = null
+    // same GC barrier as the query loop: the write suite runs right after
+    // 117 queries + the isolated re-runs, and without it the allocation
+    // debt of ~130 executed plans lands in lake_merge's timer (measured
+    // 5.4 s in-run vs 1.6 s cold min-of-3 — collection pauses, not
+    // commit work; GC time runs outside the timer so totals aren't
+    // inflated)
+    System.gc()
     writes("lake_create") = timed {
       li = LakeTable.create(spark, s"$scratch/lineitem", lineitem)
     }
+    System.gc()
     writes("lake_append") = timed {
       li.append(lineitem.where(col("l_linenumber") === 1))
     }
     ord = LakeTable.create(spark, s"$scratch/orders", orders)
+    System.gc()
     writes("lake_merge") = timed {
       // upsert ~10% of orders by primary key (o_orderkey is unique)
       val src = orders.where(col("o_orderkey") % 10 === 0)
@@ -139,9 +148,11 @@ object Bench {
         whenMatchedUpdate = Some(Map.empty),
         whenNotMatchedInsert = None)
     }
+    System.gc()
     writes("lake_delete") = timed {
       ord.delete(col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0)
     }
+    System.gc()
     writes("lake_compact") = timed(li.compact())
 
     // ---- plan-shape audit (NEXT.md r2 #10): regressions in exchange /
