@@ -37,7 +37,11 @@ object ProfileLake {
       val t = LakeTable.create(spark, s"$w/t", df)
       t.merge(df.withColumn("v", col("v") + 1), expr("t.id = s.id"))
     }
-    for (rep <- 1 to 2) {
+    // PROF_REPS=n loops the create/merge/read cycle n times — long runs
+    // give external samplers (jstack) enough merge wall-time to attribute
+    // the driver-side share of the per-commit fixed cost
+    val reps = sys.env.get("PROF_REPS").flatMap(_.toIntOption).getOrElse(2)
+    for (rep <- 1 to reps) {
       val customer = graft.tables.Tables.customer(spark, sfDir)
         .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
       val dir = java.nio.file.Files.createTempDirectory("pl-").toString

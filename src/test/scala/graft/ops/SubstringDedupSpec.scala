@@ -67,6 +67,32 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(out(2L) === ((4, 4, "")))
   }
 
+  /** Plan-shape guard for the round-5 interval-form cover (VERDICT r4
+    * #3): the ONLY Generate (explode) nodes in the physical plan are the
+    * window-occurrence streams (`sequence(0, size(w)-L)` → `__s`) — the
+    * algorithm's input, paid once per corpus token per pass. A
+    * reintroduced ×L covered-position explode (one row per covered
+    * token of every duplicated occurrence, growing with the corpus'
+    * boilerplate share) would add a Generate with a different output
+    * and fail here.
+    */
+  test("plan: every Generate is the window stream, never the cover") {
+    val df = Seq(1L -> "a b c d e", 2L -> "a b c d x").toDF("id", "text")
+    // sparkPlan, not executedPlan: AQE wraps the tree in an adaptive
+    // node whose inner stages aren't visible to collect() before run
+    val plan = Dedup.substringDedup(df, "id", "text", 3)
+      .queryExecution.sparkPlan
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.nonEmpty, "window stream must be a Generate")
+    gens.foreach { g =>
+      val outs = g.generatorOutput.map(_.name)
+      assert(outs == Seq("__s"),
+        s"unexpected Generate output $outs — cover explode reintroduced?")
+    }
+  }
+
   /** Model check for the round-5 INTERVAL-form cover (sorted starts →
     * disjoint-slice expansion): tiny vocab + short docs force dense
     * overlapping duplicate windows — exactly the regime where an
