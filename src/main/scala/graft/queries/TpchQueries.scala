@@ -541,10 +541,22 @@ object TpchQueries extends QueryGroup {
         ORDER BY s_name""")),
 
     // ===== Q21-shaped: suppliers who kept orders waiting — the
-    // EXISTS + NOT-EXISTS double self-join. "Late" is shipping >90 days
+    // EXISTS + NOT-EXISTS pattern. "Late" is shipping >90 days
     // after the order date (the harness has no commit/receipt dates);
     // a supplier waits an order when it shipped late, ANOTHER supplier
     // shipped in the same order, and NO other supplier shipped late.
+    //
+    // Plan (round 5): the literal double self-join (late ⋈ lineitem
+    // semi, late ⋈ late anti — two row-carrying sortMerge joins on
+    // orderkey, the catalog's only SMJ entries) rewrites to per-order
+    // counts: EXISTS another supplier ⟺ distinct suppliers in the
+    // order ≥ 2, NOT EXISTS another late supplier ⟺ distinct LATE
+    // suppliers = 1 (the candidate itself is one of them). The
+    // self-joins become two narrow (orderkey, count) aggregates joined
+    // back on the key — at 100 TB the shuffles carry 12-byte rows
+    // instead of the (orderkey, suppkey) pair sets, and a hot order
+    // (many lines) collapses map-side in the partial agg instead of
+    // skewing a sort-merge join.
     QueryDef(
       "q21_waiting_suppliers",
       (s, d) => {
@@ -556,14 +568,14 @@ object TpchQueries extends QueryGroup {
           .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
           .select(col("l_orderkey"), col("l_suppkey"))
           .distinct()
-        val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
-          .distinct()
-        val l3 = late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+        val nsupp = li.groupBy(col("l_orderkey").as("k2"))
+          .agg(count_distinct(col("l_suppkey")).as("__nsupp"))
+        val nlate = late.groupBy(col("l_orderkey").as("k3"))
+          .agg(count(lit(1)).as("__nlate")) // late is (ok, sk)-distinct
         val waiting = late.alias("l1")
-          .join(l2, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
-            "left_semi")
-          .join(l3, col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
-            "left_anti")
+          .join(nsupp, col("l_orderkey") === col("k2"))
+          .join(nlate, col("l_orderkey") === col("k3"))
+          .where(col("__nsupp") >= 2 && col("__nlate") === 1)
         waiting
           .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(Tables.nation(s, d)
