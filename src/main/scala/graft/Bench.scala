@@ -187,10 +187,18 @@ object Bench {
         spark.stop()
         SparkSession.clearActiveSession()
         SparkSession.clearDefaultSession()
+        // SAME SQL configs as the primary session — a cold tail5 can
+        // include bucketed-read queries (lake3 et al), and without the
+        // v2 bucketing trio their cold plan would add the exchanges the
+        // in-run plan avoided, measuring a different plan than the one
+        // being de-smeared
         val s2 = SparkSession.builder()
           .master(s"local[$cpus]")
           .config("spark.sql.shuffle.partitions", cpus)
           .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
+          .config("spark.sql.sources.v2.bucketing.enabled", "true")
+          .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+          .config("spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled", "true")
           .config("spark.sql.codegen.cache.maxEntries", "10000")
           .config("spark.ui.enabled", "false")
           .config("spark.ui.showConsoleProgress", "false")

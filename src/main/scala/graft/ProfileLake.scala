@@ -12,19 +12,24 @@ object ProfileLake {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // per-job breakdown: where a 2-second merge actually spends its time
+    val profJobs = sys.env.contains("PROF_JOBS")
     val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobStarts.put(e.jobId, (e.time,
-          Option(e.properties.getProperty("spark.job.description"))
-            .orElse(Option(e.properties.getProperty("callSite.short")))
-            .getOrElse("?")))
-      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-        val (t0, desc) = jobStarts.getOrDefault(e.jobId, (e.time, "?"))
-        if (sys.env.contains("PROF_JOBS"))
+    if (profJobs) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          // properties is a nullable field on the event
+          val props = Option(e.properties)
+          jobStarts.put(e.jobId, (e.time,
+            props.flatMap(p => Option(p.getProperty("spark.job.description")))
+              .orElse(props.flatMap(p => Option(p.getProperty("callSite.short"))))
+              .getOrElse("?")))
+        }
+        override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val (t0, desc) = jobStarts.getOrDefault(e.jobId, (e.time, "?"))
+          jobStarts.remove(e.jobId) // bounded under PROF_REPS-long runs
           println(f"[job] ${e.jobId}%3d ${(e.time - t0) / 1e3}%7.3f s  ${desc.take(90)}")
-      }
-    })
+        }
+      })
     def timed(tag: String)(body: => Unit): Unit = {
       val t0 = System.nanoTime()
       body

@@ -167,10 +167,12 @@ object CorpusPipeline {
     *   vectors to the next wave's sync instead of losing them).
     * @param semNProbe inverted lists probed by the semantic gate; raise
     *   toward `semNLists` for recall, lower for cost.
-    * @param semNLists inverted lists for the DEFERRED index build only
-    *   (when [[curate]] skipped the build because the initial corpus
-    *   came out empty, the first non-empty wave trains the index here);
-    *   an index built by [[curate]] keeps its own list count.
+    * @param semNLists inverted lists when THIS method builds the index:
+    *   the deferred build (when [[curate]] skipped it because the
+    *   initial corpus came out empty) and the missing-index build (the
+    *   corpus is non-empty but was curated without `vecCol` — built
+    *   before the gate so the current wave is still gated); an index
+    *   built by [[curate]] keeps its own list count.
     */
   def curateIncremental(
       spark: SparkSession,
@@ -186,12 +188,29 @@ object CorpusPipeline {
       semNLists: Int = 8): IncrementResult = {
     val curatedT = LakeTable.forPath(spark, s"$outRoot/curated")
     // [[curate]] defers the index when the initial corpus came out empty
-    // (nothing to train on); until the first non-empty wave builds it
-    // (below), the semantic gate is skipped — an empty corpus has no
-    // near-dups to gate against, though WITHIN-batch semantic near-pairs
-    // leak through that one wave (they are still exact/paragraph-gated)
+    // (nothing to train on); on such a wave the semantic gate is
+    // skipped — an empty corpus has no near-dups to gate against, though
+    // WITHIN-batch semantic near-pairs leak through that one wave (they
+    // are still exact/paragraph-gated). Any OTHER missing-index case
+    // builds the index before the gate (next block).
     def semindexReady = vecCol.isDefined &&
       LakeTable.isLakeTable(s"$outRoot/semindex/codebook")
+    // An index that is missing over a NON-empty corpus (the initial
+    // curate() ran without vecCol, or its build was lost) is built NOW,
+    // BEFORE the gate, so this wave's batch is semantically gated like
+    // any other. Without this the wave silently skipped the gate, the
+    // unguarded batch appended, and the post-append deferred build baked
+    // its near-duplicates into the index permanently. (The empty-corpus
+    // deferral is different and stays below: nothing to train on, and an
+    // empty corpus has no near-dups to gate against.)
+    vecCol.foreach { c =>
+      if (!semindexReady && !curatedT.toDF.isEmpty) {
+        graft.ops.Similarity.buildIvfIndex(curatedT.toDF, c, "doc_id",
+          s"$outRoot/semindex", nLists = semNLists)
+        graft.ops.Similarity.markIvfSynced(spark, s"$outRoot/semindex",
+          curatedT.snapshot.version)
+      }
+    }
     // catch-up sync BEFORE the semantic gate: normally an instant no-op
     // (applied == latest), but after a crash between the corpus append
     // and the index append it folds the deferred vectors in first, so
@@ -225,6 +244,7 @@ object CorpusPipeline {
     // anti join and the semantic stage below each reference the result
     // more than once.
     val preScrub = if (paragraphScrub) Some(batchUnique.cache()) else None
+    var scrubCache: Option[DataFrame] = None
     val docFresh = preScrub match {
       case None =>
         Dedup.newAgainstCorpus(batchUnique, curatedT.toDF, "text",
@@ -240,11 +260,18 @@ object CorpusPipeline {
           // verification join), never correctness
           expectedCorpusItems = expectedCorpusItems)
         // survivors' text changed: re-derive lang/quality/tokens/fp and
-        // re-apply the quality gate to the scrubbed text
+        // re-apply the quality gate to the scrubbed text. CACHED: the
+        // scrub chain (corpus-wide paragraph anti join + re-annotate) is
+        // the wave's most expensive stage, and downstream it is embedded
+        // FOUR times in one plan — uniq2 references rescrubbed twice
+        // (rows + its own keep2 aggregate) and newAgainstCorpus
+        // references uniq2 twice (map-side-pass + verification arms)
         val rescrubbed = annotate(pre
             .drop("text", "lang_pred", "quality", "n_tokens", "fp")
             .join(cleanTexts, Seq("doc_id")))
           .where(col("quality") >= minQuality && col("n_tokens") >= minTokens)
+          .cache()
+        scrubCache = Some(rescrubbed)
         val keep2 = rescrubbed.groupBy(col("fp"))
           .agg(min(col("doc_id")).as("doc_id"))
         val uniq2 = rescrubbed.join(keep2, Seq("fp", "doc_id"), "left_semi")
@@ -292,7 +319,7 @@ object CorpusPipeline {
 
     good.unpersist(); docFresh.unpersist()
     if (fresh ne docFresh) fresh.unpersist()
-    preScrub.foreach(_.unpersist())
+    preScrub.foreach(_.unpersist()); scrubCache.foreach(_.unpersist())
     IncrementResult(input, afterQuality, appended)
   }
 

@@ -351,4 +351,35 @@ class CorpusPipelineSpec extends AnyFunSuite {
       "semantic near-dup of a wave-1 doc must drop once the index exists")
     assert(ids === Set(10L, 11L, 21L))
   }
+
+  test("missing index over a non-empty corpus builds BEFORE the gate") {
+    val root = Files.createTempDirectory("corpus-noidx-").toString
+    // the initial curate ran WITHOUT vecCol: a non-empty corpus exists
+    // but no semindex does. The first vecCol wave must build the index
+    // from the corpus and gate its own batch against it — not silently
+    // skip the gate, append unguarded, and bake the near-dups in.
+    CorpusPipeline.curate(spark,
+      Seq((1L, "alpha one beta two", Array(1f, 0f, 0f, 0f)),
+        (2L, "gamma three delta four", Array(0f, 1f, 0f, 0f)))
+        .toDF("doc_id", "text", "embedding"),
+      root, minQuality = 0.0, minTokens = 0, nearDupThreshold = 0.99)
+    assert(!LakeTable.isLakeTable(s"$root/semindex/codebook"))
+
+    CorpusPipeline.curateIncremental(spark,
+      Seq((10L, "wholly new phrasing here", Array(0.99f, 0.14f, 0f, 0f)),
+        (11L, "eta seven theta eight", Array(0f, 0f, 0f, 1f)))
+        .toDF("doc_id", "text", "embedding"),
+      root, minQuality = 0.0, minTokens = 0, expectedCorpusItems = 100L,
+      vecCol = Some("embedding"), semNLists = 2)
+    assert(LakeTable.isLakeTable(s"$root/semindex/codebook"))
+    val ids = LakeTable.forPath(spark, s"$root/curated").toDF
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!ids.contains(10L),
+      "the just-built index must gate the SAME wave's semantic near-dup")
+    assert(ids === Set(1L, 2L, 11L))
+    // and the surviving appendee reached the index via the normal sync
+    val indexed = LakeTable.forPath(spark, s"$root/semindex/assignments")
+      .toDF.select($"id").as[Long].collect().toSet
+    assert(indexed === Set(1L, 2L, 11L))
+  }
 }
