@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -22,8 +21,11 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
-  /** Exact dedup on normalized content: keep the smallest `idCol` per
-    * fingerprint. One shuffle; survivors column marks kept rows.
+  /** Exact dedup on normalized content, as a per-fingerprint SUMMARY:
+    * one row per distinct fingerprint with the smallest `idCol` as
+    * `keep_id` and the duplicate count as `n_copies` (callers semi-join
+    * `keep_id` back when they want the surviving rows — DedupQueries
+    * d1). One shuffle.
     */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     df.withColumn("__fp", fingerprint(col(textCol)))
@@ -61,8 +63,14 @@ object Dedup {
       expectedCorpusItems: Long = 10_000_000L,
       fpp: Double = 0.01,
       fpCol: Option[String] = None): DataFrame = {
+    // fingerprints normalize to STRING on BOTH sides: the bloom filter
+    // inserts values in their column type but the probe below is the
+    // string path — a BIGINT fpCol (e.g. xxhash64) would insert longs
+    // yet probe their decimal strings, so every true duplicate would
+    // miss the filter and sail through the definitely-new arm. The cast
+    // is injective, so the verification anti join stays exact.
     val corpusFp = fpCol match {
-      case Some(c) => corpus.select(col(c).as("__fp"))
+      case Some(c) => corpus.select(col(c).cast("string").as("__fp"))
       case None => corpus.select(fingerprint(col(textCol)).as("__fp"))
     }
     // empty corpus (first wave of a from-scratch pipeline): everything is
@@ -72,7 +80,7 @@ object Dedup {
     val bf = corpusFp.stat.bloomFilter("__fp", expectedCorpusItems, fpp)
     val mightContain = udf((f: String) => f != null && bf.mightContainString(f))
     val tagged = fpCol match {
-      case Some(c) => newDocs.withColumn("__fp", col(c))
+      case Some(c) => newDocs.withColumn("__fp", col(c).cast("string"))
       case None => newDocs.withColumn("__fp", fingerprint(col(textCol)))
     }
     val definitelyNew = tagged.where(!mightContain(col("__fp")))
@@ -509,9 +517,14 @@ object Dedup {
       explode(array((0 until blocks).map { bI =>
         val width = base + (if (bI < rem) 1 else 0)
         val off = (0 until bI).map(j => base + (if (j < rem) 1 else 0)).sum
+        // width == 64 (maxHamming = 0, a single block): (1L << 64) - 1
+        // is 0 under Scala's mod-64 shift, which would mask every
+        // signature to bucket 0 and collapse the corpus into ONE bucket
+        // (an O(n²) salted join); the full-word mask is -1L
+        val mask = if (width == 64) -1L else (1L << width) - 1
         struct(lit(bI).as("band"),
           shiftrightunsigned(col("__sig"), off)
-            .bitwiseAND(lit((1L << width) - 1)).as("bucket"))
+            .bitwiseAND(lit(mask)).as("bucket"))
       }: _*)).as("bb"))
       .select(col("id"), col("__sig"), col("bb.band"), col("bb.bucket"))
     val sh = withSig.select(col("id"), col("__sh"))
@@ -599,6 +612,20 @@ object Dedup {
       maxBucket: Int = 4096): DataFrame = {
     val nPlanes = bands * rowsPerBand
     require(nPlanes <= 64, "bands*rowsPerBand must fit a 64-bit signature")
+    // the hyperplane projection uses min(vector length, dim) components,
+    // so a dim smaller than the data would SILENTLY sign-hash only the
+    // vector's prefix — recall would quietly fall below the 1-θ/π model
+    // with no error. Probe the data dim once and fail loudly instead;
+    // an empty (or all-null-vector) input returns the natural empty
+    // pair set rather than crashing the probe.
+    val firstDim = df.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).head(1)
+    if (firstDim.isEmpty)
+      return df.where(lit(false)).select(col(idCol).as("id_a"),
+        col(idCol).as("id_b"), lit(0.0).as("cosine"))
+    require(firstDim(0).getInt(0) == dim,
+      s"embeddingPairsLsh: vectors are ${firstDim(0).getInt(0)}-dim but " +
+        s"dim=$dim — pass the data's dimensionality explicitly")
     val rnd = new java.util.Random(seed)
     val planes = Array.fill(nPlanes * dim)(rnd.nextGaussian())
     val mask = (1L << rowsPerBand) - 1
@@ -655,8 +682,15 @@ object Dedup {
       sampleSize: Int = 4096,
       seed: Long = 42L,
       maxBucket: Int = 4096): DataFrame = {
-    import org.apache.spark.sql.graft.VectorExpressions.nearestCentroids
-    val dimN = df.select(size(col(vecCol))).head().getInt(0)
+    // empty / all-null-vector input: the natural empty pair set (the
+    // dim probe and centroid training would otherwise crash — e.g. the
+    // first wave of a from-scratch pipeline)
+    val firstDim = df.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).head(1)
+    if (firstDim.isEmpty)
+      return df.where(lit(false)).select(col(idCol).as("id_a"),
+        col(idCol).as("id_b"), lit(0.0).as("cosine"))
+    val dimN = firstDim(0).getInt(0)
     val v = df.select(col(idCol).as("id"),
       Similarity.normalized(col(vecCol)).as("nvec"))
       .repartition(col("id")) // materialize normalization once

@@ -83,6 +83,8 @@ object Similarity {
       k: Int, nLists: Int = 16, nprobe: Int = 4,
       sampleSize: Int = 4096, seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.graft.VectorExpressions.nearestCentroids
+    if (data.where(col(vecCol).isNotNull).isEmpty)
+      return emptyTopK(data, idCol, queries, qIdCol)
     val d = data.select(col(idCol).as("id"), normalized(col(vecCol)).as("nvec"))
       .repartition(col("id")) // materialize normalization once
     val dimN = dim(data, vecCol)
@@ -377,8 +379,29 @@ object Similarity {
     cs.flatten
   }
 
-  private def dim(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head().getInt(0)
+  /** Data dimensionality from the first non-null vector; a clear error
+    * instead of `next on empty iterator` when there is none (empty
+    * input to [[buildIvfIndex]] — callers that can answer an empty
+    * corpus meaningfully, [[ivfTopK]]/[[pqTopK]], early-return before
+    * probing). */
+  private def dim(df: DataFrame, vecCol: String): Int = {
+    val first = df.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).head(1)
+    require(first.nonEmpty,
+      s"no non-null '$vecCol' vectors to derive dimensionality from — " +
+        "empty input?")
+    first(0).getInt(0)
+  }
+
+  /** Empty (q_id, rank, id, cosine) result preserving the callers' id
+    * column types — the natural answer for a top-k over an empty
+    * corpus. */
+  private def emptyTopK(data: DataFrame, idCol: String,
+      queries: DataFrame, qIdCol: String): DataFrame =
+    queries.where(lit(false)).select(col(qIdCol).as("q_id"))
+      .crossJoin(data.where(lit(false)).select(col(idCol).as("id")))
+      .select(col("q_id"), lit(0L).as("rank"), col("id"),
+        lit(0.0).as("cosine"))
 
   // ---- product quantization (ANN over compressed codes) -----------------
 
@@ -444,6 +467,8 @@ object Similarity {
       k: Int, m: Int = 16, codebookK: Int = 16, refine: Int = 4,
       sampleSize: Int = 4096, seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.graft.VectorExpressions._
+    if (data.where(col(vecCol).isNotNull).isEmpty)
+      return emptyTopK(data, idCol, queries, qIdCol)
     val dimN = dim(data, vecCol)
     val d = data.select(col(idCol).as("id"), normalized(col(vecCol)).as("nvec"))
       .repartition(col("id"))

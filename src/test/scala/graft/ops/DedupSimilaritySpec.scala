@@ -267,4 +267,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
       TextFunctions.simhash64FromHashes($"hs").as("composed"))
     assert(both.where($"native" =!= $"composed").count() === 0)
   }
+
+  test("newAgainstCorpus with a BIGINT fingerprint still catches dups") {
+    // the bloom filter inserts values in their column type but probes
+    // the STRING path — without the both-sides cast a long fpCol made
+    // every true duplicate 'definitely new' (silent wrong result)
+    val corpus = docs.where($"doc_id" % 10 =!= 0)
+      .select($"doc_id", $"text", xxhash64($"text").as("fp64"))
+    val fresh = docs.where($"doc_id" % 10 === 0)
+      .select($"doc_id", $"text")
+      .unionByName(corpus.where($"doc_id" % 20 === 5)
+        .select(($"doc_id" + 1000000).as("doc_id"), $"text"))
+      .withColumn("fp64", xxhash64($"text"))
+    val got = Dedup.newAgainstCorpus(fresh, corpus, "text",
+        expectedCorpusItems = 1000L, fpCol = Some("fp64"))
+      .select("doc_id").as[Long].collect().toSet
+    val expected = fresh.join(corpus.select("text").distinct(),
+      Seq("text"), "left_anti").select("doc_id").as[Long].collect().toSet
+    assert(got === expected)
+    assert(got.size < fresh.count(), "fixture must contain true dups")
+  }
+
+  test("empty/mismatched-dim inputs: loud or naturally empty, no crash") {
+    val emptyVecs = spark.emptyDataset[(Long, Array[Float])]
+      .toDF("vec_id", "embedding")
+    val q = Tables.embeddings(spark, sf).limit(2)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    // top-k over an empty corpus is the natural empty answer
+    assert(Similarity.ivfTopK(emptyVecs, "embedding", "vec_id",
+      q, "q_vec", "q_id", k = 3).isEmpty)
+    assert(Similarity.pqTopK(emptyVecs, "embedding", "vec_id",
+      q, "q_vec", "q_id", k = 3).isEmpty)
+    assert(Dedup.semanticDedupPairs(emptyVecs, "embedding", "vec_id").isEmpty)
+    assert(Dedup.embeddingPairsLsh(emptyVecs, "embedding", "vec_id").isEmpty)
+    // an index build over nothing cannot succeed — but it must say WHY
+    val e = intercept[IllegalArgumentException] {
+      Similarity.buildIvfIndex(emptyVecs, "embedding", "vec_id",
+        java.nio.file.Files.createTempDirectory("ivf-empty-").toString)
+    }
+    assert(e.getMessage.contains("dimensionality"))
+    // an LSH dim smaller than the data would silently sign-hash only a
+    // prefix of every vector — must fail loudly instead
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.embeddingPairsLsh(Tables.embeddings(spark, sf),
+        "embedding", "vec_id", dim = 16).count()
+    }
+    assert(e2.getMessage.contains("64-dim"))
+  }
 }
