@@ -20,29 +20,42 @@ object Bench {
   private def materialize(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+  /** The ONE session recipe both measurement contexts use. The cold
+    * block re-measures queries in a fresh context, and any config
+    * present in the primary session but not there makes the cold number
+    * measure a DIFFERENT plan (the v2-bucketing trio alone adds
+    * exchanges to a bucketed-read query) — so there is exactly one copy
+    * to keep correct.
+    *
+    * Config notes: the full-run "smear" (VERDICT r3 "what's wrong" —
+    * heavy tail ~2× its isolated cost, trivial queries uniformly
+    * inflated) is mostly codegen-cache thrashing: the default cache
+    * holds 100 generated classes and a 115-query catalog churns it
+    * continuously, so every query recompiles stages the cache just
+    * evicted — including the isolated re-runs at the end. Measured on
+    * this box at sf0.1: total 167 s → 133 s with
+    * `codegen.cache.maxEntries=10000`, isolated lake1 3.24 s → 2.33 s
+    * (= its clean single-query min-of-3), median per-query ×0.79. A
+    * session running a large query catalog should size this to its
+    * working set.
+    */
+  private def buildSession(cpus: String): SparkSession =
+    SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled", "true")
-      // The full-run "smear" (VERDICT r3 "what's wrong" — heavy tail ~2×
-      // its isolated cost, trivial queries uniformly inflated) is mostly
-      // codegen-cache thrashing: the default cache holds 100 generated
-      // classes and a 115-query catalog churns it continuously, so every
-      // query recompiles stages the cache just evicted — including the
-      // isolated re-runs at the end. Measured on this box at sf0.1:
-      // total 167 s → 133 s, isolated lake1 3.24 s → 2.33 s (= its clean
-      // single-query min-of-3), median per-query ×0.79. A session running
-      // a large query catalog should size this to its working set.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .config("spark.ui.showConsoleProgress", "false")
       .getOrCreate()
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = buildSession(cpus)
     // ERROR, not WARN: the driver captures a bounded amount of output and
     // the round-2 bench JSON was truncated mid-line because per-query WARN
     // noise ate the capture budget before the result line printed
@@ -183,26 +196,24 @@ object Bench {
     // the driver records is the plan cost, not 117 neighbors' debris.
     val cold: Map[String, Double] =
       if (only.isDefined) Map.empty
-      else {
+      else try {
+        // GUARDED end to end: every number the round already computed is
+        // only emitted AFTER this block, so a cold-phase failure (port
+        // exhaustion on the fresh context, temp-dir/disk trouble on the
+        // per-rep tables) must degrade to "no cold key", never abort
+        // main() with nothing printed — that is precisely the
+        // parsed-null failure mode three rounds of driver-contract
+        // fixes were about.
         spark.stop()
         SparkSession.clearActiveSession()
         SparkSession.clearDefaultSession()
-        // SAME SQL configs as the primary session — a cold tail5 can
-        // include bucketed-read queries (lake3 et al), and without the
-        // v2 bucketing trio their cold plan would add the exchanges the
-        // in-run plan avoided, measuring a different plan than the one
-        // being de-smeared
-        val s2 = SparkSession.builder()
-          .master(s"local[$cpus]")
-          .config("spark.sql.shuffle.partitions", cpus)
-          .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
-          .config("spark.sql.sources.v2.bucketing.enabled", "true")
-          .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
-          .config("spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled", "true")
-          .config("spark.sql.codegen.cache.maxEntries", "10000")
-          .config("spark.ui.enabled", "false")
-          .config("spark.ui.showConsoleProgress", "false")
-          .getOrCreate()
+        // SAME SQL configs as the primary session (shared recipe —
+        // [[buildSession]]): a cold tail5 can include bucketed-read
+        // queries (lake3 et al), and without the v2 bucketing trio
+        // their cold plan would add the exchanges the in-run plan
+        // avoided, measuring a different plan than the one being
+        // de-smeared
+        val s2 = buildSession(cpus)
         s2.sparkContext.setLogLevel("ERROR")
         // one tiny warm-up merge so rep 1 measures the plan, not
         // first-touch classloading of the fresh context; min-of-3
@@ -248,6 +259,11 @@ object Bench {
         s2.stop()
         (tail5 :+ ("lake1_merge_clauses" -> lake1) :+
           ("lake_merge" -> mergeW)).toMap
+      } catch {
+        case _: Throwable =>
+          // leave any half-built fresh context behind rather than risk a
+          // second throw; the JVM exits right after the output lines
+          Map.empty
       }
 
     // millisecond resolution keeps the result line compact — the driver's

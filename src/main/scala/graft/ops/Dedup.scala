@@ -615,9 +615,13 @@ object Dedup {
     // the hyperplane projection uses min(vector length, dim) components,
     // so a dim smaller than the data would SILENTLY sign-hash only the
     // vector's prefix — recall would quietly fall below the 1-θ/π model
-    // with no error. Probe the data dim once and fail loudly instead;
-    // an empty (or all-null-vector) input returns the natural empty
-    // pair set rather than crashing the probe.
+    // with no error. Probe the first vector for a fast, clear failure
+    // (and the empty early-return), then enforce the SAME invariant per
+    // row inside the projection: a ragged corpus (stray vectors from a
+    // partial re-embedding) whose first vector happens to match would
+    // otherwise still prefix-hash its strays silently. The per-row
+    // branch is one codegen'd comparison; null vectors pass through
+    // unchecked as before.
     val firstDim = df.where(col(vecCol).isNotNull)
       .select(size(col(vecCol))).head(1)
     if (firstDim.isEmpty)
@@ -626,11 +630,16 @@ object Dedup {
     require(firstDim(0).getInt(0) == dim,
       s"embeddingPairsLsh: vectors are ${firstDim(0).getInt(0)}-dim but " +
         s"dim=$dim — pass the data's dimensionality explicitly")
+    val checkedVec = when(col(vecCol).isNull, col(vecCol))
+      .when(size(col(vecCol)) === dim, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"embeddingPairsLsh: expected $dim-dim vectors, found "),
+        size(col(vecCol)).cast("string"), lit("-dim"))))
     val rnd = new java.util.Random(seed)
     val planes = Array.fill(nPlanes * dim)(rnd.nextGaussian())
     val mask = (1L << rowsPerBand) - 1
     val v = df.select(col(idCol).as("id"),
-      Similarity.normalized(col(vecCol)).as("nvec"))
+      Similarity.normalized(checkedVec).as("nvec"))
       .withColumn("__sig",
         org.apache.spark.sql.graft.VectorExpressions
           .hyperplaneBits(col("nvec"), planes, dim))
@@ -715,8 +724,11 @@ object Dedup {
     // lists collides more than once; the distinct collapses 16-byte id
     // pairs, not vector-carrying rows); vectors join back once per
     // unique candidate for the exact-cosine verification
+    // clamp to the centroids that exist — the distinct-seeded trainer
+    // can return fewer lists than the caller's nProbe on a tiny corpus
+    val effProbe = math.min(nProbe, centroids.length / dimN)
     val banded = v.select(col("id"), lit(0).as("band"),
-      explode(nearestCentroids(col("nvec"), centroids, dimN, nProbe))
+      explode(nearestCentroids(col("nvec"), centroids, dimN, effProbe))
         .as("bucket"))
     val nv = v.select(col("id"), col("nvec"))
     saltedPairs(banded, maxBucket, Seq.empty)
@@ -781,7 +793,8 @@ object Dedup {
       .select(col(idCol).as("__bid"),
         Similarity.normalized(col(vecCol)).as("__bnvec"))
       .withColumn("list_id",
-        explode(nearestCentroids(col("__bnvec"), centroids, dimN, nProbe)))
+        explode(nearestCentroids(col("__bnvec"), centroids, dimN,
+          math.min(nProbe, centroids.length / dimN))))
       .cache()
     try {
       // O(nLists) ints — bounded by the codebook size, not the corpus

@@ -83,11 +83,15 @@ object Similarity {
       k: Int, nLists: Int = 16, nprobe: Int = 4,
       sampleSize: Int = 4096, seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.graft.VectorExpressions.nearestCentroids
-    if (data.where(col(vecCol).isNotNull).isEmpty)
-      return emptyTopK(data, idCol, queries, qIdCol)
+    // ONE limit-1 probe decides both "any vectors at all?" and the
+    // dimensionality — a separate isEmpty guard would double the
+    // driver-side job count per call
+    val dimN = dimOpt(data, vecCol) match {
+      case None => return emptyTopK(data, idCol, queries, qIdCol)
+      case Some(n) => n
+    }
     val d = data.select(col(idCol).as("id"), normalized(col(vecCol)).as("nvec"))
       .repartition(col("id")) // materialize normalization once
-    val dimN = dim(data, vecCol)
 
     val sample = d
       .orderBy(xxhash64(col("id"), lit(seed))) // pseudo-random, deterministic
@@ -95,12 +99,14 @@ object Similarity {
       .select("nvec").collect()
       .map(_.getSeq[Double](0).toArray)
     val centroids = trainSphericalKMeans(sample, nLists, dimN, iters = 10)
+    // the trainer may return FEWER lists than asked (distinct-seeded)
+    val effProbe = math.min(nprobe, centroids.length / dimN)
 
     val assigned = d.withColumn("list_id",
       element_at(nearestCentroids(col("nvec"), centroids, dimN, 1), 1))
     val q = queries.select(col(qIdCol).as("q_id"), normalized(col(qVecCol)).as("q_nvec"))
     val probes = q.withColumn("list_id",
-      explode(nearestCentroids(col("q_nvec"), centroids, dimN, nprobe)))
+      explode(nearestCentroids(col("q_nvec"), centroids, dimN, effProbe)))
 
     // probes is tiny (|queries|×nprobe) → broadcast; the corpus never
     // shuffles for the join, only the probed candidates move for top-k
@@ -140,11 +146,15 @@ object Similarity {
     val sample = d.orderBy(xxhash64(col("id"), lit(seed))).limit(sampleSize)
       .select("nvec").collect().map(_.getSeq[Double](0).toArray)
     val centroids = trainSphericalKMeans(sample, nLists, dimN, iters = 10)
+    // effective list count — the trainer may return fewer (distinct-
+    // seeded); the codebook must describe the centroids that EXIST, or
+    // readers would load phantom all-zero lists
+    val effLists = centroids.length / dimN
 
     val cbDf = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(
-          (0 until nLists).map(i => org.apache.spark.sql.Row(
+          (0 until effLists).map(i => org.apache.spark.sql.Row(
             i, centroids.slice(i * dimN, (i + 1) * dimN).toSeq))).asJava),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("list_id",
@@ -322,10 +332,13 @@ object Similarity {
       k: Int, nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.graft.VectorExpressions.nearestCentroids
     val (centroids, dimN) = loadCodebook(spark, indexPath)
+    // the stored codebook may hold fewer lists than the caller's nprobe
+    // (distinct-seeded training on a small corpus)
+    val effProbe = math.min(nprobe, centroids.length / dimN)
 
     val q = queries.select(col(qIdCol).as("q_id"), normalized(col(qVecCol)).as("q_nvec"))
     val probes = q.withColumn("list_id",
-      explode(nearestCentroids(col("q_nvec"), centroids, dimN, nprobe)))
+      explode(nearestCentroids(col("q_nvec"), centroids, dimN, effProbe)))
     val probedLists = probes.select("list_id").distinct()
       .collect().map(_.getInt(0)).toSeq
 
@@ -347,18 +360,39 @@ object Similarity {
     * keep their previous centroid. Returns the row-major [k × dim]
     * matrix of unit centroids.
     */
+  /** Spherical k-means over a driver-side sample. Returns the row-major
+    * centroid matrix; the EFFECTIVE list count is
+    * `result.length / dim` and may be SMALLER than `k` — callers must
+    * read the count from the result and clamp their `nProbe` to it.
+    *
+    * Why: seeds are the DISTINCT sample vectors (cycling a small sample
+    * `i % n` duplicates each vector into k/n identical centroids), and
+    * exact duplicates that re-converge during training are collapsed
+    * before returning. Duplicated centroids are not just dead lists —
+    * they break candidate recall: a vector's `nProbe` nearest centroids
+    * are then COPIES of its own centroid (all at the same dot product),
+    * so two near-dup vectors never share a probed list and the pair is
+    * silently missed. A 3-distinct-vector batch under k=16 exhibited
+    * exactly that.
+    */
   private[ops] def trainSphericalKMeans(
       sample: Array[Array[Double]], k: Int, dim: Int, iters: Int): Array[Double] = {
     require(sample.nonEmpty, "empty centroid training sample")
-    val cs = Array.tabulate(k)(i => sample(i % sample.length).clone())
+    val distinct = {
+      val seen = scala.collection.mutable.LinkedHashSet[Seq[Double]]()
+      sample.foreach(v => seen += v.toSeq)
+      seen.iterator.map(_.toArray).toArray
+    }
+    val effK = math.min(k, distinct.length)
+    val cs = Array.tabulate(effK)(i => distinct(i).clone())
     for (_ <- 0 until iters) {
-      val sums = Array.fill(k)(new Array[Double](dim))
-      val counts = new Array[Int](k)
+      val sums = Array.fill(effK)(new Array[Double](dim))
+      val counts = new Array[Int](effK)
       sample.foreach { v =>
         var best = 0
         var bestDot = Double.NegativeInfinity
         var c = 0
-        while (c < k) {
+        while (c < effK) {
           var s = 0.0
           var i = 0
           val n = math.min(v.length, dim)
@@ -371,12 +405,17 @@ object Similarity {
         while (i < math.min(v.length, dim)) { acc(i) += v(i); i += 1 }
         counts(best) += 1
       }
-      for (c <- 0 until k if counts(c) > 0) {
+      for (c <- 0 until effK if counts(c) > 0) {
         val norm = math.sqrt(sums(c).map(x => x * x).sum)
         if (norm > 0) cs(c) = sums(c).map(_ / norm)
       }
     }
-    cs.flatten
+    // exact duplicates can re-emerge when clusters collapse mid-training
+    // (first-wins assignment then starves the copy forever) — collapse
+    // them so the returned matrix never carries a probe-absorbing twin
+    val out = scala.collection.mutable.LinkedHashSet[Seq[Double]]()
+    cs.foreach(c => out += c.toSeq)
+    out.iterator.flatten.toArray
   }
 
   /** Data dimensionality from the first non-null vector; a clear error
@@ -385,13 +424,27 @@ object Similarity {
     * corpus meaningfully, [[ivfTopK]]/[[pqTopK]], early-return before
     * probing). */
   private def dim(df: DataFrame, vecCol: String): Int = {
-    val first = df.where(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).head(1)
+    val first = dimOpt(df, vecCol)
     require(first.nonEmpty,
       s"no non-null '$vecCol' vectors to derive dimensionality from — " +
         "empty input?")
-    first(0).getInt(0)
+    first.get
   }
+
+  /** Same probe, None instead of an error when there is no non-null
+    * vector — for callers that answer an empty corpus meaningfully
+    * ([[ivfTopK]]/[[pqTopK]] return the empty top-k) and fold the
+    * emptiness check and the dimensionality into one limit-1 job.
+    *
+    * Scope (stated honestly): this reads the FIRST non-null vector
+    * only — a ragged corpus whose first vector is representative still
+    * passes, and shorter strays project on their own prefix. The probe
+    * is a cheap sanity check, not a scan-the-corpus validation; callers
+    * that need the hard invariant enforce it per row in the projection
+    * (see [[Dedup.embeddingPairsLsh]]'s checked vector). */
+  private def dimOpt(df: DataFrame, vecCol: String): Option[Int] =
+    df.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).head(1).headOption.map(_.getInt(0))
 
   /** Empty (q_id, rank, id, cosine) result preserving the callers' id
     * column types — the natural answer for a top-k over an empty
@@ -467,9 +520,11 @@ object Similarity {
       k: Int, m: Int = 16, codebookK: Int = 16, refine: Int = 4,
       sampleSize: Int = 4096, seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.graft.VectorExpressions._
-    if (data.where(col(vecCol).isNotNull).isEmpty)
-      return emptyTopK(data, idCol, queries, qIdCol)
-    val dimN = dim(data, vecCol)
+    // one limit-1 probe for emptiness + dimensionality (see ivfTopK)
+    val dimN = dimOpt(data, vecCol) match {
+      case None => return emptyTopK(data, idCol, queries, qIdCol)
+      case Some(n) => n
+    }
     val d = data.select(col(idCol).as("id"), normalized(col(vecCol)).as("nvec"))
       .repartition(col("id"))
     val sample = d

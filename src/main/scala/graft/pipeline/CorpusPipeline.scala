@@ -36,6 +36,26 @@ object CorpusPipeline {
       .withColumn("n_tokens", tokenCount(col(textCol)))
       .withColumn("fp", fingerprint(col(textCol)))
 
+  /** Train the semantic index from the curated table and baseline its
+    * change-feed sync — the ONE copy of the build-then-baseline
+    * protocol ([[curate]]'s initial build, [[curateIncremental]]'s
+    * build-before-gate and deferred post-append build all call here).
+    * The build reads a version-PINNED view of the table and the
+    * baseline records that same version, so a concurrent append between
+    * the read and the baseline can never mark vectors synced that the
+    * build never saw — they arrive through the next
+    * [[graft.ops.Similarity.syncIvfIndexFromTable]] like any other
+    * change-feed rows.
+    */
+  private def buildAndBaseline(spark: SparkSession, outRoot: String,
+      vecCol: String, nLists: Int): Unit = {
+    val t = LakeTable.forPath(spark, s"$outRoot/curated")
+    val v = t.version
+    graft.ops.Similarity.buildIvfIndex(t.asOf(v).toDF, vecCol, "doc_id",
+      s"$outRoot/semindex", nLists = nLists)
+    graft.ops.Similarity.markIvfSynced(spark, s"$outRoot/semindex", v)
+  }
+
   /** Run the full curation; writes `curated` and `lang_stats` lake
     * tables under `outRoot` and returns the stage row counts.
     *
@@ -109,13 +129,9 @@ object CorpusPipeline {
       // pipeline half-initialized (ADVICE r4). Defer the index to the
       // first non-empty wave: [[curateIncremental]] builds it when the
       // codebook is missing and the corpus has rows.
-      if (afterNear > 0) {
-        val curatedT = LakeTable.forPath(spark, s"$outRoot/curated")
-        graft.ops.Similarity.buildIvfIndex(
-          curatedT.toDF, c, "doc_id", s"$outRoot/semindex", nLists = semNLists)
-        graft.ops.Similarity.markIvfSynced(spark, s"$outRoot/semindex",
-          curatedT.snapshot.version)
-      } else
+      if (afterNear > 0)
+        buildAndBaseline(spark, outRoot, c, semNLists)
+      else
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"curate($outRoot): curated corpus is empty — semantic index " +
             "deferred to the first non-empty incremental wave")
@@ -188,10 +204,11 @@ object CorpusPipeline {
       semNLists: Int = 8): IncrementResult = {
     val curatedT = LakeTable.forPath(spark, s"$outRoot/curated")
     // [[curate]] defers the index when the initial corpus came out empty
-    // (nothing to train on); on such a wave the semantic gate is
-    // skipped — an empty corpus has no near-dups to gate against, though
-    // WITHIN-batch semantic near-pairs leak through that one wave (they
-    // are still exact/paragraph-gated). Any OTHER missing-index case
+    // (nothing to train on); on such a wave the CROSS-CORPUS semantic
+    // gate is skipped — an empty corpus has no near-dups to gate
+    // against — and the batch SELF-gates instead (within-batch cluster
+    // dedup in the `fresh` match below), so the deferred index never
+    // trains on an internal near-dup pair. Any OTHER missing-index case
     // builds the index before the gate (next block).
     def semindexReady = vecCol.isDefined &&
       LakeTable.isLakeTable(s"$outRoot/semindex/codebook")
@@ -204,12 +221,8 @@ object CorpusPipeline {
     // deferral is different and stays below: nothing to train on, and an
     // empty corpus has no near-dups to gate against.)
     vecCol.foreach { c =>
-      if (!semindexReady && !curatedT.toDF.isEmpty) {
-        graft.ops.Similarity.buildIvfIndex(curatedT.toDF, c, "doc_id",
-          s"$outRoot/semindex", nLists = semNLists)
-        graft.ops.Similarity.markIvfSynced(spark, s"$outRoot/semindex",
-          curatedT.snapshot.version)
-      }
+      if (!semindexReady && !curatedT.toDF.isEmpty)
+        buildAndBaseline(spark, outRoot, c, semNLists)
     }
     // catch-up sync BEFORE the semantic gate: normally an instant no-op
     // (applied == latest), but after a crash between the corpus append
@@ -282,11 +295,24 @@ object CorpusPipeline {
     // semantic gate vs the persisted cluster space (and within-batch);
     // docFresh is already cached, so the no-gate arm takes it as-is
     // (re-caching it raised the CacheManager already-cached WARN every
-    // wave — VERDICT r4 minor (a))
+    // wave — VERDICT r4 minor (a)). The gated arms guard the same way:
+    // the gate can return its INPUT unchanged (empty batch, all-null
+    // vectors), and re-caching that identity would re-raise the WARN.
     val fresh = vecCol match {
-      case Some(c) if semindexReady => Dedup.semanticNewAgainstIndex(spark,
-        s"$outRoot/semindex", docFresh, c, "doc_id", semThreshold, semNProbe)
-        .cache()
+      case Some(c) if semindexReady =>
+        val g = Dedup.semanticNewAgainstIndex(spark,
+          s"$outRoot/semindex", docFresh, c, "doc_id", semThreshold, semNProbe)
+        if (g ne docFresh) g.cache() else g
+      case Some(c) =>
+        // no index yet (the empty-corpus deferral wave): there is no
+        // corpus to gate against, but the BATCH must still self-gate —
+        // without this, two near-identical docs in the first wave both
+        // append and the post-append deferred build bakes the pair into
+        // the index PERMANENTLY (no retrain or sync ever removes rows).
+        // Within-batch semantic dedup needs no index: it trains its own
+        // cluster space on the batch, exactly like the d11 batch path.
+        val g = Dedup.semanticDedup(docFresh, c, "doc_id", semThreshold)
+        if (g ne docFresh) g.cache() else g
       case _ => docFresh
     }
     val appended = fresh.count()
@@ -307,12 +333,12 @@ object CorpusPipeline {
       } else if (!curatedT.toDF.isEmpty) {
         // deferred first build ([[curate]] skipped it on an empty
         // corpus): train from the now-non-empty curated table and
-        // baseline the change feed at its current version, so the NEXT
-        // wave's gate and sync run the normal path
-        graft.ops.Similarity.buildIvfIndex(curatedT.toDF, c, "doc_id",
-          s"$outRoot/semindex", nLists = semNLists)
-        graft.ops.Similarity.markIvfSynced(spark, s"$outRoot/semindex",
-          curatedT.snapshot.version)
+        // baseline the change feed at the version the build consumed,
+        // so the NEXT wave's gate and sync run the normal path. The
+        // wave's batch self-gated semantically above (within-batch
+        // cluster dedup), so the index trains on a batch that carries
+        // no ≥-threshold internal pair.
+        buildAndBaseline(spark, outRoot, c, semNLists)
       }
     }
     graft.lake.IncrementalMv.refresh(spark, s"$outRoot/lang_stats")

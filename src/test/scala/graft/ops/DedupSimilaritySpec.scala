@@ -313,5 +313,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
         "embedding", "vec_id", dim = 16).count()
     }
     assert(e2.getMessage.contains("64-dim"))
+    // RAGGED data — the first vector matches `dim` but a stray does not
+    // (partial re-embedding run): the first-row probe passes, so the
+    // per-row check in the projection must catch the stray instead of
+    // silently prefix-hashing it
+    val ragged = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val e3 = intercept[Exception] {
+      Dedup.embeddingPairsLsh(ragged, "embedding", "vec_id", dim = 4).count()
+    }
+    val messages = Iterator.iterate[Throwable](e3)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(messages.contains("expected 4-dim"), s"got: $messages")
   }
 }

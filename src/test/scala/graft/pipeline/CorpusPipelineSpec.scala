@@ -352,6 +352,37 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(ids === Set(10L, 11L, 21L))
   }
 
+  test("the deferral wave self-gates within-batch semantic near-dups") {
+    val root = Files.createTempDirectory("corpus-selfgate-").toString
+    // empty initial corpus → index deferred (as above)
+    CorpusPipeline.curate(spark,
+      Seq((1L, "tiny", Array(1f, 0f, 0f, 0f))).toDF("doc_id", "text", "embedding"),
+      root, minQuality = 0.0, minTokens = 100, nearDupThreshold = 0.99,
+      vecCol = Some("embedding"), semNLists = 2)
+    assert(!LakeTable.isLakeTable(s"$root/semindex/codebook"))
+
+    // wave 1 carries a SEMANTIC near-dup pair with different text (the
+    // exact/paragraph gates are blind to it): docs 10/11 at cosine ≈
+    // 0.99. Without the within-batch self-gate both would append and
+    // the deferred build would bake the pair into the index permanently
+    // — no retrain or sync ever removes indexed rows.
+    CorpusPipeline.curateIncremental(spark,
+      Seq((10L, "alpha one beta two", Array(1f, 0f, 0f, 0f)),
+        (11L, "gamma three delta four", Array(0.99f, 0.14f, 0f, 0f)),
+        (12L, "eta seven theta eight", Array(0f, 1f, 0f, 0f)))
+        .toDF("doc_id", "text", "embedding"),
+      root, minQuality = 0.0, minTokens = 0, expectedCorpusItems = 100L,
+      vecCol = Some("embedding"), semNLists = 2)
+    val ids = LakeTable.forPath(spark, s"$root/curated").toDF
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids === Set(10L, 12L),
+      "the deferral wave must keep one representative per semantic pair")
+    val indexed = LakeTable.forPath(spark, s"$root/semindex/assignments")
+      .toDF.select($"id").as[Long].collect().toSet
+    assert(indexed === Set(10L, 12L),
+      "the deferred-built index must not contain the dropped near-dup")
+  }
+
   test("missing index over a non-empty corpus builds BEFORE the gate") {
     val root = Files.createTempDirectory("corpus-noidx-").toString
     // the initial curate ran WITHOUT vecCol: a non-empty corpus exists
