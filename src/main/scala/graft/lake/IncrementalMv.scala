@@ -75,10 +75,29 @@ object IncrementalMv {
             min(col(c)).as(s"min_$c"),
             max(col(c)).as(s"max_$c"))): _*)
 
+  // one refresh per view at a time WITHIN this JVM: two concurrent
+  // refreshes (the continuous trigger racing a manual call) would both
+  // read the same applied-through pointer, and the loser would re-apply
+  // deltas the winner already merged AND move the pointer backwards —
+  // counts/sums permanently wrong. Cross-PROCESS racing is narrower
+  // (the view's own commit conflict aborts a loser whose merge snapshot
+  // predates the winner's commit) but not fully closed — a view
+  // refreshed from several driver processes needs external
+  // coordination; see the revalidation note inside refresh().
+  private val refreshLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Apply all source commits since the last refresh. Returns the new
     * applied-through version (== previous when there was nothing new).
     */
   def refresh(spark: SparkSession, mvPath: String): Long = {
+    val lock = refreshLocks.computeIfAbsent(
+      java.nio.file.Paths.get(mvPath).toAbsolutePath.normalize.toString,
+      _ => new Object)
+    lock.synchronized { refreshLocked(spark, mvPath) }
+  }
+
+  private def refreshLocked(spark: SparkSession, mvPath: String): Long = {
     val mv = LakeTable.forPath(spark, mvPath)
     val props = mv.snapshot.metaData.properties
     val sourcePath = props.getOrElse(SRC_PATH_PROP,
@@ -214,6 +233,17 @@ object IncrementalMv {
       if (minMax.isEmpty) col("t.n") + col("s.dn") === 0
       else when(col("s.__recompute"), coalesce(col("s.r_n"), lit(0)) === 0)
         .otherwise(col("t.n") + col("s.dn") === 0)
+    // cross-process revalidation: if another driver advanced the
+    // applied-through pointer while this delta was computed, applying
+    // it would double-count — restart and apply only the remainder.
+    // (The JVM-level lock already serializes same-process refreshes;
+    // this narrows, but cannot fully close, the multi-process window —
+    // the remaining race needs the winner's commit to land between this
+    // check and the merge's own snapshot resolve, where the merge's
+    // commit conflict aborts the loser.)
+    val nowApplied = LakeTable.forPath(spark, mvPath)
+      .snapshot.metaData.properties(SRC_VERSION_PROP).toLong
+    if (nowApplied != lastApplied) return refreshLocked(spark, mvPath)
     mv.mergeClauses(enriched, cond,
       matchedClauses = Seq(
         MergeClause.Delete(Some(deleteCond)),

@@ -1,6 +1,5 @@
 package graft.lake
 
-import java.net.URLDecoder
 import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
 
@@ -413,6 +412,21 @@ final class LakeTable private (
   /** Optimistic commit. Blind appends rebase onto any concurrent commit;
     * everything else (overwrite, DML rewrite, schema change) aborts on
     * conflict — the caller saw a snapshot that is no longer current.
+    *
+    * The rebase is NOT fully blind: before replaying the staged actions
+    * at the new version it re-validates the two things a concurrent
+    * commit can silently invalidate —
+    *  - the table METADATA must be unchanged (the appended rows were
+    *    aligned against the read snapshot's schema and validated
+    *    against its constraints; a concurrent ADD CONSTRAINT / schema
+    *    evolution / re-partition makes the staged data stale → abort
+    *    with the conflict so the caller re-stages);
+    *  - a SetTxn in the staged actions must still be NEW (two writers
+    *    racing the same `idempotentAppend(appId, batchId)` both pass
+    *    the pre-check; the loser's rebase would commit the batch a
+    *    second time under the exactly-once contract → the loser
+    *    treats the batch as already-committed and returns the winner's
+    *    version, a no-op exactly like the pre-check path).
     */
   private def commitWithRetry(readVersion: Long, actions: Seq[Action],
       rebaseable: Boolean, maxRetries: Int = 20): Long = {
@@ -426,7 +440,14 @@ final class LakeTable private (
         case e: CommitConflictException =>
           tries += 1
           if (!rebaseable || tries > maxRetries) throw e
-          attempt = log.latestVersion.map(_ + 1).getOrElse(0L)
+          val cur = log.snapshot(None)
+          if (readVersion >= 0 &&
+              cur.metaData != log.snapshot(Some(readVersion)).metaData)
+            throw e
+          val alreadyCommitted = actions.flatMap(_.txn).exists(t =>
+            cur.txns.get(t.appId).exists(_ >= t.batchId))
+          if (alreadyCommitted) return cur.version
+          attempt = cur.version + 1
       }
     }
     -1L // unreachable
@@ -1281,8 +1302,14 @@ final class LakeTable private (
       .map(f => Action.of(RemoveFile(f.path, now, f.partitionValues)))
     val adds = target.files.filterNot(f => curPaths.contains(f.path))
       .map(Action.of)
+    // the WHOLE metadata reverts, not just the schema: v's files carry
+    // v's physical layout (bucket count, partition spec, field-id map),
+    // and restoring them under the current metadata would declare a
+    // KeyGroupedPartitioning / constraint set the files don't satisfy —
+    // e.g. files bucketed mod 8 under metadata claiming 16 buckets
+    // silently mis-route storage-partitioned joins
     val metaAction =
-      if (target.metaData.schemaDdl != cur.metaData.schemaDdl)
+      if (target.metaData != cur.metaData)
         Seq(Action.of(target.metaData))
       else Seq.empty
     val actions = metaAction ++ removes ++ adds :+
@@ -1672,6 +1699,11 @@ final class LakeTable private (
     */
   def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000,
       cdcRetentionMs: Long = -1L): Seq[String] = {
+    // same guard as every mutating op: through a time-travel handle the
+    // pinned snapshot's file set would be taken as "live", and every
+    // file added after the pinned version — the CURRENT table data —
+    // would age out by mtime and be deleted
+    require(pinnedVersion.isEmpty, "cannot vacuum through a time-travel handle")
     val cdcRetention = if (cdcRetentionMs >= 0) cdcRetentionMs else retentionMs
     val snap = snapshot
     val now = System.currentTimeMillis()
@@ -1976,7 +2008,13 @@ object LakeTable {
       if (i <= 0) None
       else {
         val k = s.substring(0, i)
-        val v = URLDecoder.decode(s.substring(i + 1), "UTF-8")
+        // the EXACT inverse of what the staging writer used (Hive
+        // escapePathName): percent-decode only. URLDecoder additionally
+        // maps '+' to space — but Hive leaves '+' literal in dir names,
+        // so a partition value like "UTC+8" would round-trip to "UTC 8"
+        // and the partition-exact compare would skip its files forever.
+        val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(s.substring(i + 1))
         Some(k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null else v))
       }
     }.toMap

@@ -27,16 +27,33 @@ private[lake] object MergePrune {
   }
 
   /** Strip the implicit cast analysis inserts when join-key types differ;
-    * the range filter re-compares through the stats evaluator's widened
-    * numeric domain, so order is preserved. */
+    * [[equiKeys]] then re-checks that the two NATIVE types share an
+    * ordering before the pair may drive a range filter. */
   private def uncast(e: Expression): Expression = e match {
     case Cast(child, _, _, _) => uncast(child)
     case other => other
   }
 
+  /** The source aggregates min/max in ITS column's native ordering and
+    * the bounds are re-applied against the TARGET column's stats — only
+    * sound when the two orderings agree on the shared value domain:
+    * identical types, or numeric↔numeric (Spark compares those by
+    * value). A string source key joined to a numeric target would
+    * aggregate LEXICOGRAPHIC bounds (min "10" > max "9") and embed them
+    * as the numeric range [10, 9] — an empty range that prunes files
+    * holding true matches, turning updates into duplicate inserts. */
+  private def orderCompatible(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean =
+    a == b ||
+      (a.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+        b.isInstanceOf[org.apache.spark.sql.types.NumericType])
+
   /** `(targetColumn, sourceColumn)` pairs implied by every matched row,
     * read off the ANALYZED join condition — sides identified by exprId,
-    * so no name guessing and no alias conventions. */
+    * so no name guessing and no alias conventions. Pairs whose native
+    * types do not share an ordering are dropped (prune nothing on them
+    * — sound, just less precise). */
   def equiKeys(
       cond: Expression,
       tgtIds: Set[ExprId],
@@ -44,7 +61,8 @@ private[lake] object MergePrune {
     conjuncts(cond).flatMap {
       case EqualTo(l, r) =>
         (uncast(l), uncast(r)) match {
-          case (a: AttributeReference, b: AttributeReference) =>
+          case (a: AttributeReference, b: AttributeReference)
+              if orderCompatible(a.dataType, b.dataType) =>
             if (tgtIds.contains(a.exprId) && srcIds.contains(b.exprId))
               Some((a.name, b.name))
             else if (srcIds.contains(a.exprId) && tgtIds.contains(b.exprId))

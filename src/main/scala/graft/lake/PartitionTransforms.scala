@@ -110,18 +110,20 @@ object PartitionTransforms {
 
   /** The derived DataFrame column the writer partitions by (the value
     * that becomes the directory name). Deterministic string/int
-    * renderings — [[sourceCmpRange]] inverts them for skipping. */
+    * renderings — [[sourceRange]] inverts them for skipping.
+    *
+    * Delegates to the Catalyst twin ([[expression]]) so the batch
+    * writer, the DSv2 row writer, and the skipping inversion share ONE
+    * definition — in particular the UTC pin on year/month/day: the
+    * date_format/year DSL functions render timestamps in the SESSION
+    * timezone, so a non-UTC session would route a row into one month
+    * directory while [[sourceRange]] claims the file's rows lie in that
+    * month's UTC range — files whose queried rows fall outside the
+    * claimed range get skipped, and the two writers would route the
+    * same row to different directories. */
   def column(t: Transform, dt: DataType): Column = {
-    val c = col(t.col)
-    t.fn match {
-      case "year" => year(c.cast(DateType))
-      case "month" => date_format(c, "yyyy-MM")
-      case "day" => date_format(c, "yyyy-MM-dd")
-      case "truncate" => dt match {
-        case StringType => substring(c, 1, t.arg.get)
-        case _ => c - pmod(c, lit(t.arg.get.toLong))
-      }
-    }
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(expression(t, Bridge.expr(col(t.col)), dt))
   }
 
   /** Catalyst twin of [[column]] for the row-level DSv2 writer. */

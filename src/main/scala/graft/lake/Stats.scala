@@ -64,6 +64,19 @@ object Stats {
       case (StringType, b: Binary) => Some(b.toStringUsingUTF8)
       case (TimestampType, l: java.lang.Long) => Some(l.toString) // micros
       case (DateType, i: java.lang.Integer) => Some(i.toString)   // days
+      // decimals arrive from the footer as UNSCALED physical values
+      // (Int/Long for precision ≤ 18, big-endian bytes otherwise) —
+      // re-apply the scale so the persisted stat is the same canonical
+      // rendering the aggregation fallback writes ("1.23", not "123");
+      // the two paths' stats live side by side in the log forever and
+      // must be comparable
+      case (d: DecimalType, n: java.lang.Integer) =>
+        Some(BigDecimal(BigInt(n.longValue), d.scale).bigDecimal.toPlainString)
+      case (d: DecimalType, l: java.lang.Long) =>
+        Some(BigDecimal(BigInt(l.longValue), d.scale).bigDecimal.toPlainString)
+      case (d: DecimalType, b: Binary) =>
+        Some(BigDecimal(BigInt(b.getBytes), d.scale).bigDecimal.toPlainString)
+      case (_: DecimalType, _) => None
       case (_, n: Number) if isNumericLike(dt) => Some(n.toString)
       case _ => None
     }
@@ -225,6 +238,10 @@ object Stats {
       else None
     def litCmp(dt: DataType, v: Any): Option[BigDecimal] = (dt, v) match {
       case (_, n: Number) => Some(BigDecimal(n.toString))
+      // decimal literals prune too: persisted decimal stats are the
+      // SCALED canonical rendering on both collection paths (footer
+      // values re-scale on read), so the BigDecimal compare is sound
+      case (_, d: Decimal) => Some(d.toBigDecimal)
       case _ => None
     }
     /** strings compare lexicographically */
@@ -263,8 +280,8 @@ object Stats {
               case s: String => Some(s)
               case _ => None
             }).map { lv =>
-              val raw = hi.compareTo(lv)
-              (lo.compareTo(lv), if (raw <= 0) -1 else 1)
+              val raw = strCmp(hi, lv)
+              (strCmp(lo, lv), if (raw <= 0) -1 else 1)
             }
           case _ => None
         }
@@ -283,7 +300,7 @@ object Stats {
           case Some(s) if s != null =>
             (dt, v) match {
               case (StringType, lv: org.apache.spark.unsafe.types.UTF8String) =>
-                val c = s.compareTo(lv.toString); Some((c, c))
+                val c = strCmp(s, lv.toString); Some((c, c))
               case (_, n: Number) =>
                 try { val c = BigDecimal(s).compare(BigDecimal(n.toString)); Some((c, c)) }
                 catch { case _: NumberFormatException => None }
@@ -299,7 +316,7 @@ object Stats {
             case s: String => s
             case _ => return transformCmp(name, dt, v)
           }
-          for (a <- mi; b <- ma) yield (a.compareTo(lv), b.compareTo(lv))
+          for (a <- mi; b <- ma) yield (strCmp(a, lv), strCmp(b, lv))
         case _ =>
           val (mi, ma) = strState(name)
           for {
@@ -437,14 +454,33 @@ object Stats {
   private def colName(x: Expression): Option[String] = x match {
     case a: AttributeReference => Some(a.name)
     case u: UnresolvedAttributeLike => Some(u.nameParts.mkString("."))
-    // numeric widening casts preserve order under the BigDecimal compare
-    case Cast(child, to, _, _) if isNumericLike(to) &&
-        child.dataType != null && isNumericLike(child.dataType) &&
-        child.dataType != TimestampType && child.dataType != DateType &&
-        to != TimestampType && to != DateType =>
+    // ONLY exact value-preserving widenings may unwrap: the evaluator
+    // compares the literal against the CHILD column's stats, which is
+    // sound iff cast(x) == x numerically for every child value. A
+    // truncating cast (double→int) or a wrapping one (long→int) is not
+    // order-preserving in that sense — cast(f)===3 with child stats
+    // [3.5, 3.9] must NOT skip the file (it can hold f=3.7). Long→double
+    // is excluded too: above 2^53 it is no longer value-preserving.
+    case Cast(child, to, _, _) if child.dataType != null &&
+        isExactWidening(child.dataType, to) =>
       colName(child)
     case _ => None
   }
+
+  /** cast(x: from): to satisfies cast(x) == x (as a real number) for
+    * EVERY representable x — the condition under which pruning on the
+    * child column's stats stays exact. */
+  private def isExactWidening(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | FloatType |
+        DoubleType) => true
+      case (ShortType, IntegerType | LongType | FloatType | DoubleType) =>
+        true
+      // int→float is NOT exact (float carries 24 mantissa bits)
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
 
   private def litVal(x: Expression): Option[Any] = x match {
     case Literal(v, _) => Option(v)
@@ -511,13 +547,13 @@ object Stats {
         asNum(v).foreach(b => loN(n) = loN.get(n).map(_.max(b)).getOrElse(b))
       else if (dt == StringType)
         asStr(v).foreach(s => loS(n) =
-          loS.get(n).map(o => if (o.compareTo(s) >= 0) o else s).getOrElse(s))
+          loS.get(n).map(o => if (strCmp(o, s) >= 0) o else s).getOrElse(s))
     def tightenHi(n: String, dt: DataType, v: Any): Unit =
       if (isNumericLike(dt))
         asNum(v).foreach(b => hiN(n) = hiN.get(n).map(_.min(b)).getOrElse(b))
       else if (dt == StringType)
         asStr(v).foreach(s => hiS(n) =
-          hiS.get(n).map(o => if (o.compareTo(s) <= 0) o else s).getOrElse(s))
+          hiS.get(n).map(o => if (strCmp(o, s) <= 0) o else s).getOrElse(s))
 
     // strict bounds: CHECK (x < 3) implies max <= 2 for integral-valued
     // encodings (ints, dates-as-days, timestamps-as-micros) and widens
@@ -618,13 +654,39 @@ object Stats {
     else Some(body)
   }
 
+  /** UTF-8 byte-order (== code-point order) string compare. Parquet
+    * footer min/max and Spark's own string min/max aggregate in UTF-8
+    * BYTE order; Java's `String.compareTo` is UTF-16 code-unit order,
+    * which sorts supplementary characters (U+10000+, surrogate-encoded
+    * D800–DFFF) BELOW U+E000–U+FFFF. Comparing byte-ordered stats with
+    * the code-unit order can prove `min > literal` for a file that
+    * CONTAINS the literal — an unsound skip. Every string comparison
+    * against stats (and the constraint machinery that feeds synthetic
+    * stats) must therefore use THIS order. */
+  private[lake] def strCmp(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   /** Exclusive upper bound of the `startsWith(p)` range: increment the
     * last non-U+FFFF char and truncate (every string with prefix `p` is
-    * `< bound`; strings without the prefix but between `p` and the bound
-    * exist — use only as an OUTER bound). None when p is all U+FFFF. */
+    * `< bound` under [[strCmp]]; strings without the prefix but between
+    * `p` and the bound exist — use only as an OUTER bound). None when p
+    * is all U+FFFF, or when the increment site is an unpaired high
+    * surrogate (appending a low surrogate to such a p forms a
+    * supplementary code point ABOVE the incremented bound in code-point
+    * order, so no sound finite bound exists there). */
   private def prefixUpper(p: String): Option[String] = {
     val i = p.lastIndexWhere(_ != Character.MAX_VALUE)
-    if (i < 0) None
+    if (i < 0 || Character.isHighSurrogate(p.charAt(i))) None
     else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
   }
 
@@ -718,7 +780,7 @@ object Stats {
         if (isNumericLike(dt))
           try Some(BigDecimal(a).compare(BigDecimal(b)))
           catch { case _: NumberFormatException => None }
-        else Some(a.compareTo(b))
+        else Some(strCmp(a, b))
       def canonLit(e: Expression): Option[String] =
         litVal(e).flatMap(canonValueString(dt, _))
       def onCol(e: Expression): Boolean = colName(e).contains(n)
