@@ -373,10 +373,11 @@ final class LakeTable private (
     * at or above this batchId makes the call a no-op (K6/K7 idempotent
     * foreachBatch sink).
     */
-  def idempotentAppend(df: DataFrame, appId: String, batchId: Long): Boolean = {
+  def idempotentAppend(df: DataFrame, appId: String, batchId: Long,
+      mergeSchema: Boolean = true): Boolean = {
     val snap = snapshot
     if (snap.txns.get(appId).exists(_ >= batchId)) false
-    else { write(df, overwrite = false, mergeSchema = true, txn = Some(SetTxn(appId, batchId))); true }
+    else { write(df, overwrite = false, mergeSchema = mergeSchema, txn = Some(SetTxn(appId, batchId))); true }
   }
 
   private def write(df: DataFrame, overwrite: Boolean, mergeSchema: Boolean,

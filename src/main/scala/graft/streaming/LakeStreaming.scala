@@ -47,7 +47,8 @@ object LakeStreaming {
                 spark.sparkContext.emptyRDD[Row], batch.schema)
               LakeTable.create(spark, tablePath, empty, partitionBy = partitionBy)
             }
-          table.idempotentAppend(batch, queryName, batchId)
+          table.idempotentAppend(batch, queryName, batchId,
+            mergeSchema = mergeSchema)
           onBatch(batch, batchId)
         } finally batch.unpersist()
       }

@@ -19,37 +19,70 @@ import graft.lake.Bucketing
 class BucketMismatchGuard(session: SparkSession) extends (LogicalPlan => Unit) {
 
   override def apply(plan: LogicalPlan): Unit = {
-    // every `_bucket` attribute served by a lake scan, keyed by exprId
-    val specById: Map[ExprId, Bucketing.Spec] = plan.collect {
-      case rel: DataSourceV2Relation if rel.table.isInstanceOf[LakeV2Table] =>
-        val spec = rel.table.asInstanceOf[LakeV2Table].bucketingSpec
-        (rel.output ++ rel.metadataOutput)
-          .filter(_.name == Bucketing.BUCKET_META_COL)
-          .flatMap(a => spec.map(a.exprId -> _))
-    }.flatten.toMap
+    // every `_bucket` attribute served by a lake scan, keyed by exprId,
+    // with the relation-level exprIds of its bucket COLUMNS (for the
+    // implication check below)
+    val specById: Map[ExprId, (Bucketing.Spec, Map[String, ExprId])] =
+      plan.collect {
+        case rel: DataSourceV2Relation if rel.table.isInstanceOf[LakeV2Table] =>
+          val spec = rel.table.asInstanceOf[LakeV2Table].bucketingSpec
+          val colIds = rel.output
+            .map(a => a.name.toLowerCase -> a.exprId).toMap
+          (rel.output ++ rel.metadataOutput)
+            .filter(_.name == Bucketing.BUCKET_META_COL)
+            .flatMap(a => spec.map(s => a.exprId -> (s, colIds)))
+      }.flatten.toMap
     if (specById.isEmpty) return
 
     plan.foreach {
       case j: Join =>
-        j.condition.foreach(_.foreach {
-          case EqualTo(l: AttributeReference, r: AttributeReference)
-              if l.name == Bucketing.BUCKET_META_COL &&
-                r.name == Bucketing.BUCKET_META_COL =>
+        // every attribute-to-attribute equality of this join's condition
+        val equalities: Seq[(AttributeReference, AttributeReference)] =
+          j.condition.toSeq.flatMap(_.collect {
+            case EqualTo(l: AttributeReference, r: AttributeReference) => (l, r)
+          })
+        equalities.foreach {
+          case (l, r) if l.name == Bucketing.BUCKET_META_COL &&
+              r.name == Bucketing.BUCKET_META_COL =>
             (specById.get(l.exprId), specById.get(r.exprId)) match {
-              case (Some(a), Some(b))
-                  if a.numBuckets != b.numBuckets ||
-                    a.columns.map(_.toLowerCase) != b.columns.map(_.toLowerCase) =>
-                throw new UnsupportedOperationException(
-                  "join on _bucket requires both lake tables to share one " +
-                    s"bucket layout, but got bucket(${a.numBuckets}, " +
-                    s"${a.columns.mkString(",")}) vs bucket(${b.numBuckets}, " +
-                    s"${b.columns.mkString(",")}); the extra _bucket equality " +
-                    "would silently drop matches — rebucket one side " +
-                    "(LakeTable.rebucket) to align the layouts")
+              case (Some((a, aCols)), Some((b, bCols))) =>
+                if (a.numBuckets != b.numBuckets ||
+                    a.columns.map(_.toLowerCase) != b.columns.map(_.toLowerCase))
+                  throw new UnsupportedOperationException(
+                    "join on _bucket requires both lake tables to share one " +
+                      s"bucket layout, but got bucket(${a.numBuckets}, " +
+                      s"${a.columns.mkString(",")}) vs bucket(${b.numBuckets}, " +
+                      s"${b.columns.mkString(",")}); the extra _bucket equality " +
+                      "would silently drop matches — rebucket one side " +
+                      "(LakeTable.rebucket) to align the layouts")
+                // `a._bucket = b._bucket` is IMPLIED (and therefore safe)
+                // only when the join also equates every bucket column
+                // across the same two tables — bucket ids are a function
+                // of exactly those columns. A join keyed on anything less
+                // would use the _bucket equality as an extra filter and
+                // silently drop matches that hash to different buckets.
+                val missing = a.columns.map(_.toLowerCase).filterNot { c =>
+                  (aCols.get(c), bCols.get(c)) match {
+                    case (Some(ai), Some(bi)) => equalities.exists { case (x, y) =>
+                      (x.exprId == ai && y.exprId == bi) ||
+                        (x.exprId == bi && y.exprId == ai)
+                    }
+                    // renamed/derived key columns: the relation-level ids
+                    // are unreachable — cannot prove absence, let it pass
+                    case _ => true
+                  }
+                }
+                if (missing.nonEmpty)
+                  throw new UnsupportedOperationException(
+                    s"join on _bucket also requires equality on the bucket " +
+                      s"column(s) ${missing.mkString(", ")} between the same " +
+                      "two tables — _bucket is derived from exactly those " +
+                      "columns, so without them the _bucket equality is an " +
+                      "extra filter that silently drops matches")
               case _ => ()
             }
           case _ => ()
-        })
+        }
       case _ => ()
     }
   }

@@ -82,8 +82,12 @@ private[graft] class LakeWrite(
     mode: LakeWriteMode,
     viaCatalog: Boolean = true) extends Write with RequiresDistributionAndOrdering {
 
-  private val partitionCols = lake.snapshot.metaData.partitionColumns
-  private val bucketSpec = Bucketing.specOf(lake.snapshot.metaData)
+  // ONE snapshot for the whole write plan: schema alignment, constraint
+  // compilation, and the publish-time staleness check below must all see
+  // the same metadata
+  private val planSnap = lake.snapshot
+  private val partitionCols = planSnap.metaData.partitionColumns
+  private val bucketSpec = Bucketing.specOf(planSnap.metaData)
 
   /** Cluster incoming rows by partition AND bucket, so a wide insert
     * opens ~1 writer per task instead of one per (partition × bucket).
@@ -124,7 +128,7 @@ private[graft] class LakeWrite(
     val session = SparkSession.active.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     // carry the TABLE schema's field metadata (parquet field ids) into the
     // written files — the query schema Spark hands us is metadata-free
-    val tableByName = lake.snapshot.schema.fields.map(f => f.name -> f).toMap
+    val tableByName = planSnap.schema.fields.map(f => f.name -> f).toMap
     val enriched = StructType(writeSchema.fields.map(f =>
       tableByName.get(f.name).map(tf => f.copy(metadata = tf.metadata)).getOrElse(f)))
     val dataSchema = StructType(enriched.filterNot(f => partitionCols.contains(f.name)))
@@ -141,7 +145,7 @@ private[graft] class LakeWrite(
     // ordinals, and ship the bound expression to the row-level writers
     val attrs = DataTypeUtils.toAttributes(enriched)
     val constraintChecks: Seq[(String, String, Expression)] =
-      Constraints.of(lake.snapshot.metaData).toSeq.sortBy(_._1).map {
+      Constraints.of(planSnap.metaData).toSeq.sortBy(_._1).map {
         case (n, sql) =>
           val parsed = session.sessionState.sqlParser.parseExpression(sql)
           val plan = org.apache.spark.sql.catalyst.plans.logical.Project(
@@ -154,9 +158,10 @@ private[graft] class LakeWrite(
           (n, sql, BindReferences.bindReference(bound, attrs))
       }
     new LakeBatchWrite(lake, enriched, dataSchema, partitionCols,
-      Bucketing.specOf(lake.snapshot.metaData), stagingName,
+      bucketSpec, stagingName,
       factory, new SerializableConfiguration(job.getConfiguration), queryId, mode,
-      constraintChecks)
+      constraintChecks, planSnap.metaData,
+      session.sessionState.conf.sessionLocalTimeZone)
   }
 }
 
@@ -178,19 +183,21 @@ private[graft] class LakeBatchWrite(
     val conf: SerializableConfiguration,
     val queryId: String,
     val mode: LakeWriteMode,
-    val constraintChecks: Seq[(String, String, Expression)] = Seq.empty)
+    val constraintChecks: Seq[(String, String, Expression)] = Seq.empty,
+    val plannedMeta: graft.lake.MetaData = null,
+    val sessionTz: String = "UTC")
   extends BatchWrite {
 
   private[graft] val stagingRoot = Paths.get(lake.path, stagingName)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new LakeWriterFactory(stagingRoot.toString, factory, conf, writeSchema,
-      dataSchema, partitionCols, bucketSpec, constraintChecks)
+      dataSchema, partitionCols, bucketSpec, constraintChecks, sessionTz)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val entries = messages.flatMap(_.asInstanceOf[LakeWriteMessage].files).toSeq
     LakePublish.publish(lake, stagingRoot, dataSchema, entries, mode, queryId,
-      txn = None)
+      txn = None, plannedMeta = Option(plannedMeta))
     LakePublish.deleteRecursively(stagingRoot)
   }
 
@@ -213,7 +220,8 @@ private[graft] object LakePublish {
       entries: Seq[LakeFileEntry],
       mode: LakeWriteMode,
       queryId: String,
-      txn: Option[SetTxn]): Unit = {
+      txn: Option[SetTxn],
+      plannedMeta: Option[MetaData] = None): Unit = {
     val root = Paths.get(lake.path)
     val moved = entries.map { e =>
       val dest = root.resolve(e.relPath)
@@ -240,6 +248,21 @@ private[graft] object LakePublish {
       if (txn.exists(t => snap.txns.get(t.appId).exists(_ >= t.batchId))) {
         moved.foreach { case (_, abs) => Files.deleteIfExists(abs) }
         return
+      }
+      // same staleness rule as LakeTable.commitWithRetry's rebase: the
+      // staged rows were schema-aligned and constraint-checked against
+      // the metadata the write was PLANNED on. A concurrent ADD
+      // CONSTRAINT / schema evolution / re-partition landing before this
+      // publish would otherwise be silently absorbed — the files commit
+      // unvalidated against the new rules (no CommitConflict fires here,
+      // because each attempt reads the LATEST snapshot and takes a fresh
+      // version number). Fail loudly; the caller re-plans.
+      if (plannedMeta.exists(_ != snap.metaData)) {
+        moved.foreach { case (_, abs) => Files.deleteIfExists(abs) }
+        throw new IllegalStateException(
+          s"concurrent metadata change on ${lake.path}: the table's " +
+            "schema/constraints/layout changed after this write was " +
+            "planned — re-run the write against the current table state")
       }
       val now = System.currentTimeMillis()
       val (removes, op) = mode match {
@@ -302,12 +325,16 @@ private[graft] class LakeStreamingWrite(b: LakeBatchWrite)
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new LakeStreamingWriterFactory(b.stagingRoot.toString, b.factory, b.conf,
       b.writeSchema, b.dataSchema, b.partitionCols, b.bucketSpec,
-      b.constraintChecks)
+      b.constraintChecks, b.sessionTz)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val entries = messages.flatMap(_.asInstanceOf[LakeWriteMessage].files).toSeq
+    // plannedMeta pinned at query start: an external ALTER mid-stream
+    // fails the stream (restart re-plans under the new schema) instead
+    // of epochs silently committing stale-validated rows
     LakePublish.publish(b.lake, b.stagingRoot, b.dataSchema, entries, b.mode,
-      b.queryId, txn = Some(SetTxn(b.queryId, epochId)))
+      b.queryId, txn = Some(SetTxn(b.queryId, epochId)),
+      plannedMeta = Option(b.plannedMeta))
     // staging root persists across epochs; orphans are vacuum's job
   }
 
@@ -324,13 +351,15 @@ private[graft] class LakeStreamingWriterFactory(
     dataSchema: StructType,
     partitionCols: Seq[String],
     bucketSpec: Option[Bucketing.Spec],
-    constraintChecks: Seq[(String, String, Expression)] = Seq.empty)
+    constraintChecks: Seq[(String, String, Expression)] = Seq.empty,
+    sessionTz: String = "UTC")
   extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new LakeDataWriter(stagingRoot, factory, conf, writeSchema, dataSchema,
-      partitionCols, bucketSpec, partitionId, taskId, constraintChecks)
+      partitionCols, bucketSpec, partitionId, taskId, constraintChecks,
+      sessionTz)
 }
 
 private[graft] class LakeWriterFactory(
@@ -341,12 +370,14 @@ private[graft] class LakeWriterFactory(
     dataSchema: StructType,
     partitionCols: Seq[String],
     bucketSpec: Option[Bucketing.Spec],
-    constraintChecks: Seq[(String, String, Expression)] = Seq.empty)
+    constraintChecks: Seq[(String, String, Expression)] = Seq.empty,
+    sessionTz: String = "UTC")
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new LakeDataWriter(stagingRoot, factory, conf, writeSchema, dataSchema,
-      partitionCols, bucketSpec, partitionId, taskId, constraintChecks)
+      partitionCols, bucketSpec, partitionId, taskId, constraintChecks,
+      sessionTz)
 }
 
 /** Per-task writer: routes rows into hive partition directories (dynamic
@@ -365,7 +396,8 @@ private[graft] class LakeDataWriter(
     bucketSpec: Option[Bucketing.Spec],
     partitionId: Int,
     taskId: Long,
-    constraintChecks: Seq[(String, String, Expression)] = Seq.empty)
+    constraintChecks: Seq[(String, String, Expression)] = Seq.empty,
+    sessionTz: String = "UTC")
   extends DataWriter[InternalRow] {
 
   private val fullAttrs = DataTypeUtils.toAttributes(writeSchema)
@@ -392,8 +424,18 @@ private[graft] class LakeDataWriter(
     if (partitionCols.isEmpty) null
     else UnsafeProjection.create(
       pFields.map {
+        // IDENTITY dirs render in the writing session's timezone: the
+        // read path (Spark partition discovery under an explicit schema)
+        // and the Scala writer (df.write.partitionBy) both use the
+        // session TZ, so a UTC pin here would shift timestamp partition
+        // VALUES on read in non-UTC sessions. Timestamp identity
+        // partitions never drive exact-compare pruning (the rendering
+        // fails the numeric parse), so skipping is unaffected.
         case graft.lake.PartitionTransforms.Identity(c) =>
-          Cast(fullAttrs.find(_.name == c).get, StringType, Some("UTC")): Expression
+          Cast(fullAttrs.find(_.name == c).get, StringType,
+            Some(sessionTz)): Expression
+        // TRANSFORM dirs stay UTC-pinned — Stats.sourceRange inverts
+        // them under the UTC contract shared with the Catalyst twin
         case t: graft.lake.PartitionTransforms.Transform =>
           val a = fullAttrs.find(_.name == t.col).getOrElse(
             throw new IllegalArgumentException(

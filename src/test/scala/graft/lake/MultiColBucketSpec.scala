@@ -112,4 +112,26 @@ class MultiColBucketSpec extends AnyFunSuite {
         |ON a.k1 = c.k1 AND a.k2 = c.k2""".stripMargin)
     assert(ok.count() > 0)
   }
+
+  test("_bucket join missing a bucket-column equality fails loudly") {
+    warehouse
+    // matching layouts, but the join only keys k1: rows matching on k1
+    // alone can hash to different buckets, so `a._bucket = b._bucket`
+    // is NOT implied — it would silently drop those matches
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT a.k1 FROM mcb.db.a a JOIN mcb.db.b b
+          |ON a.k1 = b.k1 AND a._bucket = b._bucket""".stripMargin)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("k2")),
+      s"expected the missing-column guard naming k2, got: $e")
+    // the full key set passes (covered by the SPJ test above as well)
+    val ok = spark.sql(
+      """SELECT a.k1 FROM mcb.db.a a JOIN mcb.db.b b
+        |ON a.k1 = b.k1 AND a.k2 = b.k2 AND a._bucket = b._bucket""".stripMargin)
+    assert(ok.count() > 0)
+  }
 }
