@@ -20,8 +20,14 @@ object Sessionize {
     */
   def sessions(events: DataFrame, userCol: String, tsCol: String,
       gapMinutes: Int = 30): DataFrame = {
+    // event_id is only a DETERMINISM tiebreaker for equal timestamps
+    // (ties have gap 0 and land in the same session either way) — don't
+    // require it of frames that lack the column
+    val tiebreak =
+      if (events.columns.contains("event_id")) Seq(col("event_id"))
+      else Seq.empty
     val byUser = Window.partitionBy(col(userCol))
-      .orderBy(col(tsCol), col("event_id"))
+      .orderBy(col(tsCol) +: tiebreak: _*)
     val tagged = events
       .withColumn("__prev_ts", lag(col(tsCol), 1).over(byUser))
       .withColumn("__new_session",

@@ -74,8 +74,12 @@ object TemporalJoin {
     val r = right
       // SQL join equality: a NULL key matches nothing — drop such right
       // rows up front (left rows with NULL keys stay, with null payloads,
-      // exactly like DuckDB's ASOF LEFT JOIN / pandas merge_asof)
-      .where(on.map(col(_).isNotNull).reduce(_ && _))
+      // exactly like DuckDB's ASOF LEFT JOIN / pandas merge_asof).
+      // A NULL right TIMESTAMP matches nothing either: ascending nulls
+      // sort FIRST, so in backward mode such a row would otherwise sit
+      // "before" every left row and carry forward as a bogus match
+      .where(on.map(col(_).isNotNull).reduce(_ && _) &&
+        col(rightTime).isNotNull)
       .select(
         col(rightTime).as("__t") +:
           lit(0).as("__is_left") +:

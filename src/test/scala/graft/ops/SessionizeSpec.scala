@@ -26,6 +26,18 @@ class SessionizeSpec extends AnyFunSuite {
       Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
+  test("batch sessions work without an event_id column") {
+    // event_id is only an equal-timestamp tiebreaker; frames without it
+    // must still sessionize (it used to be a hard column requirement)
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 11:30:00"))
+      .map { case (u, t) => (u, java.sql.Timestamp.valueOf(t)) }
+      .toDF("user_id", "ts")
+    val out = Sessionize.sessions(events, "user_id", "ts", gapMinutes = 30)
+      .orderBy("session_seq").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(1L, 1L))
+  }
+
   test("streaming sessions agree with batch on the events table") {
     // batch ground truth on sf0.001
     val ev = Tables.events(spark, "/root/testdata/sf0.001")

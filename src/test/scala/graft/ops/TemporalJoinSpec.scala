@@ -83,6 +83,22 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(out === Seq((1L, Some(1.0)), (2L, None)))
   }
 
+  test("NULL right timestamps never match (backward would sort them first)") {
+    val l = Seq((1L, "u1", ts(10))).toDF("id", "user", "t")
+    val r = Seq(("u1", Option.empty[Timestamp], 99.0),
+      ("u1", Option(ts(5)), 1.0)).toDF("user", "rt", "rv")
+    // ascending null-first ordering placed the null-rt row "before"
+    // every left row — with no other right row it became a bogus match
+    val out = TemporalJoin.asofJoin(l,
+      r.where($"rv" === 99.0), Seq("user"), "t", "rt")
+      .select($"rv").as[Option[Double]].collect().toSeq
+    assert(out === Seq(None), "a null-timestamp right row must match nothing")
+    // and it never shadows a real earlier row
+    val out2 = TemporalJoin.asofJoin(l, r, Seq("user"), "t", "rt")
+      .select($"rv").as[Option[Double]].collect().toSeq
+    assert(out2 === Seq(Some(1.0)))
+  }
+
   test("as-of plans with no join operator (union + window only)") {
     val out = TemporalJoin.asofJoin(left, right, Seq("user"), "t", "rt")
     val plan = out.queryExecution.executedPlan
