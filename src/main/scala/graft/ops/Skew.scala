@@ -19,6 +19,14 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltFactor: Int = 8, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
+    // the RIGHT side is replicated saltFactor×, so any join type that
+    // emits unmatched right rows would emit each of them saltFactor
+    // times; left-preserving types are the only sound ones here
+    require(Set("inner", "left", "leftouter", "left_outer", "leftsemi",
+      "left_semi", "leftanti", "left_anti", "cross")
+      .contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin replicates the right side; join type '$joinType' would " +
+        "duplicate unmatched right rows — salt the other side instead")
     val salted = left.withColumn("__salt",
       (rand(42) * saltFactor).cast("int"))
     val replicated = right.withColumn("__salt",

@@ -26,4 +26,17 @@ class SkewSpec extends AnyFunSuite {
     assert(out.count() === 3)
     assert(out.where($"k" === 99 && $"rv".isNull).count() === 1)
   }
+
+  test("right/full outer joins are rejected (replicated right side)") {
+    import spark.implicits._
+    val l = Seq((1, "a")).toDF("k", "lv")
+    val r = Seq((1, "x"), (9, "unmatched")).toDF("k", "rv")
+    // an unmatched right row would come back once PER SALT value
+    for (jt <- Seq("right", "full", "full_outer")) {
+      val e = intercept[IllegalArgumentException] {
+        Skew.saltedJoin(l, r, "k", saltFactor = 3, joinType = jt)
+      }
+      assert(e.getMessage.contains("duplicate"), s"join type $jt")
+    }
+  }
 }
