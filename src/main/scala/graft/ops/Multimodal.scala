@@ -174,7 +174,9 @@ object Multimodal {
     */
   def balancedBySize(df: DataFrame, targetBytes: Long = 128L << 20,
       lengthCol: String = "length"): DataFrame = {
-    val total = df.agg(sum(col(lengthCol))).head().getLong(0)
+    // sum() is NULL on an empty frame — degrade to one partition
+    val row = df.agg(sum(col(lengthCol))).head()
+    val total = if (row.isNullAt(0)) 0L else row.getLong(0)
     val parts = math.max(1, math.min(10000, (total / targetBytes).toInt + 1))
     df.repartitionByRange(parts, col(lengthCol), col("path"))
   }
