@@ -111,8 +111,17 @@ object Stats {
                   val dt = byName(name)
                   (canonValue(dt, st.genericGetMin), canonValue(dt, st.genericGetMax)) match {
                     case (Some(mi), Some(ma)) =>
+                      // strings merge across row groups in CODE-POINT
+                      // order (strCmp) — the footer bounds are UTF-8
+                      // byte-ordered, and Scala's `<` (UTF-16 code units)
+                      // sorts supplementary chars below U+E000..FFFF, so
+                      // a block split around the surrogate range would
+                      // record a wrong file max and an exact match on
+                      // the true max would skip the file (the same
+                      // disagreement the evaluator-side strCmp fix
+                      // closed, one merge step earlier)
                       def lt(a: String, b: String): Boolean = dt match {
-                        case StringType => a < b
+                        case StringType => strCmp(a, b) < 0
                         case _ => BigDecimal(a) < BigDecimal(b)
                       }
                       if (!minRaw.contains(name) || lt(mi, mins(name))) { mins(name) = mi; minRaw(name) = () }

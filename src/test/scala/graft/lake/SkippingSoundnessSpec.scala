@@ -130,4 +130,41 @@ class SkippingSoundnessSpec extends AnyFunSuite {
     assert(t.read(col("d") === new java.math.BigDecimal("1.23")).count() === 1)
     assert(t.read(col("d") === new java.math.BigDecimal("9.99")).count() === 0)
   }
+
+  test("footer string bounds merge across row groups in code-point order") {
+    // a file with TWO row groups: the first holds U+FFFF values, the
+    // second a supplementary character (U+1F600). UTF-16 code units
+    // order "￿" ABOVE the surrogate pair, so the pre-fix per-block
+    // merge recorded max = U+FFFF — and an exact match on the true max
+    // (the emoji) "proved" max < literal and skipped the file.
+    val dir = tmpDir()
+    val pad = "x" * 200 // push each group past the tiny block size
+    val hi = "￿" + pad
+    val emoji = new String(Character.toChars(0x1F600)) + pad
+    val rows = (0 until 150).map(i => (i.toLong, hi)) ++
+      (150 until 300).map(i => (i.toLong, emoji))
+    rows.toDF("id", "s").coalesce(1).write
+      .option("parquet.block.size", "1024")
+      .option("parquet.page.size", "1024")
+      .mode("overwrite").parquet(dir)
+    val file = graft.util.Fs.listDir(java.nio.file.Paths.get(dir))
+      .map(_.toString).filter(_.endsWith(".parquet")).head
+    // the scenario needs >1 row group, or the merge never runs
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file),
+        spark.sparkContext.hadoopConfiguration))
+    val nBlocks = try reader.getFooter.getBlocks.size finally reader.close()
+    assert(nBlocks > 1, s"fixture must span row groups, got $nBlocks")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    val stats = Stats.collectFromFooters(spark, schema, Seq(file))
+      .values.head
+    assert(stats.maxValues.get("s").contains(emoji),
+      s"file max must be the code-point max, got ${stats.maxValues.get("s")}")
+    assert(stats.minValues.get("s").contains(hi), stats.minValues)
+  }
 }
