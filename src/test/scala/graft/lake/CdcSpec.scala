@@ -31,6 +31,62 @@ class CdcSpec extends AnyFunSuite {
   private def typed(t: LakeTable, v: Long, changeType: String) =
     t.tableChanges(v, Some(v)).where(col(Cdc.CHANGE_TYPE) === changeType)
 
+  test("replaying the whole feed reconstructs the final state (random DML)") {
+    // the canonical CDF consumer contract: fold the change rows version
+    // by version — per version remove (delete ∪ update_preimage) keys,
+    // then upsert (insert ∪ update_postimage) — starting from nothing,
+    // and you hold exactly the table's final state. Random interleaving
+    // so every recording path (DV delete, rewrite delete, merge clause
+    // cascade, append derivation) participates.
+    for (seed <- Seq(31L, 32L)) {
+      val rnd = new scala.util.Random(seed)
+      val path = tmpDir()
+      val t = cdfTable(path)
+      var nextId = 100L
+      (1 to 7).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 =>
+            val rows = Seq.fill(1 + rnd.nextInt(3)) {
+              val id = nextId; nextId += 1
+              (id, Seq("AZ", "CA", "TX")(rnd.nextInt(3)), rnd.nextInt(90).toDouble)
+            }
+            t.append(rows.toDF("id", "state", "amount"))
+          case 1 =>
+            val m = 2 + rnd.nextInt(5)
+            t.delete(pmod(col("id"), lit(m)) === rnd.nextInt(m))
+          case 2 =>
+            val m = 2 + rnd.nextInt(5)
+            t.update(pmod(col("id"), lit(m)) === rnd.nextInt(m),
+              Map("amount" -> (col("amount") + 100)))
+          case 3 =>
+            val src = Seq.fill(2) {
+              val id = if (rnd.nextBoolean()) rnd.nextInt(5) + 1L
+                else { nextId += 1; nextId - 1 }
+              (id, "MG", rnd.nextInt(70).toDouble)
+            }.toDF("id", "state", "amount")
+            t.merge(src.dropDuplicates("id"), expr("t.id = s.id"))
+        }
+      }
+      val replayed = scala.collection.mutable.Map[Long, (String, Double)]()
+      val changes = t.tableChanges(0, None)
+        .select("_commit_version", Cdc.CHANGE_TYPE, "id", "state", "amount")
+        .collect()
+        .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      changes.foreach { case (_, rows) =>
+        val (outs, ins) = rows.partition(r =>
+          r.getString(1) == Cdc.DELETE || r.getString(1) == Cdc.UPDATE_PRE)
+        outs.foreach(r => replayed.remove(r.getLong(2)))
+        ins.foreach(r =>
+          replayed(r.getLong(2)) = (r.getString(3), r.getDouble(4)))
+      }
+      val finalState = t.toDF.select("id", "state", "amount").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+      assert(replayed.toMap === finalState,
+        s"seed $seed: replayed feed diverges from the table")
+      assert(finalState.nonEmpty, "fixture should retain rows")
+    }
+  }
+
   test("appends derive insert changes without writing change files") {
     val path = tmpDir()
     val t = cdfTable(path)
