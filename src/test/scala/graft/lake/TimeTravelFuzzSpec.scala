@@ -81,6 +81,27 @@ class TimeTravelFuzzSpec extends AnyFunSuite {
           .map(r => r.getLong(0) -> r.getDouble(1)).toMap
         assert(got === expect, s"seed $seed: version $v diverged")
       }
+
+      // expiry: keep the newest 5 versions; every retained version still
+      // reads its recorded state, expired ones raise, and the LATEST
+      // state is untouched
+      val last = t.snapshot.version
+      val expired = t.expireSnapshots(olderThanMs = 0, retainLast = 5)
+      assert(expired > 0, "fixture should expire something")
+      val horizon = last - 4
+      byVersion.toSeq.sortBy(_._1).foreach { case (v, expect) =>
+        if (v >= horizon) {
+          val got = t.asOf(v).toDF.collect()
+            .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+          assert(got === expect, s"seed $seed: retained version $v diverged")
+        } else {
+          val e = intercept[IllegalArgumentException] { t.asOf(v) }
+          assert(e.getMessage.contains("expire"),
+            s"seed $seed: version $v should be expired, got: ${e.getMessage}")
+        }
+      }
+      assert(t.toDF.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        === byVersion(last), s"seed $seed: latest state changed by expiry")
     }
   }
 }
