@@ -71,4 +71,27 @@ class ShingleHashParitySpec extends AnyFunSuite {
       .count()
     assert(bad === 0L)
   }
+
+  test("random adversarial strings keep shingle/token-hash parity") {
+    // supplementary chars, NBSP/U+2028 (NOT ASCII ws on either path),
+    // control-ws runs, 300-char tokens — searched at random
+    val alphabet = Seq(
+      "a", "bb", "ccc", "é", "你", new String(Character.toChars(0x1F600)),
+      " ", " ", "\t", "\n", "\f", "\r", ".", "x" * 300)
+    val rnd = new scala.util.Random(9L)
+    val docs = (1 to 150).map(_ =>
+      Seq.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.length)))
+        .mkString)
+    for (n <- Seq(1, 2, 3)) {
+      val bad = docs.toDF("t").select(
+        shingleHashes(col("t"), n).as("fs"),
+        composedShingles(col("t"), n).as("ss"),
+        tokenHashes(col("t")).as("ft"),
+        composedTokenHashes(col("t")).as("st"))
+        .where(not(col("fs") === col("ss")) || not(col("ft") === col("st")))
+        .collect()
+      assert(bad.isEmpty,
+        s"n=$n: ${bad.length} divergent rows, first: ${bad.headOption}")
+    }
+  }
 }

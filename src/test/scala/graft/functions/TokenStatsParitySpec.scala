@@ -139,4 +139,42 @@ class TokenStatsParitySpec extends AnyFunSuite {
     assert(r(0).getString(2) === r(0).getString(3))
     assert(!r(1).isNullAt(0))
   }
+
+  test("random adversarial strings keep bit-parity with the HOF forms") {
+    // the byte-scan's soft spots, searched at random: supplementary
+    // characters (4-byte UTF-8), whitespace LOOKALIKES that ASCII \s
+    // does not match (NBSP, U+2028 — one token with their neighbors on
+    // BOTH paths), control whitespace runs, long tokens, stopwords
+    // embedded between multibyte chars
+    val alphabet = Seq(
+      "a", "b", "the", "de", "und", "é", "你", "好",
+      new String(Character.toChars(0x1F600)),
+      " ", " ", " ", "\t", "\n", "\f", "\r",
+      ".", "!", "-", "9", "x" * 300)
+    val rnd = new scala.util.Random(7L)
+    val docs = (1 to 200).map(_ =>
+      Seq.fill(rnd.nextInt(14))(alphabet(rnd.nextInt(alphabet.length)))
+        .mkString)
+    val composedPunct =
+      length(regexp_replace($"t", punctClass, "")).cast("int")
+    val composedFp = md5(array_join(tokens($"t"), " "))
+    val composedSub = size(regexp_extract_all($"t",
+      lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"), lit(0))).cast("int")
+    val rows = docs.toDF("t").select(
+      tokenCount($"t"), composedTokenCount($"t"),
+      stopwordCount($"t"), composedStopwordCount($"t"),
+      langId($"t"), composedLangId($"t"),
+      punctCount($"t"), composedPunct,
+      fingerprint($"t"), composedFp,
+      subwordCount($"t"), composedSub).collect()
+    rows.zip(docs).foreach { case (r, s) =>
+      val show = s.take(40).replace("\n", "\\n")
+      assert(r.getInt(0) === r.getInt(1), s"tokenCount: '$show'")
+      assert(r.getInt(2) === r.getInt(3), s"stopwordCount: '$show'")
+      assert(r.getString(4) === r.getString(5), s"langId: '$show'")
+      assert(r.getInt(6) === r.getInt(7), s"punctCount: '$show'")
+      assert(r.getString(8) === r.getString(9), s"fingerprint: '$show'")
+      assert(r.getInt(10) === r.getInt(11), s"subwordCount: '$show'")
+    }
+  }
 }
