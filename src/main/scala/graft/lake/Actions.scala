@@ -76,6 +76,22 @@ final case class MetaData(
 
   def withSchema(s: org.apache.spark.sql.types.StructType): MetaData =
     copy(schemaDdl = s.toDDL, schemaJson = Some(s.json))
+
+  /** The slice of metadata staged rows were VALIDATED against: schema,
+    * partition layout, bucketing spec, and CHECK constraints. Staleness
+    * checks (publish, blind-append rebase) compare this — not whole-
+    * MetaData equality — so a concurrent commit touching only benign
+    * table properties (an ownership tag, a CDC toggle, MV lineage
+    * pointers) neither aborts a batch write nor permanently fails a
+    * running stream whose planned metadata is pinned at query start.
+    * Mirrors Delta's metadata-conflict granularity.
+    */
+  def validationState: (String, Option[String], Seq[String], Map[String, String]) =
+    (schemaDdl, schemaJson, partitionColumns,
+      properties.filter { case (k, _) =>
+        k.startsWith(Constraints.PREFIX) ||
+          k == Bucketing.COLS_PROP || k == Bucketing.COUNT_PROP
+      })
 }
 
 /** Streaming-sink idempotence marker (one per (appId) — highest batchId

@@ -417,11 +417,14 @@ final class LakeTable private (
     * The rebase is NOT fully blind: before replaying the staged actions
     * at the new version it re-validates the two things a concurrent
     * commit can silently invalidate —
-    *  - the table METADATA must be unchanged (the appended rows were
-    *    aligned against the read snapshot's schema and validated
-    *    against its constraints; a concurrent ADD CONSTRAINT / schema
-    *    evolution / re-partition makes the staged data stale → abort
-    *    with the conflict so the caller re-stages);
+    *  - the table's VALIDATION-relevant metadata (schema, partition
+    *    layout, bucketing, constraints — [[MetaData.validationState]])
+    *    must be unchanged: the appended rows were aligned against the
+    *    read snapshot's schema and validated against its constraints; a
+    *    concurrent ADD CONSTRAINT / schema evolution / re-partition
+    *    makes the staged data stale → abort with the conflict so the
+    *    caller re-stages. Benign property-only commits (tags, CDC
+    *    toggle, MV lineage) rebase through;
     *  - a SetTxn in the staged actions must still be NEW (two writers
     *    racing the same `idempotentAppend(appId, batchId)` both pass
     *    the pre-check; the loser's rebase would commit the batch a
@@ -443,7 +446,8 @@ final class LakeTable private (
           if (!rebaseable || tries > maxRetries) throw e
           val cur = log.snapshot(None)
           if (readVersion >= 0 &&
-              cur.metaData != log.snapshot(Some(readVersion)).metaData)
+              cur.metaData.validationState !=
+                log.snapshot(Some(readVersion)).metaData.validationState)
             throw e
           val alreadyCommitted = actions.flatMap(_.txn).exists(t =>
             cur.txns.get(t.appId).exists(_ >= t.batchId))

@@ -23,7 +23,7 @@ object Skew {
     // emits unmatched right rows would emit each of them saltFactor
     // times; left-preserving types are the only sound ones here
     require(Set("inner", "left", "leftouter", "left_outer", "leftsemi",
-      "left_semi", "leftanti", "left_anti", "cross")
+      "left_semi", "semi", "leftanti", "left_anti", "anti", "cross")
       .contains(joinType.toLowerCase.replace(" ", "")),
       s"saltedJoin replicates the right side; join type '$joinType' would " +
         "duplicate unmatched right rows — salt the other side instead")

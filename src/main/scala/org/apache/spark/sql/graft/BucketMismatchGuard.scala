@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, ExprId}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualNullSafe, EqualTo, ExprId}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -34,17 +34,49 @@ class BucketMismatchGuard(session: SparkSession) extends (LogicalPlan => Unit) {
       }.flatten.toMap
     if (specById.isEmpty) return
 
+    // Project/Aggregate renames give an attribute a NEW exprId; collect
+    // every Alias-of-attribute in the plan so join keys that rode
+    // through a rename still trace to their relation-level ids for the
+    // implication check below. Alias of a non-attribute (cast, coalesce,
+    // arithmetic) deliberately does NOT trace: a derived key is not the
+    // raw bucket column, so its equality cannot imply bucket equality.
+    val aliasParent: Map[ExprId, ExprId] = plan.collect { p =>
+      p.expressions.flatMap(_.collect {
+        case a: Alias => a.child match {
+          case c: AttributeReference => Some(a.exprId -> c.exprId)
+          case _ => None
+        }
+      }.flatten)
+    }.flatten.toMap
+    def rootOf(id: ExprId): ExprId = {
+      var cur = id
+      var depth = 0
+      while (depth < 64 && aliasParent.contains(cur)) {
+        cur = aliasParent(cur); depth += 1
+      }
+      cur
+    }
+
     plan.foreach {
       case j: Join =>
-        // every attribute-to-attribute equality of this join's condition
+        // every attribute-to-attribute equality of this join's
+        // condition, null-safe (<=>) included — for the implication
+        // check either form pins the bucket columns equal on every
+        // SURVIVING row, which is all bucket-id equality needs
         val equalities: Seq[(AttributeReference, AttributeReference)] =
           j.condition.toSeq.flatMap(_.collect {
             case EqualTo(l: AttributeReference, r: AttributeReference) => (l, r)
+            case EqualNullSafe(l: AttributeReference, r: AttributeReference) => (l, r)
           })
+        val canonEq: Seq[(ExprId, ExprId)] =
+          equalities.map { case (l, r) => (rootOf(l.exprId), rootOf(r.exprId)) }
+        // membership in specById (keyed by the relations' `_bucket`
+        // metadata-attribute ids) identifies the bucket-id equality —
+        // by traced id, not name, so a renamed `_bucket` is still seen
         equalities.foreach {
-          case (l, r) if l.name == Bucketing.BUCKET_META_COL &&
-              r.name == Bucketing.BUCKET_META_COL =>
-            (specById.get(l.exprId), specById.get(r.exprId)) match {
+          case (l, r) if specById.contains(rootOf(l.exprId)) &&
+              specById.contains(rootOf(r.exprId)) =>
+            (specById.get(rootOf(l.exprId)), specById.get(rootOf(r.exprId))) match {
               case (Some((a, aCols)), Some((b, bCols))) =>
                 if (a.numBuckets != b.numBuckets ||
                     a.columns.map(_.toLowerCase) != b.columns.map(_.toLowerCase))
@@ -61,14 +93,19 @@ class BucketMismatchGuard(session: SparkSession) extends (LogicalPlan => Unit) {
                 // of exactly those columns. A join keyed on anything less
                 // would use the _bucket equality as an extra filter and
                 // silently drop matches that hash to different buckets.
+                // canonEq traces renames, so a bucket column equated
+                // under an alias still proves the implication; a key
+                // equated only through a DERIVED expression (cast,
+                // coalesce) does not trace and correctly fails — the
+                // bucket id is a function of the raw column
                 val missing = a.columns.map(_.toLowerCase).filterNot { c =>
                   (aCols.get(c), bCols.get(c)) match {
-                    case (Some(ai), Some(bi)) => equalities.exists { case (x, y) =>
-                      (x.exprId == ai && y.exprId == bi) ||
-                        (x.exprId == bi && y.exprId == ai)
+                    case (Some(ai), Some(bi)) => canonEq.exists { case (x, y) =>
+                      (x == ai && y == bi) || (x == bi && y == ai)
                     }
-                    // renamed/derived key columns: the relation-level ids
-                    // are unreachable — cannot prove absence, let it pass
+                    // defensive: a scan whose output lacks the bucket
+                    // column (never the case for lake schemas today) —
+                    // cannot prove absence, let it pass
                     case _ => true
                   }
                 }

@@ -256,8 +256,12 @@ private[graft] object LakePublish {
       // publish would otherwise be silently absorbed — the files commit
       // unvalidated against the new rules (no CommitConflict fires here,
       // because each attempt reads the LATEST snapshot and takes a fresh
-      // version number). Fail loudly; the caller re-plans.
-      if (plannedMeta.exists(_ != snap.metaData)) {
+      // version number). Fail loudly; the caller re-plans. Compared at
+      // validationState granularity: a commit touching only benign
+      // properties leaves the staged rows valid and must not abort a
+      // batch write — or permanently fail a stream whose plannedMeta is
+      // pinned at query start.
+      if (plannedMeta.exists(_.validationState != snap.metaData.validationState)) {
         moved.foreach { case (_, abs) => Files.deleteIfExists(abs) }
         throw new IllegalStateException(
           s"concurrent metadata change on ${lake.path}: the table's " +
@@ -431,6 +435,17 @@ private[graft] class LakeDataWriter(
         // VALUES on read in non-UTC sessions. Timestamp identity
         // partitions never drive exact-compare pruning (the rendering
         // fails the numeric parse), so skipping is unaffected.
+        //
+        // CAVEAT (shared with stock Spark/Delta): the rendered string
+        // becomes AddFile.partitionValues, and dynamic/filtered
+        // overwrites (LakeDynamicOverwrite, matchesPartition) compare
+        // those raw strings — so a dynamic overwrite issued from a
+        // session in a DIFFERENT TZ will not match logically-equal
+        // timestamp partitions written earlier, leaving the stale files
+        // in place beside the new ones. Timestamp identity partitions
+        // therefore require a consistent session TZ across all writers;
+        // prefer the UTC-pinned day()/month() transforms for
+        // time-partitioned tables (NEXT.md residual #6).
         case graft.lake.PartitionTransforms.Identity(c) =>
           Cast(fullAttrs.find(_.name == c).get, StringType,
             Some(sessionTz)): Expression

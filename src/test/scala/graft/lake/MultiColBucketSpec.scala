@@ -134,4 +134,69 @@ class MultiColBucketSpec extends AnyFunSuite {
         |ON a.k1 = b.k1 AND a.k2 = b.k2 AND a._bucket = b._bucket""".stripMargin)
     assert(ok.count() > 0)
   }
+
+  test("_bucket join proves implication through renamed key columns") {
+    warehouse
+    // k1 rides through a rename (new exprId via Alias); the guard traces
+    // the alias back to the relation-level id instead of rejecting the
+    // legitimate join spuriously (ADVICE r5 #1)
+    val renamed = spark.sql(
+      """SELECT a.x1, a.k2, a.v, b.w
+        |FROM (SELECT k1 AS x1, k2, v, _bucket FROM mcb.db.a) a
+        |JOIN mcb.db.b b
+        |ON a.x1 = b.k1 AND a.k2 = b.k2 AND a._bucket = b._bucket""".stripMargin)
+    val plain = spark.sql(
+      """SELECT a.k1, a.k2, a.v, b.w FROM mcb.db.a a JOIN mcb.db.b b
+        |ON a.k1 = b.k1 AND a.k2 = b.k2""".stripMargin)
+    assert(renamed.count() === plain.count(),
+      "renamed-key _bucket join must keep every match")
+  }
+
+  test("_bucket join proves implication through null-safe equalities") {
+    warehouse
+    // <=> pins the key columns equal on every surviving row just like =,
+    // so the implication holds; the guard must collect both forms
+    val nullSafe = spark.sql(
+      """SELECT a.k1 FROM mcb.db.a a JOIN mcb.db.b b
+        |ON a.k1 <=> b.k1 AND a.k2 <=> b.k2 AND a._bucket = b._bucket""".stripMargin)
+    assert(nullSafe.count() ===
+      spark.sql(
+        """SELECT a.k1 FROM mcb.db.a a JOIN mcb.db.b b
+          |ON a.k1 = b.k1 AND a.k2 = b.k2""".stripMargin).count())
+  }
+
+  test("a RENAMED _bucket equality is still layout-checked") {
+    warehouse
+    // renaming _bucket must not smuggle a mismatched-layout join past
+    // the guard — membership is by traced exprId, not attribute name
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT a.k1 FROM (SELECT k1, k2, _bucket AS bk FROM mcb.db.a) a
+          |JOIN mcb.db.c c
+          |ON a.k1 = c.k1 AND a.k2 = c.k2 AND a.bk = c._bucket""".stripMargin)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("rebucket")),
+      s"expected the bucket-layout guard through the rename, got: $e")
+  }
+
+  test("a DERIVED key equality does not prove bucket implication") {
+    warehouse
+    // k2 equated only through an expression (k2 + 0): the derived value
+    // is not the raw bucket column, so `_bucket = _bucket` stays an
+    // unimplied filter and the guard must still reject the join
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT a.k1 FROM (SELECT k1, k2 + 0 AS k2d, _bucket FROM mcb.db.a) a
+          |JOIN mcb.db.b b
+          |ON a.k1 = b.k1 AND a.k2d = b.k2 AND a._bucket = b._bucket""".stripMargin)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("k2")),
+      s"expected the missing-column guard naming k2, got: $e")
+  }
 }

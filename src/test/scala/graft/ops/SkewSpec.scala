@@ -27,6 +27,18 @@ class SkewSpec extends AnyFunSuite {
     assert(out.where($"k" === 99 && $"rv".isNull).count() === 1)
   }
 
+  test("the bare semi/anti aliases are accepted (left-preserving)") {
+    import spark.implicits._
+    val l = Seq((1, "a"), (2, "b"), (99, "orphan")).toDF("k", "lv")
+    val r = Seq((1, "x"), (2, "y")).toDF("k", "rv")
+    // Spark accepts "semi"/"anti" as spellings of leftsemi/leftanti;
+    // both are left-preserving, so the salted form is sound (ADVICE r5)
+    assert(Skew.saltedJoin(l, r, "k", saltFactor = 3, joinType = "semi")
+      .select("k").as[Int].collect().sorted === Array(1, 2))
+    assert(Skew.saltedJoin(l, r, "k", saltFactor = 3, joinType = "anti")
+      .select("k").as[Int].collect() === Array(99))
+  }
+
   test("right/full outer joins are rejected (replicated right side)") {
     import spark.implicits._
     val l = Seq((1, "a")).toDF("k", "lv")

@@ -58,6 +58,70 @@ class WriteStalenessSpec extends AnyFunSuite {
     assert(t.snapshot.version === versionBefore + 1)
   }
 
+  test("benign property-only commits do NOT abort a planned publish") {
+    val path = tmpDir("stale-benign-")
+    val t = LakeTable.create(spark, path, Seq((1L, "a")).toDF("id", "v"))
+    val planned = t.snapshot.metaData
+    val dataSchema = t.snapshot.dataSchema
+
+    // a concurrent commit touching only benign table properties leaves
+    // the staged rows valid — staleness compares validationState, not
+    // whole-MetaData equality (ADVICE r5: whole-equality permanently
+    // failed running streams whose plannedMeta is pinned at query start)
+    t.setProperties(Map("owner" -> "data-eng", "comment" -> "benign"))
+
+    val staging = Paths.get(path, "_staging_benign_test")
+    Files.createDirectories(staging)
+    val versionBefore = t.snapshot.version
+    LakePublish.publish(t, staging, dataSchema, Seq.empty, LakeAppend,
+      "q-benign", txn = None, plannedMeta = Some(planned))
+    assert(t.snapshot.version === versionBefore + 1,
+      "the publish must go through past a props-only commit")
+
+    // but a CONSTRAINT added concurrently still aborts — staged rows
+    // were never checked against it
+    val planned2 = t.snapshot.metaData
+    t.addCheckConstraint("idpos", "id > 0")
+    val staging2 = Paths.get(path, "_staging_benign_test2")
+    Files.createDirectories(staging2)
+    val e = intercept[IllegalStateException] {
+      LakePublish.publish(t, staging2, dataSchema, Seq.empty, LakeAppend,
+        "q-constraint", txn = None, plannedMeta = Some(planned2))
+    }
+    assert(e.getMessage.contains("metadata change"))
+  }
+
+  test("a running stream survives a benign mid-stream property change") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmpDir("stale-benign-stream-")
+    val table = s"$root/t"
+    LakeTable.create(spark, table, Seq((0L, "seed")).toDF("id", "v"))
+
+    val in = MemoryStream[(Long, String)]
+    in.addData((1L, "a"))
+    // DSv2 sink: the path whose plannedMeta is pinned at query START —
+    // whole-MetaData staleness here permanently failed the stream on
+    // any later props-only commit (ADVICE r5)
+    val q = in.toDF().toDF("id", "v").writeStream
+      .format("org.apache.spark.sql.graft.LakeSourceProvider")
+      .option("path", table)
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      // mid-stream: an external props-only commit (e.g. an ownership
+      // tag) — the stream's pinned plannedMeta must tolerate it
+      LakeTable.forPath(spark, table)
+        .setProperties(Map("owner" -> "someone-else"))
+      in.addData((2L, "b"))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty,
+        s"stream must survive a benign property change: ${q.exception}")
+      assert(LakeTable.forPath(spark, table).read().count() === 3)
+    } finally q.stop()
+  }
+
   test("idempotentAppend(mergeSchema = false) rejects unknown columns") {
     val path = tmpDir("stale-merge-")
     val t = LakeTable.create(spark, path, Seq((1L, "a")).toDF("id", "v"))
