@@ -27,6 +27,12 @@ import org.apache.spark.sql.functions._
   *    merge ([[LakeTable.mergeClauses]] `propsDelta`), so a refresh is
   *    exactly-once: replayed after a crash it either sees the bumped
   *    version (no-op) or re-applies from an unchanged one;
+  *  - refreshes from SEVERAL driver processes serialize through a
+  *    commit-level compare-and-swap on that pointer (`expectProps` /
+  *    [[LakeTable.compareAndSetProperties]], both validated on the
+  *    commit's own read snapshot): a loser aborts before anything
+  *    lands, re-reads the pointer, and applies only the remainder —
+  *    no leases, no clock assumptions;
   *  - groups whose count reaches 0 are deleted.
   */
 object IncrementalMv {
@@ -77,15 +83,23 @@ object IncrementalMv {
 
   // one refresh per view at a time WITHIN this JVM: two concurrent
   // refreshes (the continuous trigger racing a manual call) would both
-  // read the same applied-through pointer, and the loser would re-apply
-  // deltas the winner already merged AND move the pointer backwards —
-  // counts/sums permanently wrong. Cross-PROCESS racing is narrower
-  // (the view's own commit conflict aborts a loser whose merge snapshot
-  // predates the winner's commit) but not fully closed — a view
-  // refreshed from several driver processes needs external
-  // coordination; see the revalidation note inside refresh().
+  // read the same applied-through pointer and duplicate work. The lock
+  // is an OPTIMIZATION — correctness across threads AND processes comes
+  // from the commit-level compare-and-swap below: every pointer move
+  // (the merge's expectProps, the empty-delta compareAndSetProperties)
+  // is guarded on SRC_VERSION_PROP still holding the value this refresh
+  // read, validated on the very snapshot the commit is based on. A
+  // loser throws StalePrecondition/CommitConflict and retries from the
+  // advanced pointer, applying only the remainder — deltas are never
+  // double-applied and the pointer never moves backwards, with no
+  // leases or clock assumptions.
   private val refreshLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  // CAS losers re-read the pointer and re-derive a smaller delta; a
+  // bounded number of rounds guards against a pathological peer that
+  // advances the pointer continuously
+  private val MAX_CAS_RETRIES = 20
 
   /** Apply all source commits since the last refresh. Returns the new
     * applied-through version (== previous when there was nothing new).
@@ -97,7 +111,24 @@ object IncrementalMv {
     lock.synchronized { refreshLocked(spark, mvPath) }
   }
 
-  private def refreshLocked(spark: SparkSession, mvPath: String): Long = {
+  // package-private (not `private`) so the concurrency spec can race
+  // un-serialized refreshes, simulating several driver processes
+  private[lake] def refreshLocked(spark: SparkSession, mvPath: String): Long = {
+    var round = 0
+    while (true) {
+      try return refreshOnce(spark, mvPath)
+      catch {
+        case e @ (_: StalePreconditionException | _: CommitConflictException) =>
+          // a concurrent refresh advanced the pointer (or committed to
+          // the view) first — re-read and apply only the remainder
+          round += 1
+          if (round >= MAX_CAS_RETRIES) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  private def refreshOnce(spark: SparkSession, mvPath: String): Long = {
     val mv = LakeTable.forPath(spark, mvPath)
     val props = mv.snapshot.metaData.properties
     val sourcePath = props.getOrElse(SRC_PATH_PROP,
@@ -140,8 +171,12 @@ object IncrementalMv {
     val delta = delta0.localCheckpoint(true)
     if (delta.isEmpty) {
       // a range of property-only / reorganization commits: nothing to
-      // apply, just move the applied-through pointer
-      mv.setProperties(Map(SRC_VERSION_PROP -> latest.toString))
+      // apply, just move the applied-through pointer — CAS'd, so a
+      // concurrent refresh that already advanced it (possibly past
+      // `latest`) is never clobbered backwards
+      mv.compareAndSetProperties(
+        Map(SRC_VERSION_PROP -> lastApplied.toString),
+        Map(SRC_VERSION_PROP -> latest.toString))
       return latest
     }
 
@@ -233,17 +268,19 @@ object IncrementalMv {
       if (minMax.isEmpty) col("t.n") + col("s.dn") === 0
       else when(col("s.__recompute"), coalesce(col("s.r_n"), lit(0)) === 0)
         .otherwise(col("t.n") + col("s.dn") === 0)
-    // cross-process revalidation: if another driver advanced the
-    // applied-through pointer while this delta was computed, applying
-    // it would double-count — restart and apply only the remainder.
-    // (The JVM-level lock already serializes same-process refreshes;
-    // this narrows, but cannot fully close, the multi-process window —
-    // the remaining race needs the winner's commit to land between this
-    // check and the merge's own snapshot resolve, where the merge's
-    // commit conflict aborts the loser.)
+    // fast-path staleness probe: if another driver already advanced the
+    // applied-through pointer, skip the doomed merge's staging work.
+    // Correctness does NOT depend on this check — the merge below
+    // carries the same guard as a commit-time CAS (expectProps checked
+    // on the merge's own read snapshot, non-rebaseable commit), which
+    // the retry loop in refreshLocked converts into "apply only the
+    // remainder". That closes the multi-process window the JVM lock
+    // can't reach.
     val nowApplied = LakeTable.forPath(spark, mvPath)
       .snapshot.metaData.properties(SRC_VERSION_PROP).toLong
-    if (nowApplied != lastApplied) return refreshLocked(spark, mvPath)
+    if (nowApplied != lastApplied)
+      throw new StalePreconditionException(mvPath, SRC_VERSION_PROP,
+        lastApplied.toString, Some(nowApplied.toString))
     mv.mergeClauses(enriched, cond,
       matchedClauses = Seq(
         MergeClause.Delete(Some(deleteCond)),
@@ -254,7 +291,8 @@ object IncrementalMv {
           else when(col("s.__recompute"), coalesce(col("s.r_n"), lit(0)) > 0)
             .otherwise(col("s.dn") > 0)), insertSet)),
       notMatchedBySourceClauses = Seq.empty,
-      propsDelta = Map(SRC_VERSION_PROP -> latest.toString))
+      propsDelta = Map(SRC_VERSION_PROP -> latest.toString),
+      expectProps = Map(SRC_VERSION_PROP -> lastApplied.toString))
     latest
   }
 

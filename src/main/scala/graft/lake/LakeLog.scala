@@ -356,6 +356,17 @@ final class CommitConflictException(table: String, version: Long)
   extends RuntimeException(
     s"concurrent commit: version $version of $table was published by another writer")
 
+/** A compare-and-swap table-property precondition (`expectProps`) did
+  * not hold at the commit's read snapshot: another writer advanced the
+  * guarded property first. Callers treat this exactly like a commit
+  * conflict — re-read state and retry from the new value.
+  */
+final class StalePreconditionException(
+    table: String, key: String, expected: String, actual: Option[String])
+  extends RuntimeException(
+    s"stale precondition on $table: expected property $key=$expected " +
+      s"but found ${actual.getOrElse("<absent>")} — another writer advanced it")
+
 object LakeLog {
   val LOG_DIR = "_lake_log"
   val TMP_DIR = ".tmp"

@@ -859,6 +859,15 @@ final class LakeTable private (
     *   commit — the exactly-once hook incremental consumers (e.g.
     *   [[IncrementalMv]]) need to record "applied through version v"
     *   in the same transaction as the data change.
+    * @param expectProps compare-and-swap precondition: every (key, value)
+    *   must hold in the merge's read snapshot or the merge throws
+    *   [[StalePreconditionException]] before staging anything. Because
+    *   the commit is non-rebaseable from that SAME snapshot, either the
+    *   precondition held at the committed version's predecessor (true
+    *   CAS) or a concurrent commit aborts this one — there is no window
+    *   in between. This is how multi-process incremental consumers
+    *   serialize: guard on the applied-through pointer and retry from
+    *   the advanced value on either exception.
     */
   def mergeClauses(
       source: DataFrame,
@@ -869,7 +878,8 @@ final class LakeTable private (
       useDvs: Boolean = true,
       dvMaxFraction: Double = 0.5,
       propsDelta: Map[String, String] = Map.empty,
-      schemaEvolution: Boolean = false): Unit = {
+      schemaEvolution: Boolean = false,
+      expectProps: Map[String, String] = Map.empty): Unit = {
     require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
     // MERGE WITH SCHEMA EVOLUTION: source-only top-level columns evolve
     // the target schema FIRST (a metadata-only ADD COLUMN commit per
@@ -945,6 +955,13 @@ final class LakeTable private (
       case None =>
         DmlMetrics.lastDmlDistributed.set(false)
         (snapshot, None)
+    }
+    // CAS precondition against the SAME snapshot the commit will be
+    // based on — checked before any staging work
+    expectProps.foreach { case (k, v) =>
+      val actual = snap.metaData.properties.get(k)
+      if (!actual.contains(v))
+        throw new StalePreconditionException(path, k, v, actual)
     }
     val tgtSchema = snap.schema
     // source columns resolve case-INsensitively against the target
@@ -1681,6 +1698,32 @@ final class LakeTable private (
   def setProperties(props: Map[String, String]): Unit = {
     require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
     val snap = snapshot
+    val now = System.currentTimeMillis()
+    commitWithRetry(snap.version, Seq(
+      Action.of(snap.metaData.copy(properties = snap.metaData.properties ++ props)),
+      Action.of(CommitInfo(now, "SET TBLPROPERTIES", props))),
+      rebaseable = false)
+  }
+
+  /** Compare-and-swap property update: commits `props` only if every
+    * (key, value) in `expect` holds in the read snapshot — else throws
+    * [[StalePreconditionException]]. The commit is non-rebaseable from
+    * that same snapshot, so a concurrent commit landing in between
+    * aborts with [[CommitConflictException]] instead of clobbering: the
+    * two exceptions together make this a true CAS. The coordination
+    * primitive multi-process incremental consumers (e.g.
+    * [[IncrementalMv]]'s applied-through pointer) use to advance a
+    * pointer without ever moving it backwards.
+    */
+  def compareAndSetProperties(
+      expect: Map[String, String], props: Map[String, String]): Unit = {
+    require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
+    val snap = snapshot
+    expect.foreach { case (k, v) =>
+      val actual = snap.metaData.properties.get(k)
+      if (!actual.contains(v))
+        throw new StalePreconditionException(path, k, v, actual)
+    }
     val now = System.currentTimeMillis()
     commitWithRetry(snap.version, Seq(
       Action.of(snap.metaData.copy(properties = snap.metaData.properties ++ props)),

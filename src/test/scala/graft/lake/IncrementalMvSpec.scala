@@ -215,4 +215,78 @@ class IncrementalMvSpec extends AnyFunSuite {
     IncrementalMv.refresh(spark, mvPath)
     assertParity(mvPath, t, Seq("g1", "g2"), Seq.empty)
   }
+
+  test("compareAndSetProperties is a true CAS on table properties") {
+    val path = tmpDir()
+    val t = LakeTable.create(spark, path,
+      Seq((1L, "a")).toDF("id", "v"),
+      properties = Map("ptr" -> "5"))
+    val vBefore = t.version
+    // stale expectation: throws, commits NOTHING
+    val e = intercept[StalePreconditionException] {
+      t.compareAndSetProperties(Map("ptr" -> "4"), Map("ptr" -> "9"))
+    }
+    assert(e.getMessage.contains("ptr"))
+    assert(t.version === vBefore)
+    assert(t.snapshot.metaData.properties("ptr") === "5")
+    // matching expectation: swaps
+    t.compareAndSetProperties(Map("ptr" -> "5"), Map("ptr" -> "9"))
+    assert(t.snapshot.metaData.properties("ptr") === "9")
+  }
+
+  test("mergeClauses expectProps aborts a stale merge before staging") {
+    val path = tmpDir()
+    val t = LakeTable.create(spark, path,
+      Seq((1L, "a")).toDF("id", "v"),
+      properties = Map("applied" -> "3"))
+    val vBefore = t.version
+    val src = Seq((1L, "b")).toDF("id", "v")
+    intercept[StalePreconditionException] {
+      t.mergeClauses(src, col("t.id") === col("s.id"),
+        matchedClauses = Seq(MergeClause.Update(None, Map("v" -> col("s.v")))),
+        notMatchedClauses = Seq.empty,
+        notMatchedBySourceClauses = Seq.empty,
+        expectProps = Map("applied" -> "2"))
+    }
+    assert(t.version === vBefore, "a stale merge must commit nothing")
+    assert(t.toDF.where($"v" === "b").count() === 0)
+  }
+
+  test("racing un-serialized refreshes apply each commit exactly once") {
+    // simulates SEVERAL DRIVER PROCESSES refreshing one view: the JVM
+    // lock is bypassed (refreshLocked directly), so serialization rests
+    // entirely on the commit-level CAS — the applied-through pointer
+    // guard validated on the merge's own read snapshot. Losers must
+    // retry and apply ONLY the remainder: any double-apply or backward
+    // pointer move breaks parity permanently.
+    val srcPath = tmpDir()
+    val mvPath = tmpDir() + "/mv"
+    val t = sourceTable(srcPath)
+    IncrementalMv.create(spark, mvPath, srcPath, Seq("g"), Seq("v"))
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 3) {
+      val base = round * 100L
+      t.append(Seq((base, "a", Option(base * 1.0)),
+        (base + 1, s"r$round", Option(2.0))).toDF("id", "g", "v"))
+      t.delete($"id" === base)
+      t.update($"id" === base + 1, Map("v" -> lit(9.0)))
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (1 to 4).map { i =>
+        new Thread(() => {
+          try {
+            if (rnd.nextBoolean()) Thread.sleep(rnd.nextInt(30).toLong)
+            IncrementalMv.refreshLocked(spark, mvPath)
+          } catch { case th: Throwable => failures.add(th) }
+        }, s"mv-racer-$round-$i")
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(120000))
+      assert(failures.isEmpty,
+        s"round $round: no racer may fail: ${failures.peek()}")
+      assertParity(mvPath, t, Seq("g"), Seq("v"))
+      assert(LakeTable.forPath(spark, mvPath)
+        .snapshot.metaData.properties(IncrementalMv.SRC_VERSION_PROP).toLong
+        === t.version, "pointer must land on the source's latest version")
+    }
+  }
 }
