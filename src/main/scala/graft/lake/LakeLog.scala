@@ -16,10 +16,12 @@ final case class Snapshot(
     files: Seq[AddFile],
     txns: Map[String, Long],
     commits: Seq[(Long, CommitInfo)]) {
-  def schema: StructType = metaData.schemaJson
+  // memoized: the snapshot cache makes instances long-lived, and scan
+  // construction asks for the schema on every read
+  lazy val schema: StructType = metaData.schemaJson
     .map(j => DataType.fromJson(j).asInstanceOf[StructType])
     .getOrElse(DataType.fromDDL(metaData.schemaDdl).asInstanceOf[StructType])
-  def dataSchema: StructType =
+  lazy val dataSchema: StructType =
     StructType(schema.filterNot(f => metaData.partitionColumns.contains(f.name)))
   def numFiles: Long = files.size.toLong
   def sizeInBytes: Long = files.map(_.size).sum
@@ -146,12 +148,99 @@ final class LakeLog(
     try Some(readActions(js)) catch { case NonFatal(_) => None }
   }
 
+  // ---- snapshot cache plumbing -----------------------------------------
+
+  private lazy val cacheKey: String =
+    Paths.get(tablePath).toAbsolutePath.normalize.toString
+
+  /** (size, mtimeNanos) of a version's commit file — the staleness
+    * fingerprint that protects the JVM-global snapshot cache against a
+    * table being DELETED AND RECREATED at the same path (same version
+    * number, different history). One stat call per validation;
+    * nanosecond mtime so even a recreate-in-a-tight-test-loop gets a
+    * distinct fingerprint on ns-resolution filesystems. */
+  private def commitFingerprint(v: Long): Option[(Long, Long)] = {
+    val p = logDir.resolve(commitFileName(v))
+    try {
+      if (Files.isRegularFile(p))
+        Some((Files.size(p),
+          Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS)))
+      else None
+    } catch { case NonFatal(_) => None }
+  }
+
+  private def cachedValid: Option[Snapshot] =
+    Option(LakeLog.snapshotCache.get(cacheKey))
+      .filter(c => commitFingerprint(c.snapshot.version).contains(c.fingerprint))
+      .map(_.snapshot)
+
+  private def cachePut(snap: Snapshot): Snapshot = {
+    commitFingerprint(snap.version).foreach { fp =>
+      LakeLog.snapshotCache.put(cacheKey, LakeLog.CachedSnapshot(snap, fp))
+    }
+    snap
+  }
+
+  /** Replay ONLY the commit tail `(cached.version, target]` on top of a
+    * cached snapshot. Exactly equivalent to a from-disk resolution as
+    * long as no newer checkpoint passed the cached version (the caller
+    * checks): the action stream applied is identical, and LinkedHashMap
+    * keeps original insertion positions on update, so file ordering
+    * matches a full replay too.
+    */
+  private def resolveIncremental(base: Snapshot, target: Long): Snapshot = {
+    var meta: Option[MetaData] = Some(base.metaData)
+    val files = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+    base.files.foreach(f => files(f.path) = f)
+    val txns = scala.collection.mutable.HashMap[String, Long](base.txns.toSeq: _*)
+    val commits = scala.collection.mutable.ArrayBuffer[(Long, CommitInfo)](base.commits: _*)
+    for (v <- (base.version + 1) to target;
+         a <- readActions(logDir.resolve(commitFileName(v)))) {
+      a.metaData.foreach(m => meta = Some(m))
+      a.add.foreach(f => files(f.path) = f)
+      a.remove.foreach(r => files.remove(r.path))
+      a.txn.foreach(t => txns(t.appId) = math.max(t.batchId, txns.getOrElse(t.appId, Long.MinValue)))
+      a.commitInfo.foreach(ci => commits += v -> ci)
+    }
+    cachePut(Snapshot(target, meta.get, files.values.toSeq, txns.toMap, commits.toSeq))
+  }
+
   /** Resolve the snapshot at `asOf` (None = latest). The latest path uses
     * `_last_checkpoint` + tail probing (no directory listing); explicit
     * time travel falls back to a listing (rare, and it must validate the
     * requested version anyway).
+    *
+    * A JVM-global cache (one fingerprint-validated entry per table path,
+    * LRU-bounded) makes repeat resolution O(new commits): an unchanged
+    * table returns the cached immutable snapshot after one pointer read
+    * + O(tail) existence probes + one stat; a table that only grew
+    * replays just the new tail on top of the cached state (unless a
+    * NEWER checkpoint landed — then the from-disk path runs, so the
+    * `commits` window always matches a fresh resolution). Writers need
+    * no invalidation hook: the probe re-discovers the target from the
+    * filesystem every call, which is what makes the cache safe across
+    * processes too.
     */
   def snapshot(asOf: Option[Long] = None): Snapshot = {
+    asOf match {
+      case None =>
+        // cheap target discovery (no checkpoint-body read): pointer or
+        // version-0 probe; cache consult before any heavy read
+        val quickTarget = lastCheckpointVersion.map(probeForward).orElse {
+          if (Files.isRegularFile(logDir.resolve(commitFileName(0L))))
+            Some(probeForward(0L))
+          else None
+        }
+        quickTarget.foreach { t =>
+          cachedValid.foreach { c =>
+            if (c.version == t) return c
+            if (c.version < t && lastCheckpointVersion.forall(_ <= c.version))
+              return resolveIncremental(c, t)
+          }
+        }
+      case Some(v) =>
+        cachedValid.foreach(c => if (c.version == v) return c)
+    }
     val (target, ckpt) = asOf match {
       case None =>
         lastCheckpointVersion.flatMap(v => readCheckpoint(v).map(v -> _)) match {
@@ -196,9 +285,12 @@ final class LakeLog(
     baseActions.foreach(apply(_, math.max(ckptV, 0L)))
     for (v <- tailVersions; a <- readActions(logDir.resolve(commitFileName(v)))) apply(a, v)
 
-    Snapshot(target, meta.getOrElse(
+    val resolved = Snapshot(target, meta.getOrElse(
       throw new IllegalStateException(s"no metaData action found in log of $tablePath")),
       files.values.toSeq, txns.toMap, commits.toSeq)
+    // cache only LATEST resolutions — a time-travel result would evict
+    // the useful entry with one that never hits
+    if (asOf.isEmpty) cachePut(resolved) else resolved
   }
 
   /** Locate the latest parquet checkpoint + commit tail WITHOUT reading
@@ -368,6 +460,22 @@ final class StalePreconditionException(
       s"but found ${actual.getOrElse("<absent>")} — another writer advanced it")
 
 object LakeLog {
+
+  private[lake] final case class CachedSnapshot(
+      snapshot: Snapshot, fingerprint: (Long, Long))
+
+  /** JVM-global latest-snapshot cache: ONE fingerprint-validated entry
+    * per table path, LRU-bounded so long-lived drivers touching many
+    * tables stay bounded. Snapshots are immutable per version, so a
+    * validated version match is exact. */
+  private[lake] val snapshotCache: java.util.Map[String, CachedSnapshot] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, CachedSnapshot](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, CachedSnapshot]): Boolean =
+          size() > 256
+      })
+
   val LOG_DIR = "_lake_log"
   val TMP_DIR = ".tmp"
   val COMMIT_SUFFIX = ".json"
