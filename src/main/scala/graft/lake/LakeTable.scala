@@ -408,6 +408,8 @@ final class LakeTable private (
     val actions = metaAction ++ removes ++ adds.map(Action.of) ++
       txn.map(Action.of).toSeq :+ Action.of(ci)
     commitWithRetry(snap.version, actions, rebaseable = !overwrite && metaAction.isEmpty)
+    // post-commit maintenance — never fails the (already durable) write
+    maybeAutoCompact()
   }
 
   /** Optimistic commit. Blind appends rebase onto any concurrent commit;
@@ -1363,7 +1365,50 @@ final class LakeTable private (
     *   non-partition column is an error, not a silent full pass).
     */
   def compact(targetFileBytes: Long = 128L << 20,
-      where: Option[Column] = None): Unit = {
+      where: Option[Column] = None): Unit =
+    compactImpl(targetFileBytes, where, minGroup = 2, dvTrigger = true,
+      trigger = "manual")
+
+  /** Post-write small-file maintenance (Databricks' auto-compaction
+    * shape, opt-in): when the table property
+    * `graft.autoCompact.enabled` is true, a write whose table now holds
+    * `graft.autoCompact.minFiles`-or-more undersized files in some
+    * (partition, bucket) group triggers a selective [[compact]] over
+    * exactly those groups — streaming micro-batch ingestion stops
+    * accumulating thousands of tiny files without an external OPTIMIZE
+    * scheduler. Runs AFTER the write's commit and never fails it
+    * (compaction is maintenance; the data is already durable): a
+    * failure — including losing a commit race to a concurrent writer —
+    * logs a warning and leaves the small files for the next trigger.
+    *
+    * The threshold gates write amplification: every byte in an
+    * undersized group is rewritten at most once per minFiles appends,
+    * i.e. amortized `1/minFiles` extra writes per append.
+    *
+    * Caveat (same as Delta's auto compaction): the REORG commit is a
+    * non-append change, so tables consumed through the
+    * table-as-stream source need `skipChangeCommits` (native source) —
+    * or keep auto-compact off and schedule [[compact]] instead.
+    */
+  def maybeAutoCompact(): Unit = {
+    val props = snapshot.metaData.properties
+    if (!props.get(LakeTable.AUTO_COMPACT_PROP).exists(_.equalsIgnoreCase("true")))
+      return
+    val minFiles = math.max(2, props.get(LakeTable.AUTO_COMPACT_MIN_FILES_PROP)
+      .flatMap(_.toIntOption).getOrElse(50))
+    val target = props.get(LakeTable.AUTO_COMPACT_TARGET_PROP)
+      .flatMap(_.toLongOption).getOrElse(128L << 20)
+    try compactImpl(target, None, minGroup = minFiles, dvTrigger = false,
+      trigger = "auto")
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"auto-compaction of $path skipped: ${e.getMessage}")
+    }
+  }
+
+  private def compactImpl(targetFileBytes: Long, where: Option[Column],
+      minGroup: Int, dvTrigger: Boolean, trigger: String): Unit = {
     require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
     val snap = snapshot
     val pcs = snap.metaData.partitionColumns
@@ -1385,7 +1430,8 @@ final class LakeTable private (
     val groups = scoped.groupBy(f => (f.partitionValues, f.bucket)).values
       .map { fs =>
         val candidates = fs.filter(f => f.size < targetFileBytes || hasDv(f))
-        if (candidates.size >= 2 || candidates.exists(hasDv)) candidates
+        if (candidates.size >= minGroup || (dvTrigger && candidates.exists(hasDv)))
+          candidates
         else Seq.empty
       }.filter(_.nonEmpty).toSeq
     val touched = groups.flatten
@@ -1408,7 +1454,8 @@ final class LakeTable private (
     rewrite(snap, touched, replacement, "COMPACT",
       Map("targetFileBytes" -> targetFileBytes.toString,
         "candidateFiles" -> touched.size.toString,
-        "skippedFiles" -> (snap.files.size - touched.size).toString))
+        "skippedFiles" -> (snap.files.size - touched.size).toString,
+        "trigger" -> trigger))
   }
 
   /** Multi-dimensional Z-ORDER clustering: bucket each column by its
@@ -1871,6 +1918,11 @@ object LakeTable {
   /** Table property tracking the highest field id ever assigned, so a
     * dropped column's id is never reused. */
   val MAX_COLUMN_ID_PROP = "graft.maxColumnId"
+
+  /** Auto-compaction table properties ([[LakeTable.maybeAutoCompact]]). */
+  val AUTO_COMPACT_PROP = "graft.autoCompact.enabled"
+  val AUTO_COMPACT_MIN_FILES_PROP = "graft.autoCompact.minFiles"
+  val AUTO_COMPACT_TARGET_PROP = "graft.autoCompact.targetFileBytes"
 
   private[lake] def fieldIdMetadata(id: Long): Metadata =
     new MetadataBuilder().putLong(FIELD_ID_KEY, id).build()

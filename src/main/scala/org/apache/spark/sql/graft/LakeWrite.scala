@@ -295,6 +295,9 @@ private[graft] object LakePublish {
           if (tries > 20) throw e
       }
     }
+    // post-commit maintenance (opt-in table property): streaming epochs
+    // are the archetypal small-file generator — never fails the publish
+    lake.maybeAutoCompact()
   }
 
   private def matchesPartition(pv: Map[String, String], f: Filter): Boolean = f match {
