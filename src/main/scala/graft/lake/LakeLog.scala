@@ -153,19 +153,25 @@ final class LakeLog(
   private lazy val cacheKey: String =
     Paths.get(tablePath).toAbsolutePath.normalize.toString
 
-  /** (size, mtimeNanos) of a version's commit file — the staleness
-    * fingerprint that protects the JVM-global snapshot cache against a
-    * table being DELETED AND RECREATED at the same path (same version
-    * number, different history). One stat call per validation;
-    * nanosecond mtime so even a recreate-in-a-tight-test-loop gets a
-    * distinct fingerprint on ns-resolution filesystems. */
-  private def commitFingerprint(v: Long): Option[(Long, Long)] = {
+  /** (size, mtimeNanos, fileKey) of a version's commit file — the
+    * staleness fingerprint that protects the JVM-global snapshot cache
+    * against a table being DELETED AND RECREATED at the same path (same
+    * version number, different history). One stat call per validation.
+    * The fileKey (dev+inode on POSIX) catches the recreate even on
+    * filesystems with coarse mtime granularity where a same-sized
+    * commit could land inside one timestamp tick; where the JVM reports
+    * no fileKey, size + nanosecond mtime remain the guard. */
+  private def commitFingerprint(v: Long): Option[(Long, Long, String)] = {
     val p = logDir.resolve(commitFileName(v))
     try {
-      if (Files.isRegularFile(p))
-        Some((Files.size(p),
-          Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS)))
-      else None
+      if (!Files.isRegularFile(p)) None
+      else {
+        val attrs = Files.readAttributes(
+          p, classOf[java.nio.file.attribute.BasicFileAttributes])
+        Some((attrs.size(),
+          attrs.lastModifiedTime().to(java.util.concurrent.TimeUnit.NANOSECONDS),
+          String.valueOf(attrs.fileKey())))
+      }
     } catch { case NonFatal(_) => None }
   }
 
@@ -221,50 +227,60 @@ final class LakeLog(
     * filesystem every call, which is what makes the cache safe across
     * processes too.
     */
-  def snapshot(asOf: Option[Long] = None): Snapshot = {
-    asOf match {
-      case None =>
-        // cheap target discovery (no checkpoint-body read): pointer or
-        // version-0 probe; cache consult before any heavy read
-        val quickTarget = lastCheckpointVersion.map(probeForward).orElse {
-          if (Files.isRegularFile(logDir.resolve(commitFileName(0L))))
-            Some(probeForward(0L))
-          else None
-        }
-        quickTarget.foreach { t =>
-          cachedValid.foreach { c =>
-            if (c.version == t) return c
-            if (c.version < t && lastCheckpointVersion.forall(_ <= c.version))
-              return resolveIncremental(c, t)
-          }
-        }
-      case Some(v) =>
-        cachedValid.foreach(c => if (c.version == v) return c)
+  def snapshot(asOf: Option[Long] = None): Snapshot = asOf match {
+    case None => resolveLatest()
+    case Some(v) => resolveAt(v)
+  }
+
+  private def resolveLatest(): Snapshot = {
+    // ONE pointer read + ONE forward probe serve both the cache consult
+    // and (on a miss) the full resolution below — no repeated discovery
+    val ptr = lastCheckpointVersion
+    val quickTarget = ptr.map(probeForward).orElse {
+      if (Files.isRegularFile(logDir.resolve(commitFileName(0L))))
+        Some(probeForward(0L))
+      else None
     }
-    val (target, ckpt) = asOf match {
-      case None =>
-        lastCheckpointVersion.flatMap(v => readCheckpoint(v).map(v -> _)) match {
-          case Some((ckptV, actions)) =>
-            (probeForward(ckptV), Some(ckptV -> actions))
-          case None =>
-            val versions = listVersions
-            require(versions.nonEmpty, s"not a lake table (no commits): $tablePath")
-            (versions.last, resolveCheckpointByListing(versions.last))
-        }
-      case Some(v) =>
-        // versions are dense, so existence of the commit file IS the
-        // validation — no listing needed when the pointer helps
-        if (!Files.isRegularFile(logDir.resolve(commitFileName(v))))
-          throw new IllegalArgumentException(
-            s"version $v does not exist for $tablePath" +
-              firstAvailableVersion.filter(_ > v)
-                .map(f => s" — expired by expireSnapshots (earliest available: $f)")
-                .getOrElse(""))
-        val ck = lastCheckpointVersion.filter(_ <= v)
-          .flatMap(cv => readCheckpoint(cv).map(cv -> _))
-          .orElse(resolveCheckpointByListing(v))
-        (v, ck)
+    quickTarget.foreach { t =>
+      cachedValid.foreach { c =>
+        if (c.version == t) return c
+        if (c.version < t && ptr.forall(_ <= c.version))
+          return resolveIncremental(c, t)
+      }
     }
+    val (target, ckpt) =
+      ptr.flatMap(v => readCheckpoint(v).map(v -> _)) match {
+        case Some((ckptV, actions)) =>
+          (quickTarget.getOrElse(probeForward(ckptV)), Some(ckptV -> actions))
+        case None =>
+          val versions = listVersions
+          require(versions.nonEmpty, s"not a lake table (no commits): $tablePath")
+          (versions.last, resolveCheckpointByListing(versions.last))
+      }
+    cachePut(replayFrom(target, ckpt))
+  }
+
+  private def resolveAt(v: Long): Snapshot = {
+    // a time-travel result is NOT cached (it would evict the useful
+    // latest entry with one that never hits), but an exact match on the
+    // cached latest serves it for free
+    cachedValid.foreach(c => if (c.version == v) return c)
+    // versions are dense, so existence of the commit file IS the
+    // validation — no listing needed when the pointer helps
+    if (!Files.isRegularFile(logDir.resolve(commitFileName(v))))
+      throw new IllegalArgumentException(
+        s"version $v does not exist for $tablePath" +
+          firstAvailableVersion.filter(_ > v)
+            .map(f => s" — expired by expireSnapshots (earliest available: $f)")
+            .getOrElse(""))
+    val ck = lastCheckpointVersion.filter(_ <= v)
+      .flatMap(cv => readCheckpoint(cv).map(cv -> _))
+      .orElse(resolveCheckpointByListing(v))
+    replayFrom(v, ck)
+  }
+
+  private def replayFrom(
+      target: Long, ckpt: Option[(Long, Seq[Action])]): Snapshot = {
     val baseActions = ckpt.map(_._2).getOrElse(Seq.empty)
     val ckptV = ckpt.map(_._1).getOrElse(-1L)
     val tailVersions = (ckptV + 1) to target
@@ -285,12 +301,9 @@ final class LakeLog(
     baseActions.foreach(apply(_, math.max(ckptV, 0L)))
     for (v <- tailVersions; a <- readActions(logDir.resolve(commitFileName(v)))) apply(a, v)
 
-    val resolved = Snapshot(target, meta.getOrElse(
+    Snapshot(target, meta.getOrElse(
       throw new IllegalStateException(s"no metaData action found in log of $tablePath")),
       files.values.toSeq, txns.toMap, commits.toSeq)
-    // cache only LATEST resolutions — a time-travel result would evict
-    // the useful entry with one that never hits
-    if (asOf.isEmpty) cachePut(resolved) else resolved
   }
 
   /** Locate the latest parquet checkpoint + commit tail WITHOUT reading
@@ -462,19 +475,42 @@ final class StalePreconditionException(
 object LakeLog {
 
   private[lake] final case class CachedSnapshot(
-      snapshot: Snapshot, fingerprint: (Long, Long))
+      snapshot: Snapshot, fingerprint: (Long, Long, String))
 
   /** JVM-global latest-snapshot cache: ONE fingerprint-validated entry
-    * per table path, LRU-bounded so long-lived drivers touching many
-    * tables stay bounded. Snapshots are immutable per version, so a
-    * validated version match is exact. */
-  private[lake] val snapshotCache: java.util.Map[String, CachedSnapshot] =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, CachedSnapshot](64, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[String, CachedSnapshot]): Boolean =
-          size() > 256
-      })
+    * per table path. Snapshots are immutable per version, so a
+    * validated version match is exact. Bounded on BOTH axes — entry
+    * count AND total retained AddFile entries — because 256 big-table
+    * file lists would otherwise pin GBs of metadata that used to be
+    * GC-eligible after each resolution; eviction is LRU. */
+  private[lake] object snapshotCache {
+    private val MAX_ENTRIES = 256
+    private val MAX_TOTAL_FILES = 1L << 20
+    private val map =
+      new java.util.LinkedHashMap[String, CachedSnapshot](64, 0.75f, true)
+    private var totalFiles = 0L
+
+    def get(k: String): CachedSnapshot = map.synchronized(map.get(k))
+
+    def put(k: String, v: CachedSnapshot): Unit = map.synchronized {
+      Option(map.put(k, v)).foreach(old =>
+        totalFiles -= old.snapshot.files.size)
+      totalFiles += v.snapshot.files.size
+      val it = map.entrySet().iterator()
+      while ((map.size > MAX_ENTRIES || totalFiles > MAX_TOTAL_FILES) &&
+          it.hasNext) {
+        val e = it.next()
+        // the just-inserted entry is never evicted, even if it alone
+        // exceeds the file budget — it is the one in active use
+        if (e.getKey != k) {
+          totalFiles -= e.getValue.snapshot.files.size
+          it.remove()
+        }
+      }
+    }
+
+    def clear(): Unit = map.synchronized { map.clear(); totalFiles = 0L }
+  }
 
   val LOG_DIR = "_lake_log"
   val TMP_DIR = ".tmp"

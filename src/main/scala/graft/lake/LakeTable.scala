@@ -883,10 +883,23 @@ final class LakeTable private (
       schemaEvolution: Boolean = false,
       expectProps: Map[String, String] = Map.empty): Unit = {
     require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
+    // early expectProps probe: schema evolution below commits metadata
+    // BEFORE the merge's own CAS check, so a merge already known stale
+    // must bail first. The authoritative check stays at the commit
+    // snapshot; see the evolution note below for the remaining window.
+    checkExpectProps(snapshot, expectProps)
     // MERGE WITH SCHEMA EVOLUTION: source-only top-level columns evolve
     // the target schema FIRST (a metadata-only ADD COLUMN commit per
     // column — existing files read NULL), then the merge sees the
     // widened schema and star-actions carry the new columns through.
+    // NOTE: these are SEPARATE, idempotent metadata commits — not
+    // covered by the expectProps CAS. If a concurrent writer advances
+    // the guarded property between them and the merge commit, the
+    // columns stay added while the merge aborts; a retry re-validates
+    // and finds the columns already present (the evolution is a no-op
+    // the second time), so the combination converges — but callers
+    // needing strict all-or-nothing must not combine schemaEvolution
+    // with expectProps.
     if (schemaEvolution) {
       // case-INsensitive match (Spark's default resolution): a source
       // column differing only in case must not become a duplicate that
@@ -960,11 +973,7 @@ final class LakeTable private (
     }
     // CAS precondition against the SAME snapshot the commit will be
     // based on — checked before any staging work
-    expectProps.foreach { case (k, v) =>
-      val actual = snap.metaData.properties.get(k)
-      if (!actual.contains(v))
-        throw new StalePreconditionException(path, k, v, actual)
-    }
+    checkExpectProps(snap, expectProps)
     val tgtSchema = snap.schema
     // source columns resolve case-INsensitively against the target
     // schema (Spark's default resolution; star expansion and WITH
@@ -1752,6 +1761,16 @@ final class LakeTable private (
       rebaseable = false)
   }
 
+  /** The shared CAS-precondition guard of [[mergeClauses]]'s
+    * `expectProps` and [[compareAndSetProperties]]. */
+  private def checkExpectProps(
+      snap: Snapshot, expect: Map[String, String]): Unit =
+    expect.foreach { case (k, v) =>
+      val actual = snap.metaData.properties.get(k)
+      if (!actual.contains(v))
+        throw new StalePreconditionException(path, k, v, actual)
+    }
+
   /** Compare-and-swap property update: commits `props` only if every
     * (key, value) in `expect` holds in the read snapshot — else throws
     * [[StalePreconditionException]]. The commit is non-rebaseable from
@@ -1766,11 +1785,7 @@ final class LakeTable private (
       expect: Map[String, String], props: Map[String, String]): Unit = {
     require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
     val snap = snapshot
-    expect.foreach { case (k, v) =>
-      val actual = snap.metaData.properties.get(k)
-      if (!actual.contains(v))
-        throw new StalePreconditionException(path, k, v, actual)
-    }
+    checkExpectProps(snap, expect)
     val now = System.currentTimeMillis()
     commitWithRetry(snap.version, Seq(
       Action.of(snap.metaData.copy(properties = snap.metaData.properties ++ props)),
