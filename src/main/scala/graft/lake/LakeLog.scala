@@ -175,26 +175,33 @@ final class LakeLog(
     } catch { case NonFatal(_) => None }
   }
 
-  private def cachedValid: Option[Snapshot] =
+  /** The cached entry, only if its commit-file fingerprint still holds
+    * AND the checkpoint pointer hasn't moved since it was stored (a new
+    * checkpoint — including one expiry writes BELOW the cached version —
+    * changes the `commits` window a fresh resolution reports). */
+  private def cachedValid(curPtr: Option[Long]): Option[Snapshot] =
     Option(LakeLog.snapshotCache.get(cacheKey))
-      .filter(c => commitFingerprint(c.snapshot.version).contains(c.fingerprint))
+      .filter(c => c.ckptPtr == curPtr &&
+        commitFingerprint(c.snapshot.version).contains(c.fingerprint))
       .map(_.snapshot)
 
-  private def cachePut(snap: Snapshot): Snapshot = {
+  private def cachePut(snap: Snapshot, ptr: Option[Long]): Snapshot = {
     commitFingerprint(snap.version).foreach { fp =>
-      LakeLog.snapshotCache.put(cacheKey, LakeLog.CachedSnapshot(snap, fp))
+      LakeLog.snapshotCache.put(cacheKey, LakeLog.CachedSnapshot(snap, fp, ptr))
     }
     snap
   }
 
   /** Replay ONLY the commit tail `(cached.version, target]` on top of a
     * cached snapshot. Exactly equivalent to a from-disk resolution as
-    * long as no newer checkpoint passed the cached version (the caller
-    * checks): the action stream applied is identical, and LinkedHashMap
-    * keeps original insertion positions on update, so file ordering
-    * matches a full replay too.
+    * long as the checkpoint pointer is UNCHANGED from when the base was
+    * cached (the caller checks via [[cachedValid]]): the action stream
+    * applied is then identical — same base, same tail — and
+    * LinkedHashMap keeps original insertion positions on update, so
+    * file ordering matches a full replay too.
     */
-  private def resolveIncremental(base: Snapshot, target: Long): Snapshot = {
+  private def resolveIncremental(
+      base: Snapshot, target: Long, ptr: Option[Long]): Snapshot = {
     var meta: Option[MetaData] = Some(base.metaData)
     val files = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     base.files.foreach(f => files(f.path) = f)
@@ -208,7 +215,8 @@ final class LakeLog(
       a.txn.foreach(t => txns(t.appId) = math.max(t.batchId, txns.getOrElse(t.appId, Long.MinValue)))
       a.commitInfo.foreach(ci => commits += v -> ci)
     }
-    cachePut(Snapshot(target, meta.get, files.values.toSeq, txns.toMap, commits.toSeq))
+    cachePut(Snapshot(target, meta.get, files.values.toSeq, txns.toMap,
+      commits.toSeq), ptr)
   }
 
   /** Resolve the snapshot at `asOf` (None = latest). The latest path uses
@@ -220,10 +228,14 @@ final class LakeLog(
     * LRU-bounded) makes repeat resolution O(new commits): an unchanged
     * table returns the cached immutable snapshot after one pointer read
     * + O(tail) existence probes + one stat; a table that only grew
-    * replays just the new tail on top of the cached state (unless a
-    * NEWER checkpoint landed — then the from-disk path runs, so the
-    * `commits` window always matches a fresh resolution). Writers need
-    * no invalidation hook: the probe re-discovers the target from the
+    * replays just the new tail on top of the cached state. Reuse
+    * requires the checkpoint pointer UNCHANGED since the entry was
+    * stored — any new checkpoint (ahead of the cached version, or
+    * behind it via snapshot expiry) forces the from-disk path, so the
+    * `commits` window always matches a fresh resolution
+    * (SnapshotCacheFuzzSpec pins this against cold re-resolution after
+    * every operation of randomized histories). Writers need no
+    * invalidation hook: the probe re-discovers the target from the
     * filesystem every call, which is what makes the cache safe across
     * processes too.
     */
@@ -242,10 +254,9 @@ final class LakeLog(
       else None
     }
     quickTarget.foreach { t =>
-      cachedValid.foreach { c =>
+      cachedValid(ptr).foreach { c =>
         if (c.version == t) return c
-        if (c.version < t && ptr.forall(_ <= c.version))
-          return resolveIncremental(c, t)
+        if (c.version < t) return resolveIncremental(c, t, ptr)
       }
     }
     val (target, ckpt) =
@@ -257,14 +268,15 @@ final class LakeLog(
           require(versions.nonEmpty, s"not a lake table (no commits): $tablePath")
           (versions.last, resolveCheckpointByListing(versions.last))
       }
-    cachePut(replayFrom(target, ckpt))
+    cachePut(replayFrom(target, ckpt), ptr)
   }
 
   private def resolveAt(v: Long): Snapshot = {
     // a time-travel result is NOT cached (it would evict the useful
     // latest entry with one that never hits), but an exact match on the
     // cached latest serves it for free
-    cachedValid.foreach(c => if (c.version == v) return c)
+    val ptr = lastCheckpointVersion
+    cachedValid(ptr).foreach(c => if (c.version == v) return c)
     // versions are dense, so existence of the commit file IS the
     // validation — no listing needed when the pointer helps
     if (!Files.isRegularFile(logDir.resolve(commitFileName(v))))
@@ -273,7 +285,7 @@ final class LakeLog(
           firstAvailableVersion.filter(_ > v)
             .map(f => s" — expired by expireSnapshots (earliest available: $f)")
             .getOrElse(""))
-    val ck = lastCheckpointVersion.filter(_ <= v)
+    val ck = ptr.filter(_ <= v)
       .flatMap(cv => readCheckpoint(cv).map(cv -> _))
       .orElse(resolveCheckpointByListing(v))
     replayFrom(v, ck)
@@ -474,8 +486,15 @@ final class StalePreconditionException(
 
 object LakeLog {
 
+  /** `ckptPtr` is the `_last_checkpoint` pointer at resolution time:
+    * reuse (exact hit OR incremental replay) requires it UNCHANGED, so
+    * a checkpoint written at-or-below the cached version (snapshot
+    * expiry does this) forces a from-disk resolve — otherwise the
+    * cached `commits` window would keep history a fresh resolution no
+    * longer reports. */
   private[lake] final case class CachedSnapshot(
-      snapshot: Snapshot, fingerprint: (Long, Long, String))
+      snapshot: Snapshot, fingerprint: (Long, Long, String),
+      ckptPtr: Option[Long])
 
   /** JVM-global latest-snapshot cache: ONE fingerprint-validated entry
     * per table path. Snapshots are immutable per version, so a

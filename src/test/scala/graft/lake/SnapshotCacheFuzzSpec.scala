@@ -1,0 +1,96 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Randomized invariant harness for the latest-snapshot cache: after
+  * EVERY operation of a random commit history (appends, deletes,
+  * updates, property commits, compactions, checkpoint crossings,
+  * snapshot expiry), the cache-served snapshot must be byte-equivalent
+  * to a cold from-disk resolution — same files in the same order, same
+  * metadata, txns, and history window. Histories run long enough to
+  * cross the CHECKPOINT_EVERY boundary repeatedly, so the
+  * newer-checkpoint fallback (incremental replay must NOT graft past a
+  * fresh checkpoint) fires for real, and one arm deletes + recreates
+  * the table mid-history to exercise the fingerprint.
+  */
+class SnapshotCacheFuzzSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def assertParityWithCold(path: String): Unit = {
+    val warm = new LakeLog(path).snapshot(None)
+    LakeLog.snapshotCache.clear()
+    val cold = new LakeLog(path).snapshot(None)
+    assert(warm.version === cold.version)
+    assert(warm.metaData === cold.metaData)
+    assert(warm.files.map(f => (f.path, f.size, f.partitionValues, f.dvPath,
+      f.dvInline.map(_.toSeq))) ===
+      cold.files.map(f => (f.path, f.size, f.partitionValues, f.dvPath,
+        f.dvInline.map(_.toSeq))), "file list parity (content AND order)")
+    assert(warm.txns === cold.txns)
+    assert(warm.commits.map { case (v, ci) => (v, ci.operation) } ===
+      cold.commits.map { case (v, ci) => (v, ci.operation) },
+      "history window parity")
+    // leave the cold result cached — the next round's warm read then
+    // exercises incremental replay on top of it
+  }
+
+  for (seed <- 1L to 4L) {
+    test(s"cache-served snapshots == cold resolution over a random history (seed $seed)") {
+      val rnd = new scala.util.Random(seed)
+      val path = Files.createTempDirectory(s"snapfuzz-$seed-").toString
+      var t = LakeTable.create(spark, path, Seq((0L, "r0")).toDF("id", "v"))
+      val model = scala.collection.mutable.LinkedHashMap(0L -> "r0")
+      var nextId = 1L
+      var compacted = false
+      // 28 steps crosses CHECKPOINT_EVERY=10 at least twice
+      for (step <- 1 to 28) {
+        rnd.nextInt(10) match {
+          case 0 | 1 | 2 | 3 =>
+            val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+              val id = nextId; nextId += 1
+              model(id) = s"r$id"; (id, s"r$id")
+            }
+            t.append(rows.toDF("id", "v"))
+          case 4 if model.size > 1 =>
+            val id = model.keys.toSeq(rnd.nextInt(model.size))
+            model.remove(id)
+            t.delete(col("id") === id)
+          case 5 if model.nonEmpty =>
+            val id = model.keys.toSeq(rnd.nextInt(model.size))
+            model(id) = s"u$step"
+            t.update(col("id") === id, Map("v" -> lit(s"u$step")))
+          case 6 =>
+            t.setProperties(Map(s"tag$step" -> step.toString))
+          case 7 =>
+            t.compact(targetFileBytes = 1L << 30)
+            compacted = true
+          case 8 if step > 10 =>
+            // expiry deletes old commit files; the cache must survive
+            // losing history below the latest checkpoint
+            t.expireSnapshots(olderThanMs = 0L, retainLast = 5)
+          case _ if seed == 4 && step == 15 =>
+            // the adversarial arm: delete + recreate at the same path
+            def rmRf(p: java.nio.file.Path): Unit = {
+              if (Files.isDirectory(p)) graft.util.Fs.listDir(p).foreach(rmRf)
+              Files.deleteIfExists(p)
+            }
+            rmRf(java.nio.file.Paths.get(path))
+            model.clear(); model(0L) = "reborn"
+            t = LakeTable.create(spark, path, Seq((0L, "reborn")).toDF("id", "v"))
+          case _ => ()
+        }
+        assertParityWithCold(path)
+        assert(t.toDF.as[(Long, String)].collect().toSet === model.toSet,
+          s"data divergence at step $step")
+      }
+      assert(compacted || seed == 4, "the fuzz should exercise compaction")
+    }
+  }
+}
