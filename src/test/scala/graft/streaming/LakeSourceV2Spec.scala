@@ -323,4 +323,37 @@ class LakeSourceV2Spec extends AnyFunSuite {
         Set((2L, "b"))) // v0's rows are before the starting version
     } finally q.stop()
   }
+
+  test("auto-compaction REORGs are invisible to the table stream") {
+    // a table with auto-compact ON consumed as a stream: the REORG
+    // commits its writes trigger must neither re-emit the compacted
+    // rows (duplicates) nor stall the offset tail — the default
+    // skipChangeCommits behavior extends to maintenance commits
+    val path = Files.createTempDirectory("lake-src-ac-").toString
+    val t = LakeTable.create(spark, path, Seq((1L, "a")).toDF("id", "v"),
+      properties = Map(
+        LakeTable.AUTO_COMPACT_PROP -> "true",
+        LakeTable.AUTO_COMPACT_MIN_FILES_PROP -> "3"))
+    val q = readLake(path).writeStream
+      .format("memory").queryName("lake_src_ac")
+      .option("checkpointLocation",
+        Files.createTempDirectory("lake-src-ac-ckpt-").toString)
+      .start()
+    try {
+      def seen: Seq[(Long, String)] =
+        spark.table("lake_src_ac").as[(Long, String)].collect().toSeq
+      q.processAllAvailable()
+      assert(seen.toSet === Set((1L, "a")))
+      t.append(Seq((2L, "b")).toDF("id", "v"))
+      t.append(Seq((3L, "c")).toDF("id", "v")) // 3rd file → auto-compact
+      assert(t.snapshot.files.size === 1, "compaction must have fired")
+      q.processAllAvailable()
+      assert(seen.sorted === Seq((1L, "a"), (2L, "b"), (3L, "c")),
+        s"exactly-once across the REORG, got $seen")
+      t.append(Seq((4L, "d")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(seen.sorted === Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")),
+        "the stream keeps tailing appends after the REORG")
+    } finally q.stop()
+  }
 }
