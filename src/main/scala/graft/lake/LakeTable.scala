@@ -1801,6 +1801,15 @@ final class LakeTable private (
     * than `retentionMs`. Time travel to versions older than the retention
     * window stops working after a vacuum — same documented tradeoff as
     * the reference. Returns deleted relative paths.
+    *
+    * Scale: above `spark.graft.vacuum.distributedThreshold` live files
+    * (default 100k), the per-FILE work — leaf-dir listing, liveness
+    * anti-join, retention evaluation, and the deletes — runs on
+    * executors over shared storage; the driver enumerates only
+    * DIRECTORIES (O(partitions)) and the staging orphans. At 100 TB a
+    * vacuum therefore costs one distributed list + one join, not a
+    * driver walk over 1e7 files (VacuumDistributedSpec pins both paths
+    * to identical behavior).
     */
   /** @param cdcRetentionMs retention for `_change_data` files; < 0
     *   (default) ties them to `retentionMs`. Decoupling lets a pipeline
@@ -1829,50 +1838,123 @@ final class LakeTable private (
     }
     val root = Paths.get(path)
     val deleted = scala.collection.mutable.ArrayBuffer[String]()
-    def walk(dir: Path): Unit = {
-      if (!Files.isDirectory(dir)) return
-      graft.util.Fs.listDir(dir).foreach { p =>
-        val name = p.getFileName.toString
-        if (Files.isDirectory(p)) {
-          if (name.startsWith(LakeTable.STAGING_PREFIX)) {
-            // orphaned staging dir from a crashed write: its files were
-            // never committed — remove wholesale past retention
-            if (now - Files.getLastModifiedTime(p).toMillis >= retentionMs) {
-              def rm(d: Path): Unit = {
-                graft.util.Fs.listDir(d).foreach { q =>
-                  if (Files.isDirectory(q)) rm(q)
-                  else { deleted += root.relativize(q).toString; Files.deleteIfExists(q) }
-                }
-                Files.deleteIfExists(d)
+
+    // orphaned staging dirs from crashed writes (their files were never
+    // committed — removed wholesale past retention) are handled during
+    // the driver-side directory enumeration on BOTH paths below: there
+    // are O(crashed writes) of them, never O(table)
+    def reapStaging(p: Path): Unit =
+      if (now - Files.getLastModifiedTime(p).toMillis >= retentionMs) {
+        def rm(d: Path): Unit = {
+          graft.util.Fs.listDir(d).foreach { q =>
+            if (Files.isDirectory(q)) rm(q)
+            else { deleted += root.relativize(q).toString; Files.deleteIfExists(q) }
+          }
+          Files.deleteIfExists(d)
+        }
+        rm(p)
+      }
+
+    val threshold = spark.conf
+      .getOption("spark.graft.vacuum.distributedThreshold")
+      .flatMap(_.toLongOption).getOrElse(100000L)
+    if (snap.files.size < threshold) {
+      // small table: one driver-side walk beats launching Spark jobs
+      def walk(dir: Path): Unit = {
+        if (!Files.isDirectory(dir)) return
+        graft.util.Fs.listDir(dir).foreach { p =>
+          val name = p.getFileName.toString
+          if (Files.isDirectory(p)) {
+            if (name.startsWith(LakeTable.STAGING_PREFIX)) reapStaging(p)
+            else if (name != LakeLog.LOG_DIR) walk(p)
+          } else if (name.endsWith(".parquet")) {
+            val rel = root.relativize(p).toString
+            if (!live.contains(rel)) {
+              val retention =
+                if (rel.startsWith(Cdc.CDC_DIR + "/")) cdcRetention
+                else retentionMs
+              val cutoffRef = removedAt.getOrElse(rel, Files.getLastModifiedTime(p).toMillis)
+              if (now - cutoffRef >= retention) {
+                Files.deleteIfExists(p)
+                deleted += rel
               }
-              rm(p)
             }
-          } else if (name != LakeLog.LOG_DIR) walk(p)
-        } else if (name.endsWith(".parquet")) {
-          val rel = root.relativize(p).toString
-          if (!live.contains(rel)) {
-            val retention =
-              if (rel.startsWith(Cdc.CDC_DIR + "/")) cdcRetention
-              else retentionMs
-            val cutoffRef = removedAt.getOrElse(rel, Files.getLastModifiedTime(p).toMillis)
-            if (now - cutoffRef >= retention) {
+          } else if (name.endsWith(".dv")) {
+            // deletion-vector sidecars: superseded (unioned/rewritten)
+            // vectors age out by mtime like any unreferenced file
+            val rel = root.relativize(p).toString
+            if (!liveDvs.contains(rel) &&
+              now - Files.getLastModifiedTime(p).toMillis >= retentionMs) {
               Files.deleteIfExists(p)
               deleted += rel
             }
           }
-        } else if (name.endsWith(".dv")) {
-          // deletion-vector sidecars: superseded (unioned/rewritten)
-          // vectors age out by mtime like any unreferenced file
-          val rel = root.relativize(p).toString
-          if (!liveDvs.contains(rel) &&
-            now - Files.getLastModifiedTime(p).toMillis >= retentionMs) {
-            Files.deleteIfExists(p)
-            deleted += rel
+        }
+      }
+      walk(root)
+    } else {
+      // big table: the per-FILE work — listing leaf dirs, the liveness
+      // anti-join, retention evaluation, and the deletes themselves —
+      // runs ON EXECUTORS (shared storage, the same assumption every
+      // write path makes). The driver only enumerates DIRECTORIES
+      // (O(partitions), orders of magnitude fewer than files at 100 TB)
+      // and holds the live set it already materialized in the snapshot.
+      // Task retries are safe: deleteIfExists is idempotent and only
+      // ACTUALLY-deleted paths are reported back.
+      import spark.implicits._
+      val dirs = scala.collection.mutable.ArrayBuffer[String]()
+      def walkDirs(dir: Path): Unit = {
+        if (!Files.isDirectory(dir)) return
+        dirs += dir.toString
+        graft.util.Fs.listDir(dir).foreach { p =>
+          if (Files.isDirectory(p)) {
+            val name = p.getFileName.toString
+            if (name.startsWith(LakeTable.STAGING_PREFIX)) reapStaging(p)
+            else if (name != LakeLog.LOG_DIR) walkDirs(p)
           }
         }
       }
+      walkDirs(root)
+      val rootStr = root.toAbsolutePath.normalize.toString
+      val listed = spark.createDataset(dirs.toSeq)
+        .repartition(math.max(1,
+          math.min(dirs.size, spark.sparkContext.defaultParallelism)))
+        .flatMap { d =>
+          val dp = java.nio.file.Paths.get(d)
+          val rp = java.nio.file.Paths.get(rootStr)
+          graft.util.Fs.listDir(dp).iterator
+            .filter(p => !Files.isDirectory(p))
+            .flatMap { p =>
+              val name = p.getFileName.toString
+              if (name.endsWith(".parquet") || name.endsWith(".dv"))
+                Some((rp.relativize(p.toAbsolutePath.normalize).toString,
+                  Files.getLastModifiedTime(p).toMillis,
+                  name.endsWith(".dv")))
+              else None
+            }
+        }.toDF("rel", "mtime", "is_dv")
+      val liveDf = spark.createDataset((live ++ liveDvs).toSeq).toDF("rel")
+      val removedDf = spark.createDataset(removedAt.toSeq)
+        .toDF("rel", "removed_at")
+      val distDeleted = listed
+        .join(liveDf, Seq("rel"), "left_anti")
+        .join(removedDf, Seq("rel"), "left")
+        .withColumn("retention",
+          when(col("is_dv"), lit(retentionMs))
+            .when(col("rel").startsWith(Cdc.CDC_DIR + "/"), lit(cdcRetention))
+            .otherwise(lit(retentionMs)))
+        .withColumn("cutoff_ref",
+          when(col("is_dv"), col("mtime"))
+            .otherwise(coalesce(col("removed_at"), col("mtime"))))
+        .where(lit(now) - col("cutoff_ref") >= col("retention"))
+        .select("rel").as[String]
+        .mapPartitions { it =>
+          it.filter { rel =>
+            Files.deleteIfExists(java.nio.file.Paths.get(rootStr, rel))
+          }
+        }.collect()
+      deleted ++= distDeleted
     }
-    walk(root)
     deleted.toSeq
   }
 
