@@ -52,13 +52,44 @@ object Stats {
       spark: SparkSession,
       dataSchema: StructType,
       paths: Seq[String]): Map[String, FileStats] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val byName = dataSchema.fields.map(f => f.name -> f.dataType).toMap
+    // CONVERT of a large existing table hands this O(table) paths; above
+    // the threshold the footer reads run on EXECUTORS (shared storage,
+    // the same assumption as every read path) instead of one sequential
+    // driver loop
+    val threshold = spark.conf
+      .getOption("spark.graft.stats.distributedThreshold")
+      .flatMap(_.toIntOption).getOrElse(1000)
+    val ok: Map[String, FileStats] =
+      if (paths.size < threshold)
+        paths.flatMap(p => footerStats(p, byName, conf)).toMap
+      else {
+        import spark.implicits._
+        val serConf =
+          new graft.util.SerializableHadoopConf(conf)
+        spark.createDataset(paths)
+          .repartition(math.max(1, math.min(paths.size,
+            spark.sparkContext.defaultParallelism)))
+          .mapPartitions(it => it.flatMap(p =>
+            Stats.footerStats(p, byName, serConf.value)))
+          .collect().toMap
+      }
+    val failed = paths.filterNot(p => ok.contains(normalizeFileUri(p)))
+    ok ++ (if (failed.nonEmpty) collect(spark, dataSchema, failed) else Map.empty)
+  }
+
+  /** One file's footer -> FileStats; the executor-shippable unit of
+    * [[collectFromFooters]]. None on any read failure (the caller falls
+    * back to the aggregation job for exactly those files). */
+  private[lake] def footerStats(
+      p: String,
+      byName: Map[String, DataType],
+      conf: org.apache.hadoop.conf.Configuration): Option[(String, FileStats)] = {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.io.api.Binary
-
-    val conf = spark.sparkContext.hadoopConfiguration
-    val byName = dataSchema.fields.map(f => f.name -> f.dataType).toMap
 
     def canonValue(dt: DataType, v: Any): Option[String] = (dt, v) match {
       case (StringType, b: Binary) => Some(b.toStringUsingUTF8)
@@ -81,68 +112,63 @@ object Stats {
       case _ => None
     }
 
-    val results = paths.map { p =>
+    try {
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(p), conf))
       try {
-        val reader = ParquetFileReader.open(
-          HadoopInputFile.fromPath(new Path(p), conf))
-        try {
-          val footer = reader.getFooter
-          val blocks = footer.getBlocks
-          var rows = 0L
-          val mins = scala.collection.mutable.Map[String, String]()
-          val maxs = scala.collection.mutable.Map[String, String]()
-          val ncs = scala.collection.mutable.Map[String, Long]()
-          val incomplete = scala.collection.mutable.Set[String]()
-          val minRaw = scala.collection.mutable.Map[String, Any]()
-          val maxRaw = scala.collection.mutable.Map[String, Any]()
-          blocks.forEach { block =>
-            rows += block.getRowCount
-            block.getColumns.forEach { cc =>
-              val name = cc.getPath.toDotString
-              if (byName.contains(name)) {
-                val st = cc.getStatistics
-                if (st == null || !st.hasNonNullValue || st.isEmpty) {
-                  if (st == null || st.getNumNulls != block.getRowCount)
-                    incomplete += name // no usable range and rows may be non-null
-                  if (st != null && st.isNumNullsSet)
-                    ncs(name) = ncs.getOrElse(name, 0L) + st.getNumNulls
-                  else incomplete += name
-                } else {
-                  val dt = byName(name)
-                  (canonValue(dt, st.genericGetMin), canonValue(dt, st.genericGetMax)) match {
-                    case (Some(mi), Some(ma)) =>
-                      // strings merge across row groups in CODE-POINT
-                      // order (strCmp) — the footer bounds are UTF-8
-                      // byte-ordered, and Scala's `<` (UTF-16 code units)
-                      // sorts supplementary chars below U+E000..FFFF, so
-                      // a block split around the surrogate range would
-                      // record a wrong file max and an exact match on
-                      // the true max would skip the file (the same
-                      // disagreement the evaluator-side strCmp fix
-                      // closed, one merge step earlier)
-                      def lt(a: String, b: String): Boolean = dt match {
-                        case StringType => strCmp(a, b) < 0
-                        case _ => BigDecimal(a) < BigDecimal(b)
-                      }
-                      if (!minRaw.contains(name) || lt(mi, mins(name))) { mins(name) = mi; minRaw(name) = () }
-                      if (!maxRaw.contains(name) || lt(maxs(name), ma)) { maxs(name) = ma; maxRaw(name) = () }
-                    case _ => incomplete += name
-                  }
-                  if (st.isNumNullsSet)
-                    ncs(name) = ncs.getOrElse(name, 0L) + st.getNumNulls
-                  else incomplete += name
+        val footer = reader.getFooter
+        val blocks = footer.getBlocks
+        var rows = 0L
+        val mins = scala.collection.mutable.Map[String, String]()
+        val maxs = scala.collection.mutable.Map[String, String]()
+        val ncs = scala.collection.mutable.Map[String, Long]()
+        val incomplete = scala.collection.mutable.Set[String]()
+        val minRaw = scala.collection.mutable.Map[String, Any]()
+        val maxRaw = scala.collection.mutable.Map[String, Any]()
+        blocks.forEach { block =>
+          rows += block.getRowCount
+          block.getColumns.forEach { cc =>
+            val name = cc.getPath.toDotString
+            if (byName.contains(name)) {
+              val st = cc.getStatistics
+              if (st == null || !st.hasNonNullValue || st.isEmpty) {
+                if (st == null || st.getNumNulls != block.getRowCount)
+                  incomplete += name // no usable range and rows may be non-null
+                if (st != null && st.isNumNullsSet)
+                  ncs(name) = ncs.getOrElse(name, 0L) + st.getNumNulls
+                else incomplete += name
+              } else {
+                val dt = byName(name)
+                (canonValue(dt, st.genericGetMin), canonValue(dt, st.genericGetMax)) match {
+                  case (Some(mi), Some(ma)) =>
+                    // strings merge across row groups in CODE-POINT
+                    // order (strCmp) — the footer bounds are UTF-8
+                    // byte-ordered, and Scala's `<` (UTF-16 code units)
+                    // sorts supplementary chars below U+E000..FFFF, so
+                    // a block split around the surrogate range would
+                    // record a wrong file max and an exact match on
+                    // the true max would skip the file (the same
+                    // disagreement the evaluator-side strCmp fix
+                    // closed, one merge step earlier)
+                    def lt(a: String, b: String): Boolean = dt match {
+                      case StringType => strCmp(a, b) < 0
+                      case _ => BigDecimal(a) < BigDecimal(b)
+                    }
+                    if (!minRaw.contains(name) || lt(mi, mins(name))) { mins(name) = mi; minRaw(name) = () }
+                    if (!maxRaw.contains(name) || lt(maxs(name), ma)) { maxs(name) = ma; maxRaw(name) = () }
+                  case _ => incomplete += name
                 }
+                if (st.isNumNullsSet)
+                  ncs(name) = ncs.getOrElse(name, 0L) + st.getNumNulls
+                else incomplete += name
               }
             }
           }
-          incomplete.foreach { n => mins.remove(n); maxs.remove(n); ncs.remove(n) }
-          Some(normalizeFileUri(p) -> FileStats(rows, mins.toMap, maxs.toMap, ncs.toMap))
-        } finally reader.close()
-      } catch { case _: Throwable => None }
-    }
-    val ok = results.flatten.toMap
-    val failed = paths.filterNot(p => ok.contains(normalizeFileUri(p)))
-    ok ++ (if (failed.nonEmpty) collect(spark, dataSchema, failed) else Map.empty)
+        }
+        incomplete.foreach { n => mins.remove(n); maxs.remove(n); ncs.remove(n) }
+        Some(normalizeFileUri(p) -> FileStats(rows, mins.toMap, maxs.toMap, ncs.toMap))
+      } finally reader.close()
+    } catch { case _: Throwable => None }
   }
 
   /** One job over `paths` → per-file FileStats keyed by absolute file path. */

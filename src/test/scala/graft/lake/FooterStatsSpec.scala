@@ -60,6 +60,30 @@ class FooterStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed footer collection == driver-loop collection") {
+    // above spark.graft.stats.distributedThreshold the footer reads run
+    // on executors (the CONVERT-of-a-big-table path); the result must be
+    // byte-identical to the sequential driver loop
+    val dir = Files.createTempDirectory("footer-dist-").toString
+    spark.range(0, 600).select(
+      $"id", ($"id" * 2.5).as("d"),
+      concat(lit("k"), $"id".cast("string")).as("s"),
+      when($"id" % 5 === 0, null).otherwise($"id").as("n"))
+      .repartitionByRange(6, $"id")
+      .write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    val schema = spark.read.parquet(dir).schema
+
+    val viaDriver = Stats.collectFromFooters(spark, schema, files)
+    spark.conf.set("spark.graft.stats.distributedThreshold", "1")
+    val viaExec =
+      try Stats.collectFromFooters(spark, schema, files)
+      finally spark.conf.unset("spark.graft.stats.distributedThreshold")
+    assert(viaExec === viaDriver)
+    assert(viaExec.nonEmpty && viaExec.head._2.minValues.nonEmpty)
+  }
+
   test("skipping via footer stats prunes like before") {
     val path = Files.createTempDirectory("footer-skip-").toString
     val df = spark.range(0, 400).select($"id", rand(5).as("v"))
