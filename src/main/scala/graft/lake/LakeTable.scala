@@ -1858,7 +1858,10 @@ final class LakeTable private (
     val threshold = spark.conf
       .getOption("spark.graft.vacuum.distributedThreshold")
       .flatMap(_.toLongOption).getOrElse(100000L)
-    if (snap.files.size < threshold) {
+    // gate on the ON-DISK estimate, not the live count alone: the
+    // dominant vacuum workload is a huge tombstone backlog over a
+    // modest live set, and live + removed tracks total files
+    if (snap.files.size.toLong + removedAt.size < threshold) {
       // small table: one driver-side walk beats launching Spark jobs
       def walk(dir: Path): Unit = {
         if (!Files.isDirectory(dir)) return
@@ -1916,6 +1919,12 @@ final class LakeTable private (
       }
       walkDirs(root)
       val rootStr = root.toAbsolutePath.normalize.toString
+      // the listing stage does NOT stat: ~all listed files are live and
+      // fall out of the anti-join — paying a per-file mtime round-trip
+      // here would double the metadata I/O and make a concurrently
+      // vanishing file fail the job. Survivors (non-live only) stat
+      // lazily in the final stage, where a missing file is simply an
+      // already-reclaimed candidate.
       val listed = spark.createDataset(dirs.toSeq)
         .repartition(math.max(1,
           math.min(dirs.size, spark.sparkContext.defaultParallelism)))
@@ -1928,29 +1937,42 @@ final class LakeTable private (
               val name = p.getFileName.toString
               if (name.endsWith(".parquet") || name.endsWith(".dv"))
                 Some((rp.relativize(p.toAbsolutePath.normalize).toString,
-                  Files.getLastModifiedTime(p).toMillis,
                   name.endsWith(".dv")))
               else None
             }
-        }.toDF("rel", "mtime", "is_dv")
+        }.toDF("rel", "is_dv")
       val liveDf = spark.createDataset((live ++ liveDvs).toSeq).toDF("rel")
       val removedDf = spark.createDataset(removedAt.toSeq)
         .toDF("rel", "removed_at")
+      val cdcPrefix = Cdc.CDC_DIR + "/"
       val distDeleted = listed
         .join(liveDf, Seq("rel"), "left_anti")
         .join(removedDf, Seq("rel"), "left")
-        .withColumn("retention",
-          when(col("is_dv"), lit(retentionMs))
-            .when(col("rel").startsWith(Cdc.CDC_DIR + "/"), lit(cdcRetention))
-            .otherwise(lit(retentionMs)))
-        .withColumn("cutoff_ref",
-          when(col("is_dv"), col("mtime"))
-            .otherwise(coalesce(col("removed_at"), col("mtime"))))
-        .where(lit(now) - col("cutoff_ref") >= col("retention"))
-        .select("rel").as[String]
+        .select(col("rel"), col("is_dv"),
+          col("removed_at").cast("long")).as[(String, Boolean, Option[Long])]
         .mapPartitions { it =>
-          it.filter { rel =>
-            Files.deleteIfExists(java.nio.file.Paths.get(rootStr, rel))
+          it.flatMap { case (rel, isDv, removedTs) =>
+            val p = java.nio.file.Paths.get(rootStr, rel)
+            try {
+              val retention =
+                if (!isDv && rel.startsWith(cdcPrefix)) cdcRetention
+                else retentionMs
+              val cutoffRef =
+                if (isDv) Files.getLastModifiedTime(p).toMillis
+                else removedTs.getOrElse(Files.getLastModifiedTime(p).toMillis)
+              if (now - cutoffRef >= retention) {
+                // report the CANDIDATE, not deleteIfExists' result —
+                // a retried/speculative task would otherwise drop files
+                // its failed twin already removed, and the driver walk
+                // reports attempted deletes the same way
+                Files.deleteIfExists(p)
+                Some(rel)
+              } else None
+            } catch {
+              // vanished between listing and stat (e.g. a racing
+              // vacuum): already reclaimed, nothing to report
+              case _: java.nio.file.NoSuchFileException => None
+            }
           }
         }.collect()
       deleted ++= distDeleted

@@ -60,7 +60,7 @@ object Stats {
     // driver loop
     val threshold = spark.conf
       .getOption("spark.graft.stats.distributedThreshold")
-      .flatMap(_.toIntOption).getOrElse(1000)
+      .flatMap(_.toLongOption).getOrElse(1000L)
     val ok: Map[String, FileStats] =
       if (paths.size < threshold)
         paths.flatMap(p => footerStats(p, byName, conf)).toMap

@@ -49,9 +49,23 @@ class SnapshotCacheFuzzSpec extends AnyFunSuite {
       val model = scala.collection.mutable.LinkedHashMap(0L -> "r0")
       var nextId = 1L
       var compacted = false
+      var recreated = false
       // 28 steps crosses CHECKPOINT_EVERY=10 at least twice
       for (step <- 1 to 28) {
-        rnd.nextInt(10) match {
+        // the adversarial arm runs DETERMINISTICALLY (not behind a
+        // random draw that could never land): delete + recreate at the
+        // same path mid-history, which the commit-file fingerprint must
+        // catch
+        if (seed == 4 && step == 15) {
+          def rmRf(p: java.nio.file.Path): Unit = {
+            if (Files.isDirectory(p)) graft.util.Fs.listDir(p).foreach(rmRf)
+            Files.deleteIfExists(p)
+          }
+          rmRf(java.nio.file.Paths.get(path))
+          model.clear(); model(0L) = "reborn"
+          t = LakeTable.create(spark, path, Seq((0L, "reborn")).toDF("id", "v"))
+          recreated = true
+        } else rnd.nextInt(10) match {
           case 0 | 1 | 2 | 3 =>
             val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
               val id = nextId; nextId += 1
@@ -75,22 +89,15 @@ class SnapshotCacheFuzzSpec extends AnyFunSuite {
             // expiry deletes old commit files; the cache must survive
             // losing history below the latest checkpoint
             t.expireSnapshots(olderThanMs = 0L, retainLast = 5)
-          case _ if seed == 4 && step == 15 =>
-            // the adversarial arm: delete + recreate at the same path
-            def rmRf(p: java.nio.file.Path): Unit = {
-              if (Files.isDirectory(p)) graft.util.Fs.listDir(p).foreach(rmRf)
-              Files.deleteIfExists(p)
-            }
-            rmRf(java.nio.file.Paths.get(path))
-            model.clear(); model(0L) = "reborn"
-            t = LakeTable.create(spark, path, Seq((0L, "reborn")).toDF("id", "v"))
           case _ => ()
         }
         assertParityWithCold(path)
         assert(t.toDF.as[(Long, String)].collect().toSet === model.toSet,
           s"data divergence at step $step")
       }
-      assert(compacted || seed == 4, "the fuzz should exercise compaction")
+      if (seed == 4)
+        assert(recreated, "the adversarial recreate arm must have fired")
+      else assert(compacted, "the fuzz should exercise compaction")
     }
   }
 }
