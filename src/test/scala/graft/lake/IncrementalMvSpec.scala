@@ -252,6 +252,64 @@ class IncrementalMvSpec extends AnyFunSuite {
     assert(t.toDF.where($"v" === "b").count() === 0)
   }
 
+  test("compareAndSetProperties under contention: every increment lands once") {
+    // the primitive's whole point: N threads CAS-incrementing a counter
+    // property must produce exactly N increments — no lost updates, no
+    // double-applies — with losers retrying from the advanced value
+    val path = tmpDir()
+    val t = LakeTable.create(spark, path,
+      Seq((1L, "a")).toDF("id", "v"), properties = Map("ctr" -> "0"))
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        var done = false
+        while (!done) {
+          val cur = LakeTable.forPath(spark, path)
+            .snapshot.metaData.properties("ctr").toInt
+          try {
+            t.compareAndSetProperties(
+              Map("ctr" -> cur.toString),
+              Map("ctr" -> (cur + 1).toString))
+            done = true
+          } catch {
+            case _: StalePreconditionException | _: CommitConflictException =>
+              () // somebody else won; re-read and retry
+          }
+        }
+      }, s"cas-$i")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(t.snapshot.metaData.properties("ctr") === "8",
+      "exactly 8 increments must land")
+  }
+
+  test("refresh stays exact across auto-compaction of the CDC source") {
+    // an auto-compacting source interleaves REORG commits with the DML
+    // the view consumes; REORGs emit no change data, so the refresh
+    // must see exactly the logical changes — any leak of compaction's
+    // file movement into the feed would corrupt the aggregates
+    val srcPath = tmpDir()
+    val mvPath = tmpDir() + "/mv"
+    val t = LakeTable.create(spark, srcPath,
+      Seq((1L, "a", Option(10.0)), (2L, "b", Option(20.0)))
+        .toDF("id", "g", "v"),
+      properties = Map(Cdc.PROP -> "true",
+        LakeTable.AUTO_COMPACT_PROP -> "true",
+        LakeTable.AUTO_COMPACT_MIN_FILES_PROP -> "3"))
+    IncrementalMv.create(spark, mvPath, srcPath, Seq("g"), Seq("v"))
+    for (round <- 1 to 3) {
+      val base = round * 10L
+      t.append(Seq((base, "a", Option(base * 1.0))).toDF("id", "g", "v"))
+      t.append(Seq((base + 1, "c", Option(2.0))).toDF("id", "g", "v"))
+      t.delete($"id" === base + 1)
+      t.update($"id" === base, Map("v" -> lit(base * 2.0)))
+      IncrementalMv.refresh(spark, mvPath)
+      assertParity(mvPath, t, Seq("g"), Seq("v"))
+    }
+    assert(t.history.where(col("operation") === "COMPACT").count() > 0,
+      "the source must actually have auto-compacted (non-vacuous)")
+  }
+
   test("racing un-serialized refreshes apply each commit exactly once") {
     // simulates SEVERAL DRIVER PROCESSES refreshing one view: the JVM
     // lock is bypassed (refreshLocked directly), so serialization rests
