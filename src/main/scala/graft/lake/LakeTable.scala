@@ -1802,9 +1802,11 @@ final class LakeTable private (
     * window stops working after a vacuum — same documented tradeoff as
     * the reference. Returns deleted relative paths.
     *
-    * Scale: above `spark.graft.vacuum.distributedThreshold` live files
-    * (default 100k), the per-FILE work — leaf-dir listing, liveness
-    * anti-join, retention evaluation, and the deletes — runs on
+    * Scale: above `spark.graft.vacuum.distributedThreshold` estimated
+    * on-disk files (live + not-readded tombstones in the retained log —
+    * an upper bound; default 100k), the per-FILE work — leaf-dir
+    * listing, liveness anti-join, retention evaluation, and the
+    * deletes — runs on
     * executors over shared storage; the driver enumerates only
     * DIRECTORIES (O(partitions)) and the staging orphans. At 100 TB a
     * vacuum therefore costs one distributed list + one join, not a
@@ -1858,10 +1860,15 @@ final class LakeTable private (
     val threshold = spark.conf
       .getOption("spark.graft.vacuum.distributedThreshold")
       .flatMap(_.toLongOption).getOrElse(100000L)
-    // gate on the ON-DISK estimate, not the live count alone: the
-    // dominant vacuum workload is a huge tombstone backlog over a
-    // modest live set, and live + removed tracks total files
-    if (snap.files.size.toLong + removedAt.size < threshold) {
+    // gate on an UPPER BOUND of on-disk files, not the live count alone:
+    // the dominant vacuum workload is a huge tombstone backlog over a
+    // modest live set. live + (removed-and-not-readded) over-counts only
+    // by tombstones an earlier vacuum already reclaimed from the
+    // still-retained log — an over-estimate merely flips to the
+    // distributed path, which stays correct
+    val onDiskUpperBound = snap.files.size.toLong +
+      removedAt.keysIterator.count(p => !live.contains(p))
+    if (onDiskUpperBound < threshold) {
       // small table: one driver-side walk beats launching Spark jobs
       def walk(dir: Path): Unit = {
         if (!Files.isDirectory(dir)) return
@@ -1876,20 +1883,33 @@ final class LakeTable private (
               val retention =
                 if (rel.startsWith(Cdc.CDC_DIR + "/")) cdcRetention
                 else retentionMs
-              val cutoffRef = removedAt.getOrElse(rel, Files.getLastModifiedTime(p).toMillis)
-              if (now - cutoffRef >= retention) {
-                Files.deleteIfExists(p)
-                deleted += rel
+              // a candidate that vanished between listing and stat (a
+              // racing vacuum) is already reclaimed: report it instead
+              // of crashing the pass — same rule as the distributed path
+              try {
+                val cutoffRef =
+                  removedAt.getOrElse(rel, Files.getLastModifiedTime(p).toMillis)
+                if (now - cutoffRef >= retention) {
+                  Files.deleteIfExists(p)
+                  deleted += rel
+                }
+              } catch {
+                case _: java.nio.file.NoSuchFileException => deleted += rel
               }
             }
           } else if (name.endsWith(".dv")) {
             // deletion-vector sidecars: superseded (unioned/rewritten)
             // vectors age out by mtime like any unreferenced file
             val rel = root.relativize(p).toString
-            if (!liveDvs.contains(rel) &&
-              now - Files.getLastModifiedTime(p).toMillis >= retentionMs) {
-              Files.deleteIfExists(p)
-              deleted += rel
+            if (!liveDvs.contains(rel)) {
+              try {
+                if (now - Files.getLastModifiedTime(p).toMillis >= retentionMs) {
+                  Files.deleteIfExists(p)
+                  deleted += rel
+                }
+              } catch {
+                case _: java.nio.file.NoSuchFileException => deleted += rel
+              }
             }
           }
         }
@@ -1969,9 +1989,14 @@ final class LakeTable private (
                 Some(rel)
               } else None
             } catch {
-              // vanished between listing and stat (e.g. a racing
-              // vacuum): already reclaimed, nothing to report
-              case _: java.nio.file.NoSuchFileException => None
+              // a listed, non-live candidate that vanished before the
+              // stat IS reclaimed — either this task's killed twin or a
+              // racing vacuum removed it. Reporting keeps mtime-gated
+              // candidates (DVs, orphans) retry-proof too; the one
+              // over-claim is a concurrent external vacuum's delete
+              // being attributed to this call, which the driver walk
+              // resolves identically
+              case _: java.nio.file.NoSuchFileException => Some(rel)
             }
           }
         }.collect()

@@ -90,14 +90,20 @@ class AutoCompactSpec extends AnyFunSuite {
     val files = t.snapshot.files
     assert(files.forall(_.bucket.isDefined),
       "every post-compaction file must carry its bucket id")
-    // every row sits in the file of its OWN hash bucket
-    val expected = t.toDF
-      .withColumn("__b", Bucketing.bucketId(Seq(col("k")), 4))
-    assert(expected.where(col("__b") < 0 || col("__b") >= 4).count() === 0)
-    val perBucket = files.groupBy(_.bucket.get).view.mapValues(_.size).toMap
-    assert(perBucket.keys.forall(b => b >= 0 && b < 4))
-    // the layout still powers shuffle-free co-bucketed reads: group-by
-    // the bucket key collapses to the reported partitioning
+    // the REAL invariant: every row in every file hashes to THAT file's
+    // stamped bucket — a REORG that merged across buckets or stamped a
+    // stale id would put rows of bucket 2 in a file claiming bucket 0
+    // and silently mis-route storage-partitioned joins
+    files.foreach { f =>
+      val abs = java.nio.file.Paths.get(t.path, f.path).toString
+      val offenders = spark.read.parquet(abs)
+        .withColumn("__b", Bucketing.bucketId(Seq(col("k")), 4))
+        .where(col("__b") =!= f.bucket.get)
+        .count()
+      assert(offenders === 0,
+        s"file ${f.path} (bucket ${f.bucket.get}) holds $offenders " +
+          "rows of OTHER buckets")
+    }
     assert(t.toDF.count() === 40 + 16)
   }
 
