@@ -89,6 +89,10 @@ class SnapshotCacheFuzzSpec extends AnyFunSuite {
             // expiry deletes old commit files; the cache must survive
             // losing history below the latest checkpoint
             t.expireSnapshots(olderThanMs = 0L, retainLast = 5)
+          case 9 if step > 5 =>
+            // vacuum deletes non-live files while the cache holds the
+            // live list — parity and readability must be untouched
+            t.vacuum(retentionMs = 0L)
           case _ => ()
         }
         assertParityWithCold(path)
