@@ -23,7 +23,11 @@ final case class IngestDataset(
     /** landing→raw archive dir: processed source files are MOVED here
       * after each batch (K7, `03.ingesta_incremental_v2 [json].py:
       * 211-235`). */
-    archiveDir: Option[String] = None)
+    archiveDir: Option[String] = None,
+    /** Properties stamped on the bronze table at creation — the
+      * config-driven way to land CDC-enabled or auto-compacting tables
+      * (graft.enableChangeDataFeed, graft.autoCompact.*). */
+    tableProperties: Map[String, String] = Map.empty)
 
 final class Engine(spark: SparkSession, datasets: Seq[IngestDataset]) {
 
@@ -41,7 +45,8 @@ final class Engine(spark: SparkSession, datasets: Seq[IngestDataset]) {
         stream, ds.tableDir, queryName = ds.name,
         checkpointLocation = ds.checkpointDir,
         partitionBy = ds.partitionBy,
-        trigger = trigger)
+        trigger = trigger,
+        tableProperties = ds.tableProperties)
     }
     queries
   }

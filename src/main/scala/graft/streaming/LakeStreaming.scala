@@ -31,7 +31,12 @@ object LakeStreaming {
       partitionBy: Seq[String] = Seq.empty,
       trigger: Trigger = Trigger.AvailableNow(),
       mergeSchema: Boolean = true,
-      onBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
+      onBatch: (DataFrame, Long) => Unit = (_, _) => (),
+      /** Table properties applied when the sink CREATES the table (a
+        * pre-existing table keeps its own): the hook config-driven
+        * pipelines use to land CDC-enabled or auto-compacting bronze
+        * tables (graft.enableChangeDataFeed, graft.autoCompact.*). */
+      tableProperties: Map[String, String] = Map.empty): StreamingQuery = {
     val spark = stream.sparkSession
     stream.writeStream
       .queryName(queryName)
@@ -45,7 +50,8 @@ object LakeStreaming {
             else {
               val empty = spark.createDataFrame(
                 spark.sparkContext.emptyRDD[Row], batch.schema)
-              LakeTable.create(spark, tablePath, empty, partitionBy = partitionBy)
+              LakeTable.create(spark, tablePath, empty,
+                partitionBy = partitionBy, properties = tableProperties)
             }
           table.idempotentAppend(batch, queryName, batchId,
             mergeSchema = mergeSchema)

@@ -69,6 +69,39 @@ class IngestSpec extends AnyFunSuite {
     assert(files === 2)
   }
 
+  test("dataset tableProperties land on the created bronze table") {
+    // the config-driven way to get CDC-enabled / auto-compacting bronze
+    // tables straight from the engine config — no separate DDL step
+    val root = tmp()
+    val landing = root.resolve("landing")
+    val ds = IngestDataset(
+      name = "orders_props",
+      sourceDir = landing.toString,
+      tableDir = root.resolve("bronze").toString,
+      checkpointDir = root.resolve("ckpt").toString,
+      loader = LoaderConfig(schemaLocation = root.resolve("schema").toString),
+      tableProperties = Map(
+        graft.lake.Cdc.PROP -> "true",
+        LakeTable.AUTO_COMPACT_PROP -> "true",
+        LakeTable.AUTO_COMPACT_MIN_FILES_PROP -> "3"))
+
+    for (w <- 1 to 4) {
+      writeJson(landing, s"w$w.json",
+        Seq(s"""{"id": $w, "item": "x$w", "qty": $w}"""))
+      runWave(ds)
+    }
+    val t = LakeTable.forPath(spark, ds.tableDir)
+    assert(t.toDF.count() === 4)
+    val props = t.snapshot.metaData.properties
+    assert(props.get(graft.lake.Cdc.PROP).contains("true"))
+    // CDC recorded every wave's inserts
+    assert(t.tableChanges(0).where($"_change_type" === "insert").count() === 4)
+    // auto-compaction fired once the per-epoch files crossed minFiles
+    assert(t.history.where(col("operation") === "COMPACT").count() > 0,
+      "auto-compaction must trigger from the engine's epoch appends")
+    assert(t.snapshot.files.size < 4)
+  }
+
   test("schema hints override inferred types") {
     val root = tmp()
     val landing = root.resolve("landing")
