@@ -77,17 +77,22 @@ final case class MetaData(
   def withSchema(s: org.apache.spark.sql.types.StructType): MetaData =
     copy(schemaDdl = s.toDDL, schemaJson = Some(s.json))
 
-  /** The slice of metadata staged rows were VALIDATED against: schema,
-    * partition layout, bucketing spec, and CHECK constraints. Staleness
-    * checks (publish, blind-append rebase) compare this — not whole-
-    * MetaData equality — so a concurrent commit touching only benign
-    * table properties (an ownership tag, a CDC toggle, MV lineage
-    * pointers) neither aborts a batch write nor permanently fails a
-    * running stream whose planned metadata is pinned at query start.
-    * Mirrors Delta's metadata-conflict granularity.
+  /** The slice of metadata staged rows were VALIDATED against: the table
+    * GENERATION (`id` — a table deleted and recreated at the same path
+    * gets a fresh id, and a pinned-plan stream or rebasing append must
+    * NOT commit into the new generation even when the recreated schema
+    * is identical), schema, partition layout, bucketing spec, and CHECK
+    * constraints. Staleness checks (publish, blind-append rebase)
+    * compare this — not whole-MetaData equality — so a concurrent commit
+    * touching only benign table properties (an ownership tag, a CDC
+    * toggle, MV lineage pointers) neither aborts a batch write nor
+    * permanently fails a running stream whose planned metadata is pinned
+    * at query start. Deliberately MORE PERMISSIVE than Delta, which
+    * conflicts on ANY concurrent metadata commit: property-only commits
+    * are carved out here (constraint/bucketing props excepted).
     */
-  def validationState: (String, Option[String], Seq[String], Map[String, String]) =
-    (schemaDdl, schemaJson, partitionColumns,
+  def validationState: (String, String, Option[String], Seq[String], Map[String, String]) =
+    (id, schemaDdl, schemaJson, partitionColumns,
       properties.filter { case (k, _) =>
         k.startsWith(Constraints.PREFIX) ||
           k == Bucketing.COLS_PROP || k == Bucketing.COUNT_PROP

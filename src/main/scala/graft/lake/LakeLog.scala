@@ -185,8 +185,21 @@ final class LakeLog(
         commitFingerprint(c.snapshot.version).contains(c.fingerprint))
       .map(_.snapshot)
 
-  private def cachePut(snap: Snapshot, ptr: Option[Long]): Snapshot = {
-    commitFingerprint(snap.version).foreach { fp =>
+  /** Store a resolved snapshot under a fingerprint captured BEFORE the
+    * replay read any commit body (`preFp`). Stat-ing after the replay
+    * would open a TOCTOU hole: a delete+recreate landing between the
+    * replay and the stat would store the OLD table's snapshot under the
+    * NEW commit file's fingerprint, and the poisoned entry would keep
+    * passing [[cachedValid]] until the checkpoint pointer moved. With a
+    * pre-read fingerprint the race degrades safely — a swap during the
+    * replay leaves an entry whose fingerprint no longer matches the
+    * current file, so the next consult misses and resolves from disk.
+    */
+  private def cachePut(
+      snap: Snapshot, ptr: Option[Long],
+      preFp: Option[(Long, Long, String)]): Snapshot = {
+    LakeLog.onBeforeCachePut() // test seam: injects the replay↔store race
+    preFp.foreach { fp =>
       LakeLog.snapshotCache.put(cacheKey, LakeLog.CachedSnapshot(snap, fp, ptr))
     }
     snap
@@ -202,6 +215,8 @@ final class LakeLog(
     */
   private def resolveIncremental(
       base: Snapshot, target: Long, ptr: Option[Long]): Snapshot = {
+    // fingerprint BEFORE reading any tail body — see cachePut
+    val preFp = commitFingerprint(target)
     var meta: Option[MetaData] = Some(base.metaData)
     val files = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     base.files.foreach(f => files(f.path) = f)
@@ -216,7 +231,7 @@ final class LakeLog(
       a.commitInfo.foreach(ci => commits += v -> ci)
     }
     cachePut(Snapshot(target, meta.get, files.values.toSeq, txns.toMap,
-      commits.toSeq), ptr)
+      commits.toSeq), ptr, preFp)
   }
 
   /** Resolve the snapshot at `asOf` (None = latest). The latest path uses
@@ -259,6 +274,10 @@ final class LakeLog(
         if (c.version < t) return resolveIncremental(c, t, ptr)
       }
     }
+    // fingerprint BEFORE the first log-body read (checkpoint included) —
+    // see cachePut. The listing fallback captures it right after the
+    // listing, still ahead of any body read.
+    var preFp = quickTarget.flatMap(commitFingerprint)
     val (target, ckpt) =
       ptr.flatMap(v => readCheckpoint(v).map(v -> _)) match {
         case Some((ckptV, actions)) =>
@@ -266,9 +285,10 @@ final class LakeLog(
         case None =>
           val versions = listVersions
           require(versions.nonEmpty, s"not a lake table (no commits): $tablePath")
+          if (preFp.isEmpty) preFp = commitFingerprint(versions.last)
           (versions.last, resolveCheckpointByListing(versions.last))
       }
-    cachePut(replayFrom(target, ckpt), ptr)
+    cachePut(replayFrom(target, ckpt), ptr, preFp)
   }
 
   private def resolveAt(v: Long): Snapshot = {
@@ -485,6 +505,13 @@ final class StalePreconditionException(
       s"but found ${actual.getOrElse("<absent>")} — another writer advanced it")
 
 object LakeLog {
+
+  /** Test seam: runs between a resolution's log-body reads and the cache
+    * store, where a concurrent delete+recreate is hardest to handle
+    * (SnapshotCacheFuzzSpec pins that the pre-read fingerprint makes the
+    * race degrade to a cache miss, never a poisoned entry). No-op in
+    * production. */
+  private[lake] var onBeforeCachePut: () => Unit = () => ()
 
   /** `ckptPtr` is the `_last_checkpoint` pointer at resolution time:
     * reuse (exact hit OR incremental replay) requires it UNCHANGED, so

@@ -1928,7 +1928,10 @@ final class LakeTable private (
       val dirs = scala.collection.mutable.ArrayBuffer[String]()
       def walkDirs(dir: Path): Unit = {
         if (!Files.isDirectory(dir)) return
-        dirs += dir.toString
+        // absolutize DRIVER-side: executor tasks resolve these strings,
+        // and a table opened via a relative path would otherwise resolve
+        // against each executor's own working directory on a real cluster
+        dirs += dir.toAbsolutePath.normalize.toString
         graft.util.Fs.listDir(dir).foreach { p =>
           if (Files.isDirectory(p)) {
             val name = p.getFileName.toString

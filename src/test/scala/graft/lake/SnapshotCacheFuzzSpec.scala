@@ -104,4 +104,48 @@ class SnapshotCacheFuzzSpec extends AnyFunSuite {
       else assert(compacted, "the fuzz should exercise compaction")
     }
   }
+
+  test("a recreate landing between replay and cache store cannot poison the cache") {
+    // ADVICE r6: cachePut used to stat the commit file AFTER the replay,
+    // so a delete+recreate in that window stored the OLD table's
+    // snapshot under the NEW commit file's fingerprint — and the
+    // poisoned entry kept validating until the checkpoint pointer moved.
+    // The fingerprint is now captured BEFORE any log-body read; the same
+    // race must degrade to a plain cache miss. The onBeforeCachePut seam
+    // injects the race deterministically at its worst point.
+    val path = Files.createTempDirectory("snapcache-race-").toString
+    val tA = LakeTable.create(spark, path, Seq((0L, "genA")).toDF("id", "v"))
+    tA.append(Seq((1L, "genA")).toDF("id", "v")) // latest version = 1
+    val genA = tA.snapshot.metaData.id
+
+    def rmRf(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) graft.util.Fs.listDir(p).foreach(rmRf)
+      Files.deleteIfExists(p)
+    }
+
+    LakeLog.snapshotCache.clear()
+    var fired = false
+    LakeLog.onBeforeCachePut = () => {
+      // disarm FIRST: the recreate below resolves snapshots itself
+      LakeLog.onBeforeCachePut = () => ()
+      fired = true
+      rmRf(java.nio.file.Paths.get(path))
+      val tB = LakeTable.create(spark, path, Seq((0L, "genB")).toDF("id", "v"))
+      tB.append(Seq((1L, "genB")).toDF("id", "v")) // same latest version
+    }
+    try {
+      // this resolution reads generation A, then the swap lands, then
+      // the result is stored — under the old ordering the store would
+      // fingerprint generation B's commit file
+      val racedSnap = new LakeLog(path).snapshot(None)
+      assert(fired, "the race seam must have fired")
+      assert(racedSnap.metaData.id === genA, "the raced read itself sees gen A")
+
+      val after = new LakeLog(path).snapshot(None)
+      assert(after.metaData.id !== genA,
+        "a fresh resolution must see generation B, not the poisoned gen-A entry")
+      assert(LakeTable.forPath(spark, path).toDF
+        .as[(Long, String)].collect().toSet === Set((0L, "genB"), (1L, "genB")))
+    } finally LakeLog.onBeforeCachePut = () => ()
+  }
 }

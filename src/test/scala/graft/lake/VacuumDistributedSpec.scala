@@ -80,6 +80,33 @@ class VacuumDistributedSpec extends AnyFunSuite {
     assert(t2.snapshot.files.map(_.path).toSet.subsetOf(allFiles(p2)))
   }
 
+  test("distributed vacuum on a table opened via a relative path") {
+    // ADVICE r6: the directory strings shipped to executor tasks must be
+    // absolutized DRIVER-side — relative strings resolve against each
+    // executor's own working directory on a real cluster (local mode
+    // shares the driver CWD, so this spec pins the relative-path shape
+    // and end-to-end behavior; the absolutization lives in walkDirs).
+    val relBase = Paths.get("target", s"vac-rel-${java.util.UUID.randomUUID()}")
+    Files.createDirectories(relBase.getParent)
+    val rel = relBase.toString
+    assert(!Paths.get(rel).isAbsolute, "the spec must exercise a relative root")
+    try {
+      val t = buildHistory(rel)
+      val deleted = withThreshold(1L)(t.vacuum(retentionMs = 0L))
+      assert(deleted.nonEmpty, "the history must produce vacuumable files")
+      assert(deleted.forall(!Paths.get(_).isAbsolute),
+        "reported paths stay table-relative")
+      assert(t.toDF.count() === 45)
+      assert(t.snapshot.files.map(_.path).toSet.subsetOf(allFiles(rel)))
+    } finally {
+      def rmRf(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p)) graft.util.Fs.listDir(p).foreach(rmRf)
+        Files.deleteIfExists(p)
+      }
+      rmRf(relBase)
+    }
+  }
+
   test("distributed path honors retention (nothing young deleted)") {
     val p = Files.createTempDirectory("vac-dist-ret-").toString
     val t = buildHistory(p)

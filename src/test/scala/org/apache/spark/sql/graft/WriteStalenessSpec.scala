@@ -91,6 +91,40 @@ class WriteStalenessSpec extends AnyFunSuite {
     assert(e.getMessage.contains("metadata change"))
   }
 
+  test("a pinned plan refuses to commit into a recreated table generation") {
+    // ADVICE r6: validationState omitted MetaData.id, so a table deleted
+    // and RECREATED at the same path with an identical schema slipped
+    // past the staleness guards — a pinned-plan stream or rebasing
+    // append silently committed into the new table generation.
+    val path = tmpDir("stale-gen-")
+    val t = LakeTable.create(spark, path, Seq((1L, "a")).toDF("id", "v"))
+    val planned = t.snapshot.metaData
+    val dataSchema = t.snapshot.dataSchema
+
+    def rmRf(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) graft.util.Fs.listDir(p).foreach(rmRf)
+      Files.deleteIfExists(p)
+    }
+    rmRf(Paths.get(path))
+    LakeTable.create(spark, path, Seq((9L, "z")).toDF("id", "v"))
+    val t2 = LakeTable.forPath(spark, path)
+
+    // identical schema, identical (benign) properties — the GENERATION
+    // is what must differ
+    assert(planned.schemaDdl === t2.snapshot.metaData.schemaDdl)
+    assert(planned.validationState !== t2.snapshot.metaData.validationState,
+      "recreated table generation must change the validation state")
+
+    val staging = Paths.get(path, "_staging_gen_test")
+    Files.createDirectories(staging)
+    val e = intercept[IllegalStateException] {
+      LakePublish.publish(t2, staging, dataSchema, Seq.empty, LakeAppend,
+        "q-gen", txn = None, plannedMeta = Some(planned))
+    }
+    assert(e.getMessage.contains("metadata change"))
+    assert(t2.snapshot.version === 0, "nothing may land in the new generation")
+  }
+
   test("a running stream survives a benign mid-stream property change") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
