@@ -38,6 +38,12 @@ import org.apache.spark.sql.functions._
 object IncrementalMv {
 
   val SRC_PATH_PROP = "graft.mv.sourcePath"
+  /** Source GENERATION (metadata id at view creation): the
+    * applied-through pointer only means anything within one generation,
+    * so a refresh against a source deleted and recreated at the same
+    * path must fail loudly — its version numbers restart but describe
+    * unrelated data — instead of silently merging wrong deltas. */
+  val SRC_ID_PROP = "graft.mv.sourceId"
   val SRC_VERSION_PROP = "graft.mv.sourceVersion"
   val KEYS_PROP = "graft.mv.groupBy"
   val SUMS_PROP = "graft.mv.sums"
@@ -62,6 +68,7 @@ object IncrementalMv {
     val df = aggregate(source.asOf(version).toDF, groupBy, sumCols, minMaxCols)
     LakeTable.create(spark, mvPath, df, properties = Map(
       SRC_PATH_PROP -> sourcePath,
+      SRC_ID_PROP -> source.snapshot.metaData.id,
       SRC_VERSION_PROP -> version.toString,
       KEYS_PROP -> groupBy.mkString(","),
       SUMS_PROP -> sumCols.mkString(","),
@@ -139,6 +146,20 @@ object IncrementalMv {
     val minMax = props.getOrElse(MINMAX_PROP, "").split(',').toSeq.filter(_.nonEmpty)
 
     val source = LakeTable.forPath(spark, sourcePath)
+    // generation guard: a source deleted and recreated at the same path
+    // restarts version numbering over unrelated data — the pointer (and
+    // this view's contents) belong to the OLD generation, so refreshing
+    // would silently merge wrong deltas. Absent prop = view created
+    // before the guard existed; checked when present.
+    props.get(SRC_ID_PROP).foreach { created =>
+      val cur = source.snapshot.metaData.id
+      if (cur != created)
+        throw new IllegalStateException(
+          s"source table $sourcePath was deleted and recreated (view " +
+            s"built against generation $created, found $cur): the " +
+            s"applied-through pointer cannot continue — rebuild the view " +
+            s"(IncrementalMv.create) against the new table")
+    }
     val latest = source.version
     if (latest <= lastApplied) return lastApplied
 

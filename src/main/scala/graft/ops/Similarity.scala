@@ -219,15 +219,24 @@ object Similarity {
     * BUILD time (the pre-first-sync baseline; build is single-threaded
     * setup, so a plain property write is safe there). */
   val SYNCED_PROP = "graft.ivf.syncedThrough"
+  /** Codebook property: the source table GENERATION (metadata id) the
+    * synced-through version counts — a source deleted and recreated at
+    * the same path restarts version numbering over unrelated data, so a
+    * sync against a different generation must fail loudly (rebuild the
+    * index) instead of silently appending wrong deltas. */
+  val SOURCE_ID_PROP = "graft.ivf.sourceId"
 
   private def syncAppId(sourcePath: String) = s"$SYNC_TXN_APP:$sourcePath"
 
   /** Record at build time that the index covers `sourcePath` through
-    * `version` — the baseline [[syncIvfIndexFromTable]] starts from. */
+    * `version` — the baseline [[syncIvfIndexFromTable]] starts from.
+    * `sourceId` pins the source generation the version belongs to. */
   def markIvfSynced(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String, version: Long): Unit =
+      indexPath: String, version: Long,
+      sourceId: Option[String] = None): Unit =
     graft.lake.LakeTable.forPath(spark, s"$indexPath/codebook")
-      .setProperties(Map(SYNCED_PROP -> version.toString))
+      .setProperties(Map(SYNCED_PROP -> version.toString) ++
+        sourceId.map(SOURCE_ID_PROP -> _))
 
   /** EXACTLY-ONCE index maintenance from the source table's change feed
     * (the crash-safe replacement for calling [[appendToIvfIndex]] with
@@ -252,6 +261,18 @@ object Similarity {
     val latest = src.snapshot.version
     val asg = graft.lake.LakeTable.forPath(spark, s"$indexPath/assignments")
     val cb = graft.lake.LakeTable.forPath(spark, s"$indexPath/codebook")
+    // generation guard: the applied version only counts within ONE
+    // source generation. Absent prop = index baselined before the guard
+    // existed; checked when present.
+    val srcId = src.snapshot.metaData.id
+    cb.snapshot.metaData.properties.get(SOURCE_ID_PROP)
+      .filter(_ != srcId).foreach { old =>
+        throw new IllegalStateException(
+          s"source table $sourcePath was deleted and recreated (index at " +
+            s"$indexPath synced against generation $old, found $srcId): " +
+            "the applied version cannot continue — rebuild the index " +
+            "against the new table")
+      }
     val txnApplied = asg.snapshot.txns.getOrElse(syncAppId(sourcePath), -1L)
     val propApplied = cb.snapshot.metaData.properties.get(SYNCED_PROP)
       .flatMap(_.toLongOption).getOrElse(-1L)
@@ -276,7 +297,7 @@ object Similarity {
           "Rows appended to the source between the index build and this " +
           "first sync are NOT in the index — backfill with " +
           "appendToIvfIndex or rebuild if any exist.")
-      markIvfSynced(spark, indexPath, latest)
+      markIvfSynced(spark, indexPath, latest, Some(srcId))
       return 0L
     }
     val applied = math.max(txnApplied, propApplied)

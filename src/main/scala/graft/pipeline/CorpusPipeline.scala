@@ -53,7 +53,8 @@ object CorpusPipeline {
     val v = t.version
     graft.ops.Similarity.buildIvfIndex(t.asOf(v).toDF, vecCol, "doc_id",
       s"$outRoot/semindex", nLists = nLists)
-    graft.ops.Similarity.markIvfSynced(spark, s"$outRoot/semindex", v)
+    graft.ops.Similarity.markIvfSynced(spark, s"$outRoot/semindex", v,
+      Some(t.snapshot.metaData.id))
   }
 
   /** Run the full curation; writes `curated` and `lang_stats` lake

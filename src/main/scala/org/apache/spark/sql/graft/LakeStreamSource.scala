@@ -110,8 +110,49 @@ private[graft] class LakeStreamTable(
     }
 }
 
-private[graft] case class LakeSourceOffset(version: Long) extends Offset {
-  override def json(): String = s"""{"version":$version}"""
+/** Commit-log position of the stream, plus the table GENERATION it
+  * belongs to (`tableId` = the metadata id stamped at table creation,
+  * Delta's `reservoirId` guard): version numbers are only meaningful
+  * within one generation, so a checkpoint recovered against a table
+  * that was deleted and recreated at the same path must fail loudly
+  * instead of silently reading the new generation's commits as a
+  * continuation. `tableId` is None only for offsets checkpointed
+  * before the field existed — those skip the check once and re-persist
+  * with the id. */
+private[graft] case class LakeSourceOffset(
+    version: Long, tableId: Option[String] = None) extends Offset {
+  override def json(): String = tableId match {
+    case Some(id) => s"""{"version":$version,"tableId":"$id"}"""
+    case None => s"""{"version":$version}"""
+  }
+}
+
+private[graft] object LakeSourceOffset {
+  private val VER_RE = "\"version\"\\s*:\\s*(-?\\d+)".r
+  private val ID_RE = "\"tableId\"\\s*:\\s*\"([^\"]+)\"".r
+
+  def parse(json: String): LakeSourceOffset =
+    LakeSourceOffset(
+      VER_RE.findFirstMatchIn(json).map(_.group(1).toLong)
+        .getOrElse(throw new IllegalArgumentException(s"bad offset: $json")),
+      ID_RE.findFirstMatchIn(json).map(_.group(1)))
+
+  /** Fail when any offset pins a DIFFERENT table generation than the
+    * one currently at `path` — checked at checkpoint recovery
+    * (deserializeOffset) AND at batch planning, so a recreate landing
+    * mid-run is caught on the next trigger rather than read through. */
+  def checkGeneration(
+      path: String, currentId: String, offsets: LakeSourceOffset*): Unit =
+    offsets.foreach { o =>
+      o.tableId.filter(_ != currentId).foreach { old =>
+        throw new IllegalStateException(
+          s"the lake table at $path was deleted and recreated (stream " +
+            s"pinned generation $old, found $currentId): its commit " +
+            "versions do not continue the checkpointed history — restart " +
+            "with a fresh checkpoint (or startingVersion) against the new " +
+            "table")
+      }
+    }
 }
 
 private[graft] class LakeMicroBatchStream(
@@ -122,6 +163,12 @@ private[graft] class LakeMicroBatchStream(
   private val log = new graft.lake.LakeLog(path)
   @volatile private var readerFactory: PartitionReaderFactory = _
 
+  // generation id of the table CURRENTLY at path — resolved fresh per
+  // use (the snapshot cache makes this a pointer read + one stat), so a
+  // mid-run delete+recreate is caught at the next offset/plan, not
+  // absorbed
+  private def currentTableId: String = log.snapshot(None).metaData.id
+
   // Trigger.AvailableNow (T1-T4): the engine calls prepare() once at
   // query start; the backlog END is pinned to the commit-log version of
   // that moment, so the query drains exactly the versions that existed
@@ -131,22 +178,26 @@ private[graft] class LakeMicroBatchStream(
   override def prepareForTriggerAvailableNow(): Unit =
     pinnedEnd = Some(log.latestVersion.getOrElse(-1L))
 
-  override def initialOffset(): Offset = LakeSourceOffset(startingVersion - 1)
+  override def initialOffset(): Offset =
+    LakeSourceOffset(startingVersion - 1, Some(currentTableId))
 
   override def latestOffset(): Offset =
-    LakeSourceOffset(pinnedEnd.getOrElse(log.latestVersion.getOrElse(-1L)))
+    LakeSourceOffset(pinnedEnd.getOrElse(log.latestVersion.getOrElse(-1L)),
+      Some(currentTableId))
 
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
     latestOffset()
 
   override def reportLatestOffset(): Offset =
-    LakeSourceOffset(log.latestVersion.getOrElse(-1L))
+    LakeSourceOffset(log.latestVersion.getOrElse(-1L), Some(currentTableId))
 
-  override def deserializeOffset(json: String): Offset =
-    LakeSourceOffset("\"version\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(json)
-      .map(_.group(1).toLong)
-      .getOrElse(throw new IllegalArgumentException(s"bad offset: $json")))
+  override def deserializeOffset(json: String): Offset = {
+    val o = LakeSourceOffset.parse(json)
+    // checkpoint recovery is the earliest point a recreate can surface
+    LakeSourceOffset.checkGeneration(path, currentTableId, o)
+    o
+  }
 
   /** Files added in `(start, end]`, excluding (or failing on) change
     * commits. */
@@ -164,6 +215,8 @@ private[graft] class LakeMicroBatchStream(
     }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    LakeSourceOffset.checkGeneration(path, currentTableId,
+      start.asInstanceOf[LakeSourceOffset], end.asInstanceOf[LakeSourceOffset])
     val files = filesForRange(
       start.asInstanceOf[LakeSourceOffset].version,
       end.asInstanceOf[LakeSourceOffset].version)
@@ -205,25 +258,33 @@ private[graft] class LakeCdfMicroBatchStream(
   private val cdcFileSchema = LakeCdf.cdcFileSchema(tableSchema)
   @volatile private var factory: CdfReaderFactory = _
 
+  // see LakeMicroBatchStream.currentTableId: the generation guard
+  private def currentTableId: String = log.snapshot(None).metaData.id
+
   // see LakeMicroBatchStream: AvailableNow pins the backlog end at start
   @volatile private var pinnedEnd: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
     pinnedEnd = Some(log.latestVersion.getOrElse(-1L))
 
-  override def initialOffset(): Offset = LakeSourceOffset(startingVersion - 1)
+  override def initialOffset(): Offset =
+    LakeSourceOffset(startingVersion - 1, Some(currentTableId))
   override def latestOffset(): Offset =
-    LakeSourceOffset(pinnedEnd.getOrElse(log.latestVersion.getOrElse(-1L)))
+    LakeSourceOffset(pinnedEnd.getOrElse(log.latestVersion.getOrElse(-1L)),
+      Some(currentTableId))
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
     latestOffset()
   override def reportLatestOffset(): Offset =
-    LakeSourceOffset(log.latestVersion.getOrElse(-1L))
-  override def deserializeOffset(json: String): Offset =
-    LakeSourceOffset("\"version\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(json)
-      .map(_.group(1).toLong)
-      .getOrElse(throw new IllegalArgumentException(s"bad offset: $json")))
+    LakeSourceOffset(log.latestVersion.getOrElse(-1L), Some(currentTableId))
+  override def deserializeOffset(json: String): Offset = {
+    val o = LakeSourceOffset.parse(json)
+    LakeSourceOffset.checkGeneration(path, currentTableId, o)
+    o
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    LakeSourceOffset.checkGeneration(path, currentTableId,
+      start.asInstanceOf[LakeSourceOffset], end.asInstanceOf[LakeSourceOffset])
     val (parts, f) = LakeCdf.plan(path, tableSchema, cdcFileSchema,
       start.asInstanceOf[LakeSourceOffset].version + 1,
       end.asInstanceOf[LakeSourceOffset].version, log)

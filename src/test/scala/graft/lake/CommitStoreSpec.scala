@@ -51,11 +51,18 @@ class CommitStoreSpec extends AnyFunSuite {
       Action.of(CommitInfo(1L, "CREATE", Map.empty))))
     val pool = Executors.newFixedThreadPool(12)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // first round rendezvous: every writer computes its target version
+    // BEFORE any writer is allowed to publish, so ≥11 conditional-PUT
+    // losses are GUARANTEED — on a loaded box the free-running loop can
+    // serialize and the non-vacuity assertion below would flake
+    val gate = new java.util.concurrent.CyclicBarrier(12)
     val futs = (1 to 12).map { i =>
       Future {
         var done = false
+        var first = true
         while (!done) {
           val next = log.latestVersion.get + 1
+          if (first) { gate.await(); first = false }
           try {
             log.write(next, Seq(
               Action.of(AddFile(s"f$i.parquet", Map.empty, 1L, 1L, None)),

@@ -347,4 +347,37 @@ class IncrementalMvSpec extends AnyFunSuite {
         === t.version, "pointer must land on the source's latest version")
     }
   }
+
+  test("refresh refuses a source deleted and recreated at the same path") {
+    // the applied-through pointer counts versions of ONE source
+    // generation; a recreate restarts numbering over unrelated data, so
+    // a refresh would read tableChanges(lastApplied+1, ...) of the new
+    // generation and silently merge wrong deltas. The recorded source
+    // id (SRC_ID_PROP) must fail it loudly instead.
+    val srcPath = tmpDir()
+    val mvPath = tmpDir() + "/mv"
+    val t = sourceTable(srcPath)
+    t.append(Seq((6L, "a", Option(6.0))).toDF("id", "g", "v"))
+    IncrementalMv.create(spark, mvPath, srcPath, Seq("g"), Seq("v"))
+    assertParity(mvPath, t, Seq("g"), Seq("v"))
+
+    def rmRf(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) graft.util.Fs.listDir(p).foreach(rmRf)
+      Files.deleteIfExists(p)
+    }
+    rmRf(java.nio.file.Paths.get(srcPath))
+    // recreated with the same schema AND more commits than the pointer,
+    // so neither the schema nor the early "nothing new" return masks it
+    val t2 = sourceTable(srcPath)
+    t2.append(Seq((7L, "d", Option(7.0))).toDF("id", "g", "v"))
+    t2.append(Seq((8L, "e", Option(8.0))).toDF("id", "g", "v"))
+
+    val mvBefore = LakeTable.forPath(spark, mvPath).toDF.collect().toSet
+    val e = intercept[IllegalStateException] {
+      IncrementalMv.refresh(spark, mvPath)
+    }
+    assert(e.getMessage.contains("deleted and recreated"))
+    assert(LakeTable.forPath(spark, mvPath).toDF.collect().toSet === mvBefore,
+      "the view must be untouched by the refused refresh")
+  }
 }

@@ -99,11 +99,18 @@ class MarkerCommitStoreSpec extends AnyFunSuite {
       val log = new LakeLog(dir.toString)
       val pool = Executors.newFixedThreadPool(12)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      // first-round rendezvous: every writer computes its target version
+      // BEFORE any writer publishes, so ≥11 losses are guaranteed — a
+      // loaded box can otherwise serialize the free-running loop and
+      // flake the non-vacuity assertion below
+      val gate = new java.util.concurrent.CyclicBarrier(12)
       val futs = (1 to 12).map { i =>
         Future {
           var done = false
+          var first = true
           while (!done) {
             val next = log.latestVersion.get + 1
+            if (first) { gate.await(); first = false }
             try {
               log.write(next, Seq(
                 Action.of(AddFile(s"races/f$i.parquet", Map.empty, 1L, 1L, None)),

@@ -257,6 +257,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.75, s"post-retrain IVF recall $recall")
   }
 
+  test("IVF change-feed sync refuses a recreated source generation") {
+    // the synced-through version counts commits of ONE source
+    // generation; a source deleted and recreated at the same path
+    // restarts numbering over unrelated data, so a sync would append
+    // wrong vectors under the old pointer. The recorded source id must
+    // fail it loudly instead.
+    val root = java.nio.file.Files.createTempDirectory("ivf-gen-").toString
+    val srcPath = s"$root/src"
+    val indexPath = s"$root/idx"
+    val t = graft.lake.LakeTable.create(spark, srcPath,
+      Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("vec_id", "embedding"),
+      properties = Map(graft.lake.Cdc.PROP -> "true"))
+    Similarity.buildIvfIndex(t.toDF, "embedding", "vec_id", indexPath,
+      nLists = 2)
+    Similarity.markIvfSynced(spark, indexPath, t.version,
+      Some(t.snapshot.metaData.id))
+    t.append(Seq((3L, Array(1f, 1f))).toDF("vec_id", "embedding"))
+    assert(Similarity.syncIvfIndexFromTable(spark, indexPath, srcPath,
+      "embedding", "vec_id") === 1L, "same-generation sync still works")
+
+    def rmRf(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        graft.util.Fs.listDir(p).foreach(rmRf)
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rmRf(java.nio.file.Paths.get(srcPath))
+    // recreated with MORE commits than the applied pointer, so the
+    // "nothing new" early return cannot mask the wrong-generation read
+    val t2 = graft.lake.LakeTable.create(spark, srcPath,
+      Seq((9L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding"),
+      properties = Map(graft.lake.Cdc.PROP -> "true"))
+    (10L to 12L).foreach(i =>
+      t2.append(Seq((i, Array(0.1f * i, 1f))).toDF("vec_id", "embedding")))
+    val e = intercept[IllegalStateException] {
+      Similarity.syncIvfIndexFromTable(spark, indexPath, srcPath,
+        "embedding", "vec_id")
+    }
+    assert(e.getMessage.contains("deleted and recreated"))
+  }
+
   test("native simhash64 expression == composed HOF implementation") {
     import graft.functions.TextFunctions
     val withHashes = docs

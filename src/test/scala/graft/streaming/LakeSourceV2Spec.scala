@@ -356,4 +356,53 @@ class LakeSourceV2Spec extends AnyFunSuite {
         "the stream keeps tailing appends after the REORG")
     } finally q.stop()
   }
+
+  test("a restart from a checkpoint refuses a recreated table generation") {
+    // version numbers only mean anything within one table GENERATION:
+    // a stream whose checkpoint says "applied through v1" restarted
+    // against a table deleted and RECREATED at the same path would
+    // silently read the new generation's commits as a continuation
+    // (skipping its v0/v1, emitting later versions of unrelated data).
+    // Offsets carry the metadata id (Delta's reservoirId guard); the
+    // recovery must fail loudly instead.
+    val path = Files.createTempDirectory("lake-src-gen-").toString
+    val ckpt = Files.createTempDirectory("lake-src-gen-ckpt-").toString
+    val t = LakeTable.create(spark, path, Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+
+    // memory sink cannot recover from a checkpoint; foreachBatch can
+    val buf = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, String)]()
+    def start() = readLake(path).writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.as[(Long, String)].collect().foreach(buf.add)
+      }
+      .option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(buf.contains((1L, "a")) && buf.contains((2L, "b")))
+    } finally q1.stop()
+
+    def rmRf(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) graft.util.Fs.listDir(p).foreach(rmRf)
+      Files.deleteIfExists(p)
+    }
+    rmRf(java.nio.file.Paths.get(path))
+    val t2 = LakeTable.create(spark, path, Seq((9L, "z")).toDF("id", "v"))
+    t2.append(Seq((10L, "y")).toDF("id", "v"))
+    t2.append(Seq((11L, "x")).toDF("id", "v")) // new gen is AHEAD of the ckpt
+
+    val q2 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(!buf.contains((9L, "z")) && !buf.contains((10L, "y")) &&
+      !buf.contains((11L, "x")), "no new-generation rows may reach the sink")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("deleted and recreated")),
+      s"expected the generation guard, got: ${messages(e).mkString(" | ")}")
+  }
 }
