@@ -61,14 +61,20 @@ object IncrementalMv {
       minMaxCols: Seq[String] = Seq.empty): LakeTable = {
     require(groupBy.nonEmpty, "an aggregate view needs group-by keys")
     val source = LakeTable.forPath(spark, sourcePath)
-    require(source.snapshot.metaData.properties.get(Cdc.PROP).exists(_.toBoolean),
+    // ONE snapshot provides the baseline version AND the generation id —
+    // separate resolutions could pair a new generation's id with the old
+    // generation's version if a recreate lands in between, arming the
+    // guard with a baseline that passes the id check but counts the
+    // wrong history
+    val srcSnap = source.snapshot
+    require(srcSnap.metaData.properties.get(Cdc.PROP).exists(_.toBoolean),
       s"incremental refresh needs $sourcePath to have ${Cdc.PROP}=true " +
         "(the change feed is the refresh input)")
-    val version = source.version
+    val version = srcSnap.version
     val df = aggregate(source.asOf(version).toDF, groupBy, sumCols, minMaxCols)
     LakeTable.create(spark, mvPath, df, properties = Map(
       SRC_PATH_PROP -> sourcePath,
-      SRC_ID_PROP -> source.snapshot.metaData.id,
+      SRC_ID_PROP -> srcSnap.metaData.id,
       SRC_VERSION_PROP -> version.toString,
       KEYS_PROP -> groupBy.mkString(","),
       SUMS_PROP -> sumCols.mkString(","),
@@ -146,21 +152,31 @@ object IncrementalMv {
     val minMax = props.getOrElse(MINMAX_PROP, "").split(',').toSeq.filter(_.nonEmpty)
 
     val source = LakeTable.forPath(spark, sourcePath)
+    // ONE snapshot provides the refresh ceiling AND the generation id
+    // (separate resolutions could pair them across a recreate)
+    val srcSnap = source.snapshot
+    val srcId = srcSnap.metaData.id
     // generation guard: a source deleted and recreated at the same path
     // restarts version numbering over unrelated data — the pointer (and
     // this view's contents) belong to the OLD generation, so refreshing
-    // would silently merge wrong deltas. Absent prop = view created
-    // before the guard existed; checked when present.
+    // would silently merge wrong deltas.
     props.get(SRC_ID_PROP).foreach { created =>
-      val cur = source.snapshot.metaData.id
-      if (cur != created)
+      if (srcId != created)
         throw new IllegalStateException(
           s"source table $sourcePath was deleted and recreated (view " +
-            s"built against generation $created, found $cur): the " +
+            s"built against generation $created, found $srcId): the " +
             s"applied-through pointer cannot continue — rebuild the view " +
             s"(IncrementalMv.create) against the new table")
     }
-    val latest = source.version
+    // legacy adoption: a view created before the guard existed has no
+    // recorded id — stamp the observed generation WITH this refresh's
+    // pointer move (same CAS commit), closing the window for every
+    // later refresh; until a refresh advances the pointer the view
+    // stays check-less, exactly as it was before the guard
+    val adoptId =
+      if (props.contains(SRC_ID_PROP)) Map.empty[String, String]
+      else Map(SRC_ID_PROP -> srcId)
+    val latest = srcSnap.version
     if (latest <= lastApplied) return lastApplied
 
     val changes = source.tableChanges(lastApplied + 1, Some(latest))
@@ -197,7 +213,7 @@ object IncrementalMv {
       // `latest`) is never clobbered backwards
       mv.compareAndSetProperties(
         Map(SRC_VERSION_PROP -> lastApplied.toString),
-        Map(SRC_VERSION_PROP -> latest.toString))
+        Map(SRC_VERSION_PROP -> latest.toString) ++ adoptId)
       return latest
     }
 
@@ -312,7 +328,7 @@ object IncrementalMv {
           else when(col("s.__recompute"), coalesce(col("s.r_n"), lit(0)) > 0)
             .otherwise(col("s.dn") > 0)), insertSet)),
       notMatchedBySourceClauses = Seq.empty,
-      propsDelta = Map(SRC_VERSION_PROP -> latest.toString),
+      propsDelta = Map(SRC_VERSION_PROP -> latest.toString) ++ adoptId,
       expectProps = Map(SRC_VERSION_PROP -> lastApplied.toString))
     latest
   }

@@ -404,10 +404,31 @@ final class LakeLog(
   // ---- writing ---------------------------------------------------------
 
   /** Atomically publish `actions` as version `version`.
+    *
+    * Versions are DENSE from the first retained one, and expiry always
+    * keeps the latest commit — so a missing predecessor means the
+    * history this writer read no longer exists (the table was deleted
+    * and recreated with a SHORTER log underneath it). Without the guard
+    * the put-if-absent would succeed on the unoccupied slot and
+    * acknowledge a gapped commit that forward probing can never reach
+    * (silent data loss) and listing-based resolution would replay
+    * across the gap. One stat per commit. The remaining window — an
+    * equal-or-longer recreate landing between the caller's snapshot
+    * read and this put — is the same non-atomic-filesystem window every
+    * optimistic-concurrency log shares; the rebase/publish guards catch
+    * it whenever a conflict or metadata comparison fires.
+    *
     * @throws CommitConflictException if that version already exists.
     */
   def write(version: Long, actions: Seq[Action]): Unit = {
     Files.createDirectories(logDir)
+    if (version > 0 &&
+        !Files.isRegularFile(logDir.resolve(commitFileName(version - 1))))
+      throw new IllegalStateException(
+        s"cannot commit version $version of $tablePath: predecessor " +
+          s"${version - 1} does not exist — the table history this " +
+          "writer read was deleted or replaced (recreate at the same " +
+          "path?); re-open the table and re-stage")
     val body = actions.map(Action.toJson).mkString("", "\n", "\n")
     val dest = logDir.resolve(commitFileName(version))
     if (!commitStore.putIfAbsent(dest, body.getBytes(StandardCharsets.UTF_8)))

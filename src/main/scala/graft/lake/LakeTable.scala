@@ -407,7 +407,9 @@ final class LakeTable private (
       numOutputRows = rows)
     val actions = metaAction ++ removes ++ adds.map(Action.of) ++
       txn.map(Action.of).toSeq :+ Action.of(ci)
-    commitWithRetry(snap.version, actions, rebaseable = !overwrite && metaAction.isEmpty)
+    commitWithRetry(snap.version, actions,
+      rebaseable = !overwrite && metaAction.isEmpty,
+      readMeta = Some(snap.metaData))
     // post-commit maintenance — never fails the (already durable) write
     maybeAutoCompact()
   }
@@ -419,14 +421,20 @@ final class LakeTable private (
     * The rebase is NOT fully blind: before replaying the staged actions
     * at the new version it re-validates the two things a concurrent
     * commit can silently invalidate —
-    *  - the table's VALIDATION-relevant metadata (schema, partition
-    *    layout, bucketing, constraints — [[MetaData.validationState]])
-    *    must be unchanged: the appended rows were aligned against the
-    *    read snapshot's schema and validated against its constraints; a
-    *    concurrent ADD CONSTRAINT / schema evolution / re-partition
-    *    makes the staged data stale → abort with the conflict so the
-    *    caller re-stages. Benign property-only commits (tags, CDC
-    *    toggle, MV lineage) rebase through;
+    *  - the table's VALIDATION-relevant metadata (generation id, schema,
+    *    partition layout, bucketing, constraints —
+    *    [[MetaData.validationState]]) must be unchanged from the
+    *    caller's PINNED read metadata (`readMeta` — compared in-memory,
+    *    NOT re-resolved from the log: a table deleted and recreated at
+    *    the same path replaces the log wholesale, so a re-resolved
+    *    "snapshot at readVersion" would read the NEW generation on both
+    *    sides and the comparison could never catch it): the appended
+    *    rows were aligned against the read snapshot's schema and
+    *    validated against its constraints; a concurrent ADD CONSTRAINT /
+    *    schema evolution / re-partition / recreate makes the staged data
+    *    stale → abort with the conflict so the caller re-stages. Benign
+    *    property-only commits (tags, CDC toggle, MV lineage) rebase
+    *    through;
     *  - a SetTxn in the staged actions must still be NEW (two writers
     *    racing the same `idempotentAppend(appId, batchId)` both pass
     *    the pre-check; the loser's rebase would commit the batch a
@@ -434,8 +442,12 @@ final class LakeTable private (
     *    treats the batch as already-committed and returns the winner's
     *    version, a no-op exactly like the pre-check path).
     */
-  private def commitWithRetry(readVersion: Long, actions: Seq[Action],
-      rebaseable: Boolean, maxRetries: Int = 20): Long = {
+  // private[lake] (not `private`) so the recreate-guard spec can drive
+  // the rebase path with a PINNED read metadata, simulating the staging
+  // window a recreate can land in
+  private[lake] def commitWithRetry(readVersion: Long, actions: Seq[Action],
+      rebaseable: Boolean, readMeta: Option[MetaData] = None,
+      maxRetries: Int = 20): Long = {
     var attempt = readVersion + 1
     var tries = 0
     while (true) {
@@ -447,9 +459,8 @@ final class LakeTable private (
           tries += 1
           if (!rebaseable || tries > maxRetries) throw e
           val cur = log.snapshot(None)
-          if (readVersion >= 0 &&
-              cur.metaData.validationState !=
-                log.snapshot(Some(readVersion)).metaData.validationState)
+          if (readMeta.exists(_.validationState !=
+              cur.metaData.validationState))
             throw e
           val alreadyCommitted = actions.flatMap(_.txn).exists(t =>
             cur.txns.get(t.appId).exists(_ >= t.batchId))

@@ -258,21 +258,23 @@ object Similarity {
       sourcePath: String, vecCol: String, idCol: String): Long = {
     import org.apache.spark.sql.graft.VectorExpressions.nearestCentroids
     val src = graft.lake.LakeTable.forPath(spark, sourcePath)
-    val latest = src.snapshot.version
+    // ONE snapshot provides the sync ceiling AND the generation id
+    // (separate resolutions could pair them across a recreate)
+    val srcSnap = src.snapshot
+    val latest = srcSnap.version
+    val srcId = srcSnap.metaData.id
     val asg = graft.lake.LakeTable.forPath(spark, s"$indexPath/assignments")
     val cb = graft.lake.LakeTable.forPath(spark, s"$indexPath/codebook")
     // generation guard: the applied version only counts within ONE
-    // source generation. Absent prop = index baselined before the guard
-    // existed; checked when present.
-    val srcId = src.snapshot.metaData.id
-    cb.snapshot.metaData.properties.get(SOURCE_ID_PROP)
-      .filter(_ != srcId).foreach { old =>
-        throw new IllegalStateException(
-          s"source table $sourcePath was deleted and recreated (index at " +
-            s"$indexPath synced against generation $old, found $srcId): " +
-            "the applied version cannot continue — rebuild the index " +
-            "against the new table")
-      }
+    // source generation
+    val recordedId = cb.snapshot.metaData.properties.get(SOURCE_ID_PROP)
+    recordedId.filter(_ != srcId).foreach { old =>
+      throw new IllegalStateException(
+        s"source table $sourcePath was deleted and recreated (index at " +
+          s"$indexPath synced against generation $old, found $srcId): " +
+          "the applied version cannot continue — rebuild the index " +
+          "against the new table")
+    }
     val txnApplied = asg.snapshot.txns.getOrElse(syncAppId(sourcePath), -1L)
     val propApplied = cb.snapshot.metaData.properties.get(SYNCED_PROP)
       .flatMap(_.toLongOption).getOrElse(-1L)
@@ -300,6 +302,11 @@ object Similarity {
       markIvfSynced(spark, indexPath, latest, Some(srcId))
       return 0L
     }
+    // legacy adoption: an index baselined before the guard existed has
+    // no recorded generation — stamp the observed one (one property
+    // commit, first sync only), closing the window for every later sync
+    if (recordedId.isEmpty)
+      cb.setProperties(Map(SOURCE_ID_PROP -> srcId))
     val applied = math.max(txnApplied, propApplied)
     if (latest <= applied) return 0L
     // bounded at the version captured above: a commit racing in between

@@ -50,11 +50,17 @@ object CorpusPipeline {
   private def buildAndBaseline(spark: SparkSession, outRoot: String,
       vecCol: String, nLists: Int): Unit = {
     val t = LakeTable.forPath(spark, s"$outRoot/curated")
-    val v = t.version
+    // ONE snapshot provides the pinned build version AND the generation
+    // id: re-resolving for the id after the (long) index training could
+    // pair a new generation's id with the old generation's version if a
+    // recreate lands mid-build — the guard would then pass while the
+    // baseline counts the wrong history
+    val snap = t.snapshot
+    val v = snap.version
     graft.ops.Similarity.buildIvfIndex(t.asOf(v).toDF, vecCol, "doc_id",
       s"$outRoot/semindex", nLists = nLists)
     graft.ops.Similarity.markIvfSynced(spark, s"$outRoot/semindex", v,
-      Some(t.snapshot.metaData.id))
+      Some(snap.metaData.id))
   }
 
   /** Run the full curation; writes `curated` and `lang_stats` lake

@@ -25,3 +25,17 @@ object TestSpark {
     s
   }
 }
+
+/** Shared filesystem helpers for specs (one copy, not one per suite). */
+object TestFs {
+  /** Recursive delete, tolerant of concurrently-vanishing entries —
+    * the fixture primitive of every delete+recreate-at-the-same-path
+    * regression test. */
+  def rmRf(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p))
+      graft.util.Fs.listDir(p).foreach(rmRf)
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
+  def rmRf(path: String): Unit = rmRf(java.nio.file.Paths.get(path))
+}

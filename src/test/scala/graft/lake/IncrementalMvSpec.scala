@@ -361,11 +361,7 @@ class IncrementalMvSpec extends AnyFunSuite {
     IncrementalMv.create(spark, mvPath, srcPath, Seq("g"), Seq("v"))
     assertParity(mvPath, t, Seq("g"), Seq("v"))
 
-    def rmRf(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) graft.util.Fs.listDir(p).foreach(rmRf)
-      Files.deleteIfExists(p)
-    }
-    rmRf(java.nio.file.Paths.get(srcPath))
+    graft.TestFs.rmRf(srcPath)
     // recreated with the same schema AND more commits than the pointer,
     // so neither the schema nor the early "nothing new" return masks it
     val t2 = sourceTable(srcPath)
@@ -379,5 +375,45 @@ class IncrementalMvSpec extends AnyFunSuite {
     assert(e.getMessage.contains("deleted and recreated"))
     assert(LakeTable.forPath(spark, mvPath).toDF.collect().toSet === mvBefore,
       "the view must be untouched by the refused refresh")
+  }
+
+  test("a legacy view adopts the source generation at its next refresh") {
+    // views created before the guard existed have no recorded source
+    // id; a refresh that advances the pointer must STAMP the observed
+    // generation (same CAS commit), so the exposure window closes
+    // instead of persisting forever
+    val srcPath = tmpDir()
+    val mvPath = tmpDir() + "/mv"
+    val t = sourceTable(srcPath)
+    IncrementalMv.create(spark, mvPath, srcPath, Seq("g"), Seq("v"))
+
+    // simulate the legacy view: strip the recorded id with a raw
+    // metadata commit (no public API removes properties — deliberate)
+    val mv = LakeTable.forPath(spark, mvPath)
+    val snap = mv.snapshot
+    val legacyMeta = snap.metaData.copy(
+      properties = snap.metaData.properties - IncrementalMv.SRC_ID_PROP)
+    mv.log.write(snap.version + 1, Seq(Action.of(legacyMeta),
+      Action.of(CommitInfo(System.currentTimeMillis(),
+        "SET TBLPROPERTIES", Map.empty))))
+    assert(!LakeTable.forPath(spark, mvPath).snapshot.metaData.properties
+      .contains(IncrementalMv.SRC_ID_PROP))
+
+    t.append(Seq((6L, "a", Option(6.0))).toDF("id", "g", "v"))
+    IncrementalMv.refresh(spark, mvPath)
+    assertParity(mvPath, t, Seq("g"), Seq("v"))
+    assert(LakeTable.forPath(spark, mvPath).snapshot.metaData.properties
+      .get(IncrementalMv.SRC_ID_PROP)
+      .contains(t.snapshot.metaData.id), "refresh must adopt the id")
+
+    // and the adopted id guards the very next refresh across a recreate
+    graft.TestFs.rmRf(srcPath)
+    val t2 = sourceTable(srcPath)
+    t2.append(Seq((7L, "d", Option(7.0))).toDF("id", "g", "v"))
+    t2.append(Seq((8L, "e", Option(8.0))).toDF("id", "g", "v"))
+    val e = intercept[IllegalStateException] {
+      IncrementalMv.refresh(spark, mvPath)
+    }
+    assert(e.getMessage.contains("deleted and recreated"))
   }
 }

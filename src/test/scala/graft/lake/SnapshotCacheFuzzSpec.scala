@@ -57,11 +57,7 @@ class SnapshotCacheFuzzSpec extends AnyFunSuite {
         // same path mid-history, which the commit-file fingerprint must
         // catch
         if (seed == 4 && step == 15) {
-          def rmRf(p: java.nio.file.Path): Unit = {
-            if (Files.isDirectory(p)) graft.util.Fs.listDir(p).foreach(rmRf)
-            Files.deleteIfExists(p)
-          }
-          rmRf(java.nio.file.Paths.get(path))
+          graft.TestFs.rmRf(path)
           model.clear(); model(0L) = "reborn"
           t = LakeTable.create(spark, path, Seq((0L, "reborn")).toDF("id", "v"))
           recreated = true
@@ -118,18 +114,13 @@ class SnapshotCacheFuzzSpec extends AnyFunSuite {
     tA.append(Seq((1L, "genA")).toDF("id", "v")) // latest version = 1
     val genA = tA.snapshot.metaData.id
 
-    def rmRf(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) graft.util.Fs.listDir(p).foreach(rmRf)
-      Files.deleteIfExists(p)
-    }
-
     LakeLog.snapshotCache.clear()
     var fired = false
     LakeLog.onBeforeCachePut = () => {
       // disarm FIRST: the recreate below resolves snapshots itself
       LakeLog.onBeforeCachePut = () => ()
       fired = true
-      rmRf(java.nio.file.Paths.get(path))
+      graft.TestFs.rmRf(path)
       val tB = LakeTable.create(spark, path, Seq((0L, "genB")).toDF("id", "v"))
       tB.append(Seq((1L, "genB")).toDF("id", "v")) // same latest version
     }

@@ -64,11 +64,7 @@ class SnapshotCacheSpec extends AnyFunSuite {
     val path = tmpDir()
     val t1 = LakeTable.create(spark, path, Seq((1L, "old")).toDF("id", "v"))
     t1.snapshot // cache the OLD table's v0
-    def rmRf(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) graft.util.Fs.listDir(p).foreach(rmRf)
-      Files.deleteIfExists(p)
-    }
-    rmRf(Paths.get(path))
+    graft.TestFs.rmRf(path)
     val t2 = LakeTable.create(spark, path, Seq((9L, "new")).toDF("id", "v"))
     val rows = t2.toDF.as[(Long, String)].collect().toSet
     assert(rows === Set((9L, "new")),

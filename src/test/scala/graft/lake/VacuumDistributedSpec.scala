@@ -99,11 +99,7 @@ class VacuumDistributedSpec extends AnyFunSuite {
       assert(t.toDF.count() === 45)
       assert(t.snapshot.files.map(_.path).toSet.subsetOf(allFiles(rel)))
     } finally {
-      def rmRf(p: java.nio.file.Path): Unit = {
-        if (Files.isDirectory(p)) graft.util.Fs.listDir(p).foreach(rmRf)
-        Files.deleteIfExists(p)
-      }
-      rmRf(relBase)
+      graft.TestFs.rmRf(relBase)
     }
   }
 

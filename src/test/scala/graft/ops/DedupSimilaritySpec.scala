@@ -271,18 +271,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
       properties = Map(graft.lake.Cdc.PROP -> "true"))
     Similarity.buildIvfIndex(t.toDF, "embedding", "vec_id", indexPath,
       nLists = 2)
-    Similarity.markIvfSynced(spark, indexPath, t.version,
-      Some(t.snapshot.metaData.id))
+    // LEGACY baseline (no source id — the pre-guard shape): the next
+    // sync must both work and ADOPT the observed generation
+    Similarity.markIvfSynced(spark, indexPath, t.version)
     t.append(Seq((3L, Array(1f, 1f))).toDF("vec_id", "embedding"))
     assert(Similarity.syncIvfIndexFromTable(spark, indexPath, srcPath,
       "embedding", "vec_id") === 1L, "same-generation sync still works")
+    assert(graft.lake.LakeTable.forPath(spark, s"$indexPath/codebook")
+      .snapshot.metaData.properties.get(Similarity.SOURCE_ID_PROP)
+      .contains(t.snapshot.metaData.id), "sync must adopt the source id")
 
-    def rmRf(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p))
-        graft.util.Fs.listDir(p).foreach(rmRf)
-      java.nio.file.Files.deleteIfExists(p)
-    }
-    rmRf(java.nio.file.Paths.get(srcPath))
+    graft.TestFs.rmRf(srcPath)
     // recreated with MORE commits than the applied pointer, so the
     // "nothing new" early return cannot mask the wrong-generation read
     val t2 = graft.lake.LakeTable.create(spark, srcPath,

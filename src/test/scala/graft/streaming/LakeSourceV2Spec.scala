@@ -384,11 +384,7 @@ class LakeSourceV2Spec extends AnyFunSuite {
       assert(buf.contains((1L, "a")) && buf.contains((2L, "b")))
     } finally q1.stop()
 
-    def rmRf(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) graft.util.Fs.listDir(p).foreach(rmRf)
-      Files.deleteIfExists(p)
-    }
-    rmRf(java.nio.file.Paths.get(path))
+    graft.TestFs.rmRf(path)
     val t2 = LakeTable.create(spark, path, Seq((9L, "z")).toDF("id", "v"))
     t2.append(Seq((10L, "y")).toDF("id", "v"))
     t2.append(Seq((11L, "x")).toDF("id", "v")) // new gen is AHEAD of the ckpt

@@ -101,11 +101,7 @@ class WriteStalenessSpec extends AnyFunSuite {
     val planned = t.snapshot.metaData
     val dataSchema = t.snapshot.dataSchema
 
-    def rmRf(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) graft.util.Fs.listDir(p).foreach(rmRf)
-      Files.deleteIfExists(p)
-    }
-    rmRf(Paths.get(path))
+    graft.TestFs.rmRf(path)
     LakeTable.create(spark, path, Seq((9L, "z")).toDF("id", "v"))
     val t2 = LakeTable.forPath(spark, path)
 
