@@ -438,13 +438,37 @@ final class LakeLog(
 
   /** Every CHECKPOINT_EVERY commits: write the columnar parquet
     * checkpoint, then atomically swing `_last_checkpoint` to it.
+    *
+    * Scale: the write is O(live files) of driver-side parquet encoding —
+    * at 10M files, tens of seconds. NOTHING waits on a checkpoint
+    * (resolution falls back to the previous one + a longer commit tail),
+    * so above [[LakeLog.asyncCheckpointFileThreshold]] ESTIMATED files
+    * (the cached latest snapshot's count — absent cache entry means a
+    * fresh/small table, which stays synchronous) the unlucky boundary
+    * commit hands the work to a daemon thread instead of paying it
+    * inline. A process death before the async write lands just leaves
+    * the pointer at the previous checkpoint — the next boundary writes
+    * again; concurrent checkpointers were already safe (put-if-absent
+    * file publish, pointer never moves backwards).
     */
   private def maybeCheckpoint(version: Long): Unit = {
     if (version == 0 || version % CHECKPOINT_EVERY != 0) return
-    try writeCheckpointAt(version)
-    catch {
-      case NonFatal(_) => () // checkpoints are an optimization, never fail a commit
-    }
+    // checkpoints are an optimization, never fail (or block) a commit
+    def attempt(): Unit =
+      try writeCheckpointAt(version)
+      catch { case NonFatal(_) => () }
+    val estFiles = Option(LakeLog.snapshotCache.get(cacheKey))
+      .map(_.snapshot.files.size.toLong)
+    if (estFiles.exists(_ >= LakeLog.asyncCheckpointFileThreshold)) {
+      LakeLog.checkpointExecutor.execute(() => {
+        // coalesce: a queued boundary already covered by a NEWER
+        // checkpoint (a later boundary, or an expiry's horizon
+        // checkpoint) skips its O(live files) encode entirely — a
+        // fallen-behind executor drains stale tasks near-free instead
+        // of compounding its lag
+        if (!lastCheckpointVersion.exists(_ >= version)) attempt()
+      })
+    } else attempt()
   }
 
   /** Materialize the columnar checkpoint for `version` (idempotent — a
@@ -461,6 +485,17 @@ final class LakeLog(
         snap.files.map(Action.of)
     val tmpDir = logDir.resolve(TMP_DIR)
     Files.createDirectories(tmpDir)
+    // opportunistic reap of tmp files a crashed checkpointer left behind
+    // (vacuum never descends into the log dir, so nothing else cleans
+    // them); a live writer's tmp is seconds old — 24h is comfortably
+    // past any real write
+    graft.util.Fs.listDir(tmpDir).foreach { p =>
+      try {
+        if (System.currentTimeMillis() -
+            Files.getLastModifiedTime(p).toMillis > 24L * 3600 * 1000)
+          Files.deleteIfExists(p)
+      } catch { case NonFatal(_) => () }
+    }
     val tmp = tmpDir.resolve(UUID.randomUUID().toString + ".parquet")
     Checkpoint.write(tmp, actions)
     try commitStore.putIfAbsentFile(
@@ -468,10 +503,20 @@ final class LakeLog(
     finally Files.deleteIfExists(tmp)
 
     // pointer swap: last-writer-wins replace, and never move it
-    // backwards under a concurrent slower checkpointer
-    if (!lastCheckpointVersion.exists(_ >= version)) {
-      commitStore.replace(logDir.resolve(LAST_CHECKPOINT),
-        s"""{"version":$version}""".getBytes(StandardCharsets.UTF_8))
+    // backwards under a concurrent slower checkpointer. The check and
+    // the replace are serialized under a JVM-global lock: with async
+    // checkpointing, a delayed boundary task racing an expiry's horizon
+    // checkpoint IN-PROCESS could otherwise interleave inside the
+    // check→replace window and swing the pointer backwards past deleted
+    // commits (readers would fall back to listing; writers would read a
+    // stale latest). Cross-PROCESS the window is unchanged — the same
+    // small last-writer-wins race every shared-pointer scheme has, and
+    // self-healing at the next boundary.
+    LakeLog.pointerSwingLock.synchronized {
+      if (!lastCheckpointVersion.exists(_ >= version)) {
+        commitStore.replace(logDir.resolve(LAST_CHECKPOINT),
+          s"""{"version":$version}""".getBytes(StandardCharsets.UTF_8))
+      }
     }
   }
 
@@ -533,6 +578,27 @@ object LakeLog {
     * race degrade to a cache miss, never a poisoned entry). No-op in
     * production. */
   private[lake] var onBeforeCachePut: () => Unit = () => ()
+
+  /** Estimated-live-file count above which the boundary checkpoint is
+    * written on [[checkpointExecutor]] instead of inline in the commit
+    * path (see maybeCheckpoint). `var` so specs can drive the async path
+    * on small fixtures. */
+  private[lake] var asyncCheckpointFileThreshold: Long = 100000L
+
+  /** Serializes every `_last_checkpoint` check→replace in this JVM —
+    * see the pointer-swap comment in writeCheckpointAt. */
+  private[lake] val pointerSwingLock = new Object
+
+  /** One daemon thread for ALL tables' async checkpoints: checkpoints
+    * are advisory, serial writes bound the memory in flight to one
+    * snapshot's encoding, and a queue simply delays the pointer swing —
+    * which nothing waits on. */
+  private[lake] lazy val checkpointExecutor =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-async-checkpoint")
+      t.setDaemon(true)
+      t
+    })
 
   /** `ckptPtr` is the `_last_checkpoint` pointer at resolution time:
     * reuse (exact hit OR incremental replay) requires it UNCHANGED, so

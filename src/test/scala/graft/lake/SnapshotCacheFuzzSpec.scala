@@ -101,6 +101,49 @@ class SnapshotCacheFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("parity holds with ASYNC checkpoints racing random DML/expiry/vacuum (seed 5)") {
+    // threshold 0 pushes every boundary checkpoint onto the daemon
+    // writer, so checkpoint publication and pointer swings land at
+    // arbitrary points relative to the history's commits, expiries, and
+    // vacuums — warm/cold parity and data correctness must be
+    // indifferent to WHEN (or whether) a checkpoint lands
+    val old = LakeLog.asyncCheckpointFileThreshold
+    LakeLog.asyncCheckpointFileThreshold = 0L
+    try {
+      val rnd = new scala.util.Random(5L)
+      val path = Files.createTempDirectory("snapfuzz-async-").toString
+      val t = LakeTable.create(spark, path, Seq((0L, "r0")).toDF("id", "v"))
+      val model = scala.collection.mutable.LinkedHashMap(0L -> "r0")
+      var nextId = 1L
+      for (step <- 1 to 28) {
+        rnd.nextInt(10) match {
+          case 0 | 1 | 2 | 3 =>
+            val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+              val id = nextId; nextId += 1
+              model(id) = s"r$id"; (id, s"r$id")
+            }
+            t.append(rows.toDF("id", "v"))
+          case 4 if model.size > 1 =>
+            val id = model.keys.toSeq(rnd.nextInt(model.size))
+            model.remove(id)
+            t.delete(col("id") === id)
+          case 5 if model.nonEmpty =>
+            val id = model.keys.toSeq(rnd.nextInt(model.size))
+            model(id) = s"u$step"
+            t.update(col("id") === id, Map("v" -> lit(s"u$step")))
+          case 6 => t.setProperties(Map(s"tag$step" -> step.toString))
+          case 7 => t.compact(targetFileBytes = 1L << 30)
+          case 8 if step > 10 => t.expireSnapshots(olderThanMs = 0L, retainLast = 5)
+          case 9 if step > 5 => t.vacuum(retentionMs = 0L)
+          case _ => ()
+        }
+        assertParityWithCold(path)
+        assert(t.toDF.as[(Long, String)].collect().toSet === model.toSet,
+          s"data divergence at step $step")
+      }
+    } finally LakeLog.asyncCheckpointFileThreshold = old
+  }
+
   test("a recreate landing between replay and cache store cannot poison the cache") {
     // ADVICE r6: cachePut used to stat the commit file AFTER the replay,
     // so a delete+recreate in that window stored the OLD table's
