@@ -122,20 +122,48 @@ private[graft] class LakeStreamTable(
 private[graft] case class LakeSourceOffset(
     version: Long, tableId: Option[String] = None) extends Offset {
   override def json(): String = tableId match {
-    case Some(id) => s"""{"version":$version,"tableId":"$id"}"""
+    case Some(id) =>
+      s"""{"version":$version,"tableId":"${LakeSourceOffset.esc(id)}"}"""
     case None => s"""{"version":$version}"""
   }
 }
 
 private[graft] object LakeSourceOffset {
   private val VER_RE = "\"version\"\\s*:\\s*(-?\\d+)".r
-  private val ID_RE = "\"tableId\"\\s*:\\s*\"([^\"]+)\"".r
+  // tolerate escapes inside the id: engine-created tables use UUIDs,
+  // but LakeLog reads ANY conforming log, whose MetaData.id an external
+  // writer controls — an unescaped quote would corrupt the offset WAL
+  private val ID_RE = "\"tableId\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+
+  private[graft] def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case x => sb.append(x); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   def parse(json: String): LakeSourceOffset =
     LakeSourceOffset(
       VER_RE.findFirstMatchIn(json).map(_.group(1).toLong)
         .getOrElse(throw new IllegalArgumentException(s"bad offset: $json")),
-      ID_RE.findFirstMatchIn(json).map(_.group(1)))
+      ID_RE.findFirstMatchIn(json).map(m => unesc(m.group(1))))
 
   /** Fail when any offset pins a DIFFERENT table generation than the
     * one currently at `path` — checked at checkpoint recovery
@@ -149,55 +177,94 @@ private[graft] object LakeSourceOffset {
           s"the lake table at $path was deleted and recreated (stream " +
             s"pinned generation $old, found $currentId): its commit " +
             "versions do not continue the checkpointed history — restart " +
-            "with a fresh checkpoint (or startingVersion) against the new " +
-            "table")
+            "against the new table with a NEW checkpoint location " +
+            "(startingVersion only applies together with one; the old " +
+            "checkpoint replays the old generation's offsets regardless)")
       }
     }
 }
 
-private[graft] class LakeMicroBatchStream(
-    path: String, schema: StructType, startingVersion: Long,
-    skipChangeCommits: Boolean) extends MicroBatchStream
+/** Shared offset/generation plumbing of the two lake micro-batch
+  * streams (plain + CDF). Every emitted offset pairs its version with
+  * the generation id from ONE snapshot resolution — separate
+  * resolutions could pair a new generation's id with the old
+  * generation's version if a recreate lands in between, producing a
+  * consistent-LOOKING offset that silently continues in the wrong
+  * generation. AvailableNow pins the (version, id) PAIR at prepare
+  * time for the same reason. A table DELETED (not recreated) mid-run
+  * now fails the next offset resolution loudly instead of idling on a
+  * phantom -1 offset.
+  */
+private[graft] trait LakeOffsetStream extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  private val log = new graft.lake.LakeLog(path)
-  @volatile private var readerFactory: PartitionReaderFactory = _
+  protected def path: String
+  protected def startingVersion: Long
 
-  // generation id of the table CURRENTLY at path — resolved fresh per
-  // use (the snapshot cache makes this a pointer read + one stat), so a
-  // mid-run delete+recreate is caught at the next offset/plan, not
-  // absorbed
-  private def currentTableId: String = log.snapshot(None).metaData.id
+  protected lazy val log = new graft.lake.LakeLog(path)
 
-  // Trigger.AvailableNow (T1-T4): the engine calls prepare() once at
-  // query start; the backlog END is pinned to the commit-log version of
-  // that moment, so the query drains exactly the versions that existed
-  // at start and stops — concurrent writers can keep committing without
-  // extending the run (the same contract Delta's source implements).
-  @volatile private var pinnedEnd: Option[Long] = None
+  @volatile private var pinnedEnd: Option[(Long, String)] = None
+
+  // ONE resolution per (version, id) pair — the snapshot cache makes
+  // this a pointer read + existence probe + one stat per trigger
+  private def snapPair(): (Long, String) = {
+    val s = log.snapshot(None)
+    (s.version, s.metaData.id)
+  }
+
+  protected def currentTableId: String = log.snapshot(None).metaData.id
+
   override def prepareForTriggerAvailableNow(): Unit =
-    pinnedEnd = Some(log.latestVersion.getOrElse(-1L))
+    pinnedEnd = Some(snapPair())
 
   override def initialOffset(): Offset =
     LakeSourceOffset(startingVersion - 1, Some(currentTableId))
 
-  override def latestOffset(): Offset =
-    LakeSourceOffset(pinnedEnd.getOrElse(log.latestVersion.getOrElse(-1L)),
-      Some(currentTableId))
+  override def latestOffset(): Offset = {
+    val (v, id) = pinnedEnd.getOrElse(snapPair())
+    LakeSourceOffset(v, Some(id))
+  }
 
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
     latestOffset()
 
-  override def reportLatestOffset(): Offset =
-    LakeSourceOffset(log.latestVersion.getOrElse(-1L), Some(currentTableId))
+  override def reportLatestOffset(): Offset = {
+    val (v, id) = snapPair()
+    LakeSourceOffset(v, Some(id))
+  }
 
   override def deserializeOffset(json: String): Offset = {
     val o = LakeSourceOffset.parse(json)
-    // checkpoint recovery is the earliest point a recreate can surface
-    LakeSourceOffset.checkGeneration(path, currentTableId, o)
+    // checkpoint recovery is the earliest point a recreate can surface;
+    // id-LESS legacy offsets skip the check AND the snapshot resolution
+    // it needs (a pure parse, like before the guard existed)
+    o.tableId.foreach(_ =>
+      LakeSourceOffset.checkGeneration(path, currentTableId, o))
     o
   }
+
+  protected def checkGenerationAtPlan(start: Offset, end: Offset): Unit =
+    LakeSourceOffset.checkGeneration(path, currentTableId,
+      start.asInstanceOf[LakeSourceOffset], end.asInstanceOf[LakeSourceOffset])
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[graft] class LakeMicroBatchStream(
+    protected val path: String, schema: StructType,
+    protected val startingVersion: Long,
+    skipChangeCommits: Boolean) extends LakeOffsetStream {
+
+  @volatile private var readerFactory: PartitionReaderFactory = _
+
+  // Trigger.AvailableNow (T1-T4): the engine calls prepare() once at
+  // query start; the backlog END is pinned to the (version, generation)
+  // of that moment, so the query drains exactly the versions that
+  // existed at start and stops — concurrent writers can keep committing
+  // without extending the run (the same contract Delta's source
+  // implements). Offsets/recovery/generation guard: [[LakeOffsetStream]].
 
   /** Files added in `(start, end]`, excluding (or failing on) change
     * commits. */
@@ -215,8 +282,7 @@ private[graft] class LakeMicroBatchStream(
     }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    LakeSourceOffset.checkGeneration(path, currentTableId,
-      start.asInstanceOf[LakeSourceOffset], end.asInstanceOf[LakeSourceOffset])
+    checkGenerationAtPlan(start, end)
     val files = filesForRange(
       start.asInstanceOf[LakeSourceOffset].version,
       end.asInstanceOf[LakeSourceOffset].version)
@@ -233,9 +299,6 @@ private[graft] class LakeMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory = readerFactory
-
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
 }
 
 /** Streaming CHANGE DATA FEED (Delta's `readChangeFeed` stream): each
@@ -249,42 +312,17 @@ private[graft] class LakeMicroBatchStream(
   * rather than silently dropping changes.
   */
 private[graft] class LakeCdfMicroBatchStream(
-    path: String, outSchema: StructType, startingVersion: Long)
-  extends MicroBatchStream
-  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+    protected val path: String, outSchema: StructType,
+    protected val startingVersion: Long) extends LakeOffsetStream {
 
-  private val log = new graft.lake.LakeLog(path)
   private val tableSchema = StructType(outSchema.dropRight(3))
   private val cdcFileSchema = LakeCdf.cdcFileSchema(tableSchema)
   @volatile private var factory: CdfReaderFactory = _
 
-  // see LakeMicroBatchStream.currentTableId: the generation guard
-  private def currentTableId: String = log.snapshot(None).metaData.id
-
-  // see LakeMicroBatchStream: AvailableNow pins the backlog end at start
-  @volatile private var pinnedEnd: Option[Long] = None
-  override def prepareForTriggerAvailableNow(): Unit =
-    pinnedEnd = Some(log.latestVersion.getOrElse(-1L))
-
-  override def initialOffset(): Offset =
-    LakeSourceOffset(startingVersion - 1, Some(currentTableId))
-  override def latestOffset(): Offset =
-    LakeSourceOffset(pinnedEnd.getOrElse(log.latestVersion.getOrElse(-1L)),
-      Some(currentTableId))
-  override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    latestOffset()
-  override def reportLatestOffset(): Offset =
-    LakeSourceOffset(log.latestVersion.getOrElse(-1L), Some(currentTableId))
-  override def deserializeOffset(json: String): Offset = {
-    val o = LakeSourceOffset.parse(json)
-    LakeSourceOffset.checkGeneration(path, currentTableId, o)
-    o
-  }
+  // offsets/recovery/generation guard: [[LakeOffsetStream]]
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    LakeSourceOffset.checkGeneration(path, currentTableId,
-      start.asInstanceOf[LakeSourceOffset], end.asInstanceOf[LakeSourceOffset])
+    checkGenerationAtPlan(start, end)
     val (parts, f) = LakeCdf.plan(path, tableSchema, cdcFileSchema,
       start.asInstanceOf[LakeSourceOffset].version + 1,
       end.asInstanceOf[LakeSourceOffset].version, log)
@@ -293,8 +331,6 @@ private[graft] class LakeCdfMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory = factory
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
 }
 
 /** Shared CDF partition planning for the streaming source and the
