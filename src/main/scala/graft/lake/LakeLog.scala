@@ -422,13 +422,21 @@ final class LakeLog(
     */
   def write(version: Long, actions: Seq[Action]): Unit = {
     Files.createDirectories(logDir)
+    // thrown as a CONFLICT (not a hard error) because the benign cause
+    // is a concurrent expireSnapshots racing a slow writer: the commit
+    // slots below the new horizon are deleted, and a rebaseable append
+    // should rebase onto the current state exactly like losing a
+    // version race — commitWithRetry's readMeta check then tells the
+    // recreate apart (generation id changed → abort) from the expiry
+    // (same generation → retry at the current tip)
     if (version > 0 &&
         !Files.isRegularFile(logDir.resolve(commitFileName(version - 1))))
-      throw new IllegalStateException(
+      throw new CommitConflictException(
         s"cannot commit version $version of $tablePath: predecessor " +
-          s"${version - 1} does not exist — the table history this " +
-          "writer read was deleted or replaced (recreate at the same " +
-          "path?); re-open the table and re-stage")
+          s"${version - 1} no longer exists — the history this writer " +
+          "read was expired (concurrent expireSnapshots) or replaced " +
+          "(delete+recreate at the same path); rebaseable appends " +
+          "rebase, other writers must re-read and re-stage")
     val body = actions.map(Action.toJson).mkString("", "\n", "\n")
     val dest = logDir.resolve(commitFileName(version))
     if (!commitStore.putIfAbsent(dest, body.getBytes(StandardCharsets.UTF_8)))
@@ -555,9 +563,11 @@ final class LakeLog(
   }
 }
 
-final class CommitConflictException(table: String, version: Long)
-  extends RuntimeException(
+final class CommitConflictException private[lake] (message: String)
+  extends RuntimeException(message) {
+  def this(table: String, version: Long) = this(
     s"concurrent commit: version $version of $table was published by another writer")
+}
 
 /** A compare-and-swap table-property precondition (`expectProps`) did
   * not hold at the commit's read snapshot: another writer advanced the

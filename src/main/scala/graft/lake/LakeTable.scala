@@ -448,6 +448,12 @@ final class LakeTable private (
   private[lake] def commitWithRetry(readVersion: Long, actions: Seq[Action],
       rebaseable: Boolean, readMeta: Option[MetaData] = None,
       maxRetries: Int = 20): Long = {
+    // a rebase WITHOUT the pinned read metadata would blindly replay
+    // staged actions past concurrent schema/constraint/generation
+    // changes — the exact bug class the guard exists for, reintroduced
+    // by forgetting an optional argument
+    require(!rebaseable || readMeta.isDefined,
+      "rebaseable commits must pin the read snapshot's metadata")
     var attempt = readVersion + 1
     var tries = 0
     while (true) {

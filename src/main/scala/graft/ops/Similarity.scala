@@ -304,9 +304,25 @@ object Similarity {
     }
     // legacy adoption: an index baselined before the guard existed has
     // no recorded generation — stamp the observed one (one property
-    // commit, first sync only), closing the window for every later sync
-    if (recordedId.isEmpty)
-      cb.setProperties(Map(SOURCE_ID_PROP -> srcId))
+    // commit, first sync only), closing the window for every later
+    // sync. The stamp blesses whatever generation THIS sync observes
+    // (the same check-once trade-off as the stream offsets); a
+    // concurrent first sync racing the same stamp is benign — both
+    // observed the same source — so a commit conflict here degrades to
+    // re-validating instead of failing the sync's exactly-once contract
+    if (recordedId.isEmpty) {
+      try cb.setProperties(Map(SOURCE_ID_PROP -> srcId))
+      catch {
+        case _: graft.lake.CommitConflictException =>
+          val now = graft.lake.LakeTable.forPath(spark, s"$indexPath/codebook")
+            .snapshot.metaData.properties.get(SOURCE_ID_PROP)
+          if (now.exists(_ != srcId))
+            throw new IllegalStateException(
+              s"source table $sourcePath was deleted and recreated " +
+                s"(concurrent sync recorded generation ${now.get}, this " +
+                s"one observed $srcId) — rebuild the index")
+      }
+    }
     val applied = math.max(txnApplied, propApplied)
     if (latest <= applied) return 0L
     // bounded at the version captured above: a commit racing in between

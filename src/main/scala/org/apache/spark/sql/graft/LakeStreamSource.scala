@@ -121,49 +121,31 @@ private[graft] class LakeStreamTable(
   * with the id. */
 private[graft] case class LakeSourceOffset(
     version: Long, tableId: Option[String] = None) extends Offset {
-  override def json(): String = tableId match {
-    case Some(id) =>
-      s"""{"version":$version,"tableId":"${LakeSourceOffset.esc(id)}"}"""
-    case None => s"""{"version":$version}"""
+  // Jackson, not string interpolation: engine-created tables use UUID
+  // ids, but LakeLog reads ANY conforming log, whose MetaData.id an
+  // external writer controls — an unescaped quote would corrupt the
+  // stream's offset WAL. The id-less legacy form stays byte-identical
+  // ({"version":N}).
+  override def json(): String = {
+    val n = LakeSourceOffset.mapper.createObjectNode()
+    n.put("version", version)
+    tableId.foreach(id => n.put("tableId", id))
+    n.toString
   }
 }
 
 private[graft] object LakeSourceOffset {
-  private val VER_RE = "\"version\"\\s*:\\s*(-?\\d+)".r
-  // tolerate escapes inside the id: engine-created tables use UUIDs,
-  // but LakeLog reads ANY conforming log, whose MetaData.id an external
-  // writer controls — an unescaped quote would corrupt the offset WAL
-  private val ID_RE = "\"tableId\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  private[graft] def esc(s: String): String = s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
+  def parse(json: String): LakeSourceOffset = {
+    val node =
+      try mapper.readTree(json)
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (node == null || !node.hasNonNull("version"))
+      throw new IllegalArgumentException(s"bad offset: $json")
+    LakeSourceOffset(node.get("version").asLong(),
+      Option(node.get("tableId")).map(_.asText()))
   }
-
-  private def unesc(s: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length) {
-        s.charAt(i + 1) match {
-          case 'u' if i + 5 < s.length =>
-            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
-            i += 6
-          case x => sb.append(x); i += 2
-        }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
-
-  def parse(json: String): LakeSourceOffset =
-    LakeSourceOffset(
-      VER_RE.findFirstMatchIn(json).map(_.group(1).toLong)
-        .getOrElse(throw new IllegalArgumentException(s"bad offset: $json")),
-      ID_RE.findFirstMatchIn(json).map(m => unesc(m.group(1))))
 
   /** Fail when any offset pins a DIFFERENT table generation than the
     * one currently at `path` — checked at checkpoint recovery

@@ -70,8 +70,11 @@ class CommitGenerationSpec extends AnyFunSuite {
       Action.of(AddFile("f.parquet", Map.empty, 1L, now, None)),
       Action.of(CommitInfo(now, "APPEND", Map.empty)))
     // a writer that read a LONGER history (e.g. v5 of a prior
-    // generation) attempts version 6 — predecessor 5 does not exist
-    val e = intercept[IllegalStateException] { log.write(6L, actions) }
+    // generation) attempts version 6 — predecessor 5 does not exist.
+    // Thrown as a CONFLICT so a rebaseable append re-enters the rebase
+    // path (the benign cause is concurrent expiry, where the pinned
+    // readMeta still matches and the retry at the current tip succeeds)
+    val e = intercept[CommitConflictException] { log.write(6L, actions) }
     assert(e.getMessage.contains("predecessor"))
     assert(!Files.isRegularFile(java.nio.file.Paths.get(
       path, LakeLog.LOG_DIR, LakeLog.commitFileName(6L))),
@@ -79,5 +82,31 @@ class CommitGenerationSpec extends AnyFunSuite {
     // the dense next version still works
     log.write(2L, actions)
     assert(new LakeLog(path).snapshot(None).version === 2L)
+  }
+
+  test("a blind append whose read version was EXPIRED rebases to the tip") {
+    // the benign cause of a missing predecessor: concurrent
+    // expireSnapshots deleted the slots below its horizon while this
+    // writer staged. Same generation → the pinned readMeta matches and
+    // the rebase lands at the current tip instead of failing with a
+    // misleading recreate diagnosis
+    val path = Files.createTempDirectory("commit-expired-").toString
+    val t = LakeTable.create(spark, path, Seq((0L, "a")).toDF("id", "v"))
+    for (i <- 1 to 12) t.append(Seq((i.toLong, "a")).toDF("id", "v"))
+    t.expireSnapshots(olderThanMs = 0L, retainLast = 3)
+    assert(!Files.isRegularFile(java.nio.file.Paths.get(
+      path, LakeLog.LOG_DIR, LakeLog.commitFileName(2L))),
+      "the fixture must actually expire the writer's slot")
+
+    val now = System.currentTimeMillis()
+    val staged = Seq(
+      Action.of(AddFile("late.parquet", Map.empty, 1L, now, None)),
+      Action.of(CommitInfo(now, "APPEND", Map.empty)))
+    // writer pinned at v1 (now expired); the generation is unchanged
+    val v = t.commitWithRetry(1L, staged, rebaseable = true,
+      readMeta = Some(t.snapshot.metaData))
+    assert(v === 13L, "the rebase must land past the expiry horizon")
+    assert(LakeTable.forPath(spark, path).snapshot.files
+      .exists(_.path == "late.parquet"))
   }
 }

@@ -390,10 +390,10 @@ class LakeSourceV2Spec extends AnyFunSuite {
     t2.append(Seq((11L, "x")).toDF("id", "v")) // new gen is AHEAD of the ckpt
 
     val q2 = start()
-    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      q2.processAllAvailable()
-    }
-    q2.stop()
+    val e =
+      try intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      } finally q2.stop()
     assert(!buf.contains((9L, "z")) && !buf.contains((10L, "y")) &&
       !buf.contains((11L, "x")), "no new-generation rows may reach the sink")
     def messages(t: Throwable): Seq[String] =
