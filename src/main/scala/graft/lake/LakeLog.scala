@@ -111,6 +111,10 @@ final class LakeLog(
   }
 
   /** Actions of one committed version (for vacuum / audit / CDC). */
+  /** Whether `v`'s commit file is still retained (one stat). */
+  def commitExists(v: Long): Boolean =
+    Files.isRegularFile(logDir.resolve(LakeLog.commitFileName(v)))
+
   def readCommit(v: Long): Seq[Action] = {
     val p = logDir.resolve(LakeLog.commitFileName(v))
     if (!Files.isRegularFile(p))

@@ -170,19 +170,38 @@ final class LakeTable private (
   def asOfTimestamp(tsMillis: Long): LakeTable =
     asOf(log.versionAtTimestamp(tsMillis))
 
-  /** DESCRIBE HISTORY analog (newest first). Reads the full log — the
-    * version-pinned snapshot only carries the post-checkpoint tail.
+  /** DESCRIBE HISTORY analog (newest first). Reads the FULL retained
+    * log — O(retained commits) sequential reads on the driver, bounded
+    * only by snapshot expiry. A busy table retaining months of
+    * per-second commits makes that millions of reads: use
+    * [[history(limit:Int)*]] (`DESCRIBE HISTORY t LIMIT n` in SQL) for
+    * the common newest-N ask — O(limit) reads, no directory listing.
     */
-  def history: DataFrame = {
+  def history: DataFrame = historyRows(
+    log.commitHistory.filter(_._1 <= snapshot.version).sortBy(-_._1))
+
+  /** Newest `limit` history entries at O(limit) commit reads: versions
+    * are dense from the first retained one, so the newest window is
+    * addressable directly — probe downward and stop at the expiry edge.
+    * No listing, no full-log read. */
+  def history(limit: Int): DataFrame = {
+    require(limit > 0, s"history limit must be positive, got $limit")
+    val top = snapshot.version
+    historyRows((top to math.max(0L, top - limit + 1) by -1)
+      .iterator
+      .takeWhile(log.commitExists)
+      .flatMap(v => log.readCommit(v).flatMap(_.commitInfo).map(v -> _))
+      .toSeq)
+  }
+
+  private def historyRows(entries: Seq[(Long, CommitInfo)]): DataFrame = {
     import spark.implicits._
-    log.commitHistory.filter(_._1 <= snapshot.version).sortBy(-_._1)
-      .map { case (v, ci) =>
-        (v, new java.sql.Timestamp(ci.timestamp), ci.operation,
-          ci.parameters.map { case (k, s) => s"$k=$s" }.mkString(";"),
-          ci.numAddedFiles, ci.numRemovedFiles, ci.numOutputRows)
-      }
-      .toDF("version", "timestamp", "operation", "parameters",
-        "numAddedFiles", "numRemovedFiles", "numOutputRows")
+    entries.map { case (v, ci) =>
+      (v, new java.sql.Timestamp(ci.timestamp), ci.operation,
+        ci.parameters.map { case (k, s) => s"$k=$s" }.mkString(";"),
+        ci.numAddedFiles, ci.numRemovedFiles, ci.numOutputRows)
+    }.toDF("version", "timestamp", "operation", "parameters",
+      "numAddedFiles", "numRemovedFiles", "numOutputRows")
   }
 
   /** DESCRIBE DETAIL analog. */
@@ -199,6 +218,12 @@ final class LakeTable private (
     * "history" | "snapshots" | "files" | "partitions" | "manifests" |
     * "metadata_log_entries". Everything is derived from the commit log —
     * no data files are opened.
+    *
+    * Scale note: "manifests" and "metadata_log_entries" enumerate the
+    * RETAINED log (O(retained commits) driver reads, bounded by
+    * snapshot expiry) — that is their contract, they describe the log
+    * itself. The newest-N ask belongs to [[history(limit:Int)*]]
+    * (O(limit)); "files"/"partitions" read only the current snapshot.
     */
   def meta(name: String): DataFrame = {
     import spark.implicits._

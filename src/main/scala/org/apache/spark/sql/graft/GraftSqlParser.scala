@@ -15,6 +15,8 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *                                            `%sql VACUUM ...`
   *                                            (`02.delta_lake_primer.py:442`)
   *   OPTIMIZE lake.db.t [ZORDER BY (a, b)] -- compaction / clustering
+  *   DESCRIBE HISTORY lake.db.t [LIMIT n]  -- newest n = O(n) commit
+  *                                            reads, not O(retained log)
   *
   * Table references resolve like the `table_changes` TVF: a dotted name
   * through the named catalog's warehouse conf, anything else as a path.
@@ -35,7 +37,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       RunLakeOptimize(strip(ident),
         Option(zcols).map(_.split(',').map(c => strip(c.trim)).toSeq),
         Option(where).map(_.trim))
-    case DESCRIBE_HISTORY_RE(ident) => RunLakeHistory(strip(ident))
+    case DESCRIBE_HISTORY_RE(ident, limit) =>
+      RunLakeHistory(strip(ident), Option(limit).map(_.toInt))
     case DESCRIBE_DETAIL_RE(ident) => RunLakeDetail(strip(ident))
     case RESTORE_RE(ident, version) => RunLakeRestore(strip(ident), version.toLong)
     // only intercept constraint DDL aimed at a LAKE table; anything else
@@ -91,7 +94,8 @@ object GraftSqlParser {
     ("""(?is)\s*OPTIMIZE\s+""" + TABLE +
       """(\s+WHERE\s+(.+?))?(\s+ZORDER\s+BY\s+\(?\s*([\w`,\s]+?)\s*\)?)?\s*;?\s*""").r
   private[graft] val DESCRIBE_HISTORY_RE =
-    ("""(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+""" + TABLE + """\s*;?\s*""").r
+    ("""(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+""" + TABLE +
+      """(?:\s+LIMIT\s+(\d+))?\s*;?\s*""").r
   private[graft] val DESCRIBE_DETAIL_RE =
     ("""(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+""" + TABLE + """\s*;?\s*""").r
   private[graft] val RESTORE_RE =
@@ -150,7 +154,8 @@ private[graft] case class RunLakeExpireSnapshots(ident: String,
 
 /** `DESCRIBE HISTORY t` — the reference's literal statement
   * (`02.delta_lake_primer.py:405`). */
-private[graft] case class RunLakeHistory(ident: String)
+private[graft] case class RunLakeHistory(
+    ident: String, limit: Option[Int] = None)
   extends LeafRunnableCommand {
   override val output: Seq[AttributeReference] = Seq(
     AttributeReference("version", LongType)(),
@@ -162,7 +167,8 @@ private[graft] case class RunLakeHistory(ident: String)
     AttributeReference("numOutputRows", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftExtensions.resolveTablePath(spark, ident)
-    graft.lake.LakeTable.forPath(spark, path).history.collect().toSeq
+    val t = graft.lake.LakeTable.forPath(spark, path)
+    limit.fold(t.history)(t.history(_)).collect().toSeq
   }
 }
 

@@ -115,4 +115,20 @@ class ExpireSnapshotsSpec extends AnyFunSuite {
     assert(deleted.exists(_.endsWith(".parquet")))
     assert(t.toDF.count() === 40L)
   }
+
+  test("history(limit) reads the newest window and stops at the expiry edge") {
+    val dir = Files.createTempDirectory("expire-hist-").toString
+    val t = LakeTable.create(spark, dir, Seq((0L, "r0")).toDF("id", "s"))
+    for (i <- 1 to 12) t.append(Seq((i.toLong, s"r$i")).toDF("id", "s"))
+    import spark.implicits._
+    // newest-3 window equals the head of the full history
+    assert(t.history(3).select("version").as[Long].collect().toSeq ===
+      t.history.select("version").as[Long].collect().toSeq.take(3))
+    // a limit PAST the expiry edge returns just the retained versions
+    // instead of failing on the deleted commits
+    t.expireSnapshots(0L, 4)
+    val afterExpiry = t.history(1000).select("version").as[Long].collect().toSeq
+    assert(afterExpiry === t.history.select("version").as[Long].collect().toSeq)
+    assert(afterExpiry.size === 4)
+  }
 }

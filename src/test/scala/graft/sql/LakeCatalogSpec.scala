@@ -241,6 +241,12 @@ class LakeCatalogSpec extends AnyFunSuite {
       .select("operation").as[String].collect().toSeq
     assert(ops.contains("APPEND") &&
       (ops.contains("CREATE TABLE") || ops.contains("CREATE")))
+    // LIMIT n = the newest n entries only, O(n) commit reads — the
+    // big-table shape (a full history is O(retained commits))
+    val limited = spark.sql("DESCRIBE HISTORY lake.bronze.hist LIMIT 1")
+      .select("version").as[Long].collect().toSeq
+    assert(limited === Seq(spark.sql("DESCRIBE HISTORY lake.bronze.hist")
+      .select("version").as[Long].collect().max))
     // DESCRIBE TABLE still goes to the stock parser
     assert(spark.sql("DESCRIBE TABLE lake.bronze.hist").count() >= 1)
   }
