@@ -110,11 +110,14 @@ final class LakeLog(
       .filter(_.nonEmpty).map(Action.fromJson)
   }
 
-  /** Actions of one committed version (for vacuum / audit / CDC). */
-  /** Whether `v`'s commit file is still retained (one stat). */
-  def commitExists(v: Long): Boolean =
-    Files.isRegularFile(logDir.resolve(LakeLog.commitFileName(v)))
+  /** Actions of `v`, or None when the commit file is not (or no
+    * longer) retained — ONE read attempt, atomic with respect to a
+    * concurrent expiry, unlike an exists-then-read pair. */
+  def tryReadCommit(v: Long): Option[Seq[Action]] =
+    try Some(readActions(logDir.resolve(LakeLog.commitFileName(v))))
+    catch { case _: java.nio.file.NoSuchFileException => None }
 
+  /** Actions of one committed version (for vacuum / audit / CDC). */
   def readCommit(v: Long): Seq[Action] = {
     val p = logDir.resolve(LakeLog.commitFileName(v))
     if (!Files.isRegularFile(p))

@@ -45,7 +45,7 @@ object LakeShell {
 
     println(s"[lake-shell] v0 still reads ${t.asOf(0).toDF.count()} rows (time travel)")
     println("[lake-shell] history:")
-    t.history.show(20, truncate = false)
+    t.history(20).show(truncate = false) // newest 20 = O(20) commit reads
     println(s"[lake-shell] skipping: all=${t.toDF.inputFiles.length} files, " +
       s"flag=A=${t.read($"l_returnflag" === "A").inputFiles.length} files")
     val vacuumed = t.vacuum(retentionMs = 0L)

@@ -187,10 +187,13 @@ final class LakeTable private (
   def history(limit: Int): DataFrame = {
     require(limit > 0, s"history limit must be positive, got $limit")
     val top = snapshot.version
+    // ONE atomic read attempt per version — an exists-then-read pair
+    // would race a concurrent expiry at the edge it must stop at
     historyRows((top to math.max(0L, top - limit + 1) by -1)
       .iterator
-      .takeWhile(log.commitExists)
-      .flatMap(v => log.readCommit(v).flatMap(_.commitInfo).map(v -> _))
+      .map(v => v -> log.tryReadCommit(v))
+      .takeWhile(_._2.isDefined)
+      .flatMap { case (v, a) => a.get.flatMap(_.commitInfo).map(v -> _) }
       .toSeq)
   }
 

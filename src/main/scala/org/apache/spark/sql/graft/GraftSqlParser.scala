@@ -38,7 +38,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         Option(zcols).map(_.split(',').map(c => strip(c.trim)).toSeq),
         Option(where).map(_.trim))
     case DESCRIBE_HISTORY_RE(ident, limit) =>
-      RunLakeHistory(strip(ident), Option(limit).map(_.toInt))
+      // validated HERE so a bad limit fails at parse time like any
+      // other malformed statement, not mid-execution
+      val n = Option(limit).map { s =>
+        val v = try s.toLong catch { case _: NumberFormatException => 0L }
+        if (v < 1 || v > Int.MaxValue)
+          throw new IllegalArgumentException(
+            s"DESCRIBE HISTORY LIMIT must be in [1, ${Int.MaxValue}], got $s")
+        v.toInt
+      }
+      RunLakeHistory(strip(ident), n)
     case DESCRIBE_DETAIL_RE(ident) => RunLakeDetail(strip(ident))
     case RESTORE_RE(ident, version) => RunLakeRestore(strip(ident), version.toLong)
     // only intercept constraint DDL aimed at a LAKE table; anything else
