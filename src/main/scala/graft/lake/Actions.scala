@@ -38,6 +38,10 @@ final case class FileStats(
   * ride base64-inline in the action instead of as a sidecar — a point
   * DELETE then costs zero extra file reads on every subsequent scan
   * (Delta's inline DV storage). At most one of dvPath/dvInline is set.
+  *
+  * `bloomPath`: optional per-file Bloom-filter index sidecar (relative
+  * path under `_index/`, see [[BloomIndex]]) consulted by equality
+  * skipping; absent on tables without `graft.bloom.columns`.
   */
 final case class AddFile(
     path: String,
@@ -48,7 +52,8 @@ final case class AddFile(
     dvPath: Option[String] = None,
     dvCardinality: Long = 0L,
     bucket: Option[Int] = None,
-    dvInline: Option[String] = None)
+    dvInline: Option[String] = None,
+    bloomPath: Option[String] = None)
 
 final case class RemoveFile(
     path: String,

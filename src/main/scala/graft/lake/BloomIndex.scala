@@ -1,0 +1,324 @@
+package graft.lake
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+import org.apache.spark.sql.functions.{col, input_file_name, when, xxhash64}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Value-level absence oracle consulted by the skipping evaluator
+  * ([[Stats.mightMatch]]) on equality atoms. `definitelyAbsent` returning
+  * true asserts the file provably contains NO row with `name = value`
+  * (value non-null) — the one direction a Bloom filter can prove.
+  * Serializable: the big-log candidate resolution evaluates it on
+  * executors ([[DistributedState.pruneLive]]).
+  */
+trait BloomProbe extends Serializable {
+  def definitelyAbsent(f: AddFile, name: String, dt: DataType, value: Any): Boolean
+}
+
+object BloomProbe {
+  /** Never proves absence — the zero-cost default for tables without an
+    * index and for callers that only need min/max skipping. */
+  val none: BloomProbe = new BloomProbe {
+    override def definitelyAbsent(f: AddFile, name: String, dt: DataType, value: Any) = false
+  }
+}
+
+/** Per-file Bloom-filter index for point-lookup file skipping (Delta's
+  * bloom filter index; reference workload: MERGE/DELETE by key into
+  * `notebooks/02.operaciones_dml` tables). Min/max stats cannot prune an
+  * equality on a high-cardinality UNCLUSTERED key — every file's range
+  * spans the domain, so a point DELETE into a 100 TB table scans every
+  * file. An opt-in per-file bloom turns that into O(files actually
+  * holding the key): at write time one distributed pass builds a filter
+  * per (file, indexed column) and stores it as an immutable sidecar under
+  * `_index/`; at prune time equality/IN atoms consult
+  * `mightContainLong(xxhash64(value))` and skip files that provably lack
+  * the key. False positives only cost an extra scan — never correctness.
+  *
+  * Scale shape: the build is one narrow (file, hash…) shuffle over the
+  * FRESHLY WRITTEN files only (never the table); sidecars are read
+  * lazily, cached JVM-wide, and evaluated on executors on the big-log
+  * path, so a million-file table never funnels index bytes through the
+  * driver. Sidecars share the data files' lifecycle: compaction/rewrite
+  * produces new files with new sidecars, and vacuum reaps sidecars whose
+  * data file is gone (mtime-gated, like DV sidecars).
+  *
+  * Hash parity between build and probe is delegated to ONE source of
+  * truth — Catalyst's `XxHash64` expression typed with the COLUMN's data
+  * type on both sides (the build projects `xxhash64(col)`; the probe
+  * evaluates `XxHash64(Literal(value, columnType))` after an exact value
+  * conversion). A literal that cannot be converted EXACTLY to the column
+  * type simply skips bloom pruning (min/max still applies).
+  *
+  * Table properties:
+  *   - `graft.bloom.columns`: comma-separated data columns to index
+  *     (names not [yet] in the schema, partition columns, and unsupported
+  *     types are ignored — a column added later by schema evolution
+  *     starts indexing from the write that sees it).
+  *   - `graft.bloom.fpp`: false-positive rate (default 0.03).
+  *   - `graft.bloom.maxItems`: cap on a file's expected-item sizing
+  *     (default 4,000,000 — ~3.5 MB per column sidecar at 0.03).
+  *
+  * Session escape hatch: `spark.graft.bloom.read.enabled=false` disables
+  * probe-side pruning (sidecars still build).
+  */
+object BloomIndex {
+
+  val COLS_PROP = "graft.bloom.columns"
+  val FPP_PROP = "graft.bloom.fpp"
+  val MAX_ITEMS_PROP = "graft.bloom.maxItems"
+  val INDEX_DIR = "_index"
+  val SIDECAR_SUFFIX = ".bloom"
+
+  private val MAGIC = 0x47424c4d // "GBLM"
+  private val VERSION = 1
+
+  /** Equality-on-these-types is meaningful and XxHash64-stable; float /
+    * double equality predicates are a smell, booleans prune nothing. */
+  private def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType |
+         DateType | TimestampType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** The schema fields an index build should cover: configured, present
+    * as DATA columns (partition values prune exactly already), supported
+    * type. */
+  private[lake] def indexedFields(
+      props: Map[String, String], dataSchema: StructType): Seq[StructField] = {
+    val wanted = props.getOrElse(COLS_PROP, "").split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    // ignore-case match (Spark's default resolution); the sidecar keys
+    // on the SCHEMA's canonical spelling, which is also what the probe's
+    // resolved attribute names carry
+    wanted.flatMap(n => dataSchema.fields.find(_.name.equalsIgnoreCase(n)))
+      .distinct
+      .filter(f => supported(f.dataType))
+  }
+
+  /** Deterministic sidecar location for a data file: retries of the
+    * build task overwrite the same path (atomic move), and same-named
+    * part files from different partition dirs cannot collide thanks to
+    * the rel-path hash prefix. */
+  private[lake] def sidecarPathFor(dataRel: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dataRel.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val fileName = dataRel.substring(dataRel.lastIndexOf('/') + 1)
+    s"$INDEX_DIR/$digest-$fileName$SIDECAR_SUFFIX"
+  }
+
+  /** Build sidecars for freshly staged `adds` and return them with
+    * `bloomPath` set. No-op (returns `adds` unchanged) when the table
+    * doesn't configure an index. One distributed job: project
+    * `xxhash64` of each indexed column, group rows by file, build and
+    * write each file's filter ON the executor that holds its rows.
+    */
+  def attach(
+      spark: SparkSession,
+      tablePath: String,
+      dataSchema: StructType,
+      adds: Seq[AddFile],
+      props: Map[String, String]): Seq[AddFile] = {
+    val fields = indexedFields(props, dataSchema)
+    if (fields.isEmpty || adds.isEmpty) return adds
+    val fpp = props.get(FPP_PROP).flatMap(_.toDoubleOption)
+      .filter(p => p > 0 && p < 1).getOrElse(0.03)
+    val maxItems = props.get(MAX_ITEMS_PROP).flatMap(_.toLongOption)
+      .filter(_ > 0).getOrElse(4000000L)
+    val root = Paths.get(tablePath).toAbsolutePath.normalize
+    val rootStr = root.toString
+
+    val absOf: AddFile => String =
+      a => root.resolve(a.path).normalize.toString
+    // expected items per file: exact when stats already ran, else a
+    // coarse size-derived guess (undersizing only degrades fpp, never
+    // correctness)
+    val expected: Map[String, Long] = adds.map(a =>
+      absOf(a) -> a.stats.map(_.numRecords).getOrElse(math.max(1L, a.size / 128))).toMap
+    val sidecarRel: Map[String, String] =
+      adds.map(a => absOf(a) -> sidecarPathFor(a.path)).toMap
+
+    val colMeta: Seq[(String, String)] =
+      fields.map(f => (f.name, f.dataType.catalogString))
+    val expectedB = spark.sparkContext.broadcast(expected)
+    val sidecarB = spark.sparkContext.broadcast(sidecarRel)
+
+    // field-id matching like [[LakeTable.readFiles]]: a backfill over a
+    // column-mapped (renamed) table must read values, not name-miss nulls
+    LakeTable.enableFieldIdReads(spark)
+    val projected = spark.read.schema(dataSchema).parquet(expected.keys.toSeq: _*)
+      .select(input_file_name().as("__f") +:
+        fields.map(f => when(col(f.name).isNotNull, xxhash64(col(f.name)))
+          .as("__h_" + f.name)): _*)
+    import org.apache.spark.sql.{Encoders, Row}
+    val built: Map[String, String] = projected
+      .groupByKey((r: Row) => Stats.normalizeFileUri(r.getString(0)))(Encoders.STRING)
+      .mapGroups { (abs: String, it: Iterator[Row]) =>
+        val exp = math.min(maxItems,
+          math.max(64L, expectedB.value.getOrElse(abs, 65536L)))
+        val blooms = Array.fill(colMeta.size)(BloomFilter.create(exp, fpp))
+        it.foreach { r =>
+          var i = 0
+          while (i < blooms.length) {
+            if (!r.isNullAt(i + 1)) blooms(i).putLong(r.getLong(i + 1))
+            i += 1
+          }
+        }
+        val rel = sidecarB.value(abs)
+        writeSidecar(Paths.get(rootStr), rel, colMeta, blooms)
+        (abs, rel)
+      }(Encoders.tuple(Encoders.STRING, Encoders.STRING))
+      .collect().toMap
+
+    adds.map(a => a.copy(bloomPath = built.get(absOf(a))))
+  }
+
+  private def writeSidecar(
+      root: Path, rel: String,
+      colMeta: Seq[(String, String)], blooms: Array[BloomFilter]): Unit = {
+    val dest = root.resolve(rel)
+    Files.createDirectories(dest.getParent)
+    val tmp = dest.resolveSibling(
+      dest.getFileName.toString + "." + UUID.randomUUID().toString + ".tmp")
+    val out = new DataOutputStream(new BufferedOutputStream(Files.newOutputStream(tmp)))
+    try {
+      out.writeInt(MAGIC)
+      out.writeInt(VERSION)
+      out.writeInt(colMeta.size)
+      colMeta.zip(blooms).foreach { case ((name, dtStr), bf) =>
+        out.writeUTF(name)
+        out.writeUTF(dtStr)
+        val bos = new ByteArrayOutputStream()
+        bf.writeTo(bos)
+        val bytes = bos.toByteArray
+        out.writeInt(bytes.length)
+        out.write(bytes)
+      }
+    } finally out.close()
+    try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, dest, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Sidecar → per-column (declared type, filter). Pruning silently
+    * degrades to min/max only on any read problem: `Some(Map.empty)` for
+    * PERMANENT gaps (future format version — cacheable), `None` for
+    * exceptions (missing file, transient IO — the caller must not pin a
+    * transient failure into the immutable-content cache). */
+  private def readSidecar(p: Path): Option[Map[String, (DataType, BloomFilter)]] =
+    try {
+      val in = new DataInputStream(new BufferedInputStream(Files.newInputStream(p)))
+      try {
+        if (in.readInt() != MAGIC || in.readInt() != VERSION) Some(Map.empty)
+        else {
+          val n = in.readInt()
+          Some((0 until n).map { _ =>
+            val name = in.readUTF()
+            val dt = DataType.fromDDL(in.readUTF())
+            val len = in.readInt()
+            val bytes = new Array[Byte](len)
+            in.readFully(bytes)
+            name -> (dt, BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
+          }.toMap)
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  // Sidecars are immutable once published (unique part-file names →
+  // unique sidecar paths; rebuilds overwrite with identical content), so
+  // a JVM-wide LRU keyed by absolute path needs no invalidation. 128
+  // entries ≈ tens of MB at default sizing.
+  private val CACHE_MAX = 128
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Map[String, (DataType, BloomFilter)]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Map[String, (DataType, BloomFilter)]]): Boolean =
+        size > CACHE_MAX
+    })
+
+  private def lookup(rootStr: String, rel: String): Map[String, (DataType, BloomFilter)] = {
+    val abs = Paths.get(rootStr).resolve(rel).normalize.toString
+    val hit = cache.get(abs)
+    if (hit != null) hit
+    else readSidecar(Paths.get(abs)) match {
+      case Some(loaded) => cache.put(abs, loaded); loaded
+      case None => Map.empty // transient / vacuumed: retry next probe
+    }
+  }
+
+  /** Exact conversion of a predicate literal's internal value to the
+    * column's type — the hash is type-tagged (XxHash64 of an Int and of
+    * the same value as a Long differ), so a lossy or inexact conversion
+    * must NOT probe. None = don't prune on this atom. */
+  private[lake] def toColumnValue(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+    case (_, null) => None
+    case (ByteType, x: Byte) => Some(x)
+    case (ShortType, x: Short) => Some(x)
+    case (ShortType, x: Byte) => Some(x.toShort)
+    case (IntegerType, x: Int) => Some(x)
+    case (IntegerType, x: Byte) => Some(x.toInt)
+    case (IntegerType, x: Short) => Some(x.toInt)
+    case (IntegerType, x: Long) => if (x.isValidInt) Some(x.toInt) else None
+    case (LongType, x: Long) => Some(x)
+    case (LongType, x: Byte) => Some(x.toLong)
+    case (LongType, x: Short) => Some(x.toLong)
+    case (LongType, x: Int) => Some(x.toLong)
+    case (StringType, u: UTF8String) => Some(u)
+    case (StringType, s: String) => Some(UTF8String.fromString(s))
+    case (DateType, x: Int) => Some(x)
+    case (TimestampType, x: Long) => Some(x)
+    // hashing of decimals is driven by the EXPRESSION type's precision
+    // path; a value of the column's exact scale (precision ≤ declared)
+    // hashes identically to the stored rows
+    case (d: DecimalType, x: org.apache.spark.sql.types.Decimal)
+        if x.scale == d.scale && x.precision <= d.precision => Some(x)
+    case _ => None
+  }
+
+  /** The probe-side hash — same expression, same type tag as the build's
+    * `xxhash64(col)` projection. */
+  private[lake] def probeHash(dt: DataType, columnValue: Any): Long =
+    XxHash64(Seq(Literal(columnValue, dt)), 42L).eval(null).asInstanceOf[Long]
+
+  def probe(rootStr: String): BloomProbe = FileBloomProbe(rootStr)
+
+  private final case class FileBloomProbe(rootStr: String) extends BloomProbe {
+    override def definitelyAbsent(
+        f: AddFile, name: String, dt: DataType, value: Any): Boolean =
+      f.bloomPath.exists { rel =>
+        lookup(rootStr, rel).get(name) match {
+          // declared-type equality guards column-mapping edits: a sidecar
+          // built for a differently-typed (or since-renamed) column of
+          // the same name never proves anything
+          case Some((sdt, bf)) if sdt == dt =>
+            toColumnValue(dt, value) match {
+              case Some(cv) =>
+                val absent = !bf.mightContainLong(probeHash(dt, cv))
+                if (absent) BloomMetrics.skippedByBloom.incrementAndGet()
+                absent
+              case None => false
+            }
+          case _ => false
+        }
+      }
+  }
+}
+
+/** Test observability for bloom pruning. Counted inside the probe, so in
+  * local mode (shared JVM) both driver- and executor-side skips land
+  * here. */
+private[graft] object BloomMetrics {
+  val skippedByBloom = new java.util.concurrent.atomic.AtomicLong(0L)
+  def reset(): Unit = skippedByBloom.set(0L)
+}

@@ -36,6 +36,7 @@ private[lake] object Checkpoint {
       |    optional int64 dvCardinality;
       |    optional int32 bucket;
       |    optional binary dvInline (STRING);
+      |    optional binary bloomPath (STRING);
       |  }
       |  optional group metaData {
       |    required binary id (STRING);
@@ -101,6 +102,7 @@ private[lake] object Checkpoint {
           if (f.dvPath.isDefined || f.dvInline.isDefined)
             ag.add("dvCardinality", f.dvCardinality)
           f.bucket.foreach(b => ag.add("bucket", b))
+          f.bloomPath.foreach(bp => ag.add("bloomPath", bp))
         }
         a.metaData.foreach { m =>
           val mg = g.addGroup("metaData")
@@ -134,8 +136,13 @@ private[lake] object Checkpoint {
         def has(field: String): Boolean = g.getFieldRepetitionCount(field) > 0
         if (has("add")) {
           val ag = g.getGroup("add", 0)
+          // containsField guard: checkpoints written before a field
+          // existed carry the old message type — read them as None
+          def present(f: String): Boolean =
+            ag.getType.asGroupType().containsField(f) &&
+              ag.getFieldRepetitionCount(f) > 0
           def opt(f: String): Option[String] =
-            if (ag.getFieldRepetitionCount(f) > 0) Some(ag.getString(f, 0)) else None
+            if (present(f)) Some(ag.getString(f, 0)) else None
           out += Action.of(AddFile(
             ag.getString("path", 0),
             opt("partitionValues").map(stringMap).getOrElse(Map.empty),
@@ -143,11 +150,10 @@ private[lake] object Checkpoint {
             ag.getLong("modificationTime", 0),
             opt("stats").map(stats),
             opt("dvPath"),
-            if (ag.getFieldRepetitionCount("dvCardinality") > 0)
-              ag.getLong("dvCardinality", 0) else 0L,
-            if (ag.getFieldRepetitionCount("bucket") > 0)
-              Some(ag.getInteger("bucket", 0)) else None,
-            opt("dvInline")))
+            if (present("dvCardinality")) ag.getLong("dvCardinality", 0) else 0L,
+            if (present("bucket")) Some(ag.getInteger("bucket", 0)) else None,
+            opt("dvInline"),
+            opt("bloomPath")))
         } else if (has("metaData")) {
           val mg = g.getGroup("metaData", 0)
           def opt(f: String): Option[String] =

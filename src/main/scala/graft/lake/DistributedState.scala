@@ -94,7 +94,13 @@ private[lake] object DistributedState {
         if (r.isNullAt(i)) 0L else r.getLong(i) },
       { val i = r.fieldIndex("bucket")
         if (r.isNullAt(i)) None else Some(r.getInt(i)) },
-      optStr("dvInline"))
+      optStr("dvInline"),
+      // field added after the first checkpoints shipped: absent column
+      // (old checkpoint file) decodes as None
+      {
+        val i = r.schema.fieldNames.indexOf("bloomPath")
+        if (i >= 0 && !r.isNullAt(i)) Some(r.getString(i)) else None
+      })
   }
 
   /** Table metadata out of the checkpoint without touching its add rows
@@ -131,7 +137,8 @@ private[lake] object DistributedState {
       tailAdds: Seq[AddFile],
       resolved: Seq[Expression],
       schema: StructType,
-      partitionCols: Seq[String]): Array[AddFile] = {
+      partitionCols: Seq[String],
+      probe: BloomProbe = BloomProbe.none): Array[AddFile] = {
     val spark = ckptFiles.sparkSession
     val base =
       if (touched.isEmpty) ckptFiles
@@ -142,8 +149,11 @@ private[lake] object DistributedState {
         spark.createDataset(tailAdds)(Encoders.product[AddFile]))
     val pruned =
       if (resolved.isEmpty) all
+      // min/max AND bloom evaluate here, ON EXECUTORS — a point lookup
+      // into a million-file table reads its index sidecars distributed,
+      // never through the driver
       else all.filter((f: AddFile) =>
-        resolved.forall(e => Stats.mightMatch(f, e, schema, partitionCols)))
+        resolved.forall(e => Stats.mightMatch(f, e, schema, partitionCols, probe)))
     pruned.collect()
   }
 }

@@ -59,6 +59,16 @@ final class LakeTable private (
   /** Full-table DataFrame at this table's (possibly pinned) version. */
   def toDF: DataFrame = read()
 
+  /** Value-level skipping probe for this table ([[BloomIndex]]): proves
+    * equality atoms absent via per-file bloom sidecars. Root is
+    * absolutized DRIVER-side so executor-evaluated closures (big-log
+    * candidate pruning) resolve sidecars CWD-independently. A `def`, so
+    * the session kill-switch is honored per operation. */
+  private def bloomProbe: BloomProbe =
+    if (spark.conf.getOption("spark.graft.bloom.read.enabled").forall(_.toBoolean))
+      BloomIndex.probe(Paths.get(path).toAbsolutePath.normalize.toString)
+    else BloomProbe.none
+
   /** Read with data skipping: `filters` are evaluated against partition
     * values and per-file min/max stats BEFORE Spark lists any file, then
     * re-applied exactly on the surviving rows.
@@ -81,8 +91,11 @@ final class LakeTable private (
         if (resolved.nonEmpty && resolved.exists(e =>
           Stats.contradictsConstraints(e,
             Constraints.parsed(snap.metaData), snap.schema))) Nil
-        else snap.files.filter { f =>
-          resolved.forall(e => Stats.mightMatch(f, e, snap.schema, pcs))
+        else {
+          val probe = bloomProbe
+          snap.files.filter { f =>
+            resolved.forall(e => Stats.mightMatch(f, e, snap.schema, pcs, probe))
+          }
         }
       filters.foldLeft(readFiles(snap, kept))(_ where _)
     }
@@ -138,7 +151,7 @@ final class LakeTable private (
                 DistributedState.checkpointFiles(spark, ckptPath),
                 finalByPath.keySet.toSet,
                 finalByPath.values.flatten.toSeq,
-                resolved, lite.schema, meta.partitionColumns).toSeq
+                resolved, lite.schema, meta.partitionColumns, bloomProbe).toSeq
             (lite, candidates)
           }
       case _ => None
@@ -416,7 +429,8 @@ final class LakeTable private (
     val (aligned, newSchema) = LakeTable.align(df, snap.schema, pcs, mergeSchema,
       LakeTable.nextFieldId(snap))
     val adds = LakeTable.stageFiles(spark, path, aligned, newSchema, pcs,
-      Bucketing.specOf(snap.metaData), Constraints.of(snap.metaData))
+      Bucketing.specOf(snap.metaData), Constraints.of(snap.metaData),
+      snap.metaData.properties)
     val rows = adds.flatMap(_.stats.map(_.numRecords)).sum
     val now = System.currentTimeMillis()
     val metaAction =
@@ -540,8 +554,9 @@ final class LakeTable private (
   private def filesWithMatches(snap: Snapshot, cond: Column): Seq[AddFile] = {
     val pcs = snap.metaData.partitionColumns
     val resolvedCond = resolveFilter(cond, snap.schema)
+    val probe = bloomProbe
     val candidates = snap.files.filter(f =>
-      Stats.mightMatch(f, resolvedCond, snap.schema, pcs))
+      Stats.mightMatch(f, resolvedCond, snap.schema, pcs, probe))
     if (candidates.isEmpty) return Seq.empty
     val hit = readFiles(snap, candidates)
       .withColumn("__file", input_file_name())
@@ -622,7 +637,7 @@ final class LakeTable private (
       constraints: Map[String, String] = Map.empty): Long = {
     val pcs = snap.metaData.partitionColumns
     val adds = LakeTable.stageFiles(spark, path, replacement, snap.schema, pcs,
-      Bucketing.specOf(snap.metaData), constraints)
+      Bucketing.specOf(snap.metaData), constraints, snap.metaData.properties)
     val now = System.currentTimeMillis()
     val rows = adds.flatMap(_.stats.map(_.numRecords)).sum
     val actions =
@@ -665,7 +680,8 @@ final class LakeTable private (
       if (cls.rewriteTargets.isEmpty) Seq.empty
       else LakeTable.stageFiles(spark, path,
         readFiles(snap, cls.rewriteTargets).where(!coalesceFalse(cond)),
-        snap.schema, pcs, Bucketing.specOf(snap.metaData))
+        snap.schema, pcs, Bucketing.specOf(snap.metaData),
+        props = snap.metaData.properties)
 
     val deleted = cls.matchedRows
     val removes = (cls.fullMatch ++ cls.dvTargets ++ cls.rewriteTargets)
@@ -708,8 +724,9 @@ final class LakeTable private (
     val candidates = candidatesOverride.getOrElse {
       val resolvedCond = resolveFilter(cond, snap.schema)
       val pcs = snap.metaData.partitionColumns
+      val probe = bloomProbe
       snap.files.filter(f =>
-        Stats.mightMatch(f, resolvedCond, snap.schema, pcs))
+        Stats.mightMatch(f, resolvedCond, snap.schema, pcs, probe))
     }
     if (candidates.isEmpty)
       return MatchClassification(Map.empty, Map.empty,
@@ -818,7 +835,8 @@ final class LakeTable private (
             }
           LakeTable.stageFiles(spark, path,
             applySet(fromTargets.select(dataCols: _*)), snap.schema, pcs,
-            Bucketing.specOf(snap.metaData), Constraints.of(snap.metaData))
+            Bucketing.specOf(snap.metaData), Constraints.of(snap.metaData),
+            snap.metaData.properties)
         }
 
       // heavy files: classic whole-file rewrite with conditional assignment
@@ -835,7 +853,8 @@ final class LakeTable private (
               }
             }.toSeq: _*)
           LakeTable.stageFiles(spark, path, rewritten, snap.schema, pcs,
-            Bucketing.specOf(snap.metaData), Constraints.of(snap.metaData))
+            Bucketing.specOf(snap.metaData), Constraints.of(snap.metaData),
+            snap.metaData.properties)
         }
 
       val removes = (cls.fullMatch ++ cls.dvTargets ++ cls.rewriteTargets)
@@ -1054,8 +1073,9 @@ final class LakeTable private (
           case Some(fs) =>
             val resolved = fs.map(resolveFilter(_, tgtSchema))
             val pcs = snap.metaData.partitionColumns
+            val probe = bloomProbe
             prefilterTouched(snap.files.filter(f =>
-              resolved.forall(e => Stats.mightMatch(f, e, tgtSchema, pcs))))
+              resolved.forall(e => Stats.mightMatch(f, e, tgtSchema, pcs, probe))))
         }
     }
     DmlMetrics.lastMergeCandidateFiles.set(touched.size.toLong)
@@ -1307,13 +1327,15 @@ final class LakeTable private (
               col("__dv_path"), col("__dv_idx"), lookup))
             .select(tgtSchema.fieldNames.map(col).toSeq: _*)
           LakeTable.stageFiles(spark, path, survivors, tgtSchema,
-            snap.metaData.partitionColumns, Bucketing.specOf(snap.metaData))
+            snap.metaData.partitionColumns, Bucketing.specOf(snap.metaData),
+            props = snap.metaData.properties)
         }
 
       val appendedAdds: Seq[AddFile] = newRows
         .map(nr => LakeTable.stageFiles(spark, path, nr,
           tgtSchema, snap.metaData.partitionColumns,
-          Bucketing.specOf(snap.metaData), Constraints.of(snap.metaData)))
+          Bucketing.specOf(snap.metaData), Constraints.of(snap.metaData),
+          snap.metaData.properties))
         .getOrElse(Seq.empty)
 
       val outputRows = appendedAdds.flatMap(_.stats.map(_.numRecords)).sum
@@ -1348,7 +1370,8 @@ final class LakeTable private (
     require(bad.isEmpty, s"no such column(s): ${bad.mkString(",")}")
     val adds = LakeTable.stageFiles(spark, path, readFiles(snap, snap.files),
       snap.schema, snap.metaData.partitionColumns,
-      Some(Bucketing.Spec(cols, numBuckets)))
+      Some(Bucketing.Spec(cols, numBuckets)),
+      props = snap.metaData.properties)
     val now = System.currentTimeMillis()
     val newMeta = snap.metaData.copy(properties =
       snap.metaData.properties ++ Bucketing.props(cols, numBuckets))
@@ -1422,6 +1445,50 @@ final class LakeTable private (
       where: Option[Column] = None): Unit =
     compactImpl(targetFileBytes, where, minGroup = 2, dvTrigger = true,
       trigger = "manual")
+
+  /** Backfill [[BloomIndex]] sidecars for live files that predate the
+    * `graft.bloom.columns` property (new writes index themselves in
+    * [[LakeTable.stageFiles]]); `force = true` rebuilds EVERY live
+    * file's sidecar, the recovery path after the indexed column set
+    * changes. Data files are untouched — the commit re-adds the same
+    * AddFiles with `bloomPath` set and is classified with the REORG ops,
+    * so the change feed and table streams stay silent. Non-rebaseable on
+    * purpose: a blind re-add replayed past a concurrent DELETE would
+    * resurrect its removed files; on a conflict the loop re-resolves and
+    * re-targets only still-live, still-unindexed files (sidecars built
+    * for files a concurrent commit removed become vacuum-reapable
+    * orphans). Returns the number of files indexed.
+    */
+  def buildBloomIndex(force: Boolean = false): Int = {
+    require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
+    var tries = 0
+    while (true) {
+      val snap = snapshot
+      val pcs = snap.metaData.partitionColumns
+      val dataSchema = StructType(snap.schema.filterNot(f => pcs.contains(f.name)))
+      require(
+        BloomIndex.indexedFields(snap.metaData.properties, dataSchema).nonEmpty,
+        s"${BloomIndex.COLS_PROP} names no indexable data column of this table")
+      val targets = if (force) snap.files else snap.files.filter(_.bloomPath.isEmpty)
+      if (targets.isEmpty) return 0
+      val updated = BloomIndex.attach(spark, path, dataSchema, targets,
+        snap.metaData.properties)
+      val now = System.currentTimeMillis()
+      val actions = updated.map(Action.of) :+
+        Action.of(CommitInfo(now, "BLOOM INDEX",
+          Map("indexedFiles" -> updated.size.toString, "force" -> force.toString),
+          numAddedFiles = updated.size.toLong))
+      try {
+        commitWithRetry(snap.version, actions, rebaseable = false)
+        return updated.size
+      } catch {
+        case e: CommitConflictException =>
+          tries += 1
+          if (tries > 5) throw e
+      }
+    }
+    -1 // unreachable
+  }
 
   /** Post-write small-file maintenance (Databricks' auto-compaction
     * shape, opt-in): when the table property
@@ -1875,6 +1942,9 @@ final class LakeTable private (
     val now = System.currentTimeMillis()
     val live = snap.files.map(_.path).toSet
     val liveDvs = snap.files.flatMap(_.dvPath).toSet
+    // bloom sidecars share DV lifecycle: unreferenced ones (rewritten /
+    // overwritten data files) age out by mtime
+    val liveSidecars = liveDvs ++ snap.files.flatMap(_.bloomPath)
     // removal timestamps from the whole log: a file removed multiple times
     // (re-add then re-remove) keeps its LATEST removal time
     val removedAt = scala.collection.mutable.HashMap[String, Long]()
@@ -1942,11 +2012,16 @@ final class LakeTable private (
                 case _: java.nio.file.NoSuchFileException => deleted += rel
               }
             }
-          } else if (name.endsWith(".dv")) {
-            // deletion-vector sidecars: superseded (unioned/rewritten)
-            // vectors age out by mtime like any unreferenced file
+          } else if (name.endsWith(".dv") ||
+              name.endsWith(BloomIndex.SIDECAR_SUFFIX) ||
+              (name.endsWith(".tmp") &&
+                root.relativize(p).toString.startsWith(BloomIndex.INDEX_DIR + "/"))) {
+            // deletion-vector / bloom-index sidecars: superseded
+            // (unioned/rewritten) ones age out by mtime like any
+            // unreferenced file; `_index/*.tmp` are crashed bloom builds
+            // (never referenced, same mtime gate)
             val rel = root.relativize(p).toString
-            if (!liveDvs.contains(rel)) {
+            if (!liveSidecars.contains(rel)) {
               try {
                 if (now - Files.getLastModifiedTime(p).toMillis >= retentionMs) {
                   Files.deleteIfExists(p)
@@ -2003,13 +2078,19 @@ final class LakeTable private (
             .filter(p => !Files.isDirectory(p))
             .flatMap { p =>
               val name = p.getFileName.toString
-              if (name.endsWith(".parquet") || name.endsWith(".dv"))
-                Some((rp.relativize(p.toAbsolutePath.normalize).toString,
-                  name.endsWith(".dv")))
+              val rel = rp.relativize(p.toAbsolutePath.normalize).toString
+              // `is_dv` marks every SIDECAR kind (DV, bloom, crashed
+              // bloom tmp): mtime-gated retention, no CDC carve-out
+              if (name.endsWith(".parquet")) Some((rel, false))
+              else if (name.endsWith(".dv") ||
+                name.endsWith(graft.lake.BloomIndex.SIDECAR_SUFFIX) ||
+                (name.endsWith(".tmp") &&
+                  rel.startsWith(graft.lake.BloomIndex.INDEX_DIR + "/")))
+                Some((rel, true))
               else None
             }
         }.toDF("rel", "is_dv")
-      val liveDf = spark.createDataset((live ++ liveDvs).toSeq).toDF("rel")
+      val liveDf = spark.createDataset((live ++ liveSidecars).toSeq).toDF("rel")
       val removedDf = spark.createDataset(removedAt.toSeq)
         .toDF("rel", "removed_at")
       val cdcPrefix = Cdc.CDC_DIR + "/"
@@ -2086,10 +2167,13 @@ final class LakeTable private (
 
 object LakeTable {
 
-  /** Commits that move rows between files without changing the table —
-    * the change data feed emits nothing for them. */
+  /** Commits that reorganize files without changing the table's rows —
+    * the change data feed emits nothing for them and table streams skip
+    * them. "BLOOM INDEX" moves no rows at all (it re-adds live AddFiles
+    * with a sidecar pointer attached). */
   val REORG_OPS =
-    Set("COMPACT", "ZORDER BY", "HILBERT BY", "OPTIMIZE BY", "REBUCKET")
+    Set("COMPACT", "ZORDER BY", "HILBERT BY", "OPTIMIZE BY", "REBUCKET",
+      "BLOOM INDEX")
 
   /** Commits whose changes can only come from recorded `_change_data`
     * (derived add/remove replay would be wrong: a rewritten file holds
@@ -2225,7 +2309,8 @@ object LakeTable {
       properties ++ bucketProps + (MAX_COLUMN_ID_PROP -> maxFieldId(schema).toString),
       now, schemaJson = Some(schema.json))
     val adds = stageFiles(spark, path, df, schema, partitionBy,
-      if (bucketBy.isEmpty) None else Some(Bucketing.Spec(bucketBy, numBuckets)))
+      if (bucketBy.isEmpty) None else Some(Bucketing.Spec(bucketBy, numBuckets)),
+      props = meta.properties)
     val rows = adds.flatMap(_.stats.map(_.numRecords)).sum
     val actions = Action.of(meta) +: adds.map(Action.of) :+
       Action.of(CommitInfo(now, "CREATE", Map("partitionBy" -> partitionBy.mkString(",")),
@@ -2355,7 +2440,8 @@ object LakeTable {
       schema: StructType,
       partitionCols: Seq[String],
       bucketSpec: Option[Bucketing.Spec] = None,
-      constraints: Map[String, String] = Map.empty): Seq[AddFile] = {
+      constraints: Map[String, String] = Map.empty,
+      props: Map[String, String] = Map.empty): Seq[AddFile] = {
     // CHECK enforcement rides the write plan itself — new-row paths pass
     // the table's constraints; pure reorganizations (compact, rebucket,
     // survivor rewrites) skip the re-validation of already-valid rows
@@ -2429,12 +2515,15 @@ object LakeTable {
     if (moved.isEmpty) return Seq.empty
     val dataSchema = StructType(schema.filterNot(f => partitionCols.contains(f.name)))
     val statsMap = Stats.collectFromFooters(spark, dataSchema, moved.map(_._2.toString).toSeq)
-    moved.map { case (rel, abs) =>
+    val adds = moved.map { case (rel, abs) =>
       val pv = parsePartitionValues(rel)
       AddFile(rel, pv - Bucketing.BUCKET_DIR_COL, Files.size(abs),
         Files.getLastModifiedTime(abs).toMillis,
         statsMap.get(abs.toAbsolutePath.normalize.toString),
         bucket = pv.get(Bucketing.BUCKET_DIR_COL).flatMap(_.toIntOption))
     }.toSeq
+    // per-file bloom index sidecars (no-op unless graft.bloom.columns);
+    // rides AFTER stats so sizing uses exact per-file row counts
+    BloomIndex.attach(spark, tablePath, dataSchema, adds, props)
   }
 }

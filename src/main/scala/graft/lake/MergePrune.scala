@@ -3,7 +3,7 @@ package graft.lake
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, ExprId, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.Join
-import org.apache.spark.sql.functions.{col, lit, max, min}
+import org.apache.spark.sql.functions.{approx_count_distinct, col, collect_set, lit, max, min}
 import org.apache.spark.sql.types.StructType
 
 /** Candidate-file pruning for MERGE (the Delta merge-scan trick): a merge
@@ -103,18 +103,50 @@ private[lake] object MergePrune {
     }.getOrElse(Seq.empty)
     if (keys.isEmpty) return Some(Seq.empty)
     val aggs = keys.zipWithIndex.flatMap { case ((_, sk), i) =>
-      Seq(min(col(sk)).as(s"__lo$i"), max(col(sk)).as(s"__hi$i"))
+      Seq(min(col(sk)).as(s"__lo$i"), max(col(sk)).as(s"__hi$i"),
+        approx_count_distinct(col(sk)).as(s"__ndv$i"))
     }
     val row = source.agg(aggs.head, aggs.tail: _*).head()
     val ranges = keys.zipWithIndex.map { case ((tk, _), i) =>
-      (tk, row.get(2 * i), row.get(2 * i + 1))
+      (tk, row.get(3 * i), row.get(3 * i + 1))
     }
     // a NULL min/max means the source has no non-null value for that key:
     // the equi-join conjunct can hold for no row at all
-    if (ranges.exists { case (_, lo, hi) => lo == null || hi == null }) None
-    else Some(ranges.flatMap { case (tk, lo, hi) =>
+    if (ranges.exists { case (_, lo, hi) => lo == null || hi == null }) return None
+    val rangeFilters = ranges.flatMap { case (tk, lo, hi) =>
       try Some(col(tk) >= lit(lo) && col(tk) <= lit(hi))
       catch { case scala.util.control.NonFatal(_) => None }
-    })
+    }
+    // Point-merge refinement: a key column with FEW distinct source
+    // values (a CDC upsert batch of a handful of ids) additionally emits
+    // `t.k IN (values…)` — per-file min/max then prunes each value
+    // exactly, and on bloom-indexed tables ([[BloomIndex]]) the IN atom
+    // is where the per-file filters prove individual keys absent, the
+    // whole reason a point MERGE into an unclustered 100 TB table
+    // touches only the files that hold its keys. Per-column IN is a
+    // superset of the conjunctive tuple set — sound. Gated by the
+    // approximate NDV from the SAME aggregation job (no extra pass to
+    // decide), and the collected set is re-checked against 2× the cap so
+    // an approximation error cannot ship an unbounded list.
+    val ndvCap = spark.conf.getOption("spark.graft.merge.inListMaxKeys")
+      .flatMap(_.toLongOption).getOrElse(64L)
+    val smallKeys = keys.zipWithIndex.collect {
+      case ((tk, sk), i) if ndvCap > 0 && row.getLong(3 * i + 2) <= ndvCap =>
+        (tk, sk)
+    }
+    val inFilters =
+      if (smallKeys.isEmpty) Seq.empty
+      else {
+        val setRow = source.agg(
+          collect_set(col(smallKeys.head._2)),
+          smallKeys.tail.map(k => collect_set(col(k._2))): _*).head()
+        smallKeys.zipWithIndex.flatMap { case ((tk, _), i) =>
+          val vs = setRow.getSeq[Any](i)
+          if (vs.isEmpty || vs.size > 2 * ndvCap) None
+          else try Some(col(tk).isin(vs: _*))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }
+    Some(rangeFilters ++ inFilters)
   }
 }

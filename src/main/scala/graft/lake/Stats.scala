@@ -219,8 +219,9 @@ object Stats {
       file: AddFile,
       pred: Expression,
       schema: StructType,
-      partitionCols: Seq[String]): Boolean =
-    eval(file, nnf(pred), schema, partitionCols).getOrElse(true)
+      partitionCols: Seq[String],
+      probe: BloomProbe = BloomProbe.none): Boolean =
+    eval(file, nnf(pred), schema, partitionCols, probe).getOrElse(true)
 
   /** Negation normal form for the skipping evaluator: NOT is pushed down
     * to the atoms with comparisons flipped. The evaluator's verdicts are
@@ -264,7 +265,15 @@ object Stats {
       f: AddFile,
       e: Expression,
       schema: StructType,
-      pcs: Seq[String]): Option[Boolean] = {
+      pcs: Seq[String],
+      probe: BloomProbe = BloomProbe.none): Option[Boolean] = {
+
+    /** Bloom refinement for equality atoms: true ⇒ the file provably
+      * lacks `column = literal` (value-level proof, works even when the
+      * column has no min/max stats). Conservative on every gap. */
+    def bloomAbsent(c: Expression, l: Expression): Boolean =
+      (for (n <- colName(c); v <- litVal(l); dt <- dtOf(schema, n))
+        yield probe.definitelyAbsent(f, n, dt, v)).getOrElse(false)
 
     /** canonical double for comparison of a literal against stats strings */
     def toCmp(dt: DataType, statsStr: String): Option[BigDecimal] =
@@ -396,13 +405,13 @@ object Stats {
       case Literal(true, BooleanType) => Some(true)
       case Literal(v, BooleanType) if v == null || v == false => Some(false)
       case And(l, r) =>
-        (eval(f, l, schema, pcs), eval(f, r, schema, pcs)) match {
+        (eval(f, l, schema, pcs, probe), eval(f, r, schema, pcs, probe)) match {
           case (Some(false), _) | (_, Some(false)) => Some(false)
           case (Some(true), Some(true)) => Some(true)
           case _ => None
         }
       case Or(l, r) =>
-        (eval(f, l, schema, pcs), eval(f, r, schema, pcs)) match {
+        (eval(f, l, schema, pcs, probe), eval(f, r, schema, pcs, probe)) match {
           case (Some(true), _) | (_, Some(true)) => Some(true)
           case (Some(false), Some(false)) => Some(false)
           case _ => None
@@ -413,10 +422,17 @@ object Stats {
       case Not(_) => None
 
       case EqualTo(l, r) =>
-        (for (n <- colName(l); v <- litVal(r); dt <- dtOf(schema, n); (cmi, cma) <- cmpRange(n, dt, v))
+        if (bloomAbsent(l, r) || bloomAbsent(r, l)) Some(false)
+        else (for (n <- colName(l); v <- litVal(r); dt <- dtOf(schema, n); (cmi, cma) <- cmpRange(n, dt, v))
           yield !(cmi > 0 || cma < 0))
           .orElse(for (n <- colName(r); v <- litVal(l); dt <- dtOf(schema, n); (cmi, cma) <- cmpRange(n, dt, v))
             yield !(cmi > 0 || cma < 0))
+      // positive null-safe equality on a NON-null literal selects exactly
+      // the `c = v` rows — the bloom proof applies; min/max never handled
+      // this atom and still doesn't (litVal yields None on a null
+      // literal, so `c <=> null` stays unknown)
+      case EqualNullSafe(l, r) =>
+        if (bloomAbsent(l, r) || bloomAbsent(r, l)) Some(false) else None
       case GreaterThan(l, r) =>
         (for (n <- colName(l); v <- litVal(r); dt <- dtOf(schema, n); (_, cma) <- cmpRange(n, dt, v))
           yield cma > 0)
@@ -441,7 +457,12 @@ object Stats {
         colName(c).flatMap { n =>
           dtOf(schema, n).flatMap { dt =>
             val verdicts = list.flatMap(l => litVal(l)).map { v =>
-              cmpRange(n, dt, v).map { case (cmi, cma) => !(cmi > 0 || cma < 0) }
+              // bloom refines PER VALUE: a value min/max can't exclude
+              // (or that has no stats at all) may still be provably
+              // absent — the file matches only if SOME value survives
+              // both proofs
+              if (probe.definitelyAbsent(f, n, dt, v)) Some(false)
+              else cmpRange(n, dt, v).map { case (cmi, cma) => !(cmi > 0 || cma < 0) }
             }
             if (verdicts.exists(_.isEmpty)) None
             else Some(verdicts.flatten.exists(identity))

@@ -249,18 +249,27 @@ private[graft] class LakeMicroBatchStream(
   // implements). Offsets/recovery/generation guard: [[LakeOffsetStream]].
 
   /** Files added in `(start, end]`, excluding (or failing on) change
-    * commits. */
+    * commits. REORG-class commits (compaction, Z-order, bloom-index
+    * backfill) move or annotate files without changing the table's rows
+    * — Delta's `dataChange = false` — so they are invisible in BOTH
+    * modes: strict mode only fails on commits that change data, and an
+    * adds-only backfill must not replay its re-adds as inserts. */
   private def filesForRange(start: Long, end: Long): Seq[String] =
     ((start + 1) to end).flatMap { v =>
       val actions = log.readCommit(v)
-      val isChange = actions.exists(_.remove.isDefined)
-      if (isChange) {
-        if (!skipChangeCommits)
-          throw new IllegalStateException(
-            s"version $v of $path rewrites existing data (MERGE/UPDATE/" +
-              "DELETE/COMPACT); set skipChangeCommits=true to stream past it")
-        Seq.empty
-      } else actions.flatMap(_.add).map(f => s"$path/${f.path}")
+      val op = actions.flatMap(_.commitInfo).headOption
+        .map(_.operation).getOrElse("")
+      if (graft.lake.LakeTable.REORG_OPS.contains(op)) Seq.empty
+      else {
+        val isChange = actions.exists(_.remove.isDefined)
+        if (isChange) {
+          if (!skipChangeCommits)
+            throw new IllegalStateException(
+              s"version $v of $path rewrites existing data (MERGE/UPDATE/" +
+                "DELETE/OVERWRITE); set skipChangeCommits=true to stream past it")
+          Seq.empty
+        } else actions.flatMap(_.add).map(f => s"$path/${f.path}")
+      }
     }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -231,12 +231,18 @@ private[graft] object LakePublish {
     }
     val spark = SparkSession.active
     val statsMap = Stats.collectFromFooters(spark, dataSchema, moved.map(_._2.toString))
-    val adds = moved.map { case (e, abs) =>
+    val adds0 = moved.map { case (e, abs) =>
       AddFile(e.relPath, e.partitionValues, Files.size(abs),
         Files.getLastModifiedTime(abs).toMillis,
         statsMap.get(abs.toAbsolutePath.normalize.toString),
         bucket = e.bucket)
     }
+    // bloom index sidecars (no-op without graft.bloom.columns); on a
+    // replay-detected abort below the data files AND these sidecars are
+    // simply orphans for vacuum's mtime gate
+    val adds = graft.lake.BloomIndex.attach(spark, lake.path, dataSchema, adds0,
+      plannedMeta.map(_.properties)
+        .getOrElse(lake.snapshot.metaData.properties))
     val rows = adds.flatMap(_.stats.map(_.numRecords)).sum
 
     var tries = 0

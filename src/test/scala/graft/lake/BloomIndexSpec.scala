@@ -1,0 +1,346 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Per-file Bloom-filter index ([[BloomIndex]]): build, point-lookup
+  * pruning (read + DML + distributed path), probe/build hash parity per
+  * supported type, lifecycle under compaction and vacuum, and the
+  * soundness invariant — a file holding the key is NEVER skipped.
+  *
+  * Keys are deliberately UNCLUSTERED (round-robin repartition) so
+  * min/max stats alone can never prune — every skip asserted here is the
+  * bloom's.
+  */
+class BloomIndexSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("bloom-test-").toString
+
+  private val bloomProps = Map(
+    BloomIndex.COLS_PROP -> "id,name",
+    // tight fpp so the deterministic fixtures below prune cleanly
+    BloomIndex.FPP_PROP -> "0.001")
+
+  /** 64 rows spread round-robin over 4 files: every file's id min/max
+    * spans ~the whole domain. */
+  private def unclusteredTable(path: String): LakeTable = {
+    val df = (0L until 64L).map(i => (i, s"name_$i", i % 7))
+      .toDF("id", "name", "grp").repartition(4)
+    LakeTable.create(spark, path, df, properties = bloomProps)
+  }
+
+  test("build: every data file carries a bloomPath and a readable sidecar") {
+    val path = tmpDir()
+    val t = unclusteredTable(path)
+    val files = t.snapshot.files
+    assert(files.size > 1)
+    assert(files.forall(_.bloomPath.isDefined))
+    files.foreach { f =>
+      val sc = Paths.get(path).resolve(f.bloomPath.get)
+      assert(Files.exists(sc), s"missing sidecar ${f.bloomPath.get}")
+      assert(f.bloomPath.get.startsWith(BloomIndex.INDEX_DIR + "/"))
+    }
+    // unconfigured tables stay sidecar-free
+    val plain = LakeTable.create(spark, tmpDir(),
+      Seq((1L, "a")).toDF("id", "name"))
+    assert(plain.snapshot.files.forall(_.bloomPath.isEmpty))
+  }
+
+  test("point read: equality on an unclustered key scans only the holding file") {
+    val path = tmpDir()
+    val t = unclusteredTable(path)
+    val total = t.snapshot.files.size
+    // soundness across the whole domain: every key's row is found
+    for (k <- 0L until 64L by 7L) {
+      val rows = t.read($"id" === k).collect()
+      assert(rows.map(_.getLong(0)).toSeq === Seq(k))
+    }
+    // effectiveness: the deterministic fixture prunes to fewer files
+    // than the table holds (fpp 0.001 over 3 foreign files)
+    BloomMetrics.reset()
+    val hit = t.read($"id" === 5L)
+    assert(hit.count() === 1)
+    assert(BloomMetrics.skippedByBloom.get() > 0,
+      "bloom proved no file absent — index not consulted?")
+    // a key nobody holds reads empty from zero-to-few files
+    BloomMetrics.reset()
+    assert(t.read($"id" === 99999L).count() === 0)
+    assert(BloomMetrics.skippedByBloom.get() >= total - 1)
+    // string column is indexed too
+    assert(t.read($"name" === "name_9").collect().map(_.getLong(0)).toSeq === Seq(9L))
+    // IN-list: each value proven absent individually
+    assert(t.read($"id".isin(3L, 11L)).count() === 2)
+    val skipped = { BloomMetrics.reset(); t.read($"id".isin(100000L, 100001L)).count() }
+    assert(skipped === 0 && BloomMetrics.skippedByBloom.get() > 0)
+  }
+
+  test("kill switch: spark.graft.bloom.read.enabled=false disables pruning only") {
+    val path = tmpDir()
+    val t = unclusteredTable(path)
+    spark.conf.set("spark.graft.bloom.read.enabled", "false")
+    try {
+      BloomMetrics.reset()
+      assert(t.read($"id" === 5L).count() === 1)
+      assert(BloomMetrics.skippedByBloom.get() === 0)
+    } finally spark.conf.unset("spark.graft.bloom.read.enabled")
+  }
+
+  test("DELETE / UPDATE by key prune candidates through the bloom") {
+    val path = tmpDir()
+    val t = unclusteredTable(path)
+    BloomMetrics.reset()
+    t.delete($"id" === 13L)
+    assert(BloomMetrics.skippedByBloom.get() > 0)
+    assert(t.toDF.where($"id" === 13L).count() === 0)
+    assert(t.toDF.count() === 63)
+    BloomMetrics.reset()
+    t.update($"id" === 14L, Map("name" -> lit("updated")))
+    assert(BloomMetrics.skippedByBloom.get() > 0)
+    assert(t.toDF.where($"id" === 14L).select("name").head().getString(0) === "updated")
+    assert(t.toDF.count() === 63)
+  }
+
+  test("point MERGE: IN-list refinement + bloom narrow the candidate files") {
+    val path = tmpDir()
+    val t = unclusteredTable(path)
+    val total = t.snapshot.files.size
+    val src = Seq((5L, "merged_5", 0), (99999L, "merged_new", 0))
+      .toDF("id", "name", "grp")
+    BloomMetrics.reset()
+    DmlMetrics.lastMergeCandidateFiles.set(-1L)
+    t.mergeClauses(src, col("t.id") === col("s.id"),
+      Seq(MergeClause.Update(None, Map.empty)),
+      Seq(MergeClause.Insert(None, Map.empty)),
+      Seq.empty,
+      useDvs = false) // small-table DV fast path skips pruning entirely
+    assert(t.toDF.where($"id" === 5L).select("name").head().getString(0) === "merged_5")
+    assert(t.toDF.where($"id" === 99999L).count() === 1)
+    assert(t.toDF.count() === 65)
+    val cands = DmlMetrics.lastMergeCandidateFiles.get()
+    assert(cands >= 0 && cands < total,
+      s"merge touched $cands of $total files — IN-list + bloom pruned nothing")
+    assert(BloomMetrics.skippedByBloom.get() > 0)
+  }
+
+  test("big-log path: bloom evaluates inside the distributed candidate scan") {
+    val path = tmpDir()
+    val t = unclusteredTable(path)
+    // force a checkpoint so the distributed resolver can engage
+    (1 to 10).foreach(i =>
+      t.append(Seq((1000L + i, s"extra_$i", 0)).toDF("id", "name", "grp")))
+    spark.conf.set("spark.graft.log.distributedThreshold", "1")
+    try {
+      BloomMetrics.reset()
+      val rows = t.read($"id" === 21L).collect()
+      assert(ReadMetrics.lastReadDistributed.get(), "distributed path not engaged")
+      assert(rows.map(_.getLong(0)).toSeq === Seq(21L))
+      // local[n]: executor threads share the JVM, so their skips land in
+      // the same counter
+      assert(BloomMetrics.skippedByBloom.get() > 0)
+    } finally spark.conf.unset("spark.graft.log.distributedThreshold")
+  }
+
+  test("probe/build hash parity across every supported type") {
+    val path = tmpDir()
+    val df = Seq(
+      (42L, 7, "str-α", java.sql.Date.valueOf("2024-03-01"),
+        java.sql.Timestamp.valueOf("2024-03-01 10:30:00"),
+        new java.math.BigDecimal("12.34"))
+    ).toDF("l", "i", "s", "d", "ts", "dec")
+    val t = LakeTable.create(spark, path, df,
+      properties = Map(BloomIndex.COLS_PROP -> "l,i,s,d,ts,dec",
+        BloomIndex.FPP_PROP -> "0.001"))
+    // every present value must be found (no false skip — this is the
+    // parity proof: probe hash == build hash per type)
+    assert(t.read($"l" === 42L).count() === 1)
+    assert(t.read($"i" === 7).count() === 1)
+    assert(t.read($"s" === "str-α").count() === 1)
+    assert(t.read($"d" === java.sql.Date.valueOf("2024-03-01")).count() === 1)
+    assert(t.read($"ts" === java.sql.Timestamp.valueOf("2024-03-01 10:30:00")).count() === 1)
+    assert(t.read($"dec" === new java.math.BigDecimal("12.34")).count() === 1)
+    // cross-type literal: int literal against the long column converts
+    // exactly and still hits
+    assert(t.read($"l" === 42).count() === 1)
+    // absent values of each type prune (deterministic fixture)
+    BloomMetrics.reset()
+    assert(t.read($"l" === 43L).count() === 0)
+    assert(t.read($"s" === "str-β").count() === 0)
+    assert(BloomMetrics.skippedByBloom.get() >= 2)
+  }
+
+  test("null semantics: IS NULL and null-safe equality never bloom-skip wrongly") {
+    val path = tmpDir()
+    val df = Seq((Some(1L), "a"), (None, "b"), (Some(3L), "c"))
+      .toDF("id", "name").repartition(1)
+    val t = LakeTable.create(spark, path, df, properties = bloomProps)
+    assert(t.read($"id".isNull).count() === 1)
+    assert(t.read($"id" <=> lit(null)).count() === 1)
+    assert(t.read($"id" <=> 3L).count() === 1)
+    BloomMetrics.reset()
+    assert(t.read($"id" <=> 4L).count() === 0)
+    assert(BloomMetrics.skippedByBloom.get() > 0,
+      "null-safe equality on a non-null literal should consult the bloom")
+  }
+
+  test("compaction rewrites sidecars; vacuum keeps live ones, reaps orphans") {
+    val path = tmpDir()
+    val t = unclusteredTable(path)
+    val oldSidecars = t.snapshot.files.flatMap(_.bloomPath).toSet
+    t.compact(targetFileBytes = 1L << 30)
+    val newFiles = t.snapshot.files
+    assert(newFiles.forall(_.bloomPath.isDefined),
+      "compacted files lost their bloom index")
+    val newSidecars = newFiles.flatMap(_.bloomPath).toSet
+    assert(newSidecars.intersect(oldSidecars).isEmpty)
+    // pruning still works on the rewritten layout
+    assert(t.read($"id" === 5L).collect().map(_.getLong(0)).toSeq === Seq(5L))
+    // vacuum with zero retention reaps the superseded sidecars and
+    // keeps every live one
+    val deleted = t.vacuum(retentionMs = 0L)
+    oldSidecars.foreach(sc =>
+      assert(!Files.exists(Paths.get(path).resolve(sc)), s"orphan kept: $sc"))
+    newSidecars.foreach(sc =>
+      assert(Files.exists(Paths.get(path).resolve(sc)), s"live reaped: $sc"))
+    assert(deleted.exists(_.endsWith(BloomIndex.SIDECAR_SUFFIX)))
+    // crashed-build tmp files under _index/ are reaped too
+    val tmp = Paths.get(path).resolve(
+      BloomIndex.INDEX_DIR + "/deadbeef-part-x.parquet.bloom.123.tmp")
+    Files.write(tmp, Array[Byte](1, 2, 3))
+    val deleted2 = t.vacuum(retentionMs = 0L)
+    assert(!Files.exists(tmp))
+    assert(deleted2.exists(_.endsWith(".tmp")))
+  }
+
+  test("checkpoint round-trips bloomPath; legacy checkpoints read as None") {
+    val path = tmpDir()
+    val t = unclusteredTable(path)
+    (1 to 12).foreach(i =>
+      t.append(Seq((2000L + i, s"x$i", 0)).toDF("id", "name", "grp")))
+    // fresh handle resolves through the checkpoint; bloomPath survives
+    val t2 = LakeTable.forPath(spark, path)
+    assert(t2.snapshot.files.count(_.bloomPath.isDefined) >= 4)
+    assert(t2.read($"id" === 5L).collect().map(_.getLong(0)).toSeq === Seq(5L))
+
+    // a checkpoint written BEFORE the field existed (old message type):
+    // the reader treats the missing column as None instead of crashing
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.MessageTypeParser
+    val legacySchema = MessageTypeParser.parseMessageType(
+      """message lake_checkpoint {
+        |  optional group add {
+        |    required binary path (STRING);
+        |    required int64 size;
+        |    required int64 modificationTime;
+        |  }
+        |}""".stripMargin)
+    val legacy = Files.createTempDirectory("legacy-ckpt-").resolve("c.parquet")
+    val w = ExampleParquetWriter.builder(
+        new org.apache.hadoop.fs.Path(legacy.toString))
+      .withType(legacySchema)
+      .withConf(new org.apache.hadoop.conf.Configuration(false)).build()
+    val g = new SimpleGroupFactory(legacySchema).newGroup()
+    val ag = g.addGroup("add")
+    ag.add("path", "p1.parquet"); ag.add("size", 10L); ag.add("modificationTime", 1L)
+    w.write(g); w.close()
+    val decoded = Checkpoint.read(legacy)
+    assert(decoded.flatMap(_.add).map(_.bloomPath) === Seq(None))
+  }
+
+  test("backfill: buildBloomIndex indexes pre-property files; streams stay silent") {
+    val path = tmpDir()
+    // table created WITHOUT the index property — no sidecars
+    val df = (0L until 64L).map(i => (i, s"name_$i", i % 7))
+      .toDF("id", "name", "grp").repartition(4)
+    val t = LakeTable.create(spark, path, df)
+    assert(t.snapshot.files.forall(_.bloomPath.isEmpty))
+    intercept[IllegalArgumentException](t.buildBloomIndex())
+
+    t.setProperties(bloomProps)
+    val verBefore = t.snapshot.version
+    val indexed = t.buildBloomIndex()
+    assert(indexed === t.snapshot.files.size && indexed > 1)
+    assert(t.snapshot.files.forall(_.bloomPath.isDefined))
+    // same data files — the commit was metadata-only
+    assert(t.snapshot.version === verBefore + 1)
+    // pruning works on the backfilled index; results intact
+    BloomMetrics.reset()
+    assert(t.read($"id" === 99999L).count() === 0)
+    assert(BloomMetrics.skippedByBloom.get() > 0)
+    assert(t.read($"id" === 5L).collect().map(_.getLong(0)).toSeq === Seq(5L))
+    // idempotent: nothing left to index
+    assert(t.buildBloomIndex() === 0)
+    // force rebuilds every live file (recovery after a column-set change)
+    assert(t.buildBloomIndex(force = true) === t.snapshot.files.size)
+
+    // the backfill commit is REORG-classified: a table stream draining
+    // across it sees no rows, and the change feed records nothing
+    val sinkRows = spark.readStream
+      .format("org.apache.spark.sql.graft.LakeSourceProvider").load(path)
+    val ckpt = Files.createTempDirectory("bloom-stream-").toString
+    val q = sinkRows.writeStream.format("memory").queryName("bloom_bf_sink")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("bloom_bf_sink").count() === 64,
+      "backfill re-adds must not replay as stream inserts")
+  }
+
+  test("backfill after RENAME COLUMN reads values by field id, not name-miss nulls") {
+    val path = tmpDir()
+    val df = (0L until 32L).map(i => (i, s"v$i")).toDF("id", "name").repartition(2)
+    val t = LakeTable.create(spark, path, df)
+    t.alterRenameColumn("name", "title")
+    t.setProperties(Map(BloomIndex.COLS_PROP -> "title",
+      BloomIndex.FPP_PROP -> "0.001"))
+    assert(t.buildBloomIndex() === t.snapshot.files.size)
+    // soundness: values live under the OLD parquet name in every file —
+    // a name-based read would have built empty blooms and skipped these
+    for (k <- Seq(0L, 17L, 31L))
+      assert(t.read($"title" === s"v$k").collect().map(_.getLong(0)).toSeq === Seq(k))
+    BloomMetrics.reset()
+    assert(t.read($"title" === "nope").count() === 0)
+    assert(BloomMetrics.skippedByBloom.get() > 0)
+  }
+
+  test("property column names match case-insensitively, sidecar keys canonical") {
+    val path = tmpDir()
+    val df = (0L until 16L).map(i => (i, s"n$i")).toDF("id", "name").repartition(2)
+    val t = LakeTable.create(spark, path, df, properties = Map(
+      BloomIndex.COLS_PROP -> "ID, Name, nosuch",
+      BloomIndex.FPP_PROP -> "0.001"))
+    assert(t.snapshot.files.forall(_.bloomPath.isDefined))
+    assert(t.read($"id" === 3L).collect().map(_.getLong(0)).toSeq === Seq(3L))
+    BloomMetrics.reset()
+    assert(t.read($"id" === 12345L).count() === 0)
+    assert(BloomMetrics.skippedByBloom.get() > 0,
+      "case-differing property spelling must still index the column")
+  }
+
+  test("schema guard: renamed/retyped columns never prove absence") {
+    val path = tmpDir()
+    val t = unclusteredTable(path)
+    // simulate a declared-type mismatch by probing with the wrong type:
+    // the probe requires sidecar dt == schema dt, so a LongType sidecar
+    // consulted for an IntegerType column proves nothing
+    val f = t.snapshot.files.head
+    val probe = BloomIndex.probe(Paths.get(path).toAbsolutePath.normalize.toString)
+    assert(!probe.definitelyAbsent(f, "id", IntegerType, 99999),
+      "type-mismatched probe must not prove absence")
+    // value conversion is exact: a Long literal that cannot be an Int
+    // never probes (and never proves)
+    assert(BloomIndex.toColumnValue(IntegerType, Long.MaxValue).isEmpty)
+    assert(BloomIndex.toColumnValue(IntegerType, 5L) === Some(5))
+    // a column name the sidecar never indexed proves nothing
+    assert(!probe.definitelyAbsent(f, "grp", IntegerType, 12345))
+  }
+}

@@ -75,6 +75,32 @@ class LakeSourceV2Spec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("rewrites existing data")))
   }
 
+  test("strict mode streams past REORG commits (dataChange=false semantics)") {
+    // compaction moves rows between files without changing the table:
+    // even skipChangeCommits=false must not fail on it — only commits
+    // that CHANGE data (DML/overwrite) are strict-mode errors
+    val path = Files.createTempDirectory("lake-src-reorg-").toString
+    val t = LakeTable.create(spark, path, Seq((1L, "a")).toDF("id", "v"))
+    val q = readLake(path, "skipChangeCommits" -> "false").writeStream
+      .format("memory").queryName("lake_src_reorg")
+      .option("checkpointLocation",
+        Files.createTempDirectory("lake-src-ckpt-reorg-").toString)
+      .start()
+    try {
+      q.processAllAvailable() // initial snapshot: (1,a)
+      // the REORG lands MID-STREAM so the incremental range planner
+      // (not the initial snapshot) has to classify it
+      t.append(Seq((2L, "b")).toDF("id", "v"))
+      t.compact()
+      assert(t.snapshot.files.size === 1, "compaction must have fired")
+      t.append(Seq((3L, "c")).toDF("id", "v"))
+      q.processAllAvailable()
+      val seen = spark.table("lake_src_reorg").as[(Long, String)].collect().toSet
+      assert(seen === Set((1L, "a"), (2L, "b"), (3L, "c")),
+        "REORG must be invisible, appends across it exactly-once")
+    } finally q.stop()
+  }
+
   test("startingVersion skips history before it") {
     val path = Files.createTempDirectory("lake-src-sv-").toString
     val t = LakeTable.create(spark, path, Seq((1L, "a")).toDF("id", "v")) // v0
