@@ -19,14 +19,17 @@ import org.apache.spark.util.sketch.BloomFilter
   * executors ([[DistributedState.pruneLive]]).
   */
 trait BloomProbe extends Serializable {
-  def definitelyAbsent(f: AddFile, name: String, dt: DataType, value: Any): Boolean
+  /** `field` is the CURRENT schema's resolved field (name, type, and
+    * parquet field-id metadata) — the probe matches all three against
+    * what the sidecar recorded at build time. */
+  def definitelyAbsent(f: AddFile, field: StructField, value: Any): Boolean
 }
 
 object BloomProbe {
   /** Never proves absence — the zero-cost default for tables without an
     * index and for callers that only need min/max skipping. */
   val none: BloomProbe = new BloomProbe {
-    override def definitelyAbsent(f: AddFile, name: String, dt: DataType, value: Any) = false
+    override def definitelyAbsent(f: AddFile, field: StructField, value: Any) = false
   }
 }
 
@@ -146,8 +149,12 @@ object BloomIndex {
     val sidecarRel: Map[String, String] =
       adds.map(a => absOf(a) -> sidecarPathFor(a.path)).toMap
 
-    val colMeta: Seq[(String, String)] =
-      fields.map(f => (f.name, f.dataType.catalogString))
+    // (name, type, parquet field id): the probe requires all three to
+    // match the CURRENT schema, so a sidecar built for a different
+    // column that later took this name (rename churn) proves nothing
+    val colMeta: Seq[(String, String, Long)] =
+      fields.map(f => (f.name, f.dataType.catalogString,
+        LakeTable.fieldId(f).getOrElse(-1L)))
     val expectedB = spark.sparkContext.broadcast(expected)
     val sidecarB = spark.sparkContext.broadcast(sidecarRel)
 
@@ -178,12 +185,28 @@ object BloomIndex {
       }(Encoders.tuple(Encoders.STRING, Encoders.STRING))
       .collect().toMap
 
-    adds.map(a => a.copy(bloomPath = built.get(absOf(a))))
+    adds.map { a =>
+      built.get(absOf(a)) match {
+        case Some(rel) => a.copy(bloomPath = Some(rel))
+        case None =>
+          // a file with no group in the build job is a ZERO-ROW file
+          // (no input_file_name rows): an empty filter is its exact
+          // index — every probe proves absence, which is true. Written
+          // driver-side (rare); keeps attach total, so a backfill never
+          // re-targets the same file forever.
+          if (a.stats.exists(_.numRecords == 0L)) {
+            val rel = sidecarPathFor(a.path)
+            writeSidecar(root, rel, colMeta,
+              Array.fill(colMeta.size)(BloomFilter.create(64L, fpp)))
+            a.copy(bloomPath = Some(rel))
+          } else a // unattributable rows: keep the PREVIOUS index state
+      }
+    }
   }
 
   private def writeSidecar(
       root: Path, rel: String,
-      colMeta: Seq[(String, String)], blooms: Array[BloomFilter]): Unit = {
+      colMeta: Seq[(String, String, Long)], blooms: Array[BloomFilter]): Unit = {
     val dest = root.resolve(rel)
     Files.createDirectories(dest.getParent)
     val tmp = dest.resolveSibling(
@@ -193,9 +216,10 @@ object BloomIndex {
       out.writeInt(MAGIC)
       out.writeInt(VERSION)
       out.writeInt(colMeta.size)
-      colMeta.zip(blooms).foreach { case ((name, dtStr), bf) =>
+      colMeta.zip(blooms).foreach { case ((name, dtStr, fid), bf) =>
         out.writeUTF(name)
         out.writeUTF(dtStr)
+        out.writeLong(fid)
         val bos = new ByteArrayOutputStream()
         bf.writeTo(bos)
         val bytes = bos.toByteArray
@@ -216,7 +240,7 @@ object BloomIndex {
     * PERMANENT gaps (future format version — cacheable), `None` for
     * exceptions (missing file, transient IO — the caller must not pin a
     * transient failure into the immutable-content cache). */
-  private def readSidecar(p: Path): Option[Map[String, (DataType, BloomFilter)]] =
+  private def readSidecar(p: Path): Option[Map[String, (DataType, Long, BloomFilter)]] =
     try {
       val in = new DataInputStream(new BufferedInputStream(Files.newInputStream(p)))
       try {
@@ -226,10 +250,12 @@ object BloomIndex {
           Some((0 until n).map { _ =>
             val name = in.readUTF()
             val dt = DataType.fromDDL(in.readUTF())
+            val fid = in.readLong()
             val len = in.readInt()
             val bytes = new Array[Byte](len)
             in.readFully(bytes)
-            name -> (dt, BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
+            name -> ((dt, fid,
+              BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))))
           }.toMap)
         }
       } finally in.close()
@@ -241,13 +267,13 @@ object BloomIndex {
   // entries ≈ tens of MB at default sizing.
   private val CACHE_MAX = 128
   private val cache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, Map[String, (DataType, BloomFilter)]](64, 0.75f, true) {
+    new java.util.LinkedHashMap[String, Map[String, (DataType, Long, BloomFilter)]](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Map[String, (DataType, BloomFilter)]]): Boolean =
+          e: java.util.Map.Entry[String, Map[String, (DataType, Long, BloomFilter)]]): Boolean =
         size > CACHE_MAX
     })
 
-  private def lookup(rootStr: String, rel: String): Map[String, (DataType, BloomFilter)] = {
+  private def lookup(rootStr: String, rel: String): Map[String, (DataType, Long, BloomFilter)] = {
     val abs = Paths.get(rootStr).resolve(rel).normalize.toString
     val hit = cache.get(abs)
     if (hit != null) hit
@@ -295,16 +321,20 @@ object BloomIndex {
 
   private final case class FileBloomProbe(rootStr: String) extends BloomProbe {
     override def definitelyAbsent(
-        f: AddFile, name: String, dt: DataType, value: Any): Boolean =
+        f: AddFile, field: StructField, value: Any): Boolean =
       f.bloomPath.exists { rel =>
-        lookup(rootStr, rel).get(name) match {
-          // declared-type equality guards column-mapping edits: a sidecar
-          // built for a differently-typed (or since-renamed) column of
-          // the same name never proves anything
-          case Some((sdt, bf)) if sdt == dt =>
-            toColumnValue(dt, value) match {
+        lookup(rootStr, rel).get(field.name) match {
+          // the sidecar must describe THIS column: same name, same
+          // declared type, and — the part the name alone cannot carry —
+          // the same parquet field id, so rename churn that hands an old
+          // name to a different same-typed column (a→x, b→a) can never
+          // make the previous column's filter prove absence of the new
+          // one's values
+          case Some((sdt, sfid, bf)) if sdt == field.dataType &&
+              sfid == LakeTable.fieldId(field).getOrElse(-1L) =>
+            toColumnValue(field.dataType, value) match {
               case Some(cv) =>
-                val absent = !bf.mightContainLong(probeHash(dt, cv))
+                val absent = !bf.mightContainLong(probeHash(field.dataType, cv))
                 if (absent) BloomMetrics.skippedByBloom.incrementAndGet()
                 absent
               case None => false

@@ -96,11 +96,10 @@ private[lake] object DistributedState {
         if (r.isNullAt(i)) None else Some(r.getInt(i)) },
       optStr("dvInline"),
       // field added after the first checkpoints shipped: absent column
-      // (old checkpoint file) decodes as None
-      {
-        val i = r.schema.fieldNames.indexOf("bloomPath")
-        if (i >= 0 && !r.isNullAt(i)) Some(r.getString(i)) else None
-      })
+      // (old checkpoint file) decodes as None. indexWhere walks the
+      // shared schema's ~10 fields — no per-row array allocation
+      { val i = r.schema.indexWhere(_.name == "bloomPath")
+        if (i >= 0 && !r.isNullAt(i)) Some(r.getString(i)) else None })
   }
 
   /** Table metadata out of the checkpoint without touching its add rows

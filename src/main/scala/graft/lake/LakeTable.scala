@@ -65,7 +65,10 @@ final class LakeTable private (
     * candidate pruning) resolve sidecars CWD-independently. A `def`, so
     * the session kill-switch is honored per operation. */
   private def bloomProbe: BloomProbe =
-    if (spark.conf.getOption("spark.graft.bloom.read.enabled").forall(_.toBoolean))
+    // unparseable values fall back to enabled: a kill-switch typo must
+    // not crash every read/DML with a Boolean parse error
+    if (spark.conf.getOption("spark.graft.bloom.read.enabled")
+        .flatMap(v => v.trim.toBooleanOption).getOrElse(true))
       BloomIndex.probe(Paths.get(path).toAbsolutePath.normalize.toString)
     else BloomProbe.none
 
@@ -1471,16 +1474,26 @@ final class LakeTable private (
         s"${BloomIndex.COLS_PROP} names no indexable data column of this table")
       val targets = if (force) snap.files else snap.files.filter(_.bloomPath.isEmpty)
       if (targets.isEmpty) return 0
-      val updated = BloomIndex.attach(spark, path, dataSchema, targets,
+      val attached = BloomIndex.attach(spark, path, dataSchema, targets,
         snap.metaData.properties)
+      // rebuilt = sidecars written this call; the COMMIT carries only
+      // entries whose pointer changed (a force rebuild overwrites the
+      // same deterministic sidecar path in place — no log change
+      // needed), and attach preserves the previous bloomPath for files
+      // it could not attribute, so a non-force call converges instead
+      // of re-committing no-ops forever
+      val rebuilt = attached.count(_.bloomPath.isDefined)
+      val changed = attached.zip(targets)
+        .collect { case (u, t) if u.bloomPath != t.bloomPath => u }
+      if (changed.isEmpty) return rebuilt
       val now = System.currentTimeMillis()
-      val actions = updated.map(Action.of) :+
+      val actions = changed.map(Action.of) :+
         Action.of(CommitInfo(now, "BLOOM INDEX",
-          Map("indexedFiles" -> updated.size.toString, "force" -> force.toString),
-          numAddedFiles = updated.size.toLong))
+          Map("indexedFiles" -> changed.size.toString, "force" -> force.toString),
+          numAddedFiles = changed.size.toLong))
       try {
         commitWithRetry(snap.version, actions, rebaseable = false)
-        return updated.size
+        return rebuilt
       } catch {
         case e: CommitConflictException =>
           tries += 1
@@ -1716,6 +1729,16 @@ final class LakeTable private (
     * `02.delta_lake_primer.py:238-240`): the field keeps its parquet
     * field id, so readers resolve existing files by id and the data
     * appears under the new name without rewriting a byte.
+    *
+    * Name-reuse guard: per-file min/max stats (and pre-field-id bloom
+    * handling) are keyed by COLUMN NAME at write time, so handing a
+    * freed name to a DIFFERENT column (a→x then b→a) would make old
+    * files' stats for the previous `a` prune the new `a`'s data —
+    * silent lost rows. Every rename/drop records the freed name with
+    * its field id in the table properties; renaming TO a freed name is
+    * allowed only for the SAME field (a rename back). ADD COLUMN may
+    * reuse freed names safely — existing files read NULL for a fresh
+    * field id, so any stale-stats skip is vacuously sound.
     */
   def alterRenameColumn(oldName: String, newName: String): Unit = {
     require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
@@ -1729,10 +1752,21 @@ final class LakeTable private (
       s"cannot rename partition-transform source column $oldName")
     require(!Bucketing.specOf(snap.metaData).exists(_.columns.contains(oldName)),
       s"cannot rename bucket column $oldName (file bucket ids are keyed by it)")
+    val fid = LakeTable.fieldId(snap.schema(oldName)).getOrElse(-1L)
+    val takenKey = LakeTable.FREED_NAME_PREFIX + newName
+    snap.metaData.properties.get(takenKey).foreach { prevId =>
+      require(fid >= 0 && prevId == fid.toString,
+        s"cannot rename $oldName to $newName: that name previously " +
+          s"belonged to a different column (field id $prevId) — per-file " +
+          "stats in existing files are keyed by name and would mis-prune " +
+          "the renamed column; rewrite the table or pick another name")
+    }
     val newSchema = StructType(snap.schema.fields.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f))
     commitSchemaChange(snap, newSchema, "RENAME COLUMN",
-      Map("from" -> oldName, "to" -> newName))
+      Map("from" -> oldName, "to" -> newName),
+      addProps = Map(LakeTable.FREED_NAME_PREFIX + oldName -> fid.toString),
+      dropProps = Set(takenKey))
   }
 
   /** ALTER TABLE DROP COLUMN — metadata-only; the field id is retired
@@ -1751,8 +1785,12 @@ final class LakeTable private (
     require(!Bucketing.specOf(snap.metaData).exists(_.columns.contains(name)),
       s"cannot drop bucket column $name (file bucket ids are keyed by it)")
     require(snap.schema.fields.length > 1, "cannot drop the last column")
+    val fid = LakeTable.fieldId(snap.schema(name)).getOrElse(-1L)
     val newSchema = StructType(snap.schema.fields.filterNot(_.name == name))
-    commitSchemaChange(snap, newSchema, "DROP COLUMN", Map("column" -> name))
+    // record the freed name: a later RENAME of another column onto it
+    // must be refused (stale name-keyed stats; see alterRenameColumn)
+    commitSchemaChange(snap, newSchema, "DROP COLUMN", Map("column" -> name),
+      addProps = Map(LakeTable.FREED_NAME_PREFIX + name -> fid.toString))
   }
 
   /** Iceberg-style PARTITION SPEC EVOLUTION — metadata-only (the spec
@@ -1808,14 +1846,16 @@ final class LakeTable private (
   }
 
   private def commitSchemaChange(snap: Snapshot, newSchema: StructType,
-      op: String, params: Map[String, String]): Unit = {
+      op: String, params: Map[String, String],
+      addProps: Map[String, String] = Map.empty,
+      dropProps: Set[String] = Set.empty): Unit = {
     val now = System.currentTimeMillis()
     val maxId = math.max(LakeTable.maxFieldId(newSchema),
       snap.metaData.properties.get(LakeTable.MAX_COLUMN_ID_PROP)
         .map(_.toLong).getOrElse(0L))
     commitWithRetry(snap.version, Seq(
       Action.of(snap.metaData.withSchema(newSchema).copy(
-        properties = snap.metaData.properties +
+        properties = snap.metaData.properties -- dropProps ++ addProps +
           (LakeTable.MAX_COLUMN_ID_PROP -> maxId.toString))),
       Action.of(CommitInfo(now, op, params))),
       rebaseable = false)
@@ -2184,6 +2224,11 @@ object LakeTable {
     * orphaned ones (crashed writes) as garbage past retention.
     */
   val STAGING_PREFIX = "_staging-"
+
+  /** Table-property prefix recording names freed by RENAME/DROP COLUMN
+    * with the field id that owned them — the name-reuse guard's memory
+    * (see [[LakeTable.alterRenameColumn]]). */
+  val FREED_NAME_PREFIX = "graft.schema.freedName."
 
   /** StructField metadata key Spark's parquet writer/reader use for
     * field-id-based column resolution (the Iceberg mechanism): with ids

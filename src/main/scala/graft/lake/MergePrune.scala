@@ -125,9 +125,15 @@ private[lake] object MergePrune {
     // whole reason a point MERGE into an unclustered 100 TB table
     // touches only the files that hold its keys. Per-column IN is a
     // superset of the conjunctive tuple set — sound. Gated by the
-    // approximate NDV from the SAME aggregation job (no extra pass to
-    // decide), and the collected set is re-checked against 2× the cap so
-    // an approximation error cannot ship an unbounded list.
+    // approximate NDV from the SAME aggregation job (deciding costs no
+    // extra pass); COLLECTING the values is deliberately a second,
+    // NDV-gated pass rather than an unconditional collect_set in the
+    // first job — an unbounded collect_set over a high-NDV key is an
+    // executor-OOM risk at scale, and the second scan runs only when a
+    // small list is guaranteed to pay for itself by pruning the (much
+    // larger) target side per value. The collected set is re-checked
+    // against 2× the cap so an approximation error cannot ship an
+    // unbounded list.
     val ndvCap = spark.conf.getOption("spark.graft.merge.inListMaxKeys")
       .flatMap(_.toLongOption).getOrElse(64L)
     val smallKeys = keys.zipWithIndex.collect {

@@ -270,10 +270,13 @@ object Stats {
 
     /** Bloom refinement for equality atoms: true ⇒ the file provably
       * lacks `column = literal` (value-level proof, works even when the
-      * column has no min/max stats). Conservative on every gap. */
+      * column has no min/max stats). Conservative on every gap. Callers
+      * consult it only when min/max could NOT already exclude — the
+      * range check is free in-memory state, the bloom costs a sidecar
+      * read on a cache miss. */
     def bloomAbsent(c: Expression, l: Expression): Boolean =
-      (for (n <- colName(c); v <- litVal(l); dt <- dtOf(schema, n))
-        yield probe.definitelyAbsent(f, n, dt, v)).getOrElse(false)
+      (for (n <- colName(c); v <- litVal(l); fld <- fieldOf(schema, n))
+        yield probe.definitelyAbsent(f, fld, v)).getOrElse(false)
 
     /** canonical double for comparison of a literal against stats strings */
     def toCmp(dt: DataType, statsStr: String): Option[BigDecimal] =
@@ -422,11 +425,15 @@ object Stats {
       case Not(_) => None
 
       case EqualTo(l, r) =>
-        if (bloomAbsent(l, r) || bloomAbsent(r, l)) Some(false)
-        else (for (n <- colName(l); v <- litVal(r); dt <- dtOf(schema, n); (cmi, cma) <- cmpRange(n, dt, v))
-          yield !(cmi > 0 || cma < 0))
-          .orElse(for (n <- colName(r); v <- litVal(l); dt <- dtOf(schema, n); (cmi, cma) <- cmpRange(n, dt, v))
+        val byRange =
+          (for (n <- colName(l); v <- litVal(r); dt <- dtOf(schema, n); (cmi, cma) <- cmpRange(n, dt, v))
             yield !(cmi > 0 || cma < 0))
+            .orElse(for (n <- colName(r); v <- litVal(l); dt <- dtOf(schema, n); (cmi, cma) <- cmpRange(n, dt, v))
+              yield !(cmi > 0 || cma < 0))
+        // bloom only when the free range check could not exclude
+        if (byRange.contains(false)) byRange
+        else if (bloomAbsent(l, r) || bloomAbsent(r, l)) Some(false)
+        else byRange
       // positive null-safe equality on a NON-null literal selects exactly
       // the `c = v` rows — the bloom proof applies; min/max never handled
       // this atom and still doesn't (litVal yields None on a null
@@ -456,13 +463,16 @@ object Stats {
       case In(c, list) if list.forall(_.isInstanceOf[Literal]) =>
         colName(c).flatMap { n =>
           dtOf(schema, n).flatMap { dt =>
+            val fld = fieldOf(schema, n)
             val verdicts = list.flatMap(l => litVal(l)).map { v =>
-              // bloom refines PER VALUE: a value min/max can't exclude
-              // (or that has no stats at all) may still be provably
-              // absent — the file matches only if SOME value survives
-              // both proofs
-              if (probe.definitelyAbsent(f, n, dt, v)) Some(false)
-              else cmpRange(n, dt, v).map { case (cmi, cma) => !(cmi > 0 || cma < 0) }
+              // bloom refines PER VALUE, and only for values the free
+              // range check could not already exclude: a value with no
+              // stats at all may still be provably absent — the file
+              // matches only if SOME value survives both proofs
+              val byRange = cmpRange(n, dt, v).map { case (cmi, cma) => !(cmi > 0 || cma < 0) }
+              if (byRange.contains(false)) byRange
+              else if (fld.exists(probe.definitelyAbsent(f, _, v))) Some(false)
+              else byRange
             }
             if (verdicts.exists(_.isEmpty)) None
             else Some(verdicts.flatten.exists(identity))
@@ -547,6 +557,9 @@ object Stats {
 
   private def dtOf(schema: StructType, name: String): Option[DataType] =
     schema.fields.find(_.name == name).map(_.dataType)
+
+  private def fieldOf(schema: StructType, name: String): Option[StructField] =
+    schema.fields.find(_.name == name)
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)

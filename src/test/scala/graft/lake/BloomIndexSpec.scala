@@ -30,10 +30,13 @@ class BloomIndexSpec extends AnyFunSuite {
     // tight fpp so the deterministic fixtures below prune cleanly
     BloomIndex.FPP_PROP -> "0.001")
 
-  /** 64 rows spread round-robin over 4 files: every file's id min/max
-    * spans ~the whole domain. */
+  /** 64 rows with EVEN ids spread round-robin over 4 files: every
+    * file's id min/max spans ~the whole domain, and absent ODD keys sit
+    * INSIDE every range — min/max can never exclude them, so a skip
+    * proves the bloom fired (the probe consults the sidecar only when
+    * the free range check cannot already exclude). */
   private def unclusteredTable(path: String): LakeTable = {
-    val df = (0L until 64L).map(i => (i, s"name_$i", i % 7))
+    val df = (0L until 64L).map(i => (2 * i, s"name_${2 * i}", i % 7))
       .toDF("id", "name", "grp").repartition(4)
     LakeTable.create(spark, path, df, properties = bloomProps)
   }
@@ -60,26 +63,27 @@ class BloomIndexSpec extends AnyFunSuite {
     val t = unclusteredTable(path)
     val total = t.snapshot.files.size
     // soundness across the whole domain: every key's row is found
-    for (k <- 0L until 64L by 7L) {
+    for (k <- 0L until 128L by 14L) {
       val rows = t.read($"id" === k).collect()
       assert(rows.map(_.getLong(0)).toSeq === Seq(k))
     }
     // effectiveness: the deterministic fixture prunes to fewer files
     // than the table holds (fpp 0.001 over 3 foreign files)
     BloomMetrics.reset()
-    val hit = t.read($"id" === 5L)
+    val hit = t.read($"id" === 10L)
     assert(hit.count() === 1)
     assert(BloomMetrics.skippedByBloom.get() > 0,
       "bloom proved no file absent — index not consulted?")
-    // a key nobody holds reads empty from zero-to-few files
+    // an absent key INSIDE every file's range: only the bloom can skip
     BloomMetrics.reset()
-    assert(t.read($"id" === 99999L).count() === 0)
+    assert(t.read($"id" === 9L).count() === 0)
     assert(BloomMetrics.skippedByBloom.get() >= total - 1)
     // string column is indexed too
-    assert(t.read($"name" === "name_9").collect().map(_.getLong(0)).toSeq === Seq(9L))
-    // IN-list: each value proven absent individually
-    assert(t.read($"id".isin(3L, 11L)).count() === 2)
-    val skipped = { BloomMetrics.reset(); t.read($"id".isin(100000L, 100001L)).count() }
+    assert(t.read($"name" === "name_10").collect().map(_.getLong(0)).toSeq === Seq(10L))
+    // IN-list: each value proven absent individually (odd keys inside
+    // the hull — range-unprovable, bloom-provable)
+    assert(t.read($"id".isin(4L, 22L)).count() === 2)
+    val skipped = { BloomMetrics.reset(); t.read($"id".isin(9L, 31L)).count() }
     assert(skipped === 0 && BloomMetrics.skippedByBloom.get() > 0)
   }
 
@@ -89,7 +93,7 @@ class BloomIndexSpec extends AnyFunSuite {
     spark.conf.set("spark.graft.bloom.read.enabled", "false")
     try {
       BloomMetrics.reset()
-      assert(t.read($"id" === 5L).count() === 1)
+      assert(t.read($"id" === 10L).count() === 1)
       assert(BloomMetrics.skippedByBloom.get() === 0)
     } finally spark.conf.unset("spark.graft.bloom.read.enabled")
   }
@@ -98,14 +102,14 @@ class BloomIndexSpec extends AnyFunSuite {
     val path = tmpDir()
     val t = unclusteredTable(path)
     BloomMetrics.reset()
-    t.delete($"id" === 13L)
+    t.delete($"id" === 26L)
     assert(BloomMetrics.skippedByBloom.get() > 0)
-    assert(t.toDF.where($"id" === 13L).count() === 0)
+    assert(t.toDF.where($"id" === 26L).count() === 0)
     assert(t.toDF.count() === 63)
     BloomMetrics.reset()
-    t.update($"id" === 14L, Map("name" -> lit("updated")))
+    t.update($"id" === 28L, Map("name" -> lit("updated")))
     assert(BloomMetrics.skippedByBloom.get() > 0)
-    assert(t.toDF.where($"id" === 14L).select("name").head().getString(0) === "updated")
+    assert(t.toDF.where($"id" === 28L).select("name").head().getString(0) === "updated")
     assert(t.toDF.count() === 63)
   }
 
@@ -113,7 +117,7 @@ class BloomIndexSpec extends AnyFunSuite {
     val path = tmpDir()
     val t = unclusteredTable(path)
     val total = t.snapshot.files.size
-    val src = Seq((5L, "merged_5", 0), (99999L, "merged_new", 0))
+    val src = Seq((6L, "merged_6", 0), (99999L, "merged_new", 0))
       .toDF("id", "name", "grp")
     BloomMetrics.reset()
     DmlMetrics.lastMergeCandidateFiles.set(-1L)
@@ -122,7 +126,7 @@ class BloomIndexSpec extends AnyFunSuite {
       Seq(MergeClause.Insert(None, Map.empty)),
       Seq.empty,
       useDvs = false) // small-table DV fast path skips pruning entirely
-    assert(t.toDF.where($"id" === 5L).select("name").head().getString(0) === "merged_5")
+    assert(t.toDF.where($"id" === 6L).select("name").head().getString(0) === "merged_6")
     assert(t.toDF.where($"id" === 99999L).count() === 1)
     assert(t.toDF.count() === 65)
     val cands = DmlMetrics.lastMergeCandidateFiles.get()
@@ -140,9 +144,9 @@ class BloomIndexSpec extends AnyFunSuite {
     spark.conf.set("spark.graft.log.distributedThreshold", "1")
     try {
       BloomMetrics.reset()
-      val rows = t.read($"id" === 21L).collect()
+      val rows = t.read($"id" === 42L).collect()
       assert(ReadMetrics.lastReadDistributed.get(), "distributed path not engaged")
-      assert(rows.map(_.getLong(0)).toSeq === Seq(21L))
+      assert(rows.map(_.getLong(0)).toSeq === Seq(42L))
       // local[n]: executor threads share the JVM, so their skips land in
       // the same counter
       assert(BloomMetrics.skippedByBloom.get() > 0)
@@ -151,11 +155,16 @@ class BloomIndexSpec extends AnyFunSuite {
 
   test("probe/build hash parity across every supported type") {
     val path = tmpDir()
+    // TWO rows per file so absent probe values sit INSIDE each column's
+    // min/max range — range stats can't exclude them, only the bloom can
     val df = Seq(
       (42L, 7, "str-α", java.sql.Date.valueOf("2024-03-01"),
         java.sql.Timestamp.valueOf("2024-03-01 10:30:00"),
-        new java.math.BigDecimal("12.34"))
-    ).toDF("l", "i", "s", "d", "ts", "dec")
+        new java.math.BigDecimal("12.34")),
+      (44L, 9, "str-γ", java.sql.Date.valueOf("2024-03-05"),
+        java.sql.Timestamp.valueOf("2024-03-05 10:30:00"),
+        new java.math.BigDecimal("19.99"))
+    ).toDF("l", "i", "s", "d", "ts", "dec").coalesce(1)
     val t = LakeTable.create(spark, path, df,
       properties = Map(BloomIndex.COLS_PROP -> "l,i,s,d,ts,dec",
         BloomIndex.FPP_PROP -> "0.001"))
@@ -170,11 +179,14 @@ class BloomIndexSpec extends AnyFunSuite {
     // cross-type literal: int literal against the long column converts
     // exactly and still hits
     assert(t.read($"l" === 42).count() === 1)
-    // absent values of each type prune (deterministic fixture)
+    // absent IN-RANGE values of each type prune (deterministic fixture)
     BloomMetrics.reset()
     assert(t.read($"l" === 43L).count() === 0)
     assert(t.read($"s" === "str-β").count() === 0)
-    assert(BloomMetrics.skippedByBloom.get() >= 2)
+    assert(t.read($"i" === 8).count() === 0)
+    assert(t.read($"d" === java.sql.Date.valueOf("2024-03-03")).count() === 0)
+    assert(t.read($"dec" === new java.math.BigDecimal("15.00")).count() === 0)
+    assert(BloomMetrics.skippedByBloom.get() >= 5)
   }
 
   test("null semantics: IS NULL and null-safe equality never bloom-skip wrongly") {
@@ -202,7 +214,7 @@ class BloomIndexSpec extends AnyFunSuite {
     val newSidecars = newFiles.flatMap(_.bloomPath).toSet
     assert(newSidecars.intersect(oldSidecars).isEmpty)
     // pruning still works on the rewritten layout
-    assert(t.read($"id" === 5L).collect().map(_.getLong(0)).toSeq === Seq(5L))
+    assert(t.read($"id" === 10L).collect().map(_.getLong(0)).toSeq === Seq(10L))
     // vacuum with zero retention reaps the superseded sidecars and
     // keeps every live one
     val deleted = t.vacuum(retentionMs = 0L)
@@ -228,7 +240,7 @@ class BloomIndexSpec extends AnyFunSuite {
     // fresh handle resolves through the checkpoint; bloomPath survives
     val t2 = LakeTable.forPath(spark, path)
     assert(t2.snapshot.files.count(_.bloomPath.isDefined) >= 4)
-    assert(t2.read($"id" === 5L).collect().map(_.getLong(0)).toSeq === Seq(5L))
+    assert(t2.read($"id" === 10L).collect().map(_.getLong(0)).toSeq === Seq(10L))
 
     // a checkpoint written BEFORE the field existed (old message type):
     // the reader treats the missing column as None instead of crashing
@@ -259,7 +271,7 @@ class BloomIndexSpec extends AnyFunSuite {
   test("backfill: buildBloomIndex indexes pre-property files; streams stay silent") {
     val path = tmpDir()
     // table created WITHOUT the index property — no sidecars
-    val df = (0L until 64L).map(i => (i, s"name_$i", i % 7))
+    val df = (0L until 64L).map(i => (2 * i, s"name_${2 * i}", i % 7))
       .toDF("id", "name", "grp").repartition(4)
     val t = LakeTable.create(spark, path, df)
     assert(t.snapshot.files.forall(_.bloomPath.isEmpty))
@@ -274,9 +286,9 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(t.snapshot.version === verBefore + 1)
     // pruning works on the backfilled index; results intact
     BloomMetrics.reset()
-    assert(t.read($"id" === 99999L).count() === 0)
+    assert(t.read($"id" === 9L).count() === 0)
     assert(BloomMetrics.skippedByBloom.get() > 0)
-    assert(t.read($"id" === 5L).collect().map(_.getLong(0)).toSeq === Seq(5L))
+    assert(t.read($"id" === 10L).collect().map(_.getLong(0)).toSeq === Seq(10L))
     // idempotent: nothing left to index
     assert(t.buildBloomIndex() === 0)
     // force rebuilds every live file (recovery after a column-set change)
@@ -314,14 +326,14 @@ class BloomIndexSpec extends AnyFunSuite {
 
   test("property column names match case-insensitively, sidecar keys canonical") {
     val path = tmpDir()
-    val df = (0L until 16L).map(i => (i, s"n$i")).toDF("id", "name").repartition(2)
+    val df = (0L until 16L).map(i => (2 * i, s"n$i")).toDF("id", "name").repartition(2)
     val t = LakeTable.create(spark, path, df, properties = Map(
       BloomIndex.COLS_PROP -> "ID, Name, nosuch",
       BloomIndex.FPP_PROP -> "0.001"))
     assert(t.snapshot.files.forall(_.bloomPath.isDefined))
-    assert(t.read($"id" === 3L).collect().map(_.getLong(0)).toSeq === Seq(3L))
+    assert(t.read($"id" === 6L).collect().map(_.getLong(0)).toSeq === Seq(6L))
     BloomMetrics.reset()
-    assert(t.read($"id" === 12345L).count() === 0)
+    assert(t.read($"id" === 7L).count() === 0)
     assert(BloomMetrics.skippedByBloom.get() > 0,
       "case-differing property spelling must still index the column")
   }
@@ -334,13 +346,67 @@ class BloomIndexSpec extends AnyFunSuite {
     // consulted for an IntegerType column proves nothing
     val f = t.snapshot.files.head
     val probe = BloomIndex.probe(Paths.get(path).toAbsolutePath.normalize.toString)
-    assert(!probe.definitelyAbsent(f, "id", IntegerType, 99999),
+    val idField = t.snapshot.schema("id")
+    assert(!probe.definitelyAbsent(f, idField.copy(dataType = IntegerType), 99999),
       "type-mismatched probe must not prove absence")
+    // field-id mismatch: same name, same type, different parquet field
+    // id (rename churn handing an old name to another column) — the
+    // sidecar describes a different column and proves nothing
+    val otherId = idField.copy(metadata =
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", 9999L).build())
+    assert(!probe.definitelyAbsent(f, otherId, 99999L),
+      "field-id-mismatched probe must not prove absence")
     // value conversion is exact: a Long literal that cannot be an Int
     // never probes (and never proves)
     assert(BloomIndex.toColumnValue(IntegerType, Long.MaxValue).isEmpty)
     assert(BloomIndex.toColumnValue(IntegerType, 5L) === Some(5))
     // a column name the sidecar never indexed proves nothing
-    assert(!probe.definitelyAbsent(f, "grp", IntegerType, 12345))
+    assert(!probe.definitelyAbsent(f, t.snapshot.schema("grp"), 12345))
+  }
+
+  test("rename-reuse guard: a freed name never remaps another column's stats") {
+    val path = tmpDir()
+    val df = (0L until 32L).map(i => (i, i + 1000L)).toDF("a", "b").repartition(2)
+    val t = LakeTable.create(spark, path, df)
+    t.alterRenameColumn("a", "x")
+    // handing a's old name to b would make old files' name-keyed stats
+    // (and bloom sidecars) describe the WRONG column — refused
+    val e = intercept[IllegalArgumentException](t.alterRenameColumn("b", "a"))
+    assert(e.getMessage.contains("previously belonged to a different column"))
+    // renaming BACK (same field id) is sound and allowed
+    t.alterRenameColumn("x", "a")
+    assert(t.read($"a" === 3L).collect().map(_.getLong(0)).toSeq === Seq(3L))
+    // and the registry entry was consumed: a→x again still works
+    t.alterRenameColumn("a", "y")
+    // DROP also frees the name with the same protection
+    t.alterDropColumn("y")
+    val e2 = intercept[IllegalArgumentException](t.alterRenameColumn("b", "y"))
+    assert(e2.getMessage.contains("previously belonged to a different column"))
+  }
+
+  test("probe order: files excluded by min/max never pay a sidecar read") {
+    // CLUSTERED keys: four disjoint-range files — range stats alone
+    // exclude foreign files, so the bloom must not even be consulted
+    val path = tmpDir()
+    val banded = (0 until 4).map(b =>
+      (b * 16L until (b + 1) * 16L).map(i => (i, s"n$i")).toDF("id", "name")
+        .coalesce(1))
+    val t = LakeTable.create(spark, path, banded.head, properties = bloomProps)
+    banded.tail.foreach(t.append(_))
+    assert(t.snapshot.files.size === 4)
+    BloomMetrics.reset()
+    assert(t.read($"id" === 5L).collect().map(_.getLong(0)).toSeq === Seq(5L))
+    assert(BloomMetrics.skippedByBloom.get() === 0,
+      "range-excluded files must not consult the bloom")
+  }
+
+  test("kill-switch typo degrades to enabled, never crashes reads") {
+    val path = tmpDir()
+    val t = unclusteredTable(path)
+    spark.conf.set("spark.graft.bloom.read.enabled", "nope")
+    try {
+      assert(t.read($"id" === 10L).count() === 1)
+    } finally spark.conf.unset("spark.graft.bloom.read.enabled")
   }
 }
