@@ -74,6 +74,15 @@ object BloomProbe {
   */
 object BloomIndex {
 
+  /** Vacuum's sidecar classification, shared by the local-walk and the
+    * distributed-listing branches so a new sidecar kind (or a tmp-rule
+    * fix) can never be added to one and drift from the other: DV
+    * sidecars, bloom sidecars, and crashed bloom-build tmp files all
+    * follow the mtime-gated unreferenced-file rule. */
+  private[lake] def isSidecarFile(name: String, rel: String): Boolean =
+    name.endsWith(".dv") || name.endsWith(SIDECAR_SUFFIX) ||
+      (name.endsWith(".tmp") && rel.startsWith(INDEX_DIR + "/"))
+
   val COLS_PROP = "graft.bloom.columns"
   val FPP_PROP = "graft.bloom.fpp"
   val MAX_ITEMS_PROP = "graft.bloom.maxItems"
@@ -107,13 +116,25 @@ object BloomIndex {
       .filter(f => supported(f.dataType))
   }
 
-  /** Deterministic sidecar location for a data file: retries of the
-    * build task overwrite the same path (atomic move), and same-named
-    * part files from different partition dirs cannot collide thanks to
-    * the rel-path hash prefix. */
-  private[lake] def sidecarPathFor(dataRel: String): String = {
+  /** Deterministic sidecar location for a data file UNDER A GIVEN index
+    * configuration: retries of the build task overwrite the same path
+    * (atomic move) with bit-identical content, and same-named part files
+    * from different partition dirs cannot collide thanks to the hash
+    * prefix. The digest covers the indexed column set (names, types,
+    * field ids) and the sizing knobs, so CHANGING the configuration
+    * moves every sidecar to a new path — the JVM-wide content cache
+    * stays sound without invalidation (a path never serves two
+    * different filter sets), a force rebuild after a config change
+    * produces pointer changes the commit records, and the superseded
+    * sidecars become vacuum-reapable orphans. */
+  private[lake] def sidecarPathFor(
+      dataRel: String, colMeta: Seq[(String, String, Long)],
+      fpp: Double, maxItems: Long): String = {
+    val configKey = colMeta.map { case (n, t, id) => s"$n:$t:$id" }
+      .mkString(",") + s"|$fpp|$maxItems"
     val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dataRel.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      .digest(s"$dataRel|$configKey".getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
     val fileName = dataRel.substring(dataRel.lastIndexOf('/') + 1)
     s"$INDEX_DIR/$digest-$fileName$SIDECAR_SUFFIX"
   }
@@ -146,15 +167,14 @@ object BloomIndex {
     // correctness)
     val expected: Map[String, Long] = adds.map(a =>
       absOf(a) -> a.stats.map(_.numRecords).getOrElse(math.max(1L, a.size / 128))).toMap
-    val sidecarRel: Map[String, String] =
-      adds.map(a => absOf(a) -> sidecarPathFor(a.path)).toMap
-
     // (name, type, parquet field id): the probe requires all three to
     // match the CURRENT schema, so a sidecar built for a different
     // column that later took this name (rename churn) proves nothing
     val colMeta: Seq[(String, String, Long)] =
       fields.map(f => (f.name, f.dataType.catalogString,
         LakeTable.fieldId(f).getOrElse(-1L)))
+    val sidecarRel: Map[String, String] =
+      adds.map(a => absOf(a) -> sidecarPathFor(a.path, colMeta, fpp, maxItems)).toMap
     val expectedB = spark.sparkContext.broadcast(expected)
     val sidecarB = spark.sparkContext.broadcast(sidecarRel)
 
@@ -195,7 +215,7 @@ object BloomIndex {
           // driver-side (rare); keeps attach total, so a backfill never
           // re-targets the same file forever.
           if (a.stats.exists(_.numRecords == 0L)) {
-            val rel = sidecarPathFor(a.path)
+            val rel = sidecarRel(absOf(a))
             writeSidecar(root, rel, colMeta,
               Array.fill(colMeta.size)(BloomFilter.create(64L, fpp)))
             a.copy(bloomPath = Some(rel))
@@ -261,10 +281,11 @@ object BloomIndex {
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  // Sidecars are immutable once published (unique part-file names →
-  // unique sidecar paths; rebuilds overwrite with identical content), so
-  // a JVM-wide LRU keyed by absolute path needs no invalidation. 128
-  // entries ≈ tens of MB at default sizing.
+  // Sidecars are immutable once published: the path digests the data
+  // file AND the index configuration (sidecarPathFor), so a config
+  // change writes to a NEW path and a same-path rebuild reproduces
+  // bit-identical content — a JVM-wide LRU keyed by absolute path needs
+  // no invalidation. 128 entries ≈ tens of MB at default sizing.
   private val CACHE_MAX = 128
   private val cache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[String, Map[String, (DataType, Long, BloomFilter)]](64, 0.75f, true) {
@@ -290,8 +311,13 @@ object BloomIndex {
   private[lake] def toColumnValue(dt: DataType, v: Any): Option[Any] = (dt, v) match {
     case (_, null) => None
     case (ByteType, x: Byte) => Some(x)
+    case (ByteType, x: Short) => if (x.isValidByte) Some(x.toByte) else None
+    case (ByteType, x: Int) => if (x.isValidByte) Some(x.toByte) else None
+    case (ByteType, x: Long) => if (x.isValidByte) Some(x.toByte) else None
     case (ShortType, x: Short) => Some(x)
     case (ShortType, x: Byte) => Some(x.toShort)
+    case (ShortType, x: Int) => if (x.isValidShort) Some(x.toShort) else None
+    case (ShortType, x: Long) => if (x.isValidShort) Some(x.toShort) else None
     case (IntegerType, x: Int) => Some(x)
     case (IntegerType, x: Byte) => Some(x.toInt)
     case (IntegerType, x: Short) => Some(x.toInt)
@@ -313,9 +339,23 @@ object BloomIndex {
   }
 
   /** The probe-side hash — same expression, same type tag as the build's
-    * `xxhash64(col)` projection. */
-  private[lake] def probeHash(dt: DataType, columnValue: Any): Long =
-    XxHash64(Seq(Literal(columnValue, dt)), 42L).eval(null).asInstanceOf[Long]
+    * `xxhash64(col)` projection. The hash depends only on (type, value)
+    * but is consulted once per CANDIDATE FILE, so a bounded memo keeps
+    * the Catalyst expression construction/eval off the per-file prune
+    * loop (driver and executor side). */
+  private val hashMemo =
+    new java.util.concurrent.ConcurrentHashMap[(DataType, Any), java.lang.Long]()
+  private[lake] def probeHash(dt: DataType, columnValue: Any): Long = {
+    val key = (dt, columnValue)
+    val hit = hashMemo.get(key)
+    if (hit != null) hit.longValue()
+    else {
+      val h = XxHash64(Seq(Literal(columnValue, dt)), 42L).eval(null).asInstanceOf[Long]
+      if (hashMemo.size > 1024) hashMemo.clear() // tiny working set; bound hard
+      hashMemo.put(key, h)
+      h
+    }
+  }
 
   def probe(rootStr: String): BloomProbe = FileBloomProbe(rootStr)
 

@@ -151,8 +151,11 @@ private[lake] object DistributedState {
       // min/max AND bloom evaluate here, ON EXECUTORS — a point lookup
       // into a million-file table reads its index sidecars distributed,
       // never through the driver
-      else all.filter((f: AddFile) =>
-        resolved.forall(e => Stats.mightMatch(f, e, schema, partitionCols, probe)))
+      else {
+        val norm = resolved.map(Stats.normalize)
+        all.filter((f: AddFile) =>
+          norm.forall(e => Stats.mightMatchNormalized(f, e, schema, partitionCols, probe)))
+      }
     pruned.collect()
   }
 }

@@ -96,8 +96,9 @@ final class LakeTable private (
             Constraints.parsed(snap.metaData), snap.schema))) Nil
         else {
           val probe = bloomProbe
+          val norm = resolved.map(Stats.normalize)
           snap.files.filter { f =>
-            resolved.forall(e => Stats.mightMatch(f, e, snap.schema, pcs, probe))
+            norm.forall(e => Stats.mightMatchNormalized(f, e, snap.schema, pcs, probe))
           }
         }
       filters.foldLeft(readFiles(snap, kept))(_ where _)
@@ -558,8 +559,9 @@ final class LakeTable private (
     val pcs = snap.metaData.partitionColumns
     val resolvedCond = resolveFilter(cond, snap.schema)
     val probe = bloomProbe
+    val norm = Stats.normalize(resolvedCond)
     val candidates = snap.files.filter(f =>
-      Stats.mightMatch(f, resolvedCond, snap.schema, pcs, probe))
+      Stats.mightMatchNormalized(f, norm, snap.schema, pcs, probe))
     if (candidates.isEmpty) return Seq.empty
     val hit = readFiles(snap, candidates)
       .withColumn("__file", input_file_name())
@@ -728,8 +730,9 @@ final class LakeTable private (
       val resolvedCond = resolveFilter(cond, snap.schema)
       val pcs = snap.metaData.partitionColumns
       val probe = bloomProbe
+      val norm = Stats.normalize(resolvedCond)
       snap.files.filter(f =>
-        Stats.mightMatch(f, resolvedCond, snap.schema, pcs, probe))
+        Stats.mightMatchNormalized(f, norm, snap.schema, pcs, probe))
     }
     if (candidates.isEmpty)
       return MatchClassification(Map.empty, Map.empty,
@@ -1007,6 +1010,20 @@ final class LakeTable private (
           "WHEN NOT MATCHED BY SOURCE UPDATE needs explicit assignments")
       case _ => ()
     }
+    // A NON-DETERMINISTIC source (rand-derived keys,
+    // monotonically_increasing_id, a recomputed-after-loss sampled scan)
+    // is re-evaluated by every pass below — the pruning aggregations,
+    // the prefilter join, the merge join, and the CDC emit could each
+    // see DIFFERENT rows, so pruned candidates might exclude files the
+    // final join matches (silently lost updates). Materialize it once
+    // (Delta materializes merge sources for the same reason); the cost
+    // is paid only by sources that are actually non-deterministic.
+    val src =
+      if (source.queryExecution.analyzed
+          .find(p => p.expressions.exists(e => !e.deterministic)).isDefined)
+        source.localCheckpoint(eager = true)
+      else source
+
     // Candidate pruning facts from the source's equi-key ranges
     // ([[MergePrune]]): at most one aggregation job over the source, run
     // lazily and only on paths that can use it. With by-source clauses
@@ -1015,7 +1032,7 @@ final class LakeTable private (
     def keyRange(schema: StructType): Option[Seq[Column]] = {
       if (keyRangeMemo.isEmpty) keyRangeMemo = Some(
         if (notMatchedBySourceClauses.nonEmpty) Some(Seq.empty)
-        else try MergePrune.sourceRangeFilters(spark, source, condition, schema)
+        else try MergePrune.sourceRangeFilters(spark, src, condition, schema)
         catch { case scala.util.control.NonFatal(_) => Some(Seq.empty) })
       keyRangeMemo.get
     }
@@ -1045,7 +1062,7 @@ final class LakeTable private (
     // source columns resolve case-INsensitively against the target
     // schema (Spark's default resolution; star expansion and WITH
     // SCHEMA EVOLUTION both rely on it)
-    val srcByLower = source.columns.map(c => c.toLowerCase -> c).toMap
+    val srcByLower = src.columns.map(c => c.toLowerCase -> c).toMap
 
     // 1. candidate target files: matches only — unless by-source clauses
     // make every target row a candidate. Stats-prune via the source key
@@ -1059,7 +1076,7 @@ final class LakeTable private (
       else {
         val withFile = readFiles(snap, cands)
           .withColumn("__file", input_file_name()).alias("t")
-        val matchedFiles = withFile.join(source.alias("s"), condition, "inner")
+        val matchedFiles = withFile.join(src.alias("s"), condition, "inner")
           .select(col("t.__file")).distinct().collect()
           .map(r => Stats.normalizeFileUri(r.getString(0))).toSet
         cands.filter(f => matchedFiles.contains(absPath(f)))
@@ -1077,8 +1094,9 @@ final class LakeTable private (
             val resolved = fs.map(resolveFilter(_, tgtSchema))
             val pcs = snap.metaData.partitionColumns
             val probe = bloomProbe
+            val norm = resolved.map(Stats.normalize)
             prefilterTouched(snap.files.filter(f =>
-              resolved.forall(e => Stats.mightMatch(f, e, tgtSchema, pcs, probe))))
+              norm.forall(e => Stats.mightMatchNormalized(f, e, tgtSchema, pcs, probe))))
         }
     }
     DmlMetrics.lastMergeCandidateFiles.set(touched.size.toLong)
@@ -1089,7 +1107,7 @@ final class LakeTable private (
     // on them without generating row ids.
     val tRows = readFilesInternal(snap, touched, withMeta = true)
       .withColumn("__tgt", lit(true))
-    val sRows = source.withColumn("__src", lit(true))
+    val sRows = src.withColumn("__src", lit(true))
     val joined = tRows.alias("t").join(sRows.alias("s"), condition, "full_outer").cache()
     try {
       def assemble(assigns: Map[String, Column], fromSource: Boolean): Seq[Column] =
@@ -1451,16 +1469,18 @@ final class LakeTable private (
 
   /** Backfill [[BloomIndex]] sidecars for live files that predate the
     * `graft.bloom.columns` property (new writes index themselves in
-    * [[LakeTable.stageFiles]]); `force = true` rebuilds EVERY live
-    * file's sidecar, the recovery path after the indexed column set
-    * changes. Data files are untouched — the commit re-adds the same
-    * AddFiles with `bloomPath` set and is classified with the REORG ops,
-    * so the change feed and table streams stay silent. Non-rebaseable on
-    * purpose: a blind re-add replayed past a concurrent DELETE would
-    * resurrect its removed files; on a conflict the loop re-resolves and
-    * re-targets only still-live, still-unindexed files (sidecars built
-    * for files a concurrent commit removed become vacuum-reapable
-    * orphans). Returns the number of files indexed.
+    * [[LakeTable.stageFiles]]); `force = true` re-attaches EVERY live
+    * file, the recovery path after the indexed column set (or fpp /
+    * maxItems) changes — sidecar paths digest the configuration, so the
+    * changed config lands at new paths, the old sidecars become
+    * vacuum-reapable orphans, and a force call under an UNCHANGED config
+    * is a deterministic no-op (returns 0). Data files are untouched —
+    * the commit re-adds the same AddFiles with `bloomPath` moved and is
+    * classified with the REORG ops, so the change feed and table streams
+    * stay silent. Non-rebaseable on purpose: a blind re-add replayed
+    * past a concurrent DELETE would resurrect its removed files; on a
+    * conflict the loop re-resolves and re-targets. Returns the number of
+    * files whose index pointer moved.
     */
   def buildBloomIndex(force: Boolean = false): Int = {
     require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
@@ -1476,16 +1496,16 @@ final class LakeTable private (
       if (targets.isEmpty) return 0
       val attached = BloomIndex.attach(spark, path, dataSchema, targets,
         snap.metaData.properties)
-      // rebuilt = sidecars written this call; the COMMIT carries only
-      // entries whose pointer changed (a force rebuild overwrites the
-      // same deterministic sidecar path in place — no log change
-      // needed), and attach preserves the previous bloomPath for files
-      // it could not attribute, so a non-force call converges instead
-      // of re-committing no-ops forever
-      val rebuilt = attached.count(_.bloomPath.isDefined)
+      // the COMMIT carries only entries whose pointer changed; sidecar
+      // paths digest the index CONFIGURATION, so a config change moves
+      // every pointer (and the commit records it), a force rebuild under
+      // an unchanged config is a bit-identical no-op, and attach
+      // preserves the previous bloomPath for files it could not
+      // attribute — a non-force call converges instead of re-committing
+      // no-ops forever. Returned count = pointers moved.
       val changed = attached.zip(targets)
         .collect { case (u, t) if u.bloomPath != t.bloomPath => u }
-      if (changed.isEmpty) return rebuilt
+      if (changed.isEmpty) return 0
       val now = System.currentTimeMillis()
       val actions = changed.map(Action.of) :+
         Action.of(CommitInfo(now, "BLOOM INDEX",
@@ -1493,7 +1513,7 @@ final class LakeTable private (
           numAddedFiles = changed.size.toLong))
       try {
         commitWithRetry(snap.version, actions, rebaseable = false)
-        return rebuilt
+        return changed.size
       } catch {
         case e: CommitConflictException =>
           tries += 1
@@ -2052,10 +2072,7 @@ final class LakeTable private (
                 case _: java.nio.file.NoSuchFileException => deleted += rel
               }
             }
-          } else if (name.endsWith(".dv") ||
-              name.endsWith(BloomIndex.SIDECAR_SUFFIX) ||
-              (name.endsWith(".tmp") &&
-                root.relativize(p).toString.startsWith(BloomIndex.INDEX_DIR + "/"))) {
+          } else if (BloomIndex.isSidecarFile(name, root.relativize(p).toString)) {
             // deletion-vector / bloom-index sidecars: superseded
             // (unioned/rewritten) ones age out by mtime like any
             // unreferenced file; `_index/*.tmp` are crashed bloom builds
@@ -2122,10 +2139,7 @@ final class LakeTable private (
               // `is_dv` marks every SIDECAR kind (DV, bloom, crashed
               // bloom tmp): mtime-gated retention, no CDC carve-out
               if (name.endsWith(".parquet")) Some((rel, false))
-              else if (name.endsWith(".dv") ||
-                name.endsWith(graft.lake.BloomIndex.SIDECAR_SUFFIX) ||
-                (name.endsWith(".tmp") &&
-                  rel.startsWith(graft.lake.BloomIndex.INDEX_DIR + "/")))
+              else if (graft.lake.BloomIndex.isSidecarFile(name, rel))
                 Some((rel, true))
               else None
             }

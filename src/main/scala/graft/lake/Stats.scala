@@ -223,6 +223,22 @@ object Stats {
       probe: BloomProbe = BloomProbe.none): Boolean =
     eval(file, nnf(pred), schema, partitionCols, probe).getOrElse(true)
 
+  /** Normalize once per PREDICATE (negation normal form), then evaluate
+    * per file with [[mightMatchNormalized]] — the per-file loops (driver
+    * candidate scans, the distributed checkpoint filter) would otherwise
+    * rebuild the same rewritten tree O(files) times. */
+  def normalize(pred: Expression): Expression = nnf(pred)
+
+  /** [[mightMatch]] for a predicate already passed through
+    * [[normalize]]. */
+  def mightMatchNormalized(
+      file: AddFile,
+      normalizedPred: Expression,
+      schema: StructType,
+      partitionCols: Seq[String],
+      probe: BloomProbe = BloomProbe.none): Boolean =
+    eval(file, normalizedPred, schema, partitionCols, probe).getOrElse(true)
+
   /** Negation normal form for the skipping evaluator: NOT is pushed down
     * to the atoms with comparisons flipped. The evaluator's verdicts are
     * "might match" / "provably no match" — negating a MIGHT-match as if

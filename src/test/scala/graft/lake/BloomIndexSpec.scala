@@ -271,7 +271,7 @@ class BloomIndexSpec extends AnyFunSuite {
   test("backfill: buildBloomIndex indexes pre-property files; streams stay silent") {
     val path = tmpDir()
     // table created WITHOUT the index property — no sidecars
-    val df = (0L until 64L).map(i => (2 * i, s"name_${2 * i}", i % 7))
+    val df = (0L until 64L).map(i => (2 * i, s"name_${2 * i}", (i % 7).toInt * 2))
       .toDF("id", "name", "grp").repartition(4)
     val t = LakeTable.create(spark, path, df)
     assert(t.snapshot.files.forall(_.bloomPath.isEmpty))
@@ -291,8 +291,26 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(t.read($"id" === 10L).collect().map(_.getLong(0)).toSeq === Seq(10L))
     // idempotent: nothing left to index
     assert(t.buildBloomIndex() === 0)
-    // force rebuilds every live file (recovery after a column-set change)
+    // force under an UNCHANGED config is a deterministic no-op: sidecar
+    // paths digest the configuration, so nothing moves
+    assert(t.buildBloomIndex(force = true) === 0)
+
+    // the RECOVERY path: change the indexed column set, then force —
+    // every pointer moves to a config-digested new path, and a query on
+    // the newly indexed column prunes IN THIS SAME SESSION (the probe
+    // cache keys by path, so no stale filter set can be served)
+    BloomMetrics.reset()
+    assert(t.read($"grp" === 5).count() === 0)
+    assert(BloomMetrics.skippedByBloom.get() === 0, "grp not yet indexed")
+    t.setProperties(Map(BloomIndex.COLS_PROP -> "id,name,grp"))
+    val before = t.snapshot.files.flatMap(_.bloomPath).toSet
     assert(t.buildBloomIndex(force = true) === t.snapshot.files.size)
+    val after = t.snapshot.files.flatMap(_.bloomPath).toSet
+    assert(after.intersect(before).isEmpty, "config change must move sidecar paths")
+    BloomMetrics.reset()
+    assert(t.read($"grp" === 5).count() === 0)
+    assert(BloomMetrics.skippedByBloom.get() > 0,
+      "the rebuilt index must serve the new column without a JVM restart")
 
     // the backfill commit is REORG-classified: a table stream draining
     // across it sees no rows, and the change feed records nothing
@@ -408,5 +426,55 @@ class BloomIndexSpec extends AnyFunSuite {
     try {
       assert(t.read($"id" === 10L).count() === 1)
     } finally spark.conf.unset("spark.graft.bloom.read.enabled")
+  }
+
+  test("byte/short columns prune with ordinary integer literals") {
+    // the analyzer widens byte/short columns under comparison; the probe
+    // must narrow the Int/Long literal back (range-checked) or these
+    // types pay the build cost for zero pruning
+    val path = tmpDir()
+    val df = Seq((2.toByte, 10.toShort), (8.toByte, 40.toShort))
+      .toDF("by", "sh").coalesce(1)
+    val t = LakeTable.create(spark, path, df,
+      properties = Map(BloomIndex.COLS_PROP -> "by,sh",
+        BloomIndex.FPP_PROP -> "0.001"))
+    assert(t.read($"by" === 2).count() === 1)
+    assert(t.read($"sh" === 40).count() === 1)
+    assert(t.read($"sh" === 10L).count() === 1)
+    BloomMetrics.reset()
+    assert(t.read($"by" === 5).count() === 0) // in [2,8]: bloom, not range
+    assert(t.read($"sh" === 25).count() === 0) // in [10,40]
+    assert(BloomMetrics.skippedByBloom.get() >= 2,
+      "byte/short literals must narrow and probe")
+    // out-of-domain literals never probe (and never prove)
+    assert(BloomIndex.toColumnValue(ByteType, 300).isEmpty)
+    assert(BloomIndex.toColumnValue(ShortType, 70000).isEmpty)
+  }
+
+  test("non-deterministic merge source is materialized once (no dup/lost rows)") {
+    // a rand-sampled source would be RE-EVALUATED by the pruning
+    // aggregation, the prefilter join, and the merge join — pruned
+    // candidates could exclude files the final join matches, turning
+    // updates into duplicate inserts. The merge materializes such
+    // sources once; the invariant below fails without it (flakily) and
+    // holds deterministically with it.
+    val path = tmpDir()
+    val t = unclusteredTable(path) // even ids 0,2,...,126 over 4 files
+    val src = spark.range(0, 128)
+      .where(rand(/* no seed: genuinely non-deterministic */) < 0.5)
+      .selectExpr("id", "'merged' as name", "0 as grp")
+    t.mergeClauses(src, col("t.id") === col("s.id"),
+      Seq(MergeClause.Update(None, Map.empty)),
+      Seq(MergeClause.Insert(None, Map.empty)),
+      Seq.empty,
+      useDvs = false)
+    val out = t.toDF.select("id", "name").as[(Long, String)].collect()
+    // every id exactly once: a prune/join disagreement would duplicate
+    assert(out.map(_._1).distinct.length === out.length,
+      "merge emitted duplicate ids — source re-evaluated across passes")
+    assert(out.length >= 64, "updates must never lose target rows")
+    // every original even id survives (merged or original)
+    val ids = out.map(_._1).toSet
+    (0L until 128L by 2L).foreach(k => assert(ids.contains(k)))
   }
 }
