@@ -257,9 +257,12 @@ object BloomIndex {
 
   /** Sidecar → per-column (declared type, filter). Pruning silently
     * degrades to min/max only on any read problem: `Some(Map.empty)` for
-    * PERMANENT gaps (future format version — cacheable), `None` for
-    * exceptions (missing file, transient IO — the caller must not pin a
-    * transient failure into the immutable-content cache). */
+    * PERMANENT gaps (future format version; a MISSING file — sidecar
+    * paths are unique per config, so a vacuumed/never-landed sidecar
+    * never reappears and caching the miss keeps the dangling-pointer
+    * case off the per-probe open() path), `None` for other exceptions
+    * (transient IO — the caller must not pin those into the
+    * immutable-content cache). */
   private def readSidecar(p: Path): Option[Map[String, (DataType, Long, BloomFilter)]] =
     try {
       val in = new DataInputStream(new BufferedInputStream(Files.newInputStream(p)))
@@ -279,7 +282,11 @@ object BloomIndex {
           }.toMap)
         }
       } finally in.close()
-    } catch { case scala.util.control.NonFatal(_) => None }
+    } catch {
+      case _: java.nio.file.NoSuchFileException |
+           _: java.io.FileNotFoundException => Some(Map.empty)
+      case scala.util.control.NonFatal(_) => None
+    }
 
   // Sidecars are immutable once published: the path digests the data
   // file AND the index configuration (sidecarPathFor), so a config
@@ -340,18 +347,23 @@ object BloomIndex {
 
   /** The probe-side hash — same expression, same type tag as the build's
     * `xxhash64(col)` projection. The hash depends only on (type, value)
-    * but is consulted once per CANDIDATE FILE, so a bounded memo keeps
-    * the Catalyst expression construction/eval off the per-file prune
-    * loop (driver and executor side). */
-  private val hashMemo =
-    new java.util.concurrent.ConcurrentHashMap[(DataType, Any), java.lang.Long]()
+    * but is consulted once per CANDIDATE FILE, so a bounded LRU memo
+    * keeps the Catalyst expression construction/eval off the per-file
+    * prune loop (driver and executor side); access-ordered eviction, so
+    * a >capacity IN-list degrades per-VALUE instead of thrashing the
+    * whole memo. */
+  private val hashMemo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(DataType, Any), java.lang.Long](256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(DataType, Any), java.lang.Long]): Boolean =
+        size > 4096
+    })
   private[lake] def probeHash(dt: DataType, columnValue: Any): Long = {
     val key = (dt, columnValue)
     val hit = hashMemo.get(key)
     if (hit != null) hit.longValue()
     else {
       val h = XxHash64(Seq(Literal(columnValue, dt)), 42L).eval(null).asInstanceOf[Long]
-      if (hashMemo.size > 1024) hashMemo.clear() // tiny working set; bound hard
       hashMemo.put(key, h)
       h
     }

@@ -432,15 +432,31 @@ final class LakeTable private (
     val pcs = snap.metaData.partitionColumns
     val (aligned, newSchema) = LakeTable.align(df, snap.schema, pcs, mergeSchema,
       LakeTable.nextFieldId(snap))
+    // evolution may not resurrect a freed name while old-era files are
+    // live (stale name-keyed stats; see alterAddColumn) — an OVERWRITE
+    // removes every old file in the same commit, so it may, and it
+    // clears the registry below
+    if (!overwrite)
+      LakeTable.checkFreedNames(
+        newSchema.fieldNames.filterNot(snap.schema.fieldNames.contains),
+        snap.metaData.properties)
     val adds = LakeTable.stageFiles(spark, path, aligned, newSchema, pcs,
       Bucketing.specOf(snap.metaData), Constraints.of(snap.metaData),
       snap.metaData.properties)
     val rows = adds.flatMap(_.stats.map(_.numRecords)).sum
     val now = System.currentTimeMillis()
+    // a full overwrite leaves no file that could carry stale name-keyed
+    // stats: the freed-name registry resets with it
+    val clearedProps =
+      if (overwrite)
+        snap.metaData.properties
+          .filterNot(_._1.startsWith(LakeTable.FREED_NAME_PREFIX))
+      else snap.metaData.properties
     val metaAction =
-      if (newSchema.toDDL != snap.metaData.schemaDdl)
+      if (newSchema.toDDL != snap.metaData.schemaDdl ||
+          clearedProps.size != snap.metaData.properties.size)
         Seq(Action.of(snap.metaData.withSchema(newSchema).copy(
-          properties = snap.metaData.properties +
+          properties = clearedProps +
             (LakeTable.MAX_COLUMN_ID_PROP ->
               LakeTable.maxFieldId(newSchema).toString))))
       else Seq.empty
@@ -1010,19 +1026,26 @@ final class LakeTable private (
           "WHEN NOT MATCHED BY SOURCE UPDATE needs explicit assignments")
       case _ => ()
     }
-    // A NON-DETERMINISTIC source (rand-derived keys,
-    // monotonically_increasing_id, a recomputed-after-loss sampled scan)
-    // is re-evaluated by every pass below — the pruning aggregations,
-    // the prefilter join, the merge join, and the CDC emit could each
-    // see DIFFERENT rows, so pruned candidates might exclude files the
-    // final join matches (silently lost updates). Materialize it once
-    // (Delta materializes merge sources for the same reason); the cost
-    // is paid only by sources that are actually non-deterministic.
-    val src =
-      if (source.queryExecution.analyzed
-          .find(p => p.expressions.exists(e => !e.deterministic)).isDefined)
-        source.localCheckpoint(eager = true)
-      else source
+    // A NON-DETERMINISTIC source is re-evaluated by every pass below —
+    // the pruning aggregations, the prefilter join, the merge join, and
+    // the CDC emit could each see DIFFERENT rows, so pruned candidates
+    // might exclude files the final join matches (silently lost updates
+    // / duplicate inserts). Materialize it once (Delta materializes
+    // merge sources for the same reason); the cost is paid only by
+    // sources that need it. Detected at BOTH levels: non-deterministic
+    // expressions (rand, uuid, monotonically_increasing_id — including
+    // inside filters), and plan shapes whose ROW SET is unstable across
+    // executions even with deterministic expressions (LIMIT/TAIL
+    // without a total order, SAMPLE — a retry can surface a different
+    // subset).
+    val src = {
+      import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Sample, Tail}
+      val unstable = source.queryExecution.analyzed.find {
+        case _: GlobalLimit | _: LocalLimit | _: Sample | _: Tail => true
+        case p => p.expressions.exists(e => !e.deterministic)
+      }.isDefined
+      if (unstable) source.localCheckpoint(eager = true) else source
+    }
 
     // Candidate pruning facts from the source's equi-key ranges
     // ([[MergePrune]]): at most one aggregation job over the source, run
@@ -1372,7 +1395,13 @@ final class LakeTable private (
           numRemovedFiles = (fullMatch.size + rewriteTargets.size).toLong,
           numOutputRows = outputRows))
       commitWithRetry(snap.version, actions, rebaseable = false)
-    } finally joined.unpersist()
+    } finally {
+      joined.unpersist()
+      // release a materialized non-deterministic source promptly (an
+      // exception before this try leaves it to Spark's ContextCleaner,
+      // which unpersists the unreferenced checkpoint RDD on GC)
+      if (src ne source) src.unpersist(blocking = false)
+    }
   }
 
   /** Re-bucket the table in ONE commit: rewrite every data file into a
@@ -1729,13 +1758,16 @@ final class LakeTable private (
   /** ALTER TABLE ADD COLUMN (`02.delta_lake_primer.py:241-242`,
     * `03.iceberg_primer.py:232-234`): metadata-only commit; existing
     * files read NULL for the new column. The column gets a FRESH parquet
-    * field id, so it can never capture data from a same-named column
-    * dropped earlier.
+    * field id, so it can never capture DATA from a same-named column
+    * dropped earlier — but live files' name-keyed STATS would still
+    * mis-prune `IS NULL` on a reused name, so reusing a freed name is
+    * refused ([[LakeTable.checkFreedNames]]).
     */
   def alterAddColumn(name: String, ddlType: String): Unit = {
     require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
     val snap = snapshot
     require(!snap.schema.fieldNames.contains(name), s"column exists: $name")
+    LakeTable.checkFreedNames(Seq(name), snap.metaData.properties)
     val id = LakeTable.nextFieldId(snap)
     val newSchema = StructType(snap.schema.fields :+
       StructField(name, DataType.fromDDL(ddlType),
@@ -1756,9 +1788,12 @@ final class LakeTable private (
     * files' stats for the previous `a` prune the new `a`'s data —
     * silent lost rows. Every rename/drop records the freed name with
     * its field id in the table properties; renaming TO a freed name is
-    * allowed only for the SAME field (a rename back). ADD COLUMN may
-    * reuse freed names safely — existing files read NULL for a fresh
-    * field id, so any stale-stats skip is vacuously sound.
+    * allowed only for the SAME field (a rename back). ADD COLUMN /
+    * mergeSchema evolution refuse freed names too — equality and range
+    * atoms on a fresh (all-null-in-old-files) field are vacuously safe
+    * under stale stats, but a stale `nullCount = 0` would mis-prune
+    * `IS NULL` ([[LakeTable.checkFreedNames]]). A full OVERWRITE clears
+    * the registry (no old files survive it).
     */
   def alterRenameColumn(oldName: String, newName: String): Unit = {
     require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
@@ -2243,6 +2278,24 @@ object LakeTable {
     * with the field id that owned them — the name-reuse guard's memory
     * (see [[LakeTable.alterRenameColumn]]). */
   val FREED_NAME_PREFIX = "graft.schema.freedName."
+
+  /** Refuse INTRODUCING a column name that previously belonged to a
+    * different (dropped / renamed-away) field while files from that era
+    * may still be live: per-file stats are keyed by NAME, so the old
+    * column's `nullCount = 0` would prove `newCol IS NULL` empty on
+    * files whose rows are ALL null for the new field id — silently lost
+    * rows (equality/range atoms are vacuously safe on such files, the
+    * null atoms are not). A full OVERWRITE removes every old file and
+    * clears the registry, after which the name is reusable. */
+  private[lake] def checkFreedNames(
+      names: Iterable[String], props: Map[String, String]): Unit =
+    names.foreach { n =>
+      require(!props.contains(FREED_NAME_PREFIX + n),
+        s"cannot add column $n: the name previously belonged to a " +
+          "dropped/renamed column and live files still carry its " +
+          s"name-keyed stats (a stale nullCount would mis-prune `$n IS " +
+          "NULL`); overwrite the table or choose another name")
+    }
 
   /** StructField metadata key Spark's parquet writer/reader use for
     * field-id-based column resolution (the Iceberg mechanism): with ids

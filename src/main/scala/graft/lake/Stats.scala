@@ -478,8 +478,8 @@ object Stats {
             yield cma >= 0)
       case In(c, list) if list.forall(_.isInstanceOf[Literal]) =>
         colName(c).flatMap { n =>
-          dtOf(schema, n).flatMap { dt =>
-            val fld = fieldOf(schema, n)
+          fieldOf(schema, n).flatMap { fld =>
+            val dt = fld.dataType
             val verdicts = list.flatMap(l => litVal(l)).map { v =>
               // bloom refines PER VALUE, and only for values the free
               // range check could not already exclude: a value with no
@@ -487,7 +487,7 @@ object Stats {
               // matches only if SOME value survives both proofs
               val byRange = cmpRange(n, dt, v).map { case (cmi, cma) => !(cmi > 0 || cma < 0) }
               if (byRange.contains(false)) byRange
-              else if (fld.exists(probe.definitelyAbsent(f, _, v))) Some(false)
+              else if (probe.definitelyAbsent(f, fld, v)) Some(false)
               else byRange
             }
             if (verdicts.exists(_.isEmpty)) None

@@ -403,6 +403,42 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("previously belonged to a different column"))
   }
 
+  test("freed-name guard covers ADD COLUMN and evolution: stale nullCount never mis-prunes IS NULL") {
+    val path = tmpDir()
+    // column a is non-null everywhere → every file's stats say nullCount(a)=0
+    val t = LakeTable.create(spark, path,
+      (0L until 16L).map(i => (i, i * 10)).toDF("id", "a").repartition(2))
+    t.alterDropColumn("a")
+    // re-adding the name would leave old files' nullCount(a)=0 claiming
+    // "no nulls" while every old row reads NULL for the fresh field id —
+    // `a IS NULL` would prune everything (silent lost rows) — refused
+    val e = intercept[IllegalArgumentException](t.alterAddColumn("a", "long"))
+    assert(e.getMessage.contains("name-keyed stats"))
+    // the mergeSchema evolution path refuses identically
+    val e2 = intercept[IllegalArgumentException](
+      t.append((0L until 4L).map(i => (100L + i, i)).toDF("id", "a"),
+        mergeSchema = true))
+    assert(e2.getMessage.contains("name-keyed stats"))
+    // a full OVERWRITE removes every old-era file and clears the
+    // registry: the name becomes reusable and IS NULL reads correctly
+    t.overwrite((0L until 8L).map(i => i).toDF("id"))
+    t.alterAddColumn("a", "long")
+    assert(t.toDF.where($"a".isNull).count() === 8)
+  }
+
+  test("missing sidecar (vacuumed dangling pointer) degrades to scan, not errors") {
+    val path = tmpDir()
+    val t = unclusteredTable(path)
+    // destroy one referenced sidecar out-of-band
+    val victim = t.snapshot.files.head.bloomPath.get
+    Files.delete(Paths.get(path).resolve(victim))
+    // every key still reads correctly: the missing sidecar proves
+    // nothing and the file scans; other files' blooms keep working
+    for (k <- 0L until 128L by 26L)
+      assert(t.read($"id" === k).collect().map(_.getLong(0)).toSeq === Seq(k))
+    assert(t.read($"id" === 9L).count() === 0)
+  }
+
   test("probe order: files excluded by min/max never pay a sidecar read") {
     // CLUSTERED keys: four disjoint-range files — range stats alone
     // exclude foreign files, so the bloom must not even be consulted

@@ -40,20 +40,29 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(t.read(col("total") > 15.0).count() === 2)
   }
 
-  test("drop is metadata-only; re-added name does NOT resurrect old data") {
+  test("drop is metadata-only; freed-name reuse is refused while old files live") {
     val path = tmp()
     val t = LakeTable.create(spark, path,
       Seq((1L, "secret1", 1.0), (2L, "secret2", 2.0)).toDF("id", "s", "v"))
     t.alterDropColumn("s")
     assert(t.toDF.columns.toSeq === Seq("id", "v"))
+    // dropped data stays invisible (field id retired)
+    assert(!t.toDF.columns.contains("s"))
 
-    // re-add a column with the SAME name: fresh field id → old file data
-    // must stay invisible
+    // re-adding the SAME name is refused while pre-drop files are live:
+    // a fresh field id keeps the DATA invisible, but those files'
+    // name-keyed stats (nullCount(s)=0) would prove `s IS NULL` empty
+    // even though every old row reads NULL for the new field — lost rows
+    val e = intercept[IllegalArgumentException](t.alterAddColumn("s", "STRING"))
+    assert(e.getMessage.contains("name-keyed stats"))
+
+    // an overwrite retires every old-era file; the name becomes
+    // reusable, reads NULL-correct, and new writes land normally
+    t.overwrite(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
     t.alterAddColumn("s", "STRING")
+    assert(t.toDF.where($"s".isNull).count() === 2)
     val rows = t.toDF.orderBy("id").select("s").as[String].collect().toSeq
     assert(rows === Seq(null, null), s"dropped data resurfaced: $rows")
-
-    // and new writes to the re-added column land normally
     t.append(Seq((3L, 3.0, "fresh")).toDF("id", "v", "s"))
     assert(t.toDF.where($"s" === "fresh").count() === 1)
   }
