@@ -17,6 +17,7 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   OPTIMIZE lake.db.t [ZORDER BY (a, b)] -- compaction / clustering
   *   DESCRIBE HISTORY lake.db.t [LIMIT n]  -- newest n = O(n) commit
   *                                            reads, not O(retained log)
+  *   BUILD BLOOM INDEX ON lake.db.t [FORCE] -- backfill bloom sidecars
   *
   * Table references resolve like the `table_changes` TVF: a dotted name
   * through the named catalog's warehouse conf, anything else as a path.
@@ -49,6 +50,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       }
       RunLakeHistory(strip(ident), n)
     case DESCRIBE_DETAIL_RE(ident) => RunLakeDetail(strip(ident))
+    case BUILD_BLOOM_RE(ident, force) =>
+      RunLakeBuildBloomIndex(strip(ident), force != null)
     case RESTORE_RE(ident, version) => RunLakeRestore(strip(ident), version.toLong)
     // only intercept constraint DDL aimed at a LAKE table; anything else
     // falls through to Spark's own ALTER TABLE handling
@@ -107,6 +110,9 @@ object GraftSqlParser {
       """(?:\s+LIMIT\s+(\d+))?\s*;?\s*""").r
   private[graft] val DESCRIBE_DETAIL_RE =
     ("""(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+""" + TABLE + """\s*;?\s*""").r
+  private[graft] val BUILD_BLOOM_RE =
+    ("""(?is)\s*BUILD\s+BLOOM\s+INDEX\s+ON\s+""" + TABLE +
+      """(\s+FORCE)?\s*;?\s*""").r
   private[graft] val RESTORE_RE =
     ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?""" + TABLE +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
@@ -257,6 +263,21 @@ private[graft] case class RunLakeDropConstraint(ident: String, name: String)
     val path = GraftExtensions.resolveTablePath(spark, ident)
     graft.lake.LakeTable.forPath(spark, path).dropConstraint(name)
     Seq.empty
+  }
+}
+
+/** `BUILD BLOOM INDEX ON t [FORCE]` — backfill per-file Bloom sidecars
+  * for live files that predate `graft.bloom.columns` (FORCE re-attaches
+  * every file: the recovery path after the indexed column set changed);
+  * see [[graft.lake.LakeTable.buildBloomIndex]]. */
+private[graft] case class RunLakeBuildBloomIndex(ident: String,
+    force: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] =
+    Seq(AttributeReference("files_indexed", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftExtensions.resolveTablePath(spark, ident)
+    val n = graft.lake.LakeTable.forPath(spark, path).buildBloomIndex(force)
+    Seq(Row(n.toLong))
   }
 }
 

@@ -233,6 +233,22 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT 1 + 1").as[Int].head() === 2)
   }
 
+  test("BUILD BLOOM INDEX via SQL") {
+    warehouse
+    spark.sql("CREATE TABLE lake.bronze.bloomsql AS SELECT id * 2 AS id FROM range(64)")
+    val t = LakeTable.forPath(spark, s"$warehouse/bronze/bloomsql")
+    t.setProperties(Map(graft.lake.BloomIndex.COLS_PROP -> "id"))
+    val n = spark.sql("BUILD BLOOM INDEX ON lake.bronze.bloomsql")
+      .as[Long].head()
+    assert(n === t.snapshot.files.size.toLong && n > 0)
+    assert(t.snapshot.files.forall(_.bloomPath.isDefined))
+    // idempotent; FORCE under an unchanged config is a no-op too
+    assert(spark.sql("BUILD BLOOM INDEX ON lake.bronze.bloomsql").as[Long].head() === 0L)
+    assert(spark.sql("BUILD BLOOM INDEX ON lake.bronze.bloomsql FORCE").as[Long].head() === 0L)
+    // the index serves catalog-name reads (absent odd key inside the hull)
+    assert(spark.sql("SELECT * FROM lake.bronze.bloomsql WHERE id = 9").count() === 0)
+  }
+
   test("DESCRIBE HISTORY via SQL") {
     warehouse
     spark.sql("CREATE TABLE lake.bronze.hist AS SELECT 1 AS id")
