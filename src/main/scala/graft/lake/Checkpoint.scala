@@ -79,7 +79,11 @@ private[lake] object Checkpoint {
       .map { case (k, v) => k -> v.asInstanceOf[Number].longValue() })
   }
 
-  def write(dest: Path, actions: Seq[Action]): Unit = {
+  /** Streams `actions` — callers may pass a lazy iterator, so a
+    * checkpoint encode never needs the full action list in memory
+    * (the distributed build hands an executor task the live-file
+    * iterator of a Spark partition). */
+  def write(dest: Path, actions: IterableOnce[Action]): Unit = {
     val factory = new SimpleGroupFactory(schema)
     val writer = ExampleParquetWriter
       .builder(new org.apache.hadoop.fs.Path(dest.toString))
@@ -88,7 +92,7 @@ private[lake] object Checkpoint {
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .build()
     try {
-      actions.foreach { a =>
+      actions.iterator.foreach { a =>
         val g = factory.newGroup()
         a.add.foreach { f =>
           val ag = g.addGroup("add")

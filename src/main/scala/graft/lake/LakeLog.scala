@@ -491,19 +491,114 @@ final class LakeLog(
     * forward to it. The commit path wraps this in catch-and-ignore; the
     * expiry path lets failures propagate — commits must never be deleted
     * until the checkpoint that replaces them is durable.
+    *
+    * Above `spark.graft.checkpoint.distributedThreshold` rows in the
+    * PREVIOUS checkpoint, the build is DISTRIBUTED: the engine's last
+    * O(live files) driver cost on the write side. The driver path below
+    * resolves the full snapshot (a 10M-entry Seq on the heap) and
+    * encodes it serially; the distributed path instead folds only the
+    * bounded commit TAIL driver-side, unions it with the previous
+    * checkpoint's cached `Dataset[AddFile]`, and hands ONE executor task
+    * a lazy row iterator to stream into the parquet encode on shared
+    * storage — the driver never materializes the file list, exactly
+    * mirroring the distributed READ path. Any failure falls back to the
+    * driver encode, so a missing session / expired tail / odd store can
+    * never lose a checkpoint the expiry path depends on.
     */
   private[lake] def writeCheckpointAt(version: Long): Unit = {
+    if (!tryWriteCheckpointDistributed(version)) writeCheckpointDriver(version)
+  }
+
+  private def writeCheckpointDriver(version: Long): Unit = {
     val snap = snapshot(Some(version))
     val actions =
       Seq(Action.of(snap.metaData)) ++
         snap.txns.map { case (app, b) => Action.of(SetTxn(app, b)) } ++
         snap.files.map(Action.of)
+    val tmp = newCheckpointTmp()
+    Checkpoint.write(tmp, actions)
+    publishCheckpoint(version, tmp)
+  }
+
+  /** Tail-fold + distributed union + single-task streaming encode; false
+    * = caller should use the driver path. */
+  private def tryWriteCheckpointDistributed(version: Long): Boolean =
+    try {
+      val spark = org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .getOrElse(return false)
+      val ptr = lastCheckpointVersion.filter(_ < version).getOrElse(return false)
+      val pq = logDir.resolve(parquetCheckpointFileName(ptr))
+      if (!Files.isRegularFile(pq)) return false
+      val threshold = spark.conf
+        .getOption("spark.graft.checkpoint.distributedThreshold")
+        .flatMap(_.toLongOption).getOrElse(100000L)
+      if (DistributedState.checkpointRows(pq) < threshold) return false
+
+      // the tail is bounded metadata (≤ CHECKPOINT_EVERY commits unless
+      // the pointer lagged): fold it with the same replace-by-path /
+      // remove semantics as replayFrom
+      var tailMeta: Option[MetaData] = None
+      val tailTxns = scala.collection.mutable.HashMap[String, Long]()
+      val finalByPath =
+        scala.collection.mutable.LinkedHashMap[String, Option[AddFile]]()
+      for (v <- (ptr + 1) to version; a <- readCommit(v)) {
+        a.metaData.foreach(m => tailMeta = Some(m))
+        a.add.foreach(f => finalByPath(f.path) = Some(f))
+        a.remove.foreach(r => finalByPath(r.path) = None)
+        a.txn.foreach(t => tailTxns(t.appId) =
+          math.max(t.batchId, tailTxns.getOrElse(t.appId, Long.MinValue)))
+      }
+      val meta = tailMeta
+        .orElse(DistributedState.checkpointMeta(spark, pq))
+        .getOrElse(return false)
+      // txn state: column-pruned scan of the old checkpoint (tiny), max
+      // batchId per appId across checkpoint + tail
+      import org.apache.spark.sql.functions.col
+      val ckptTxns = spark.read.parquet(pq.toString)
+        .where(col("txn").isNotNull).select("txn.*").collect()
+        .map(r => r.getAs[String]("appId") -> r.getAs[Long]("batchId")).toMap
+      val txns = (ckptTxns.keySet ++ tailTxns.keySet).toSeq.sorted.map { k =>
+        k -> math.max(ckptTxns.getOrElse(k, Long.MinValue),
+          tailTxns.getOrElse(k, Long.MinValue))
+      }
+
+      val touched = finalByPath.keySet.toSet
+      val tailAdds = finalByPath.values.flatten.toSeq
+      val ckptFiles = DistributedState.checkpointFiles(spark, pq)
+      val base =
+        if (touched.isEmpty) ckptFiles
+        else ckptFiles.filter((f: AddFile) => !touched.contains(f.path))
+      val all =
+        if (tailAdds.isEmpty) base
+        else base.unionByName(spark.createDataset(tailAdds)(
+          org.apache.spark.sql.Encoders.product[AddFile]))
+
+      val head: Seq[Action] = Action.of(meta) +:
+        txns.map { case (app, b) => Action.of(SetTxn(app, b)) }
+      val tmp = newCheckpointTmp()
+      // absolutized driver-side: the executor task must resolve the tmp
+      // path CWD-independently on a real cluster
+      val tmpAbs = tmp.toAbsolutePath.normalize.toString
+      val written = all.coalesce(1).mapPartitions { it =>
+        Checkpoint.write(Paths.get(tmpAbs), head.iterator ++ it.map(Action.of))
+        Iterator.single(tmpAbs)
+      }(org.apache.spark.sql.Encoders.STRING).collect()
+      // a zero-partition Dataset (empty table) runs no task: head-only
+      if (written.isEmpty) Checkpoint.write(Paths.get(tmpAbs), head)
+      publishCheckpoint(version, Paths.get(tmpAbs))
+      LakeLog.distributedCheckpoints.incrementAndGet()
+      true
+    } catch { case NonFatal(_) => false }
+
+  /** Fresh tmp path under the log's tmp dir, with an opportunistic reap
+    * of tmp files a crashed checkpointer left behind (vacuum never
+    * descends into the log dir, so nothing else cleans them); a live
+    * writer's tmp is seconds old — 24h is comfortably past any real
+    * write. */
+  private def newCheckpointTmp(): Path = {
     val tmpDir = logDir.resolve(TMP_DIR)
     Files.createDirectories(tmpDir)
-    // opportunistic reap of tmp files a crashed checkpointer left behind
-    // (vacuum never descends into the log dir, so nothing else cleans
-    // them); a live writer's tmp is seconds old — 24h is comfortably
-    // past any real write
     graft.util.Fs.listDir(tmpDir).foreach { p =>
       try {
         if (System.currentTimeMillis() -
@@ -511,8 +606,10 @@ final class LakeLog(
           Files.deleteIfExists(p)
       } catch { case NonFatal(_) => () }
     }
-    val tmp = tmpDir.resolve(UUID.randomUUID().toString + ".parquet")
-    Checkpoint.write(tmp, actions)
+    tmpDir.resolve(UUID.randomUUID().toString + ".parquet")
+  }
+
+  private def publishCheckpoint(version: Long, tmp: Path): Unit = {
     try commitStore.putIfAbsentFile(
       logDir.resolve(parquetCheckpointFileName(version)), tmp)
     finally Files.deleteIfExists(tmp)
@@ -601,6 +698,11 @@ object LakeLog {
     * path (see maybeCheckpoint). `var` so specs can drive the async path
     * on small fixtures. */
   private[lake] var asyncCheckpointFileThreshold: Long = 100000L
+
+  /** Test observability: checkpoints built through the DISTRIBUTED path
+    * (previous-checkpoint Dataset + tail fold, executor-side encode). */
+  private[lake] val distributedCheckpoints =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Serializes every `_last_checkpoint` check→replace in this JVM —
     * see the pointer-swap comment in writeCheckpointAt. */
