@@ -25,18 +25,37 @@ import org.apache.spark.sql.types.StructType
   */
 private[lake] object DistributedState {
 
+  /** Identity fingerprint of a checkpoint FILE (size + mtime-ns +
+    * fileKey), folded into every cache key here: a table deleted and
+    * recreated at the same path produces a same-named checkpoint whose
+    * path-keyed cache entry would otherwise serve the OLD incarnation's
+    * state — transiently wrong on the read path, and DURABLY wrong once
+    * the distributed checkpoint build bakes the stale file list into a
+    * new on-disk checkpoint. One stat per use; a vanished file yields a
+    * unique miss key. */
+  private def fp(ckpt: Path): String =
+    try {
+      val attrs = java.nio.file.Files.readAttributes(
+        ckpt, classOf[java.nio.file.attribute.BasicFileAttributes])
+      attrs.size() + ":" +
+        attrs.lastModifiedTime().to(java.util.concurrent.TimeUnit.NANOSECONDS) +
+        ":" + String.valueOf(attrs.fileKey())
+    } catch { case scala.util.control.NonFatal(_) => "missing:" + System.nanoTime() }
+
   /** Checkpoint row count from the parquet FOOTER only — the cheap
-    * driver-side signal for "is this table big enough to bother". A
-    * checkpoint file is immutable once written, so the count caches
-    * forever (entries are a few bytes; VACUUMed paths just go stale).
+    * driver-side signal for "is this table big enough to bother".
+    * Cached per (path, fingerprint): immutable content caches forever,
+    * a recreate's same-named checkpoint misses.
     */
-  def checkpointRows(ckpt: Path): Long =
-    rowsCache.getOrElseUpdate(ckpt.toAbsolutePath.toString, {
+  def checkpointRows(ckpt: Path): Long = {
+    val key = ckpt.toAbsolutePath.toString + "|" + fp(ckpt)
+    rowsCache.getOrElseUpdate(key, {
       val in = HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(ckpt.toString), new Configuration(false))
       val r = ParquetFileReader.open(in)
       try r.getRecordCount finally r.close()
     })
+  }
 
   private val rowsCache = scala.collection.concurrent.TrieMap.empty[String, Long]
 
@@ -45,15 +64,17 @@ private[lake] object DistributedState {
     * executors with the same Jackson helpers the driver log reader uses.
     *
     * Checkpoint-to-checkpoint reuse (NEXT r3 #2): the decoded Dataset is
-    * PERSISTED and cached per (session, checkpoint path) — a checkpoint
-    * is immutable, so every read of a hot table between checkpoints
-    * reuses the materialized decode instead of re-scanning the parquet
-    * and re-parsing the JSON stat blobs. Small LRU; evicted entries
-    * unpersist.
+    * PERSISTED and cached per (session, checkpoint path, file
+    * fingerprint) — content at a given fingerprint is immutable, so
+    * every read of a hot table between checkpoints reuses the
+    * materialized decode, while a delete+recreate's same-named
+    * checkpoint can never be served the old incarnation's rows. Small
+    * LRU; evicted entries unpersist.
     */
   def checkpointFiles(spark: SparkSession, ckpt: Path): Dataset[AddFile] =
     fileCache.synchronized {
-      val key = System.identityHashCode(spark) + ":" + ckpt.toAbsolutePath
+      val key = System.identityHashCode(spark) + ":" + ckpt.toAbsolutePath +
+        "|" + fp(ckpt)
       Option(fileCache.get(key)).getOrElse {
         decodeMisses.incrementAndGet()
         val ds = spark.read.parquet(ckpt.toString)
@@ -65,6 +86,29 @@ private[lake] object DistributedState {
         ds
       }
     }
+
+  /** Live files = checkpoint adds minus tail-touched paths, plus the
+    * tail's surviving adds — the ONE implementation of replace-by-path
+    * assembly shared by the read path ([[pruneLive]]) and the
+    * distributed checkpoint build (LakeLog), so the semantics cannot
+    * drift between them. NOTE: a path both in the checkpoint and
+    * re-added by the tail lands at the END here, where the driver
+    * replay keeps its original position — file ORDER is not a snapshot
+    * contract (Spark re-orders splits for scheduling anyway); content
+    * equality is, and is spec-pinned.
+    */
+  def liveFiles(
+      spark: SparkSession,
+      ckptFiles: Dataset[AddFile],
+      touched: Set[String],
+      tailAdds: Seq[AddFile]): Dataset[AddFile] = {
+    val base =
+      if (touched.isEmpty) ckptFiles
+      else ckptFiles.filter((f: AddFile) => !touched.contains(f.path))
+    if (tailAdds.isEmpty) base
+    else base.unionByName(
+      spark.createDataset(tailAdds)(Encoders.product[AddFile]))
+  }
 
   private val MAX_CACHED = 8
   private val fileCache =
@@ -102,6 +146,25 @@ private[lake] object DistributedState {
         if (i >= 0 && !r.isNullAt(i)) Some(r.getString(i)) else None })
   }
 
+  /** Decode one `metaData.*`-shaped Row (from the checkpoint's metaData
+    * struct) — shared by [[checkpointMeta]] and LakeLog's distributed
+    * checkpoint build. */
+  private[lake] def decodeMetaRow(r: Row): MetaData = {
+    def optStr(name: String): Option[String] = {
+      val i = r.fieldIndex(name)
+      if (r.isNullAt(i)) None else Some(r.getString(i))
+    }
+    MetaData(
+      r.getAs[String]("id"),
+      r.getAs[String]("schemaDdl"),
+      optStr("partitionColumns").map(Checkpoint.decodeStringSeq)
+        .getOrElse(Seq.empty),
+      optStr("properties").map(Checkpoint.decodeStringMap)
+        .getOrElse(Map.empty),
+      r.getAs[Long]("createdTime"),
+      optStr("schemaJson"))
+  }
+
   /** Table metadata out of the checkpoint without touching its add rows
     * on the driver: one column-pruned distributed scan, one collected row.
     */
@@ -109,21 +172,7 @@ private[lake] object DistributedState {
     spark.read.parquet(ckpt.toString)
       .where(col("metaData").isNotNull)
       .select("metaData.*")
-      .limit(1).collect().headOption.map { r =>
-        def optStr(name: String): Option[String] = {
-          val i = r.fieldIndex(name)
-          if (r.isNullAt(i)) None else Some(r.getString(i))
-        }
-        MetaData(
-          r.getAs[String]("id"),
-          r.getAs[String]("schemaDdl"),
-          optStr("partitionColumns").map(Checkpoint.decodeStringSeq)
-            .getOrElse(Seq.empty),
-          optStr("properties").map(Checkpoint.decodeStringMap)
-            .getOrElse(Map.empty),
-          r.getAs[Long]("createdTime"),
-          optStr("schemaJson"))
-      }
+      .limit(1).collect().headOption.map(decodeMetaRow)
 
   /** Live files = checkpoint adds minus tail-touched paths, plus the
     * tail's surviving adds; then stats pruning distributed across the
@@ -139,13 +188,7 @@ private[lake] object DistributedState {
       partitionCols: Seq[String],
       probe: BloomProbe = BloomProbe.none): Array[AddFile] = {
     val spark = ckptFiles.sparkSession
-    val base =
-      if (touched.isEmpty) ckptFiles
-      else ckptFiles.filter((f: AddFile) => !touched.contains(f.path))
-    val all =
-      if (tailAdds.isEmpty) base
-      else base.unionByName(
-        spark.createDataset(tailAdds)(Encoders.product[AddFile]))
+    val all = liveFiles(spark, ckptFiles, touched, tailAdds)
     val pruned =
       if (resolved.isEmpty) all
       // min/max AND bloom evaluate here, ON EXECUTORS — a point lookup

@@ -530,6 +530,12 @@ final class LakeLog(
       val ptr = lastCheckpointVersion.filter(_ < version).getOrElse(return false)
       val pq = logDir.resolve(parquetCheckpointFileName(ptr))
       if (!Files.isRegularFile(pq)) return false
+      // deliberately a SEPARATE knob from the read side's
+      // `spark.graft.log.distributedThreshold` (that one gates per-QUERY
+      // candidate resolution; this one gates a once-per-10-commits
+      // maintenance job whose fallback is a driver encode) — both
+      // default to 100k entries, so a table crossing the scale boundary
+      // flips both without tuning
       val threshold = spark.conf
         .getOption("spark.graft.checkpoint.distributedThreshold")
         .flatMap(_.toLongOption).getOrElse(100000L)
@@ -549,14 +555,17 @@ final class LakeLog(
         a.txn.foreach(t => tailTxns(t.appId) =
           math.max(t.batchId, tailTxns.getOrElse(t.appId, Long.MinValue)))
       }
-      val meta = tailMeta
-        .orElse(DistributedState.checkpointMeta(spark, pq))
-        .getOrElse(return false)
-      // txn state: column-pruned scan of the old checkpoint (tiny), max
-      // batchId per appId across checkpoint + tail
+      // metaData + txn state of the OLD checkpoint in ONE column-pruned
+      // scan (both are a handful of rows; the add rows never leave the
+      // executors)
       import org.apache.spark.sql.functions.col
-      val ckptTxns = spark.read.parquet(pq.toString)
-        .where(col("txn").isNotNull).select("txn.*").collect()
+      val headRows = spark.read.parquet(pq.toString)
+        .where(col("metaData").isNotNull || col("txn").isNotNull)
+        .select("metaData", "txn").collect()
+      val ckptMeta = headRows.iterator.map(_.getStruct(0)).find(_ != null)
+        .map(DistributedState.decodeMetaRow)
+      val meta = tailMeta.orElse(ckptMeta).getOrElse(return false)
+      val ckptTxns = headRows.iterator.map(_.getStruct(1)).filter(_ != null)
         .map(r => r.getAs[String]("appId") -> r.getAs[Long]("batchId")).toMap
       val txns = (ckptTxns.keySet ++ tailTxns.keySet).toSeq.sorted.map { k =>
         k -> math.max(ckptTxns.getOrElse(k, Long.MinValue),
@@ -565,31 +574,45 @@ final class LakeLog(
 
       val touched = finalByPath.keySet.toSet
       val tailAdds = finalByPath.values.flatten.toSeq
-      val ckptFiles = DistributedState.checkpointFiles(spark, pq)
-      val base =
-        if (touched.isEmpty) ckptFiles
-        else ckptFiles.filter((f: AddFile) => !touched.contains(f.path))
-      val all =
-        if (tailAdds.isEmpty) base
-        else base.unionByName(spark.createDataset(tailAdds)(
-          org.apache.spark.sql.Encoders.product[AddFile]))
+      val all = DistributedState.liveFiles(spark,
+        DistributedState.checkpointFiles(spark, pq), touched, tailAdds)
 
       val head: Seq[Action] = Action.of(meta) +:
         txns.map { case (app, b) => Action.of(SetTxn(app, b)) }
       val tmp = newCheckpointTmp()
       // absolutized driver-side: the executor task must resolve the tmp
-      // path CWD-independently on a real cluster
-      val tmpAbs = tmp.toAbsolutePath.normalize.toString
+      // path CWD-independently on a real cluster. Each task ATTEMPT
+      // writes its own file (retries/speculation would deterministically
+      // fail on a fixed path — ParquetWriter refuses an existing file,
+      // and the first attempt's partial file would survive); the winning
+      // attempt's path comes back, losers' files age out under the tmp
+      // reap
+      val tmpBase = tmp.toAbsolutePath.normalize.toString
       val written = all.coalesce(1).mapPartitions { it =>
-        Checkpoint.write(Paths.get(tmpAbs), head.iterator ++ it.map(Action.of))
-        Iterator.single(tmpAbs)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val dest = s"$tmpBase.$attempt"
+        Checkpoint.write(Paths.get(dest), head.iterator ++ it.map(Action.of))
+        Iterator.single(dest)
       }(org.apache.spark.sql.Encoders.STRING).collect()
-      // a zero-partition Dataset (empty table) runs no task: head-only
-      if (written.isEmpty) Checkpoint.write(Paths.get(tmpAbs), head)
-      publishCheckpoint(version, Paths.get(tmpAbs))
+      val written1 = written.headOption.getOrElse {
+        // a zero-partition Dataset (empty table) runs no task: head-only
+        Checkpoint.write(Paths.get(tmpBase), head)
+        tmpBase
+      }
+      publishCheckpoint(version, Paths.get(written1))
       LakeLog.distributedCheckpoints.incrementAndGet()
       true
-    } catch { case NonFatal(_) => false }
+    } catch {
+      case NonFatal(e) =>
+        // degraded, not broken — but an operator must SEE a systematic
+        // degradation (every boundary silently paying the O(live files)
+        // driver encode is the cost this path exists to avoid)
+        org.slf4j.LoggerFactory.getLogger(classOf[LakeLog]).warn(
+          s"distributed checkpoint build failed for $tablePath@$version, " +
+            s"falling back to the driver encode: $e")
+        false
+    }
 
   /** Fresh tmp path under the log's tmp dir, with an opportunistic reap
     * of tmp files a crashed checkpointer left behind (vacuum never

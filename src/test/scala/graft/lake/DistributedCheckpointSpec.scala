@@ -95,6 +95,38 @@ class DistributedCheckpointSpec extends AnyFunSuite {
     }
   }
 
+  test("recreate at the same path never serves the old incarnation's checkpoint decode") {
+    // the decoded-checkpoint caches were keyed by PATH alone: a table
+    // deleted and recreated at the same path produces a same-named
+    // checkpoint file, and the stale cached Dataset[AddFile] would feed
+    // both the distributed READ and (durably!) the distributed
+    // checkpoint BUILD; keys now carry the file's fingerprint
+    val path = Files.createTempDirectory("dist-ckpt-recreate-").toString
+    spark.conf.set("spark.graft.log.distributedThreshold", "1")
+    try {
+      val a = LakeTable.create(spark, path,
+        (0L until 4L).map(i => (i, "old")).toDF("id", "v"))
+      for (i <- 1 to 10) a.append(Seq((100L + i, "old")).toDF("id", "v"))
+      // populate the decode cache for A's v10 checkpoint
+      assert(a.read($"id" === 0L).collect().map(_.getString(1)).toSeq === Seq("old"))
+      assert(ReadMetrics.lastReadDistributed.get())
+
+      graft.TestFs.rmRf(Paths.get(path))
+      LakeLog.snapshotCache.clear()
+      val b = LakeTable.create(spark, path,
+        (0L until 4L).map(i => (i, "new")).toDF("id", "v"))
+      for (i <- 1 to 10) b.append(Seq((200L + i, "new")).toDF("id", "v"))
+      // B's v10 checkpoint lives at the IDENTICAL path as A's did
+      val rows = b.toDF.select("v").distinct().as[String].collect().toSeq
+      assert(rows === Seq("new"),
+        s"stale checkpoint decode served the old incarnation: $rows")
+      assert(b.read($"id" === 0L).collect().map(_.getString(1)).toSeq === Seq("new"))
+      assert(b.toDF.count() === 14)
+    } finally {
+      spark.conf.unset("spark.graft.log.distributedThreshold")
+    }
+  }
+
   test("distributed build of an emptied table writes a head-only checkpoint") {
     val path = Files.createTempDirectory("dist-ckpt-empty-").toString
     spark.conf.set("spark.graft.checkpoint.distributedThreshold", "1")
@@ -103,10 +135,8 @@ class DistributedCheckpointSpec extends AnyFunSuite {
         (0L until 4L).map(i => (i, s"n$i")).toDF("id", "v"))
       for (i <- 1 to 10) t.append(Seq((100L + i, "x")).toDF("id", "v"))
       t.delete(lit(true)) // v11: everything gone
-      for (i <- 1 to 9) { // v12..v20
-        if (i < 9) t.setProperties(Map(s"k$i" -> "v"))
-        else t.setProperties(Map("k9" -> "v"))
-      }
+      for (i <- 1 to 9) // v12..v20
+        t.setProperties(Map(s"k$i" -> "v"))
       val ckpt = Paths.get(path, LakeLog.LOG_DIR,
         LakeLog.parquetCheckpointFileName(20))
       assert(Files.isRegularFile(ckpt))
