@@ -112,15 +112,27 @@ class SkippingFuzzSpec extends AnyFunSuite {
       .parquet(snap.files.map(f => s"${t.path}/${f.path}"): _*)
   }
 
-  for ((seed, partitioned) <- Seq((11L, false), (12L, false), (13L, true))) {
+  // the bloom arm runs the identical predicate zoo over a bloom-indexed
+  // copy (adversarial strings included): a hash-parity or probe-order
+  // bug surfaces here as a lost row, and non-vacuity asserts the bloom
+  // actually proved absences across the run
+  for ((seed, partitioned, bloom) <- Seq(
+      (11L, false, false), (12L, false, false), (13L, true, false),
+      (14L, false, true))) {
     test(s"random predicates lose no rows through pruning " +
-        s"(seed $seed${if (partitioned) ", partitioned" else ""})") {
+        s"(seed $seed${if (partitioned) ", partitioned" else ""}" +
+        s"${if (bloom) ", bloom-indexed" else ""})") {
       val rnd = new scala.util.Random(seed)
       val dir = Files.createTempDirectory(s"skip-fuzz-$seed-").toString
       val pby = if (partitioned) Seq("s") else Seq.empty
       val pool = if (partitioned) asciiStrings else strings
+      val props =
+        if (bloom) Map(BloomIndex.COLS_PROP -> "i,l,s,dt,ts,dec",
+          BloomIndex.FPP_PROP -> "0.01")
+        else Map.empty[String, String]
       val t = LakeTable.create(spark, dir,
-        randomRows(rnd, 60, pool).toDF().coalesce(2), partitionBy = pby)
+        randomRows(rnd, 60, pool).toDF().coalesce(2), partitionBy = pby,
+        properties = props)
       t.append(randomRows(rnd, 60, pool).toDF().coalesce(3))
       t.append(randomRows(rnd, 40, pool).toDF().coalesce(2))
       val snap = t.snapshot
@@ -129,6 +141,7 @@ class SkippingFuzzSpec extends AnyFunSuite {
 
       val reference = fullScan(t)
       var prunedSomething = false
+      if (bloom) BloomMetrics.reset()
       (1 to 40).foreach { k =>
         val pred = predicate(rnd)
         val resolved = resolve(pred, snap.schema)
@@ -145,6 +158,8 @@ class SkippingFuzzSpec extends AnyFunSuite {
       }
       assert(prunedSomething,
         "no predicate pruned any file — the harness is vacuous")
+      if (bloom) assert(BloomMetrics.skippedByBloom.get() > 0,
+        "the bloom never proved an absence — the bloom arm is vacuous")
     }
   }
 }
