@@ -145,6 +145,27 @@ object BloomIndex {
     * `xxhash64` of each indexed column, group rows by file, build and
     * write each file's filter ON the executor that holds its rows.
     */
+  /** [[attach]] degraded to a no-op on ANY failure — the WRITE paths'
+    * entry point: a data write whose files already landed must never
+    * fail because its optional index build did (`bloomPath = None` is
+    * always safe; partially written sidecars are vacuum-reapable
+    * orphans). [[LakeTable.buildBloomIndex]] calls [[attach]] directly,
+    * so an EXPLICIT index build still fails loudly. */
+  def attachBestEffort(
+      spark: SparkSession,
+      tablePath: String,
+      dataSchema: StructType,
+      adds: Seq[AddFile],
+      props: Map[String, String]): Seq[AddFile] =
+    try attach(spark, tablePath, dataSchema, adds, props)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"bloom index build failed for $tablePath (write proceeds " +
+            s"unindexed; run buildBloomIndex() to backfill): $e")
+        adds
+    }
+
   def attach(
       spark: SparkSession,
       tablePath: String,
@@ -188,20 +209,27 @@ object BloomIndex {
     import org.apache.spark.sql.{Encoders, Row}
     val built: Map[String, String] = projected
       .groupByKey((r: Row) => Stats.normalizeFileUri(r.getString(0)))(Encoders.STRING)
-      .mapGroups { (abs: String, it: Iterator[Row]) =>
-        val exp = math.min(maxItems,
-          math.max(64L, expectedB.value.getOrElse(abs, 65536L)))
-        val blooms = Array.fill(colMeta.size)(BloomFilter.create(exp, fpp))
-        it.foreach { r =>
-          var i = 0
-          while (i < blooms.length) {
-            if (!r.isNullAt(i + 1)) blooms(i).putLong(r.getLong(i + 1))
-            i += 1
-          }
+      .flatMapGroups { (abs: String, it: Iterator[Row]) =>
+        // a group whose normalized URI doesn't match any staged file
+        // (URI round-trip divergence on exotic path bytes) degrades to
+        // "that file stays unindexed" — it must never fail the WRITE
+        // the index rides on
+        sidecarB.value.get(abs) match {
+          case None => Iterator.empty
+          case Some(rel) =>
+            val exp = math.min(maxItems,
+              math.max(64L, expectedB.value.getOrElse(abs, 65536L)))
+            val blooms = Array.fill(colMeta.size)(BloomFilter.create(exp, fpp))
+            it.foreach { r =>
+              var i = 0
+              while (i < blooms.length) {
+                if (!r.isNullAt(i + 1)) blooms(i).putLong(r.getLong(i + 1))
+                i += 1
+              }
+            }
+            writeSidecar(Paths.get(rootStr), rel, colMeta, blooms)
+            Iterator.single((abs, rel))
         }
-        val rel = sidecarB.value(abs)
-        writeSidecar(Paths.get(rootStr), rel, colMeta, blooms)
-        (abs, rel)
       }(Encoders.tuple(Encoders.STRING, Encoders.STRING))
       .collect().toMap
 
@@ -255,22 +283,23 @@ object BloomIndex {
     }
   }
 
-  /** Sidecar → per-column (declared type, filter). Pruning silently
-    * degrades to min/max only on any read problem: `Some(Map.empty)` for
-    * PERMANENT gaps (future format version; a MISSING file — sidecar
-    * paths are unique per config, so a vacuumed/never-landed sidecar
-    * never reappears and caching the miss keeps the dangling-pointer
-    * case off the per-probe open() path), `None` for other exceptions
-    * (transient IO — the caller must not pin those into the
-    * immutable-content cache). */
-  private def readSidecar(p: Path): Option[Map[String, (DataType, Long, BloomFilter)]] =
+  /** Sidecar → per-column (declared type, field id, filter). Pruning
+    * silently degrades to min/max only on any read problem, with the
+    * caching policy encoded in the shape: `Some(Left(map))` = durable
+    * content or a PERMANENT structural gap (future format version) —
+    * cache forever; `Some(Right(()))` = the file is MISSING (vacuumed
+    * dangling pointer, or transiently invisible on a
+    * non-atomic-rename store) — negative-cache with a short TTL;
+    * `None` = transient IO — never cached. */
+  private def readSidecar(p: Path)
+      : Option[Either[Map[String, (DataType, Long, BloomFilter)], Unit]] =
     try {
       val in = new DataInputStream(new BufferedInputStream(Files.newInputStream(p)))
       try {
-        if (in.readInt() != MAGIC || in.readInt() != VERSION) Some(Map.empty)
+        if (in.readInt() != MAGIC || in.readInt() != VERSION) Some(Left(Map.empty))
         else {
           val n = in.readInt()
-          Some((0 until n).map { _ =>
+          Some(Left((0 until n).map { _ =>
             val name = in.readUTF()
             val dt = DataType.fromDDL(in.readUTF())
             val fid = in.readLong()
@@ -279,12 +308,12 @@ object BloomIndex {
             in.readFully(bytes)
             name -> ((dt, fid,
               BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))))
-          }.toMap)
+          }.toMap))
         }
       } finally in.close()
     } catch {
       case _: java.nio.file.NoSuchFileException |
-           _: java.io.FileNotFoundException => Some(Map.empty)
+           _: java.io.FileNotFoundException => Some(Right(()))
       case scala.util.control.NonFatal(_) => None
     }
 
@@ -292,22 +321,53 @@ object BloomIndex {
   // file AND the index configuration (sidecarPathFor), so a config
   // change writes to a NEW path and a same-path rebuild reproduces
   // bit-identical content — a JVM-wide LRU keyed by absolute path needs
-  // no invalidation. 128 entries ≈ tens of MB at default sizing.
-  private val CACHE_MAX = 128
-  private val cache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, Map[String, (DataType, Long, BloomFilter)]](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Map[String, (DataType, Long, BloomFilter)]]): Boolean =
-        size > CACHE_MAX
-    })
+  // no content invalidation. Bounded by retained BYTES, not entries: at
+  // default sizing one multi-column entry is several MB, so an
+  // entry-count bound would let a big-table point lookup pin hundreds
+  // of MB of heap on the driver and every executor. Negative entries
+  // (missing file) carry an expiry so a TRANSIENTLY invisible sidecar
+  // (non-atomic-move store, eventual consistency) recovers instead of
+  // disabling pruning for the JVM's lifetime, while steady-state
+  // dangling pointers still stay off the per-probe open() path.
+  private final case class CacheEntry(
+      cols: Map[String, (DataType, Long, BloomFilter)],
+      bytes: Long,
+      expiresAt: Long) // Long.MaxValue for positive entries
+  private val CACHE_MAX_BYTES = 64L << 20
+  private val NEGATIVE_TTL_MS = 60000L
+  private var cacheBytes = 0L
+  private val cache =
+    new java.util.LinkedHashMap[String, CacheEntry](64, 0.75f, true)
 
-  private def lookup(rootStr: String, rel: String): Map[String, (DataType, Long, BloomFilter)] = {
-    val abs = Paths.get(rootStr).resolve(rel).normalize.toString
-    val hit = cache.get(abs)
-    if (hit != null) hit
-    else readSidecar(Paths.get(abs)) match {
-      case Some(loaded) => cache.put(abs, loaded); loaded
-      case None => Map.empty // transient / vacuumed: retry next probe
+  private def entryBytes(m: Map[String, (DataType, Long, BloomFilter)]): Long =
+    m.valuesIterator.map(_._3.bitSize() / 8).sum + 256
+
+  private def lookup(rootStr: String, rel: String): Map[String, (DataType, Long, BloomFilter)] =
+    cache.synchronized {
+      val abs = Paths.get(rootStr).resolve(rel).normalize.toString
+      val hit = cache.get(abs)
+      if (hit != null && System.currentTimeMillis() < hit.expiresAt) hit.cols
+      else {
+        if (hit != null) { cache.remove(abs); cacheBytes -= hit.bytes }
+        readSidecar(Paths.get(abs)) match {
+          case Some(Left(cols)) => // durable content (or permanent gap)
+            put(abs, CacheEntry(cols, entryBytes(cols), Long.MaxValue)); cols
+          case Some(Right(())) => // missing file: negative-cache briefly
+            put(abs, CacheEntry(Map.empty, 256,
+              System.currentTimeMillis() + NEGATIVE_TTL_MS))
+            Map.empty
+          case None => Map.empty // transient IO: retry next probe
+        }
+      }
+    }
+
+  private def put(abs: String, e: CacheEntry): Unit = {
+    val prev = cache.put(abs, e)
+    cacheBytes += e.bytes - (if (prev != null) prev.bytes else 0L)
+    val it = cache.entrySet().iterator()
+    while (cacheBytes > CACHE_MAX_BYTES && it.hasNext) {
+      val eldest = it.next()
+      if (eldest.getKey != abs) { cacheBytes -= eldest.getValue.bytes; it.remove() }
     }
   }
 

@@ -2635,7 +2635,8 @@ object LakeTable {
         bucket = pv.get(Bucketing.BUCKET_DIR_COL).flatMap(_.toIntOption))
     }.toSeq
     // per-file bloom index sidecars (no-op unless graft.bloom.columns);
-    // rides AFTER stats so sizing uses exact per-file row counts
-    BloomIndex.attach(spark, tablePath, dataSchema, adds, props)
+    // rides AFTER stats so sizing uses exact per-file row counts, and
+    // best-effort — a failed index build never fails the data write
+    BloomIndex.attachBestEffort(spark, tablePath, dataSchema, adds, props)
   }
 }

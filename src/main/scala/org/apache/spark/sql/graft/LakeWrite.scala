@@ -237,10 +237,11 @@ private[graft] object LakePublish {
         statsMap.get(abs.toAbsolutePath.normalize.toString),
         bucket = e.bucket)
     }
-    // bloom index sidecars (no-op without graft.bloom.columns); on a
+    // bloom index sidecars (no-op without graft.bloom.columns, and
+    // best-effort — a failed build never fails the epoch); on a
     // replay-detected abort below the data files AND these sidecars are
     // simply orphans for vacuum's mtime gate
-    val adds = graft.lake.BloomIndex.attach(spark, lake.path, dataSchema, adds0,
+    val adds = graft.lake.BloomIndex.attachBestEffort(spark, lake.path, dataSchema, adds0,
       plannedMeta.map(_.properties)
         .getOrElse(lake.snapshot.metaData.properties))
     val rows = adds.flatMap(_.stats.map(_.numRecords)).sum

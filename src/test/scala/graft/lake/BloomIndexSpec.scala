@@ -135,6 +135,31 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(BloomMetrics.skippedByBloom.get() > 0)
   }
 
+  test("point MERGE prunes across source/target key type width") {
+    // source key Int vs target key Long: the IN-list/range literals
+    // arrive Cast-wrapped, and resolveFilter's ConstantFolding must fold
+    // them back to plain literals the skipping evaluator accepts —
+    // otherwise point-merge pruning silently dies on width mismatches
+    val path = tmpDir()
+    val t = unclusteredTable(path) // id: LongType
+    val total = t.snapshot.files.size
+    val src = Seq((6, "merged_6", 0), (99999, "merged_new", 0))
+      .toDF("id", "name", "grp") // id: IntegerType
+    BloomMetrics.reset()
+    DmlMetrics.lastMergeCandidateFiles.set(-1L)
+    t.mergeClauses(src, col("t.id") === col("s.id"),
+      Seq(MergeClause.Update(None, Map.empty)),
+      Seq(MergeClause.Insert(None, Map.empty)),
+      Seq.empty,
+      useDvs = false)
+    assert(t.toDF.where($"id" === 6L).select("name").head().getString(0) === "merged_6")
+    assert(t.toDF.where($"id" === 99999L).count() === 1)
+    assert(t.toDF.count() === 65)
+    val cands = DmlMetrics.lastMergeCandidateFiles.get()
+    assert(cands >= 0 && cands < total,
+      s"type-width-mismatched merge keys pruned nothing ($cands/$total files)")
+  }
+
   test("big-log path: bloom evaluates inside the distributed candidate scan") {
     val path = tmpDir()
     val t = unclusteredTable(path)
