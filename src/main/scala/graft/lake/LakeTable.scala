@@ -250,10 +250,13 @@ final class LakeTable private (
     name match {
       case "history" | "snapshots" => history
       case "files" =>
+        // bloom_index: per-file index coverage ("which files would a
+        // backfill touch" is a one-filter query away)
         snapshot.files
           .map(f => (f.path, f.partitionValues.map { case (k, v) => s"$k=$v" }.mkString("/"),
-            f.size, f.stats.map(_.numRecords).getOrElse(-1L)))
-          .toDF("path", "partition", "size", "numRecords")
+            f.size, f.stats.map(_.numRecords).getOrElse(-1L),
+            f.bloomPath.orNull))
+          .toDF("path", "partition", "size", "numRecords", "bloom_index")
       case "partitions" =>
         // Iceberg `.partitions`: per-partition record/file counts
         snapshot.files

@@ -52,10 +52,15 @@ class BloomIndexSpec extends AnyFunSuite {
       assert(Files.exists(sc), s"missing sidecar ${f.bloomPath.get}")
       assert(f.bloomPath.get.startsWith(BloomIndex.INDEX_DIR + "/"))
     }
-    // unconfigured tables stay sidecar-free
+    // the files metadata table exposes per-file index coverage
+    val metaRows = t.meta("files").select("path", "bloom_index")
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    files.foreach(f => assert(metaRows(f.path) === f.bloomPath))
+    // unconfigured tables stay sidecar-free (and show null coverage)
     val plain = LakeTable.create(spark, tmpDir(),
       Seq((1L, "a")).toDF("id", "name"))
     assert(plain.snapshot.files.forall(_.bloomPath.isEmpty))
+    assert(plain.meta("files").where(col("bloom_index").isNotNull).count() === 0)
   }
 
   test("point read: equality on an unclustered key scans only the holding file") {
