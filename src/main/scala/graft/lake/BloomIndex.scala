@@ -34,8 +34,10 @@ object BloomProbe {
 }
 
 /** Per-file Bloom-filter index for point-lookup file skipping (Delta's
-  * bloom filter index; reference workload: MERGE/DELETE by key into
-  * `notebooks/02.operaciones_dml` tables). Min/max stats cannot prune an
+  * bloom filter index; reference workload: the DELETE/UPDATE/MERGE-by-key
+  * DML on `loan_by_state_delta` at
+  * `notebooks/01.formatos_ficheros/02.delta_lake_primer.py:213-320`).
+  * Min/max stats cannot prune an
   * equality on a high-cardinality UNCLUSTERED key — every file's range
   * spans the domain, so a point DELETE into a 100 TB table scans every
   * file. An opt-in per-file bloom turns that into O(files actually
@@ -132,9 +134,13 @@ object BloomIndex {
       fpp: Double, maxItems: Long): String = {
     val configKey = colMeta.map { case (n, t, id) => s"$n:$t:$id" }
       .mkString(",") + s"|$fpp|$maxItems"
+    // full 16-byte digest: a truncated prefix would let two same-named
+    // data files collide onto one sidecar path, and the later build's
+    // overwrite would make the other file's probe unsoundly prove keys
+    // absent — the path must be injective in (file, config)
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dataRel|$configKey".getBytes("UTF-8"))
-      .take(6).map("%02x".format(_)).mkString
+      .map("%02x".format(_)).mkString
     val fileName = dataRel.substring(dataRel.lastIndexOf('/') + 1)
     s"$INDEX_DIR/$digest-$fileName$SIDECAR_SUFFIX"
   }
@@ -342,24 +348,31 @@ object BloomIndex {
   private def entryBytes(m: Map[String, (DataType, Long, BloomFilter)]): Long =
     m.valuesIterator.map(_._3.bitSize() / 8).sum + 256
 
-  private def lookup(rootStr: String, rel: String): Map[String, (DataType, Long, BloomFilter)] =
+  private def lookup(rootStr: String, rel: String): Map[String, (DataType, Long, BloomFilter)] = {
+    val abs = Paths.get(rootStr).resolve(rel).normalize.toString
     cache.synchronized {
-      val abs = Paths.get(rootStr).resolve(rel).normalize.toString
       val hit = cache.get(abs)
-      if (hit != null && System.currentTimeMillis() < hit.expiresAt) hit.cols
-      else {
-        if (hit != null) { cache.remove(abs); cacheBytes -= hit.bytes }
-        readSidecar(Paths.get(abs)) match {
-          case Some(Left(cols)) => // durable content (or permanent gap)
-            put(abs, CacheEntry(cols, entryBytes(cols), Long.MaxValue)); cols
-          case Some(Right(())) => // missing file: negative-cache briefly
-            put(abs, CacheEntry(Map.empty, 256,
-              System.currentTimeMillis() + NEGATIVE_TTL_MS))
-            Map.empty
-          case None => Map.empty // transient IO: retry next probe
-        }
-      }
+      if (hit != null && System.currentTimeMillis() < hit.expiresAt) return hit.cols
+      if (hit != null) { cache.remove(abs); cacheBytes -= hit.bytes }
     }
+    // Disk IO OUTSIDE the lock: a slow store on one miss must not stall
+    // every other probe thread in the JVM. Sidecar content per path is
+    // immutable (the path digests the inputs), so concurrent misses on
+    // the same path load identical bytes and the duplicate put is
+    // harmless; misses on DIFFERENT paths now load in parallel.
+    readSidecar(Paths.get(abs)) match {
+      case Some(Left(cols)) => // durable content (or permanent gap)
+        cache.synchronized { put(abs, CacheEntry(cols, entryBytes(cols), Long.MaxValue)) }
+        cols
+      case Some(Right(())) => // missing file: negative-cache briefly
+        cache.synchronized {
+          put(abs, CacheEntry(Map.empty, 256,
+            System.currentTimeMillis() + NEGATIVE_TTL_MS))
+        }
+        Map.empty
+      case None => Map.empty // transient IO: retry next probe
+    }
+  }
 
   private def put(abs: String, e: CacheEntry): Unit = {
     val prev = cache.put(abs, e)

@@ -31,8 +31,12 @@ private[lake] object DistributedState {
     * path-keyed cache entry would otherwise serve the OLD incarnation's
     * state — transiently wrong on the read path, and DURABLY wrong once
     * the distributed checkpoint build bakes the stale file list into a
-    * new on-disk checkpoint. One stat per use; a vanished file yields a
-    * unique miss key. */
+    * new on-disk checkpoint. One stat per use; a vanished file yields the
+    * constant [[FP_MISSING]] sentinel — callers must treat it as
+    * uncacheable (never insert, never serve), because a constant key
+    * could match across incarnations and a unique key per call would
+    * grow an unbounded cache one entry per repeated stat failure. */
+  private[lake] val FP_MISSING = "missing"
   private def fp(ckpt: Path): String =
     try {
       val attrs = java.nio.file.Files.readAttributes(
@@ -40,7 +44,7 @@ private[lake] object DistributedState {
       attrs.size() + ":" +
         attrs.lastModifiedTime().to(java.util.concurrent.TimeUnit.NANOSECONDS) +
         ":" + String.valueOf(attrs.fileKey())
-    } catch { case scala.util.control.NonFatal(_) => "missing:" + System.nanoTime() }
+    } catch { case scala.util.control.NonFatal(_) => FP_MISSING }
 
   /** Checkpoint row count from the parquet FOOTER only — the cheap
     * driver-side signal for "is this table big enough to bother".
@@ -48,13 +52,15 @@ private[lake] object DistributedState {
     * a recreate's same-named checkpoint misses.
     */
   def checkpointRows(ckpt: Path): Long = {
-    val key = ckpt.toAbsolutePath.toString + "|" + fp(ckpt)
-    rowsCache.getOrElseUpdate(key, {
+    val fpr = fp(ckpt)
+    def read(): Long = {
       val in = HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(ckpt.toString), new Configuration(false))
       val r = ParquetFileReader.open(in)
       try r.getRecordCount finally r.close()
-    })
+    }
+    if (fpr == FP_MISSING) read() // unstat-able: don't grow the cache
+    else rowsCache.getOrElseUpdate(ckpt.toAbsolutePath.toString + "|" + fpr, read())
   }
 
   private val rowsCache = scala.collection.concurrent.TrieMap.empty[String, Long]
@@ -73,17 +79,24 @@ private[lake] object DistributedState {
     */
   def checkpointFiles(spark: SparkSession, ckpt: Path): Dataset[AddFile] =
     fileCache.synchronized {
-      val key = System.identityHashCode(spark) + ":" + ckpt.toAbsolutePath +
-        "|" + fp(ckpt)
-      Option(fileCache.get(key)).getOrElse {
+      val fpr = fp(ckpt)
+      def decode(): Dataset[AddFile] = {
         decodeMisses.incrementAndGet()
-        val ds = spark.read.parquet(ckpt.toString)
+        spark.read.parquet(ckpt.toString)
           .where(col("add").isNotNull)
           .select("add.*")
           .map(decodeAdd)(Encoders.product[AddFile])
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        fileCache.put(key, ds)
-        ds
+      }
+      if (fpr == FP_MISSING) decode() // unstat-able: never cache or serve
+      else {
+        val key = System.identityHashCode(spark) + ":" + ckpt.toAbsolutePath +
+          "|" + fpr
+        Option(fileCache.get(key)).getOrElse {
+          val ds = decode()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          fileCache.put(key, ds)
+          ds
+        }
       }
     }
 

@@ -2262,7 +2262,18 @@ object LakeTable {
   /** Commits that reorganize files without changing the table's rows —
     * the change data feed emits nothing for them and table streams skip
     * them. "BLOOM INDEX" moves no rows at all (it re-adds live AddFiles
-    * with a sidecar pointer attached). */
+    * with a sidecar pointer attached).
+    *
+    * TRUST INVARIANT: the operation name in CommitInfo is authoritative
+    * — a commit labelled with one of these ops MUST preserve the table's
+    * rows exactly. This is the same contract as Delta's writer-set
+    * `dataChange = false` flag: the streaming source and the change feed
+    * act on the label alone (RemoveFile carries no row counts, so a
+    * cheap structural cross-check cannot exist), and a writer that
+    * labels a data-changing commit as REORG corrupts downstream streams
+    * exactly as a lying `dataChange` flag does in Delta. All of this
+    * engine's writers uphold it; external writers of this log format
+    * must too. */
   val REORG_OPS =
     Set("COMPACT", "ZORDER BY", "HILBERT BY", "OPTIMIZE BY", "REBUCKET",
       "BLOOM INDEX")

@@ -253,7 +253,13 @@ private[graft] class LakeMicroBatchStream(
     * backfill) move or annotate files without changing the table's rows
     * — Delta's `dataChange = false` — so they are invisible in BOTH
     * modes: strict mode only fails on commits that change data, and an
-    * adds-only backfill must not replay its re-adds as inserts. */
+    * adds-only backfill must not replay its re-adds as inserts. The
+    * operation label is TRUSTED (see [[graft.lake.LakeTable.REORG_OPS]]):
+    * a writer that mislabels a data-changing commit as REORG violates
+    * the log protocol, exactly as a false `dataChange = false` does in
+    * Delta — no cheap structural check can catch it (removes carry no
+    * row counts), and strict mode deliberately does not re-fail on
+    * reorg-labelled removes, else every compaction would break streams. */
   private def filesForRange(start: Long, end: Long): Seq[String] =
     ((start + 1) to end).flatMap { v =>
       val actions = log.readCommit(v)
