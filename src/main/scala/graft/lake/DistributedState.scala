@@ -63,6 +63,10 @@ private[lake] object DistributedState {
     else rowsCache.getOrElseUpdate(ckpt.toAbsolutePath.toString + "|" + fpr, read())
   }
 
+  /** Total rows across a (possibly multi-part) checkpoint's files —
+    * footer reads only, cached per part. */
+  def checkpointRows(parts: Seq[Path]): Long = parts.map(checkpointRows).sum
+
   private val rowsCache = scala.collection.concurrent.TrieMap.empty[String, Long]
 
   /** The checkpoint's AddFile rows as a typed Dataset — Spark's parquet
@@ -78,19 +82,26 @@ private[lake] object DistributedState {
     * LRU; evicted entries unpersist.
     */
   def checkpointFiles(spark: SparkSession, ckpt: Path): Dataset[AddFile] =
+    checkpointFiles(spark, Seq(ckpt))
+
+  /** Multi-part overload: one scan over the whole part set, cached under
+    * a key that folds EVERY part's fingerprint — any unstat-able part
+    * disables caching for the call (never cache, never serve). */
+  def checkpointFiles(spark: SparkSession, parts: Seq[Path]): Dataset[AddFile] =
     fileCache.synchronized {
-      val fpr = fp(ckpt)
+      val fprs = parts.map(fp)
       def decode(): Dataset[AddFile] = {
         decodeMisses.incrementAndGet()
-        spark.read.parquet(ckpt.toString)
+        spark.read.parquet(parts.map(_.toString): _*)
           .where(col("add").isNotNull)
           .select("add.*")
           .map(decodeAdd)(Encoders.product[AddFile])
       }
-      if (fpr == FP_MISSING) decode() // unstat-able: never cache or serve
+      if (fprs.contains(FP_MISSING)) decode()
       else {
-        val key = System.identityHashCode(spark) + ":" + ckpt.toAbsolutePath +
-          "|" + fpr
+        val key = System.identityHashCode(spark) + ":" +
+          parts.map(_.toAbsolutePath).zip(fprs)
+            .map { case (p, f) => s"$p|$f" }.mkString(";")
         Option(fileCache.get(key)).getOrElse {
           val ds = decode()
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -182,7 +193,13 @@ private[lake] object DistributedState {
     * on the driver: one column-pruned distributed scan, one collected row.
     */
   def checkpointMeta(spark: SparkSession, ckpt: Path): Option[MetaData] =
-    spark.read.parquet(ckpt.toString)
+    checkpointMeta(spark, Seq(ckpt))
+
+  /** Multi-part overload — the metaData row lives in part 1 by this
+    * engine's convention, but the scan covers all parts so foreign
+    * layouts that spread actions arbitrarily still resolve. */
+  def checkpointMeta(spark: SparkSession, parts: Seq[Path]): Option[MetaData] =
+    spark.read.parquet(parts.map(_.toString): _*)
       .where(col("metaData").isNotNull)
       .select("metaData.*")
       .limit(1).collect().headOption.map(decodeMetaRow)

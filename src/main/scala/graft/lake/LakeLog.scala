@@ -129,31 +129,67 @@ final class LakeLog(
     readActions(p)
   }
 
-  /** `_last_checkpoint` pointer: `{"version":N}`. */
-  private def lastCheckpointVersion: Option[Long] = {
+  /** `_last_checkpoint` pointer: `{"version":N}` (single-file) or
+    * `{"version":N,"parts":T}` (multi-part, Delta's exact shape). The
+    * parts field tells the reader the complete part set WITHOUT a
+    * directory listing — part file names are constructed. */
+  private def lastCheckpointInfo: Option[(Long, Option[Int])] = {
     val p = logDir.resolve(LAST_CHECKPOINT)
     if (!Files.isRegularFile(p)) return None
     fileReads += 1
     try {
       val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong)
+      "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s).map { m =>
+        val parts = "\"parts\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+          .map(_.group(1).toInt).filter(_ > 1)
+        m.group(1).toLong -> parts
+      }
     } catch { case NonFatal(_) => None }
   }
 
-  /** Checkpoint actions at `v`: parquet (current) or JSON (legacy);
-    * a corrupt checkpoint degrades to None (resolution re-reads commits).
-    */
-  private def readCheckpoint(v: Long): Option[Seq[Action]] = {
+  private def lastCheckpointVersion: Option[Long] = lastCheckpointInfo.map(_._1)
+
+  /** The on-disk paths of a checkpoint at `v` under a known layout:
+    * one classic file, or the constructed complete part set. */
+  private[lake] def checkpointPartPaths(v: Long, parts: Option[Int]): Seq[Path] =
+    parts match {
+      case Some(t) if t > 1 =>
+        (1 to t).map(p => logDir.resolve(multipartCheckpointFileName(v, p, t)))
+      case _ => Seq(logDir.resolve(parquetCheckpointFileName(v)))
+    }
+
+  /** Checkpoint actions at `v`: parquet (single-file, then the pointer's
+    * multi-part layout), or JSON (legacy); a corrupt or incomplete
+    * checkpoint degrades to None (resolution re-reads commits or falls
+    * back to listing discovery). */
+  private def readCheckpoint(v: Long, parts: Option[Int] = None): Option[Seq[Action]] = {
     val pq = logDir.resolve(parquetCheckpointFileName(v))
     if (Files.isRegularFile(pq)) {
       fileReads += 1
       try return Some(Checkpoint.read(pq))
       catch { case NonFatal(_) => () }
     }
+    parts.filter(_ > 1).foreach { t =>
+      readMultipart(v, t).foreach(a => return Some(a))
+    }
     val js = logDir.resolve(checkpointFileName(v))
     if (!Files.isRegularFile(js)) return None
     try Some(readActions(js)) catch { case NonFatal(_) => None }
   }
+
+  /** All `total` parts concatenated, or None when any part is missing or
+    * corrupt — a multi-part checkpoint is only usable COMPLETE. */
+  private def readMultipart(v: Long, total: Int): Option[Seq[Action]] =
+    try {
+      val out = Seq.newBuilder[Action]
+      for (p <- 1 to total) {
+        val path = logDir.resolve(multipartCheckpointFileName(v, p, total))
+        if (!Files.isRegularFile(path)) return None
+        fileReads += 1
+        out ++= Checkpoint.read(path)
+      }
+      Some(out.result())
+    } catch { case NonFatal(_) => None }
 
   // ---- snapshot cache plumbing -----------------------------------------
 
@@ -269,7 +305,8 @@ final class LakeLog(
   private def resolveLatest(): Snapshot = {
     // ONE pointer read + ONE forward probe serve both the cache consult
     // and (on a miss) the full resolution below — no repeated discovery
-    val ptr = lastCheckpointVersion
+    val ptrInfo = lastCheckpointInfo
+    val ptr = ptrInfo.map(_._1)
     val quickTarget = ptr.map(probeForward).orElse {
       if (Files.isRegularFile(logDir.resolve(commitFileName(0L))))
         Some(probeForward(0L))
@@ -286,7 +323,7 @@ final class LakeLog(
     // listing, still ahead of any body read.
     var preFp = quickTarget.flatMap(commitFingerprint)
     val (target, ckpt) =
-      ptr.flatMap(v => readCheckpoint(v).map(v -> _)) match {
+      ptrInfo.flatMap { case (v, parts) => readCheckpoint(v, parts).map(v -> _) } match {
         case Some((ckptV, actions)) =>
           (quickTarget.getOrElse(probeForward(ckptV)), Some(ckptV -> actions))
         case None =>
@@ -302,7 +339,8 @@ final class LakeLog(
     // a time-travel result is NOT cached (it would evict the useful
     // latest entry with one that never hits), but an exact match on the
     // cached latest serves it for free
-    val ptr = lastCheckpointVersion
+    val ptrInfo = lastCheckpointInfo
+    val ptr = ptrInfo.map(_._1)
     cachedValid(ptr).foreach(c => if (c.version == v) return c)
     // versions are dense, so existence of the commit file IS the
     // validation — no listing needed when the pointer helps
@@ -312,8 +350,8 @@ final class LakeLog(
           firstAvailableVersion.filter(_ > v)
             .map(f => s" — expired by expireSnapshots (earliest available: $f)")
             .getOrElse(""))
-    val ck = ptr.filter(_ <= v)
-      .flatMap(cv => readCheckpoint(cv).map(cv -> _))
+    val ck = ptrInfo.filter(_._1 <= v)
+      .flatMap { case (cv, parts) => readCheckpoint(cv, parts).map(cv -> _) }
       .orElse(resolveCheckpointByListing(v))
     replayFrom(v, ck)
   }
@@ -352,24 +390,51 @@ final class LakeLog(
     * None when no parquet checkpoint exists yet (young table → the
     * driver-side path is the right one anyway).
     */
-  private[lake] def distributedParts: Option[(Long, (Long, Path), Seq[Long])] =
-    lastCheckpointVersion.flatMap { cv =>
-      val pq = logDir.resolve(parquetCheckpointFileName(cv))
-      if (!Files.isRegularFile(pq)) None
+  private[lake] def distributedParts: Option[(Long, (Long, Seq[Path]), Seq[Long])] =
+    lastCheckpointInfo.flatMap { case (cv, parts) =>
+      val paths = checkpointPartPaths(cv, parts)
+      if (!paths.forall(Files.isRegularFile(_))) None
       else {
         val target = probeForward(cv)
-        Some((target, (cv, pq), (cv + 1) to target))
+        Some((target, (cv, paths), (cv + 1) to target))
       }
     }
 
-  /** Newest checkpoint (parquet or legacy JSON) at or below `target`,
-    * discovered by listing — the time-travel path.
-    */
+  /** Raw multi-part checkpoint files on disk: (version, part, total,
+    * path). Includes incomplete sets — expiry deletes those too. */
+  private def listMultipartFiles: Seq[(Long, Int, Int, Path)] = {
+    if (!Files.isDirectory(logDir)) return Seq.empty
+    graft.util.Fs.listDir(logDir).flatMap { p =>
+      p.getFileName.toString match {
+        case MULTIPART_RE(v, part, total) =>
+          Some((v.toLong, part.toInt, total.toInt, p))
+        case _ => None
+      }
+    }
+  }
+
+  /** COMPLETE multi-part checkpoint sets, by listing: (version, total).
+    * An in-flight or crashed publication leaves a partial set — readers
+    * must ignore it (the same rule Delta's listing-based discovery
+    * applies). */
+  private def listCompleteMultipart: Seq[(Long, Int)] =
+    listMultipartFiles.groupBy(f => (f._1, f._3)).collect {
+      case ((v, total), fs) if fs.map(_._2).distinct.size == total => (v, total)
+    }.toSeq.sortBy(_._1)
+
+  /** Newest checkpoint (parquet single-file, complete multi-part set, or
+    * legacy JSON) at or below `target`, discovered by listing — the
+    * time-travel path. A corrupt candidate degrades to the next-newest
+    * instead of failing the resolution. */
   private def resolveCheckpointByListing(target: Long): Option[(Long, Seq[Action])] = {
-    val candidates =
+    val singles =
       (listLog(PARQUET_CHECKPOINT_SUFFIX) ++ listLog(CHECKPOINT_SUFFIX))
-        .filter(_._1 <= target).sortBy(_._1)
-    candidates.lastOption.map { case (v, _) => v -> readCheckpoint(v).get }
+        .map(_._1 -> Option.empty[Int])
+    val multi = listCompleteMultipart.map { case (v, t) => v -> Some(t) }
+    (singles ++ multi).filter(_._1 <= target).sortBy(-_._1)
+      .iterator
+      .flatMap { case (v, parts) => readCheckpoint(v, parts).map(v -> _) }
+      .nextOption()
   }
 
   /** Every (version, commitInfo) pair in the log — the audit path for
@@ -527,9 +592,10 @@ final class LakeLog(
       val spark = org.apache.spark.sql.SparkSession.getActiveSession
         .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
         .getOrElse(return false)
-      val ptr = lastCheckpointVersion.filter(_ < version).getOrElse(return false)
-      val pq = logDir.resolve(parquetCheckpointFileName(ptr))
-      if (!Files.isRegularFile(pq)) return false
+      val (ptr, prevParts) = lastCheckpointInfo.filter(_._1 < version)
+        .getOrElse(return false)
+      val prevPaths = checkpointPartPaths(ptr, prevParts)
+      if (!prevPaths.forall(Files.isRegularFile(_))) return false
       // deliberately a SEPARATE knob from the read side's
       // `spark.graft.log.distributedThreshold` (that one gates per-QUERY
       // candidate resolution; this one gates a once-per-10-commits
@@ -539,7 +605,8 @@ final class LakeLog(
       val threshold = spark.conf
         .getOption("spark.graft.checkpoint.distributedThreshold")
         .flatMap(_.toLongOption).getOrElse(100000L)
-      if (DistributedState.checkpointRows(pq) < threshold) return false
+      val prevRows = DistributedState.checkpointRows(prevPaths)
+      if (prevRows < threshold) return false
 
       // the tail is bounded metadata (≤ CHECKPOINT_EVERY commits unless
       // the pointer lagged): fold it with the same replace-by-path /
@@ -559,7 +626,7 @@ final class LakeLog(
       // scan (both are a handful of rows; the add rows never leave the
       // executors)
       import org.apache.spark.sql.functions.col
-      val headRows = spark.read.parquet(pq.toString)
+      val headRows = spark.read.parquet(prevPaths.map(_.toString): _*)
         .where(col("metaData").isNotNull || col("txn").isNotNull)
         .select("metaData", "txn").collect()
       val ckptMeta = headRows.iterator.map(_.getStruct(0)).find(_ != null)
@@ -575,10 +642,28 @@ final class LakeLog(
       val touched = finalByPath.keySet.toSet
       val tailAdds = finalByPath.values.flatten.toSeq
       val all = DistributedState.liveFiles(spark,
-        DistributedState.checkpointFiles(spark, pq), touched, tailAdds)
+        DistributedState.checkpointFiles(spark, prevPaths), touched, tailAdds)
 
       val head: Seq[Action] = Action.of(meta) +:
         txns.map { case (app, b) => Action.of(SetTxn(app, b)) }
+
+      // MULTI-PART (Delta's classic N-part checkpoint shape): above
+      // `partSize` estimated rows the encode fans out to `total` tasks —
+      // one part file each — removing the last single-point
+      // serialization on the maintenance path (one task streaming 10M
+      // rows serializes minutes; 10 tasks of 1M run in parallel). Part
+      // membership is DETERMINISTIC (hash(path) % total via
+      // repartition-by-path), so two racers checkpointing the same
+      // version with the same part count produce interchangeable parts —
+      // a putIfAbsent race that mixes their files still yields exactly
+      // the snapshot's row set. The estimate over-counts (tail adds may
+      // replace checkpoint rows); an extra near-empty part is harmless.
+      val partSize = spark.conf.getOption("spark.graft.checkpoint.partSize")
+        .flatMap(_.toLongOption).filter(_ > 0).getOrElse(1000000L)
+      val estRows = prevRows + tailAdds.size
+      val total = math.min((estRows + partSize - 1) / partSize, 100000L)
+        .toInt.max(1)
+
       val tmp = newCheckpointTmp()
       // absolutized driver-side: the executor task must resolve the tmp
       // path CWD-independently on a real cluster. Each task ATTEMPT
@@ -588,19 +673,41 @@ final class LakeLog(
       // attempt's path comes back, losers' files age out under the tmp
       // reap
       val tmpBase = tmp.toAbsolutePath.normalize.toString
-      val written = all.coalesce(1).mapPartitions { it =>
-        val attempt = Option(org.apache.spark.TaskContext.get())
-          .map(_.taskAttemptId()).getOrElse(0L)
-        val dest = s"$tmpBase.$attempt"
-        Checkpoint.write(Paths.get(dest), head.iterator ++ it.map(Action.of))
-        Iterator.single(dest)
-      }(org.apache.spark.sql.Encoders.STRING).collect()
-      val written1 = written.headOption.getOrElse {
-        // a zero-partition Dataset (empty table) runs no task: head-only
-        Checkpoint.write(Paths.get(tmpBase), head)
-        tmpBase
+      if (total <= 1) {
+        val written = all.coalesce(1).mapPartitions { it =>
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
+          val dest = s"$tmpBase.$attempt"
+          Checkpoint.write(Paths.get(dest), head.iterator ++ it.map(Action.of))
+          Iterator.single(dest)
+        }(org.apache.spark.sql.Encoders.STRING).collect()
+        val written1 = written.headOption.getOrElse {
+          // a zero-partition Dataset (empty table) runs no task: head-only
+          Checkpoint.write(Paths.get(tmpBase), head)
+          tmpBase
+        }
+        publishCheckpoint(version, Paths.get(written1))
+      } else {
+        // exactly `total` partitions; the head (meta + txns, a handful
+        // of rows) rides in part 1. repartition on the path column is a
+        // deterministic murmur3 hash — same path, same part, every run
+        val parts = all
+          .repartition(total, org.apache.spark.sql.functions.col("path"))
+          .rdd.mapPartitionsWithIndex { (idx, it) =>
+            val attempt = Option(org.apache.spark.TaskContext.get())
+              .map(_.taskAttemptId()).getOrElse(0L)
+            val dest = s"$tmpBase.$attempt.p${idx + 1}"
+            val actions =
+              (if (idx == 0) head.iterator else Iterator.empty[Action]) ++
+                it.map(Action.of)
+            Checkpoint.write(Paths.get(dest), actions)
+            Iterator.single((idx + 1) -> dest)
+          }.collect()
+        require(parts.length == total,
+          s"multi-part checkpoint build produced ${parts.length} of $total parts")
+        publishCheckpointMultipart(version, total,
+          parts.toSeq.map { case (p, d) => p -> Paths.get(d) })
       }
-      publishCheckpoint(version, Paths.get(written1))
       LakeLog.distributedCheckpoints.incrementAndGet()
       true
     } catch {
@@ -636,24 +743,45 @@ final class LakeLog(
     try commitStore.putIfAbsentFile(
       logDir.resolve(parquetCheckpointFileName(version)), tmp)
     finally Files.deleteIfExists(tmp)
+    swingPointer(version, None)
+  }
 
-    // pointer swap: last-writer-wins replace, and never move it
-    // backwards under a concurrent slower checkpointer. The check and
-    // the replace are serialized under a JVM-global lock: with async
-    // checkpointing, a delayed boundary task racing an expiry's horizon
-    // checkpoint IN-PROCESS could otherwise interleave inside the
-    // check→replace window and swing the pointer backwards past deleted
-    // commits (readers would fall back to listing; writers would read a
-    // stale latest). Cross-PROCESS the window is unchanged — the same
-    // small last-writer-wins race every shared-pointer scheme has, and
-    // self-healing at the next boundary.
+  /** Publish every part (all durable BEFORE the pointer swings — the
+    * pointer is what makes the set discoverable without listing, and
+    * listing-based discovery ignores incomplete sets), then swing the
+    * pointer with the part count. A putIfAbsent loss on a part is fine:
+    * part membership is deterministic, so the racer's file holds the
+    * same rows. */
+  private def publishCheckpointMultipart(
+      version: Long, total: Int, tmps: Seq[(Int, Path)]): Unit = {
+    try tmps.foreach { case (p, tmp) =>
+      commitStore.putIfAbsentFile(
+        logDir.resolve(multipartCheckpointFileName(version, p, total)), tmp)
+    } finally tmps.foreach { case (_, tmp) => Files.deleteIfExists(tmp) }
+    swingPointer(version, Some(total))
+  }
+
+  /** Pointer swap: last-writer-wins replace, and never move it
+    * backwards under a concurrent slower checkpointer. The check and
+    * the replace are serialized under a JVM-global lock: with async
+    * checkpointing, a delayed boundary task racing an expiry's horizon
+    * checkpoint IN-PROCESS could otherwise interleave inside the
+    * check→replace window and swing the pointer backwards past deleted
+    * commits (readers would fall back to listing; writers would read a
+    * stale latest). Cross-PROCESS the window is unchanged — the same
+    * small last-writer-wins race every shared-pointer scheme has, and
+    * self-healing at the next boundary. */
+  private def swingPointer(version: Long, parts: Option[Int]): Unit =
     LakeLog.pointerSwingLock.synchronized {
       if (!lastCheckpointVersion.exists(_ >= version)) {
+        val body = parts.filter(_ > 1) match {
+          case Some(t) => s"""{"version":$version,"parts":$t}"""
+          case None => s"""{"version":$version}"""
+        }
         commitStore.replace(logDir.resolve(LAST_CHECKPOINT),
-          s"""{"version":$version}""".getBytes(StandardCharsets.UTF_8))
+          body.getBytes(StandardCharsets.UTF_8))
       }
     }
-  }
 
   /** Oldest version still present in the log (0 until snapshots are
     * expired). Lists the directory — maintenance/error paths only. */
@@ -677,7 +805,9 @@ final class LakeLog(
     val first = firstAvailableVersion.getOrElse(return 0L)
     if (horizon <= first) return 0L
     writeCheckpointAt(horizon)
-    require(Files.isRegularFile(logDir.resolve(parquetCheckpointFileName(horizon))),
+    require(
+      Files.isRegularFile(logDir.resolve(parquetCheckpointFileName(horizon))) ||
+        listCompleteMultipart.exists(_._1 == horizon),
       s"checkpoint at $horizon missing after write — refusing to expire")
     var deleted = 0L
     listLog(COMMIT_SUFFIX).takeWhile(_._1 < horizon).foreach { case (_, p) =>
@@ -686,6 +816,9 @@ final class LakeLog(
     (listLog(PARQUET_CHECKPOINT_SUFFIX) ++ listLog(CHECKPOINT_SUFFIX))
       .takeWhile(_._1 < horizon)
       .foreach { case (_, p) => Files.deleteIfExists(p) }
+    // multi-part files below the horizon — incomplete (crashed) sets too
+    listMultipartFiles.filter(_._1 < horizon)
+      .foreach { case (_, _, _, p) => Files.deleteIfExists(p) }
     deleted
   }
 }
@@ -798,4 +931,14 @@ object LakeLog {
   def commitFileName(v: Long): String = f"$v%020d$COMMIT_SUFFIX"
   def checkpointFileName(v: Long): String = f"$v%020d$CHECKPOINT_SUFFIX"
   def parquetCheckpointFileName(v: Long): String = f"$v%020d$PARQUET_CHECKPOINT_SUFFIX"
+
+  /** Multi-part checkpoint part file, Delta's classic shape:
+    * `NNN.checkpoint.PPPPPPPPPP.TTTTTTTTTT.parquet` — part `part` of
+    * `total` for version `v` (1-based, zero-padded so sets sort
+    * together). */
+  def multipartCheckpointFileName(v: Long, part: Int, total: Int): String =
+    f"$v%020d.checkpoint.$part%010d.$total%010d.parquet"
+
+  private[lake] val MULTIPART_RE =
+    """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
 }

@@ -131,8 +131,8 @@ final class LakeTable private (
     val threshold = spark.conf.getOption("spark.graft.log.distributedThreshold")
       .flatMap(_.toLongOption).getOrElse(100000L)
     log.distributedParts match {
-      case Some((target, (_, ckptPath), tailVs))
-          if DistributedState.checkpointRows(ckptPath) >= threshold =>
+      case Some((target, (_, ckptPaths), tailVs))
+          if DistributedState.checkpointRows(ckptPaths) >= threshold =>
         // bounded tail (≤ CHECKPOINT_EVERY commits) replayed driver-side:
         // per-path FINAL state decides which checkpoint rows are stale
         val tailActions = tailVs.flatMap(v => log.readCommit(v))
@@ -143,7 +143,7 @@ final class LakeTable private (
           a.remove.foreach(r => finalByPath(r.path) = None)
         }
         tailActions.flatMap(_.metaData).lastOption
-          .orElse(DistributedState.checkpointMeta(spark, ckptPath))
+          .orElse(DistributedState.checkpointMeta(spark, ckptPaths))
           .map { meta =>
             val lite = Snapshot(target, meta, Seq.empty, Map.empty, Seq.empty)
             val resolved = filtersFor(lite.schema).map(resolveFilter(_, lite.schema))
@@ -152,7 +152,7 @@ final class LakeTable private (
                 Stats.contradictsConstraints(e,
                   Constraints.parsed(meta), lite.schema))) Nil
               else DistributedState.pruneLive(
-                DistributedState.checkpointFiles(spark, ckptPath),
+                DistributedState.checkpointFiles(spark, ckptPaths),
                 finalByPath.keySet.toSet,
                 finalByPath.values.flatten.toSeq,
                 resolved, lite.schema, meta.partitionColumns, bloomProbe).toSeq

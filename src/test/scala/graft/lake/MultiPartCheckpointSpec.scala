@@ -1,0 +1,178 @@
+package graft.lake
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Multi-part checkpoints (Delta's classic N-part shape): above
+  * `spark.graft.checkpoint.partSize` estimated rows the distributed
+  * boundary build fans the encode out to one executor task PER PART —
+  * removing the last single-point serialization on the maintenance path.
+  * The `_last_checkpoint` pointer records the part count; readers
+  * construct the complete part set without listing, listing-based
+  * discovery (time travel, pointer loss) only accepts COMPLETE sets, and
+  * expiry deletes part files below the horizon. Parity oracle: an
+  * independent replay of the raw commit JSONs.
+  */
+class MultiPartCheckpointSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  /** Independent replay of the raw log — the test's own fold. */
+  private def foldLog(path: String, through: Long)
+      : (MetaData, Map[String, Long], Map[String, AddFile]) = {
+    val log = new LakeLog(path)
+    var meta: Option[MetaData] = None
+    val txns = scala.collection.mutable.HashMap[String, Long]()
+    val files = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+    for (v <- 0L to through; a <- log.readCommit(v)) {
+      a.metaData.foreach(m => meta = Some(m))
+      a.add.foreach(f => files(f.path) = f)
+      a.remove.foreach(r => files.remove(r.path))
+      a.txn.foreach(t => txns(t.appId) =
+        math.max(t.batchId, txns.getOrElse(t.appId, Long.MinValue)))
+    }
+    (meta.get, txns.toMap, files.toMap)
+  }
+
+  /** create (2 files, 8 rows) + one single-file append per version
+    * through v20: v10 boundary = driver single-file checkpoint, v20
+    * boundary = distributed MULTI-PART (thresholds forced low). */
+  private def buildTo20(path: String): LakeTable = {
+    val t = LakeTable.create(spark, path,
+      (0L until 8L).map(i => (2 * i, s"n$i")).toDF("id", "v").repartition(2))
+    for (i <- 1 to 20) t.append(Seq((1000L + i, s"x$i")).toDF("id", "v"))
+    t
+  }
+
+  private def withMultipartConf[A](body: => A): A = {
+    spark.conf.set("spark.graft.checkpoint.distributedThreshold", "1")
+    spark.conf.set("spark.graft.checkpoint.partSize", "8")
+    try body
+    finally {
+      spark.conf.unset("spark.graft.checkpoint.distributedThreshold")
+      spark.conf.unset("spark.graft.checkpoint.partSize")
+    }
+  }
+
+  test("multi-part build: complete set, pointer parts, parity vs raw-log replay") {
+    val path = Files.createTempDirectory("mp-ckpt-").toString
+    withMultipartConf {
+      buildTo20(path)
+      val logDir = Paths.get(path, LakeLog.LOG_DIR)
+
+      // v10 checkpoint: 12 adds + 1 meta = 13 rows; v20 estimate =
+      // 13 + 10 tail adds = 23 → ceil(23/8) = 3 parts
+      val total = 3
+      val parts = (1 to total).map(p =>
+        logDir.resolve(LakeLog.multipartCheckpointFileName(20, p, total)))
+      parts.foreach(p => assert(Files.isRegularFile(p), s"missing part $p"))
+      assert(!Files.isRegularFile(
+        logDir.resolve(LakeLog.parquetCheckpointFileName(20))),
+        "a multi-part boundary must not also write the single-file layout")
+
+      val ptr = new String(Files.readAllBytes(
+        logDir.resolve(LakeLog.LAST_CHECKPOINT)), StandardCharsets.UTF_8)
+      assert(ptr.contains("\"version\":20") && ptr.contains(s""""parts":$total"""),
+        s"pointer must carry the part count: $ptr")
+
+      // head actions ride in part 1, and ONLY part 1
+      assert(Checkpoint.read(parts.head).exists(_.metaData.isDefined))
+      parts.tail.foreach(p =>
+        assert(Checkpoint.read(p).forall(_.metaData.isEmpty)))
+
+      // union of all parts == independent raw-log replay
+      val decoded = parts.flatMap(Checkpoint.read)
+      val (expMeta, expTxns, expFiles) = foldLog(path, 20L)
+      assert(decoded.flatMap(_.metaData) === Seq(expMeta))
+      assert(decoded.flatMap(_.txn).map(x => x.appId -> x.batchId).toMap === expTxns)
+      assert(decoded.flatMap(_.add).map(f => f.path -> f).toMap === expFiles,
+        "multi-part checkpoint adds must equal the raw-log replay")
+      // no row lands in two parts
+      assert(decoded.flatMap(_.add).size === expFiles.size)
+
+      // cold resolution THROUGH the multi-part checkpoint
+      LakeLog.snapshotCache.clear()
+      val t2 = LakeTable.forPath(spark, path)
+      assert(t2.snapshot.version === 20)
+      assert(t2.toDF.count() === 8 + 20)
+      // exact-version time travel reads the pointer's multi-part layout
+      assert(t2.asOf(20).toDF.count() === 8 + 20)
+      // below it, listing discovery falls back to the v10 single-file
+      assert(t2.asOf(15).toDF.count() === 8 + 15)
+    }
+  }
+
+  test("distributed read path resolves through a multi-part checkpoint") {
+    val path = Files.createTempDirectory("mp-read-").toString
+    withMultipartConf {
+      val t = buildTo20(path)
+      spark.conf.set("spark.graft.log.distributedThreshold", "1")
+      try {
+        LakeLog.snapshotCache.clear()
+        ReadMetrics.lastReadDistributed.set(false)
+        val got = t.read($"id" === 1005L).as[(Long, String)].collect().toSeq
+        assert(got === Seq((1005L, "x5")))
+        assert(ReadMetrics.lastReadDistributed.get(),
+          "the read must have taken the distributed checkpoint scan")
+        assert(t.read($"id" === 4L).count() === 1)
+      } finally spark.conf.unset("spark.graft.log.distributedThreshold")
+    }
+  }
+
+  test("expiry writes a multi-part horizon checkpoint and deletes old parts") {
+    val path = Files.createTempDirectory("mp-expire-").toString
+    withMultipartConf {
+      val t = buildTo20(path)
+      for (i <- 21 to 25) t.append(Seq((1000L + i, s"x$i")).toDF("id", "v"))
+      val log = new LakeLog(path)
+      val logDir = Paths.get(path, LakeLog.LOG_DIR)
+
+      val deleted = log.expireBefore(23L)
+      assert(deleted === 23L, "commits 0..22 must be deleted")
+
+      // horizon checkpoint is itself multi-part and complete
+      val horizonParts = graft.util.Fs.listDir(logDir)
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith(f"${23L}%020d.checkpoint.") &&
+          n.endsWith(".parquet"))
+      assert(horizonParts.size > 1, s"expected multi-part at 23: $horizonParts")
+
+      // v20's parts and v10's single-file are gone
+      assert(!Files.isRegularFile(
+        logDir.resolve(LakeLog.parquetCheckpointFileName(10))))
+      assert(!graft.util.Fs.listDir(logDir).exists(
+        _.getFileName.toString.startsWith(f"${20L}%020d.checkpoint.")))
+
+      // resolution across the expired boundary
+      LakeLog.snapshotCache.clear()
+      val t2 = LakeTable.forPath(spark, path)
+      assert(t2.toDF.count() === 8 + 25)
+      assert(t2.asOf(23).toDF.count() === 8 + 23)
+      intercept[Exception](t2.asOf(15).toDF.count())
+    }
+  }
+
+  test("an incomplete part set is never used (crash-safe discovery)") {
+    val path = Files.createTempDirectory("mp-partial-").toString
+    withMultipartConf {
+      buildTo20(path)
+      val logDir = Paths.get(path, LakeLog.LOG_DIR)
+      // simulate a lost/unpublished part: the pointer still names the
+      // set, but readers must degrade (pointer read fails → listing
+      // ignores the incomplete set → v10 single-file + tail replay)
+      Files.delete(
+        logDir.resolve(LakeLog.multipartCheckpointFileName(20, 2, 3)))
+      LakeLog.snapshotCache.clear()
+      val t2 = LakeTable.forPath(spark, path)
+      assert(t2.snapshot.version === 20)
+      assert(t2.toDF.count() === 8 + 20,
+        "resolution must fall back past the incomplete part set")
+    }
+  }
+}
