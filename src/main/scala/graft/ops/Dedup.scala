@@ -367,6 +367,274 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  // ===== persisted MinHash signature/band index ==========================
+  // The incremental-FUZZY-dedup counterpart of the exact bloom gate
+  // ([[newAgainstCorpus]]) and the semantic IVF gate
+  // ([[semanticNewAgainstIndex]]): corpus band postings persist as a lake
+  // table, maintained EXACTLY-ONCE from the source's change feed, so a
+  // wave's near-dup check never recomputes corpus signatures.
+
+  /** Banding configuration, recorded at build: "shingleN,bands,rowsPerBand".
+    * Probe and sync MUST band identically to the build or bucket keys are
+    * garbage — they read this, never take their own parameters. */
+  val MINHASH_CONF_PROP = "graft.minhash.conf"
+  /** Source version the postings cover through (build/adoption baseline;
+    * the per-sync pointer rides the SetTxn in the same commit as the
+    * appended postings — Delta's txn idempotence shape). */
+  val MINHASH_SYNCED_PROP = "graft.minhash.syncedThrough"
+  /** Source table GENERATION the synced-through version belongs to — a
+    * delete+recreate at the same path restarts version numbering over
+    * unrelated data, so the pointer only counts within one generation. */
+  val MINHASH_SOURCE_ID_PROP = "graft.minhash.sourceId"
+  /** Source table path, recorded so the probe can verify candidates with
+    * EXACT Jaccard against the corpus text (the index stores postings
+    * only — signatures would estimate, text re-derives exactly). */
+  val MINHASH_SOURCE_PATH_PROP = "graft.minhash.sourcePath"
+  private val MINHASH_SYNC_APP = "graft-minhash-sync"
+  private def minhashSyncAppId(sourcePath: String) =
+    s"$MINHASH_SYNC_APP:$sourcePath"
+
+  /** (id, key) band postings of `df` — key = "band:sigSlice", one row per
+    * (doc, band). The single-column key keeps the probe join, the IN-list
+    * pushdown, and the per-file bloom index on ONE column. */
+  private def minhashPostings(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    df.withColumn("__sh", shingleHashes(col(textCol), shingleN))
+      .where(size(col("__sh")) > 0)
+      .withColumn("__sig", minhashSignatureFromHashes(col("__sh"), k))
+      .select(col(idCol).as("id"),
+        explode(array((0 until bands).map { b =>
+          concat_ws(":", lit(b),
+            array_join(slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand), ","))
+        }: _*)).as("key"))
+  }
+
+  /** Build the postings index over a SOURCE LAKE TABLE: one distributed
+    * pass over the corpus at a pinned version, postings range-clustered
+    * by key (min/max file skipping serves the probe's IN-list) with a
+    * per-file bloom on the key column (point skipping where ranges are
+    * blind). The (version, generation) pair is captured from ONE
+    * snapshot and recorded with the config — the sync baseline.
+    *
+    * Source must have the change data feed enabled for later syncs
+    * (same contract as the IVF index). */
+  def buildMinhashIndexFromTable(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      sourcePath: String,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4): Unit = {
+    val src = graft.lake.LakeTable.forPath(spark, sourcePath)
+    val snap = src.snapshot
+    // pinned at the recorded version: a commit racing between the
+    // snapshot and the scan would otherwise be IN the index but ABOVE
+    // the baseline — the first sync would append its postings again
+    val posts = minhashPostings(src.asOf(snap.version).toDF,
+        textCol, idCol, shingleN, bands, rowsPerBand)
+      .repartitionByRange(col("key"))
+    graft.lake.LakeTable.create(spark, s"$indexPath/postings", posts,
+      properties = Map(
+        MINHASH_CONF_PROP -> s"$shingleN,$bands,$rowsPerBand",
+        MINHASH_SYNCED_PROP -> snap.version.toString,
+        MINHASH_SOURCE_ID_PROP -> snap.metaData.id,
+        MINHASH_SOURCE_PATH_PROP -> sourcePath,
+        graft.lake.BloomIndex.COLS_PROP -> "key"))
+  }
+
+  private def minhashConf(props: Map[String, String]): (Int, Int, Int) =
+    props.get(MINHASH_CONF_PROP).map(_.split(',')) match {
+      case Some(Array(n, b, r)) => (n.toInt, b.toInt, r.toInt)
+      case _ => throw new IllegalStateException(
+        s"not a minhash index (missing $MINHASH_CONF_PROP)")
+    }
+
+  /** EXACTLY-ONCE postings maintenance from the source's change feed —
+    * the fuzzy counterpart of [[graft.ops.Similarity.syncIvfIndexFromTable]],
+    * same machinery: the applied source version rides a SetTxn in the
+    * SAME commit as the appended postings (a crash between source append
+    * and sync just replays from the feed; a replayed sync is a no-op),
+    * and a generation guard fails loudly on a recreated source instead
+    * of appending wrong postings under the old pointer. Cost tracks the
+    * CHANGED rows. Deletes/updates leave stale postings behind (extra
+    * candidates, removed by exact verification — the same accepted
+    * semantics as the IVF index); rebuild to compact.
+    *
+    * @return postings rows appended (0 when already applied)
+    */
+  def syncMinhashIndexFromTable(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      sourcePath: String,
+      textCol: String,
+      idCol: String): Long = {
+    val src = graft.lake.LakeTable.forPath(spark, sourcePath)
+    // ONE snapshot provides the sync ceiling AND the generation id
+    val srcSnap = src.snapshot
+    val latest = srcSnap.version
+    val srcId = srcSnap.metaData.id
+    val post = graft.lake.LakeTable.forPath(spark, s"$indexPath/postings")
+    val postSnap = post.snapshot
+    val (shingleN, bands, rowsPerBand) =
+      minhashConf(postSnap.metaData.properties)
+    val recordedId = postSnap.metaData.properties.get(MINHASH_SOURCE_ID_PROP)
+    recordedId.filter(_ != srcId).foreach { old =>
+      throw new IllegalStateException(
+        s"source table $sourcePath was deleted and recreated (index at " +
+          s"$indexPath synced against generation $old, found $srcId): " +
+          "the applied version cannot continue — rebuild the index " +
+          "against the new table")
+    }
+    val txnApplied = postSnap.txns.getOrElse(minhashSyncAppId(sourcePath), -1L)
+    val propApplied = postSnap.metaData.properties.get(MINHASH_SYNCED_PROP)
+      .flatMap(_.toLongOption).getOrElse(-1L)
+    if (txnApplied < 0 && propApplied < 0) {
+      // a hand-assembled index with no baseline: adopt "current through
+      // latest" LOUDLY, replaying nothing (replaying the whole history
+      // would duplicate every posting the build already holds)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"minhash index at $indexPath has no sync baseline for " +
+          s"$sourcePath; adopting 'current through version $latest' " +
+          "without replay. Rows appended to the source between the " +
+          "index build and this first sync are NOT indexed — rebuild " +
+          "if any exist.")
+      post.setProperties(Map(MINHASH_SYNCED_PROP -> latest.toString,
+        MINHASH_SOURCE_ID_PROP -> srcId))
+      return 0L
+    }
+    // legacy adoption: stamp the observed generation once (a concurrent
+    // first sync racing the same stamp observed the same source, so a
+    // conflict degrades to re-validation — same trade as the IVF guard)
+    if (recordedId.isEmpty) {
+      try post.setProperties(Map(MINHASH_SOURCE_ID_PROP -> srcId))
+      catch {
+        case _: graft.lake.CommitConflictException =>
+          val now = graft.lake.LakeTable
+            .forPath(spark, s"$indexPath/postings")
+            .snapshot.metaData.properties.get(MINHASH_SOURCE_ID_PROP)
+          if (now.exists(_ != srcId))
+            throw new IllegalStateException(
+              s"source table $sourcePath was deleted and recreated " +
+                s"(concurrent sync recorded generation ${now.get}, this " +
+                s"one observed $srcId) — rebuild the index")
+      }
+    }
+    val applied = math.max(txnApplied, propApplied)
+    if (latest <= applied) return 0L
+    // bounded at the version captured above — a commit racing in would
+    // otherwise be applied now but recorded un-applied (double-append)
+    val inserts = src.tableChanges(applied + 1, Some(latest))
+      .where(col(graft.lake.Cdc.CHANGE_TYPE) === "insert")
+      .select(col(idCol), col(textCol))
+    val fresh = minhashPostings(inserts, textCol, idCol,
+      shingleN, bands, rowsPerBand).cache()
+    try {
+      val n = fresh.count()
+      if (post.idempotentAppend(fresh, minhashSyncAppId(sourcePath), latest))
+        n
+      else 0L
+    } finally fresh.unpersist()
+  }
+
+  /** Batch-vs-corpus FUZZY gate over the persisted postings (the
+    * MinHash counterpart of [[semanticNewAgainstIndex]]): batch rows
+    * whose shingle Jaccard to ANY indexed corpus doc — or to an EARLIER
+    * (smaller-id) row of the same batch — is ≥ `threshold` are dropped;
+    * survivors return unchanged for append + [[syncMinhashIndexFromTable]].
+    *
+    * Scale shape: the batch's band keys drive an IN-list read of the
+    * postings table (min/max range skipping off the build's key
+    * clustering + the per-file bloom — O(files holding the probed keys),
+    * never a corpus scan) when the key set is bounded, else a
+    * distributed join; candidate CORPUS text is fetched by id the same
+    * two-mode way for the exact-Jaccard verification, so every emitted
+    * drop is exact — only candidate generation (banding) is
+    * approximate, exactly [[minhashLsh]]'s contract.
+    */
+  def minhashNewAgainstIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.5,
+      maxInList: Int = 10000): DataFrame = {
+    val post = graft.lake.LakeTable.forPath(spark, s"$indexPath/postings")
+    val props = post.snapshot.metaData.properties
+    val (shingleN, bands, rowsPerBand) = minhashConf(props)
+    val sourcePath = props.getOrElse(MINHASH_SOURCE_PATH_PROP,
+      throw new IllegalStateException(
+        s"minhash index at $indexPath records no source path"))
+    val k = bands * rowsPerBand
+    // cached: shingle hashes feed banding, both self-join sides, and
+    // the corpus verification — one compiled pass per row, not four
+    val sig = batch
+      .select(col(idCol).as("__bid"),
+        shingleHashes(col(textCol), shingleN).as("__bsh"))
+      .where(size(col("__bsh")) > 0)
+      .withColumn("__bsig", minhashSignatureFromHashes(col("__bsh"), k))
+      .cache()
+    try {
+      val banded = sig.select(col("__bid"), col("__bsh"),
+        explode(array((0 until bands).map { b =>
+          concat_ws(":", lit(b),
+            array_join(slice(col("__bsig"), b * rowsPerBand + 1, rowsPerBand), ","))
+        }: _*)).as("key"))
+      // micro-batches are small by construction: |batch| × bands keys.
+      // Bounded → IN-list read (file skipping); oversized → full join.
+      val keys = banded.select("key").distinct()
+        .limit(maxInList + 1).collect().map(_.getString(0)).toSeq
+      val corpusPosts =
+        if (keys.isEmpty) return batch
+        else if (keys.size <= maxInList) post.read(col("key").isin(keys: _*))
+        else post.toDF
+      val candPairs = corpusPosts
+        .join(broadcast(banded.select(col("__bid"), col("key"))), Seq("key"))
+        .select(col("id").as("__cid"), col("__bid")).distinct()
+      // exact verification needs the corpus text: by-id IN read when
+      // bounded (file skipping again), else a distributed semi-join
+      val candIds = candPairs.select(col("__cid")).distinct()
+        .limit(maxInList + 1).collect().map(_.get(0)).toSeq
+      val srcT = graft.lake.LakeTable.forPath(spark, sourcePath)
+      val corpusSh = {
+        val rows =
+          if (candIds.isEmpty) return batch
+          else if (candIds.size <= maxInList)
+            srcT.read(col(idCol).isin(candIds: _*))
+          else srcT.toDF.join(
+            candPairs.select(col("__cid").as(idCol)).distinct(), Seq(idCol))
+        rows.select(col(idCol).as("__cid"),
+          shingleHashes(col(textCol), shingleN).as("__csh"))
+      }
+      val corpusDups = candPairs
+        .join(corpusSh, Seq("__cid"))
+        .join(broadcast(sig.select(col("__bid"), col("__bsh"))), Seq("__bid"))
+        .where(size(array_intersect(col("__csh"), col("__bsh"))).cast("double") /
+          size(array_union(col("__csh"), col("__bsh"))).cast("double")
+          >= threshold)
+        .select(col("__bid").as(idCol))
+      // two near-identical docs arriving in the SAME wave must not both
+      // land (one wave apart they would have deduped against the index)
+      val a = banded.select(col("key"), col("__bid").as("__ida"),
+        col("__bsh").as("__sha"))
+      val b = banded.select(col("key"), col("__bid").as("__idb"),
+        col("__bsh").as("__shb"))
+      val batchDups = a.join(broadcast(b), Seq("key"))
+        .where(col("__ida") < col("__idb") &&
+          size(array_intersect(col("__sha"), col("__shb"))).cast("double") /
+            size(array_union(col("__sha"), col("__shb"))).cast("double")
+            >= threshold)
+        .select(col("__idb").as(idCol))
+      // materialized eagerly (batch-bounded rows) so the returned plan
+      // no longer references the cached sig after the unpersist below
+      val dups = corpusDups.unionByName(batchDups).distinct().localCheckpoint()
+      batch.join(broadcast(dups), Seq(idCol), "left_anti")
+    } finally sig.unpersist()
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs above a threshold —
     * the oracle-checkable ground truth that LSH approximates.
     *

@@ -320,6 +320,65 @@ object DedupQueries extends QueryGroup {
           SELECT ${fingerprintSql("text")} FROM corpus)
         ORDER BY doc_id""")),
 
+    // ===== incremental FUZZY dedup through the persisted MinHash
+    // signature/band index (the fuzzy member of the incremental family:
+    // d9 = exact bloom gate, semindex = semantic IVF gate): corpus band
+    // postings persist as a lake table, the batch probes them by
+    // IN-list, and every drop is exact-Jaccard verified against the
+    // corpus text. Full oracle applies on this fixture: its
+    // above-threshold pairs are exact or near-exact copies (measured
+    // j >= 0.958), each banding-caught deterministically (8 bands x 4
+    // rows at j=0.958 misses with p ~ 4e-7, and MinHash is seed-fixed);
+    // general-j recall bounds live in MinhashIndexSpec against the
+    // exact gate. The batch carries corpus near-dups (index-drop path),
+    // exact in-batch copies (same-wave path), and the fixture's natural
+    // repeats (both directions).
+    QueryDef(
+      "d14_minhash_index_gate",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val corpus = docs.where(col("doc_id") % 10 =!= 0)
+        val batch = docs.where(col("doc_id") % 10 === 0)
+          .unionByName(corpus.where(col("doc_id") % 20 === 5)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+          .unionByName(docs.where(col("doc_id") % 40 === 0)
+            .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+        val root = java.nio.file.Files.createTempDirectory("mh-gate-").toString
+        graft.lake.LakeTable.create(s, s"$root/src", corpus)
+        Dedup.buildMinhashIndexFromTable(s, s"$root/idx", s"$root/src",
+          "text", "doc_id")
+        Dedup.minhashNewAgainstIndex(s, s"$root/idx", batch,
+          "text", "doc_id", threshold = 0.5)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        batch AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM corpus WHERE doc_id % 20 = 5
+          UNION ALL
+          SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 40 = 0),
+        sb AS (SELECT doc_id, ${shinglesSql("text", 3)} AS sh FROM batch),
+        sc AS (SELECT doc_id, ${shinglesSql("text", 3)} AS sh FROM corpus),
+        dropped AS (
+          SELECT b.doc_id FROM sb b, sc c
+          WHERE len(b.sh) > 0 AND len(c.sh) > 0
+            AND CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
+                CAST(len(list_distinct(list_concat(b.sh, c.sh))) AS DOUBLE)
+                >= 0.5
+          UNION
+          SELECT b2.doc_id FROM sb b1, sb b2
+          WHERE b1.doc_id < b2.doc_id
+            AND len(b1.sh) > 0 AND len(b2.sh) > 0
+            AND CAST(len(list_intersect(b1.sh, b2.sh)) AS DOUBLE) /
+                CAST(len(list_distinct(list_concat(b1.sh, b2.sh))) AS DOUBLE)
+                >= 0.5)
+        SELECT doc_id FROM batch
+        WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        ORDER BY doc_id""")),
+
     // ===== train/benchmark DECONTAMINATION (eval-leakage scrub): the
     // benchmark is the 1-in-10 sample; the train set is everything else
     // PLUS verbatim copies of the benchmark (+2000000) — the leaked
