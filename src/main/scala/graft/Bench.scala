@@ -229,12 +229,21 @@ object Bench {
           System.gc()
           timed(materialize(SparkEntry.queries("lake1_merge_clauses")(s2, sfDir)))
         }.min
-        // ...and the in-run top-5 tail (VERDICT r4 #7: d4v read 3.8×
-        // its isolated cost in-run — measurement interference, not
-        // plan). min-of-2: rep 1 absorbs fresh-context JIT, rep 2 is
-        // the clean plan cost the round comparison should use.
-        val tail5 = results.toSeq.sortBy(-_._2)
+        // ...a PINNED core set (VERDICT r7 #2: the dynamic tail's key
+        // set churned round to round, so the band comparison — the
+        // block's whole purpose — kept losing series; these six always
+        // emit: lake1 + lake_merge below, these four here)...
+        val fixedCold = Seq("lake5_incremental_mv", "d4v_simhash_verified",
+          "q21_waiting_suppliers", "a14_source_overlap")
+        // ...and the in-run top-5 tail riding on top (VERDICT r4 #7:
+        // d4v read 3.8× its isolated cost in-run — measurement
+        // interference, not plan). min-of-2: rep 1 absorbs
+        // fresh-context JIT, rep 2 is the clean plan cost the round
+        // comparison should use.
+        val tailNames = results.toSeq.sortBy(-_._2)
           .filterNot(_._1 == "lake1_merge_clauses").take(5).map(_._1)
+        val tail5 = (fixedCold ++ tailNames).distinct
+          .filter(SparkEntry.queries.contains)
           .map { name =>
             System.gc()
             name -> (1 to 2).map(_ =>
