@@ -533,7 +533,13 @@ object Dedup {
       shingleN, bands, rowsPerBand).cache()
     try {
       val n = fresh.count()
-      if (post.idempotentAppend(fresh, minhashSyncAppId(sourcePath), latest))
+      // range-clustered like the build (so incremental files keep the
+      // min/max key skipping the probe's IN-list relies on; the bloom
+      // prunes either way), sized by the WAVE — a small batch must not
+      // fan out into shuffle-partition-count tiny files
+      val nParts = math.max(1L, (n + 999999) / 1000000).toInt
+      val clustered = fresh.repartitionByRange(nParts, col("key"))
+      if (post.idempotentAppend(clustered, minhashSyncAppId(sourcePath), latest))
         n
       else 0L
     } finally fresh.unpersist()

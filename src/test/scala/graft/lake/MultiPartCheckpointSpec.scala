@@ -158,6 +158,94 @@ class MultiPartCheckpointSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: warm/cold parity over a random history with every boundary multi-part") {
+    // partSize 3 forces EVERY distributed boundary checkpoint into
+    // multiple parts; the random mix of DML, property commits,
+    // compaction, expiry and vacuum then exercises multi-part
+    // publication, pointer-driven reads, listing fallback, incremental
+    // cache replay across multi-part boundaries, and horizon builds —
+    // with the SnapshotCacheFuzzSpec parity oracle after every step
+    spark.conf.set("spark.graft.checkpoint.distributedThreshold", "1")
+    spark.conf.set("spark.graft.checkpoint.partSize", "3")
+    try {
+      val rnd = new scala.util.Random(6L)
+      val path = Files.createTempDirectory("mp-fuzz-").toString
+      val t = LakeTable.create(spark, path, Seq((0L, "r0")).toDF("id", "v"))
+      val model = scala.collection.mutable.LinkedHashMap(0L -> "r0")
+      var nextId = 1L
+      def assertParityWithCold(): Unit = {
+        val warm = new LakeLog(path).snapshot(None)
+        LakeLog.snapshotCache.clear()
+        val cold = new LakeLog(path).snapshot(None)
+        assert(warm.version === cold.version)
+        assert(warm.metaData === cold.metaData)
+        assert(warm.files.map(f => (f.path, f.size, f.dvPath)) ===
+          cold.files.map(f => (f.path, f.size, f.dvPath)))
+        assert(warm.txns === cold.txns)
+      }
+      for (step <- 1 to 34) {
+        rnd.nextInt(10) match {
+          case 0 | 1 | 2 | 3 =>
+            val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+              val id = nextId; nextId += 1
+              model(id) = s"r$id"; (id, s"r$id")
+            }
+            t.append(rows.toDF("id", "v"))
+          case 4 if model.size > 1 =>
+            val id = model.keys.toSeq(rnd.nextInt(model.size))
+            model.remove(id)
+            t.delete(col("id") === id)
+          case 5 if model.nonEmpty =>
+            val id = model.keys.toSeq(rnd.nextInt(model.size))
+            model(id) = s"u$step"
+            t.update(col("id") === id, Map("v" -> lit(s"u$step")))
+          case 6 => t.setProperties(Map(s"tag$step" -> step.toString))
+          case 7 => t.compact(targetFileBytes = 1L << 30)
+          case 8 if step > 10 => t.expireSnapshots(olderThanMs = 0L, retainLast = 5)
+          case 9 if step > 5 => t.vacuum(retentionMs = 0L)
+          case _ => ()
+        }
+        assertParityWithCold()
+        assert(t.toDF.as[(Long, String)].collect().toSet === model.toSet,
+          s"data divergence at step $step")
+      }
+      // non-vacuity: the history must actually have produced multi-part
+      // checkpoints (boundaries land every CHECKPOINT_EVERY commits)
+      val logDir = Paths.get(path, LakeLog.LOG_DIR)
+      assert(graft.util.Fs.listDir(logDir).exists(p =>
+        LakeLog.MULTIPART_RE.matches(p.getFileName.toString)),
+        "no multi-part checkpoint was ever written — the arm is vacuous")
+    } finally {
+      spark.conf.unset("spark.graft.checkpoint.distributedThreshold")
+      spark.conf.unset("spark.graft.checkpoint.partSize")
+    }
+  }
+
+  test("multi-part publication through a registered marker commit store") {
+    // every part file and the pointer go through the SAME conditional-PUT
+    // seam as commits — the object-store adapter must see N putIfAbsent
+    // publications and the pointer must still carry the part count
+    val adapter = new MarkerFsCommitStore
+    CommitStore.register("file", _ => adapter)
+    try {
+      withMultipartConf {
+        val path = Files.createTempDirectory("mp-marker-").toString
+        buildTo20(path)
+        val logDir = Paths.get(path, LakeLog.LOG_DIR)
+        val parts = (1 to 3).map(p =>
+          logDir.resolve(LakeLog.multipartCheckpointFileName(20, p, 3)))
+        parts.foreach(p => assert(Files.isRegularFile(p),
+          s"part not published through the adapter: $p"))
+        val ptr = new String(Files.readAllBytes(
+          logDir.resolve(LakeLog.LAST_CHECKPOINT)),
+          StandardCharsets.UTF_8)
+        assert(ptr.contains("\"parts\":3"))
+        LakeLog.snapshotCache.clear()
+        assert(LakeTable.forPath(spark, path).toDF.count() === 8 + 20)
+      }
+    } finally CommitStore.unregister("file")
+  }
+
   test("an incomplete part set is never used (crash-safe discovery)") {
     val path = Files.createTempDirectory("mp-partial-").toString
     withMultipartConf {
