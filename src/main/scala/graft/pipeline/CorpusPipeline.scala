@@ -76,6 +76,11 @@ object CorpusPipeline {
     *   corpus additionally builds a persisted IVF index
     *   (`outRoot/semindex`) so [[curateIncremental]] waves can run the
     *   SEMANTIC cross-corpus gate in a stable cluster space.
+    * @param fuzzyIndex additionally build the persisted MinHash band
+    *   index (`outRoot/mhindex`, [[Dedup.buildMinhashIndexFromTable]])
+    *   so [[curateIncremental]] waves can run the FUZZY cross-corpus
+    *   gate without recomputing corpus signatures — the textual sibling
+    *   of the semantic index.
     */
   def curate(
       spark: SparkSession,
@@ -86,7 +91,8 @@ object CorpusPipeline {
       nearDupThreshold: Double = 0.5,
       transitiveNearDups: Boolean = false,
       vecCol: Option[String] = None,
-      semNLists: Int = 8): CurateResult = {
+      semNLists: Int = 8,
+      fuzzyIndex: Boolean = false): CurateResult = {
 
     val input = docs.count()
     val annotated = annotate(docs)
@@ -143,6 +149,20 @@ object CorpusPipeline {
           s"curate($outRoot): curated corpus is empty — semantic index " +
             "deferred to the first non-empty incremental wave")
     }
+    // fuzzy index: build-then-baseline is INTERNAL to the op (one pinned
+    // snapshot provides the read version, the recorded baseline, and the
+    // generation id); an empty corpus defers exactly like the semantic
+    // index — the banding would be fine on zero rows, but deferring
+    // keeps the two indexes' lifecycle rules identical
+    if (fuzzyIndex) {
+      if (afterNear > 0)
+        Dedup.buildMinhashIndexFromTable(spark, s"$outRoot/mhindex",
+          s"$outRoot/curated", "text", "doc_id")
+      else
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"curate($outRoot): curated corpus is empty — minhash index " +
+            "deferred to the first non-empty incremental wave")
+    }
 
     good.unpersist(); exact.unpersist()
     CurateResult(input, afterQuality, afterExact, afterNear)
@@ -190,6 +210,18 @@ object CorpusPipeline {
     *   vectors to the next wave's sync instead of losing them).
     * @param semNProbe inverted lists probed by the semantic gate; raise
     *   toward `semNLists` for recall, lower for cost.
+    * @param fuzzyDedup run the FUZZY near-dup gate over the
+    *   `outRoot/mhindex` MinHash band index built by [[curate]]: batch
+    *   docs ≥ `fuzzyThreshold` shingle Jaccard to any corpus doc — or to
+    *   an earlier same-batch doc — drop
+    *   ([[Dedup.minhashNewAgainstIndex]]; every drop exact-verified);
+    *   survivors' postings join the index via the curated table's
+    *   change feed ([[Dedup.syncMinhashIndexFromTable]] — the same
+    *   exactly-once SetTxn shape as the semantic sync). Lifecycle rules
+    *   mirror the semantic index exactly: a missing index over a
+    *   NON-empty corpus builds before the gate; the empty-corpus
+    *   deferral wave self-gates the batch (LSH within-batch) and builds
+    *   after the append.
     * @param semNLists inverted lists when THIS method builds the index:
     *   the deferred build (when [[curate]] skipped it because the
     *   initial corpus came out empty) and the missing-index build (the
@@ -208,7 +240,9 @@ object CorpusPipeline {
       vecCol: Option[String] = None,
       semThreshold: Double = 0.8,
       semNProbe: Int = 2,
-      semNLists: Int = 8): IncrementResult = {
+      semNLists: Int = 8,
+      fuzzyDedup: Boolean = false,
+      fuzzyThreshold: Double = 0.5): IncrementResult = {
     val curatedT = LakeTable.forPath(spark, s"$outRoot/curated")
     // [[curate]] defers the index when the initial corpus came out empty
     // (nothing to train on); on such a wave the CROSS-CORPUS semantic
@@ -238,6 +272,19 @@ object CorpusPipeline {
     if (semindexReady)
       vecCol.foreach(c => graft.ops.Similarity.syncIvfIndexFromTable(spark,
         s"$outRoot/semindex", s"$outRoot/curated", c, "doc_id"))
+    // the fuzzy index mirrors the semantic lifecycle rules verbatim:
+    // missing-over-non-empty builds BEFORE the gate (an ungated wave
+    // would bake its corpus near-dups into the index permanently);
+    // catch-up sync before the gate closes the crash window between a
+    // corpus append and its postings append
+    def mhindexReady = fuzzyDedup &&
+      LakeTable.isLakeTable(s"$outRoot/mhindex/postings")
+    if (fuzzyDedup && !mhindexReady && !curatedT.toDF.isEmpty)
+      Dedup.buildMinhashIndexFromTable(spark, s"$outRoot/mhindex",
+        s"$outRoot/curated", "text", "doc_id")
+    if (mhindexReady)
+      Dedup.syncMinhashIndexFromTable(spark, s"$outRoot/mhindex",
+        s"$outRoot/curated", "text", "doc_id")
     val input = newDocs.count()
     val good = annotate(newDocs)
       .where(col("quality") >= minQuality && col("n_tokens") >= minTokens)
@@ -299,6 +346,26 @@ object CorpusPipeline {
           expectedCorpusItems, fpCol = Some("fp")).cache()
     }
 
+    // fuzzy gate vs the persisted postings (and within-batch), BEFORE
+    // the semantic gate — textual near-dups are the cheaper drop, and
+    // every doc it removes is one the vector gate never scores
+    val fuzzyFresh =
+      if (!fuzzyDedup) docFresh
+      else if (mhindexReady) {
+        val g = Dedup.minhashNewAgainstIndex(spark, s"$outRoot/mhindex",
+          docFresh, "text", "doc_id", fuzzyThreshold)
+        if (g ne docFresh) g.cache() else g
+      } else {
+        // empty-corpus deferral wave: nothing to gate against, but the
+        // BATCH must still self-gate — the deferred post-append build
+        // would otherwise bake an internal near-dup pair into the index
+        // permanently (same rule as the semantic arm below)
+        val g = Dedup.dedupByPairs(docFresh, "doc_id",
+          Dedup.minhashLsh(docFresh, "text", "doc_id",
+            threshold = fuzzyThreshold))
+        if (g ne docFresh) g.cache() else g
+      }
+
     // semantic gate vs the persisted cluster space (and within-batch);
     // docFresh is already cached, so the no-gate arm takes it as-is
     // (re-caching it raised the CacheManager already-cached WARN every
@@ -308,8 +375,8 @@ object CorpusPipeline {
     val fresh = vecCol match {
       case Some(c) if semindexReady =>
         val g = Dedup.semanticNewAgainstIndex(spark,
-          s"$outRoot/semindex", docFresh, c, "doc_id", semThreshold, semNProbe)
-        if (g ne docFresh) g.cache() else g
+          s"$outRoot/semindex", fuzzyFresh, c, "doc_id", semThreshold, semNProbe)
+        if (g ne fuzzyFresh) g.cache() else g
       case Some(c) =>
         // no index yet (the empty-corpus deferral wave): there is no
         // corpus to gate against, but the BATCH must still self-gate —
@@ -318,9 +385,9 @@ object CorpusPipeline {
         // the index PERMANENTLY (no retrain or sync ever removes rows).
         // Within-batch semantic dedup needs no index: it trains its own
         // cluster space on the batch, exactly like the d11 batch path.
-        val g = Dedup.semanticDedup(docFresh, c, "doc_id", semThreshold)
-        if (g ne docFresh) g.cache() else g
-      case _ => docFresh
+        val g = Dedup.semanticDedup(fuzzyFresh, c, "doc_id", semThreshold)
+        if (g ne fuzzyFresh) g.cache() else g
+      case _ => fuzzyFresh
     }
     val appended = fresh.count()
 
@@ -348,10 +415,24 @@ object CorpusPipeline {
         buildAndBaseline(spark, outRoot, c, semNLists)
       }
     }
+    // fuzzy index maintenance — same shape: sync from the change feed
+    // (exactly-once; runs even on appended == 0 waves to fold in
+    // postings a crashed earlier wave deferred), or the deferred first
+    // build once the corpus is non-empty (the wave self-gated above, so
+    // the index is born without an internal near-dup pair)
+    if (fuzzyDedup) {
+      if (mhindexReady)
+        Dedup.syncMinhashIndexFromTable(spark, s"$outRoot/mhindex",
+          s"$outRoot/curated", "text", "doc_id")
+      else if (!curatedT.toDF.isEmpty)
+        Dedup.buildMinhashIndexFromTable(spark, s"$outRoot/mhindex",
+          s"$outRoot/curated", "text", "doc_id")
+    }
     graft.lake.IncrementalMv.refresh(spark, s"$outRoot/lang_stats")
 
     good.unpersist(); docFresh.unpersist()
-    if (fresh ne docFresh) fresh.unpersist()
+    if (fuzzyFresh ne docFresh) fuzzyFresh.unpersist()
+    if ((fresh ne docFresh) && (fresh ne fuzzyFresh)) fresh.unpersist()
     preScrub.foreach(_.unpersist()); scrubCache.foreach(_.unpersist())
     IncrementResult(input, afterQuality, appended)
   }
@@ -385,7 +466,9 @@ object CorpusPipeline {
       vecCol: Option[String] = None,
       semThreshold: Double = 0.8,
       semNProbe: Int = 2,
-      semNLists: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+      semNLists: Int = 8,
+      fuzzyDedup: Boolean = false,
+      fuzzyThreshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
     graft.streaming.LakeStreaming.asStreamV2(spark, landingPath, startingVersion)
       .writeStream
       .queryName(s"curate:$outRoot")
@@ -395,7 +478,7 @@ object CorpusPipeline {
         if (!batch.isEmpty) {
           curateIncremental(spark, batch, outRoot, minQuality, minTokens,
             expectedCorpusItems, paragraphScrub, vecCol, semThreshold,
-            semNProbe, semNLists)
+            semNProbe, semNLists, fuzzyDedup, fuzzyThreshold)
           ()
         }
       }

@@ -413,4 +413,115 @@ class CorpusPipelineSpec extends AnyFunSuite {
       .toDF.select($"id").as[Long].collect().toSet
     assert(indexed === Set(1L, 2L, 11L))
   }
+
+  test("fuzzy gate across waves: corpus, same-wave, and wave-1-survivor near-dups drop") {
+    val root = Files.createTempDirectory("corpus-fuzzy-").toString
+    // distinct word-soup docs; the near-dups below append a short tail
+    // (shingle Jaccard ~0.8 >= the 0.5 gate) without fingerprint-matching
+    val corpus = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "red orange yellow green blue indigo violet crimson amber teal"))
+      .toDF("doc_id", "text")
+    CorpusPipeline.curate(spark, corpus, root, minQuality = 0.0,
+      minTokens = 0, nearDupThreshold = 0.99, fuzzyIndex = true)
+    assert(LakeTable.isLakeTable(s"$root/mhindex/postings"))
+
+    val r1 = CorpusPipeline.curateIncremental(spark, Seq(
+      // near-dup of corpus doc 1: ONLY the fuzzy gate catches it (the
+      // fingerprint is new, no embeddings in play)
+      (10L, "one two three four five six seven eight nine ten extra tail"),
+      // genuinely new
+      (11L, "wolf bear lynx otter marten badger weasel stoat ferret mink"),
+      // same-wave near-dup of 11: the larger id drops
+      (12L, "wolf bear lynx otter marten badger weasel stoat ferret mink bonus words"))
+      .toDF("doc_id", "text"), root,
+      minQuality = 0.0, minTokens = 0, fuzzyDedup = true)
+    assert(r1.appended === 1, s"wave 1 must append only doc 11: $r1")
+    val t1 = LakeTable.forPath(spark, s"$root/curated").toDF
+      .select($"doc_id").as[Long].collect().toSet
+    assert(t1 === Set(1L, 2L, 11L))
+
+    // wave 2 gates against WAVE-1 SURVIVORS through the synced postings:
+    // a near-dup of doc 11 drops even though 11 was never in curate()'s
+    // initial build
+    val r2 = CorpusPipeline.curateIncremental(spark, Seq(
+      (20L, "wolf bear lynx otter marten badger weasel stoat ferret mink other suffix"),
+      (21L, "completely novel content words never seen anywhere else today"))
+      .toDF("doc_id", "text"), root,
+      minQuality = 0.0, minTokens = 0, fuzzyDedup = true)
+    assert(r2.appended === 1, s"wave 2 must append only doc 21: $r2")
+    val t2 = LakeTable.forPath(spark, s"$root/curated").toDF
+      .select($"doc_id").as[Long].collect().toSet
+    assert(t2 === Set(1L, 2L, 11L, 21L))
+
+    // exactly-once maintenance: every appended doc is in the postings
+    // exactly once per band across the build + two syncs
+    val posts = LakeTable.forPath(spark, s"$root/mhindex/postings").toDF
+    assert(posts.select($"id").distinct().as[Long].collect().toSet ===
+      Set(1L, 2L, 11L, 21L))
+    assert(posts.groupBy($"id", $"key").count().where($"count" > 1).isEmpty)
+  }
+
+  test("fuzzy gate: empty-corpus deferral self-gates the batch, then builds") {
+    val root = Files.createTempDirectory("corpus-fuzzy-defer-").toString
+    // the initial corpus loses every doc to the quality gate -> both
+    // indexes defer; the first wave must still self-gate within-batch
+    CorpusPipeline.curate(spark,
+      Seq((1L, "x")).toDF("doc_id", "text"), root,
+      minQuality = 0.9, minTokens = 50, fuzzyIndex = true)
+    assert(!LakeTable.isLakeTable(s"$root/mhindex/postings"))
+
+    val r1 = CorpusPipeline.curateIncremental(spark, Seq(
+      (10L, "wolf bear lynx otter marten badger weasel stoat ferret mink"),
+      (11L, "wolf bear lynx otter marten badger weasel stoat ferret mink bonus words"))
+      .toDF("doc_id", "text"), root,
+      minQuality = 0.0, minTokens = 0, fuzzyDedup = true)
+    assert(r1.appended === 1,
+      s"the deferral wave must self-gate the within-batch near-dup: $r1")
+    // the deferred build landed AFTER the append and covers the survivor
+    assert(LakeTable.isLakeTable(s"$root/mhindex/postings"))
+    val posts = LakeTable.forPath(spark, s"$root/mhindex/postings").toDF
+    assert(posts.select($"id").distinct().as[Long].collect().toSet === Set(10L))
+
+    // the next wave gates against the deferred-built index normally
+    val r2 = CorpusPipeline.curateIncremental(spark, Seq(
+      (20L, "wolf bear lynx otter marten badger weasel stoat ferret mink extra suffix"))
+      .toDF("doc_id", "text"), root,
+      minQuality = 0.0, minTokens = 0, fuzzyDedup = true)
+    assert(r2.appended === 0, "a near-dup of the deferral-wave survivor must drop")
+  }
+
+  test("fuzzy postings recover rows a crash kept out of them (change feed)") {
+    val root = Files.createTempDirectory("corpus-fuzzy-recover-").toString
+    CorpusPipeline.curate(spark, Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "red orange yellow green blue indigo violet crimson amber teal"))
+      .toDF("doc_id", "text"), root, minQuality = 0.0,
+      minTokens = 0, nearDupThreshold = 0.99, fuzzyIndex = true)
+
+    // crash simulation: doc 30 reached the curated table but its
+    // postings append never ran
+    val curated = LakeTable.forPath(spark, s"$root/curated")
+    val lost = CorpusPipeline.annotate(
+      Seq((30L, "wolf bear lynx otter marten badger weasel stoat ferret mink"))
+        .toDF("doc_id", "text"))
+    curated.append(lost.select(
+      curated.snapshot.schema.fieldNames.map(col).toSeq: _*))
+    val posts = LakeTable.forPath(spark, s"$root/mhindex/postings").toDF
+    assert(!posts.select($"id").as[Long].collect().toSet.contains(30L),
+      "fixture must start with doc 30 missing from the postings")
+
+    // the very next wave must drop a FUZZY near-dup of doc 30: the
+    // start-of-wave catch-up sync folds the deferred postings in BEFORE
+    // the gate runs
+    val r = CorpusPipeline.curateIncremental(spark, Seq(
+      (31L, "wolf bear lynx otter marten badger weasel stoat ferret mink tail bits"))
+      .toDF("doc_id", "text"), root,
+      minQuality = 0.0, minTokens = 0, fuzzyDedup = true)
+    assert(r.appended === 0,
+      "near-dup of the crash-deferred doc must drop in the NEXT wave")
+    val indexed = LakeTable.forPath(spark, s"$root/mhindex/postings").toDF
+      .select($"id").as[Long].collect().toSet
+    assert(indexed.contains(30L), "the catch-up sync must have indexed doc 30")
+  }
 }
