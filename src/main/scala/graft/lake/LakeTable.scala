@@ -2420,6 +2420,16 @@ object LakeTable {
             s"(${bucketBy.mkString(",")} x $numBuckets) — use rebucket to change it")
       }
       t.overwrite(df)
+      // the caller asked for these properties on the table it gets back —
+      // silently dropping them when the path happened to pre-exist left
+      // e.g. a re-curated corpus without its change-data-feed flag (the
+      // overwrite itself preserves the OLD properties by design). Only
+      // the requested keys are touched; txn state survives as always.
+      if (properties.nonEmpty) {
+        val cur = t.snapshot.metaData.properties
+        val changed = properties.filter { case (k, v) => !cur.get(k).contains(v) }
+        if (changed.nonEmpty) t.setProperties(changed)
+      }
       return t
     }
     val schema = assignFieldIds(df.schema)

@@ -436,6 +436,16 @@ object Dedup {
     val posts = minhashPostings(src.asOf(snap.version).toDF,
         textCol, idCol, shingleN, bands, rowsPerBand)
       .repartitionByRange(col("key"))
+    // REBUILD = delete + fresh create, NOT an in-place overwrite: a
+    // rebuild is the documented recovery from a recreated source (the
+    // sync's generation guard says "rebuild the index"), and an
+    // overwrite would keep the old log's SetTxn — the next sync's
+    // applied pointer would then read the OLD generation's version and
+    // silently skip every new commit below it. A fresh log has no txns,
+    // so the properties written here are the complete sync baseline.
+    // Same-path recreation is safe for concurrent readers (fingerprinted
+    // snapshot/decode caches).
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(s"$indexPath/postings"))
     graft.lake.LakeTable.create(spark, s"$indexPath/postings", posts,
       properties = Map(
         MINHASH_CONF_PROP -> s"$shingleN,$bands,$rowsPerBand",

@@ -138,6 +138,36 @@ object Similarity {
     * trained — the drift baseline for [[maybeRetrainIvfIndex]]. */
   val TRAINED_COUNT_PROP = "graft.ivf.trainedCount"
 
+  /** REBUILD after the source was deleted and recreated — the recovery
+    * the generation guard in [[syncIvfIndexFromTable]] directs to.
+    *
+    * NOT an in-place retrain: [[maybeRetrainIvfIndex]] overwrites the
+    * assignments, which deliberately PRESERVES the table's SetTxn state
+    * (streaming idempotence must survive overwrites) — correct within
+    * one source generation, but after a recreate the surviving txn
+    * carries the OLD generation's applied version, and a sync would
+    * silently skip every new commit below it. A rebuild therefore
+    * deletes both index tables and starts FRESH LOGS (no txns), reads
+    * the new source at a pinned version, and records that version +
+    * the new generation id as the baseline — the next sync continues
+    * exactly-once from there. Same-path recreation is safe for
+    * concurrent index readers (fingerprinted snapshot/decode caches). */
+  def rebuildIvfIndexFromTable(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      sourcePath: String, vecCol: String, idCol: String,
+      nLists: Int = 16, sampleSize: Int = 4096, seed: Long = 42L): Unit = {
+    val src = graft.lake.LakeTable.forPath(spark, sourcePath)
+    // ONE snapshot: pinned read version + generation id, atomically
+    val snap = src.snapshot
+    graft.util.Fs.deleteRecursively(
+      java.nio.file.Paths.get(s"$indexPath/codebook"))
+    graft.util.Fs.deleteRecursively(
+      java.nio.file.Paths.get(s"$indexPath/assignments"))
+    buildIvfIndex(src.asOf(snap.version).toDF, vecCol, idCol, indexPath,
+      nLists, sampleSize, seed)
+    markIvfSynced(spark, indexPath, snap.version, Some(snap.metaData.id))
+  }
+
   /** Train + persist from an already-normalized (id, nvec) frame. */
   private def writeIvfIndex(d: DataFrame, dimN: Int, indexPath: String,
       nLists: Int, sampleSize: Int, seed: Long): Unit = {
@@ -272,8 +302,8 @@ object Similarity {
       throw new IllegalStateException(
         s"source table $sourcePath was deleted and recreated (index at " +
           s"$indexPath synced against generation $old, found $srcId): " +
-          "the applied version cannot continue — rebuild the index " +
-          "against the new table")
+          "the applied version cannot continue — rebuild with " +
+          "rebuildIvfIndexFromTable against the new table")
     }
     val txnApplied = asg.snapshot.txns.getOrElse(syncAppId(sourcePath), -1L)
     val propApplied = cb.snapshot.metaData.properties.get(SYNCED_PROP)
@@ -320,7 +350,7 @@ object Similarity {
             throw new IllegalStateException(
               s"source table $sourcePath was deleted and recreated " +
                 s"(concurrent sync recorded generation ${now.get}, this " +
-                s"one observed $srcId) — rebuild the index")
+                s"one observed $srcId) — rebuild with rebuildIvfIndexFromTable")
       }
     }
     val applied = math.max(txnApplied, propApplied)

@@ -18,4 +18,16 @@ object Fs {
     try s.iterator().asScala.toVector
     finally s.close()
   }
+
+  /** Recursive delete — the REBUILD primitive for derived index tables:
+    * an in-place overwrite keeps the old table's SetTxn state (by
+    * design — streaming idempotence must survive overwrites), so a
+    * rebuild that must RESET the change-feed applied pointer deletes the
+    * table and starts a fresh log instead. Safe for concurrent readers
+    * the same way any delete+recreate is: the engine's fingerprinted
+    * snapshot/decode caches degrade to a miss, never a stale serve. */
+  def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
 }

@@ -94,6 +94,27 @@ class LakeTableSpec extends AnyFunSuite {
     assert(hist.map(_.getString(2)).toSeq === Seq("OVERWRITE", "CREATE"))
   }
 
+  test("create(mode=overwrite) over an existing table applies requested properties") {
+    val path = tmpDir()
+    LakeTable.create(spark, path, sampleDF,
+      properties = Map("keep.me" -> "yes"))
+    // the caller's properties were silently dropped when the path
+    // pre-existed — a re-curated corpus lost its change-data-feed flag
+    val t = LakeTable.create(spark, path,
+      Seq((99L, "ZZ", 0.0)).toDF("id", "state", "amount"),
+      mode = "overwrite", properties = Map(Cdc.PROP -> "true"))
+    val props = t.snapshot.metaData.properties
+    assert(props.get(Cdc.PROP).contains("true"),
+      "requested property must apply on the existed-overwrite path")
+    assert(props.get("keep.me").contains("yes"),
+      "untouched existing properties survive the overwrite")
+    // no properties requested → pure overwrite, no extra commit
+    val v = t.version
+    LakeTable.create(spark, path,
+      Seq((1L, "AA", 1.0)).toDF("id", "state", "amount"), mode = "overwrite")
+    assert(LakeTable.forPath(spark, path).version === v + 1)
+  }
+
   test("delete removes only matching rows, touches only matching files") {
     val path = tmpDir()
     val df = spark.range(0, 100).select($"id", ($"id" % 10).cast("double").as("v"))

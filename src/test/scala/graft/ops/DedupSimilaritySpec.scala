@@ -294,6 +294,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
         "embedding", "vec_id")
     }
     assert(e.getMessage.contains("deleted and recreated"))
+
+    // the recovery the guard directs to: rebuildIvfIndexFromTable
+    // deletes both index tables (FRESH logs — an in-place overwrite
+    // keeps the old generation's SetTxn, whose applied version here (2)
+    // would exceed... or in general poison the new generation's pointer
+    // and make syncs silently skip new commits), re-baselines at the
+    // new source's pinned (version, generation), and the next sync
+    // continues exactly-once
+    Similarity.rebuildIvfIndexFromTable(spark, indexPath, srcPath,
+      "embedding", "vec_id", nLists = 2)
+    val asg2 = graft.lake.LakeTable.forPath(spark, s"$indexPath/assignments")
+    assert(asg2.snapshot.txns.isEmpty,
+      "rebuild must start fresh logs — a surviving txn poisons the sync")
+    assert(asg2.toDF.select($"id").as[Long].collect().toSet ===
+      Set(9L, 10L, 11L, 12L), "rebuilt index covers the new generation")
+    t2.append(Seq((20L, Array(0.3f, 0.7f))).toDF("vec_id", "embedding"))
+    assert(Similarity.syncIvfIndexFromTable(spark, indexPath, srcPath,
+      "embedding", "vec_id") === 1L,
+      "post-rebuild sync must apply the new generation's commits")
   }
 
   test("native simhash64 expression == composed HOF implementation") {

@@ -147,6 +147,23 @@ class MinhashIndexSpec extends AnyFunSuite {
         "text", "doc_id")
     }
     assert(e.getMessage.contains("deleted and recreated"))
+
+    // the documented recovery: REBUILD resets the index log (fresh
+    // txns), re-baselines at the new generation, and the next sync
+    // continues exactly-once. An in-place overwrite would have kept the
+    // OLD generation's SetTxn (applied=5 here vs the new table's
+    // latest=4) and silently skipped every new commit below it.
+    Dedup.buildMinhashIndexFromTable(spark, idxPath, srcPath,
+      "text", "doc_id")
+    val post = graft.lake.LakeTable.forPath(spark, s"$idxPath/postings")
+    assert(post.snapshot.txns.isEmpty,
+      "rebuild must start a fresh log — a surviving txn poisons the sync")
+    assert(post.snapshot.metaData.properties(Dedup.MINHASH_SOURCE_ID_PROP)
+      === t2.snapshot.metaData.id)
+    t2.append(docs.where($"doc_id" % 10 === 6).limit(5))
+    assert(Dedup.syncMinhashIndexFromTable(spark, idxPath, srcPath,
+      "text", "doc_id") === 5L * 8,
+      "post-rebuild sync must apply the new generation's commits")
   }
 
   test("probe reads the postings by IN-list, not a corpus scan") {
