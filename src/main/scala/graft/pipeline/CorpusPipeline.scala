@@ -127,9 +127,19 @@ object CorpusPipeline {
     // the curation pipeline)
     LakeTable.create(spark, s"$outRoot/curated", curated, mode = "overwrite",
       properties = Map(graft.lake.Cdc.PROP -> "true"))
-    graft.lake.IncrementalMv.create(spark, s"$outRoot/lang_stats",
-      s"$outRoot/curated", groupBy = Seq("lang_pred"),
-      sumCols = Seq("quality", "n_tokens"))
+    // RE-curating an existing outRoot: the overwrite keeps the curated
+    // table's generation (same id, CDF continuity), so the existing
+    // stats view REFRESHES through the overwrite's change feed to
+    // exactly the new corpus's stats — a second create would throw
+    // "already exists" AFTER the corpus was already overwritten, leaving
+    // the pipeline half-rebuilt. (A curated dir deleted by hand is a new
+    // generation; the refresh guard then fails loudly as designed.)
+    if (LakeTable.isLakeTable(s"$outRoot/lang_stats"))
+      graft.lake.IncrementalMv.refresh(spark, s"$outRoot/lang_stats")
+    else
+      graft.lake.IncrementalMv.create(spark, s"$outRoot/lang_stats",
+        s"$outRoot/curated", groupBy = Seq("lang_pred"),
+        sumCols = Seq("quality", "n_tokens"))
     // the semantic gate's stable cluster space for later waves, built by
     // READING BACK the just-written curated table — the in-memory plan
     // would re-run the LSH near-dup stage once per index action, and the

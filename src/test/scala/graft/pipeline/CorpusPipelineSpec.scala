@@ -524,4 +524,49 @@ class CorpusPipelineSpec extends AnyFunSuite {
       .select($"id").as[Long].collect().toSet
     assert(indexed.contains(30L), "the catch-up sync must have indexed doc 30")
   }
+
+  test("re-curating an existing outRoot rebuilds corpus, stats, and indexes coherently") {
+    val root = Files.createTempDirectory("corpus-recurate-").toString
+    val docsA = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "red orange yellow green blue indigo violet crimson amber teal"))
+      .toDF("doc_id", "text")
+    CorpusPipeline.curate(spark, docsA, root, minQuality = 0.0,
+      minTokens = 0, nearDupThreshold = 0.99, fuzzyIndex = true)
+
+    // second curate over the SAME root with a different corpus: the
+    // overwrite keeps the curated generation, the stats view refreshes
+    // through the overwrite's change feed, and the fuzzy index rebuilds
+    // fresh (its build resets the postings log)
+    val docsB = Seq(
+      (5L, "wolf bear lynx otter marten badger weasel stoat ferret mink"),
+      (6L, "apple pear plum peach cherry apricot quince medlar fig date"))
+      .toDF("doc_id", "text")
+    CorpusPipeline.curate(spark, docsB, root, minQuality = 0.0,
+      minTokens = 0, nearDupThreshold = 0.99, fuzzyIndex = true)
+
+    val curated = LakeTable.forPath(spark, s"$root/curated").toDF
+    assert(curated.select($"doc_id").as[Long].collect().toSet === Set(5L, 6L))
+    // the incrementally-refreshed stats equal a from-scratch recompute
+    val stats = CorpusPipeline.langStats(spark, root)
+      .orderBy("lang_pred").collect().toSeq
+    val recomputed = curated.groupBy($"lang_pred")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum($"quality") / count($"quality"), 4).as("avg_quality"),
+        sum($"n_tokens").cast("long").as("total_tokens"))
+      .orderBy("lang_pred").collect().toSeq
+    assert(stats === recomputed,
+      "stats after re-curate must describe the NEW corpus")
+    // the fuzzy index describes only the new corpus and a wave dedups
+    // against it
+    val posts = LakeTable.forPath(spark, s"$root/mhindex/postings").toDF
+    assert(posts.select($"id").as[Long].collect().toSet === Set(5L, 6L))
+    val r = CorpusPipeline.curateIncremental(spark, Seq(
+      (10L, "wolf bear lynx otter marten badger weasel stoat ferret mink tail bit"),
+      (11L, "one two three four five six seven eight nine ten extra tail"))
+      .toDF("doc_id", "text"), root,
+      minQuality = 0.0, minTokens = 0, fuzzyDedup = true)
+    assert(r.appended === 1,
+      "near-dup of the NEW corpus drops; near-dup of the OLD corpus appends")
+  }
 }
