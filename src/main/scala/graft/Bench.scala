@@ -174,7 +174,12 @@ object Bench {
       "q5_revenue_by_nation", "q18_large_orders", "d1_exact_dedup",
       "lake3_bucketed_join", "aj1_asof_join", "rj1_range_join",
       "q21_waiting_suppliers", "d9_bloom_new_docs", "mix1_dataset_mixture",
-      "chunk1_doc_chunks", "a14_source_overlap", "prof1_profile_orders")
+      "chunk1_doc_chunks", "a14_source_overlap", "prof1_profile_orders",
+      // constructing d14's frame builds its corpus + postings index
+      // (side effects of the query closure, ~4 s) — accepted so the
+      // minhash GATE's shape (broadcast banded probe + IN-filtered
+      // postings read) is regression-tracked from its first round
+      "d14_minhash_index_gate")
     val plans = auditNames.flatMap { n =>
       SparkEntry.queries.get(n).flatMap { fn =>
         try {
