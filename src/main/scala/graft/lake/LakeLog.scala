@@ -140,8 +140,11 @@ final class LakeLog(
     try {
       val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
       "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s).map { m =>
+        // parts == 1 is a VALID multi-part layout (a foreign writer's
+        // one-part set lives at the multipart file name) — only a
+        // garbage 0 is dropped
         val parts = "\"parts\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
-          .map(_.group(1).toInt).filter(_ > 1)
+          .map(_.group(1).toInt).filter(_ >= 1)
         m.group(1).toLong -> parts
       }
     } catch { case NonFatal(_) => None }
@@ -153,7 +156,7 @@ final class LakeLog(
     * one classic file, or the constructed complete part set. */
   private[lake] def checkpointPartPaths(v: Long, parts: Option[Int]): Seq[Path] =
     parts match {
-      case Some(t) if t > 1 =>
+      case Some(t) if t >= 1 =>
         (1 to t).map(p => logDir.resolve(multipartCheckpointFileName(v, p, t)))
       case _ => Seq(logDir.resolve(parquetCheckpointFileName(v)))
     }
@@ -169,7 +172,7 @@ final class LakeLog(
       try return Some(Checkpoint.read(pq))
       catch { case NonFatal(_) => () }
     }
-    parts.filter(_ > 1).foreach { t =>
+    parts.filter(_ >= 1).foreach { t =>
       readMultipart(v, t).foreach(a => return Some(a))
     }
     val js = logDir.resolve(checkpointFileName(v))
@@ -195,12 +198,22 @@ final class LakeLog(
       fileReads += total
       if (total == 1) return Some(Checkpoint.read(paths.head))
       import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
       implicit val ec: scala.concurrent.ExecutionContext =
         LakeLog.multipartReadContext
+      // BOUNDED await (generous — a part decodes in seconds): the pool
+      // is shared JVM-wide, so one hung store read must not pin THIS
+      // table's resolution forever; on expiry the checkpoint degrades
+      // to None and resolution falls back to commit replay / listing,
+      // the same contract as a corrupt part. The stuck futures keep
+      // their pool slots until the underlying read returns — the
+      // timeout bounds resolution latency, not the leaked thread.
       val decoded = Await.result(
-        Future.sequence(paths.map(p => Future(Checkpoint.read(p)))),
-        Duration.Inf)
+        Future.sequence(paths.map(p => Future {
+          LakeLog.multipartDecodeHook()
+          Checkpoint.read(p)
+        })),
+        scala.concurrent.duration.Duration(
+          LakeLog.multipartReadTimeoutSec, "s"))
       Some(decoded.flatten)
     } catch { case NonFatal(_) => None }
 
@@ -880,6 +893,19 @@ object LakeLog {
   /** Shared bounded pool for multi-part checkpoint decodes (daemon
     * threads; IO+decode bound, so a small fixed size serves every table
     * in the JVM without unbounded thread growth). */
+  /** Cap on one multi-part checkpoint's parallel decode (seconds);
+    * expiry degrades the checkpoint to None — resolution falls back to
+    * commit replay or listing discovery. System property (not Spark
+    * conf: resolution runs in paths with no session at hand). */
+  private[lake] def multipartReadTimeoutSec: Long =
+    Option(System.getProperty("graft.checkpoint.readTimeoutSec"))
+      .flatMap(_.toLongOption).filter(_ > 0).getOrElse(600L)
+
+  /** Test seam: injected at the head of every part-decode future — the
+    * only way to fake a hung store read, since parts are plain
+    * `Files`-level reads no fake CommitStore can intercept. */
+  @volatile private[lake] var multipartDecodeHook: () => Unit = () => ()
+
   private[lake] lazy val multipartReadContext: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutorService(
       java.util.concurrent.Executors.newFixedThreadPool(8, r => {

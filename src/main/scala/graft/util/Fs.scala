@@ -27,7 +27,11 @@ object Fs {
     * the same way any delete+recreate is: the engine's fingerprinted
     * snapshot/decode caches degrade to a miss, never a stale serve. */
   def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
+    // NOFOLLOW: a symlinked directory inside the tree must be deleted AS
+    // THE LINK — following it would recurse into (and empty) its TARGET,
+    // which lives outside the tree being deleted
+    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

@@ -246,6 +246,64 @@ class MultiPartCheckpointSpec extends AnyFunSuite {
     } finally CommitStore.unregister("file")
   }
 
+  test("a foreign writer's parts:1 set is a valid checkpoint (ADVICE r8)") {
+    // Delta writers may emit NNN.checkpoint.0000000001.0000000001.parquet
+    // with {"parts":1}; the reader used to filter parts > 1 everywhere,
+    // so with older commits expired the table became unresolvable even
+    // though a complete checkpoint existed
+    val path = Files.createTempDirectory("mp-one-").toString
+    val t = buildTo20(path) // v10/v20 boundaries → single-file checkpoints
+    val logDir = Paths.get(path, LakeLog.LOG_DIR)
+    val single = logDir.resolve(LakeLog.parquetCheckpointFileName(20))
+    assert(Files.isRegularFile(single))
+    // rewrite the v20 boundary into the foreign one-part layout
+    Files.move(single,
+      logDir.resolve(LakeLog.multipartCheckpointFileName(20, 1, 1)))
+    Files.write(logDir.resolve(LakeLog.LAST_CHECKPOINT),
+      """{"version":20,"parts":1}""".getBytes(StandardCharsets.UTF_8))
+    // expire everything below: the one-part set is now the ONLY way in
+    (0L to 19L).foreach { v =>
+      Files.deleteIfExists(logDir.resolve(LakeLog.commitFileName(v)))
+      Files.deleteIfExists(logDir.resolve(LakeLog.parquetCheckpointFileName(v)))
+    }
+    LakeLog.snapshotCache.clear()
+    val t2 = LakeTable.forPath(spark, path)
+    assert(t2.snapshot.version === 20)
+    assert(t2.toDF.count() === 8 + 20,
+      "pointer-driven resolution must read the parts:1 layout")
+    // listing-based discovery (no pointer) must accept it too
+    Files.delete(logDir.resolve(LakeLog.LAST_CHECKPOINT))
+    LakeLog.snapshotCache.clear()
+    assert(LakeTable.forPath(spark, path).toDF.count() === 8 + 20,
+      "listing discovery must accept a complete one-part set")
+    assert(t.snapshot.version === 20)
+  }
+
+  test("a hung part decode degrades to replay within the bounded await") {
+    val path = Files.createTempDirectory("mp-hang-").toString
+    withMultipartConf {
+      buildTo20(path)
+      // every part-decode future stalls past the (shrunk) await bound:
+      // resolution must abandon the checkpoint and replay the commits
+      System.setProperty("graft.checkpoint.readTimeoutSec", "1")
+      LakeLog.multipartDecodeHook = () => Thread.sleep(4000)
+      try {
+        LakeLog.snapshotCache.clear()
+        val t0 = System.nanoTime()
+        val t2 = LakeTable.forPath(spark, path)
+        assert(t2.snapshot.version === 20)
+        assert(t2.toDF.count() === 8 + 20,
+          "resolution must complete via commit replay despite the hang")
+        val elapsedSec = (System.nanoTime() - t0) / 1e9
+        assert(elapsedSec < 30,
+          s"resolution took ${elapsedSec}s — the await bound did not engage")
+      } finally {
+        LakeLog.multipartDecodeHook = () => ()
+        System.clearProperty("graft.checkpoint.readTimeoutSec")
+      }
+    }
+  }
+
   test("an incomplete part set is never used (crash-safe discovery)") {
     val path = Files.createTempDirectory("mp-partial-").toString
     withMultipartConf {
