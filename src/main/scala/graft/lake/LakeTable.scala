@@ -1555,6 +1555,88 @@ final class LakeTable private (
     -1 // unreachable
   }
 
+  /** REORG-style STALE-ROW PURGE for derived index tables (Delta's
+    * `REORG TABLE ... APPLY (PURGE)` shape): rewrite exactly the files
+    * holding rows whose `joinCols` match `stale`, dropping those rows;
+    * untouched files, the SetTxn state, and the table properties stay
+    * byte-identical — an incremental index's exactly-once sync pointer
+    * survives the purge by construction. Committed as op `PURGE`, a
+    * REORG-class commit: the change feed emits nothing and table
+    * streams skip it.
+    *
+    * CALLER CONTRACT (the REORG trust invariant): the matched rows must
+    * be semantically DEAD — rows whose removal no downstream consumer
+    * can observe (an index's postings for source ids that no longer
+    * exist: probes only ever see them as extra candidates that exact
+    * verification already removes). Purging live data under this label
+    * corrupts streams exactly as a lying `dataChange = false` does in
+    * Delta.
+    *
+    * Scale shape: ONE distributed pass over the table finds the touched
+    * files (per-file stale counts via `input_file_name`), only those
+    * files rewrite (kept rows anti-joined against `stale`), and
+    * `recluster` re-applies the caller's physical layout to the
+    * replacement (range clustering for a key-clustered index; partition
+    * columns re-route in stageFiles regardless). DV-masked rows are
+    * dropped by the rewrite as a side effect — the same semantics as
+    * Delta's PURGE.
+    *
+    * Concurrency: commits at the resolved snapshot version,
+    * non-rebaseable — racing a concurrent sync/append throws
+    * [[CommitConflictException]]; recompute and retry (the purge is
+    * idempotent maintenance). `expectedVersion` lets a caller that
+    * computed `stale` against a pinned snapshot refuse to run on a
+    * moved table instead of purging rows a racing sync re-legitimized.
+    *
+    * @return rows dropped
+    */
+  def purgeStale(stale: DataFrame, joinCols: Seq[String],
+      recluster: Option[DataFrame => DataFrame] = None,
+      expectedVersion: Option[Long] = None): Long = {
+    require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
+    require(joinCols.nonEmpty, "purgeStale needs at least one join column")
+    val snap = snapshot
+    expectedVersion.filter(_ != snap.version).foreach { v =>
+      throw new CommitConflictException(
+        s"purgeStale expected version $v but found ${snap.version} — " +
+          "the table moved since the stale set was computed; recompute")
+    }
+    val missing = joinCols.filterNot(snap.schema.fieldNames.contains)
+    require(missing.isEmpty, s"no such column(s): ${missing.mkString(",")}")
+    if (snap.files.isEmpty) return 0L
+    // one pass: which files hold stale rows, and how many each
+    val staleByFile = readFiles(snap, snap.files)
+      .withColumn("__file", input_file_name())
+      .join(stale.select(joinCols.map(col): _*).distinct(),
+        joinCols, "left_semi")
+      .groupBy("__file").count().collect()
+      .map(r => Stats.normalizeFileUri(r.getString(0)) -> r.getLong(1))
+      .toMap
+    if (staleByFile.isEmpty) return 0L
+    val touched = snap.files.filter(f => staleByFile.contains(absPath(f)))
+    val kept = readFiles(snap, touched)
+      .join(stale.select(joinCols.map(col): _*).distinct(),
+        joinCols, "left_anti")
+    val pcs = snap.metaData.partitionColumns
+    val replacement = recluster match {
+      case Some(f) => f(kept) // the caller's physical layout wins
+      case None if pcs.nonEmpty =>
+        // one task per touched partition dir — stageFiles routes by the
+        // hive layout either way, this just avoids tiny-file fanout
+        kept.repartition(
+          math.max(1, touched.map(_.partitionValues).distinct.size),
+          PartitionTransforms.layoutColumns(pcs, snap.schema): _*)
+      case None => kept
+    }
+    val dropped = staleByFile.values.sum
+    rewrite(snap, touched, replacement, "PURGE",
+      Map("purgedRows" -> dropped.toString,
+        "touchedFiles" -> touched.size.toString,
+        "skippedFiles" -> (snap.files.size - touched.size).toString,
+        "predicate" -> s"semi-join on ${joinCols.mkString(",")}"))
+    dropped
+  }
+
   /** Post-write small-file maintenance (Databricks' auto-compaction
     * shape, opt-in): when the table property
     * `graft.autoCompact.enabled` is true, a write whose table now holds
@@ -2273,10 +2355,15 @@ object LakeTable {
     * labels a data-changing commit as REORG corrupts downstream streams
     * exactly as a lying `dataChange` flag does in Delta. All of this
     * engine's writers uphold it; external writers of this log format
-    * must too. */
+    * must too. "PURGE" ([[LakeTable.purgeStale]]) extends the invariant
+    * from "rows exactly" to "observable rows exactly": it drops rows its
+    * caller declares semantically dead (stale index postings for
+    * deleted source ids, DV-masked rows) — Delta's
+    * `REORG ... APPLY (PURGE)` makes the same trade under the same
+    * dataChange=false label. */
   val REORG_OPS =
     Set("COMPACT", "ZORDER BY", "HILBERT BY", "OPTIMIZE BY", "REBUCKET",
-      "BLOOM INDEX")
+      "BLOOM INDEX", "PURGE")
 
   /** Commits whose changes can only come from recorded `_change_data`
     * (derived add/remove replay would be wrong: a rewritten file holds
