@@ -471,7 +471,8 @@ object Dedup {
     * of appending wrong postings under the old pointer. Cost tracks the
     * CHANGED rows. Deletes/updates leave stale postings behind (extra
     * candidates, removed by exact verification — the same accepted
-    * semantics as the IVF index); rebuild to compact.
+    * semantics as the IVF index); [[compactMinhashIndex]] drops them in
+    * place without touching the sync pointer.
     *
     * @return postings rows appended (0 when already applied)
     */
@@ -555,6 +556,59 @@ object Dedup {
     } finally fresh.unpersist()
   }
 
+  /** Bound the postings table's growth under source CHURN: deletes and
+    * updates on the source leave stale postings behind (the sync is
+    * insert-only — stale rows only ever surface as extra candidates
+    * that exact verification removes), so without maintenance the index
+    * grows without bound while every probe pays the stale-candidate
+    * tax. One distributed pass drops every posting whose id no longer
+    * exists in the source, rewriting ONLY the files that hold one
+    * ([[graft.lake.LakeTable.purgeStale]], a REORG-class commit): the
+    * sync's SetTxn pointer, the baseline properties, and downstream
+    * table streams are untouched, and gate results are bit-identical
+    * before/after. Rewritten files re-cluster by key (same layout as
+    * the build — the probe's IN-list skipping keeps working) and
+    * re-attach their per-file key blooms in stageFiles.
+    *
+    * Pinned to one (postings, source) snapshot pair: a sync racing the
+    * purge throws [[graft.lake.CommitConflictException]] instead of
+    * dropping postings the race re-legitimized — recompute and retry.
+    *
+    * @return postings rows dropped
+    */
+  def compactMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      idCol: String): Long = {
+    val post = graft.lake.LakeTable.forPath(spark, s"$indexPath/postings")
+    val postSnap = post.snapshot
+    val props = postSnap.metaData.properties
+    minhashConf(props) // validates this IS a minhash index
+    val sourcePath = props.getOrElse(MINHASH_SOURCE_PATH_PROP,
+      throw new IllegalStateException(
+        s"minhash index at $indexPath records no source path"))
+    val src = graft.lake.LakeTable.forPath(spark, sourcePath)
+    val srcSnap = src.snapshot
+    props.get(MINHASH_SOURCE_ID_PROP)
+      .filter(_ != srcSnap.metaData.id).foreach { old =>
+        throw new IllegalStateException(
+          s"source table $sourcePath was deleted and recreated (index at " +
+            s"$indexPath synced against generation $old, found " +
+            s"${srcSnap.metaData.id}): compacting against the wrong " +
+            "generation would purge the whole index — rebuild it instead")
+      }
+    // both legs pinned: the stale set must mean "indexed at THIS
+    // postings version, absent from THIS source version"
+    val live = src.asOf(srcSnap.version).toDF
+      .select(col(idCol).as("id")).distinct()
+    val stale = post.asOf(postSnap.version).toDF
+      .select("id").distinct()
+      .join(live, Seq("id"), "left_anti")
+    post.purgeStale(stale, Seq("id"),
+      recluster = Some(_.repartitionByRange(col("key"))),
+      expectedVersion = Some(postSnap.version))
+  }
+
   /** Batch-vs-corpus FUZZY gate over the persisted postings (the
     * MinHash counterpart of [[semanticNewAgainstIndex]]): batch rows
     * whose shingle Jaccard to ANY indexed corpus doc — or to an EARLIER
@@ -568,7 +622,11 @@ object Dedup {
     * distributed join; candidate CORPUS text is fetched by id the same
     * two-mode way for the exact-Jaccard verification, so every emitted
     * drop is exact — only candidate generation (banding) is
-    * approximate, exactly [[minhashLsh]]'s contract.
+    * approximate, exactly [[minhashLsh]]'s contract. Every BATCH-side
+    * `broadcast()` hint rides the same bounded/oversized gate: a bulk
+    * wave above `maxInList` distinct band keys runs plain joins and AQE
+    * picks the strategy from runtime sizes (forcing a broadcast of
+    * per-row shingle arrays would OOM the driver instead of degrading).
     */
   def minhashNewAgainstIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -599,46 +657,56 @@ object Dedup {
           concat_ws(":", lit(b),
             array_join(slice(col("__bsig"), b * rowsPerBand + 1, rowsPerBand), ","))
         }: _*)).as("key"))
-      // micro-batches are small by construction: |batch| × bands keys.
-      // Bounded → IN-list read (file skipping); oversized → full join.
+      // the MICRO-BATCH contract is a fast path, not an assumption:
+      // bounded distinct band keys → IN-list read (file skipping) +
+      // batch-side broadcast hints; an OVERSIZED wave (bulk backfill
+      // pushed through the gate) degrades to full joins with NO hints —
+      // AQE picks the strategy from runtime sizes instead of the driver
+      // OOMing on a forced broadcast of per-row shingle arrays
       val keys = banded.select("key").distinct()
         .limit(maxInList + 1).collect().map(_.getString(0)).toSeq
+      val bounded = keys.size <= maxInList
+      def hinted(df: DataFrame): DataFrame = if (bounded) broadcast(df) else df
       val corpusPosts =
         if (keys.isEmpty) return batch
-        else if (keys.size <= maxInList) post.read(col("key").isin(keys: _*))
+        else if (bounded) post.read(col("key").isin(keys: _*))
         else post.toDF
       val candPairs = corpusPosts
-        .join(broadcast(banded.select(col("__bid"), col("key"))), Seq("key"))
+        .join(hinted(banded.select(col("__bid"), col("key"))), Seq("key"))
         .select(col("id").as("__cid"), col("__bid")).distinct()
       // exact verification needs the corpus text: by-id IN read when
       // bounded (file skipping again), else a distributed semi-join
       val candIds = candPairs.select(col("__cid")).distinct()
         .limit(maxInList + 1).collect().map(_.get(0)).toSeq
-      val srcT = graft.lake.LakeTable.forPath(spark, sourcePath)
-      val corpusSh = {
-        val rows =
-          if (candIds.isEmpty) return batch
-          else if (candIds.size <= maxInList)
-            srcT.read(col(idCol).isin(candIds: _*))
-          else srcT.toDF.join(
-            candPairs.select(col("__cid").as(idCol)).distinct(), Seq(idCol))
-        rows.select(col(idCol).as("__cid"),
-          shingleHashes(col(textCol), shingleN).as("__csh"))
-      }
-      val corpusDups = candPairs
-        .join(corpusSh, Seq("__cid"))
-        .join(broadcast(sig.select(col("__bid"), col("__bsh"))), Seq("__bid"))
-        .where(size(array_intersect(col("__csh"), col("__bsh"))).cast("double") /
-          size(array_union(col("__csh"), col("__bsh"))).cast("double")
-          >= threshold)
-        .select(col("__bid").as(idCol))
+      // zero corpus band overlap only empties the CORPUS arm — two
+      // near-identical docs in the same wave that resemble nothing
+      // indexed must still dedup against each other below
+      val corpusDups =
+        if (candIds.isEmpty) batch.select(col(idCol)).limit(0)
+        else {
+          val srcT = graft.lake.LakeTable.forPath(spark, sourcePath)
+          val rows =
+            if (candIds.size <= maxInList)
+              srcT.read(col(idCol).isin(candIds: _*))
+            else srcT.toDF.join(
+              candPairs.select(col("__cid").as(idCol)).distinct(), Seq(idCol))
+          val corpusSh = rows.select(col(idCol).as("__cid"),
+            shingleHashes(col(textCol), shingleN).as("__csh"))
+          candPairs
+            .join(corpusSh, Seq("__cid"))
+            .join(hinted(sig.select(col("__bid"), col("__bsh"))), Seq("__bid"))
+            .where(size(array_intersect(col("__csh"), col("__bsh"))).cast("double") /
+              size(array_union(col("__csh"), col("__bsh"))).cast("double")
+              >= threshold)
+            .select(col("__bid").as(idCol))
+        }
       // two near-identical docs arriving in the SAME wave must not both
       // land (one wave apart they would have deduped against the index)
       val a = banded.select(col("key"), col("__bid").as("__ida"),
         col("__bsh").as("__sha"))
       val b = banded.select(col("key"), col("__bid").as("__idb"),
         col("__bsh").as("__shb"))
-      val batchDups = a.join(broadcast(b), Seq("key"))
+      val batchDups = a.join(hinted(b), Seq("key"))
         .where(col("__ida") < col("__idb") &&
           size(array_intersect(col("__sha"), col("__shb"))).cast("double") /
             size(array_union(col("__sha"), col("__shb"))).cast("double")
@@ -647,7 +715,7 @@ object Dedup {
       // materialized eagerly (batch-bounded rows) so the returned plan
       // no longer references the cached sig after the unpersist below
       val dups = corpusDups.unionByName(batchDups).distinct().localCheckpoint()
-      batch.join(broadcast(dups), Seq(idCol), "left_anti")
+      batch.join(hinted(dups), Seq(idCol), "left_anti")
     } finally sig.unpersist()
   }
 
@@ -1054,8 +1122,10 @@ object Dedup {
     * for append + index maintenance. Cost tracks the BATCH: probes
     * resolve against the broadcast codebook, the assignments table is
     * read partition-pruned to the probed lists only, and the batch side
-    * broadcasts (micro-batches are small by construction) — the corpus
-    * never shuffles; the within-batch pass is a batch×batch cluster join.
+    * broadcasts WHEN MICRO-BATCH SIZED — above `maxBroadcastRows` the
+    * hints drop and AQE picks the strategy (a bulk wave force-broadcast
+    * as embedding vectors would OOM the driver) — the corpus never
+    * shuffles; the within-batch pass is a batch×batch cluster join.
     * Candidate generation is approximate (nProbe lists); every emitted
     * drop is exact-cosine verified.
     */
@@ -1066,7 +1136,8 @@ object Dedup {
       vecCol: String,
       idCol: String,
       threshold: Double = 0.8,
-      nProbe: Int = 2): DataFrame = {
+      nProbe: Int = 2,
+      maxBroadcastRows: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.graft.VectorExpressions.nearestCentroids
     val (centroids, dimN) = Similarity.loadCodebook(spark, indexPath)
     // cached: referenced by the probed-list collect, the corpus join,
@@ -1085,10 +1156,16 @@ object Dedup {
       val probedLists = probes.select("list_id").distinct()
         .collect().map(_.getInt(0)).toSeq
       if (probedLists.isEmpty) return batch
+      // cheap on the cached frame: one bounded count decides whether the
+      // batch-side broadcast hints apply or AQE picks from runtime sizes
+      val bounded = probes
+        .limit(math.min(maxBroadcastRows + 1, Int.MaxValue.toLong).toInt)
+        .count() <= maxBroadcastRows
+      def hinted(df: DataFrame): DataFrame = if (bounded) broadcast(df) else df
       val corpus = graft.lake.LakeTable
         .forPath(spark, s"$indexPath/assignments")
         .read(col("list_id").isin(probedLists: _*)) // partition-pruned
-      val corpusDups = corpus.join(broadcast(probes), Seq("list_id"))
+      val corpusDups = corpus.join(hinted(probes), Seq("list_id"))
         .where(Similarity.dotNormalized(col("nvec"), col("__bnvec")) >= threshold)
         .select(col("__bid").as(idCol))
       // two near-identical docs arriving in the SAME wave must not both
@@ -1097,14 +1174,14 @@ object Dedup {
         col("__bnvec").as("__va"))
       val b = probes.select(col("list_id"), col("__bid").as("__idb"),
         col("__bnvec").as("__vb"))
-      val batchDups = a.join(broadcast(b), Seq("list_id"))
+      val batchDups = a.join(hinted(b), Seq("list_id"))
         .where(col("__ida") < col("__idb") &&
           Similarity.dotNormalized(col("__va"), col("__vb")) >= threshold)
         .select(col("__idb").as(idCol))
       // materialized eagerly (batch-bounded rows) so the returned plan
       // no longer references the cached probes after the unpersist below
       val dups = corpusDups.unionByName(batchDups).distinct().localCheckpoint()
-      batch.join(broadcast(dups), Seq(idCol), "left_anti")
+      batch.join(hinted(dups), Seq(idCol), "left_anti")
     } finally probes.unpersist()
   }
 

@@ -279,7 +279,9 @@ object Similarity {
     *
     * Deletes/updates on the source leave stale vectors behind (extra
     * dedup candidates — same accepted semantics as every ANN index);
-    * the next drift-gated retrain rebuilds from live rows.
+    * [[compactIvfIndex]] drops them in place without touching the sync
+    * pointer (a drift retrain re-trains the cluster space from the
+    * assignments but never removes rows — compact first under churn).
     *
     * @return rows appended to the index
     */
@@ -368,6 +370,57 @@ object Similarity {
     if (asg.idempotentAppend(assigned, syncAppId(sourcePath), latest))
       indexedRows(asg) - before // snapshot re-reads the log — post-append
     else 0L
+  }
+
+  /** Bound the assignments table's growth under source CHURN — the IVF
+    * counterpart of [[graft.ops.Dedup.compactMinhashIndex]]: deletes and
+    * updates on the source leave stale vectors behind (the sync is
+    * insert-only; they only surface as extra ANN candidates / dedup
+    * comparisons), and a drift retrain rebuilds the CLUSTER SPACE from
+    * whatever the assignments hold — it never removes rows. One
+    * distributed pass drops every assignment whose id no longer exists
+    * in the source, rewriting only the hive partitions that hold one
+    * ([[graft.lake.LakeTable.purgeStale]], a REORG-class commit): the
+    * sync's SetTxn pointer, the codebook, and downstream table streams
+    * are untouched; ANN probe results are bit-identical before/after
+    * for any query, minus the dead ids themselves.
+    *
+    * Pinned to one (assignments, source) snapshot pair: a sync racing
+    * the purge throws [[graft.lake.CommitConflictException]] instead of
+    * dropping rows the race re-legitimized — recompute and retry.
+    *
+    * @return assignment rows dropped
+    */
+  def compactIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      sourcePath: String,
+      idCol: String): Long = {
+    val cb = graft.lake.LakeTable.forPath(spark, s"$indexPath/codebook")
+    val asg = graft.lake.LakeTable.forPath(spark, s"$indexPath/assignments")
+    val asgSnap = asg.snapshot
+    val src = graft.lake.LakeTable.forPath(spark, sourcePath)
+    val srcSnap = src.snapshot
+    cb.snapshot.metaData.properties.get(SOURCE_ID_PROP)
+      .filter(_ != srcSnap.metaData.id).foreach { old =>
+        throw new IllegalStateException(
+          s"source table $sourcePath was deleted and recreated (index at " +
+            s"$indexPath synced against generation $old, found " +
+            s"${srcSnap.metaData.id}): compacting against the wrong " +
+            "generation would purge the whole index — rebuild with " +
+            "rebuildIvfIndexFromTable instead")
+      }
+    // both legs pinned: "assigned at THIS index version, absent from
+    // THIS source version"
+    val live = src.asOf(srcSnap.version).toDF
+      .select(col(idCol).as("id")).distinct()
+    val stale = asg.asOf(asgSnap.version).toDF
+      .select("id").distinct()
+      .join(live, Seq("id"), "left_anti")
+    // default recluster: purgeStale re-routes by the hive partition
+    // columns (list_id) — one task per touched inverted list
+    asg.purgeStale(stale, Seq("id"),
+      expectedVersion = Some(asgSnap.version))
   }
 
   /** Retrain the index when the corpus has drifted: if more than

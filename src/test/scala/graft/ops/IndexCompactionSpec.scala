@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.tables.Tables
+
+/** Compaction for the persisted incremental indexes (VERDICT r8 #1):
+  * source deletes/updates leave stale MinHash postings and IVF
+  * assignment rows forever — under churn the index grows without bound
+  * and every probe pays the stale-candidate tax. The REORG-style purge
+  * must drop exactly the dead ids' rows, leave the exactly-once sync
+  * pointer and every property untouched, keep gate results
+  * bit-identical, and stay invisible to downstream streams.
+  */
+class IndexCompactionSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Tables.documents(spark, sf).select("doc_id", "text")
+
+  test("minhash: purge drops deleted ids' postings; pointer + gate untouched") {
+    val root = java.nio.file.Files.createTempDirectory("mh-compact-").toString
+    val srcPath = s"$root/src"
+    val idxPath = s"$root/idx"
+    val t = graft.lake.LakeTable.create(spark, srcPath,
+      docs.where($"doc_id" % 10 =!= 0).limit(200),
+      properties = Map(graft.lake.Cdc.PROP -> "true"))
+    Dedup.buildMinhashIndexFromTable(spark, idxPath, srcPath,
+      "text", "doc_id")
+    // one append + sync so the SetTxn pointer EXISTS before the purge
+    t.append(docs.where($"doc_id" % 10 === 0).limit(20))
+    assert(Dedup.syncMinhashIndexFromTable(spark, idxPath, srcPath,
+      "text", "doc_id") > 0)
+    val post = graft.lake.LakeTable.forPath(spark, s"$idxPath/postings")
+
+    // 50% source churn
+    val deleted = t.delete($"doc_id" % 2 === 0)
+    assert(deleted > 0)
+    val live = t.toDF.select("doc_id").as[Long].collect().toSet
+    val before = post.toDF.select("id", "key").as[(Long, String)]
+      .collect().toSet
+    val expected = before.filter(p => live.contains(p._1))
+    assert(expected.size < before.size, "churn must have left stale postings")
+
+    // gate over a wave mixing near-dups of LIVE docs, near-dups of
+    // DELETED docs (must SURVIVE: verification re-fetches source text by
+    // id, dead ids fetch nothing), and fresh rows
+    val wave = docs.where($"doc_id" % 10 === 5).limit(30)
+      .select(($"doc_id" + 5000000).as("doc_id"),
+        concat($"text", lit(" tail")).as("text"))
+    val gateBefore = Dedup.minhashNewAgainstIndex(spark, idxPath, wave,
+      "text", "doc_id", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+
+    val txnsBefore = post.snapshot.txns
+    val propsBefore = post.snapshot.metaData.properties
+    assert(txnsBefore.nonEmpty)
+
+    val dropped = Dedup.compactMinhashIndex(spark, idxPath, "doc_id")
+    assert(dropped === (before.size - expected.size).toLong,
+      "purge must drop exactly the dead ids' postings")
+    assert(post.toDF.select("id", "key").as[(Long, String)]
+      .collect().toSet === expected,
+      "surviving postings must be bit-identical to the live filter")
+    assert(post.snapshot.commits.last._2.operation === "PURGE")
+    assert(post.snapshot.txns === txnsBefore, "sync pointer must not move")
+    assert(post.snapshot.metaData.properties === propsBefore)
+
+    val gateAfter = Dedup.minhashNewAgainstIndex(spark, idxPath, wave,
+      "text", "doc_id", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gateAfter === gateBefore,
+      "gate results must be bit-identical before/after the purge")
+
+    // a second purge finds nothing and commits nothing
+    val v = post.snapshot.version
+    assert(Dedup.compactMinhashIndex(spark, idxPath, "doc_id") === 0L)
+    assert(post.snapshot.version === v)
+
+    // the sync continues exactly-once across the purge
+    t.append(docs.where($"doc_id" % 10 === 7).limit(10))
+    assert(Dedup.syncMinhashIndexFromTable(spark, idxPath, srcPath,
+      "text", "doc_id") === 10L * 8)
+  }
+
+  test("ivf: purge drops deleted ids' assignments; pointer + probes intact") {
+    val root = java.nio.file.Files.createTempDirectory("ivf-compact-").toString
+    val srcPath = s"$root/src"
+    val idxPath = s"$root/idx"
+    val dim = 16
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(6)(Array.fill(dim)(rnd.nextGaussian() * 3))
+    def member(i: Int): Array[Float] =
+      centers(i % 6).map(x => (x + rnd.nextGaussian() * 0.3).toFloat)
+    val t = graft.lake.LakeTable.create(spark, srcPath,
+      (0 until 120).map(i => (i.toLong, member(i))).toDF("vec_id", "embedding"),
+      properties = Map(graft.lake.Cdc.PROP -> "true"))
+    Similarity.rebuildIvfIndexFromTable(spark, idxPath, srcPath,
+      "embedding", "vec_id", nLists = 6)
+    t.append((200 until 220).map(i => (i.toLong, member(i)))
+      .toDF("vec_id", "embedding"))
+    assert(Similarity.syncIvfIndexFromTable(spark, idxPath, srcPath,
+      "embedding", "vec_id") === 20L)
+    val asg = graft.lake.LakeTable.forPath(spark, s"$idxPath/assignments")
+    val cb = graft.lake.LakeTable.forPath(spark, s"$idxPath/codebook")
+
+    // 50% churn
+    assert(t.delete($"vec_id" % 2 === 0) > 0)
+    val live = t.toDF.select("vec_id").as[Long].collect().toSet
+    val before = asg.toDF.select("id", "list_id").as[(Long, Int)]
+      .collect().toSet
+    val expected = before.filter(p => live.contains(p._1))
+    assert(expected.size < before.size)
+
+    val txnsBefore = asg.snapshot.txns
+    val cbPropsBefore = cb.snapshot.metaData.properties
+    val cbVersion = cb.snapshot.version
+    assert(txnsBefore.nonEmpty)
+
+    // a probe AT a deleted vector sees its dead id pre-compact — the
+    // stale-candidate tax this purge exists to stop paying
+    val deadId = 0L
+    val q = Seq((9000L, member(0))).toDF("q_id", "embedding")
+    val hitsBefore = Similarity.ivfTopKIndexed(spark, idxPath, q,
+      "embedding", "q_id", k = 5)
+      .select("id").as[Long].collect().toSet
+    assert(hitsBefore.exists(!live.contains(_)),
+      "fixture must demonstrate a dead id surfacing pre-compact")
+
+    val dropped = Similarity.compactIvfIndex(spark, idxPath, srcPath, "vec_id")
+    assert(dropped === (before.size - expected.size).toLong)
+    assert(asg.toDF.select("id", "list_id").as[(Long, Int)]
+      .collect().toSet === expected,
+      "surviving assignments must be bit-identical to the live filter")
+    assert(asg.snapshot.commits.last._2.operation === "PURGE")
+    assert(asg.snapshot.txns === txnsBefore, "sync pointer must not move")
+    assert(cb.snapshot.metaData.properties === cbPropsBefore)
+    assert(cb.snapshot.version === cbVersion, "the codebook is untouched")
+
+    val hitsAfter = Similarity.ivfTopKIndexed(spark, idxPath, q,
+      "embedding", "q_id", k = 5)
+      .select("id").as[Long].collect().toSet
+    assert(hitsAfter.forall(live.contains),
+      "no dead id may surface post-compact")
+    assert(hitsBefore.filter(live.contains).subsetOf(hitsAfter),
+      "every live pre-compact hit must survive (dead ids only ever " +
+        "displaced live candidates downward)")
+
+    // the sync continues exactly-once across the purge
+    t.append((300 until 305).map(i => (i.toLong, member(i)))
+      .toDF("vec_id", "embedding"))
+    assert(Similarity.syncIvfIndexFromTable(spark, idxPath, srcPath,
+      "embedding", "vec_id") === 5L)
+  }
+
+  test("compaction refuses a recreated source generation") {
+    val root = java.nio.file.Files.createTempDirectory("compact-gen-").toString
+    val srcPath = s"$root/src"
+    val idxPath = s"$root/idx"
+    graft.lake.LakeTable.create(spark, srcPath, docs.limit(30),
+      properties = Map(graft.lake.Cdc.PROP -> "true"))
+    Dedup.buildMinhashIndexFromTable(spark, idxPath, srcPath,
+      "text", "doc_id")
+    graft.TestFs.rmRf(srcPath)
+    // recreated: EVERY old posting's id is "absent" from the new
+    // generation — an unguarded compact would purge the whole index
+    graft.lake.LakeTable.create(spark, srcPath, docs.limit(3),
+      properties = Map(graft.lake.Cdc.PROP -> "true"))
+    val e = intercept[IllegalStateException] {
+      Dedup.compactMinhashIndex(spark, idxPath, "doc_id")
+    }
+    assert(e.getMessage.contains("deleted and recreated"))
+  }
+}

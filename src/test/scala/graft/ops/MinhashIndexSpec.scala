@@ -166,6 +166,37 @@ class MinhashIndexSpec extends AnyFunSuite {
       "post-rebuild sync must apply the new generation's commits")
   }
 
+  test("within-batch dedup fires even with ZERO corpus band overlap") {
+    // regression (ADVICE r8 high): candIds.isEmpty used to early-return
+    // the whole batch, skipping the within-batch arm — two near-identical
+    // same-wave docs resembling nothing indexed both survived and were
+    // then both appended and permanently indexed
+    val root = java.nio.file.Files.createTempDirectory("mh-alien-").toString
+    val srcPath = s"$root/src"
+    val idxPath = s"$root/idx"
+    graft.lake.LakeTable.create(spark, srcPath,
+      docs.where($"doc_id" % 10 =!= 0).limit(100),
+      properties = Map(graft.lake.Cdc.PROP -> "true"))
+    Dedup.buildMinhashIndexFromTable(spark, idxPath, srcPath,
+      "text", "doc_id")
+    // vocabulary disjoint from the corpus fixture: no shared shingle,
+    // hence no shared band key, hence zero corpus candidates
+    val alien = "qxv zmw plk rrt ubn ffj ooc hye wda gks " * 5
+    val wave = Seq(
+      (9000001L, alien),
+      (9000002L, alien + " qxv zmw"), // near-dup of 9000001 (j ~ 1.0)
+      (9000003L, "ngh vvb xxo ppq lld zzr mmu eet ccy aak " * 5))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashNewAgainstIndex(spark, idxPath, wave,
+      "text", "doc_id", threshold = 0.5)
+    val corpus = graft.lake.LakeTable.forPath(spark, srcPath).toDF
+    assert(out.select("doc_id").as[Long].collect().toSet ===
+      exactSurvivors(wave, corpus, 0.5))
+    assert(out.select("doc_id").as[Long].collect().toSet ===
+      Set(9000001L, 9000003L),
+      "the larger-id same-wave twin must drop despite no corpus overlap")
+  }
+
   test("probe reads the postings by IN-list, not a corpus scan") {
     val root = java.nio.file.Files.createTempDirectory("mh-prune-").toString
     val srcPath = s"$root/src"
