@@ -18,6 +18,12 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   DESCRIBE HISTORY lake.db.t [LIMIT n]  -- newest n = O(n) commit
   *                                            reads, not O(retained log)
   *   BUILD BLOOM INDEX ON lake.db.t [FORCE] -- backfill bloom sidecars
+  *   BUILD MINHASH INDEX ON lake.db.t AT '/idx' USING (text, id)
+  *     [WITH (shingleN, bands, rowsPerBand)]  -- persisted fuzzy-dedup index
+  *   SYNC MINHASH INDEX AT '/idx' USING (text, id)  -- exactly-once CDF sync
+  *   REBUILD MINHASH INDEX AT '/idx' USING (text, id) -- fresh-log recovery
+  *                                            (recorded source + conf)
+  *   COMPACT MINHASH INDEX AT '/idx' USING (id) -- purge stale postings
   *
   * Table references resolve like the `table_changes` TVF: a dotted name
   * through the named catalog's warehouse conf, anything else as a path.
@@ -52,6 +58,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case DESCRIBE_DETAIL_RE(ident) => RunLakeDetail(strip(ident))
     case BUILD_BLOOM_RE(ident, force) =>
       RunLakeBuildBloomIndex(strip(ident), force != null)
+    case BUILD_MINHASH_RE(src, idx, textCol, idCol, n, b, r) =>
+      RunBuildMinhashIndex(strip(src), strip(idx), strip(textCol),
+        strip(idCol),
+        Option(n).map(_ => (n.toInt, b.toInt, r.toInt)))
+    case SYNC_MINHASH_RE(idx, textCol, idCol) =>
+      RunSyncMinhashIndex(strip(idx), strip(textCol), strip(idCol))
+    case REBUILD_MINHASH_RE(idx, textCol, idCol) =>
+      RunRebuildMinhashIndex(strip(idx), strip(textCol), strip(idCol))
+    case COMPACT_MINHASH_RE(idx, idCol) =>
+      RunCompactMinhashIndex(strip(idx), strip(idCol))
     case RESTORE_RE(ident, version) => RunLakeRestore(strip(ident), version.toLong)
     // only intercept constraint DDL aimed at a LAKE table; anything else
     // falls through to Spark's own ALTER TABLE handling
@@ -113,6 +129,20 @@ object GraftSqlParser {
   private[graft] val BUILD_BLOOM_RE =
     ("""(?is)\s*BUILD\s+BLOOM\s+INDEX\s+ON\s+""" + TABLE +
       """(\s+FORCE)?\s*;?\s*""").r
+  private val COLPAIR = """\s*\(\s*([\w`]+)\s*,\s*([\w`]+)\s*\)"""
+  private[graft] val BUILD_MINHASH_RE =
+    ("""(?is)\s*BUILD\s+MINHASH\s+INDEX\s+ON\s+""" + TABLE +
+      """\s+AT\s+""" + TABLE + """\s+USING""" + COLPAIR +
+      """(?:\s+WITH\s*\(\s*(\d+)\s*,\s*(\d+)\s*,\s*(\d+)\s*\))?\s*;?\s*""").r
+  private[graft] val SYNC_MINHASH_RE =
+    ("""(?is)\s*SYNC\s+MINHASH\s+INDEX\s+AT\s+""" + TABLE +
+      """\s+USING""" + COLPAIR + """\s*;?\s*""").r
+  private[graft] val REBUILD_MINHASH_RE =
+    ("""(?is)\s*REBUILD\s+MINHASH\s+INDEX\s+AT\s+""" + TABLE +
+      """\s+USING""" + COLPAIR + """\s*;?\s*""").r
+  private[graft] val COMPACT_MINHASH_RE =
+    ("""(?is)\s*COMPACT\s+MINHASH\s+INDEX\s+AT\s+""" + TABLE +
+      """\s+USING\s*\(\s*([\w`]+)\s*\)\s*;?\s*""").r
   private[graft] val RESTORE_RE =
     ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?""" + TABLE +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
@@ -279,6 +309,107 @@ private[graft] case class RunLakeBuildBloomIndex(ident: String,
     val n = graft.lake.LakeTable.forPath(spark, path).buildBloomIndex(force)
     Seq(Row(n.toLong))
   }
+}
+
+/** `BUILD MINHASH INDEX ON src AT idx USING (textCol, idCol)
+  * [WITH (shingleN, bands, rowsPerBand)]` — build the persisted fuzzy
+  * dedup index over a source lake table at a pinned snapshot; see
+  * [[graft.ops.Dedup.buildMinhashIndexFromTable]]. */
+private[graft] case class RunBuildMinhashIndex(srcIdent: String,
+    idxIdent: String, textCol: String, idCol: String,
+    banding: Option[(Int, Int, Int)]) extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] =
+    Seq(AttributeReference("postings", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcPath = GraftExtensions.resolveTablePath(spark, srcIdent)
+    val idxPath = MinhashIndexSql.resolveIndexPath(spark, idxIdent)
+    val (n, b, r) = banding.getOrElse((3, 8, 4))
+    graft.ops.Dedup.buildMinhashIndexFromTable(spark, idxPath, srcPath,
+      textCol, idCol, n, b, r)
+    Seq(Row(MinhashIndexSql.postingsRows(spark, idxPath)))
+  }
+}
+
+/** `SYNC MINHASH INDEX AT idx USING (textCol, idCol)` — exactly-once
+  * postings maintenance from the recorded source's change feed; see
+  * [[graft.ops.Dedup.syncMinhashIndexFromTable]]. */
+private[graft] case class RunSyncMinhashIndex(idxIdent: String,
+    textCol: String, idCol: String) extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] =
+    Seq(AttributeReference("postings_appended", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val idxPath = MinhashIndexSql.resolveIndexPath(spark, idxIdent)
+    val n = graft.ops.Dedup.syncMinhashIndexFromTable(spark, idxPath,
+      MinhashIndexSql.sourcePath(spark, idxPath), textCol, idCol)
+    Seq(Row(n))
+  }
+}
+
+/** `REBUILD MINHASH INDEX AT idx USING (textCol, idCol)` — the recovery
+  * the sync's generation guard directs to: delete + fresh-log rebuild
+  * against the RECORDED source path under the RECORDED banding config
+  * (an in-place overwrite would keep the old generation's SetTxn and
+  * silently poison the next sync). */
+private[graft] case class RunRebuildMinhashIndex(idxIdent: String,
+    textCol: String, idCol: String) extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] =
+    Seq(AttributeReference("postings", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val idxPath = MinhashIndexSql.resolveIndexPath(spark, idxIdent)
+    val src = MinhashIndexSql.sourcePath(spark, idxPath)
+    val (n, b, r) = MinhashIndexSql.conf(spark, idxPath)
+    graft.ops.Dedup.buildMinhashIndexFromTable(spark, idxPath, src,
+      textCol, idCol, n, b, r)
+    Seq(Row(MinhashIndexSql.postingsRows(spark, idxPath)))
+  }
+}
+
+/** `COMPACT MINHASH INDEX AT idx USING (idCol)` — REORG-purge postings
+  * whose source ids were deleted; see
+  * [[graft.ops.Dedup.compactMinhashIndex]]. */
+private[graft] case class RunCompactMinhashIndex(idxIdent: String,
+    idCol: String) extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] =
+    Seq(AttributeReference("postings_purged", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val idxPath = MinhashIndexSql.resolveIndexPath(spark, idxIdent)
+    Seq(Row(graft.ops.Dedup.compactMinhashIndex(spark, idxPath, idCol)))
+  }
+}
+
+private[graft] object MinhashIndexSql {
+  /** An index ROOT is a plain directory holding `postings` — never
+    * itself a lake table, and (for BUILD) possibly not created yet — so
+    * resolution cannot demand lake-ness the way [[GraftExtensions
+    * .resolveTablePath]] does: a path-looking ref is literal, a dotted
+    * ref maps through the named catalog's warehouse. The commands that
+    * need an EXISTING index validate through `$idx/postings`. */
+  def resolveIndexPath(spark: SparkSession, s: String): String =
+    if (s.contains('/')) s
+    else {
+      val parts = s.split('.')
+      spark.conf.getOption(s"spark.sql.catalog.${parts.head}.warehouse")
+        .map(w => (w +: parts.tail).mkString("/")).getOrElse(s)
+    }
+  private def props(spark: SparkSession, idxPath: String) =
+    graft.lake.LakeTable.forPath(spark, s"$idxPath/postings")
+      .snapshot.metaData.properties
+  def sourcePath(spark: SparkSession, idxPath: String): String =
+    props(spark, idxPath).getOrElse(
+      graft.ops.Dedup.MINHASH_SOURCE_PATH_PROP,
+      throw new IllegalStateException(
+        s"minhash index at $idxPath records no source path"))
+  def conf(spark: SparkSession, idxPath: String): (Int, Int, Int) =
+    props(spark, idxPath).get(graft.ops.Dedup.MINHASH_CONF_PROP)
+      .map(_.split(',')) match {
+      case Some(Array(n, b, r)) => (n.toInt, b.toInt, r.toInt)
+      case _ => throw new IllegalStateException(
+        s"not a minhash index: $idxPath")
+    }
+  /** Row count from the staged files' footer stats — no scan job. */
+  def postingsRows(spark: SparkSession, idxPath: String): Long =
+    graft.lake.LakeTable.forPath(spark, s"$idxPath/postings")
+      .snapshot.files.flatMap(_.stats.map(_.numRecords)).sum
 }
 
 /** `DESCRIBE DETAIL t` — location/version/id/partitioning/size snapshot

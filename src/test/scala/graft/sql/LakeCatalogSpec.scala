@@ -233,6 +233,68 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT 1 + 1").as[Int].head() === 2)
   }
 
+  test("MINHASH INDEX lifecycle via SQL: BUILD / SYNC / COMPACT / REBUILD") {
+    val root = Files.createTempDirectory("mh-sql-").toString
+    val srcPath = s"$root/src"
+    val idxPath = s"$root/idx"
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val t = LakeTable.create(spark, srcPath,
+      docs.where($"doc_id" % 10 =!= 0).limit(100),
+      properties = Map(graft.lake.Cdc.PROP -> "true"))
+    val built = spark.sql(
+      s"BUILD MINHASH INDEX ON '$srcPath' AT '$idxPath' USING (text, doc_id)")
+      .as[Long].head()
+    val post = LakeTable.forPath(spark, s"$idxPath/postings")
+    assert(built > 0 && built === post.toDF.count())
+    assert(post.snapshot.metaData.properties(
+      graft.ops.Dedup.MINHASH_CONF_PROP) === "3,8,4")
+
+    t.append(docs.where($"doc_id" % 10 === 0).limit(10))
+    assert(spark.sql(
+      s"SYNC MINHASH INDEX AT '$idxPath' USING (text, doc_id)")
+      .as[Long].head() === 10L * 8)
+    // replay is a no-op through SQL too
+    assert(spark.sql(
+      s"SYNC MINHASH INDEX AT '$idxPath' USING (text, doc_id)")
+      .as[Long].head() === 0L)
+
+    t.delete($"doc_id" % 2 === 0)
+    val live = t.toDF.select("doc_id").as[Long].collect().toSet
+    val purged = spark.sql(
+      s"COMPACT MINHASH INDEX AT '$idxPath' USING (doc_id)").as[Long].head()
+    assert(purged > 0)
+    assert(post.snapshot.commits.last._2.operation === "PURGE")
+    assert(post.toDF.select("id").as[Long].collect().toSet.subsetOf(live))
+
+    // recreate the source: sync refuses; REBUILD recovers with a fresh
+    // log under the recorded source path + banding config
+    graft.TestFs.rmRf(srcPath)
+    val t2 = LakeTable.create(spark, srcPath, docs.limit(5),
+      properties = Map(graft.lake.Cdc.PROP -> "true"))
+    intercept[IllegalStateException] {
+      spark.sql(s"SYNC MINHASH INDEX AT '$idxPath' USING (text, doc_id)")
+        .collect()
+    }
+    val rebuilt = spark.sql(
+      s"REBUILD MINHASH INDEX AT '$idxPath' USING (text, doc_id)")
+      .as[Long].head()
+    assert(rebuilt === post.toDF.count())
+    assert(post.snapshot.txns.isEmpty, "rebuild must start a fresh log")
+    assert(post.snapshot.metaData.properties(
+      graft.ops.Dedup.MINHASH_SOURCE_ID_PROP) === t2.snapshot.metaData.id)
+    t2.append(docs.where($"doc_id" % 10 === 6).limit(5))
+    assert(spark.sql(
+      s"SYNC MINHASH INDEX AT '$idxPath' USING (text, doc_id)")
+      .as[Long].head() === 5L * 8)
+    // BUILD with an explicit banding config round-trips
+    val idx2 = s"$root/idx2"
+    spark.sql(s"BUILD MINHASH INDEX ON '$srcPath' AT '$idx2' " +
+      "USING (text, doc_id) WITH (3, 16, 2)").collect()
+    assert(LakeTable.forPath(spark, s"$idx2/postings").snapshot
+      .metaData.properties(graft.ops.Dedup.MINHASH_CONF_PROP) === "3,16,2")
+  }
+
   test("BUILD BLOOM INDEX via SQL") {
     warehouse
     spark.sql("CREATE TABLE lake.bronze.bloomsql AS SELECT id * 2 AS id FROM range(64)")
