@@ -178,8 +178,9 @@ object Bench {
       // constructing d14's frame builds its corpus + postings index
       // (side effects of the query closure, ~4 s) — accepted so the
       // minhash GATE's shape (broadcast banded probe + IN-filtered
-      // postings read) is regression-tracked from its first round
-      "d14_minhash_index_gate")
+      // postings read) is regression-tracked from its first round;
+      // d14p is the probe-only companion (fixture memoized per JVM)
+      "d14_minhash_index_gate", "d14p_minhash_gate_probe")
     val plans = auditNames.flatMap { n =>
       SparkEntry.queries.get(n).flatMap { fn =>
         try {
@@ -238,8 +239,12 @@ object Bench {
         // set churned round to round, so the band comparison — the
         // block's whole purpose — kept losing series; these six always
         // emit: lake1 + lake_merge below, these four here)...
+        // d14p joins the pinned set in r9: the gate-only number whose
+        // band BASELINE §R records (d14 keeps measuring build+gate for
+        // series continuity)
         val fixedCold = Seq("lake5_incremental_mv", "d4v_simhash_verified",
-          "q21_waiting_suppliers", "a14_source_overlap")
+          "q21_waiting_suppliers", "a14_source_overlap",
+          "d14p_minhash_gate_probe")
         // ...and the in-run top-5 tail riding on top (VERDICT r4 #7:
         // d4v read 3.8× its isolated cost in-run — measurement
         // interference, not plan). min-of-2: rep 1 absorbs

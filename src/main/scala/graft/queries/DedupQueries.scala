@@ -15,6 +15,25 @@ object DedupQueries extends QueryGroup {
 
   import TextFunctions._
 
+  /** Memoized (per sf dir, per JVM) corpus table + MinHash postings
+    * index for the d14p probe-only query: the fixture builds once, so
+    * d14p's timed region is the GATE's plan cost alone — the pinned
+    * cold bench series finally tracks the probe, not two table writes
+    * (VERDICT r8 #3). Paths (not sessions) are memoized: the bench's
+    * cold block runs in a FRESH SparkContext and re-reads the same
+    * on-disk fixture. */
+  private val mhGateFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[queries] def mhGateFixture(s: org.apache.spark.sql.SparkSession,
+      d: String, corpus: org.apache.spark.sql.DataFrame): String =
+    mhGateFixtures.computeIfAbsent(d, _ => {
+      val root = java.nio.file.Files.createTempDirectory("mh-gatep-").toString
+      graft.lake.LakeTable.create(s, s"$root/src", corpus)
+      Dedup.buildMinhashIndexFromTable(s, s"$root/idx", s"$root/src",
+        "text", "doc_id")
+      s"$root/idx"
+    })
+
   /** The raw fixture has no near-duplicates, which made the pair-join
     * oracles vacuously 0==0 (VERDICT r01 "what's wrong" #1). Inject
     * DETERMINISTIC near-dups derived from the sample itself — every 5th
@@ -348,6 +367,57 @@ object DedupQueries extends QueryGroup {
         Dedup.buildMinhashIndexFromTable(s, s"$root/idx", s"$root/src",
           "text", "doc_id")
         Dedup.minhashNewAgainstIndex(s, s"$root/idx", batch,
+          "text", "doc_id", threshold = 0.5)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        batch AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM corpus WHERE doc_id % 20 = 5
+          UNION ALL
+          SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 40 = 0),
+        sb AS (SELECT doc_id, ${shinglesSql("text", 3)} AS sh FROM batch),
+        sc AS (SELECT doc_id, ${shinglesSql("text", 3)} AS sh FROM corpus),
+        dropped AS (
+          SELECT b.doc_id FROM sb b, sc c
+          WHERE len(b.sh) > 0 AND len(c.sh) > 0
+            AND CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
+                CAST(len(list_distinct(list_concat(b.sh, c.sh))) AS DOUBLE)
+                >= 0.5
+          UNION
+          SELECT b2.doc_id FROM sb b1, sb b2
+          WHERE b1.doc_id < b2.doc_id
+            AND len(b1.sh) > 0 AND len(b2.sh) > 0
+            AND CAST(len(list_intersect(b1.sh, b2.sh)) AS DOUBLE) /
+                CAST(len(list_distinct(list_concat(b1.sh, b2.sh))) AS DOUBLE)
+                >= 0.5)
+        SELECT doc_id FROM batch
+        WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        ORDER BY doc_id""")),
+
+    // ===== d14's PROBE-ONLY companion (VERDICT r8 #3): d14's timed
+    // region is dominated by its own fixture setup (two table creates +
+    // the index build, ~2 s of writes) — the wrong thing for a pinned
+    // cold regression series to track. Here the corpus table and the
+    // postings index build ONCE per JVM (memoized per sf dir) and the
+    // timed region is the GATE alone: banded probe, IN-list postings
+    // read, exact-Jaccard verification, anti join. Same batch, same
+    // index config, same full oracle as d14.
+    QueryDef(
+      "d14p_minhash_gate_probe",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val corpus = docs.where(col("doc_id") % 10 =!= 0)
+        val batch = docs.where(col("doc_id") % 10 === 0)
+          .unionByName(corpus.where(col("doc_id") % 20 === 5)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+          .unionByName(docs.where(col("doc_id") % 40 === 0)
+            .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+        val idx = DedupQueries.mhGateFixture(s, d, corpus)
+        Dedup.minhashNewAgainstIndex(s, idx, batch,
           "text", "doc_id", threshold = 0.5)
           .select("doc_id").orderBy("doc_id")
       },
