@@ -83,6 +83,11 @@ object Bench {
         .selectExpr("id * 2 as id_a", "id * 2 + 1 as id_b")
       materialize(graft.ops.Dedup.components(edges.toDF("id_a", "id_b")))
     } catch { case _: Throwable => () }
+    // ...and d14p's memoized fixture (corpus table + postings index):
+    // built HERE so the probe-only query's first timed rep measures the
+    // GATE, not the one-time setup — the entire point of d14p
+    try materialize(SparkEntry.queries("d14p_minhash_gate_probe")(spark, sfDir))
+    catch { case _: Throwable => () }
 
     def timed(body: => Unit): Double = {
       val t0 = System.nanoTime()

@@ -1620,9 +1620,11 @@ final class LakeTable private (
     val pcs = snap.metaData.partitionColumns
     val replacement = recluster match {
       case Some(f) => f(kept) // the caller's physical layout wins
-      case None if pcs.nonEmpty =>
+      case None if pcs.nonEmpty && Bucketing.specOf(snap.metaData).isEmpty =>
         // one task per touched partition dir — stageFiles routes by the
         // hive layout either way, this just avoids tiny-file fanout
+        // (bucketed tables skip it: stageFiles re-routes by bucket, so
+        // a pre-shuffle here would be pure waste — compactImpl parity)
         kept.repartition(
           math.max(1, touched.map(_.partitionValues).distinct.size),
           PartitionTransforms.layoutColumns(pcs, snap.schema): _*)

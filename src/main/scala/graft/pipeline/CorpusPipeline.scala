@@ -181,6 +181,32 @@ object CorpusPipeline {
   /** The per-language stats in reporting shape, derived from the
     * incrementally-maintained view (avg = stored sum / non-null count).
     */
+  /** Index MAINTENANCE after corpus churn: DML on `curated` (takedown
+    * deletes, retention sweeps — nothing the pipeline itself issues)
+    * leaves stale rows in the persisted gate indexes, which every later
+    * wave pays for as extra exact-verification candidates and which
+    * otherwise accumulate forever. Compacts whichever indexes exist
+    * under `outRoot` in place ([[graft.lake.LakeTable.purgeStale]] —
+    * REORG-class PURGE commits: sync pointers, the codebook, and
+    * downstream stream readers all untouched; gate results identical).
+    * Safe to schedule between waves; a wave racing the purge surfaces
+    * as a [[graft.lake.CommitConflictException]] — rerun after it.
+    *
+    * @return (fuzzy postings dropped, semantic assignments dropped)
+    */
+  def compactIndexes(spark: SparkSession, outRoot: String): (Long, Long) = {
+    val fuzzy =
+      if (LakeTable.isLakeTable(s"$outRoot/mhindex/postings"))
+        Dedup.compactMinhashIndex(spark, s"$outRoot/mhindex", "doc_id")
+      else 0L
+    val sem =
+      if (LakeTable.isLakeTable(s"$outRoot/semindex/assignments"))
+        graft.ops.Similarity.compactIvfIndex(spark, s"$outRoot/semindex",
+          s"$outRoot/curated", "doc_id")
+      else 0L
+    (fuzzy, sem)
+  }
+
   def langStats(spark: SparkSession, outRoot: String): DataFrame =
     LakeTable.forPath(spark, s"$outRoot/lang_stats").toDF
       .select(col("lang_pred"), col("n").as("n_docs"),

@@ -462,6 +462,53 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(posts.groupBy($"id", $"key").count().where($"count" > 1).isEmpty)
   }
 
+  test("compactIndexes purges both gate indexes after corpus churn") {
+    val root = Files.createTempDirectory("corpus-compact-").toString
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(8)(r.nextGaussian().toFloat)
+    }
+    val corpus = Seq(
+      (1L, "one two three four five six seven eight nine ten", vec(1)),
+      (2L, "red orange yellow green blue indigo violet crimson amber teal", vec(2)),
+      (3L, "wolf bear lynx otter marten badger weasel stoat ferret mink", vec(3)),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", vec(4)))
+      .toDF("doc_id", "text", "embedding")
+    CorpusPipeline.curate(spark, corpus, root, minQuality = 0.0,
+      minTokens = 0, nearDupThreshold = 0.99, fuzzyIndex = true,
+      vecCol = Some("embedding"), semNLists = 2)
+    val curated = LakeTable.forPath(spark, s"$root/curated")
+    val posts = LakeTable.forPath(spark, s"$root/mhindex/postings")
+    val asg = LakeTable.forPath(spark, s"$root/semindex/assignments")
+    val postsBefore = posts.toDF.count()
+    val asgBefore = asg.toDF.count()
+
+    // external churn: a takedown delete the pipeline never issued
+    assert(curated.delete($"doc_id".isin(2L, 4L)) === 2L)
+    val (fz, sm) = CorpusPipeline.compactIndexes(spark, root)
+    assert(fz > 0 && sm > 0, s"both indexes must shrink: fuzzy=$fz sem=$sm")
+    assert(posts.toDF.count() === postsBefore - fz)
+    assert(asg.toDF.count() === asgBefore - sm)
+    assert(posts.toDF.select($"id").as[Long].collect().toSet === Set(1L, 3L))
+    assert(asg.toDF.select($"id").as[Long].collect().toSet === Set(1L, 3L))
+
+    // idempotent
+    assert(CorpusPipeline.compactIndexes(spark, root) === ((0L, 0L)))
+
+    // the next wave still gates correctly: a near-dup of a SURVIVING doc
+    // drops, a near-dup of a DELETED doc passes (its postings are gone,
+    // and the text is genuinely absent from the corpus)
+    val r = CorpusPipeline.curateIncremental(spark, Seq(
+      (10L, "wolf bear lynx otter marten badger weasel stoat ferret mink tail", vec(10)),
+      (11L, "red orange yellow green blue indigo violet crimson amber teal back", vec(11)))
+      .toDF("doc_id", "text", "embedding"), root,
+      minQuality = 0.0, minTokens = 0, fuzzyDedup = true,
+      vecCol = Some("embedding"))
+    assert(r.appended === 1, s"only the deleted doc's twin may re-enter: $r")
+    assert(curated.toDF.select($"doc_id").as[Long].collect().toSet ===
+      Set(1L, 3L, 11L))
+  }
+
   test("fuzzy gate: empty-corpus deferral self-gates the batch, then builds") {
     val root = Files.createTempDirectory("corpus-fuzzy-defer-").toString
     // the initial corpus loses every doc to the quality gate -> both
