@@ -39,6 +39,12 @@ class PurgeStaleSpec extends AnyFunSuite {
     val after = t.snapshot.files.map(_.path).toSet
     assert(after.intersect(untouchedBefore).nonEmpty,
       s"the untouched file must survive by path: before=$untouchedBefore after=$after")
+
+    // a file whose EVERY row is stale is dropped outright (its kept set
+    // is empty — no replacement rows to write for it)
+    assert(t.purgeStale((50L until 100L).toDF("id"), Seq("id")) === 50L)
+    assert(t.toDF.count() === 40)
+    assert(t.toDF.agg(max($"id")).head().getLong(0) === 49L)
   }
 
   test("no stale match: zero rows, zero commits") {
