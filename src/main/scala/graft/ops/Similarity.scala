@@ -165,7 +165,8 @@ object Similarity {
       java.nio.file.Paths.get(s"$indexPath/assignments"))
     buildIvfIndex(src.asOf(snap.version).toDF, vecCol, idCol, indexPath,
       nLists, sampleSize, seed)
-    markIvfSynced(spark, indexPath, snap.version, Some(snap.metaData.id))
+    markIvfSynced(spark, indexPath, snap.version, Some(snap.metaData.id),
+      Some(sourcePath), Some(idCol))
   }
 
   /** Train + persist from an already-normalized (id, nvec) frame. */
@@ -255,18 +256,46 @@ object Similarity {
     * sync against a different generation must fail loudly (rebuild the
     * index) instead of silently appending wrong deltas. */
   val SOURCE_ID_PROP = "graft.ivf.sourceId"
+  /** Codebook property: the source table PATH the index derives from —
+    * recorded so maintenance that needs the source (COMPACT, the SQL
+    * statement family, compact-before-retrain) can resolve it without
+    * the caller re-supplying what the index already knows. Stamped at
+    * build/rebuild and back-filled once by the first sync on legacy
+    * indexes. */
+  val SOURCE_PATH_PROP = "graft.ivf.sourcePath"
+  /** Codebook property: the SOURCE's id column name — recorded with the
+    * path so recorded-source maintenance (compact-before-retrain) can
+    * project the live ids without the caller re-supplying it. */
+  val SOURCE_ID_COL_PROP = "graft.ivf.sourceIdCol"
 
   private def syncAppId(sourcePath: String) = s"$SYNC_TXN_APP:$sourcePath"
 
   /** Record at build time that the index covers `sourcePath` through
     * `version` — the baseline [[syncIvfIndexFromTable]] starts from.
-    * `sourceId` pins the source generation the version belongs to. */
+    * `sourceId` pins the source generation the version belongs to;
+    * `sourcePath` records where maintenance finds the source. */
   def markIvfSynced(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, version: Long,
-      sourceId: Option[String] = None): Unit =
+      sourceId: Option[String] = None,
+      sourcePath: Option[String] = None,
+      sourceIdCol: Option[String] = None): Unit =
     graft.lake.LakeTable.forPath(spark, s"$indexPath/codebook")
       .setProperties(Map(SYNCED_PROP -> version.toString) ++
-        sourceId.map(SOURCE_ID_PROP -> _))
+        sourceId.map(SOURCE_ID_PROP -> _) ++
+        sourcePath.map(SOURCE_PATH_PROP -> _) ++
+        sourceIdCol.map(SOURCE_ID_COL_PROP -> _))
+
+  /** The codebook-recorded source path, for maintenance entry points
+    * that take none ([[compactIvfIndex]]'s short form, the SQL
+    * statements). */
+  def recordedSourcePath(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String): String =
+    graft.lake.LakeTable.forPath(spark, s"$indexPath/codebook")
+      .snapshot.metaData.properties.getOrElse(SOURCE_PATH_PROP,
+        throw new IllegalStateException(
+          s"IVF index at $indexPath records no source path (built before " +
+            "the property existed, or from an in-memory frame) — pass the " +
+            "source explicitly, or run one sync to stamp it"))
 
   /** EXACTLY-ONCE index maintenance from the source table's change feed
     * (the crash-safe replacement for calling [[appendToIvfIndex]] with
@@ -331,7 +360,8 @@ object Similarity {
           "Rows appended to the source between the index build and this " +
           "first sync are NOT in the index — backfill with " +
           "appendToIvfIndex or rebuild if any exist.")
-      markIvfSynced(spark, indexPath, latest, Some(srcId))
+      markIvfSynced(spark, indexPath, latest, Some(srcId), Some(sourcePath),
+        Some(idCol))
       return 0L
     }
     // legacy adoption: an index baselined before the guard existed has
@@ -343,7 +373,8 @@ object Similarity {
     // observed the same source — so a commit conflict here degrades to
     // re-validating instead of failing the sync's exactly-once contract
     if (recordedId.isEmpty) {
-      try cb.setProperties(Map(SOURCE_ID_PROP -> srcId))
+      try cb.setProperties(Map(SOURCE_ID_PROP -> srcId,
+        SOURCE_PATH_PROP -> sourcePath, SOURCE_ID_COL_PROP -> idCol))
       catch {
         case _: graft.lake.CommitConflictException =>
           val now = graft.lake.LakeTable.forPath(spark, s"$indexPath/codebook")
@@ -391,6 +422,17 @@ object Similarity {
     *
     * @return assignment rows dropped
     */
+  /** [[compactIvfIndex]] against the codebook-RECORDED source path
+    * (stamped at build/rebuild, back-filled by the first sync on legacy
+    * indexes) — the form the SQL statement and scheduled maintenance
+    * use. */
+  def compactIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      idCol: String): Long =
+    compactIvfIndex(spark, indexPath,
+      recordedSourcePath(spark, indexPath), idCol)
+
   def compactIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String,
@@ -433,9 +475,24 @@ object Similarity {
   def maybeRetrainIvfIndex(
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
       driftRatio: Double = 0.5,
-      sampleSize: Int = 4096, seed: Long = 42L): Boolean = {
+      sampleSize: Int = 4096, seed: Long = 42L,
+      compactFirst: Boolean = true): Boolean = {
     val cb = graft.lake.LakeTable.forPath(spark, s"$indexPath/codebook")
     val asg = graft.lake.LakeTable.forPath(spark, s"$indexPath/assignments")
+    // retrain TRAINS FROM THE ASSIGNMENTS (it cannot see the source), so
+    // under churn the centroids would drift toward deleted mass and the
+    // stale rows would survive the retrain forever. When the index
+    // records its source, purge first — then the drift gate counts live
+    // rows only and the retrain samples the corpus that actually
+    // exists. Best-effort: a racing sync's conflict skips the purge
+    // (next call gets it), and a legacy index with no recorded source
+    // keeps the old behavior.
+    val cbProps = cb.snapshot.metaData.properties
+    if (compactFirst && cbProps.contains(SOURCE_PATH_PROP) &&
+        cbProps.contains(SOURCE_ID_COL_PROP)) {
+      try compactIvfIndex(spark, indexPath, cbProps(SOURCE_ID_COL_PROP))
+      catch { case _: graft.lake.CommitConflictException => () }
+    }
     val trained = cb.snapshot.metaData.properties
       .get(TRAINED_COUNT_PROP).map(_.toLong).getOrElse(0L)
     val current = indexedRows(asg)

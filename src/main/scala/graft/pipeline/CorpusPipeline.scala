@@ -60,7 +60,7 @@ object CorpusPipeline {
     graft.ops.Similarity.buildIvfIndex(t.asOf(v).toDF, vecCol, "doc_id",
       s"$outRoot/semindex", nLists = nLists)
     graft.ops.Similarity.markIvfSynced(spark, s"$outRoot/semindex", v,
-      Some(snap.metaData.id))
+      Some(snap.metaData.id), Some(s"$outRoot/curated"), Some("doc_id"))
   }
 
   /** Run the full curation; writes `curated` and `lang_stats` lake

@@ -20,10 +20,11 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   BUILD BLOOM INDEX ON lake.db.t [FORCE] -- backfill bloom sidecars
   *   BUILD MINHASH INDEX ON lake.db.t AT '/idx' USING (text, id)
   *     [WITH (shingleN, bands, rowsPerBand)]  -- persisted fuzzy-dedup index
-  *   SYNC MINHASH INDEX AT '/idx' USING (text, id)  -- exactly-once CDF sync
-  *   REBUILD MINHASH INDEX AT '/idx' USING (text, id) -- fresh-log recovery
+  *   BUILD IVF INDEX ON lake.db.t AT '/idx' USING (vec, id) [WITH (nLists)]
+  *   SYNC MINHASH|IVF INDEX AT '/idx' USING (col, id) -- exactly-once CDF sync
+  *   REBUILD MINHASH|IVF INDEX AT '/idx' USING (col, id) -- fresh-log recovery
   *                                            (recorded source + conf)
-  *   COMPACT MINHASH INDEX AT '/idx' USING (id) -- purge stale postings
+  *   COMPACT MINHASH|IVF INDEX AT '/idx' USING (id) -- purge stale rows
   *
   * Table references resolve like the `table_changes` TVF: a dotted name
   * through the named catalog's warehouse conf, anything else as a path.
@@ -58,16 +59,33 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case DESCRIBE_DETAIL_RE(ident) => RunLakeDetail(strip(ident))
     case BUILD_BLOOM_RE(ident, force) =>
       RunLakeBuildBloomIndex(strip(ident), force != null)
-    case BUILD_MINHASH_RE(src, idx, textCol, idCol, n, b, r) =>
-      RunBuildMinhashIndex(strip(src), strip(idx), strip(textCol),
-        strip(idCol),
-        Option(n).map(_ => (n.toInt, b.toInt, r.toInt)))
-    case SYNC_MINHASH_RE(idx, textCol, idCol) =>
-      RunSyncMinhashIndex(strip(idx), strip(textCol), strip(idCol))
-    case REBUILD_MINHASH_RE(idx, textCol, idCol) =>
-      RunRebuildMinhashIndex(strip(idx), strip(textCol), strip(idCol))
-    case COMPACT_MINHASH_RE(idx, idCol) =>
-      RunCompactMinhashIndex(strip(idx), strip(idCol))
+    case BUILD_INDEX_RE(kind, src, idx, c1, idCol, w1, w2, w3) =>
+      if (kind.equalsIgnoreCase("MINHASH")) {
+        // arity validated at parse time like the HISTORY limit
+        if (w1 != null && w2 == null)
+          throw new IllegalArgumentException(
+            "BUILD MINHASH INDEX ... WITH needs (shingleN, bands, rowsPerBand)")
+        RunBuildMinhashIndex(strip(src), strip(idx), strip(c1), strip(idCol),
+          Option(w1).map(_ => (w1.toInt, w2.toInt, w3.toInt)))
+      } else {
+        if (w2 != null)
+          throw new IllegalArgumentException(
+            "BUILD IVF INDEX ... WITH takes a single (nLists)")
+        RunBuildIvfIndex(strip(src), strip(idx), strip(c1), strip(idCol),
+          Option(w1).map(_.toInt))
+      }
+    case SYNC_INDEX_RE(kind, idx, c1, idCol) =>
+      if (kind.equalsIgnoreCase("MINHASH"))
+        RunSyncMinhashIndex(strip(idx), strip(c1), strip(idCol))
+      else RunSyncIvfIndex(strip(idx), strip(c1), strip(idCol))
+    case REBUILD_INDEX_RE(kind, idx, c1, idCol) =>
+      if (kind.equalsIgnoreCase("MINHASH"))
+        RunRebuildMinhashIndex(strip(idx), strip(c1), strip(idCol))
+      else RunRebuildIvfIndex(strip(idx), strip(c1), strip(idCol))
+    case COMPACT_INDEX_RE(kind, idx, idCol) =>
+      if (kind.equalsIgnoreCase("MINHASH"))
+        RunCompactMinhashIndex(strip(idx), strip(idCol))
+      else RunCompactIvfIndex(strip(idx), strip(idCol))
     case RESTORE_RE(ident, version) => RunLakeRestore(strip(ident), version.toLong)
     // only intercept constraint DDL aimed at a LAKE table; anything else
     // falls through to Spark's own ALTER TABLE handling
@@ -130,18 +148,21 @@ object GraftSqlParser {
     ("""(?is)\s*BUILD\s+BLOOM\s+INDEX\s+ON\s+""" + TABLE +
       """(\s+FORCE)?\s*;?\s*""").r
   private val COLPAIR = """\s*\(\s*([\w`]+)\s*,\s*([\w`]+)\s*\)"""
-  private[graft] val BUILD_MINHASH_RE =
-    ("""(?is)\s*BUILD\s+MINHASH\s+INDEX\s+ON\s+""" + TABLE +
+  private val KIND = """(MINHASH|IVF)"""
+  // WITH accepts 1 int (IVF: nLists) or 3 (MINHASH: shingleN, bands,
+  // rowsPerBand) — arity validated per kind at parse time
+  private[graft] val BUILD_INDEX_RE =
+    ("""(?is)\s*BUILD\s+""" + KIND + """\s+INDEX\s+ON\s+""" + TABLE +
       """\s+AT\s+""" + TABLE + """\s+USING""" + COLPAIR +
-      """(?:\s+WITH\s*\(\s*(\d+)\s*,\s*(\d+)\s*,\s*(\d+)\s*\))?\s*;?\s*""").r
-  private[graft] val SYNC_MINHASH_RE =
-    ("""(?is)\s*SYNC\s+MINHASH\s+INDEX\s+AT\s+""" + TABLE +
+      """(?:\s+WITH\s*\(\s*(\d+)(?:\s*,\s*(\d+)\s*,\s*(\d+))?\s*\))?\s*;?\s*""").r
+  private[graft] val SYNC_INDEX_RE =
+    ("""(?is)\s*SYNC\s+""" + KIND + """\s+INDEX\s+AT\s+""" + TABLE +
       """\s+USING""" + COLPAIR + """\s*;?\s*""").r
-  private[graft] val REBUILD_MINHASH_RE =
-    ("""(?is)\s*REBUILD\s+MINHASH\s+INDEX\s+AT\s+""" + TABLE +
+  private[graft] val REBUILD_INDEX_RE =
+    ("""(?is)\s*REBUILD\s+""" + KIND + """\s+INDEX\s+AT\s+""" + TABLE +
       """\s+USING""" + COLPAIR + """\s*;?\s*""").r
-  private[graft] val COMPACT_MINHASH_RE =
-    ("""(?is)\s*COMPACT\s+MINHASH\s+INDEX\s+AT\s+""" + TABLE +
+  private[graft] val COMPACT_INDEX_RE =
+    ("""(?is)\s*COMPACT\s+""" + KIND + """\s+INDEX\s+AT\s+""" + TABLE +
       """\s+USING\s*\(\s*([\w`]+)\s*\)\s*;?\s*""").r
   private[graft] val RESTORE_RE =
     ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?""" + TABLE +
@@ -375,6 +396,78 @@ private[graft] case class RunCompactMinhashIndex(idxIdent: String,
     val idxPath = MinhashIndexSql.resolveIndexPath(spark, idxIdent)
     Seq(Row(graft.ops.Dedup.compactMinhashIndex(spark, idxPath, idCol)))
   }
+}
+
+/** `BUILD IVF INDEX ON src AT idx USING (vecCol, idCol) [WITH (nLists)]`
+  * — fresh-log build over a source lake table at a pinned snapshot,
+  * recording version + generation + source path as the sync baseline;
+  * see [[graft.ops.Similarity.rebuildIvfIndexFromTable]]. */
+private[graft] case class RunBuildIvfIndex(srcIdent: String,
+    idxIdent: String, vecCol: String, idCol: String,
+    nLists: Option[Int]) extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] =
+    Seq(AttributeReference("assignments", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcPath = GraftExtensions.resolveTablePath(spark, srcIdent)
+    val idxPath = MinhashIndexSql.resolveIndexPath(spark, idxIdent)
+    graft.ops.Similarity.rebuildIvfIndexFromTable(spark, idxPath, srcPath,
+      vecCol, idCol, nLists.getOrElse(16))
+    Seq(Row(IvfIndexSql.assignmentRows(spark, idxPath)))
+  }
+}
+
+/** `SYNC IVF INDEX AT idx USING (vecCol, idCol)` — exactly-once
+  * assignment maintenance from the RECORDED source's change feed; see
+  * [[graft.ops.Similarity.syncIvfIndexFromTable]]. */
+private[graft] case class RunSyncIvfIndex(idxIdent: String,
+    vecCol: String, idCol: String) extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] =
+    Seq(AttributeReference("assignments_appended", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val idxPath = MinhashIndexSql.resolveIndexPath(spark, idxIdent)
+    val n = graft.ops.Similarity.syncIvfIndexFromTable(spark, idxPath,
+      graft.ops.Similarity.recordedSourcePath(spark, idxPath), vecCol, idCol)
+    Seq(Row(n))
+  }
+}
+
+/** `REBUILD IVF INDEX AT idx USING (vecCol, idCol)` — the generation-
+  * guard recovery: fresh logs against the RECORDED source path under
+  * the RECORDED list count (both read BEFORE the rebuild deletes the
+  * codebook that records them). */
+private[graft] case class RunRebuildIvfIndex(idxIdent: String,
+    vecCol: String, idCol: String) extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] =
+    Seq(AttributeReference("assignments", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val idxPath = MinhashIndexSql.resolveIndexPath(spark, idxIdent)
+    val src = graft.ops.Similarity.recordedSourcePath(spark, idxPath)
+    val nLists = graft.lake.LakeTable.forPath(spark, s"$idxPath/codebook")
+      .toDF.count().toInt
+    graft.ops.Similarity.rebuildIvfIndexFromTable(spark, idxPath, src,
+      vecCol, idCol, nLists)
+    Seq(Row(IvfIndexSql.assignmentRows(spark, idxPath)))
+  }
+}
+
+/** `COMPACT IVF INDEX AT idx USING (idCol)` — REORG-purge assignments
+  * whose source ids were deleted; see
+  * [[graft.ops.Similarity.compactIvfIndex]]. */
+private[graft] case class RunCompactIvfIndex(idxIdent: String,
+    idCol: String) extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] =
+    Seq(AttributeReference("assignments_purged", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val idxPath = MinhashIndexSql.resolveIndexPath(spark, idxIdent)
+    Seq(Row(graft.ops.Similarity.compactIvfIndex(spark, idxPath, idCol)))
+  }
+}
+
+private[graft] object IvfIndexSql {
+  /** Row count from the staged files' footer stats — no scan job. */
+  def assignmentRows(spark: SparkSession, idxPath: String): Long =
+    graft.lake.LakeTable.forPath(spark, s"$idxPath/assignments")
+      .snapshot.files.flatMap(_.stats.map(_.numRecords)).sum
 }
 
 private[graft] object MinhashIndexSql {

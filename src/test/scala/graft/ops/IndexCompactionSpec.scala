@@ -68,6 +68,8 @@ class IndexCompactionSpec extends AnyFunSuite {
     assert(post.snapshot.commits.last._2.operation === "PURGE")
     assert(post.snapshot.txns === txnsBefore, "sync pointer must not move")
     assert(post.snapshot.metaData.properties === propsBefore)
+    assert(post.snapshot.files.forall(_.bloomPath.isDefined),
+      "rewritten postings files must re-attach their per-file key blooms")
 
     val gateAfter = Dedup.minhashNewAgainstIndex(spark, idxPath, wave,
       "text", "doc_id", threshold = 0.5)
@@ -154,6 +156,61 @@ class IndexCompactionSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding"))
     assert(Similarity.syncIvfIndexFromTable(spark, idxPath, srcPath,
       "embedding", "vec_id") === 5L)
+  }
+
+  test("retrain compacts first when the index records its source") {
+    val root = java.nio.file.Files.createTempDirectory("ivf-retrain-").toString
+    val srcPath = s"$root/src"
+    val idxPath = s"$root/idx"
+    val dim = 16
+    val rnd = new scala.util.Random(31)
+    val centers = Array.fill(4)(Array.fill(dim)(rnd.nextGaussian() * 3))
+    def member(i: Int): Array[Float] =
+      centers(i % 4).map(x => (x + rnd.nextGaussian() * 0.3).toFloat)
+    val t = graft.lake.LakeTable.create(spark, srcPath,
+      (0 until 100).map(i => (i.toLong, member(i))).toDF("vec_id", "embedding"),
+      properties = Map(graft.lake.Cdc.PROP -> "true"))
+    Similarity.rebuildIvfIndexFromTable(spark, idxPath, srcPath,
+      "embedding", "vec_id", nLists = 4)
+    val asg = graft.lake.LakeTable.forPath(spark, s"$idxPath/assignments")
+    val cb = graft.lake.LakeTable.forPath(spark, s"$idxPath/codebook")
+    assert(cb.snapshot.metaData.properties(
+      Similarity.SOURCE_PATH_PROP) === srcPath)
+    assert(cb.snapshot.metaData.properties(
+      Similarity.SOURCE_ID_COL_PROP) === "vec_id")
+
+    // 50% churn: with compact-first, the stale mass must NOT count as
+    // drift — live rows (50) sit below the trained count (100), so no
+    // retrain fires, but the assignments still shrink to the live set
+    assert(t.delete($"vec_id" % 2 === 0) === 50L)
+    assert(!Similarity.maybeRetrainIvfIndex(spark, idxPath, driftRatio = 0.0),
+      "purged stale mass must not register as drift")
+    val live1 = t.toDF.select("vec_id").as[Long].collect().toSet
+    assert(asg.toDF.select("id").as[Long].collect().toSet === live1,
+      "the pre-retrain compaction must have purged the stale assignments")
+
+    // grow past the trained count: retrain fires and trains on the LIVE
+    // corpus only (the txn survives the in-place overwrite — existing
+    // retrain semantics within one generation)
+    t.append((200 until 320).map(i => (i.toLong, member(i)))
+      .toDF("vec_id", "embedding"))
+    assert(Similarity.syncIvfIndexFromTable(spark, idxPath, srcPath,
+      "embedding", "vec_id") === 120L)
+    val txns = asg.snapshot.txns
+    assert(txns.nonEmpty)
+    assert(Similarity.maybeRetrainIvfIndex(spark, idxPath, driftRatio = 0.0))
+    val live2 = t.toDF.select("vec_id").as[Long].collect().toSet
+    assert(asg.toDF.select("id").as[Long].collect().toSet === live2)
+    assert(cb.snapshot.metaData.properties(Similarity.TRAINED_COUNT_PROP)
+      .toLong === live2.size.toLong)
+    assert(asg.snapshot.txns === txns,
+      "retrain keeps the sync txn (in-place overwrite semantics)")
+    // legacy escape hatch: compactFirst=false skips the purge
+    t.delete($"vec_id" === 1L)
+    assert(!Similarity.maybeRetrainIvfIndex(spark, idxPath,
+      driftRatio = 1000.0, compactFirst = false))
+    assert(asg.toDF.where($"id" === 1L).count() === 1L,
+      "compactFirst=false must leave the stale row in place")
   }
 
   test("compaction refuses a recreated source generation") {

@@ -295,6 +295,70 @@ class LakeCatalogSpec extends AnyFunSuite {
       .metaData.properties(graft.ops.Dedup.MINHASH_CONF_PROP) === "3,16,2")
   }
 
+  test("IVF INDEX lifecycle via SQL: BUILD / SYNC / COMPACT / REBUILD") {
+    val root = Files.createTempDirectory("ivf-sql-").toString
+    val srcPath = s"$root/src"
+    val idxPath = s"$root/idx"
+    val rnd = new scala.util.Random(5)
+    val centers = Array.fill(4)(Array.fill(8)(rnd.nextGaussian() * 3))
+    def member(i: Int): Array[Float] =
+      centers(i % 4).map(x => (x + rnd.nextGaussian() * 0.3).toFloat)
+    val t = LakeTable.create(spark, srcPath,
+      (0 until 80).map(i => (i.toLong, member(i))).toDF("vec_id", "embedding"),
+      properties = Map(graft.lake.Cdc.PROP -> "true"))
+
+    val built = spark.sql(
+      s"BUILD IVF INDEX ON '$srcPath' AT '$idxPath' " +
+        "USING (embedding, vec_id) WITH (4)").as[Long].head()
+    assert(built === 80L)
+    val asg = LakeTable.forPath(spark, s"$idxPath/assignments")
+    val cb = LakeTable.forPath(spark, s"$idxPath/codebook")
+    // the build records the maintenance triple: path, generation, id col
+    assert(cb.snapshot.metaData.properties(
+      graft.ops.Similarity.SOURCE_PATH_PROP) === srcPath)
+    assert(cb.snapshot.metaData.properties(
+      graft.ops.Similarity.SOURCE_ID_COL_PROP) === "vec_id")
+
+    t.append((100 until 110).map(i => (i.toLong, member(i)))
+      .toDF("vec_id", "embedding"))
+    assert(spark.sql(
+      s"SYNC IVF INDEX AT '$idxPath' USING (embedding, vec_id)")
+      .as[Long].head() === 10L)
+    assert(spark.sql(
+      s"SYNC IVF INDEX AT '$idxPath' USING (embedding, vec_id)")
+      .as[Long].head() === 0L)
+
+    t.delete($"vec_id" % 2 === 0)
+    val live = t.toDF.select("vec_id").as[Long].collect().toSet
+    val purged = spark.sql(
+      s"COMPACT IVF INDEX AT '$idxPath' USING (vec_id)").as[Long].head()
+    assert(purged > 0)
+    assert(asg.snapshot.commits.last._2.operation === "PURGE")
+    assert(asg.toDF.select("id").as[Long].collect().toSet === live)
+
+    // recreate: sync refuses; REBUILD recovers from the RECORDED source
+    // path + list count with fresh logs
+    graft.TestFs.rmRf(srcPath)
+    val t2 = LakeTable.create(spark, srcPath,
+      (0 until 6).map(i => (i.toLong, member(i))).toDF("vec_id", "embedding"),
+      properties = Map(graft.lake.Cdc.PROP -> "true"))
+    intercept[IllegalStateException] {
+      spark.sql(s"SYNC IVF INDEX AT '$idxPath' USING (embedding, vec_id)")
+        .collect()
+    }
+    assert(spark.sql(
+      s"REBUILD IVF INDEX AT '$idxPath' USING (embedding, vec_id)")
+      .as[Long].head() === 6L)
+    assert(asg.snapshot.txns.isEmpty, "rebuild must start a fresh log")
+    assert(cb.snapshot.metaData.properties(
+      graft.ops.Similarity.SOURCE_ID_PROP) === t2.snapshot.metaData.id)
+    t2.append((200 until 203).map(i => (i.toLong, member(i)))
+      .toDF("vec_id", "embedding"))
+    assert(spark.sql(
+      s"SYNC IVF INDEX AT '$idxPath' USING (embedding, vec_id)")
+      .as[Long].head() === 3L)
+  }
+
   test("BUILD BLOOM INDEX via SQL") {
     warehouse
     spark.sql("CREATE TABLE lake.bronze.bloomsql AS SELECT id * 2 AS id FROM range(64)")
