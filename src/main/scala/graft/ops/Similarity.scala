@@ -385,6 +385,15 @@ object Similarity {
                 s"(concurrent sync recorded generation ${now.get}, this " +
                 s"one observed $srcId) — rebuild with rebuildIvfIndexFromTable")
       }
+    } else if (!cb.snapshot.metaData.properties.contains(SOURCE_PATH_PROP)) {
+      // guard-era index built before the maintenance triple existed:
+      // back-fill path + id column once so COMPACT/SQL/compact-before-
+      // retrain can resolve the source (generation already validated
+      // above; a conflict just means a concurrent sync stamped the same
+      // observed values)
+      try cb.setProperties(Map(SOURCE_PATH_PROP -> sourcePath,
+        SOURCE_ID_COL_PROP -> idCol))
+      catch { case _: graft.lake.CommitConflictException => () }
     }
     val applied = math.max(txnApplied, propApplied)
     if (latest <= applied) return 0L
@@ -491,7 +500,19 @@ object Similarity {
     if (compactFirst && cbProps.contains(SOURCE_PATH_PROP) &&
         cbProps.contains(SOURCE_ID_COL_PROP)) {
       try compactIvfIndex(spark, indexPath, cbProps(SOURCE_ID_COL_PROP))
-      catch { case _: graft.lake.CommitConflictException => () }
+      catch {
+        // a racing sync's conflict skips the purge (next call gets it)
+        case _: graft.lake.CommitConflictException => ()
+        // a RECREATED source stays loud: retraining from old-generation
+        // assignments is exactly what the guard exists to stop
+        case e: IllegalStateException => throw e
+        // anything else (source table dropped, unreadable) degrades to
+        // the legacy retrain-without-purge — the retrain itself never
+        // needed the source
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"pre-retrain compaction of $indexPath skipped: ${e.getMessage}")
+      }
     }
     val trained = cb.snapshot.metaData.properties
       .get(TRAINED_COUNT_PROP).map(_.toLong).getOrElse(0L)

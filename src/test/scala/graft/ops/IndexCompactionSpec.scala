@@ -213,6 +213,65 @@ class IndexCompactionSpec extends AnyFunSuite {
       "compactFirst=false must leave the stale row in place")
   }
 
+  test("first sync back-fills the maintenance triple on a guard-era index") {
+    val root = java.nio.file.Files.createTempDirectory("ivf-backfill-").toString
+    val srcPath = s"$root/src"
+    val idxPath = s"$root/idx"
+    val rnd = new scala.util.Random(41)
+    def vec(i: Int): Array[Float] = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val t = graft.lake.LakeTable.create(spark, srcPath,
+      (0 until 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding"),
+      properties = Map(graft.lake.Cdc.PROP -> "true"))
+    // the r7 shape: direct build + generation-only baseline — no
+    // recorded path or id column
+    val snap = t.snapshot
+    Similarity.buildIvfIndex(t.asOf(snap.version).toDF, "embedding",
+      "vec_id", idxPath, nLists = 4)
+    Similarity.markIvfSynced(spark, idxPath, snap.version,
+      Some(snap.metaData.id))
+    val cb = graft.lake.LakeTable.forPath(spark, s"$idxPath/codebook")
+    assert(!cb.snapshot.metaData.properties.contains(
+      Similarity.SOURCE_PATH_PROP))
+    intercept[IllegalStateException] {
+      Similarity.recordedSourcePath(spark, idxPath)
+    }
+    // one sync stamps the triple; the short-form compact then resolves
+    t.append((100 until 105).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding"))
+    assert(Similarity.syncIvfIndexFromTable(spark, idxPath, srcPath,
+      "embedding", "vec_id") === 5L)
+    assert(Similarity.recordedSourcePath(spark, idxPath) === srcPath)
+    assert(cb.snapshot.metaData.properties(
+      Similarity.SOURCE_ID_COL_PROP) === "vec_id")
+    t.delete($"vec_id" < 10L)
+    assert(Similarity.compactIvfIndex(spark, idxPath, "vec_id") === 10L)
+  }
+
+  test("retrain survives an orphaned source (purge degrades, loudly logged)") {
+    val root = java.nio.file.Files.createTempDirectory("ivf-orphan-").toString
+    val srcPath = s"$root/src"
+    val idxPath = s"$root/idx"
+    val rnd = new scala.util.Random(43)
+    def vec(i: Int): Array[Float] = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val t = graft.lake.LakeTable.create(spark, srcPath,
+      (0 until 30).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding"),
+      properties = Map(graft.lake.Cdc.PROP -> "true"))
+    Similarity.rebuildIvfIndexFromTable(spark, idxPath, srcPath,
+      "embedding", "vec_id", nLists = 4)
+    t.append((100 until 140).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding"))
+    Similarity.syncIvfIndexFromTable(spark, idxPath, srcPath,
+      "embedding", "vec_id")
+    // the source table disappears entirely (retention, migration): the
+    // pre-retrain purge cannot run, but the retrain itself never needed
+    // the source — it must degrade, not crash
+    graft.TestFs.rmRf(srcPath)
+    assert(Similarity.maybeRetrainIvfIndex(spark, idxPath, driftRatio = 0.0),
+      "retrain must still fire from the assignments")
+    assert(graft.lake.LakeTable.forPath(spark, s"$idxPath/assignments")
+      .toDF.count() === 70L)
+  }
+
   test("compaction refuses a recreated source generation") {
     val root = java.nio.file.Files.createTempDirectory("compact-gen-").toString
     val srcPath = s"$root/src"
