@@ -455,7 +455,7 @@ object Dedup {
         graft.lake.BloomIndex.COLS_PROP -> "key"))
   }
 
-  private def minhashConf(props: Map[String, String]): (Int, Int, Int) =
+  private[graft] def minhashConf(props: Map[String, String]): (Int, Int, Int) =
     props.get(MINHASH_CONF_PROP).map(_.split(',')) match {
       case Some(Array(n, b, r)) => (n.toInt, b.toInt, r.toInt)
       case _ => throw new IllegalStateException(

@@ -207,6 +207,49 @@ object CorpusPipeline {
     (fuzzy, sem)
   }
 
+  /** [[compactIndexes]] behind a STATS-ONLY staleness estimate — the
+    * unattended-pipeline trigger (mirrors auto-compaction's threshold
+    * shape): a live corpus row owes the fuzzy index `bands` postings
+    * and the semantic index one assignment, so
+    * `1 − expectedRows / indexRows` estimates the stale fraction from
+    * parquet footer stats alone — no scan, no join, a handful of
+    * snapshot reads — and only an index estimated above `staleFraction`
+    * pays the purge's census pass. The estimate is CONSERVATIVE in two
+    * ways (DV-masked source rows still count as live; empty-shingle
+    * docs owe fewer postings than assumed), so it under-fires rather
+    * than thrashing; the purge itself recomputes staleness exactly.
+    * Safe to call after every wave.
+    *
+    * @return (fuzzy postings dropped, semantic assignments dropped)
+    */
+  def maybeCompactIndexes(spark: SparkSession, outRoot: String,
+      staleFraction: Double = 0.3): (Long, Long) = {
+    def statsRows(path: String): Long =
+      LakeTable.forPath(spark, path).snapshot.files
+        .flatMap(_.stats.map(_.numRecords)).sum
+    val corpusRows = statsRows(s"$outRoot/curated")
+    def over(indexRows: Long, expected: Long): Boolean =
+      indexRows > 0 &&
+        1.0 - expected.toDouble / indexRows > staleFraction
+    val fuzzy =
+      if (LakeTable.isLakeTable(s"$outRoot/mhindex/postings")) {
+        val post = LakeTable.forPath(spark, s"$outRoot/mhindex/postings")
+        val (_, bands, _) =
+          Dedup.minhashConf(post.snapshot.metaData.properties)
+        if (over(statsRows(s"$outRoot/mhindex/postings"),
+            corpusRows * bands))
+          Dedup.compactMinhashIndex(spark, s"$outRoot/mhindex", "doc_id")
+        else 0L
+      } else 0L
+    val sem =
+      if (LakeTable.isLakeTable(s"$outRoot/semindex/assignments") &&
+          over(statsRows(s"$outRoot/semindex/assignments"), corpusRows))
+        graft.ops.Similarity.compactIvfIndex(spark, s"$outRoot/semindex",
+          s"$outRoot/curated", "doc_id")
+      else 0L
+    (fuzzy, sem)
+  }
+
   def langStats(spark: SparkSession, outRoot: String): DataFrame =
     LakeTable.forPath(spark, s"$outRoot/lang_stats").toDF
       .select(col("lang_pred"), col("n").as("n_docs"),

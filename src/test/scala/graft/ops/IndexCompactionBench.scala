@@ -74,5 +74,39 @@ object IndexCompactionBench {
         "text", "doc_id", threshold = 0.5)))
     timed("second compact (no-op)")(
       Dedup.compactMinhashIndex(spark, s"$root/idx", "doc_id"))
+
+    // ---- IVF arm: churn LOCALIZED to one inverted list — the purge
+    // must rewrite only that list's partition files and skip the rest
+    // (the file-granularity win minhash postings can't show: band keys
+    // scatter, cluster membership doesn't)
+    println("[compact-bench] --- IVF partition-locality arm ---")
+    val dim = 16
+    val rnd = new scala.util.Random(99)
+    val centers = Array.fill(16)(Array.fill(dim)(rnd.nextGaussian() * 4))
+    val vecs = (0 until 200000).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.2).toFloat))
+    }
+    val vsrc = timed("ivf corpus create")(graft.lake.LakeTable.create(spark,
+      s"$root/vsrc", spark.createDataFrame(vecs).toDF("vec_id", "embedding"),
+      properties = Map(graft.lake.Cdc.PROP -> "true")))
+    timed("ivf index build")(Similarity.rebuildIvfIndexFromTable(spark,
+      s"$root/vidx", s"$root/vsrc", "embedding", "vec_id", nLists = 16))
+    val asg = graft.lake.LakeTable.forPath(spark, s"$root/vidx/assignments")
+    val filesBefore = asg.snapshot.files.size
+    // delete exactly one list's members (cluster membership from the
+    // index itself) — churn that a real takedown/retention sweep shows
+    val oneList = asg.toDF.where(col("list_id") === 0)
+      .select(col("id")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet.toSeq.sorted.take(5000)
+    timed(s"delete list-0 members (${oneList.size} rows)")(
+      vsrc.delete(col("vec_id").isin(oneList: _*)))
+    val dropped2 = timed("compactIvfIndex")(
+      Similarity.compactIvfIndex(spark, s"$root/vidx", "vec_id"))
+    val ci2 = asg.snapshot.commits.last._2
+    println(s"[compact-bench] ivf dropped=$dropped2 touched=${
+      ci2.parameters.getOrElse("touchedFiles", "?")} skipped=${
+      ci2.parameters.getOrElse("skippedFiles", "?")} " +
+      s"filesBefore=$filesBefore filesAfter=${asg.snapshot.files.size}")
   }
 }

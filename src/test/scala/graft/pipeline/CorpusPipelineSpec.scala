@@ -509,6 +509,43 @@ class CorpusPipelineSpec extends AnyFunSuite {
       Set(1L, 3L, 11L))
   }
 
+  test("maybeCompactIndexes fires only past the stats-estimated threshold") {
+    val root = Files.createTempDirectory("corpus-autocompact-").toString
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(8)(r.nextGaussian().toFloat)
+    }
+    val words = Seq("one", "two", "red", "blue", "wolf", "bear", "alpha",
+      "beta", "iron", "gold", "oak", "elm", "north", "south", "rain",
+      "snow", "fast", "slow", "high", "low")
+    val corpus = (0 until 20).map { i =>
+      (i.toLong, (0 until 10).map(j => words((i * 7 + j * 3) % 20) + i)
+        .mkString(" "), vec(i))
+    }.toDF("doc_id", "text", "embedding")
+    CorpusPipeline.curate(spark, corpus, root, minQuality = 0.0,
+      minTokens = 0, nearDupThreshold = 0.99, fuzzyIndex = true,
+      vecCol = Some("embedding"), semNLists = 2)
+    val posts = LakeTable.forPath(spark, s"$root/mhindex/postings")
+    val curated = LakeTable.forPath(spark, s"$root/curated")
+
+    // 5% churn (one DV'd row): far below the 30% threshold — the
+    // trigger must not even pay the purge's census pass (no new commit)
+    curated.delete($"doc_id" === 0L)
+    val pv = posts.snapshot.version
+    assert(CorpusPipeline.maybeCompactIndexes(spark, root) === ((0L, 0L)))
+    assert(posts.snapshot.version === pv,
+      "below threshold the postings log must not move at all")
+
+    // 60% churn (file rewrite → stats shrink): both indexes fire
+    curated.delete($"doc_id" % 5 =!= 1L)
+    val (fz, sm) = CorpusPipeline.maybeCompactIndexes(spark, root)
+    assert(fz > 0 && sm > 0, s"heavy churn must trigger both: $fz/$sm")
+    val live = curated.toDF.select($"doc_id").as[Long].collect().toSet
+    assert(posts.toDF.select($"id").as[Long].collect().toSet === live)
+    assert(LakeTable.forPath(spark, s"$root/semindex/assignments")
+      .toDF.select($"id").as[Long].collect().toSet === live)
+  }
+
   test("fuzzy gate: empty-corpus deferral self-gates the batch, then builds") {
     val root = Files.createTempDirectory("corpus-fuzzy-defer-").toString
     // the initial corpus loses every doc to the quality gate -> both
