@@ -173,6 +173,7 @@ class MultiPartCheckpointSpec extends AnyFunSuite {
       val t = LakeTable.create(spark, path, Seq((0L, "r0")).toDF("id", "v"))
       val model = scala.collection.mutable.LinkedHashMap(0L -> "r0")
       var nextId = 1L
+      var purged = false
       def assertParityWithCold(): Unit = {
         val warm = new LakeLog(path).snapshot(None)
         LakeLog.snapshotCache.clear()
@@ -184,13 +185,21 @@ class MultiPartCheckpointSpec extends AnyFunSuite {
         assert(warm.txns === cold.txns)
       }
       for (step <- 1 to 34) {
-        rnd.nextInt(10) match {
+        rnd.nextInt(11) match {
           case 0 | 1 | 2 | 3 =>
             val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
               val id = nextId; nextId += 1
               model(id) = s"r$id"; (id, s"r$id")
             }
             t.append(rows.toDF("id", "v"))
+          case 10 if model.size > 1 =>
+            // REORG PURGE (a takedown'd id): just another commit type to
+            // the multi-part checkpoint machinery — the id picked
+            // deterministically so the draw sequence stays step-local
+            val id = model.keys.toSeq(step % model.size)
+            model.remove(id)
+            t.purgeStale(Seq(id).toDF("id"), Seq("id"))
+            purged = true
           case 4 if model.size > 1 =>
             val id = model.keys.toSeq(rnd.nextInt(model.size))
             model.remove(id)
@@ -209,6 +218,7 @@ class MultiPartCheckpointSpec extends AnyFunSuite {
         assert(t.toDF.as[(Long, String)].collect().toSet === model.toSet,
           s"data divergence at step $step")
       }
+      assert(purged, "the PURGE arm never fired — raise the step count")
       // non-vacuity: the history must actually have produced multi-part
       // checkpoints (boundaries land every CHECKPOINT_EVERY commits)
       val logDir = Paths.get(path, LakeLog.LOG_DIR)

@@ -61,13 +61,22 @@ class SnapshotCacheFuzzSpec extends AnyFunSuite {
           model.clear(); model(0L) = "reborn"
           t = LakeTable.create(spark, path, Seq((0L, "reborn")).toDF("id", "v"))
           recreated = true
-        } else rnd.nextInt(10) match {
+        } else rnd.nextInt(11) match {
           case 0 | 1 | 2 | 3 =>
             val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
               val id = nextId; nextId += 1
               model(id) = s"r$id"; (id, s"r$id")
             }
             t.append(rows.toDF("id", "v"))
+          case 10 if model.size > 1 =>
+            // REORG PURGE of a takedown'd id: the dataChange=false class
+            // interleaving with DML/expiry/vacuum/checkpoint crossings —
+            // cache parity and data correctness must be indifferent to
+            // it like any other commit (id picked deterministically so
+            // the draw sequence stays step-local)
+            val id = model.keys.toSeq(step % model.size)
+            model.remove(id)
+            t.purgeStale(Seq(id).toDF("id"), Seq("id"))
           case 4 if model.size > 1 =>
             val id = model.keys.toSeq(rnd.nextInt(model.size))
             model.remove(id)
