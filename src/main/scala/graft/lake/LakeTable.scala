@@ -1556,7 +1556,10 @@ final class LakeTable private (
   }
 
   /** REORG-style STALE-ROW PURGE for derived index tables (Delta's
-    * `REORG TABLE ... APPLY (PURGE)` shape): rewrite exactly the files
+    * `REORG TABLE ... APPLY (PURGE)` shape; the reference demonstrates
+    * the rewrite-commit maintenance family this extends at
+    * `notebooks/01.formatos_ficheros/02.delta_lake_primer.py:441-442` —
+    * VACUUM/OPTIMIZE as user-facing statements): rewrite exactly the files
     * holding rows whose `joinCols` match `stale`, dropping those rows;
     * untouched files, the SetTxn state, and the table properties stay
     * byte-identical — an incremental index's exactly-once sync pointer
