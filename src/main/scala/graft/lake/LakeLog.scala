@@ -198,22 +198,34 @@ final class LakeLog(
       fileReads += total
       if (total == 1) return Some(Checkpoint.read(paths.head))
       import scala.concurrent.{Await, Future}
-      implicit val ec: scala.concurrent.ExecutionContext =
-        LakeLog.multipartReadContext
+      implicit val ec: scala.concurrent.ExecutionContextExecutorService =
+        LakeLog.multipartPool.context
       // BOUNDED await (generous — a part decodes in seconds): the pool
       // is shared JVM-wide, so one hung store read must not pin THIS
       // table's resolution forever; on expiry the checkpoint degrades
       // to None and resolution falls back to commit replay / listing,
-      // the same contract as a corrupt part. The stuck futures keep
-      // their pool slots until the underlying read returns — the
-      // timeout bounds resolution latency, not the leaked thread.
-      val decoded = Await.result(
-        Future.sequence(paths.map(p => Future {
-          LakeLog.multipartDecodeHook()
-          Checkpoint.read(p)
-        })),
-        scala.concurrent.duration.Duration(
-          LakeLog.multipartReadTimeoutSec, "s"))
+      // the same contract as a corrupt part. The expired pool is then
+      // ROTATED (stuck futures would otherwise keep their slots until
+      // the underlying read returned — 8 hangs would starve every
+      // later decode in the JVM), so the NEXT multi-part read runs on
+      // fresh slots via the parallel path, not the fallback.
+      val decoded =
+        try Await.result(
+          Future.sequence(paths.map(p => Future {
+            LakeLog.multipartDecodeHook()
+            Checkpoint.read(p)
+          })),
+          scala.concurrent.duration.Duration(
+            LakeLog.multipartReadTimeoutSec, "s"))
+        catch {
+          case e: java.util.concurrent.TimeoutException =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"multi-part checkpoint decode of v$v timed out after " +
+                s"${LakeLog.multipartReadTimeoutSec}s — rotating the " +
+                "decode pool and falling back to commit replay")
+            LakeLog.multipartPool.rotateIfCurrent(ec)
+            throw e
+        }
       Some(decoded.flatten)
     } catch { case NonFatal(_) => None }
 
@@ -906,13 +918,39 @@ object LakeLog {
     * `Files`-level reads no fake CommitStore can intercept. */
   @volatile private[lake] var multipartDecodeHook: () => Unit = () => ()
 
-  private[lake] lazy val multipartReadContext: scala.concurrent.ExecutionContext =
-    scala.concurrent.ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newFixedThreadPool(8, r => {
-        val t = new Thread(r, "graft-multipart-read")
-        t.setDaemon(true)
-        t
-      }))
+  /** The shared 8-slot decode pool, ROTATABLE: a store that HANGS reads
+    * (rather than failing them) would otherwise pin one slot per hung
+    * part forever — after 8 hangs every table's multi-part decode in
+    * the JVM would silently time out into the replay fallback for good.
+    * On an await timeout the reader swaps in a fresh pool and
+    * `shutdownNow()`s the abandoned one: the interrupt cancels
+    * in-flight NIO reads (`Files` streams ride interruptible
+    * channels), and a read that ignores interrupts leaks only its
+    * already-abandoned thread — never a slot of the NEW pool. */
+  private[lake] object multipartPool {
+    private def mk(): scala.concurrent.ExecutionContextExecutorService =
+      scala.concurrent.ExecutionContext.fromExecutorService(
+        java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+          val t = new Thread(r, "graft-multipart-read")
+          t.setDaemon(true)
+          t
+        }))
+    @volatile private var current = mk()
+    private[lake] val rotations =
+      new java.util.concurrent.atomic.AtomicLong(0L)
+    def context: scala.concurrent.ExecutionContextExecutorService = current
+    /** Rotate only if `used` is still the live pool — concurrent
+      * same-timeout callers rotate once, not once each. */
+    def rotateIfCurrent(
+        used: scala.concurrent.ExecutionContextExecutorService): Unit =
+      synchronized {
+        if (current eq used) {
+          current.shutdownNow()
+          current = mk()
+          rotations.incrementAndGet()
+        }
+      }
+  }
 
   /** One daemon thread for ALL tables' async checkpoints: checkpoints
     * are advisory, serial writes bound the memory in flight to one

@@ -1607,19 +1607,26 @@ final class LakeTable private (
     val missing = joinCols.filterNot(snap.schema.fieldNames.contains)
     require(missing.isEmpty, s"no such column(s): ${missing.mkString(",")}")
     if (snap.files.isEmpty) return 0L
+    // The stale key set is evaluated in TWO jobs (census semi-join,
+    // then the anti-join rewrite); a nondeterministic caller frame
+    // re-evaluated per job could desync the `dropped` count from the
+    // rows actually removed — or worse, remove rows the census never
+    // counted. localCheckpoint pins ONE materialization (stale sets are
+    // maintenance-sized: deleted ids, never the table) and both jobs
+    // read the same bytes.
+    val staleKeys = stale.select(joinCols.map(col): _*).distinct()
+      .localCheckpoint()
     // one pass: which files hold stale rows, and how many each
     val staleByFile = readFiles(snap, snap.files)
       .withColumn("__file", input_file_name())
-      .join(stale.select(joinCols.map(col): _*).distinct(),
-        joinCols, "left_semi")
+      .join(staleKeys, joinCols, "left_semi")
       .groupBy("__file").count().collect()
       .map(r => Stats.normalizeFileUri(r.getString(0)) -> r.getLong(1))
       .toMap
     if (staleByFile.isEmpty) return 0L
     val touched = snap.files.filter(f => staleByFile.contains(absPath(f)))
     val kept = readFiles(snap, touched)
-      .join(stale.select(joinCols.map(col): _*).distinct(),
-        joinCols, "left_anti")
+      .join(staleKeys, joinCols, "left_anti")
     val pcs = snap.metaData.partitionColumns
     val replacement = recluster match {
       case Some(f) => f(kept) // the caller's physical layout wins

@@ -394,6 +394,11 @@ object Dedup {
   private def minhashSyncAppId(sourcePath: String) =
     s"$MINHASH_SYNC_APP:$sourcePath"
 
+  /** Test seam: runs inside [[compactMinhashIndex]] right after the
+    * postings snapshot is pinned — the only way to deterministically
+    * land a racing sync inside the pin-to-commit conflict window. */
+  @volatile private[graft] var compactRaceHook: () => Unit = () => ()
+
   /** (id, key) band postings of `df` — key = "band:sigSlice", one row per
     * (doc, band). The single-column key keeps the probe join, the IN-list
     * pushdown, and the per-file bloom index on ONE column. */
@@ -582,6 +587,7 @@ object Dedup {
       idCol: String): Long = {
     val post = graft.lake.LakeTable.forPath(spark, s"$indexPath/postings")
     val postSnap = post.snapshot
+    compactRaceHook() // test seam: the pin-to-commit conflict window
     val props = postSnap.metaData.properties
     minhashConf(props) // validates this IS a minhash index
     val sourcePath = props.getOrElse(MINHASH_SOURCE_PATH_PROP,

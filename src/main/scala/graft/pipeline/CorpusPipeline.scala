@@ -214,20 +214,43 @@ object CorpusPipeline {
     * `1 − expectedRows / indexRows` estimates the stale fraction from
     * parquet footer stats alone — no scan, no join, a handful of
     * snapshot reads — and only an index estimated above `staleFraction`
-    * pays the purge's census pass. The estimate is CONSERVATIVE in two
-    * ways (DV-masked source rows still count as live; empty-shingle
-    * docs owe fewer postings than assumed), so it under-fires rather
-    * than thrashing; the purge itself recomputes staleness exactly.
-    * Safe to call after every wave.
+    * pays the purge's census pass. Live corpus rows are footer
+    * `numRecords` MINUS each file's deletion-vector cardinality (both
+    * already in the AddFile entries), so a corpus churned purely by
+    * point deletes — every one under a file's DV rewrite threshold —
+    * still trips the trigger instead of accumulating unbounded
+    * staleness behind rows the footers still count. The remaining
+    * conservatism (empty-shingle docs owe fewer postings than assumed)
+    * under-fires rather than thrashes; the purge itself recomputes
+    * staleness exactly.
+    *
+    * BEST-EFFORT, like [[graft.ops.Similarity.maybeRetrainIvfIndex]]'s
+    * pre-retrain purge: this is the unattended between-waves hook, so a
+    * benign race with a concurrent sync
+    * ([[graft.lake.CommitConflictException]]) skips that index's purge
+    * (logged; the next call gets it) instead of failing the caller's
+    * wave. A RECREATED source stays loud — purging against a different
+    * table generation is exactly what the guard exists to stop. Safe to
+    * call after every wave.
     *
     * @return (fuzzy postings dropped, semantic assignments dropped)
     */
   def maybeCompactIndexes(spark: SparkSession, outRoot: String,
       staleFraction: Double = 0.3): (Long, Long) = {
-    def statsRows(path: String): Long =
+    def liveRows(path: String): Long =
       LakeTable.forPath(spark, path).snapshot.files
-        .flatMap(_.stats.map(_.numRecords)).sum
-    val corpusRows = statsRows(s"$outRoot/curated")
+        .map(f => f.stats.map(_.numRecords).getOrElse(0L) - f.dvCardinality)
+        .sum
+    def bestEffort(what: String)(purge: => Long): Long =
+      try purge
+      catch {
+        case e: graft.lake.CommitConflictException =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"$what compaction under $outRoot skipped (racing sync; the " +
+              s"next trigger gets it): ${e.getMessage}")
+          0L
+      }
+    val corpusRows = liveRows(s"$outRoot/curated")
     def over(indexRows: Long, expected: Long): Boolean =
       indexRows > 0 &&
         1.0 - expected.toDouble / indexRows > staleFraction
@@ -236,16 +259,18 @@ object CorpusPipeline {
         val post = LakeTable.forPath(spark, s"$outRoot/mhindex/postings")
         val (_, bands, _) =
           Dedup.minhashConf(post.snapshot.metaData.properties)
-        if (over(statsRows(s"$outRoot/mhindex/postings"),
+        if (over(liveRows(s"$outRoot/mhindex/postings"),
             corpusRows * bands))
-          Dedup.compactMinhashIndex(spark, s"$outRoot/mhindex", "doc_id")
+          bestEffort("fuzzy-index")(
+            Dedup.compactMinhashIndex(spark, s"$outRoot/mhindex", "doc_id"))
         else 0L
       } else 0L
     val sem =
       if (LakeTable.isLakeTable(s"$outRoot/semindex/assignments") &&
-          over(statsRows(s"$outRoot/semindex/assignments"), corpusRows))
-        graft.ops.Similarity.compactIvfIndex(spark, s"$outRoot/semindex",
-          s"$outRoot/curated", "doc_id")
+          over(liveRows(s"$outRoot/semindex/assignments"), corpusRows))
+        bestEffort("semantic-index")(
+          graft.ops.Similarity.compactIvfIndex(spark, s"$outRoot/semindex",
+            s"$outRoot/curated", "doc_id"))
       else 0L
     (fuzzy, sem)
   }

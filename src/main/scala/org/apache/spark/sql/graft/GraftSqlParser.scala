@@ -62,13 +62,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case BUILD_INDEX_RE(kind, src, idx, c1, idCol, w1, w2, w3) =>
       if (kind.equalsIgnoreCase("MINHASH")) {
         // arity validated at parse time like the HISTORY limit
-        if (w1 != null && w2 == null)
+        if (w1 != null && (w2 == null || w3 == null))
           throw new IllegalArgumentException(
             "BUILD MINHASH INDEX ... WITH needs (shingleN, bands, rowsPerBand)")
         RunBuildMinhashIndex(strip(src), strip(idx), strip(c1), strip(idCol),
           Option(w1).map(_ => (w1.toInt, w2.toInt, w3.toInt)))
       } else {
-        if (w2 != null)
+        if (w2 != null || w3 != null)
           throw new IllegalArgumentException(
             "BUILD IVF INDEX ... WITH takes a single (nLists)")
         RunBuildIvfIndex(strip(src), strip(idx), strip(c1), strip(idCol),
@@ -150,11 +150,16 @@ object GraftSqlParser {
   private val COLPAIR = """\s*\(\s*([\w`]+)\s*,\s*([\w`]+)\s*\)"""
   private val KIND = """(MINHASH|IVF)"""
   // WITH accepts 1 int (IVF: nLists) or 3 (MINHASH: shingleN, bands,
-  // rowsPerBand) — arity validated per kind at parse time
+  // rowsPerBand). The ints are INDEPENDENTLY optional here so a wrong
+  // arity (e.g. two ints) still matches this statement and gets the
+  // helpful per-kind arity error from the handler — a stricter regex
+  // would fall through to the delegate parser and surface an opaque
+  // generic syntax error instead.
   private[graft] val BUILD_INDEX_RE =
     ("""(?is)\s*BUILD\s+""" + KIND + """\s+INDEX\s+ON\s+""" + TABLE +
       """\s+AT\s+""" + TABLE + """\s+USING""" + COLPAIR +
-      """(?:\s+WITH\s*\(\s*(\d+)(?:\s*,\s*(\d+)\s*,\s*(\d+))?\s*\))?\s*;?\s*""").r
+      """(?:\s+WITH\s*\(\s*(\d+)(?:\s*,\s*(\d+))?(?:\s*,\s*(\d+))?\s*\))?""" +
+      """\s*;?\s*""").r
   private[graft] val SYNC_INDEX_RE =
     ("""(?is)\s*SYNC\s+""" + KIND + """\s+INDEX\s+AT\s+""" + TABLE +
       """\s+USING""" + COLPAIR + """\s*;?\s*""").r

@@ -314,6 +314,46 @@ class MultiPartCheckpointSpec extends AnyFunSuite {
     }
   }
 
+  test("hung decodes rotate the pool: later reads decode in parallel, not fallback") {
+    val path = Files.createTempDirectory("mp-rotate-").toString
+    withMultipartConf {
+      buildTo20(path)
+      // a hook that never returns: repeated timed-out reads would pin
+      // 3 slots each — past 8 the shared pool would be permanently
+      // exhausted and every later multi-part decode in the JVM would
+      // silently degrade to replay. Rotation must prevent exactly that.
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      System.setProperty("graft.checkpoint.readTimeoutSec", "1")
+      LakeLog.multipartDecodeHook = () => latch.await()
+      val rotationsBefore = LakeLog.multipartPool.rotations.get()
+      try {
+        (1 to 3).foreach { _ => // 9 would-be-stuck decode tasks > 8 slots
+          LakeLog.snapshotCache.clear()
+          assert(LakeTable.forPath(spark, path).toDF.count() === 8 + 20,
+            "each hung read must still resolve via replay")
+        }
+        assert(LakeLog.multipartPool.rotations.get() - rotationsBefore >= 3,
+          "every timed-out read must rotate the abandoned pool")
+      } finally {
+        LakeLog.multipartDecodeHook = () => ()
+        System.clearProperty("graft.checkpoint.readTimeoutSec")
+        latch.countDown()
+      }
+      // a healthy read now PROVABLY runs the parallel decode path (the
+      // per-part hook fires), not the replay fallback
+      val decodes = new java.util.concurrent.atomic.AtomicLong(0L)
+      LakeLog.multipartDecodeHook = () => { decodes.incrementAndGet(); () }
+      try {
+        LakeLog.snapshotCache.clear()
+        val t0 = System.nanoTime()
+        assert(LakeTable.forPath(spark, path).toDF.count() === 8 + 20)
+        assert(decodes.get() >= 3,
+          s"all 3 parts must decode on the fresh pool, saw ${decodes.get()}")
+        assert((System.nanoTime() - t0) / 1e9 < 30)
+      } finally LakeLog.multipartDecodeHook = () => ()
+    }
+  }
+
   test("an incomplete part set is never used (crash-safe discovery)") {
     val path = Files.createTempDirectory("mp-partial-").toString
     withMultipartConf {

@@ -47,6 +47,25 @@ class PurgeStaleSpec extends AnyFunSuite {
     assert(t.toDF.agg(max($"id")).head().getLong(0) === 49L)
   }
 
+  test("nondeterministic stale frame: census and rewrite see ONE evaluation") {
+    val path = Files.createTempDirectory("purge-nondet-").toString
+    val t = freshTable(path)
+    val before = t.toDF.count()
+    // a frame that returns a DIFFERENT subset per evaluation (rand()
+    // won't do: its seed bakes in at analysis): without the pinned
+    // localCheckpoint, the census semi-join and the rewrite anti-join
+    // would disagree — dropped != rows actually removed
+    val flip = udf((_: Long) =>
+      java.util.concurrent.ThreadLocalRandom.current().nextBoolean())
+      .asNondeterministic()
+    val nondet = spark.range(0, 100).toDF("id")
+      .where(flip($"id")).select($"id")
+    val dropped = t.purgeStale(nondet, Seq("id"))
+    val after = t.toDF.count()
+    assert(before - after === dropped,
+      s"dropped=$dropped but table shrank by ${before - after}")
+  }
+
   test("no stale match: zero rows, zero commits") {
     val path = Files.createTempDirectory("purge-noop-").toString
     val t = freshTable(path)

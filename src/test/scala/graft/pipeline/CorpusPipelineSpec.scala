@@ -546,6 +546,87 @@ class CorpusPipelineSpec extends AnyFunSuite {
       .toDF.select($"id").as[Long].collect().toSet === live)
   }
 
+  test("maybeCompactIndexes counts DV-masked corpus rows as dead") {
+    val root = Files.createTempDirectory("corpus-dvchurn-").toString
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(8)(r.nextGaussian().toFloat)
+    }
+    val words = Seq("one", "two", "red", "blue", "wolf", "bear", "alpha",
+      "beta", "iron", "gold", "oak", "elm", "north", "south", "rain",
+      "snow", "fast", "slow", "high", "low")
+    val corpus = (0 until 20).map { i =>
+      (i.toLong, (0 until 10).map(j => words((i * 7 + j * 3) % 20) + i)
+        .mkString(" "), vec(i))
+    }.toDF("doc_id", "text", "embedding")
+    CorpusPipeline.curate(spark, corpus, root, minQuality = 0.0,
+      minTokens = 0, nearDupThreshold = 0.99, fuzzyIndex = true,
+      vecCol = Some("embedding"), semNLists = 2)
+    val curated = LakeTable.forPath(spark, s"$root/curated")
+    val posts = LakeTable.forPath(spark, s"$root/mhindex/postings")
+    // pack the corpus into one multi-row file so point deletes land as
+    // DVs (1-row files would delete as whole-file metadata removes)
+    curated.compact()
+    assert(curated.snapshot.files.size === 1)
+
+    // churn PURELY by point deletes, each wave under the per-file DV
+    // rewrite threshold: footers still count every row, only the DV
+    // cardinalities know 13/20 are dead. Without subtracting them the
+    // stats-only estimate reads 0% stale and the trigger never fires.
+    curated.delete($"doc_id" < 8L)  // 8 of 20 live → DV
+    curated.delete($"doc_id" >= 15L) // 5 of 12 live → DV
+    assert(curated.snapshot.files.exists(_.dvCardinality > 0),
+      "the churn must be deletion-vector-masked, not file rewrites")
+    assert(curated.snapshot.files.flatMap(_.stats.map(_.numRecords)).sum
+      === 20L, "footer rows must still count the masked rows")
+
+    val (fz, sm) = CorpusPipeline.maybeCompactIndexes(spark, root)
+    assert(fz > 0 && sm > 0,
+      s"DV-only churn past the threshold must trigger both purges: $fz/$sm")
+    val live = curated.toDF.select($"doc_id").as[Long].collect().toSet
+    assert(posts.toDF.select($"id").as[Long].collect().toSet === live)
+  }
+
+  test("maybeCompactIndexes skips (not fails) on a racing sync, next call purges") {
+    val root = Files.createTempDirectory("corpus-race-").toString
+    val words = Seq("one", "two", "red", "blue", "wolf", "bear", "alpha",
+      "beta", "iron", "gold", "oak", "elm", "north", "south", "rain",
+      "snow", "fast", "slow", "high", "low")
+    def doc(i: Int) = (i.toLong,
+      (0 until 10).map(j => words((i * 7 + j * 3) % 20) + i).mkString(" "))
+    CorpusPipeline.curate(spark,
+      (0 until 20).map(doc).toDF("doc_id", "text"), root,
+      minQuality = 0.0, minTokens = 0, nearDupThreshold = 0.99,
+      fuzzyIndex = true)
+    val curated = LakeTable.forPath(spark, s"$root/curated")
+    val posts = LakeTable.forPath(spark, s"$root/mhindex/postings")
+    curated.delete($"doc_id" % 5 =!= 1L) // 80% churn → trigger fires
+
+    // land a REAL racing sync inside the purge's pin-to-commit window:
+    // the unattended trigger must swallow the conflict (the caller's
+    // wave completes), not propagate it
+    var raced = false
+    graft.ops.Dedup.compactRaceHook = () => if (!raced) {
+      raced = true
+      // a whole wave (append + index sync) lands between the purge's
+      // snapshot pin and its commit
+      CorpusPipeline.curateIncremental(spark,
+        Seq(doc(100)).toDF("doc_id", "text"), root,
+        minQuality = 0.0, minTokens = 0, fuzzyDedup = true)
+    }
+    try {
+      val (fz1, _) = CorpusPipeline.maybeCompactIndexes(spark, root)
+      assert(raced, "the race hook must have fired")
+      assert(fz1 === 0L, s"a racing sync must skip the purge, got $fz1")
+      // the conflict was benign maintenance backoff: the NEXT trigger
+      // (no race) purges everything that is genuinely stale
+      val (fz2, _) = CorpusPipeline.maybeCompactIndexes(spark, root)
+      assert(fz2 > 0L, "the following trigger must purge")
+      val live = curated.toDF.select($"doc_id").as[Long].collect().toSet
+      assert(posts.toDF.select($"id").as[Long].collect().toSet === live)
+    } finally graft.ops.Dedup.compactRaceHook = () => ()
+  }
+
   test("fuzzy gate: empty-corpus deferral self-gates the batch, then builds") {
     val root = Files.createTempDirectory("corpus-fuzzy-defer-").toString
     // the initial corpus loses every doc to the quality gate -> both

@@ -293,6 +293,19 @@ class LakeCatalogSpec extends AnyFunSuite {
       "USING (text, doc_id) WITH (3, 16, 2)").collect()
     assert(LakeTable.forPath(spark, s"$idx2/postings").snapshot
       .metaData.properties(graft.ops.Dedup.MINHASH_CONF_PROP) === "3,16,2")
+
+    // wrong WITH arity still matches THIS statement and gets the
+    // helpful per-kind error, not the delegate parser's opaque one
+    val twoInts = intercept[IllegalArgumentException] {
+      spark.sql(s"BUILD MINHASH INDEX ON '$srcPath' AT '$root/idx3' " +
+        "USING (text, doc_id) WITH (3, 16)")
+    }
+    assert(twoInts.getMessage.contains("shingleN, bands, rowsPerBand"))
+    val ivfTwo = intercept[IllegalArgumentException] {
+      spark.sql(s"BUILD IVF INDEX ON '$srcPath' AT '$root/idx3' " +
+        "USING (vec, vec_id) WITH (4, 2)")
+    }
+    assert(ivfTwo.getMessage.contains("single (nLists)"))
   }
 
   test("IVF INDEX lifecycle via SQL: BUILD / SYNC / COMPACT / REBUILD") {
