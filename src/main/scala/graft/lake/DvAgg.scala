@@ -69,4 +69,8 @@ private[graft] object DmlMetrics {
   /** Touched-file count of the most recent MERGE (post key-range pruning
     * and prefilter) — lets specs assert the scan really narrowed. */
   val lastMergeCandidateFiles = new java.util.concurrent.atomic.AtomicLong(-1L)
+  /** true when the most recent purgeStale resolved its live-file census
+    * inventory via the distributed checkpoint scan (big-log parity with
+    * DELETE/UPDATE) instead of a materialized snapshot. */
+  val lastPurgeDistributed = new java.util.concurrent.atomic.AtomicBoolean(false)
 }

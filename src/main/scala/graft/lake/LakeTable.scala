@@ -1598,7 +1598,22 @@ final class LakeTable private (
       expectedVersion: Option[Long] = None): Long = {
     require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
     require(joinCols.nonEmpty, "purgeStale needs at least one join column")
-    val snap = snapshot
+    // Big-log parity with DELETE/UPDATE ([[snapshotForDml]]): above the
+    // distributed threshold the live-file inventory comes off the
+    // checkpoint's distributed scan (lite snapshot — the driver never
+    // replays a 100k+-entry log just to census an index), below it the
+    // materialized snapshot serves as before. The census itself has no
+    // pruning predicate (stale keys scatter across a key-clustered
+    // index), so the candidate set is the live set either way.
+    val (snap, allFiles) = distributedResolve(_ => Seq.empty) match {
+      case Some((lite, candidates)) =>
+        DmlMetrics.lastPurgeDistributed.set(true)
+        (lite, candidates)
+      case None =>
+        DmlMetrics.lastPurgeDistributed.set(false)
+        val s = snapshot
+        (s, s.files)
+    }
     expectedVersion.filter(_ != snap.version).foreach { v =>
       throw new CommitConflictException(
         s"purgeStale expected version $v but found ${snap.version} — " +
@@ -1606,7 +1621,7 @@ final class LakeTable private (
     }
     val missing = joinCols.filterNot(snap.schema.fieldNames.contains)
     require(missing.isEmpty, s"no such column(s): ${missing.mkString(",")}")
-    if (snap.files.isEmpty) return 0L
+    if (allFiles.isEmpty) return 0L
     // The stale key set is evaluated in TWO jobs (census semi-join,
     // then the anti-join rewrite); a nondeterministic caller frame
     // re-evaluated per job could desync the `dropped` count from the
@@ -1616,15 +1631,16 @@ final class LakeTable private (
     // read the same bytes.
     val staleKeys = stale.select(joinCols.map(col): _*).distinct()
       .localCheckpoint()
-    // one pass: which files hold stale rows, and how many each
-    val staleByFile = readFiles(snap, snap.files)
+    // one pass: which files hold stale rows, and how many each — the
+    // collect is bounded by TOUCHED files (churn), never the table
+    val staleByFile = readFiles(snap, allFiles)
       .withColumn("__file", input_file_name())
       .join(staleKeys, joinCols, "left_semi")
       .groupBy("__file").count().collect()
       .map(r => Stats.normalizeFileUri(r.getString(0)) -> r.getLong(1))
       .toMap
     if (staleByFile.isEmpty) return 0L
-    val touched = snap.files.filter(f => staleByFile.contains(absPath(f)))
+    val touched = allFiles.filter(f => staleByFile.contains(absPath(f)))
     val kept = readFiles(snap, touched)
       .join(staleKeys, joinCols, "left_anti")
     val pcs = snap.metaData.partitionColumns
@@ -1644,7 +1660,7 @@ final class LakeTable private (
     rewrite(snap, touched, replacement, "PURGE",
       Map("purgedRows" -> dropped.toString,
         "touchedFiles" -> touched.size.toString,
-        "skippedFiles" -> (snap.files.size - touched.size).toString,
+        "skippedFiles" -> (allFiles.size - touched.size).toString,
         "predicate" -> s"semi-join on ${joinCols.mkString(",")}"))
     dropped
   }

@@ -66,6 +66,48 @@ class PurgeStaleSpec extends AnyFunSuite {
       s"dropped=$dropped but table shrank by ${before - after}")
   }
 
+  test("big-log purge: census inventory comes off the distributed checkpoint scan") {
+    val THRESH = "spark.graft.log.distributedThreshold"
+    def build(): LakeTable = {
+      val path = Files.createTempDirectory("purge-dist-").toString
+      def batch(lo: Long, hi: Long) =
+        (lo until hi).map(i => (i, s"v$i")).toDF("id", "v")
+          .repartitionByRange(4, col("id"))
+      val t = LakeTable.create(spark, path, batch(0, 200))
+      (1 to 10).foreach(i => t.append(batch(200L * i, 200L * i + 200)))
+      assert(java.nio.file.Files.isRegularFile(t.log.logDir.resolve(
+        LakeLog.parquetCheckpointFileName(10L))), "checkpoint at v10 expected")
+      t
+    }
+    // identical tables, identical stale set — one purge per path
+    val (a, b) = (build(), build())
+    def stale = (0L until 2200L by 7L).toDF("id")
+    try {
+      spark.conf.set(THRESH, "1000000")
+      val droppedDriver = a.purgeStale(stale, Seq("id"))
+      assert(!DmlMetrics.lastPurgeDistributed.get())
+
+      spark.conf.set(THRESH, "10")
+      val droppedDist = b.purgeStale(stale, Seq("id"))
+      assert(DmlMetrics.lastPurgeDistributed.get(),
+        "above the threshold the census must resolve via DistributedState")
+      // results identical to the driver path: same drop count, same
+      // surviving rows, same PURGE commit shape
+      assert(droppedDist === droppedDriver && droppedDist > 0)
+      assert(b.toDF.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        === a.toDF.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+      val (ciA, ciB) =
+        (a.snapshot.commits.last._2, b.snapshot.commits.last._2)
+      assert(ciB.operation === "PURGE")
+      assert(ciB.parameters("purgedRows")
+        === ciA.parameters("purgedRows"))
+      assert(ciB.parameters("touchedFiles")
+        === ciA.parameters("touchedFiles"))
+      assert(ciB.parameters("skippedFiles")
+        === ciA.parameters("skippedFiles"))
+    } finally spark.conf.unset(THRESH)
+  }
+
   test("no stale match: zero rows, zero commits") {
     val path = Files.createTempDirectory("purge-noop-").toString
     val t = freshTable(path)
