@@ -391,7 +391,7 @@ object Dedup {
     * only — signatures would estimate, text re-derives exactly). */
   val MINHASH_SOURCE_PATH_PROP = "graft.minhash.sourcePath"
   private val MINHASH_SYNC_APP = "graft-minhash-sync"
-  private def minhashSyncAppId(sourcePath: String) =
+  private[graft] def minhashSyncAppId(sourcePath: String) =
     s"$MINHASH_SYNC_APP:$sourcePath"
 
   /** Test seam: runs inside [[compactMinhashIndex]] right after the

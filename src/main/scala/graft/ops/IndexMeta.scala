@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+
+import graft.lake.{LakeTable, Snapshot}
+
+/** One row of gate-index maintenance state — the engine-side analogue of
+  * the reference's Iceberg metadata tables
+  * (`notebooks/01.formatos_ficheros/03.iceberg_primer.py:322-402`, where
+  * snapshots/manifests/files are inspected as DataFrames): everything an
+  * operator needs to decide "is this index healthy, synced, and worth
+  * compacting" without scanning it.
+  *
+  * All row counts are FOOTER-STATS estimates (numRecords minus
+  * deletion-vector cardinality — the same no-scan arithmetic the
+  * auto-compaction trigger uses), so describing a 100k-file index costs
+  * a snapshot resolution, never a job.
+  */
+final case class GateIndexInfo(
+    kind: String,
+    index_path: String,
+    index_version: Long,
+    config: String,
+    source_path: Option[String],
+    source_generation: Option[String],
+    synced_through: Long,
+    indexed_rows: Long,
+    source_live_rows: Option[Long],
+    est_stale_fraction: Option[Double])
+
+/** Observability over the persisted incremental-dedup/ANN indexes
+  * ([[Dedup]] minhash postings, [[Similarity]] IVF assignments):
+  * recorded source triple, exactly-once sync pointer, live row counts,
+  * and the stats-estimated stale fraction the maintenance trigger
+  * ([[graft.pipeline.CorpusPipeline.maybeCompactIndexes]]) acts on.
+  * SQL surface: `DESCRIBE (MINHASH|IVF) INDEX AT idx` and
+  * `SHOW INDEXES AT root`.
+  */
+object IndexMeta {
+
+  private def liveRows(snap: Snapshot): Long =
+    snap.files
+      .map(f => f.stats.map(_.numRecords).getOrElse(0L) - f.dvCardinality)
+      .sum
+
+  private def sourceState(spark: SparkSession, sourcePath: Option[String],
+      indexedRows: Long, rowsPerSourceRow: Long)
+      : (Option[Long], Option[Double]) =
+    sourcePath.filter(LakeTable.isLakeTable) match {
+      case Some(sp) =>
+        val live = liveRows(LakeTable.forPath(spark, sp).snapshot)
+        val expected = live * rowsPerSourceRow
+        val stale =
+          if (indexedRows <= 0) 0.0
+          else math.max(0.0, 1.0 - expected.toDouble / indexedRows)
+        (Some(live), Some(stale))
+      case None => (None, None)
+    }
+
+  /** Maintenance state of a persisted MinHash band index (one row). */
+  def describeMinhash(spark: SparkSession, indexPath: String): DataFrame = {
+    val post = LakeTable.forPath(spark, s"$indexPath/postings")
+    val snap = post.snapshot
+    val props = snap.metaData.properties
+    val (shingleN, bands, rowsPerBand) = Dedup.minhashConf(props)
+    val sourcePath = props.get(Dedup.MINHASH_SOURCE_PATH_PROP)
+    // the sync pointer rides a SetTxn; the build baseline rides a
+    // property — "synced through" is whichever is further, exactly the
+    // arithmetic the sync itself replays against
+    val synced = math.max(
+      sourcePath.map(sp =>
+        snap.txns.getOrElse(Dedup.minhashSyncAppId(sp), -1L)).getOrElse(-1L),
+      props.get(Dedup.MINHASH_SYNCED_PROP).flatMap(_.toLongOption)
+        .getOrElse(-1L))
+    val indexed = liveRows(snap)
+    val (srcLive, stale) = sourceState(spark, sourcePath, indexed, bands)
+    spark.createDataset(Seq(GateIndexInfo(
+      "minhash", indexPath, snap.version,
+      s"shingleN=$shingleN,bands=$bands,rowsPerBand=$rowsPerBand",
+      sourcePath, props.get(Dedup.MINHASH_SOURCE_ID_PROP),
+      synced, indexed, srcLive, stale)))(
+      Encoders.product[GateIndexInfo]).toDF()
+  }
+
+  /** Maintenance state of a persisted IVF ANN index (one row). */
+  def describeIvf(spark: SparkSession, indexPath: String): DataFrame = {
+    val asg = LakeTable.forPath(spark, s"$indexPath/assignments")
+    val cb = LakeTable.forPath(spark, s"$indexPath/codebook")
+    val asgSnap = asg.snapshot
+    val cbProps = cb.snapshot.metaData.properties
+    val sourcePath = cbProps.get(Similarity.SOURCE_PATH_PROP)
+    val synced = math.max(
+      sourcePath.map(sp =>
+        asgSnap.txns.getOrElse(Similarity.syncAppId(sp), -1L)).getOrElse(-1L),
+      cbProps.get(Similarity.SYNCED_PROP).flatMap(_.toLongOption)
+        .getOrElse(-1L))
+    val nLists = liveRows(cb.snapshot)
+    val trained = cbProps.get(Similarity.TRAINED_COUNT_PROP)
+      .flatMap(_.toLongOption).getOrElse(0L)
+    val idCol = cbProps.get(Similarity.SOURCE_ID_COL_PROP)
+    val indexed = liveRows(asgSnap)
+    val (srcLive, stale) = sourceState(spark, sourcePath, indexed, 1L)
+    spark.createDataset(Seq(GateIndexInfo(
+      "ivf", indexPath, asgSnap.version,
+      s"nLists=$nLists,trainedCount=$trained" +
+        idCol.map(c => s",idCol=$c").getOrElse(""),
+      sourcePath, cbProps.get(Similarity.SOURCE_ID_PROP),
+      synced, indexed, srcLive, stale)))(
+      Encoders.product[GateIndexInfo]).toDF()
+  }
+
+  /** Every gate index discoverable under `root`: the pipeline layout's
+    * `mhindex` / `semindex` children, plus `root` itself when it IS an
+    * index. Zero rows (with the full schema) when none exists. */
+  def indexes(spark: SparkSession, root: String): DataFrame = {
+    val found = Seq.newBuilder[DataFrame]
+    def minhashAt(p: String): Unit =
+      if (LakeTable.isLakeTable(s"$p/postings"))
+        found += describeMinhash(spark, p)
+    def ivfAt(p: String): Unit =
+      if (LakeTable.isLakeTable(s"$p/assignments") &&
+          LakeTable.isLakeTable(s"$p/codebook"))
+        found += describeIvf(spark, p)
+    minhashAt(s"$root/mhindex"); minhashAt(root)
+    ivfAt(s"$root/semindex"); ivfAt(root)
+    val dfs = found.result()
+    if (dfs.isEmpty)
+      spark.emptyDataset(Encoders.product[GateIndexInfo]).toDF()
+    else dfs.reduce(_ unionByName _)
+  }
+}

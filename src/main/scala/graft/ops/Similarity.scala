@@ -268,7 +268,7 @@ object Similarity {
     * project the live ids without the caller re-supplying it. */
   val SOURCE_ID_COL_PROP = "graft.ivf.sourceIdCol"
 
-  private def syncAppId(sourcePath: String) = s"$SYNC_TXN_APP:$sourcePath"
+  private[graft] def syncAppId(sourcePath: String) = s"$SYNC_TXN_APP:$sourcePath"
 
   /** Record at build time that the index covers `sourcePath` through
     * `version` — the baseline [[syncIvfIndexFromTable]] starts from.

@@ -25,6 +25,11 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   REBUILD MINHASH|IVF INDEX AT '/idx' USING (col, id) -- fresh-log recovery
   *                                            (recorded source + conf)
   *   COMPACT MINHASH|IVF INDEX AT '/idx' USING (id) -- purge stale rows
+  *   DESCRIBE MINHASH|IVF INDEX AT '/idx'  -- maintenance state (source
+  *                                            triple, sync pointer, live
+  *                                            rows, stale estimate)
+  *   SHOW INDEXES AT '/root'               -- every gate index under a
+  *                                            pipeline root
   *
   * Table references resolve like the `table_changes` TVF: a dotted name
   * through the named catalog's warehouse conf, anything else as a path.
@@ -86,6 +91,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       if (kind.equalsIgnoreCase("MINHASH"))
         RunCompactMinhashIndex(strip(idx), strip(idCol))
       else RunCompactIvfIndex(strip(idx), strip(idCol))
+    case DESCRIBE_INDEX_RE(kind, idx) => RunDescribeIndex(kind, strip(idx))
+    case SHOW_INDEXES_RE(root) => RunShowIndexes(strip(root))
     case RESTORE_RE(ident, version) => RunLakeRestore(strip(ident), version.toLong)
     // only intercept constraint DDL aimed at a LAKE table; anything else
     // falls through to Spark's own ALTER TABLE handling
@@ -169,6 +176,11 @@ object GraftSqlParser {
   private[graft] val COMPACT_INDEX_RE =
     ("""(?is)\s*COMPACT\s+""" + KIND + """\s+INDEX\s+AT\s+""" + TABLE +
       """\s+USING\s*\(\s*([\w`]+)\s*\)\s*;?\s*""").r
+  private[graft] val DESCRIBE_INDEX_RE =
+    ("""(?is)\s*DESC(?:RIBE)?\s+""" + KIND + """\s+INDEX\s+AT\s+""" + TABLE +
+      """\s*;?\s*""").r
+  private[graft] val SHOW_INDEXES_RE =
+    ("""(?is)\s*SHOW\s+INDEXES\s+AT\s+""" + TABLE + """\s*;?\s*""").r
   private[graft] val RESTORE_RE =
     ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?""" + TABLE +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
@@ -465,6 +477,50 @@ private[graft] case class RunCompactIvfIndex(idxIdent: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val idxPath = MinhashIndexSql.resolveIndexPath(spark, idxIdent)
     Seq(Row(graft.ops.Similarity.compactIvfIndex(spark, idxPath, idCol)))
+  }
+}
+
+private[graft] object IndexMetaSql {
+  /** Column contract of [[graft.ops.GateIndexInfo]]'s DataFrame shape —
+    * shared by both observability statements. */
+  val attrs: Seq[AttributeReference] = Seq(
+    AttributeReference("kind", StringType)(),
+    AttributeReference("index_path", StringType)(),
+    AttributeReference("index_version", LongType)(),
+    AttributeReference("config", StringType)(),
+    AttributeReference("source_path", StringType)(),
+    AttributeReference("source_generation", StringType)(),
+    AttributeReference("synced_through", LongType)(),
+    AttributeReference("indexed_rows", LongType)(),
+    AttributeReference("source_live_rows", LongType)(),
+    AttributeReference("est_stale_fraction",
+      org.apache.spark.sql.types.DoubleType)())
+}
+
+/** `DESCRIBE (MINHASH|IVF) INDEX AT idx` — one-row maintenance state;
+  * see [[graft.ops.IndexMeta]]. */
+private[graft] case class RunDescribeIndex(kind: String, idxIdent: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] = IndexMetaSql.attrs
+  override def run(spark: SparkSession): Seq[Row] = {
+    val idxPath = MinhashIndexSql.resolveIndexPath(spark, idxIdent)
+    val df =
+      if (kind.equalsIgnoreCase("MINHASH"))
+        graft.ops.IndexMeta.describeMinhash(spark, idxPath)
+      else graft.ops.IndexMeta.describeIvf(spark, idxPath)
+    df.collect().toSeq
+  }
+}
+
+/** `SHOW INDEXES AT root` — every gate index discoverable under a
+  * pipeline root (or the root itself); see
+  * [[graft.ops.IndexMeta.indexes]]. */
+private[graft] case class RunShowIndexes(rootIdent: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] = IndexMetaSql.attrs
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = MinhashIndexSql.resolveIndexPath(spark, rootIdent)
+    graft.ops.IndexMeta.indexes(spark, root).collect().toSeq
   }
 }
 
