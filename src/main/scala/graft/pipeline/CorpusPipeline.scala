@@ -346,7 +346,9 @@ object CorpusPipeline {
       semNProbe: Int = 2,
       semNLists: Int = 8,
       fuzzyDedup: Boolean = false,
-      fuzzyThreshold: Double = 0.5): IncrementResult = {
+      fuzzyThreshold: Double = 0.5,
+      fuzzyMaxInList: Int = 10000,
+      semMaxBroadcastRows: Long = 100000L): IncrementResult = {
     val curatedT = LakeTable.forPath(spark, s"$outRoot/curated")
     // [[curate]] defers the index when the initial corpus came out empty
     // (nothing to train on); on such a wave the CROSS-CORPUS semantic
@@ -457,7 +459,8 @@ object CorpusPipeline {
       if (!fuzzyDedup) docFresh
       else if (mhindexReady) {
         val g = Dedup.minhashNewAgainstIndex(spark, s"$outRoot/mhindex",
-          docFresh, "text", "doc_id", fuzzyThreshold)
+          docFresh, "text", "doc_id", fuzzyThreshold,
+          maxInList = fuzzyMaxInList)
         if (g ne docFresh) g.cache() else g
       } else {
         // empty-corpus deferral wave: nothing to gate against, but the
@@ -479,7 +482,8 @@ object CorpusPipeline {
     val fresh = vecCol match {
       case Some(c) if semindexReady =>
         val g = Dedup.semanticNewAgainstIndex(spark,
-          s"$outRoot/semindex", fuzzyFresh, c, "doc_id", semThreshold, semNProbe)
+          s"$outRoot/semindex", fuzzyFresh, c, "doc_id", semThreshold,
+          semNProbe, maxBroadcastRows = semMaxBroadcastRows)
         if (g ne fuzzyFresh) g.cache() else g
       case Some(c) =>
         // no index yet (the empty-corpus deferral wave): there is no
@@ -540,6 +544,40 @@ object CorpusPipeline {
     preScrub.foreach(_.unpersist()); scrubCache.foreach(_.unpersist())
     IncrementResult(input, afterQuality, appended)
   }
+
+  /** Bulk backfill — [[curateIncremental]] for a CORPUS-SIZED wave.
+    * The incremental path is contract-bound to micro-batches: its gates
+    * keep driver-cheap `broadcast()` hints and IN-list probes while the
+    * wave is small, degrading to plain joins + AQE past their bounds.
+    * This entry point FORCES the oversized arms outright (fuzzy gate:
+    * distributed postings join instead of the IN-list probe; semantic
+    * gate: no batch-side broadcast hint — AQE picks strategies from
+    * runtime sizes), so a historical-archive backfill can never OOM the
+    * driver on a hint sized for micro-batches, and never pays the
+    * bounded arms' key-collect just to discover the wave is huge.
+    * Everything else — gate semantics, exactly-once index sync, stats
+    * refresh — is the incremental path verbatim: survivors are
+    * bit-identical to what [[curateIncremental]] (or a from-scratch
+    * [[curate]] over the union) would keep.
+    */
+  def curateBulk(
+      spark: SparkSession,
+      newDocs: DataFrame,
+      outRoot: String,
+      minQuality: Double = 0.3,
+      minTokens: Int = 5,
+      expectedCorpusItems: Long = 10_000_000L,
+      paragraphScrub: Boolean = false,
+      vecCol: Option[String] = None,
+      semThreshold: Double = 0.8,
+      semNProbe: Int = 2,
+      semNLists: Int = 8,
+      fuzzyDedup: Boolean = false,
+      fuzzyThreshold: Double = 0.5): IncrementResult =
+    curateIncremental(spark, newDocs, outRoot, minQuality, minTokens,
+      expectedCorpusItems, paragraphScrub, vecCol, semThreshold, semNProbe,
+      semNLists, fuzzyDedup, fuzzyThreshold,
+      fuzzyMaxInList = 0, semMaxBroadcastRows = 0L)
 
   /** Continuous curation — the streaming form of [[curateIncremental]]:
     * the LANDING lake table's commit log streams through the v2 source
