@@ -289,6 +289,45 @@ object BloomIndex {
     }
   }
 
+  /** One column's filter as stored: identity triple + the bloom's own
+    * serialized wire content — Spark's stable `BloomFilter` formats:
+    * V1 = (int 1, int numHashFunctions, BitArray), V2 = (int 2, int
+    * numHashFunctions, int seed, BitArray); BitArray = (int wordCount,
+    * big-endian longs). The effective bit size is `words.length * 64` —
+    * exactly what `BitArray.bitSize()` reports, including the round-up
+    * from the optimal bit count. For V1 `seed` is 0 and unused. */
+  private[lake] final case class RawColumnFilter(
+      name: String, dtStr: String, fid: Long,
+      bfVersion: Int, seed: Int, k: Int, words: Array[Long])
+
+  /** Parse a sidecar to its raw per-column filters — the consolidated
+    * key index's build input ([[ConsolidatedKeyIndex]]): it re-packs the
+    * EXACT bits the per-file probes test, so consolidated and sidecar
+    * pruning agree bit-for-bit. None on any structural problem — incl.
+    * a future BloomFilter wire version whose position arithmetic we
+    * cannot replicate (the file simply stays uncovered; its sidecar
+    * keeps serving probes). */
+  private[lake] def readSidecarRaw(p: Path): Option[Seq[RawColumnFilter]] =
+    try {
+      val in = new DataInputStream(new BufferedInputStream(Files.newInputStream(p)))
+      try {
+        if (in.readInt() != MAGIC || in.readInt() != VERSION) None
+        else Some((0 until in.readInt()).map { _ =>
+          val name = in.readUTF()
+          val dtStr = in.readUTF()
+          val fid = in.readLong()
+          in.readInt() // payload length (implied by the word count below)
+          val bfVersion = in.readInt()
+          require(bfVersion == 1 || bfVersion == 2,
+            s"unknown BloomFilter wire version $bfVersion")
+          val k = in.readInt()
+          val seed = if (bfVersion == 2) in.readInt() else 0
+          val words = Array.fill(in.readInt())(in.readLong())
+          RawColumnFilter(name, dtStr, fid, bfVersion, seed, k, words)
+        })
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Sidecar → per-column (declared type, field id, filter). Pruning
     * silently degrades to min/max only on any read problem, with the
     * caching policy encoded in the shape: `Some(Left(map))` = durable
@@ -339,11 +378,18 @@ object BloomIndex {
       cols: Map[String, (DataType, Long, BloomFilter)],
       bytes: Long,
       expiresAt: Long) // Long.MaxValue for positive entries
-  private val CACHE_MAX_BYTES = 64L << 20
+  /** Mutable for measurement only (BloomFanInBench shrinks it to show
+    * sustained thrash — production sidecars are ~1 MB, so a 100k-file
+    * table never fits the default 64 MB and every probe is cold). */
+  @volatile private[lake] var CACHE_MAX_BYTES = 64L << 20
   private val NEGATIVE_TTL_MS = 60000L
   private var cacheBytes = 0L
   private val cache =
     new java.util.LinkedHashMap[String, CacheEntry](64, 0.75f, true)
+
+  /** Measurement companion to the CACHE_MAX_BYTES override. */
+  private[lake] def clearCache(): Unit =
+    cache.synchronized { cache.clear(); cacheBytes = 0L }
 
   private def entryBytes(m: Map[String, (DataType, Long, BloomFilter)]): Long =
     m.valuesIterator.map(_._3.bitSize() / 8).sum + 256
@@ -448,23 +494,33 @@ object BloomIndex {
     override def definitelyAbsent(
         f: AddFile, field: StructField, value: Any): Boolean =
       f.bloomPath.exists { rel =>
-        lookup(rootStr, rel).get(field.name) match {
-          // the sidecar must describe THIS column: same name, same
-          // declared type, and — the part the name alone cannot carry —
-          // the same parquet field id, so rename churn that hands an old
-          // name to a different same-typed column (a→x, b→a) can never
-          // make the previous column's filter prove absence of the new
-          // one's values
-          case Some((sdt, sfid, bf)) if sdt == field.dataType &&
-              sfid == LakeTable.fieldId(field).getOrElse(-1L) =>
-            toColumnValue(field.dataType, value) match {
-              case Some(cv) =>
-                val absent = !bf.mightContainLong(probeHash(field.dataType, cv))
-                if (absent) BloomMetrics.skippedByBloom.incrementAndGet()
-                absent
-              case None => false
-            }
-          case _ => false
+        // the consolidated key index first ([[ConsolidatedKeyIndex]]):
+        // bit-identical to the sidecar answer for covered files, and a
+        // point probe into a 100k-file table reads k slices instead of
+        // opening 100k sidecars. Uncovered files (newer than the index,
+        // rewritten, or no index at all) take the per-file path below.
+        ConsolidatedKeyIndex.lookup(rootStr, f, field, value) match {
+          case Some(consolidatedAbsent) =>
+            if (consolidatedAbsent) BloomMetrics.skippedByBloom.incrementAndGet()
+            consolidatedAbsent
+          case None => lookup(rootStr, rel).get(field.name) match {
+            // the sidecar must describe THIS column: same name, same
+            // declared type, and — the part the name alone cannot carry —
+            // the same parquet field id, so rename churn that hands an old
+            // name to a different same-typed column (a→x, b→a) can never
+            // make the previous column's filter prove absence of the new
+            // one's values
+            case Some((sdt, sfid, bf)) if sdt == field.dataType &&
+                sfid == LakeTable.fieldId(field).getOrElse(-1L) =>
+              toColumnValue(field.dataType, value) match {
+                case Some(cv) =>
+                  val absent = !bf.mightContainLong(probeHash(field.dataType, cv))
+                  if (absent) BloomMetrics.skippedByBloom.incrementAndGet()
+                  absent
+                case None => false
+              }
+            case _ => false
+          }
         }
       }
   }

@@ -133,7 +133,7 @@ final class LakeLog(
     * `{"version":N,"parts":T}` (multi-part, Delta's exact shape). The
     * parts field tells the reader the complete part set WITHOUT a
     * directory listing — part file names are constructed. */
-  private def lastCheckpointInfo: Option[(Long, Option[Int])] = {
+  private[lake] def lastCheckpointInfo: Option[(Long, Option[Int])] = {
     val p = logDir.resolve(LAST_CHECKPOINT)
     if (!Files.isRegularFile(p)) return None
     fileReads += 1
@@ -610,6 +610,11 @@ final class LakeLog(
     */
   private[lake] def writeCheckpointAt(version: Long): Unit = {
     if (!tryWriteCheckpointDistributed(version)) writeCheckpointDriver(version)
+    // the consolidated bloom key index shares the checkpoint's
+    // lifecycle: rebuilt (when coverage has decayed) right after the
+    // boundary that changed the live set — best-effort, like the
+    // checkpoint itself
+    ConsolidatedKeyIndex.maybeBuildAt(this)
   }
 
   private def writeCheckpointDriver(version: Long): Unit = {

@@ -14,27 +14,47 @@ import org.apache.spark.sql.functions._
   * read (every sidecar read from disk), a warm one (cache), and the
   * distributed-path variant (executor-side sidecar reads). Numbers are
   * recorded in BASELINE.md §Q.
+  *
+  * Round-10 extension (VERDICT r9 #1): after the sidecar-path probes, a
+  * forced checkpoint publishes the CONSOLIDATED key index
+  * ([[ConsolidatedKeyIndex]]) and the same probes re-run against it —
+  * the driver then reads k bit-slices per value instead of opening one
+  * sidecar per candidate file. The acceptance bar: consolidated
+  * point-probe resolution at 100k files within ~2× of the 1k-file
+  * cost. Numbers in BASELINE.md §S.
   */
 object BloomFanInBench {
   def main(args: Array[String]): Unit = {
     val nFiles = args.headOption.map(_.toInt).getOrElse(20000)
+    // optional second arg: an existing bench root to REUSE (skips the
+    // slow table build — 100k files take ~25 min to write), or "keep"
+    // to build fresh and leave the root on disk, printed at the end
+    val reuse = args.drop(1).headOption.filter(_ != "keep")
+    val keep = args.drop(1).headOption.contains("keep") || reuse.isDefined
     val rowsPerFile = 20
     val spark = graft.TestSpark.session
     spark.sparkContext.setLogLevel("ERROR")
-    val root = java.nio.file.Files.createTempDirectory("bloom-fanin-").toString
+    val root = reuse.getOrElse(
+      java.nio.file.Files.createTempDirectory("bloom-fanin-").toString)
 
-    // ids hash-scattered across files: every file's (min, max) spans
-    // ~the whole domain, so range skipping is structurally blind — the
-    // worst case the bloom index exists for
-    val df = spark.range(0L, nFiles.toLong * rowsPerFile)
-      .select(col("id"), (col("id") % 1000).as("v"))
-      .repartition(nFiles, col("id"))
-    val t0 = System.nanoTime()
-    val t = LakeTable.create(spark, s"$root/t", df,
-      properties = Map(BloomIndex.COLS_PROP -> "id"))
-    val buildSec = (System.nanoTime() - t0) / 1e9
+    val t = reuse match {
+      case Some(_) => LakeTable.forPath(spark, s"$root/t")
+      case None =>
+        // ids hash-scattered across files: every file's (min, max) spans
+        // ~the whole domain, so range skipping is structurally blind —
+        // the worst case the bloom index exists for
+        val df = spark.range(0L, nFiles.toLong * rowsPerFile)
+          .select(col("id"), (col("id") % 1000).as("v"))
+          .repartition(nFiles, col("id"))
+        val t0 = System.nanoTime()
+        val created = LakeTable.create(spark, s"$root/t", df,
+          properties = Map(BloomIndex.COLS_PROP -> "id",
+            ConsolidatedKeyIndex.MIN_FILES_PROP -> "1"))
+        println(f"[fanin] built ${created.snapshot.files.size}%d files " +
+          f"(+sidecars) in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        created
+    }
     val files = t.snapshot.files.size
-    println(f"[fanin] built $files%d files (+sidecars) in $buildSec%.1f s")
 
     // MID-DOMAIN keys: P(a file's min exceeds the key or its max falls
     // below it) ~ 2·(1/2)^rowsPerFile — range skipping is structurally
@@ -44,11 +64,13 @@ object BloomFanInBench {
     val mid = nFiles.toLong * rowsPerFile / 2
     def probe(label: String, t: LakeTable, key: Long): Unit = {
       BloomMetrics.reset()
+      KeyIndexMetrics.reset()
       val t1 = System.nanoTime()
       val n = t.read(col("id") === key).count()
       val sec = (System.nanoTime() - t1) / 1e9
-      println(f"[fanin] $label%s: $sec%.2f s, rows=$n%d, " +
-        f"bloom-skipped=${BloomMetrics.skippedByBloom.get()}%d of $files%d")
+      println(f"[fanin] $label%s: $sec%.3f s, rows=$n%d, " +
+        f"bloom-skipped=${BloomMetrics.skippedByBloom.get()}%d of $files%d, " +
+        f"consolidated-served=${KeyIndexMetrics.served.get()}%d")
     }
     probe("cold driver-side point read ", t, mid + 1)
     probe("warm driver-side point read ", t, mid + 1)
@@ -64,7 +86,47 @@ object BloomFanInBench {
       probe("dist fresh-key point read  ", t2, mid + 7)
     } finally spark.conf.unset("spark.graft.log.distributedThreshold")
 
-    graft.TestFs.rmRf(java.nio.file.Paths.get(root))
+    // SUSTAINED THRASH: production sidecars are ~1 MB (1M-row files), so
+    // a 100k-file table holds ~100 GB of filter bytes — the 64 MB cache
+    // covers 0.07% and EVERY probe re-opens ~every sidecar. The bench's
+    // tiny sidecars would all fit, so emulate the pressure by shrinking
+    // the cache to the same coverage ratio.
+    val normalCache = BloomIndex.CACHE_MAX_BYTES
+    BloomIndex.CACHE_MAX_BYTES = 64L << 10
+    BloomIndex.clearCache()
+    try {
+      probe("THRASHED sidecar point read", t, mid + 21)
+      probe("THRASHED sidecar repeat    ", t, mid + 21)
+    } finally { BloomIndex.CACHE_MAX_BYTES = normalCache; BloomIndex.clearCache() }
+
+    // consolidated key index: one forced checkpoint publishes it, then
+    // the same driver-side probes read k bit-slices per value instead of
+    // opening one sidecar per file. Threshold pinned high so resolution
+    // stays on the DRIVER path being measured.
+    spark.conf.set("spark.graft.log.distributedThreshold", "100000000")
+    try {
+      val tb = System.nanoTime()
+      t.log.writeCheckpointAt(t.snapshot.version)
+      println(f"[fanin] checkpoint + consolidated index build: " +
+        f"${(System.nanoTime() - tb) / 1e9}%.1f s")
+      probe("consolidated point read    ", t, mid + 9)
+      probe("consolidated fresh-key read", t, mid + 11)
+      probe("consolidated repeat read   ", t, mid + 11)
+      // the thrash scenario again — the consolidated path doesn't care
+      // about the sidecar cache at all
+      BloomIndex.CACHE_MAX_BYTES = 64L << 10
+      BloomIndex.clearCache()
+      try probe("consolidated THRASH-immune ", t, mid + 23)
+      finally { BloomIndex.CACHE_MAX_BYTES = normalCache; BloomIndex.clearCache() }
+      // point DML through the same probe path
+      val td = System.nanoTime()
+      val del = t.delete(col("id") === (mid + 13))
+      println(f"[fanin] consolidated point DELETE: " +
+        f"${(System.nanoTime() - td) / 1e9}%.3f s, deleted=$del%d")
+    } finally spark.conf.unset("spark.graft.log.distributedThreshold")
+
+    if (keep) println(s"[fanin] root kept at $root")
+    else graft.TestFs.rmRf(java.nio.file.Paths.get(root))
     spark.stop()
   }
 }
