@@ -300,6 +300,42 @@ object BloomIndex {
       name: String, dtStr: String, fid: Long,
       bfVersion: Int, seed: Int, k: Int, words: Array[Long])
 
+  /** [[RawColumnFilter]] without the payload: identity + geometry only. */
+  private[lake] final case class RawColumnHeader(
+      name: String, dtStr: String, fid: Long,
+      bfVersion: Int, seed: Int, k: Int, words: Int)
+
+  /** Headers only — geometry + identity with the word arrays SKIPPED,
+    * not materialized: the consolidated build's slot-assignment pass
+    * reads every sidecar's metadata, which must not cost the sidecars'
+    * megabytes twice (the transpose pass reads the payload once). */
+  private[lake] def readSidecarHeaders(p: Path): Option[Seq[RawColumnHeader]] =
+    try {
+      val in = new DataInputStream(new BufferedInputStream(Files.newInputStream(p)))
+      try {
+        if (in.readInt() != MAGIC || in.readInt() != VERSION) None
+        else Some((0 until in.readInt()).map { _ =>
+          val name = in.readUTF()
+          val dtStr = in.readUTF()
+          val fid = in.readLong()
+          in.readInt() // payload length
+          val bfVersion = in.readInt()
+          require(bfVersion == 1 || bfVersion == 2,
+            s"unknown BloomFilter wire version $bfVersion")
+          val k = in.readInt()
+          val seed = if (bfVersion == 2) in.readInt() else 0
+          val words = in.readInt()
+          var toSkip = words.toLong * 8
+          while (toSkip > 0) {
+            val skipped = in.skip(toSkip)
+            if (skipped <= 0) throw new java.io.EOFException(p.toString)
+            toSkip -= skipped
+          }
+          RawColumnHeader(name, dtStr, fid, bfVersion, seed, k, words)
+        })
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Parse a sidecar to its raw per-column filters — the consolidated
     * key index's build input ([[ConsolidatedKeyIndex]]): it re-packs the
     * EXACT bits the per-file probes test, so consolidated and sidecar

@@ -156,6 +156,12 @@ object ConsolidatedKeyIndex {
       val staleFraction = props.get(STALE_FRACTION_PROP)
         .flatMap(_.toDoubleOption).filter(f => f >= 0 && f <= 1)
         .getOrElse(0.1)
+      // cheap pre-gate, no Spark job: the checkpoint's OWN row count
+      // (footer read, cached per part) upper-bounds the indexed-file
+      // count — strictly below minFiles there is nothing to
+      // consolidate, and unlike a possibly-lagging snapshot-cache
+      // estimate this counts exactly the state being indexed
+      if (DistributedState.checkpointRows(ckptPaths) < minFiles) return
       import spark.implicits._
       val pairs = spark.read.parquet(ckptPaths.map(_.toString): _*)
         .where(col("add").isNotNull && col("add.bloomPath").isNotNull)
@@ -164,11 +170,8 @@ object ConsolidatedKeyIndex {
       if (pairs.length < minFiles) return
       load(rootKey) match {
         case Some(idx) if idx.matrices.nonEmpty =>
-          val covered = idx.matrices.head
-          val uncovered = pairs.count { case (p, bp) =>
-            val slot = covered.slotOf.get(p)
-            slot == null || covered.bloomPaths(slot) != bp
-          }
+          val covered = idx.coveredBloomPath
+          val uncovered = pairs.count { case (p, bp) => covered.get(p) != bp }
           if (uncovered.toDouble / pairs.length <= staleFraction) return
         case _ => ()
       }
@@ -198,10 +201,10 @@ object ConsolidatedKeyIndex {
         Seq[(String, String, Long, Int, Int, Int, Int)])] =
       spark.createDataset(pairs.toSeq).mapPartitions { it =>
         it.flatMap { case (path, bloomPath) =>
-          BloomIndex.readSidecarRaw(Paths.get(rootStr).resolve(bloomPath))
+          BloomIndex.readSidecarHeaders(Paths.get(rootStr).resolve(bloomPath))
             .map(cols => (path, bloomPath,
               cols.map(c => (c.name, c.dtStr, c.fid, c.bfVersion, c.seed,
-                c.k, c.words.length))))
+                c.k, c.words))))
             .iterator
         }
       }.collect()
@@ -422,14 +425,44 @@ object ConsolidatedKeyIndex {
   }
 
   private final class LoadedIndex(
-      val version: Long, val matrices: Seq[LoadedMatrix])
+      val version: Long, val matrices: Seq[LoadedMatrix]) {
+    /** UNION membership across matrices: path -> the recorded bloomPath
+      * of its slot. Real tables split files across GEOMETRY classes
+      * (tail files, compactions produce different row counts, so
+      * different bloom sizings) — rating coverage against any single
+      * matrix would make the rebuild gate fire forever and the
+      * observability surface report phantom staleness. */
+    lazy val coveredBloomPath: java.util.HashMap[String, String] = {
+      val m = new java.util.HashMap[String, String]()
+      matrices.foreach { mm =>
+        val it = mm.slotOf.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          m.put(e.getKey, mm.bloomPaths(e.getValue))
+        }
+      }
+      m
+    }
+  }
 
   /** Per-root discovery cache: (refreshed-at, index). A missing or
     * unreadable index negative-caches for the TTL, so tables without
-    * one pay a single directory stat per TTL, not per probe. */
+    * one pay a single directory stat per TTL, not per probe. Bounded:
+    * a loaded 100k-file index holds ~20 MB of slot maps, so at most
+    * [[MAX_LOADED]] POSITIVE entries stay resident (evicted
+    * least-recently-refreshed; negative entries are ~free and churn out
+    * by TTL anyway). */
   private val DISCOVER_TTL_MS = 30000L
+  private val MAX_LOADED = 8
   private val indexCache =
     scala.collection.concurrent.TrieMap.empty[String, (Long, Option[LoadedIndex])]
+
+  private def boundLoaded(): Unit = {
+    val loaded = indexCache.toSeq.filter(_._2._2.isDefined)
+    if (loaded.size > MAX_LOADED)
+      loaded.sortBy(_._2._1).take(loaded.size - MAX_LOADED)
+        .foreach { case (k, v) => indexCache.remove(k, v) }
+  }
 
   private[lake] def invalidate(rootStr: String): Unit = {
     indexCache.remove(rootStr)
@@ -454,9 +487,27 @@ object ConsolidatedKeyIndex {
           case _ => discover(Paths.get(key))
         }
         indexCache.put(key, (now, idx))
+        if (idx.isDefined) boundLoaded()
         idx
     }
   }
+
+  /** Observability accessor ([[graft.ops.IndexMeta]]): the published
+    * index's checkpoint version, how many of the CALLER's live
+    * (path, bloomPath) files it covers, its slot count, and a matrix
+    * summary. None when no index is published. */
+  private[graft] def coverage(rootStr: String,
+      live: Seq[(String, Option[String])]): Option[(Long, Long, Long, String)] =
+    load(rootStr).filter(_.matrices.nonEmpty).map { idx =>
+      val coveredMap = idx.coveredBloomPath
+      val covered = live.count { case (p, bp) =>
+        bp.contains(coveredMap.get(p)) // null never matches a Some
+      }
+      val config = idx.matrices.map(mm =>
+        s"${mm.meta.name}(words=${mm.meta.words},k=${mm.meta.k})")
+        .mkString(",")
+      (idx.version, covered.toLong, coveredMap.size.toLong, config)
+    }
 
   private def newestVersion(root: Path): Option[Long] =
     try {

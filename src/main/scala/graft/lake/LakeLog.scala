@@ -25,6 +25,14 @@ final case class Snapshot(
     StructType(schema.filterNot(f => metaData.partitionColumns.contains(f.name)))
   def numFiles: Long = files.size.toLong
   def sizeInBytes: Long = files.map(_.size).sum
+  /** Footer-stats live-row estimate: numRecords minus the file's
+    * deletion-vector cardinality, floored per file so a stats-less
+    * adopted file carrying a DV can never contribute a NEGATIVE term —
+    * the one arithmetic the maintenance triggers and the observability
+    * surface both rate staleness with. */
+  def estimatedLiveRows: Long = files.map(f =>
+    math.max(0L, f.stats.map(_.numRecords).getOrElse(0L) - f.dvCardinality))
+    .sum
 }
 
 /** The commit log: `_lake_log/NNNNNNNNNNNNNNNNNNNN.json`, one JSON action
@@ -611,10 +619,15 @@ final class LakeLog(
   private[lake] def writeCheckpointAt(version: Long): Unit = {
     if (!tryWriteCheckpointDistributed(version)) writeCheckpointDriver(version)
     // the consolidated bloom key index shares the checkpoint's
-    // lifecycle: rebuilt (when coverage has decayed) right after the
-    // boundary that changed the live set — best-effort, like the
-    // checkpoint itself
-    ConsolidatedKeyIndex.maybeBuildAt(this)
+    // lifecycle — rebuilt (when coverage has decayed) right after the
+    // boundary that changed the live set — but NOT its thread: the
+    // build reads every sidecar (tens of GB at production sizes), far
+    // past the metadata encode an inline checkpoint budgets for, so it
+    // always rides the maintenance executor. Best-effort, like the
+    // checkpoint itself; nothing waits on it (probes fall back to
+    // sidecars until it lands).
+    LakeLog.checkpointExecutor.execute(() =>
+      ConsolidatedKeyIndex.maybeBuildAt(this))
   }
 
   private def writeCheckpointDriver(version: Long): Unit = {
@@ -928,10 +941,13 @@ object LakeLog {
     * part forever — after 8 hangs every table's multi-part decode in
     * the JVM would silently time out into the replay fallback for good.
     * On an await timeout the reader swaps in a fresh pool and
-    * `shutdownNow()`s the abandoned one: the interrupt cancels
-    * in-flight NIO reads (`Files` streams ride interruptible
-    * channels), and a read that ignores interrupts leaks only its
-    * already-abandoned thread — never a slot of the NEW pool. */
+    * gracefully `shutdown()`s the abandoned one: HEALTHY decodes other
+    * tables have in flight (or queued) on it still complete and their
+    * awaiting readers succeed untouched — a `shutdownNow()` would
+    * collaterally cancel them into the replay fallback — while a
+    * genuinely hung read leaks only its own already-abandoned daemon
+    * thread (bounded per rotation event), never a slot of the NEW
+    * pool. */
   private[lake] object multipartPool {
     private def mk(): scala.concurrent.ExecutionContextExecutorService =
       scala.concurrent.ExecutionContext.fromExecutorService(
@@ -950,7 +966,7 @@ object LakeLog {
         used: scala.concurrent.ExecutionContextExecutorService): Unit =
       synchronized {
         if (current eq used) {
-          current.shutdownNow()
+          current.shutdown() // graceful: concurrent healthy decodes finish
           current = mk()
           rotations.incrementAndGet()
         }
@@ -967,6 +983,13 @@ object LakeLog {
       t.setDaemon(true)
       t
     })
+
+  /** Test/bench fence: drains everything queued on the (single-threaded)
+    * maintenance executor — async checkpoints AND consolidated key-index
+    * builds — so a spec can assert on artifacts the hooks publish. */
+  private[lake] def awaitMaintenance(): Unit =
+    checkpointExecutor.submit(new Runnable { override def run(): Unit = () })
+      .get()
 
   /** `ckptPtr` is the `_last_checkpoint` pointer at resolution time:
     * reuse (exact hit OR incremental replay) requires it UNCHANGED, so

@@ -38,10 +38,7 @@ final case class GateIndexInfo(
   */
 object IndexMeta {
 
-  private def liveRows(snap: Snapshot): Long =
-    snap.files
-      .map(f => f.stats.map(_.numRecords).getOrElse(0L) - f.dvCardinality)
-      .sum
+  private def liveRows(snap: Snapshot): Long = snap.estimatedLiveRows
 
   private def sourceState(spark: SparkSession, sourcePath: Option[String],
       indexedRows: Long, rowsPerSourceRow: Long)
@@ -109,9 +106,39 @@ object IndexMeta {
       Encoders.product[GateIndexInfo]).toDF()
   }
 
+  /** Consolidated bloom key index over a lake table
+    * ([[graft.lake.ConsolidatedKeyIndex]]), when one is published:
+    * `indexed_rows` counts live files the index COVERS (bit-identical
+    * sidecar repack), `source_live_rows` the table's live bloom-indexed
+    * files, and the stale fraction is exactly the uncovered share the
+    * coverage-gated rebuild trigger acts on. Zero rows when the table
+    * has no published index. */
+  def describeKeyBloom(spark: SparkSession, tablePath: String): DataFrame = {
+    val rootStr = java.nio.file.Paths.get(tablePath)
+      .toAbsolutePath.normalize.toString
+    val rows =
+      if (!LakeTable.isLakeTable(tablePath)) Seq.empty
+      else {
+        val live = LakeTable.forPath(spark, tablePath).snapshot.files
+          .filter(_.bloomPath.isDefined).map(f => (f.path, f.bloomPath))
+        graft.lake.ConsolidatedKeyIndex.coverage(rootStr, live).map {
+          case (version, covered, slots, config) =>
+            val liveN = live.size.toLong
+            GateIndexInfo("keybloom",
+              s"$rootStr/${graft.lake.ConsolidatedKeyIndex.DIR}/v$version",
+              version, config + s",slots=$slots",
+              Some(rootStr), None, version, covered, Some(liveN),
+              Some(if (liveN <= 0) 0.0
+              else math.max(0.0, 1.0 - covered.toDouble / liveN)))
+        }.toSeq
+      }
+    spark.createDataset(rows)(Encoders.product[GateIndexInfo]).toDF()
+  }
+
   /** Every gate index discoverable under `root`: the pipeline layout's
     * `mhindex` / `semindex` children, plus `root` itself when it IS an
-    * index. Zero rows (with the full schema) when none exists. */
+    * index (or a lake table carrying a consolidated bloom key index).
+    * Zero rows (with the full schema) when none exists. */
   def indexes(spark: SparkSession, root: String): DataFrame = {
     val found = Seq.newBuilder[DataFrame]
     def minhashAt(p: String): Unit =
@@ -121,8 +148,14 @@ object IndexMeta {
       if (LakeTable.isLakeTable(s"$p/assignments") &&
           LakeTable.isLakeTable(s"$p/codebook"))
         found += describeIvf(spark, p)
+    def keyBloomAt(p: String): Unit =
+      if (LakeTable.isLakeTable(p)) {
+        val df = describeKeyBloom(spark, p)
+        if (!df.isEmpty) found += df
+      }
     minhashAt(s"$root/mhindex"); minhashAt(root)
     ivfAt(s"$root/semindex"); ivfAt(root)
+    keyBloomAt(s"$root/curated"); keyBloomAt(root)
     val dfs = found.result()
     if (dfs.isEmpty)
       spark.emptyDataset(Encoders.product[GateIndexInfo]).toDF()

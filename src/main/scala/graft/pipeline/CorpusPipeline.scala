@@ -238,9 +238,7 @@ object CorpusPipeline {
   def maybeCompactIndexes(spark: SparkSession, outRoot: String,
       staleFraction: Double = 0.3): (Long, Long) = {
     def liveRows(path: String): Long =
-      LakeTable.forPath(spark, path).snapshot.files
-        .map(f => f.stats.map(_.numRecords).getOrElse(0L) - f.dvCardinality)
-        .sum
+      LakeTable.forPath(spark, path).snapshot.estimatedLiveRows
     def bestEffort(what: String)(purge: => Long): Long =
       try purge
       catch {

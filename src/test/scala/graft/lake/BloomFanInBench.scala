@@ -107,6 +107,7 @@ object BloomFanInBench {
     try {
       val tb = System.nanoTime()
       t.log.writeCheckpointAt(t.snapshot.version)
+      LakeLog.awaitMaintenance() // the build runs async off the commit path
       println(f"[fanin] checkpoint + consolidated index build: " +
         f"${(System.nanoTime() - tb) / 1e9}%.1f s")
       probe("consolidated point read    ", t, mid + 9)

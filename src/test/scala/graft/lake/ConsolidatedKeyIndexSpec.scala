@@ -67,6 +67,7 @@ class ConsolidatedKeyIndexSpec extends AnyFunSuite {
         .repartition(4) // round-robin: min/max never prunes a point probe
     val t = LakeTable.create(spark, path, batch(0), properties = props)
     (1 to 10).foreach(i => t.append(batch(64L * i)))
+    LakeLog.awaitMaintenance() // the index build rides the async executor
     t
   }
 
@@ -124,6 +125,27 @@ class ConsolidatedKeyIndexSpec extends AnyFunSuite {
     assert(t.toDF.count() === 64L * 11)
   }
 
+  test("SHOW INDEXES surfaces the consolidated key index with live coverage") {
+    val path = Files.createTempDirectory("ckidx-meta-").toString
+    val t = build(path) // 44 files, index published at v10
+    val row = spark.sql(s"SHOW INDEXES AT '$path'").collect()
+      .find(_.getAs[String]("kind") == "keybloom").get
+    assert(row.getAs[Long]("indexed_rows") === 44L)
+    assert(row.getAs[Long]("source_live_rows") === 44L)
+    assert(row.getAs[Double]("est_stale_fraction") === 0.0)
+    assert(row.getAs[String]("config").contains("id(words="))
+
+    // churn: new files are uncovered until the next coverage-gated build
+    t.append((9000L until 9064L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(4))
+    graft.lake.ConsolidatedKeyIndex.invalidate(path)
+    val stale = graft.ops.IndexMeta.describeKeyBloom(spark, path)
+      .collect().head
+    assert(stale.getAs[Long]("source_live_rows") === 48L)
+    assert(stale.getAs[Long]("indexed_rows") === 44L)
+    assert(math.abs(stale.getAs[Double]("est_stale_fraction") - 4.0 / 48) < 1e-9)
+  }
+
   test("big-log path: executor-side pruning rides the consolidated index too") {
     val path = Files.createTempDirectory("ckidx-dist-").toString
     val t = build(path)
@@ -143,6 +165,59 @@ class ConsolidatedKeyIndexSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.log.distributedThreshold")
   }
 
+  test("multi-geometry tables: union coverage, no phantom staleness, probes exact") {
+    // REAL tables mix file sizes (tail files, compactions), so sidecars
+    // split across bloom geometries and the index holds several
+    // matrices. Coverage must be the UNION — rating it against one
+    // matrix would rebuild every checkpoint forever and report phantom
+    // staleness through SHOW INDEXES.
+    val path = Files.createTempDirectory("ckidx-geo-").toString
+    val props = Map(
+      BloomIndex.COLS_PROP -> "id",
+      BloomIndex.FPP_PROP -> "0.001",
+      ConsolidatedKeyIndex.MIN_FILES_PROP -> "1")
+    def batch(lo: Long, n: Long) =
+      (lo until lo + n).map(i => (2 * i, s"v${2 * i}")).toDF("id", "v")
+        .repartition(2)
+    val t = LakeTable.create(spark, path, batch(0, 64), properties = props)
+    // alternating batch sizes → alternating expected-item sizing →
+    // at least two (words, k) geometry classes among the sidecars
+    (1 to 10).foreach(i =>
+      t.append(batch(1000L * i, if (i % 2 == 0) 64 else 700)))
+    LakeLog.awaitMaintenance()
+    val geometries = t.snapshot.files.flatMap(f =>
+      BloomIndex.readSidecarHeaders(
+        Paths.get(path).resolve(f.bloomPath.get)))
+      .flatten.map(h => (h.words, h.k)).toSet
+    assert(geometries.size >= 2, s"fixture must span geometries: $geometries")
+
+    // zero churn: a forced checkpoint must NOT rebuild
+    val idxDir = Paths.get(path, ConsolidatedKeyIndex.DIR)
+    def dirs() = graft.util.Fs.listDir(idxDir)
+      .filter(_.getFileName.toString.matches("v\\d+"))
+      .map(_.getFileName.toString).sorted
+    val first = dirs()
+    assert(first.nonEmpty)
+    t.append(Seq((999999L, "x")).toDF("id", "v")) // 1 of 23 files
+    t.log.writeCheckpointAt(t.snapshot.version)
+    LakeLog.awaitMaintenance()
+    assert(dirs() === first,
+      "union coverage must keep the gate closed across geometry classes")
+
+    // observability agrees: only the 1 new file is uncovered
+    val row = graft.ops.IndexMeta.describeKeyBloom(spark, path)
+      .collect().head
+    assert(row.getAs[Double]("est_stale_fraction") < 0.1,
+      s"phantom staleness on a multi-geometry table: $row")
+
+    // probes across BOTH geometry classes, served consolidated, exact
+    KeyIndexMetrics.reset()
+    assert(t.read($"id" === 2000L).count() === 1L)  // in a 700-row batch
+    assert(t.read($"id" === 4000L).count() === 1L)  // in a 64-row batch
+    assert(t.read($"id" === 2001L).isEmpty)
+    assert(KeyIndexMetrics.served.get() > 0)
+  }
+
   test("rebuilds are coverage-gated and old index dirs are swept") {
     val path = Files.createTempDirectory("ckidx-cov-").toString
     val t = build(path)
@@ -157,6 +232,7 @@ class ConsolidatedKeyIndexSpec extends AnyFunSuite {
     // SKIP the rebuild — the live set is still ≥90% covered
     t.append(Seq((777777L, "x")).toDF("id", "v"))
     t.log.writeCheckpointAt(t.snapshot.version)
+    LakeLog.awaitMaintenance()
     assert(dirs() === first,
       "a ≤staleFraction churn must not pay a rebuild")
 
@@ -164,6 +240,7 @@ class ConsolidatedKeyIndexSpec extends AnyFunSuite {
     // next boundary; the sweep keeps at most the two newest dirs
     t.compact(targetFileBytes = 1L << 20)
     t.log.writeCheckpointAt(t.snapshot.version)
+    LakeLog.awaitMaintenance()
     val after = dirs()
     assert(after !== first, s"heavy churn must rebuild: $after")
     assert(after.size <= 2)
