@@ -984,10 +984,11 @@ object LakeLog {
       t
     })
 
-  /** Test/bench fence: drains everything queued on the (single-threaded)
+  /** Fence: drains everything queued on the (single-threaded)
     * maintenance executor — async checkpoints AND consolidated key-index
-    * builds — so a spec can assert on artifacts the hooks publish. */
-  private[lake] def awaitMaintenance(): Unit =
+    * builds — so a caller can rely on artifacts the hooks publish
+    * (specs, benches, and catalog queries that time the lifecycle). */
+  private[graft] def awaitMaintenance(): Unit =
     checkpointExecutor.submit(new Runnable { override def run(): Unit = () })
       .get()
 

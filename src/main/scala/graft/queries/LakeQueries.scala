@@ -223,6 +223,41 @@ object LakeQueries extends QueryGroup {
         AND o_orderdate < TIMESTAMP'1998-01-01'
       GROUP BY 1 ORDER BY yr""")),
 
+    // the consolidated bloom key index end-to-end under the oracle: an
+    // UNCLUSTERED key over many small files (round-robin — min/max can
+    // never prune a point probe), eleven commits so the checkpoint
+    // boundary publishes the bit-sliced index, then a literal IN-list
+    // point lookup resolves through the layered probe (consolidated
+    // slices for covered files, sidecars for the post-checkpoint tail)
+    QueryDef("lake8_consolidated_lookup", (s, d) => {
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val t = LakeTable.create(s, tmp("lake-ckidx-"),
+        orders.where(col("o_orderkey") % 11 === 0).repartition(4),
+        properties = Map(
+          graft.lake.BloomIndex.COLS_PROP -> "o_orderkey",
+          graft.lake.ConsolidatedKeyIndex.MIN_FILES_PROP -> "1"))
+      (1 to 10).foreach(i =>
+        t.append(orders.where(col("o_orderkey") % 11 === i).repartition(4)))
+      graft.lake.LakeLog.awaitMaintenance() // index published at v10
+      // deterministic literal keys (the 24 smallest), so the probe runs
+      // the bloom path the oracle can reproduce with a plain IN subquery
+      val keys = orders.select("o_orderkey").distinct()
+        .orderBy("o_orderkey").limit(24)
+        .collect().map(_.getLong(0)).toSeq
+      t.read(col("o_orderkey").isin(keys: _*))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }, oracle = Some("""
+      SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+      FROM orders
+      WHERE o_orderkey IN (
+        SELECT o_orderkey FROM (
+          SELECT DISTINCT o_orderkey FROM orders
+          ORDER BY o_orderkey LIMIT 24))
+      ORDER BY o_orderkey""")),
+
     // the bucketed DSv2 read path end-to-end: two co-bucketed lake tables
     // joined through the catalog (storage-partitioned join — zero join
     // shuffles, asserted in BucketingSpec; values gated here)
