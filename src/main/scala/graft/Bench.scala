@@ -185,7 +185,11 @@ object Bench {
       // minhash GATE's shape (broadcast banded probe + IN-filtered
       // postings read) is regression-tracked from its first round;
       // d14p is the probe-only companion (fixture memoized per JVM)
-      "d14_minhash_index_gate", "d14p_minhash_gate_probe")
+      "d14_minhash_index_gate", "d14p_minhash_gate_probe",
+      // lake8 constructs its bloom-indexed fixture as a side effect
+      // (same convention as d14); the audited shape is the point
+      // lookup's — no joins, one pruned scan
+      "lake8_consolidated_lookup")
     val plans = auditNames.flatMap { n =>
       SparkEntry.queries.get(n).flatMap { fn =>
         try {
