@@ -165,6 +165,30 @@ class ConsolidatedKeyIndexSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.log.distributedThreshold")
   }
 
+  test("multi-column index: string and long probes both serve consolidated") {
+    val path = Files.createTempDirectory("ckidx-cols-").toString
+    val props = Map(
+      BloomIndex.COLS_PROP -> "id,name",
+      BloomIndex.FPP_PROP -> "0.001",
+      ConsolidatedKeyIndex.MIN_FILES_PROP -> "1")
+    def batch(lo: Long) =
+      (lo until lo + 64L).map(i => (2 * i, s"name_${2 * i}"))
+        .toDF("id", "name").repartition(4)
+    val t = LakeTable.create(spark, path, batch(0), properties = props)
+    (1 to 10).foreach(i => t.append(batch(64L * i)))
+    LakeLog.awaitMaintenance()
+
+    KeyIndexMetrics.reset()
+    assert(t.read($"name" === "name_640").count() === 1L)
+    assert(t.read($"name" === "name_641").isEmpty) // absent, in-range
+    assert(t.read($"id" === 640L && $"name" === "name_640").count() === 1L)
+    // conjunction of per-column TRUE bits with a wrong pairing still
+    // reads (bloom can't prove cross-column correlation) but returns 0
+    assert(t.read($"id" === 640L && $"name" === "name_642").isEmpty)
+    assert(KeyIndexMetrics.served.get() > 0,
+      "string-typed probes must be served by their own matrix")
+  }
+
   test("multi-geometry tables: union coverage, no phantom staleness, probes exact") {
     // REAL tables mix file sizes (tail files, compactions), so sidecars
     // split across bloom geometries and the index holds several
