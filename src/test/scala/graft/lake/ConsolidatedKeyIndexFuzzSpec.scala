@@ -39,7 +39,10 @@ class ConsolidatedKeyIndexFuzzSpec extends AnyFunSuite {
         BloomIndex.COLS_PROP -> "id",
         ConsolidatedKeyIndex.MIN_FILES_PROP -> "1",
         // rebuild on ANY uncovered file: maximal index churn
-        ConsolidatedKeyIndex.STALE_FRACTION_PROP -> "0.0"))
+        ConsolidatedKeyIndex.STALE_FRACTION_PROP -> "0.0",
+        // tiny groups: every rebuild exercises carry/drop/re-pack
+        // across group boundaries, and probes span many groups
+        ConsolidatedKeyIndex.GROUP_SLOTS_PROP -> "8"))
 
     def check(step: Int): Unit = {
       rnd.shuffle(model.toSeq).take(5).foreach { case (k, v) =>

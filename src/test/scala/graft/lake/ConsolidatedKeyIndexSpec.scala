@@ -242,6 +242,172 @@ class ConsolidatedKeyIndexSpec extends AnyFunSuite {
     assert(KeyIndexMetrics.served.get() > 0)
   }
 
+  test("V1 wire-format positions pinned against Spark's own V1 reader") {
+    // Spark 4 only WRITES V2 filters, so the round-trip test above never
+    // exercises the V1 arm. Hand-serialize an EMPTY V1 filter — version,
+    // k, word count, zero words, trivially correct by the documented
+    // wire format — and let SPARK deserialize it: every insert and probe
+    // then runs Spark's real V1 (int-overflow Kirsch-Mitzenmacher)
+    // arithmetic, pinning positions()'s V1 branch non-circularly.
+    val k = 5
+    val words = 64 // 4096 bits
+    val bos = new ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(1); out.writeInt(k); out.writeInt(words)
+    (0 until words).foreach(_ => out.writeLong(0L))
+    val bf = BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    val rnd = new scala.util.Random(7)
+    val members = Array.fill(500)(rnd.nextLong())
+    members.foreach(bf.putLong)
+    val rt = new ByteArrayOutputStream()
+    bf.writeTo(rt)
+    val in = new DataInputStream(
+      new java.io.ByteArrayInputStream(rt.toByteArray))
+    assert(in.readInt() === 1,
+      "Spark no longer round-trips V1 — drop the V1 arm instead")
+    assert(in.readInt() === k)
+    val data = Array.fill(in.readInt())(in.readLong())
+    def mine(item: Long): Boolean =
+      ConsolidatedKeyIndex.positions(item, 1, 0, k, data.length.toLong * 64)
+        .forall(pos => ((data((pos >>> 6).toInt) >>> (pos & 63)) & 1L) != 0L)
+    members.foreach(v => assert(mine(v) && bf.mightContainLong(v),
+      s"V1 member $v"))
+    (0 until 5000).foreach { _ =>
+      val v = rnd.nextLong()
+      assert(mine(v) === bf.mightContainLong(v), s"V1 probe $v")
+    }
+  }
+
+  /** Manifest group ids at an index version — group packing's carry is
+    * observable as gid reuse across versions. */
+  private def gids(path: String, v: Long): Set[String] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readAllBytes(Paths.get(path, ConsolidatedKeyIndex.DIR,
+        s"v$v", "manifest.json")))
+    val gs = node.get("groups")
+    (0 until gs.size).map(i => gs.get(i).get("gid").asText).toSet
+  }
+
+  test("incremental rebuild: only churned files re-pack, groups carry by reference") {
+    val path = Files.createTempDirectory("ckidx-inc-").toString
+    val props = Map(
+      BloomIndex.COLS_PROP -> "id",
+      BloomIndex.FPP_PROP -> "0.001",
+      ConsolidatedKeyIndex.MIN_FILES_PROP -> "1",
+      ConsolidatedKeyIndex.GROUP_SLOTS_PROP -> "8",
+      ConsolidatedKeyIndex.STALE_FRACTION_PROP -> "0.0")
+    def batch(lo: Long) =
+      (lo until lo + 64L).map(i => (2 * i, s"v${2 * i}")).toDF("id", "v")
+        .repartition(4)
+    val t = LakeTable.create(spark, path, batch(0), properties = props)
+    (1 to 10).foreach(i => t.append(batch(64L * i)))
+    LakeLog.awaitMaintenance() // v10 build: 44 files → 5×8 + 1×4 groups
+    val v10 = gids(path, 10)
+    assert(v10.size === 6)
+
+    // churn: ONE appended commit (4 new files of 48) — the rebuild must
+    // read 4 sidecars and write 1 group, referencing the other 6
+    KeyIndexMetrics.reset()
+    t.append(batch(64L * 11))
+    t.log.writeCheckpointAt(t.snapshot.version)
+    LakeLog.awaitMaintenance()
+    assert(KeyIndexMetrics.filesPacked.get() === 4L,
+      "an incremental rebuild must transpose ONLY the uncovered sidecars")
+    assert(KeyIndexMetrics.groupsBuilt.get() === 1L)
+    assert(KeyIndexMetrics.groupsCarried.get() === 6L)
+    val v11 = gids(path, 11)
+    assert(v10.subsetOf(v11) && v11.size === 7,
+      s"carried groups must keep their identity: $v10 vs $v11")
+
+    // the incrementally-built index serves probes over old AND new
+    // files, bit-identical to sidecar pruning
+    ConsolidatedKeyIndex.invalidate(path)
+    val present = Seq(2L, 640L, 64L * 11 * 2 + 2)
+    val absent = Seq(3L, 641L, 1409L)
+    def candidates(k: Long): Set[String] =
+      t.read($"id" === k).inputFiles.toSet
+    KeyIndexMetrics.reset()
+    val withIdx = (present ++ absent).map(k => k -> candidates(k)).toMap
+    assert(KeyIndexMetrics.served.get() > 0)
+    present.foreach(k =>
+      assert(t.read($"id" === k).count() === 1L, s"present key $k"))
+    absent.foreach(k => assert(withIdx(k).isEmpty, s"absent key $k"))
+    val idxDir = Paths.get(path, ConsolidatedKeyIndex.DIR)
+    val hidden = Paths.get(path, "_keyindex_hidden")
+    Files.move(idxDir, hidden)
+    ConsolidatedKeyIndex.invalidate(path)
+    try {
+      val withoutIdx = (present ++ absent).map(k => k -> candidates(k)).toMap
+      assert(withoutIdx === withIdx,
+        "incremental index and sidecar pruning must agree bit-for-bit")
+    } finally {
+      Files.move(hidden, idxDir)
+      ConsolidatedKeyIndex.invalidate(path)
+    }
+  }
+
+  test("a mostly-dead group is dropped and its live members re-packed") {
+    val path = Files.createTempDirectory("ckidx-drop-").toString
+    val props = Map(
+      BloomIndex.COLS_PROP -> "id",
+      BloomIndex.FPP_PROP -> "0.001",
+      ConsolidatedKeyIndex.MIN_FILES_PROP -> "1",
+      ConsolidatedKeyIndex.GROUP_SLOTS_PROP -> "8",
+      ConsolidatedKeyIndex.STALE_FRACTION_PROP -> "0.0")
+    def batch(lo: Long) =
+      (lo until lo + 64L).map(i => (2 * i, s"v${2 * i}")).toDF("id", "v")
+        .repartition(4)
+    val t = LakeTable.create(spark, path, batch(0), properties = props)
+    (1 to 10).foreach(i => t.append(batch(64L * i)))
+    LakeLog.awaitMaintenance()
+
+    // simulate churn that kills 5 of the FIRST group's 8 slots (groups
+    // pack in path order): its live share drops under groupMinLive, so
+    // the rebuild must drop the group and re-pack its 3 survivors —
+    // dead-slot waste stays bounded under sustained churn
+    val pairs = t.snapshot.files.filter(_.bloomPath.isDefined)
+      .map(f => (f.path, f.bloomPath.get)).sortBy(_._1).toArray
+    val churned = pairs.drop(5).sortBy(_._1) // first 5 paths "deleted"
+    KeyIndexMetrics.reset()
+    ConsolidatedKeyIndex.build(spark, Paths.get(path), 12L, churned,
+      props)
+    assert(KeyIndexMetrics.groupsCarried.get() === 5L,
+      "full-width fully-live groups must carry")
+    assert(KeyIndexMetrics.groupsBuilt.get() === 1L)
+    assert(KeyIndexMetrics.filesPacked.get() === 3L,
+      "only the dropped group's survivors re-pack")
+    // the rebuilt index still serves the survivors exactly
+    ConsolidatedKeyIndex.invalidate(path)
+    KeyIndexMetrics.reset()
+    val survivor = 640L // mid-domain, far from the dropped slots
+    assert(t.read($"id" === survivor).count() === 1L)
+    assert(t.read($"id" === 641L).isEmpty)
+    assert(KeyIndexMetrics.served.get() > 0)
+  }
+
+  test("IN-list probes memoize slices: reads ∝ values, not pruning-loop visits") {
+    val path = Files.createTempDirectory("ckidx-inlist-").toString
+    val t = build(path) // 44 files, one geometry, default (single) group
+    val vals = (0 until 1000).map(i => 2L * i + 1) // absent, in-range
+    val k = BloomIndex.readSidecarHeaders(Paths.get(path).resolve(
+      t.snapshot.files.head.bloomPath.get)).get.head.k
+    KeyIndexMetrics.reset()
+    assert(t.read($"id".isin(vals: _*)).isEmpty)
+    val served = KeyIndexMetrics.served.get()
+    val first = KeyIndexMetrics.sliceReads.get()
+    assert(served > 0, "the IN-list must probe through the index")
+    assert(first > 0 && first <= vals.size.toLong * k,
+      s"slice reads must be ∝ values × k (one group), saw $first for " +
+        s"${vals.size} values × k=$k over 44 file visits")
+    // the same IN-list again: every candidate bitset is memoized — the
+    // LRU (unlike the old clear-at-512) never wholesale-evicts mid-list
+    KeyIndexMetrics.reset()
+    assert(t.read($"id".isin(vals: _*)).isEmpty)
+    assert(KeyIndexMetrics.sliceReads.get() === 0L,
+      "a repeated IN-list must be served entirely from the slice memo")
+  }
+
   test("rebuilds are coverage-gated and old index dirs are swept") {
     val path = Files.createTempDirectory("ckidx-cov-").toString
     val t = build(path)

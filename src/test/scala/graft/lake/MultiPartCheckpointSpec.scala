@@ -354,6 +354,35 @@ class MultiPartCheckpointSpec extends AnyFunSuite {
     }
   }
 
+  test("a reader racing a rotation retries on the fresh pool, not the fallback") {
+    val path = Files.createTempDirectory("mp-race-").toString
+    withMultipartConf {
+      buildTo20(path)
+      // the race the pool comment promises is harmless: a reader
+      // captures the pool, a concurrent timeout rotates it, and the
+      // reader's submission hits the shut-down executor. The retry must
+      // land the decode on the FRESH pool — parallel path, not replay.
+      val raced = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val decodes = new java.util.concurrent.atomic.AtomicLong(0L)
+      val rotationsBefore = LakeLog.multipartPool.rotations.get()
+      LakeLog.multipartSubmitHook = () =>
+        if (raced.compareAndSet(false, true))
+          LakeLog.multipartPool.rotateIfCurrent(LakeLog.multipartPool.context)
+      LakeLog.multipartDecodeHook = () => { decodes.incrementAndGet(); () }
+      try {
+        LakeLog.snapshotCache.clear()
+        assert(LakeTable.forPath(spark, path).toDF.count() === 8 + 20)
+        assert(raced.get(), "the submit hook must have rotated the pool")
+        assert(LakeLog.multipartPool.rotations.get() === rotationsBefore + 1)
+        assert(decodes.get() >= 3,
+          s"the retry must decode all parts in parallel, saw ${decodes.get()}")
+      } finally {
+        LakeLog.multipartSubmitHook = () => ()
+        LakeLog.multipartDecodeHook = () => ()
+      }
+    }
+  }
+
   test("an incomplete part set is never used (crash-safe discovery)") {
     val path = Files.createTempDirectory("mp-partial-").toString
     withMultipartConf {
