@@ -591,10 +591,16 @@ object ConsolidatedKeyIndex {
   private final class LoadedSection(
       val meta: KeyIndexSection, val dt: DataType,
       val dir: Path, val rowBytes: Int) {
-    /** Bytes-bounded: group bitsets are small (groupSlots/8), so the
-      * cap is generous — ~1k values per section at the default width. */
-    val cands = new GenMemo(
-      math.max(64, MEMO_TARGET_BYTES / (2 * math.max(1, rowBytes))))
+    /** Entry floor of 2048 (≥4096 effective with the cold generation):
+      * the pruning loop CYCLES an IN-list's values once per file visit,
+      * and a cap under the list size would evict mid-cycle and re-read
+      * slices per visit — the exact thrash the memo exists to prevent.
+      * Byte-ceilinged at 4 MB per hot generation so an oversized custom
+      * group width cannot pin tens of MB per section. At the default
+      * width (512 B bitsets) the floor wins: ~1 MB hot per section. */
+    val cands = new GenMemo(math.max(64, math.min(
+      math.max(2048, MEMO_TARGET_BYTES / (2 * math.max(1, rowBytes))),
+      (4 << 20) / math.max(1, rowBytes))))
   }
 
   private final class LoadedGroup(val meta: KeyIndexGroup, val dir: Path) {
