@@ -23,6 +23,34 @@ trait BloomProbe extends Serializable {
     * parquet field-id metadata) — the probe matches all three against
     * what the sidecar recorded at build time. */
   def definitelyAbsent(f: AddFile, field: StructField, value: Any): Boolean
+
+  /** Batched probe over a FIXED pre-hashed value list (the IN-list fast
+    * path in [[Stats]]): the caller registers the values once per query
+    * and then asks per file, so the per-(file, value) cost collapses to
+    * a candidate-bitset bit test instead of re-deriving type conversion
+    * and hash 10⁸ times. null = batching unsupported here — the caller
+    * probes per value via [[definitelyAbsent]] (identical verdicts). */
+  private[lake] def batched(field: StructField, hashes: Array[Long],
+      hashable: Array[Boolean]): BloomBatch = null
+}
+
+/** Query-scoped batched equality probe for one (column, value-list) —
+  * see [[BloomProbe.batched]]. */
+private[lake] trait BloomBatch {
+  /** A per-file lazy view over the registered values — resolved (slot,
+    * sections, candidate bitsets) once per file, after which each
+    * `absent(i)` is a bit test; null when this FILE cannot be served
+    * batched (not covered by a consolidated index, structural gap): the
+    * caller falls back to per-value probes for it. Lazy so the caller's
+    * window/shortcut logic only pays for the values it actually needs. */
+  def fileProbe(f: AddFile): BloomBatchFile
+}
+
+private[lake] trait BloomBatchFile {
+  /** Value i provably absent from the file this probe was resolved
+    * for. Verdicts are bit-identical to `definitelyAbsent` with the
+    * same value. */
+  def absent(i: Int): Boolean
 }
 
 object BloomProbe {
@@ -527,6 +555,12 @@ object BloomIndex {
   def probe(rootStr: String): BloomProbe = FileBloomProbe(rootStr)
 
   private final case class FileBloomProbe(rootStr: String) extends BloomProbe {
+    /** Batched IN-list probing rides the consolidated key index (files
+      * it can't serve fall back per value — bit-identical either way). */
+    override private[lake] def batched(field: StructField,
+        hashes: Array[Long], hashable: Array[Boolean]): BloomBatch =
+      ConsolidatedKeyIndex.batched(rootStr, field, hashes, hashable)
+
     override def definitelyAbsent(
         f: AddFile, field: StructField, value: Any): Boolean =
       f.bloomPath.exists { rel =>

@@ -476,7 +476,11 @@ object Stats {
           yield cmi <= 0)
           .orElse(for (n <- colName(r); v <- litVal(l); dt <- dtOf(schema, n); (_, cma) <- cmpRange(n, dt, v))
             yield cma >= 0)
-      case In(c, list) if list.forall(_.isInstanceOf[Literal]) =>
+      case e @ In(c, list) if list.forall(_.isInstanceOf[Literal]) =>
+        InFast.verdict(f, e, schema, probe) match {
+          case Some(fast) => return fast
+          case None => () // not applicable here: the generic path below
+        }
         colName(c).flatMap { n =>
           fieldOf(schema, n).flatMap { fld =>
             val dt = fld.dataType
@@ -932,4 +936,219 @@ object Stats {
       .exists(f => !mightMatch(f, pred, schema, Nil)) ||
       valueSetContradiction(pred,
         constraintValueSets(constraints, schema), schema)
+
+  /** Compiled fast path for literal IN atoms — the hot shape of the
+    * per-file pruning loops (driver candidate scans, MERGE key
+    * refinement, the distributed checkpoint filter). The generic
+    * evaluator re-extracts every literal, re-parses the file's min/max
+    * strings to BigDecimal, and re-derives the bloom probe's typed hash
+    * PER (file, value): measured ~1.4 µs/pair — 140 s for a 1000-value
+    * IN over 100k files (BASELINE §T). Here the value list compiles
+    * ONCE per (expression instance, schema instance) — parsed compare
+    * forms, typed bloom hashes — and each file visit costs one stats
+    * parse plus a bit test per value against the consolidated index's
+    * batched candidate bitsets ([[BloomProbe.batched]]).
+    *
+    * Verdicts are EXACTLY the generic branch's (same per-value
+    * byRange/bloom dataflow, same None/Some aggregation); anything the
+    * fast path cannot mirror bit-for-bit — partition or
+    * hidden-transform columns, unsupported types, unparseable numeric
+    * literals (the generic path's NumberFormatException propagates
+    * there too) — declines per (atom) or per (file) and the generic
+    * branch runs. Keyed by IDENTITY of (expression, schema): the
+    * pruning loops evaluate one normalized tree against one snapshot
+    * schema, so state can never leak across different predicates, and
+    * executor tasks (which deserialize their own instances) just
+    * compile their own entry. */
+  private object InFast {
+    private final class Key(val e: Expression, val schema: StructType) {
+      override def hashCode: Int =
+        System.identityHashCode(e) * 31 + System.identityHashCode(schema)
+      override def equals(o: Any): Boolean = o match {
+        case k: Key => (k.e eq e) && (k.schema eq schema)
+        case _ => false
+      }
+    }
+    private final class State(
+        val name: String,
+        val dt: DataType,
+        val field: StructField,
+        val raw: Array[Any],
+        val numeric: Boolean,
+        val lits: Array[BigDecimal],
+        val strs: Array[String],
+        val hashes: Array[Long],
+        val hashable: Array[Boolean]) {
+      /** The batch is bound to the probe INSTANCE the query runs with
+        * (stable across one pruning loop); a different probe rebinds. */
+      @volatile var batchFor: (BloomProbe, BloomBatch) = null
+      /** Original indices of comparable values, sorted by compare form:
+        * per file the in-range values form one contiguous WINDOW found
+        * by binary search against (min, max) — O(log n) instead of n
+        * range compares, and out-of-window values are range-excluded
+        * with zero per-value work. */
+      val sortedIdx: Array[Int] = {
+        val comparable = raw.indices.filter(i =>
+          if (numeric) lits(i) != null else strs(i) != null)
+        (if (numeric) comparable.sortBy(lits(_))
+         else comparable.sortWith((x, y) => strCmp(strs(x), strs(y)) < 0))
+          .toArray
+      }
+      /** Values with NO compare form (litCmp/strCmp-inconvertible):
+        * byRange is None for them in every file — bloom-only. */
+      val noFormIdx: Array[Int] = raw.indices.filter(i =>
+        if (numeric) lits(i) == null else strs(i) == null).toArray
+    }
+    private val states =
+      new java.util.concurrent.ConcurrentHashMap[Key, Option[State]]()
+
+    private def compile(e: In, schema: StructType): Option[State] = {
+      val n = colName(e.value).getOrElse(return None)
+      val fld = fieldOf(schema, n).getOrElse(return None)
+      val dt = fld.dataType
+      val numeric = isNumericLike(dt)
+      if (!numeric && dt != StringType) return None
+      val raw = e.list.flatMap(litVal).toArray // null literals drop, as
+                                               // in the generic branch
+      val lits = new Array[BigDecimal](raw.length)
+      val strs = new Array[String](raw.length)
+      var i = 0
+      while (i < raw.length) {
+        if (numeric) raw(i) match {
+          case num: Number =>
+            // the generic litCmp would throw on NaN/Infinity — decline
+            // so the generic path keeps its exact behavior
+            try lits(i) = BigDecimal(num.toString)
+            catch { case _: NumberFormatException => return None }
+          case d: Decimal => lits(i) = d.toBigDecimal
+          case _ => () // no compare form: byRange stays None (litCmp None)
+        } else raw(i) match {
+          case u: org.apache.spark.unsafe.types.UTF8String =>
+            strs(i) = u.toString
+          case s: String => strs(i) = s
+          case _ => () // generic path: transformCmp → None on data cols
+        }
+        i += 1
+      }
+      val hashes = new Array[Long](raw.length)
+      val hashable = new Array[Boolean](raw.length)
+      i = 0
+      while (i < raw.length) {
+        BloomIndex.toColumnValue(dt, raw(i)) match {
+          case Some(cv) =>
+            hashes(i) = BloomIndex.probeHash(dt, cv)
+            hashable(i) = true
+          case None => ()
+        }
+        i += 1
+      }
+      Some(new State(n, dt, fld, raw, numeric, lits, strs, hashes, hashable))
+    }
+
+    /** Some(verdict) = the atom's tri-state verdict, exactly as the
+      * generic branch would compute; None = fast path does not apply to
+      * this (atom, file) — run the generic branch. */
+    def verdict(f: AddFile, e: In, schema: StructType,
+        probe: BloomProbe): Option[Option[Boolean]] = {
+      if (states.size > 64) states.clear() // bounded; recompiles are cheap
+      val st = states.computeIfAbsent(new Key(e, schema),
+        _ => compile(e, schema)).getOrElse(return None)
+      // partition-valued and hidden-transform columns take the generic
+      // path (exact point compare / transform source ranges)
+      if (f.partitionValues.nonEmpty && (
+          f.partitionValues.contains(st.name) ||
+          f.partitionValues.keysIterator.exists(k =>
+            PartitionTransforms.parseDirKey(k).exists(_.col == st.name))))
+        return None
+
+      // file range state parsed ONCE per (file, atom) — the generic
+      // branch re-parses it per value
+      var haveNum = false
+      var miN: BigDecimal = null
+      var maN: BigDecimal = null
+      var haveStr = false
+      var miS: String = null
+      var maS: String = null
+      val a = f.stats.flatMap(_.minValues.get(st.name))
+      val b = f.stats.flatMap(_.maxValues.get(st.name))
+      if (a.isDefined && b.isDefined) {
+        if (st.numeric) {
+          try {
+            miN = BigDecimal(a.get); maN = BigDecimal(b.get); haveNum = true
+          } catch { case _: NumberFormatException => () }
+        } else { miS = a.get; maS = b.get; haveStr = true }
+      }
+
+      val batch = {
+        val cur = st.batchFor
+        if (cur != null && (cur._1 eq probe)) cur._2
+        else {
+          val built = probe.batched(st.field, st.hashes, st.hashable)
+          st.batchFor = (probe, built)
+          built
+        }
+      }
+      val batchFile = if (batch != null) batch.fileProbe(f) else null
+      def bloomAbsent(i: Int): Boolean =
+        if (batchFile != null) batchFile.absent(i)
+        else probe.definitelyAbsent(f, st.field, st.raw(i))
+
+      // form-less values: byRange None in every file — a single one the
+      // bloom cannot exclude makes the atom's verdict None (keep), the
+      // generic aggregation's exists(_.isEmpty)
+      var sawNone = false
+      var i = 0
+      while (i < st.noFormIdx.length) {
+        if (!bloomAbsent(st.noFormIdx(i))) { sawNone = true; i = st.noFormIdx.length }
+        else i += 1
+      }
+      if (sawNone) return Some(None)
+
+      val haveRange = if (st.numeric) haveNum else haveStr
+      if (!haveRange) {
+        // no stats for the column: every comparable value is byRange
+        // None too — bloom-only, shortcut at the first non-exclusion
+        var j = 0
+        while (j < st.sortedIdx.length) {
+          if (!bloomAbsent(st.sortedIdx(j))) return Some(None)
+          j += 1
+        }
+        return Some(Some(false)) // every value bloom-excluded
+      }
+
+      // binary-search the in-range window over the sorted compare forms;
+      // out-of-window values are range-excluded (Some(false)) for free
+      def cmpAt(j: Int, hiSide: Boolean): Int =
+        if (st.numeric) {
+          val v = st.lits(st.sortedIdx(j))
+          if (hiSide) maN.compare(v) else miN.compare(v)
+        } else {
+          val v = st.strs(st.sortedIdx(j))
+          if (hiSide) strCmp(maS, v) else strCmp(miS, v)
+        }
+      // lo = first j with value >= min (min cmp value <= 0)
+      var wa = 0
+      var wb = st.sortedIdx.length
+      while (wa < wb) {
+        val m = (wa + wb) >>> 1
+        if (cmpAt(m, hiSide = false) > 0) wa = m + 1 else wb = m
+      }
+      val lo = wa
+      // hi = first j with value > max (max cmp value < 0)
+      wa = lo; wb = st.sortedIdx.length
+      while (wa < wb) {
+        val m = (wa + wb) >>> 1
+        if (cmpAt(m, hiSide = true) < 0) wb = m else wa = m + 1
+      }
+      val hi = wa
+      // within the window every verdict is Some(true/false): the first
+      // value the bloom cannot exclude decides Some(true)
+      var j = lo
+      while (j < hi) {
+        if (!bloomAbsent(st.sortedIdx(j))) return Some(Some(true))
+        j += 1
+      }
+      Some(Some(false)) // all excluded (by range outside, by bloom inside)
+    }
+  }
 }

@@ -122,11 +122,34 @@ object BloomFanInBench {
 
       // WIDE-IN memo (round 11): a 1000-value IN-list over every live
       // file — the per-section LRU keeps slice reads ∝ distinct values,
-      // never values × the pruning loop's O(files) visits
+      // never values × the pruning loop's O(files) visits. The PRUNE
+      // line isolates the evaluator loop (the end-to-end number is
+      // dominated by genuinely scanning the fpp×values candidate files
+      // — at this fpp a 1000-value IN keeps ~40% of an unclustered
+      // table, a data cost no index removes).
       KeyIndexMetrics.reset()
       val inVals: Seq[Any] = (0 until 1000).map(i => mid + 101 + 2L * i)
+      val inPred = col("id").isin(inVals: _*)
+      val snapIn = t.snapshot
+      val probeIn = BloomIndex.probe(
+        java.nio.file.Paths.get(s"$root/t").toAbsolutePath.normalize.toString)
+      val normIn = Stats.normalize(
+        org.apache.spark.sql.catalyst.expressions.In(
+          org.apache.spark.sql.catalyst.expressions.AttributeReference(
+            "id", org.apache.spark.sql.types.LongType)(),
+          (0 until 1000).map(i =>
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              mid + 101 + 2L * i))))
+      val tp = System.nanoTime()
+      val inCandidates = snapIn.files.count(f =>
+        Stats.mightMatchNormalized(f, normIn, snapIn.schema, Nil, probeIn))
+      println(f"[fanin] 1000-value IN-list PRUNE : " +
+        f"${(System.nanoTime() - tp) / 1e9}%.2f s, " +
+        f"candidates=$inCandidates%d of ${snapIn.files.size}%d, " +
+        f"slice-reads=${KeyIndexMetrics.sliceReads.get()}%d, " +
+        f"served=${KeyIndexMetrics.served.get()}%d")
       val ti = System.nanoTime()
-      val inRows = t.read(col("id").isin(inVals: _*)).count()
+      val inRows = t.read(inPred).count()
       println(f"[fanin] 1000-value IN-list probe: " +
         f"${(System.nanoTime() - ti) / 1e9}%.2f s, rows=$inRows%d, " +
         f"slice-reads=${KeyIndexMetrics.sliceReads.get()}%d, " +

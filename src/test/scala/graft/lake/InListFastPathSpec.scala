@@ -1,0 +1,128 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The compiled IN-list pruning fast path ([[Stats]] InFast +
+  * [[ConsolidatedKeyIndex.batched]]): per-query value compilation and
+  * batched candidate-bitset probing must be BIT-IDENTICAL to the
+  * generic per-(file, value) evaluator — same candidate files, same
+  * rows — across indexed/unindexed tables, partition columns, null
+  * literals, and cast-wrapped keys; and a repeated wide IN-list must be
+  * served from the slice memo without new index reads.
+  */
+class InListFastPathSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  /** 44 bloom-indexed files over even ids, consolidated at v10. */
+  private def build(path: String): LakeTable = {
+    val props = Map(
+      BloomIndex.COLS_PROP -> "id",
+      BloomIndex.FPP_PROP -> "0.001",
+      ConsolidatedKeyIndex.MIN_FILES_PROP -> "1",
+      ConsolidatedKeyIndex.GROUP_SLOTS_PROP -> "8")
+    def batch(lo: Long) =
+      (lo until lo + 64L).map(i => (2 * i, s"v${2 * i}")).toDF("id", "v")
+        .repartition(4)
+    val t = LakeTable.create(spark, path, batch(0), properties = props)
+    (1 to 10).foreach(i => t.append(batch(64L * i)))
+    LakeLog.awaitMaintenance()
+    t
+  }
+
+  test("IN candidates and rows are identical with the index visible vs hidden") {
+    val path = Files.createTempDirectory("infast-").toString
+    val t = build(path)
+    val preds = Seq(
+      $"id".isin(2L, 640L, 1280L),              // all present
+      $"id".isin(3L, 641L, 1281L),              // absent, in range
+      $"id".isin(2L, 641L, 999999L),            // mixed + out of range
+      $"id".isin((0 until 200).map(i => 2L * i + 1): _*), // wide, absent
+      $"v".isin("v2", "v640", "nope"),          // string column
+      $"id".isin(2L) || $"v" === "v640",        // IN under OR
+      $"id".isin(640L, 642L) && $"v" =!= "zzz") // IN under AND
+    def observe(): Seq[(Set[String], Long)] = preds.map { p =>
+      (t.read(p).inputFiles.toSet, t.read(p).count())
+    }
+    KeyIndexMetrics.reset()
+    val fast = observe()
+    assert(KeyIndexMetrics.served.get() > 0,
+      "IN probes over the covered table must be served batched")
+    val idxDir = Paths.get(path, ConsolidatedKeyIndex.DIR)
+    val hidden = Paths.get(path, "_keyindex_hidden")
+    Files.move(idxDir, hidden)
+    ConsolidatedKeyIndex.invalidate(path)
+    try {
+      KeyIndexMetrics.reset()
+      val slow = observe()
+      assert(KeyIndexMetrics.served.get() === 0L)
+      assert(fast === slow,
+        "batched and per-value sidecar pruning must agree bit-for-bit")
+    } finally {
+      Files.move(hidden, idxDir)
+      ConsolidatedKeyIndex.invalidate(path)
+    }
+    // ground truth: rows
+    assert(t.read($"id".isin(2L, 640L, 1280L)).count() === 3L)
+    assert(t.read($"id".isin(3L, 641L, 1281L)).isEmpty)
+  }
+
+  test("null-only and null-mixed IN lists stay exact") {
+    val path = Files.createTempDirectory("infast-null-").toString
+    val t = build(path)
+    // bare null LITERALS (the parser's shape — `lit(null).cast(...)`
+    // arrives as a Cast and takes no pruning in either path): a null
+    // never selects, so the list compiles to its non-null values — the
+    // generic branch drops them identically via litVal
+    val mixed = t.read(expr("id IN (NULL, 640)"))
+    assert(mixed.count() === 1L)
+    val nullOnly = t.read(expr("id IN (NULL)"))
+    assert(nullOnly.isEmpty)
+    assert(nullOnly.inputFiles.isEmpty,
+      "an all-null IN list proves every file skippable")
+  }
+
+  test("partition-column IN takes the generic exact path") {
+    val path = Files.createTempDirectory("infast-part-").toString
+    val df = (0 until 200).map(i => (i.toLong, i % 4, s"r$i"))
+      .toDF("id", "part", "v")
+    val t = LakeTable.create(spark, path, df, partitionBy = Seq("part"))
+    val in = t.read($"part".isin(1, 3))
+    assert(in.count() === 100L)
+    assert(in.inputFiles.forall(f => f.contains("part=1") || f.contains("part=3")),
+      "partition pruning on the IN must stay exact")
+    // and a data-column IN on the same partitioned table (fast path,
+    // gated per file on the partition map) stays correct
+    assert(t.read($"id".isin(5L, 6L, 7L)).count() === 3L)
+  }
+
+  test("cast-wrapped IN keys prune through the fast path unchanged") {
+    val path = Files.createTempDirectory("infast-cast-").toString
+    val df = (0 until 500).map(i => (i, s"r$i")).toDF("id", "v") // INT col
+    val t = LakeTable.create(spark, path, df)
+    // long literals against an int column arrive as Cast(id as bigint)
+    // IN (...) — colName unwraps the exact widening in both paths
+    assert(t.toDF.where(col("id").cast("long").isin(5L, 7L, 9999L))
+      .count() === 2L)
+  }
+
+  test("a repeated wide IN-list is served from the slice memo (zero new reads)") {
+    val path = Files.createTempDirectory("infast-memo-").toString
+    val t = build(path)
+    val vals = (0 until 1000).map(i => 2L * i + 1)
+    KeyIndexMetrics.reset()
+    assert(t.read($"id".isin(vals: _*)).isEmpty)
+    val first = KeyIndexMetrics.sliceReads.get()
+    assert(first > 0)
+    KeyIndexMetrics.reset()
+    assert(t.read($"id".isin(vals: _*)).isEmpty)
+    assert(KeyIndexMetrics.sliceReads.get() === 0L,
+      "the second run must reuse every memoized candidate bitset")
+  }
+}
