@@ -802,7 +802,8 @@ object ConsolidatedKeyIndex {
     * return null and the caller falls back to per-value probes —
     * verdicts are bit-identical either way. */
   private[lake] def batched(rootStr: String, field: StructField,
-      hashes: Array[Long], hashable: Array[Boolean]): BloomBatch =
+      hashes: Array[Long], hashable: Array[Boolean]): BloomBatch = {
+    if (hashes.isEmpty) return null // nothing to probe — per-value path
     new BloomBatch {
       private val fid = LakeTable.fieldId(field).getOrElse(-1L)
       /** LoadedGroup → flattened [section × value] candidate bitsets
@@ -877,6 +878,7 @@ object ConsolidatedKeyIndex {
         null
       }
     }
+  }
 
   /** Consolidated answer for one (file, field, value) probe: Some(absent)
     * when this index covers the file's recorded sidecar for that exact

@@ -960,7 +960,7 @@ object Stats {
     * schema, so state can never leak across different predicates, and
     * executor tasks (which deserialize their own instances) just
     * compile their own entry. */
-  private object InFast {
+  private[lake] object InFast {
     private final class Key(val e: Expression, val schema: StructType) {
       override def hashCode: Int =
         System.identityHashCode(e) * 31 + System.identityHashCode(schema)
@@ -1045,14 +1045,23 @@ object Stats {
       Some(new State(n, dt, fld, raw, numeric, lits, strs, hashes, hashable))
     }
 
+    /** Test seam: force every IN atom onto the generic branch so the
+      * differential fuzz can compare the two implementations on
+      * identical (file, atom) inputs. */
+    @volatile private[lake] var disabled = false
+
     /** Some(verdict) = the atom's tri-state verdict, exactly as the
       * generic branch would compute; None = fast path does not apply to
       * this (atom, file) — run the generic branch. */
     def verdict(f: AddFile, e: In, schema: StructType,
         probe: BloomProbe): Option[Option[Boolean]] = {
+      if (disabled) return None
       if (states.size > 64) states.clear() // bounded; recompiles are cheap
       val st = states.computeIfAbsent(new Key(e, schema),
         _ => compile(e, schema)).getOrElse(return None)
+      // every literal was null: no value can select a row — the generic
+      // branch's empty-verdict aggregation, decided before any probe
+      if (st.raw.isEmpty) return Some(Some(false))
       // partition-valued and hidden-transform columns take the generic
       // path (exact point compare / transform source ranges)
       if (f.partitionValues.nonEmpty && (
