@@ -189,7 +189,10 @@ object Bench {
       // lake8 constructs its bloom-indexed fixture as a side effect
       // (same convention as d14); the audited shape is the point
       // lookup's — no joins, one pruned scan
-      "lake8_consolidated_lookup")
+      "lake8_consolidated_lookup",
+      // lake9's audited shape is the wide-IN read over the Z-ORDERed
+      // fixture — no joins, one range+bloom-pruned scan
+      "lake9_clustered_wide_in")
     val plans = auditNames.flatMap { n =>
       SparkEntry.queries.get(n).flatMap { fn =>
         try {

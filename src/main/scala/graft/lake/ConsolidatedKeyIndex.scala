@@ -247,6 +247,36 @@ object ConsolidatedKeyIndex {
     * maintenance-lane spec blocks here to hold a build in flight. */
   @volatile private[lake] var onBuildStart: LakeLog => Unit = _ => ()
 
+  /** Cold-start self-heal (VERDICT r11 #1): the index normally builds
+    * only at checkpoint boundaries, so a JVM that crashed between the
+    * checkpoint and the async build — or a restored/copied table whose
+    * `_index` dir was dropped — would pay the sidecar fan-in regime
+    * (the measured 1.7–2.2 s/probe thrash at 100k files) until ~10 more
+    * commits pass. The first PROBE that finds no published index
+    * submits one best-effort [[maybeBuildAt]] on the index-maintenance
+    * lane instead; every gate (bloom config, `_last_checkpoint`
+    * presence, minFiles, staleness) re-checks there, so an unindexed or
+    * sub-threshold table costs one cheap no-op per JVM. Armed once per
+    * root per JVM, re-armed by a successful publish so a later loss
+    * heals again. Seam: parity specs that HIDE the index to compare
+    * probe paths disable it around the hidden phase. */
+  @volatile private[lake] var selfHealEnabled = true
+  private val healAttempted =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def maybeSelfHeal(rootStr: String): Unit = {
+    if (!selfHealEnabled) return
+    if (!healAttempted.add(rootStr)) return
+    LakeLog.submitIndexTask(() => {
+      try {
+        val log = new LakeLog(rootStr)
+        // no checkpoint yet = nothing buildable — and on an executor
+        // JVM maybeBuildAt's missing-session gate makes this a no-op
+        if (log.lastCheckpointInfo.isDefined) maybeBuildAt(log, retry = false)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    })
+  }
+
   /** One build per root per JVM at a time — a racing checkpointer skips
     * (the winner's index covers it). */
   private val building =
@@ -464,6 +494,12 @@ object ConsolidatedKeyIndex {
         Files.write(gDir.resolve("files"),
           members.map { case (p, bp) => s"$p\t$bp" }
             .mkString("\n").getBytes("UTF-8"))
+        // the manifest version this group is built FOR: the sweep's
+        // version anchor — a group becomes sweepable only once two
+        // manifests at-or-past its target exist (its own can then never
+        // rank among the kept two), no wall-clock trust across builders
+        Files.write(gDir.resolve("target"),
+          version.toString.getBytes("UTF-8"))
         val ks = scala.collection.mutable.LinkedHashSet.empty[SectionKey]
         members.foreach { case (p, _) => headers(p).foreach(ks += _) }
         val sections = ks.toIndexedSeq.zipWithIndex.map { case (sk, si) =>
@@ -501,6 +537,7 @@ object ConsolidatedKeyIndex {
           graft.util.Fs.deleteRecursively(mTmp) // racer published first
       }
       indexCache.remove(rootStr)
+      healAttempted.remove(rootStr) // re-arm: a later loss heals again
       sweep(root)
     } finally {
       if (Files.isDirectory(staging)) // failed mid-build: reclaim now
@@ -511,9 +548,20 @@ object ConsolidatedKeyIndex {
 
   /** Keep the newest two published manifests (racing readers may hold
     * the previous one open); drop older ones, group dirs neither kept
-    * manifest references (after [[sweepGraceMs]] — a racing builder's
-    * groups publish before its manifest), and stale build staging. */
-  private def sweep(root: Path): Unit = {
+    * manifest references, and stale build staging.
+    *
+    * Unreferenced groups sweep on a VERSION anchor, not wall clock
+    * (VERDICT r11 #3): each group dir records the manifest version it
+    * was built FOR (`target`), and becomes sweepable only once TWO
+    * published manifests at-or-past that version exist — then its own
+    * manifest either already lost the publish race (the version is
+    * taken) or could never again rank among the kept newest two, so no
+    * kept manifest can ever reference it. A slow racing builder's
+    * just-published groups survive indefinitely until its manifest
+    * lands, regardless of clock skew across writers on a shared store.
+    * Legacy group dirs without a `target` (format-2 builds before this
+    * anchor) fall back to the [[sweepGraceMs]] mtime grace. */
+  private[lake] def sweep(root: Path): Unit = {
     val dir = root.resolve(DIR)
     if (!Files.isDirectory(dir)) return
     val entries = graft.util.Fs.listDir(dir)
@@ -521,6 +569,8 @@ object ConsolidatedKeyIndex {
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.matches("v\\d+"))
       .sortBy(p => p.getFileName.toString.drop(1).toLong)
+    val publishedVersions =
+      published.map(_.getFileName.toString.drop(1).toLong)
     published.dropRight(2).foreach(p =>
       try graft.util.Fs.deleteRecursively(p)
       catch { case scala.util.control.NonFatal(_) => () })
@@ -536,10 +586,18 @@ object ConsolidatedKeyIndex {
     def old(p: Path): Boolean =
       try Files.getLastModifiedTime(p).toMillis < cutoff
       catch { case scala.util.control.NonFatal(_) => false }
+    def sweepable(g: Path): Boolean = {
+      val tf = g.resolve("target")
+      if (!Files.isRegularFile(tf)) return old(g) // legacy: mtime grace
+      try {
+        val tgt = new String(Files.readAllBytes(tf), "UTF-8").trim.toLong
+        publishedVersions.count(_ >= tgt) >= 2
+      } catch { case scala.util.control.NonFatal(_) => old(g) }
+    }
     val groupsDir = dir.resolve(GROUPS_DIR)
     if (Files.isDirectory(groupsDir))
       graft.util.Fs.listDir(groupsDir).foreach { g =>
-        if (!referenced.contains(g.getFileName.toString) && old(g))
+        if (!referenced.contains(g.getFileName.toString) && sweepable(g))
           try graft.util.Fs.deleteRecursively(g)
           catch { case scala.util.control.NonFatal(_) => () }
       }
@@ -837,7 +895,12 @@ object ConsolidatedKeyIndex {
       }
 
       override def fileProbe(f: AddFile): BloomBatchFile = {
-        val idx = load(rootStr).getOrElse(return null)
+        val idx = load(rootStr).getOrElse {
+          // only a bloom-indexed file signals a heal-worthy table —
+          // plain tables see IN predicates here too
+          if (f.bloomPath.isDefined) maybeSelfHeal(rootStr)
+          return null
+        }
         var es = idx.slotIndex.get(f.path)
         if (es == null) return null
         while (es.nonEmpty) {
@@ -889,7 +952,9 @@ object ConsolidatedKeyIndex {
     // rootStr arrives pre-normalized (FileBloomProbe absolutizes at
     // construction); keying the cache on it verbatim keeps the per-file
     // pruning loop free of Path allocation
-    val idx = load(rootStr).getOrElse(return None)
+    val idx = load(rootStr).getOrElse {
+      maybeSelfHeal(rootStr); return None
+    }
     var es = idx.slotIndex.get(f.path)
     if (es == null) return None
     val fid = LakeTable.fieldId(field).getOrElse(-1L)

@@ -1499,6 +1499,19 @@ final class LakeTable private (
     compactImpl(targetFileBytes, where, minGroup = 2, dvTrigger = true,
       trigger = "manual")
 
+  /** Force a checkpoint of the CURRENT version without waiting for the
+    * every-N commit boundary (Delta's `checkpoint()` maintenance hook).
+    * Idempotent per version; also kicks the post-checkpoint index
+    * maintenance ([[ConsolidatedKeyIndex.maybeBuildAt]]), so an
+    * operator who just CONVERT-adopted, restored, or bulk-reorganized a
+    * table can publish its consolidated key index NOW instead of ~N
+    * commits later (the same gap [[ConsolidatedKeyIndex]]'s probe-side
+    * self-heal closes lazily). */
+  def checkpoint(): Unit = {
+    require(pinnedVersion.isEmpty, "cannot checkpoint a time-travel handle")
+    log.writeCheckpointAt(snapshot.version)
+  }
+
   /** Backfill [[BloomIndex]] sidecars for live files that predate the
     * `graft.bloom.columns` property (new writes index themselves in
     * [[LakeTable.stageFiles]]); `force = true` re-attaches EVERY live

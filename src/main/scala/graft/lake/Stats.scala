@@ -999,8 +999,48 @@ object Stats {
       val noFormIdx: Array[Int] = raw.indices.filter(i =>
         if (numeric) lits(i) == null else strs(i) == null).toArray
     }
-    private val states =
+    /** Compile-state cache, SEGMENTED-LRU by generation (the same shape
+      * as the slice memo's GenMemo, one tier up — VERDICT r11 #2): gets
+      * stay lock-free, a cold hit re-promotes, and overflow drops only
+      * the cold generation — a session cycling >64 concurrent IN
+      * predicates recompiles each at most once per overflow pass
+      * instead of wholesale on every 65th insert. Effective capacity
+      * ≤ 2×64 keys; entries are identity-keyed so they die with their
+      * expression trees. */
+    private val STATES_CAP = 64
+    @volatile private var statesHot =
       new java.util.concurrent.ConcurrentHashMap[Key, Option[State]]()
+    @volatile private var statesCold =
+      new java.util.concurrent.ConcurrentHashMap[Key, Option[State]]()
+    /** Compiles performed (spec instrumentation for the LRU). */
+    private[lake] val compileCount =
+      new java.util.concurrent.atomic.AtomicLong(0L)
+
+    /** Test seam: drop both generations so LRU specs start from a
+      * known-empty cache regardless of suite order. */
+    private[lake] def clearForTest(): Unit = synchronized {
+      statesHot = new java.util.concurrent.ConcurrentHashMap()
+      statesCold = new java.util.concurrent.ConcurrentHashMap()
+    }
+
+    private def stateFor(key: Key, e: In, schema: StructType): Option[State] = {
+      var st = statesHot.get(key)
+      if (st == null) {
+        st = statesCold.get(key)
+        if (st == null) {
+          st = compile(e, schema)
+          compileCount.incrementAndGet()
+        }
+        statesHot.put(key, st) // promote-on-cold-hit / insert-on-miss
+        if (statesHot.size > STATES_CAP) synchronized {
+          if (statesHot.size > STATES_CAP) {
+            statesCold = statesHot
+            statesHot = new java.util.concurrent.ConcurrentHashMap()
+          }
+        }
+      }
+      st
+    }
 
     private def compile(e: In, schema: StructType): Option[State] = {
       val n = colName(e.value).getOrElse(return None)
@@ -1056,9 +1096,7 @@ object Stats {
     def verdict(f: AddFile, e: In, schema: StructType,
         probe: BloomProbe): Option[Option[Boolean]] = {
       if (disabled) return None
-      if (states.size > 64) states.clear() // bounded; recompiles are cheap
-      val st = states.computeIfAbsent(new Key(e, schema),
-        _ => compile(e, schema)).getOrElse(return None)
+      val st = stateFor(new Key(e, schema), e, schema).getOrElse(return None)
       // every literal was null: no value can select a row — the generic
       // branch's empty-verdict aggregation, decided before any probe
       if (st.raw.isEmpty) return Some(Some(false))

@@ -126,20 +126,47 @@ object IndexMeta {
     val rows =
       if (!LakeTable.isLakeTable(tablePath)) Seq.empty
       else {
-        val live = LakeTable.forPath(spark, tablePath).snapshot.files
+        val snap = LakeTable.forPath(spark, tablePath).snapshot
+        val live = snap.files
           .filter(_.bloomPath.isDefined).map(f => (f.path, f.bloomPath))
         graft.lake.ConsolidatedKeyIndex.coverage(rootStr, live).map {
           case (version, covered, slots, config) =>
             val liveN = live.size.toLong
             GateIndexInfo("keybloom",
               s"$rootStr/${graft.lake.ConsolidatedKeyIndex.DIR}/v$version",
-              version, config + s",slots=$slots",
+              version, config + s",slots=$slots" + wideInAdvisory(
+                snap.metaData.properties),
               Some(rootStr), None, version, covered, Some(liveN),
               Some(if (liveN <= 0) 0.0
               else math.max(0.0, 1.0 - covered.toDouble / liveN)))
         }.toSeq
       }
     spark.createDataset(rows)(Encoders.product[GateIndexInfo]).toDF()
+  }
+
+  /** fpp-per-IN-width advisory (VERDICT r11 round-12 #1b): on an
+    * UNCLUSTERED layout, an IN of width W keeps ~1−(1−fpp)^W of the
+    * files whose min/max range cannot exclude the keys — genuine bloom
+    * false-positive candidates, a data cost no index removes. The
+    * numbers tell the operator at which IN width the bloom stops
+    * pruning and key clustering (`zOrderBy` / `OPTIMIZE ... ZORDER BY`)
+    * or a lower `graft.bloom.fpp` becomes the remedy — clustered files
+    * hold disjoint key ranges, so the compiled IN's window search
+    * prunes by range instead. */
+  private def wideInAdvisory(props: Map[String, String]): String = {
+    val fpp = props.get(graft.lake.BloomIndex.FPP_PROP)
+      .flatMap(_.toDoubleOption).filter(f => f > 0 && f < 1)
+      .getOrElse(0.03)
+    def cand(w: Int): Double = 1.0 - math.pow(1.0 - fpp, w)
+    val widths = Seq(10, 100, 1000)
+    val frac = widths.map(w =>
+      s"$w:" + f"${cand(w)}%.3f".replace(',', '.')).mkString("/")
+    val hint =
+      if (cand(1000) >= 0.5) ",hint=wide IN lists keep most files as " +
+        "bloom candidates at this fpp - cluster the key (ZORDER BY) " +
+        "or lower graft.bloom.fpp"
+      else ""
+    s",fpp=$fpp,inWidthCandidateFrac=$frac$hint"
   }
 
   /** Every gate index discoverable under `root`: the pipeline layout's

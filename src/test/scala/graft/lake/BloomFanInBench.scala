@@ -155,6 +155,63 @@ object BloomFanInBench {
         f"slice-reads=${KeyIndexMetrics.sliceReads.get()}%d, " +
         f"served=${KeyIndexMetrics.served.get()}%d")
 
+      // CLUSTERED REMEDY (round 12, VERDICT r11 #1a): the same
+      // 1000-value IN over a Z-ORDERed copy — clustered files hold
+      // disjoint id ranges, so the compiled IN's window binary-search
+      // excludes files by RANGE and the candidate set becomes ∝ the
+      // matching key span (here ~2000 consecutive ids), not the
+      // fpp-bound ~40% of an unclustered layout. The copy packs one
+      // z-bucket per file (zOrderBy quantile-buckets to 4096 codes), so
+      // candidates ≈ span / idsPerFile.
+      val zRootStr = java.nio.file.Paths
+        .get(s"$root/z").toAbsolutePath.normalize.toString
+      val zt =
+        if (java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(s"$root/z/${LakeLog.LOG_DIR}")))
+          LakeTable.forPath(spark, s"$root/z")
+        else {
+          val tz0 = System.nanoTime()
+          val created = LakeTable.create(spark, s"$root/z",
+            t.toDF.repartition(math.min(nFiles, 4096), col("id")),
+            properties = Map(BloomIndex.COLS_PROP -> "id",
+              ConsolidatedKeyIndex.MIN_FILES_PROP -> "1"))
+          created.zOrderBy("id")
+          println(f"[fanin] built + Z-ORDERed clustered copy " +
+            f"(${created.snapshot.files.size}%d files) in " +
+            f"${(System.nanoTime() - tz0) / 1e9}%.1f s")
+          created
+        }
+      val snapZ = zt.snapshot
+      val probeZ = BloomIndex.probe(zRootStr)
+      // no consolidated index on the copy yet: range pruning alone
+      // carries the wide IN (the point of the remedy)
+      val tz1 = System.nanoTime()
+      val zCands = snapZ.files.count(f =>
+        Stats.mightMatchNormalized(f, normIn, snapZ.schema, Nil, probeZ))
+      println(f"[fanin] clustered IN PRUNE (range-only): " +
+        f"${(System.nanoTime() - tz1) / 1e9}%.2f s, " +
+        f"candidates=$zCands%d of ${snapZ.files.size}%d " +
+        f"(unclustered kept $inCandidates%d of ${snapIn.files.size}%d)")
+      val tz2 = System.nanoTime()
+      val zRows = zt.read(inPred).count()
+      println(f"[fanin] clustered IN read           : " +
+        f"${(System.nanoTime() - tz2) / 1e9}%.2f s, rows=$zRows%d " +
+        f"(unclustered rows=$inRows%d)")
+      // and with the consolidated index published over the clustered
+      // files the verdicts are unchanged — the index only matters
+      // inside the (narrow) in-range window now
+      zt.log.writeCheckpointAt(zt.snapshot.version)
+      LakeLog.awaitMaintenance()
+      ConsolidatedKeyIndex.invalidate(zRootStr)
+      KeyIndexMetrics.reset()
+      val tz3 = System.nanoTime()
+      val zCands2 = snapZ.files.count(f =>
+        Stats.mightMatchNormalized(f, normIn, snapZ.schema, Nil, probeZ))
+      println(f"[fanin] clustered IN PRUNE (indexed): " +
+        f"${(System.nanoTime() - tz3) / 1e9}%.2f s, " +
+        f"candidates=$zCands2%d, " +
+        f"slice-reads=${KeyIndexMetrics.sliceReads.get()}%d")
+
       // INCREMENTAL REBUILD (round 11): churn ~12% of the files past the
       // 10% gate and force a boundary — the group-packed rebuild reads
       // ∝ churned sidecars (files-packed), referencing carried groups

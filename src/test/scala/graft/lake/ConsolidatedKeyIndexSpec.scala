@@ -97,9 +97,11 @@ class ConsolidatedKeyIndexSpec extends AnyFunSuite {
       s"absent key $k should prune every file (fpp 0.001)"))
 
     // hide the index: the sidecar path must produce the SAME candidates
+    // (self-heal off — a hidden index is exactly its trigger shape)
     val hidden = Paths.get(path, "_keyindex_hidden")
     Files.move(idxDir, hidden)
     ConsolidatedKeyIndex.invalidate(path)
+    ConsolidatedKeyIndex.selfHealEnabled = false
     try {
       KeyIndexMetrics.reset()
       val withoutIdx = (present ++ absent).map(k => k -> candidates(k)).toMap
@@ -107,6 +109,7 @@ class ConsolidatedKeyIndexSpec extends AnyFunSuite {
       assert(withoutIdx === withIdx,
         "consolidated and sidecar pruning must agree bit-for-bit")
     } finally {
+      ConsolidatedKeyIndex.selfHealEnabled = true
       Files.move(hidden, idxDir)
       ConsolidatedKeyIndex.invalidate(path)
     }
@@ -134,6 +137,12 @@ class ConsolidatedKeyIndexSpec extends AnyFunSuite {
     assert(row.getAs[Long]("source_live_rows") === 44L)
     assert(row.getAs[Double]("est_stale_fraction") === 0.0)
     assert(row.getAs[String]("config").contains("id(words="))
+    // fpp-per-IN-width advisory: at fpp 0.001 a 1000-wide IN keeps
+    // ~63% of unclustered files as candidates — the signal to cluster
+    assert(row.getAs[String]("config").contains(
+      "fpp=0.001,inWidthCandidateFrac=10:0.010/100:0.095/1000:0.632"))
+    assert(row.getAs[String]("config").contains("ZORDER"),
+      "past-the-knee widths must carry the clustering hint")
 
     // churn: new files are uncovered until the next coverage-gated build
     t.append((9000L until 9064L).map(i => (i, s"v$i")).toDF("id", "v")
@@ -337,11 +346,13 @@ class ConsolidatedKeyIndexSpec extends AnyFunSuite {
     val hidden = Paths.get(path, "_keyindex_hidden")
     Files.move(idxDir, hidden)
     ConsolidatedKeyIndex.invalidate(path)
+    ConsolidatedKeyIndex.selfHealEnabled = false
     try {
       val withoutIdx = (present ++ absent).map(k => k -> candidates(k)).toMap
       assert(withoutIdx === withIdx,
         "incremental index and sidecar pruning must agree bit-for-bit")
     } finally {
+      ConsolidatedKeyIndex.selfHealEnabled = true
       Files.move(hidden, idxDir)
       ConsolidatedKeyIndex.invalidate(path)
     }
@@ -439,5 +450,127 @@ class ConsolidatedKeyIndexSpec extends AnyFunSuite {
     KeyIndexMetrics.reset()
     assert(t.read($"id" === 2L).count() === 1L)
     assert(KeyIndexMetrics.served.get() > 0)
+  }
+
+  test("explicit checkpoint() publishes the index without waiting for the boundary") {
+    val path = Files.createTempDirectory("ckidx-ckpt-").toString
+    val props = Map(
+      BloomIndex.COLS_PROP -> "id",
+      ConsolidatedKeyIndex.MIN_FILES_PROP -> "1")
+    val t = LakeTable.create(spark, path,
+      (0L until 200L).map(i => (i, s"v$i")).toDF("id", "v").repartition(8),
+      properties = props)
+    t.append((200L until 300L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(4))
+    t.append((300L until 400L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(4))
+    LakeLog.awaitMaintenance()
+    val idxDir = Paths.get(path, ConsolidatedKeyIndex.DIR)
+    def indexedVersion(): Option[Long] =
+      if (!Files.isDirectory(idxDir)) None
+      else graft.util.Fs.listDir(idxDir)
+        .filter(_.getFileName.toString.matches("v\\d+"))
+        .map(_.getFileName.toString.drop(1).toLong).maxOption
+    assert(!indexedVersion().contains(2L),
+      "v2 is off the every-10 boundary — no index for it yet")
+    t.checkpoint() // v2: far from the every-10 boundary
+    LakeLog.awaitMaintenance()
+    assert(indexedVersion().contains(2L),
+      "checkpoint() must kick the index build immediately")
+    KeyIndexMetrics.reset()
+    assert(t.read($"id" === 7L).count() === 1L)
+    assert(KeyIndexMetrics.served.get() > 0)
+    // idempotent per version
+    t.checkpoint()
+    LakeLog.awaitMaintenance()
+    assert(t.read($"id" === 8L).count() === 1L)
+  }
+
+  test("cold-start self-heal: a dropped index rebuilds from the first probe, no new commit") {
+    val path = Files.createTempDirectory("ckidx-heal-").toString
+    val t = build(path)
+    val idxDir = Paths.get(path, ConsolidatedKeyIndex.DIR)
+    assert(Files.isDirectory(idxDir))
+    val version = t.snapshot.version
+
+    // a restored/copied table whose _index dir was dropped (or a JVM
+    // that crashed between checkpoint and async build): the sidecar
+    // path would otherwise serve every probe until ~10 more commits
+    graft.TestFs.rmRf(idxDir)
+    ConsolidatedKeyIndex.invalidate(path)
+    LakeLog.snapshotCache.clear()
+    val reopened = LakeTable.forPath(spark, path)
+
+    // the triggering probe itself still answers exactly via sidecars
+    KeyIndexMetrics.reset()
+    assert(reopened.read($"id" === 2L).count() === 1L)
+    assert(KeyIndexMetrics.served.get() === 0L,
+      "no index yet: the heal-triggering probe rides the sidecars")
+
+    // ONE fence later the index is republished — same table version,
+    // no commit, no checkpoint boundary crossed
+    LakeLog.awaitMaintenance()
+    assert(Files.isDirectory(idxDir),
+      "the first probe must have submitted a best-effort rebuild")
+    assert(reopened.snapshot.version === version, "no new commit")
+    ConsolidatedKeyIndex.invalidate(path)
+    KeyIndexMetrics.reset()
+    assert(reopened.read($"id" === 2L).count() === 1L)
+    assert(KeyIndexMetrics.served.get() > 0,
+      "post-heal probes must serve consolidated again")
+  }
+
+  test("sweep is version-anchored: a delayed-manifest racer's groups survive any clock skew") {
+    val path = Files.createTempDirectory("ckidx-sweep-").toString
+    val t = build(path)
+    val idxDir = Paths.get(path, ConsolidatedKeyIndex.DIR)
+    val groupsDir = idxDir.resolve(ConsolidatedKeyIndex.GROUPS_DIR)
+    val newest = graft.util.Fs.listDir(idxDir)
+      .filter(_.getFileName.toString.matches("v\\d+"))
+      .map(_.getFileName.toString.drop(1).toLong).max
+
+    // a slow racing builder on a shared store: groups published (for a
+    // FUTURE manifest), manifest not yet landed, and its writer's clock
+    // far behind ours — under the old mtime grace these were sweepable
+    val racer = groupsDir.resolve("g-racer-0")
+    Files.createDirectories(racer)
+    Files.write(racer.resolve("files"), "p\tb".getBytes("UTF-8"))
+    Files.write(racer.resolve("target"),
+      (newest + 10).toString.getBytes("UTF-8"))
+    Files.setLastModifiedTime(racer,
+      java.nio.file.attribute.FileTime.fromMillis(0L)) // epoch-old mtime
+    val oldGrace = ConsolidatedKeyIndex.sweepGraceMs
+    ConsolidatedKeyIndex.sweepGraceMs = 0L // grace would delete instantly
+    try {
+      ConsolidatedKeyIndex.sweep(Paths.get(path))
+      assert(Files.isDirectory(racer),
+        "an unlanded racer's groups must survive regardless of mtime")
+
+      // once TWO manifests at-or-past its target exist, the racer's own
+      // manifest can never rank among the kept two — now it sweeps
+      Seq(newest + 10, newest + 20).foreach { v =>
+        val vd = idxDir.resolve(s"v$v")
+        Files.createDirectories(vd)
+        Files.write(vd.resolve("manifest.json"),
+          s"""{"formatVersion":2,"checkpointVersion":$v,"groups":[]}"""
+            .getBytes("UTF-8"))
+      }
+      ConsolidatedKeyIndex.sweep(Paths.get(path))
+      assert(!Files.exists(racer),
+        "two superseding manifests make the racer's groups garbage")
+
+      // legacy group dirs (no target marker) still honor the grace
+      val legacy = groupsDir.resolve("g-legacy-0")
+      Files.createDirectories(legacy)
+      ConsolidatedKeyIndex.sweepGraceMs = 3600L * 1000
+      ConsolidatedKeyIndex.sweep(Paths.get(path))
+      assert(Files.isDirectory(legacy), "young legacy dirs keep the grace")
+      ConsolidatedKeyIndex.sweepGraceMs = 0L
+      ConsolidatedKeyIndex.sweep(Paths.get(path))
+      assert(!Files.exists(legacy), "aged legacy dirs sweep by mtime")
+    } finally {
+      ConsolidatedKeyIndex.sweepGraceMs = oldGrace
+      ConsolidatedKeyIndex.invalidate(path)
+    }
   }
 }

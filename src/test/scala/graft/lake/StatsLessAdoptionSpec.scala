@@ -46,6 +46,29 @@ class StatsLessAdoptionSpec extends AnyFunSuite {
     assert(empty.estimatedLiveRowsIfKnown === Some(0L))
   }
 
+  test("a sub-1% stat-ful sliver is no basis: the estimate reads unknown") {
+    def f(path: String, size: Long, rows: Option[Long]) =
+      AddFile(path, size = size, stats = rows.map(r => FileStats(r)))
+    val meta = MetaData("id", "id BIGINT")
+    // one tiny stat-ful control file against a large blind bulk
+    // (VERDICT r11 #4): extrapolating the bulk from the sliver's
+    // bytes-per-row could be off by the row-width ratio — unknown
+    val sliver = Snapshot(0L, meta,
+      f("tiny", 10L, Some(1L)) +:
+        (0 until 5).map(i => f(s"blind$i", 100000L, None)),
+      Map.empty, Seq.empty)
+    assert(sliver.estimatedLiveRowsIfKnown.isEmpty,
+      "a <1%-of-bytes stat-ful sliver must not drive an extrapolation")
+    // the raw estimate still extrapolates (callers that need a number
+    // get the best-effort one); only the gated IfKnown path closes
+    assert(sliver.estimatedLiveRows > 0L)
+    // at exactly 1% the basis counts as representative again
+    val onePct = Snapshot(0L, meta, Seq(
+      f("s", 100L, Some(10L)), f("blind", 9900L, None)),
+      Map.empty, Seq.empty)
+    assert(onePct.estimatedLiveRowsIfKnown === Some(1000L))
+  }
+
   test("a fully stats-less source keeps the compaction trigger closed at zero churn") {
     val root = Files.createTempDirectory("statsless-").toString
     def vec(seed: Int): Array[Float] = {
@@ -97,5 +120,28 @@ class StatsLessAdoptionSpec extends AnyFunSuite {
       assert(r.isNullAt(r.fieldIndex("est_stale_fraction")),
         s"stats-less source must report unknown staleness: $r")
     }
+
+    // re-adopt with ONE tiny stat-ful control file against the blind
+    // bulk (a compaction artifact surviving a CONVERT): <1% of the
+    // snapshot's bytes is no basis — the trigger stays closed instead
+    // of extrapolating the bulk from the sliver's bytes-per-row
+    val snap2 = adopted.snapshot
+    val tinyPath = snap2.files.head.path
+    adopted.log.write(snap2.version + 1,
+      snap2.files.map { f =>
+        if (f.path == tinyPath)
+          Action.of(f.copy(stats = Some(FileStats(1L)), size = 1L))
+        else Action.of(f)
+      } :+ Action.of(CommitInfo(System.currentTimeMillis(), "CONVERT",
+        Map("sliver" -> "true"))))
+    LakeLog.snapshotCache.clear()
+    val slivered = LakeTable.forPath(spark, s"$root/curated")
+    assert(slivered.snapshot.files.count(_.stats.isDefined) === 1)
+    assert(slivered.snapshot.estimatedLiveRowsIfKnown.isEmpty,
+      "a sub-1% stat-ful sliver must read as unknown, not extrapolate")
+    val (pv2, av2) = (posts.snapshot.version, asg.snapshot.version)
+    assert(CorpusPipeline.maybeCompactIndexes(spark, root) === ((0L, 0L)))
+    assert(posts.snapshot.version === pv2 && asg.snapshot.version === av2,
+      "the sliver-stats source must keep the trigger closed too")
   }
 }
