@@ -1834,6 +1834,21 @@ final class LakeTable private (
     }
     if (scoped.isEmpty) return
     val data = readFiles(snap, scoped)
+    // single axis: the space-filling curve is the identity, so cluster
+    // by the RAW column — exact range partitioning at ANY file count
+    // (the quantile path quantizes to 2^12 curve codes, which caps the
+    // distinct file ranges at 4096: fine for a multi-dim morton grid,
+    // degenerate for one column at 100k files), and string keys keep
+    // real range locality instead of the curve path's hash spreading
+    if (cols.size == 1) {
+      val c = col(cols.head)
+      val n = math.max(scoped.size, 1)
+      rewrite(snap, scoped,
+        data.repartitionByRange(n, c).sortWithinPartitions(c),
+        if (hilbert) "HILBERT BY" else "ZORDER BY",
+        Map("columns" -> cols.head))
+      return
+    }
     val derived = cols.map { c =>
       snap.schema(c).dataType match {
         case _: StringType => xxhash64(col(c)).cast("double")

@@ -157,12 +157,12 @@ object BloomFanInBench {
 
       // CLUSTERED REMEDY (round 12, VERDICT r11 #1a): the same
       // 1000-value IN over a Z-ORDERed copy — clustered files hold
-      // disjoint id ranges, so the compiled IN's window binary-search
-      // excludes files by RANGE and the candidate set becomes ∝ the
-      // matching key span (here ~2000 consecutive ids), not the
-      // fpp-bound ~40% of an unclustered layout. The copy packs one
-      // z-bucket per file (zOrderBy quantile-buckets to 4096 codes), so
-      // candidates ≈ span / idsPerFile.
+      // DISJOINT id ranges (single-axis zOrderBy is exact range
+      // clustering at any file count), so the compiled IN's window
+      // binary-search excludes files by RANGE and the candidate set
+      // becomes ∝ the matching key span (here ~2000 consecutive ids),
+      // not the fpp-bound ~40% of an unclustered layout. Copy capped
+      // at 20k files to bound the fixture-build time at 100k runs.
       val zRootStr = java.nio.file.Paths
         .get(s"$root/z").toAbsolutePath.normalize.toString
       val zt =
@@ -172,7 +172,7 @@ object BloomFanInBench {
         else {
           val tz0 = System.nanoTime()
           val created = LakeTable.create(spark, s"$root/z",
-            t.toDF.repartition(math.min(nFiles, 4096), col("id")),
+            t.toDF.repartition(math.min(nFiles, 20000), col("id")),
             properties = Map(BloomIndex.COLS_PROP -> "id",
               ConsolidatedKeyIndex.MIN_FILES_PROP -> "1"))
           created.zOrderBy("id")

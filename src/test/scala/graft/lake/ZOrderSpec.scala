@@ -108,6 +108,41 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("single-column zOrderBy is exact range clustering: disjoint ranges, any file count") {
+    val path = Files.createTempDirectory("zorder-1d-").toString
+    // string key, hash-scattered over 20 files: before clustering every
+    // file spans ~the whole key domain. The multi-dim curve path would
+    // hash strings (spread, no locality); the single-axis path must
+    // range-cluster the RAW column — this is also the layout remedy the
+    // wide-IN advisory points at, and it must hold at 100k files, which
+    // the 2^12-code quantile path cannot (≤4096 distinct file ranges)
+    val rows = (0 until 2000).map(i => (f"doc-$i%04d", i.toLong))
+    val t = LakeTable.create(spark, path,
+      rows.toDF("k", "v").repartition(20, $"k"))
+    assert(t.snapshot.files.size === 20)
+    assert(t.read($"k" >= "doc-0100" && $"k" < "doc-0200")
+      .inputFiles.length === 20, "hash-scattered: no range pruning")
+
+    t.zOrderBy("k")
+    val snap = t.snapshot
+    assert(snap.files.size === 20, "clustering must keep the file count")
+    // per-file [min, max] string ranges must be pairwise disjoint —
+    // the property that makes the window binary-search prune by range
+    val ranges = snap.files.map { f =>
+      (f.stats.get.minValues("k"), f.stats.get.maxValues("k"))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"overlapping file ranges: $aMax vs $bMin")
+      case _ => ()
+    }
+    val pruned = t.read($"k" >= "doc-0100" && $"k" < "doc-0200")
+    assert(pruned.inputFiles.length <= 2,
+      "a 5% key range must read ~1 of 20 clustered files")
+    assert(pruned.count() === 100L)
+    assert(t.toDF.count() === 2000L)
+  }
+
   test("zOrderBy handles string dims and survives further appends") {
     val path = Files.createTempDirectory("zorder-s-").toString
     val rows = (0 until 500).map(i => (i.toLong, s"k${i % 7}", i * 1.0))
