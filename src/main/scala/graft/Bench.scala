@@ -190,9 +190,10 @@ object Bench {
       // (same convention as d14); the audited shape is the point
       // lookup's — no joins, one pruned scan
       "lake8_consolidated_lookup",
-      // lake9's audited shape is the wide-IN read over the Z-ORDERed
-      // fixture — no joins, one range+bloom-pruned scan
-      "lake9_clustered_wide_in")
+      // lake9/lake10's audited shape is the wide-IN read over the
+      // clustered (resp. incrementally re-clustered) fixture — no
+      // joins, one range+bloom-pruned scan
+      "lake9_clustered_wide_in", "lake10_incremental_cluster")
     val plans = auditNames.flatMap { n =>
       SparkEntry.queries.get(n).flatMap { fn =>
         try {

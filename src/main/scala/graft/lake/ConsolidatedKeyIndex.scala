@@ -591,7 +591,12 @@ object ConsolidatedKeyIndex {
       if (!Files.isRegularFile(tf)) return old(g) // legacy: mtime grace
       try {
         val tgt = new String(Files.readAllBytes(tf), "UTF-8").trim.toLong
-        publishedVersions.count(_ >= tgt) >= 2
+        // the version anchor is the SAFETY proof (deletion never trusts
+        // a clock); the grace is kept as a reclamation DELAY on top —
+        // a reader inside the DISCOVER_TTL window may still hold a
+        // just-superseded index whose groups these are, and eager
+        // reclamation would degrade its probes to sidecar fallback
+        publishedVersions.count(_ >= tgt) >= 2 && old(g)
       } catch { case scala.util.control.NonFatal(_) => old(g) }
     }
     val groupsDir = dir.resolve(GROUPS_DIR)

@@ -1894,6 +1894,126 @@ final class LakeTable private (
       Map("columns" -> cols.mkString(",")))
   }
 
+  /** INCREMENTAL clustering maintenance: restore range clustering on
+    * `column` by rewriting ONLY the files that break it — at 100 TB a
+    * churn wave cannot pay [[zOrderBy]]'s full-table rewrite, and the
+    * whole point of clustering as the wide-IN remedy (BASELINE §U) is
+    * lost if maintaining it costs the table.
+    *
+    * The layout model is tiered (LSM-shaped, Delta liquid clustering's
+    * ZCube intuition): each partition's files decompose into LAYERS —
+    * internally disjoint runs by the column's [min, max] footer stats
+    * (greedy patience assignment, driver-side over metadata only; the
+    * layer count equals the interval overlap depth, i.e. the worst-case
+    * files a point predicate cannot range-exclude). A partition at
+    * depth ≤ `maxLayers` is already clustered enough: exact no-op,
+    * zero commits. Past the bound, the `maxLayers − 1` HEAVIEST layers
+    * (by bytes — the base run stays byte-for-byte untouched) are kept
+    * and every other file rewrites range-partitioned into ONE fresh
+    * disjoint run, bringing the depth back to ≤ maxLayers. Cost is
+    * ∝ the accumulated small layers (recent churn), never the table;
+    * an immediate second call is a no-op by construction. Stats-less
+    * files (a CONVERT-adopted tail) always rewrite — the rewrite
+    * regains their footer stats. Stat strings compare by the column's
+    * TYPE (numeric/date/timestamp stats are numeric renderings — a
+    * lexical compare would misorder "100" under "99" and shred valid
+    * layers).
+    *
+    * @return number of files rewritten (0 = layout already within depth)
+    */
+  def optimizeIncrementalBy(column: String, maxLayers: Int = 4): Int = {
+    require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
+    require(maxLayers >= 2, "maxLayers must be at least 2")
+    val snap = snapshot
+    if (snap.files.isEmpty) return 0
+    require(Bucketing.specOf(snap.metaData).isEmpty,
+      "cannot cluster a hash-bucketed table: bucket routing and range " +
+        "layout conflict (rebucket or compact instead)")
+    require(snap.schema.fieldNames.contains(column), s"no such column: $column")
+    val numericLike = snap.schema(column).dataType match {
+      case _: org.apache.spark.sql.types.NumericType |
+          org.apache.spark.sql.types.DateType |
+          org.apache.spark.sql.types.TimestampType => true
+      case org.apache.spark.sql.types.StringType => false
+      case dt => throw new IllegalArgumentException(
+        s"cannot range-cluster by $column: unsupported type $dt")
+    }
+    def kcmp(a: AnyRef, b: AnyRef): Int =
+      if (numericLike)
+        a.asInstanceOf[BigDecimal].compare(b.asInstanceOf[BigDecimal])
+      else Stats.strCmp(a.asInstanceOf[String], b.asInstanceOf[String])
+    // compare keys parsed ONCE per file (BigDecimal for numeric-like
+    // stats, raw for strings) — the layering scan probes them O(cap)
+    // times each
+    def keys(f: AddFile): Option[(AnyRef, AnyRef)] = for {
+      s <- f.stats
+      mi <- s.minValues.get(column)
+      ma <- s.maxValues.get(column)
+      k <- if (!numericLike) Some((mi, ma))
+      else scala.util.Try(
+        (BigDecimal(mi): AnyRef, BigDecimal(ma): AnyRef)).toOption
+    } yield k
+    // per partition directory: files of different partitions are never
+    // co-scanned, so cross-partition overlap is irrelevant
+    val rewriteSet = snap.files.groupBy(_.partitionValues).valuesIterator
+      .flatMap { group =>
+        val withKeys = group.map(f => (f, keys(f)))
+        val ranged = withKeys.collect { case (f, Some(k)) => (f, k._1, k._2) }
+        val blind = withKeys.collect { case (f, None) => f }
+        // patience layering: files in min order drop onto the layer
+        // with the LARGEST current max still below their min (tightest
+        // fit keeps layers long); none fits → a new layer opens. Layer
+        // count = overlap depth. Tracked layers cap at 256 — a deeper
+        // layout is pathologically unclustered and the overflow simply
+        // rewrites (conservative, never keeps an overlapping file);
+        // the cap also bounds the driver scan at O(files × 256).
+        val LAYER_CAP = 256
+        val byMin = ranged.sortWith((a, b) => kcmp(a._2, b._2) < 0)
+        val layerMax = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+        val layers = scala.collection.mutable.ArrayBuffer
+          .empty[scala.collection.mutable.ArrayBuffer[AddFile]]
+        val overflow = scala.collection.mutable.ArrayBuffer.empty[AddFile]
+        byMin.foreach { case (f, mi, ma) =>
+          var best = -1
+          var i = 0
+          while (i < layerMax.length) {
+            if (kcmp(layerMax(i), mi) < 0 &&
+                (best < 0 || kcmp(layerMax(i), layerMax(best)) > 0)) best = i
+            i += 1
+          }
+          if (best >= 0) {
+            layerMax(best) = ma
+            layers(best) += f
+          } else if (layers.length < LAYER_CAP) {
+            layerMax += ma
+            layers += scala.collection.mutable.ArrayBuffer(f)
+          } else overflow += f
+        }
+        if (layers.length <= maxLayers && blind.isEmpty && overflow.isEmpty)
+          Nil
+        else {
+          // keep the heaviest maxLayers−1 layers untouched (the base
+          // run); everything else merges into one fresh disjoint run
+          val kept = layers.sortBy(l => -l.map(_.size).sum)
+            .take(maxLayers - 1).flatten.map(_.path).toSet
+          group.filterNot(f => kept.contains(f.path))
+        }
+      }.toSeq
+    // one RANGED straggler alone cannot improve its own layout (a lone
+    // blind file still rewrites: the rewrite regains its footer stats)
+    if (rewriteSet.isEmpty ||
+        (rewriteSet.size == 1 && keys(rewriteSet.head).isDefined)) return 0
+    val c = col(column)
+    val data = readFiles(snap, rewriteSet)
+      .repartitionByRange(rewriteSet.size, c)
+      .sortWithinPartitions(c)
+    rewrite(snap, rewriteSet, data, "OPTIMIZE BY",
+      Map("columns" -> column, "mode" -> "incremental",
+        "rewrittenFiles" -> rewriteSet.size.toString,
+        "keptFiles" -> (snap.files.size - rewriteSet.size).toString))
+    rewriteSet.size
+  }
+
   // ---- DDL (L10) -------------------------------------------------------
 
   /** ALTER TABLE ADD COLUMN (`02.delta_lake_primer.py:241-242`,

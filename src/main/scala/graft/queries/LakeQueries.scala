@@ -303,6 +303,47 @@ object LakeQueries extends QueryGroup {
           ORDER BY o_orderkey LIMIT 480))
       ORDER BY o_orderkey""")),
 
+    // tiered clustering MAINTENANCE under the oracle: the clustered
+    // base takes append churn; optimizeIncrementalBy merges ONLY the
+    // layout-breaking residue into a fresh disjoint run (the base run
+    // is never rewritten — at 100 TB the wide-IN remedy is only
+    // affordable if maintaining it costs churn, not the table), and
+    // the wide IN then reads the maintained layout through the same
+    // compiled fast path as lake9. DuckDB rebuilds the final content
+    // from the raw table; the layout work must be invisible to it.
+    QueryDef("lake10_incremental_cluster", (s, d) => {
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val t = LakeTable.create(s, tmp("lake-optinc-"),
+        orders.where(col("o_orderkey") % 4 === 0)
+          .repartition(16, col("o_orderkey")),
+        properties = Map(
+          graft.lake.BloomIndex.COLS_PROP -> "o_orderkey",
+          graft.lake.ConsolidatedKeyIndex.MIN_FILES_PROP -> "1"))
+      t.zOrderBy("o_orderkey") // clustered base: 16 disjoint ranges
+      (1 to 3).foreach(i => // churn: 6 files, each spanning the domain
+        t.append(orders.where(col("o_orderkey") % 4 === i).repartition(2)))
+      t.optimizeIncrementalBy("o_orderkey", maxLayers = 2)
+      t.checkpoint()
+      graft.lake.LakeLog.awaitMaintenance()
+      val keys = orders.select("o_orderkey").distinct()
+        .where(col("o_orderkey") % 37 === 11)
+        .orderBy("o_orderkey").limit(400)
+        .collect().map(_.getLong(0)).toSeq
+      t.read(col("o_orderkey").isin(keys: _*))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }, oracle = Some("""
+      SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+      FROM orders
+      WHERE o_orderkey IN (
+        SELECT o_orderkey FROM (
+          SELECT DISTINCT o_orderkey FROM orders
+          WHERE o_orderkey % 37 = 11
+          ORDER BY o_orderkey LIMIT 400))
+      ORDER BY o_orderkey""")),
+
     // the bucketed DSv2 read path end-to-end: two co-bucketed lake tables
     // joined through the catalog (storage-partitioned join — zero join
     // shuffles, asserted in BucketingSpec; values gated here)

@@ -46,6 +46,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       RunLakeExpireSnapshots(strip(ident),
         Option(hours).map(_.toDouble), Option(retain).map(_.toInt))
     case REORGANIZE_RE(ident) => RunLakeReorganize(strip(ident))
+    case OPTIMIZE_INCR_RE(ident, column, _, maxLayers) =>
+      RunLakeOptimizeIncremental(strip(ident), strip(column.trim),
+        Option(maxLayers).map(_.toInt))
     case OPTIMIZE_RE(ident, _, where, _, zcols) =>
       RunLakeOptimize(strip(ident),
         Option(zcols).map(_.split(',').map(c => strip(c.trim)).toSeq),
@@ -143,6 +146,13 @@ object GraftSqlParser {
       """(\s+OLDER\s+THAN\s+([0-9.]+)\s+HOURS?)?(\s+RETAIN\s+LAST\s+(\d+))?\s*;?\s*""").r
   private[graft] val REORGANIZE_RE =
     ("""(?is)\s*OPTIMIZE\s+""" + TABLE + """\s+REORGANIZE\s*;?\s*""").r
+  /** `OPTIMIZE t INCREMENTAL BY col [MAX LAYERS n]` — tiered clustering
+    * maintenance ([[graft.lake.LakeTable.optimizeIncrementalBy]]):
+    * rewrites only the layout-breaking residue, never the base run. */
+  private[graft] val OPTIMIZE_INCR_RE =
+    ("""(?is)\s*OPTIMIZE\s+""" + TABLE +
+      """\s+INCREMENTAL\s+BY\s+\(?\s*([\w`]+)\s*\)?""" +
+      """(\s+MAX\s+LAYERS\s+(\d+))?\s*;?\s*""").r
   private[graft] val OPTIMIZE_RE =
     ("""(?is)\s*OPTIMIZE\s+""" + TABLE +
       """(\s+WHERE\s+(.+?))?(\s+ZORDER\s+BY\s+\(?\s*([\w`,\s]+?)\s*\)?)?\s*;?\s*""").r
@@ -285,6 +295,22 @@ private[graft] case class RunLakeOptimize(ident: String,
         t.compact(where = w.map(org.apache.spark.sql.functions.expr))
     }
     Seq(Row(t.snapshot.numFiles))
+  }
+}
+
+/** `OPTIMIZE t INCREMENTAL BY col [MAX LAYERS n]` — see
+  * [[graft.lake.LakeTable.optimizeIncrementalBy]]. Returns the number
+  * of files rewritten (0 = layout already within the layer budget). */
+private[graft] case class RunLakeOptimizeIncremental(ident: String,
+    column: String, maxLayers: Option[Int]) extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] =
+    Seq(AttributeReference("num_rewritten_files", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftExtensions.resolveTablePath(spark, ident)
+    val t = graft.lake.LakeTable.forPath(spark, path)
+    val n = maxLayers.map(m => t.optimizeIncrementalBy(column, m))
+      .getOrElse(t.optimizeIncrementalBy(column))
+    Seq(Row(n.toLong))
   }
 }
 

@@ -212,6 +212,31 @@ object BloomFanInBench {
         f"candidates=$zCands2%d, " +
         f"slice-reads=${KeyIndexMetrics.sliceReads.get()}%d")
 
+      // INCREMENTAL CLUSTERING MAINTENANCE (round 12): churn the
+      // clustered copy with 32 domain-spanning scatter files, then
+      // merge ONLY the residue — the base run must survive untouched
+      // and the wide-IN candidate set must recover to ∝ key span
+      val zBasePaths = snapZ.files.map(_.path).toSet
+      (1 to 4).foreach { i =>
+        zt.append(spark
+          .range(i.toLong, nFiles.toLong * rowsPerFile, 97L)
+          .select(col("id"), (col("id") % 1000).as("v"))
+          .repartition(8, col("id")))
+      }
+      val tz4 = System.nanoTime()
+      val rewritten = zt.optimizeIncrementalBy("id", maxLayers = 2)
+      val zAfter = zt.snapshot
+      println(f"[fanin] incremental cluster of churn : " +
+        f"${(System.nanoTime() - tz4) / 1e9}%.2f s, " +
+        f"rewrote $rewritten%d of ${zAfter.files.size}%d files, " +
+        f"base-kept=${zBasePaths.subsetOf(zAfter.files.map(_.path).toSet)}%b")
+      val tz5 = System.nanoTime()
+      val zCands3 = zAfter.files.count(f =>
+        Stats.mightMatchNormalized(f, normIn, snapZ.schema, Nil, probeZ))
+      println(f"[fanin] clustered IN PRUNE (post-maint): " +
+        f"${(System.nanoTime() - tz5) / 1e9}%.2f s, " +
+        f"candidates=$zCands3%d of ${zAfter.files.size}%d")
+
       // INCREMENTAL REBUILD (round 11): churn ~12% of the files past the
       // 10% gate and force a boundary — the group-packed rebuild reads
       // ∝ churned sidecars (files-packed), referencing carried groups
