@@ -1930,6 +1930,13 @@ final class LakeTable private (
       "cannot cluster a hash-bucketed table: bucket routing and range " +
         "layout conflict (rebucket or compact instead)")
     require(snap.schema.fieldNames.contains(column), s"no such column: $column")
+    // partition columns are elided from data files and carry no footer
+    // stats — every file would read as blind and the "maintenance"
+    // would rewrite the whole table on every call; the directory
+    // layout already clusters them exactly
+    require(!snap.metaData.partitionColumns.contains(column),
+      s"$column is a partition column: partition directories already " +
+        "cluster it exactly — cluster a data column instead")
     val numericLike = snap.schema(column).dataType match {
       case _: org.apache.spark.sql.types.NumericType |
           org.apache.spark.sql.types.DateType |

@@ -94,6 +94,42 @@ class OptimizeIncrementalSpec extends AnyFunSuite {
     assert(adopted.toDF.count() === 2000L)
   }
 
+  test("deletion vectors survive: a rewritten file drops its deleted rows") {
+    val path = Files.createTempDirectory("optinc-dv-").toString
+    val t = base(path)
+    scatter(t, 1L) // ids duplicate base keys: 1, 51, 101, …
+    scatter(t, 2L) // depth 3 > maxLayers 2: both scatter files rewrite
+    val before = t.toDF.count()
+    // a point delete hits one base file AND a scatter file — small
+    // fraction of each, so both take deletion-vector sidecars
+    assert(t.delete($"id" === 51L) === 2L)
+    assert(t.snapshot.files.exists(f =>
+      f.dvPath.isDefined || f.dvInline.isDefined))
+    assert(t.toDF.count() === before - 2)
+    // the scatter files (one DV-bearing) rewrite; the DV-bearing base
+    // file stays in its kept layer with its DV intact
+    assert(t.optimizeIncrementalBy("id", maxLayers = 2) === 2)
+    assert(t.toDF.count() === before - 2,
+      "a layout rewrite must not resurrect DV-deleted rows")
+    assert(t.read($"id" === 51L).isEmpty)
+  }
+
+  test("partition columns are refused: the directory layout already clusters them") {
+    val path = Files.createTempDirectory("optinc-part-").toString
+    val df = (0 until 200).map(i => (i.toLong, i % 4, s"r$i"))
+      .toDF("id", "part", "v")
+    val t = LakeTable.create(spark, path, df, partitionBy = Seq("part"))
+    val e = intercept[IllegalArgumentException] {
+      t.optimizeIncrementalBy("part")
+    }
+    assert(e.getMessage.contains("partition"))
+    // a DATA column on the partitioned table still maintains per-dir
+    t.append((0 until 50).map(i => (i * 4L, i % 4, s"x$i"))
+      .toDF("id", "part", "v").repartition(1))
+    assert(t.optimizeIncrementalBy("id", maxLayers = 2) >= 0) // no throw
+    assert(t.toDF.count() === 250L)
+  }
+
   test("SQL surface: OPTIMIZE ... INCREMENTAL BY ... MAX LAYERS") {
     val wh = Files.createTempDirectory("optinc-wh-").toString
     spark.conf.set("spark.sql.catalog.optinc",
