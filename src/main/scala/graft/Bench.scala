@@ -192,15 +192,19 @@ object Bench {
       "lake8_consolidated_lookup",
       // lake9/lake10's audited shape is the wide-IN read over the
       // clustered (resp. incrementally re-clustered) fixture — no
-      // joins, one range+bloom-pruned scan
-      "lake9_clustered_wide_in", "lake10_incremental_cluster")
+      // joins, one range+bloom-pruned scan; lake11 is the same shape
+      // with a STRING key, lake12 the 2-D hilbert box read — for all
+      // four the `files` count is the post-skipping candidate set
+      "lake9_clustered_wide_in", "lake10_incremental_cluster",
+      "lake11_string_clustered_in", "lake12_hilbert_box")
     val plans = auditNames.flatMap { n =>
       SparkEntry.queries.get(n).flatMap { fn =>
         try {
           val s = PlanAudit.shape(fn(spark, sfDir))
           Some(n -> (s"""{"broadcast":${s.broadcastJoins}""" +
             s""","sortMerge":${s.sortMergeJoins}""" +
-            s""","exchanges":${s.exchanges}}"""))
+            s""","exchanges":${s.exchanges}""" +
+            s""","files":${s.files}}"""))
         } catch { case _: Throwable => None }
       }
     }

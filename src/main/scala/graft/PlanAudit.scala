@@ -12,9 +12,13 @@ import org.apache.spark.sql.execution.QueryExecution
   */
 object PlanAudit {
 
-  /** The shape facts a 100 TB plan lives or dies by. */
+  /** The shape facts a 100 TB plan lives or dies by. `files` is the
+    * scan's input-file count — for lake reads this IS the post-skipping
+    * candidate set, so a skipping regression (a wide IN or box read
+    * suddenly scanning the table instead of the key span) fails the
+    * round diff as loudly as a lost broadcast. */
   final case class PlanShape(broadcastJoins: Int, sortMergeJoins: Int,
-    exchanges: Int)
+    exchanges: Int, files: Int)
 
   /** Count the shape of a query's physical plan (pre-AQE): used by the
     * audit printout here and by [[Bench]]'s per-round `plans` JSON so a
@@ -31,7 +35,8 @@ object PlanAudit {
       // the detail section prints nodes as "(4) Exchange" and is skipped
       plan.linesIterator.count(l =>
         l.contains("+- Exchange") || l.contains(":- Exchange") ||
-          l.trim.startsWith("Exchange")))
+          l.trim.startsWith("Exchange")),
+      df.inputFiles.length)
   }
 
   def main(args: Array[String]): Unit = {
@@ -61,7 +66,8 @@ object PlanAudit {
       val s = shape(df)
       println(s"== $name")
       println(s"   broadcastJoins=${s.broadcastJoins} " +
-        s"sortMergeJoins=${s.sortMergeJoins} exchanges=${s.exchanges}")
+        s"sortMergeJoins=${s.sortMergeJoins} exchanges=${s.exchanges} " +
+        s"files=${s.files}")
       pushed.take(4).foreach(p => println(s"   $p"))
       schemas.take(4).foreach(s => println(s"   ${s.take(150)}"))
     }

@@ -94,6 +94,11 @@ object ConsolidatedKeyIndex {
     * more per-probe part opens; 4096 keeps a probe's per-group slice at
     * 512 B and a 100k-file table at ~25 groups. */
   val GROUP_SLOTS_PROP = "graft.bloom.consolidate.groupSlots"
+  /** Opt-in: let a JVM that has never written this table submit the
+    * probe-side index self-heal anyway (read-only fleets that DO own
+    * the storage). Default off — readers never write the table they
+    * scan. */
+  val SELF_HEAL_ON_READ_PROP = "graft.bloom.consolidate.selfHealOnRead"
   /** Minimum live fraction for a group to be carried across a rebuild
     * (default 0.5) — below it the group's live members re-pack and the
     * dir sweeps, bounding dead-slot waste. */
@@ -264,6 +269,11 @@ object ConsolidatedKeyIndex {
   private val healAttempted =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Test seam: re-arm the probe-side heal for one root. */
+  private[lake] def healAttemptedResetForTest(root: String): Unit =
+    healAttempted.remove(
+      Paths.get(root).toAbsolutePath.normalize.toString)
+
   private def maybeSelfHeal(rootStr: String): Unit = {
     if (!selfHealEnabled) return
     if (!healAttempted.add(rootStr)) return
@@ -272,9 +282,32 @@ object ConsolidatedKeyIndex {
         val log = new LakeLog(rootStr)
         // no checkpoint yet = nothing buildable — and on an executor
         // JVM maybeBuildAt's missing-session gate makes this a no-op
-        if (log.lastCheckpointInfo.isDefined) maybeBuildAt(log, retry = false)
+        if (log.lastCheckpointInfo.isDefined && healPermitted(log))
+          maybeBuildAt(log, retry = false)
       } catch { case scala.util.control.NonFatal(_) => () }
     })
+  }
+
+  /** Reads must stay reads: only a JVM that has already COMMITTED to
+    * this table (proven write intent + permission) may turn a probe
+    * into an index build — a fleet of read-only readers scanning shared
+    * storage must not each submit a build (or warn about lacking write
+    * permission). A read-only fleet that WANTS probe-side healing opts
+    * in per table via [[SELF_HEAL_ON_READ_PROP]]. */
+  private def healPermitted(log: LakeLog): Boolean = {
+    if (LakeLog.hasWritten(log.tablePath)) return true
+    val rootKey = Paths.get(log.tablePath).toAbsolutePath.normalize.toString
+    val props = Option(LakeLog.snapshotCache.get(rootKey))
+      .map(_.snapshot.metaData.properties)
+      .orElse(for {
+        spark <- SparkSession.getActiveSession
+          .orElse(SparkSession.getDefaultSession)
+        (v, parts) <- log.lastCheckpointInfo
+        meta <- DistributedState.checkpointMeta(
+          spark, log.checkpointPartPaths(v, parts))
+      } yield meta.properties)
+    props.exists(_.get(SELF_HEAL_ON_READ_PROP)
+      .exists(_.trim.equalsIgnoreCase("true")))
   }
 
   /** One build per root per JVM at a time — a racing checkpointer skips

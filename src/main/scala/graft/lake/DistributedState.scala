@@ -216,14 +216,23 @@ private[lake] object DistributedState {
       resolved: Seq[Expression],
       schema: StructType,
       partitionCols: Seq[String],
+      probe: BloomProbe = BloomProbe.none): Array[AddFile] =
+    pruneDs(liveFiles(ckptFiles.sparkSession, ckptFiles, touched, tailAdds),
+      resolved, schema, partitionCols, probe)
+
+  /** Stats pruning over an already-assembled live Dataset (the
+    * [[liveFiles]] output): min/max AND bloom evaluate ON EXECUTORS — a
+    * point lookup into a million-file table reads its index sidecars
+    * distributed, never through the driver — and only survivors collect.
+    */
+  def pruneDs(
+      all: Dataset[AddFile],
+      resolved: Seq[Expression],
+      schema: StructType,
+      partitionCols: Seq[String],
       probe: BloomProbe = BloomProbe.none): Array[AddFile] = {
-    val spark = ckptFiles.sparkSession
-    val all = liveFiles(spark, ckptFiles, touched, tailAdds)
     val pruned =
       if (resolved.isEmpty) all
-      // min/max AND bloom evaluate here, ON EXECUTORS — a point lookup
-      // into a million-file table reads its index sidecars distributed,
-      // never through the driver
       else {
         val norm = resolved.map(Stats.normalize)
         all.filter((f: AddFile) =>

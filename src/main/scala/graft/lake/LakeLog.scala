@@ -606,6 +606,7 @@ final class LakeLog(
     val dest = logDir.resolve(commitFileName(version))
     if (!commitStore.putIfAbsent(dest, body.getBytes(StandardCharsets.UTF_8)))
       throw new CommitConflictException(tablePath, version)
+    LakeLog.recordWrite(tablePath)
     maybeCheckpoint(version)
   }
 
@@ -677,6 +678,13 @@ final class LakeLog(
     // on it (probes fall back to sidecars until it lands).
     LakeLog.submitIndexTask(() =>
       ConsolidatedKeyIndex.maybeBuildAt(this))
+    // advisory → action (VERDICT r12 #5): tables with a RECORDED
+    // clustering column get their layout maintained on the same lane —
+    // an exact no-op within the layer budget, one bounded rewrite of
+    // the accumulated churn otherwise. Separate task so one hook's
+    // failure never starves the other.
+    LakeLog.submitIndexTask(() =>
+      ClusterMaintenance.maybeClusterAt(this))
   }
 
   private def writeCheckpointDriver(version: Long): Unit = {
@@ -1133,6 +1141,25 @@ object LakeLog {
 
     def clear(): Unit = map.synchronized { map.clear(); totalFiles = 0L }
   }
+
+  /** Table roots this JVM has successfully COMMITTED to. Read-side
+    * machinery consults this before turning a probe into a
+    * table-directory write (the consolidated-index self-heal): a fleet
+    * of read-only reader applications must never each submit an index
+    * build — or warn about failing to — against shared storage they
+    * only scan. Delta-style readers never write the table they read;
+    * only a JVM that has already proven write intent (and permission)
+    * by committing heals on probe. */
+  private val writtenRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def rootKeyOf(tablePath: String): String =
+    java.nio.file.Paths.get(tablePath).toAbsolutePath.normalize.toString
+  private[lake] def recordWrite(tablePath: String): Unit =
+    writtenRoots.add(rootKeyOf(tablePath))
+  private[lake] def hasWritten(tablePath: String): Boolean =
+    writtenRoots.contains(rootKeyOf(tablePath))
+  /** Test seam: simulate a fresh reader-only JVM. */
+  private[lake] def forgetWrites(): Unit = writtenRoots.clear()
 
   val LOG_DIR = "_lake_log"
   val TMP_DIR = ".tmp"

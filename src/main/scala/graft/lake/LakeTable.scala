@@ -5,7 +5,7 @@ import java.util.UUID
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -126,7 +126,29 @@ final class LakeTable private (
     * aggregation job exclusively on tables big enough to benefit.
     */
   private def distributedResolve(
-      filtersFor: StructType => Seq[Column]): Option[(Snapshot, Seq[AddFile])] = {
+      filtersFor: StructType => Seq[Column]): Option[(Snapshot, Seq[AddFile])] =
+    distributedLiveState().map { case (lite, live) =>
+      val resolved = filtersFor(lite.schema).map(resolveFilter(_, lite.schema))
+      val candidates: Seq[AddFile] =
+        if (resolved.nonEmpty && resolved.exists(e =>
+          Stats.contradictsConstraints(e,
+            Constraints.parsed(lite.metaData), lite.schema))) Nil
+        else DistributedState.pruneDs(live, resolved, lite.schema,
+          lite.metaData.partitionColumns, bloomProbe).toSeq
+      (lite, candidates)
+    }
+
+  /** The raw big-log state behind [[distributedResolve]]: a LITE
+    * snapshot (version + metadata, NO materialized file list) plus the
+    * LIVE AddFile rows as a distributed Dataset (checkpoint scan with
+    * the bounded JSON tail applied). Maintenance planning
+    * ([[optimizeIncrementalBy]], scoped clustering) consumes the Dataset
+    * directly so its per-file scan runs on executors; reads/DML go
+    * through [[distributedResolve]]'s filter pruning. None → caller
+    * materializes the snapshot normally (young/small table, pinned
+    * version, or no parquet checkpoint yet).
+    */
+  private def distributedLiveState(): Option[(Snapshot, Dataset[AddFile])] = {
     if (pinnedVersion.isDefined) return None
     val threshold = spark.conf.getOption("spark.graft.log.distributedThreshold")
       .flatMap(_.toLongOption).getOrElse(100000L)
@@ -146,17 +168,11 @@ final class LakeTable private (
           .orElse(DistributedState.checkpointMeta(spark, ckptPaths))
           .map { meta =>
             val lite = Snapshot(target, meta, Seq.empty, Map.empty, Seq.empty)
-            val resolved = filtersFor(lite.schema).map(resolveFilter(_, lite.schema))
-            val candidates: Seq[AddFile] =
-              if (resolved.nonEmpty && resolved.exists(e =>
-                Stats.contradictsConstraints(e,
-                  Constraints.parsed(meta), lite.schema))) Nil
-              else DistributedState.pruneLive(
-                DistributedState.checkpointFiles(spark, ckptPaths),
-                finalByPath.keySet.toSet,
-                finalByPath.values.flatten.toSeq,
-                resolved, lite.schema, meta.partitionColumns, bloomProbe).toSeq
-            (lite, candidates)
+            val live = DistributedState.liveFiles(spark,
+              DistributedState.checkpointFiles(spark, ckptPaths),
+              finalByPath.keySet.toSet,
+              finalByPath.values.flatten.toSeq)
+            (lite, live)
           }
       case _ => None
     }
@@ -1800,12 +1816,39 @@ final class LakeTable private (
     */
   def hilbertBy(cols: String*): Unit = clusterByCurve(cols, hilbert = true)
 
+  /** Resolve a maintenance `WHERE` scope and enforce its contract: the
+    * predicate may reference PARTITION columns only (partition values
+    * evaluate exactly, so scoping is never lossy; a data-column scope
+    * would make "which files rewrite" depend on conservative stats).
+    */
+  private def requirePartitionScope(cond: Column, schema: StructType,
+      pcs: Seq[String]): org.apache.spark.sql.catalyst.expressions.Expression = {
+    val e = resolveFilter(cond, schema)
+    val refs = e.collect {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        a.name
+    }
+    val nonPart = refs.filterNot(pcs.contains)
+    require(nonPart.isEmpty,
+      s"cluster WHERE supports partition columns only; got ${nonPart.mkString(",")}")
+    e
+  }
+
   private def clusterByCurve(cols: Seq[String], hilbert: Boolean,
       scope: Option[Column] = None): Unit = {
     require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
     require(cols.nonEmpty, "clustering needs at least one column")
-    val snap = snapshot
-    if (snap.files.isEmpty) return
+    // scoped clustering on a big-log table resolves its candidates via
+    // the distributed checkpoint scan: partition pruning runs on
+    // executors and only the matching partitions' files (= the rewrite
+    // set itself) reach the driver, never O(table) AddFiles. An
+    // UNSCOPED call rewrites the whole table, so its file list is the
+    // rewrite set by definition — the driver snapshot is the right shape.
+    val distState = if (scope.isDefined) distributedLiveState() else None
+    if (scope.isDefined)
+      MaintenanceMetrics.lastPlanDistributed.set(distState.isDefined)
+    val snap = distState.map(_._1).getOrElse(snapshot)
+    if (distState.isEmpty && snap.files.isEmpty) return
     // hash bucketing routes each file to a hash-spread of keys, so a
     // curve sort cannot tighten file min/max ranges afterwards — the
     // rewrite would silently buy nothing (and stageFiles would re-route
@@ -1817,20 +1860,22 @@ final class LakeTable private (
         "or keep bucketing and use compact)")
     val bad = cols.filterNot(snap.schema.fieldNames.contains)
     require(bad.isEmpty, s"no such column(s): ${bad.mkString(",")}")
-    // partition scope: exact driver-side evaluation, partition columns only
+    // partition scope: partition columns only, exact pruning
     val scoped = scope match {
       case None => snap.files
       case Some(cond) =>
         val pcs = snap.metaData.partitionColumns
-        val e = resolveFilter(cond, snap.schema)
-        val refs = e.collect {
-          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-            a.name
+        val e = requirePartitionScope(cond, snap.schema, pcs)
+        distState match {
+          case Some((_, live)) =>
+            val cands = DistributedState.pruneDs(live, Seq(e), snap.schema,
+              pcs).toSeq
+            MaintenanceMetrics.lastPlanDriverRows.set(cands.size.toLong)
+            cands
+          case None =>
+            MaintenanceMetrics.lastPlanDriverRows.set(snap.files.size.toLong)
+            snap.files.filter(f => Stats.mightMatch(f, e, snap.schema, pcs))
         }
-        val nonPart = refs.filterNot(pcs.contains)
-        require(nonPart.isEmpty,
-          s"cluster WHERE supports partition columns only; got ${nonPart.mkString(",")}")
-        snap.files.filter(f => Stats.mightMatch(f, e, snap.schema, pcs))
     }
     if (scoped.isEmpty) return
     val data = readFiles(snap, scoped)
@@ -1846,7 +1891,8 @@ final class LakeTable private (
       rewrite(snap, scoped,
         data.repartitionByRange(n, c).sortWithinPartitions(c),
         if (hilbert) "HILBERT BY" else "ZORDER BY",
-        Map("columns" -> cols.head))
+        Map("columns" -> cols.head),
+        extra = recordClusterBy(snap, cols.head))
       return
     }
     val derived = cols.map { c =>
@@ -1873,10 +1919,29 @@ final class LakeTable private (
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .select(snap.schema.fieldNames.map(col).toSeq: _*)
+    // multi-column curve: CLEAR any recorded single-axis clustering
+    // column — boundary-time auto-maintenance on it would range-rewrite
+    // overlapping-on-that-axis files and shred the curve layout
+    val clear =
+      if (!snap.metaData.properties.contains(ClusterMaintenance.CLUSTER_BY_PROP))
+        Seq.empty[Action]
+      else Seq(Action.of(snap.metaData.copy(properties =
+        snap.metaData.properties - ClusterMaintenance.CLUSTER_BY_PROP)))
     rewrite(snap, scoped, clustered,
       if (hilbert) "HILBERT BY" else "ZORDER BY",
-      Map("columns" -> cols.mkString(",")))
+      Map("columns" -> cols.mkString(",")),
+      extra = clear)
   }
+
+  /** Record `column` as the table's clustering column (see
+    * [[ClusterMaintenance.CLUSTER_BY_PROP]]) as part of a clustering
+    * commit — empty when already recorded. */
+  private def recordClusterBy(snap: Snapshot, column: String): Seq[Action] =
+    if (snap.metaData.properties
+        .get(ClusterMaintenance.CLUSTER_BY_PROP).contains(column)) Seq.empty
+    else Seq(Action.of(snap.metaData.copy(properties =
+      snap.metaData.properties +
+        (ClusterMaintenance.CLUSTER_BY_PROP -> column))))
 
   /** Sort-cluster the table by `cols` (range partition + in-file sort)
     * so per-file min/max ranges become disjoint and data skipping on
@@ -1924,8 +1989,15 @@ final class LakeTable private (
   def optimizeIncrementalBy(column: String, maxLayers: Int = 4): Int = {
     require(pinnedVersion.isEmpty, "cannot write through a time-travel handle")
     require(maxLayers >= 2, "maxLayers must be at least 2")
-    val snap = snapshot
-    if (snap.files.isEmpty) return 0
+    // big-log tables plan over the distributed checkpoint scan — the
+    // layering runs per partition group ON EXECUTORS over a light
+    // (path, size, class, min, max) projection, and only the rewrite
+    // selection's AddFiles reach the driver (∝ churn, never the table) —
+    // the same move reads, DML, and vacuum make above the threshold
+    val dist = distributedLiveState()
+    MaintenanceMetrics.lastPlanDistributed.set(dist.isDefined)
+    val snap = dist.map(_._1).getOrElse(snapshot)
+    if (dist.isEmpty && snap.files.isEmpty) return 0
     require(Bucketing.specOf(snap.metaData).isEmpty,
       "cannot cluster a hash-bucketed table: bucket routing and range " +
         "layout conflict (rebucket or compact instead)")
@@ -1945,79 +2017,67 @@ final class LakeTable private (
       case dt => throw new IllegalArgumentException(
         s"cannot range-cluster by $column: unsupported type $dt")
     }
-    def kcmp(a: AnyRef, b: AnyRef): Int =
-      if (numericLike)
-        a.asInstanceOf[BigDecimal].compare(b.asInstanceOf[BigDecimal])
-      else Stats.strCmp(a.asInstanceOf[String], b.asInstanceOf[String])
-    // compare keys parsed ONCE per file (BigDecimal for numeric-like
-    // stats, raw for strings) — the layering scan probes them O(cap)
-    // times each
-    def keys(f: AddFile): Option[(AnyRef, AnyRef)] = for {
-      s <- f.stats
-      mi <- s.minValues.get(column)
-      ma <- s.maxValues.get(column)
-      k <- if (!numericLike) Some((mi, ma))
-      else scala.util.Try(
-        (BigDecimal(mi): AnyRef, BigDecimal(ma): AnyRef)).toOption
-    } yield k
-    // per partition directory: files of different partitions are never
-    // co-scanned, so cross-partition overlap is irrelevant
-    val rewriteSet = snap.files.groupBy(_.partitionValues).valuesIterator
-      .flatMap { group =>
-        val withKeys = group.map(f => (f, keys(f)))
-        val ranged = withKeys.collect { case (f, Some(k)) => (f, k._1, k._2) }
-        val blind = withKeys.collect { case (f, None) => f }
-        // patience layering: files in min order drop onto the layer
-        // with the LARGEST current max still below their min (tightest
-        // fit keeps layers long); none fits → a new layer opens. Layer
-        // count = overlap depth. Tracked layers cap at 256 — a deeper
-        // layout is pathologically unclustered and the overflow simply
-        // rewrites (conservative, never keeps an overlapping file);
-        // the cap also bounds the driver scan at O(files × 256).
-        val LAYER_CAP = 256
-        val byMin = ranged.sortWith((a, b) => kcmp(a._2, b._2) < 0)
-        val layerMax = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
-        val layers = scala.collection.mutable.ArrayBuffer
-          .empty[scala.collection.mutable.ArrayBuffer[AddFile]]
-        val overflow = scala.collection.mutable.ArrayBuffer.empty[AddFile]
-        byMin.foreach { case (f, mi, ma) =>
-          var best = -1
-          var i = 0
-          while (i < layerMax.length) {
-            if (kcmp(layerMax(i), mi) < 0 &&
-                (best < 0 || kcmp(layerMax(i), layerMax(best)) > 0)) best = i
-            i += 1
-          }
-          if (best >= 0) {
-            layerMax(best) = ma
-            layers(best) += f
-          } else if (layers.length < LAYER_CAP) {
-            layerMax += ma
-            layers += scala.collection.mutable.ArrayBuffer(f)
-          } else overflow += f
-        }
-        if (layers.length <= maxLayers && blind.isEmpty && overflow.isEmpty)
-          Nil
-        else {
-          // keep the heaviest maxLayers−1 layers untouched (the base
-          // run); everything else merges into one fresh disjoint run
-          val kept = layers.sortBy(l => -l.map(_.size).sum)
-            .take(maxLayers - 1).flatten.map(_.path).toSet
-          group.filterNot(f => kept.contains(f.path))
-        }
-      }.toSeq
+    import ClusterMaintenance.FileLayerInfo
+    // (selected AddFiles, their planner class by path, live file count)
+    val (rewriteSet, clsByPath, liveCount): (Seq[AddFile], Map[String, Int], Long) =
+      dist match {
+        case Some((_, live)) =>
+          val nl = numericLike
+          val ml = maxLayers
+          val cn = column
+          val planned: Array[(String, Int)] = live
+            .map(f => (ClusterMaintenance.partitionKey(f),
+              ClusterMaintenance.classify(f, cn, nl)))(
+              Encoders.tuple(Encoders.STRING, Encoders.product[FileLayerInfo]))
+            .groupByKey(_._1)(Encoders.STRING)
+            .flatMapGroups { (_: String, it: Iterator[(String, FileLayerInfo)]) =>
+              ClusterMaintenance
+                .rewriteSelection(it.map(_._2).toVector, nl, ml)
+                .iterator.map(e => (e.path, e.cls))
+            }(Encoders.tuple(Encoders.STRING, Encoders.scalaInt))
+            .collect()
+          val cls = planned.toMap
+          val files: Seq[AddFile] =
+            if (planned.isEmpty) Nil
+            else {
+              val pathSet = cls.keySet
+              live.filter((f: AddFile) => pathSet.contains(f.path))
+                .collect().toSeq
+            }
+          MaintenanceMetrics.lastPlanDriverRows.set(files.size.toLong)
+          (files, cls, live.count())
+        case None =>
+          val byPath = snap.files.map(f => f.path -> f).toMap
+          // per partition directory: files of different partitions are
+          // never co-scanned, so cross-partition overlap is irrelevant
+          val selected = snap.files.groupBy(_.partitionValues).valuesIterator
+            .flatMap { group =>
+              ClusterMaintenance.rewriteSelection(
+                group.map(f =>
+                  ClusterMaintenance.classify(f, column, numericLike)),
+                numericLike, maxLayers)
+            }.toSeq
+          MaintenanceMetrics.lastPlanDriverRows.set(snap.files.size.toLong)
+          (selected.map(e => byPath(e.path)),
+            selected.map(e => e.path -> e.cls).toMap,
+            snap.files.size.toLong)
+      }
     // one RANGED straggler alone cannot improve its own layout (a lone
     // blind file still rewrites: the rewrite regains its footer stats)
     if (rewriteSet.isEmpty ||
-        (rewriteSet.size == 1 && keys(rewriteSet.head).isDefined)) return 0
+        (rewriteSet.size == 1 &&
+          clsByPath(rewriteSet.head.path) == ClusterMaintenance.RANGED))
+      return 0
     val c = col(column)
     val data = readFiles(snap, rewriteSet)
       .repartitionByRange(rewriteSet.size, c)
       .sortWithinPartitions(c)
     rewrite(snap, rewriteSet, data, "OPTIMIZE BY",
       Map("columns" -> column, "mode" -> "incremental",
+        "planning" -> (if (dist.isDefined) "distributed" else "driver"),
         "rewrittenFiles" -> rewriteSet.size.toString,
-        "keptFiles" -> (snap.files.size - rewriteSet.size).toString))
+        "keptFiles" -> (liveCount - rewriteSet.size).toString),
+      extra = recordClusterBy(snap, column))
     rewriteSet.size
   }
 

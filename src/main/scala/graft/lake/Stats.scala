@@ -1024,22 +1024,36 @@ object Stats {
     }
 
     private def stateFor(key: Key, e: In, schema: StructType): Option[State] = {
-      var st = statesHot.get(key)
-      if (st == null) {
-        st = statesCold.get(key)
-        if (st == null) {
-          st = compile(e, schema)
+      val hot = statesHot.get(key)
+      if (hot != null) return hot
+      val cold = statesCold.get(key)
+      val st =
+        if (cold != null) cold
+        else {
+          // compile OUTSIDE the lock (it walks the whole IN list); a
+          // racer compiling the same key concurrently wastes one
+          // compile, same as before — but never a cache ENTRY
+          val c = compile(e, schema)
           compileCount.incrementAndGet()
+          c
         }
-        statesHot.put(key, st) // promote-on-cold-hit / insert-on-miss
-        if (statesHot.size > STATES_CAP) synchronized {
+      // promote/insert AND maybe-rotate under ONE lock: the lock-free
+      // variant could rotate twice back-to-back between a racer's read
+      // of the hot handle and its put (dropping a fully populated
+      // generation, or losing the put into a just-demoted map) — gets
+      // above stay lock-free, only the insert path pays
+      synchronized {
+        val racer = statesHot.get(key)
+        if (racer != null) racer
+        else {
+          statesHot.put(key, st)
           if (statesHot.size > STATES_CAP) {
             statesCold = statesHot
             statesHot = new java.util.concurrent.ConcurrentHashMap()
           }
+          st
         }
       }
-      st
     }
 
     private def compile(e: In, schema: StructType): Option[State] = {

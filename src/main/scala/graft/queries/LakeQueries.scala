@@ -344,6 +344,69 @@ object LakeQueries extends QueryGroup {
           ORDER BY o_orderkey LIMIT 400))
       ORDER BY o_orderkey""")),
 
+    // STRING-key wide IN through the compiled fast path (VERDICT r12
+    // #3): lake9 pins long keys; this row pins the string forms —
+    // InFast's UTF-8 byte-order compare windows (Stats.strCmp) over a
+    // range-clustered STRING layout (single-column zOrderBy range
+    // partitions the raw column, so files hold disjoint c_name ranges
+    // and the ~400-literal IN's window binary-search excludes most
+    // files before any bloom consult). c_name is the o_clerk shape:
+    // "Customer#000000001", high-cardinality, prefix-heavy — the
+    // worst case for naive lexical handling, pinned hash-green here.
+    QueryDef("lake11_string_clustered_in", (s, d) => {
+      val customer = Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_acctbal")
+      val t = LakeTable.create(s, tmp("lake-strin-"),
+        customer.repartition(24, col("c_name")), // hash-scattered
+        properties = Map(
+          graft.lake.BloomIndex.COLS_PROP -> "c_name",
+          graft.lake.ConsolidatedKeyIndex.MIN_FILES_PROP -> "1"))
+      t.zOrderBy("c_name") // v1: 24 disjoint string-range files
+      t.checkpoint()
+      graft.lake.LakeLog.awaitMaintenance()
+      val keys = customer.where(col("c_custkey") % 3 === 1)
+        .select("c_name").orderBy("c_name").limit(400)
+        .collect().map(_.getString(0)).toSeq
+      t.read(col("c_name").isin(keys: _*))
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("c_acctbal"))
+        .orderBy("c_custkey")
+    }, oracle = Some("""
+      SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+      FROM customer
+      WHERE c_name IN (
+        SELECT c_name FROM (
+          SELECT c_name FROM customer
+          WHERE c_custkey % 3 = 1
+          ORDER BY c_name LIMIT 400))
+      ORDER BY c_custkey""")),
+
+    // multi-column CURVE-clustered read under the oracle (VERDICT r12
+    // #6): hilbertBy interleaves quantile-bucketed coordinates through
+    // the continuous Hilbert curve, so per-file min/max stays tight on
+    // BOTH columns and a 2-D box predicate range-excludes most files —
+    // the layout where neither single-column sort helps (a o_custkey
+    // sort spreads o_totalprice and vice versa). The audited bench
+    // shape is 0 joins / 1 display-sort exchange + the scanned-file
+    // count (∝ the box, not the table).
+    QueryDef("lake12_hilbert_box", (s, d) => {
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val t = LakeTable.create(s, tmp("lake-hilbert-"),
+        orders.repartition(24, col("o_orderkey"))) // hash-scattered
+      t.hilbertBy("o_custkey", "o_totalprice")
+      t.read(col("o_custkey").between(40, 90),
+          col("o_totalprice").between(50000, 150000))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }, oracle = Some("""
+      SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+      FROM orders
+      WHERE o_custkey BETWEEN 40 AND 90
+        AND o_totalprice BETWEEN 50000 AND 150000
+      ORDER BY o_orderkey""")),
+
     // the bucketed DSv2 read path end-to-end: two co-bucketed lake tables
     // joined through the catalog (storage-partitioned join — zero join
     // shuffles, asserted in BucketingSpec; values gated here)

@@ -165,16 +165,20 @@ object BloomFanInBench {
       // at 20k files to bound the fixture-build time at 100k runs.
       val zRootStr = java.nio.file.Paths
         .get(s"$root/z").toAbsolutePath.normalize.toString
+      val zFresh = !java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"$root/z/${LakeLog.LOG_DIR}"))
       val zt =
-        if (java.nio.file.Files.isDirectory(
-            java.nio.file.Paths.get(s"$root/z/${LakeLog.LOG_DIR}")))
+        if (!zFresh)
           LakeTable.forPath(spark, s"$root/z")
         else {
           val tz0 = System.nanoTime()
           val created = LakeTable.create(spark, s"$root/z",
             t.toDF.repartition(math.min(nFiles, 20000), col("id")),
             properties = Map(BloomIndex.COLS_PROP -> "id",
-              ConsolidatedKeyIndex.MIN_FILES_PROP -> "1"))
+              ConsolidatedKeyIndex.MIN_FILES_PROP -> "1",
+              // the bench MEASURES maintenance manually — the boundary
+              // auto-trigger must not race its timed arms
+              ClusterMaintenance.AUTO_PROP -> "false"))
           created.zOrderBy("id")
           println(f"[fanin] built + Z-ORDERed clustered copy " +
             f"(${created.snapshot.files.size}%d files) in " +
@@ -215,27 +219,58 @@ object BloomFanInBench {
       // INCREMENTAL CLUSTERING MAINTENANCE (round 12): churn the
       // clustered copy with 32 domain-spanning scatter files, then
       // merge ONLY the residue — the base run must survive untouched
-      // and the wide-IN candidate set must recover to ∝ key span
-      val zBasePaths = snapZ.files.map(_.path).toSet
-      (1 to 4).foreach { i =>
-        zt.append(spark
-          .range(i.toLong, nFiles.toLong * rowsPerFile, 97L)
-          .select(col("id"), (col("id") % 1000).as("v"))
-          .repartition(8, col("id")))
-      }
-      val tz4 = System.nanoTime()
-      val rewritten = zt.optimizeIncrementalBy("id", maxLayers = 2)
-      val zAfter = zt.snapshot
-      println(f"[fanin] incremental cluster of churn : " +
-        f"${(System.nanoTime() - tz4) / 1e9}%.2f s, " +
-        f"rewrote $rewritten%d of ${zAfter.files.size}%d files, " +
-        f"base-kept=${zBasePaths.subsetOf(zAfter.files.map(_.path).toSet)}%b")
-      val tz5 = System.nanoTime()
-      val zCands3 = zAfter.files.count(f =>
-        Stats.mightMatchNormalized(f, normIn, snapZ.schema, Nil, probeZ))
-      println(f"[fanin] clustered IN PRUNE (post-maint): " +
-        f"${(System.nanoTime() - tz5) / 1e9}%.2f s, " +
-        f"candidates=$zCands3%d of ${zAfter.files.size}%d")
+      // and the wide-IN candidate set must recover to ∝ key span.
+      // ONLY on a fresh z copy: re-running the churn + maintenance on a
+      // reused fixture would measure an accumulated repeatedly-churned
+      // layout, drifting candidate counts and base-kept across runs.
+      if (zFresh) {
+        val zBasePaths = snapZ.files.map(_.path).toSet
+        (1 to 4).foreach { i =>
+          zt.append(spark
+            .range(i.toLong, nFiles.toLong * rowsPerFile, 97L)
+            .select(col("id"), (col("id") % 1000).as("v"))
+            .repartition(8, col("id")))
+        }
+        val tz4 = System.nanoTime()
+        val rewritten = zt.optimizeIncrementalBy("id", maxLayers = 2)
+        val zAfter = zt.snapshot
+        println(f"[fanin] incremental cluster of churn : " +
+          f"${(System.nanoTime() - tz4) / 1e9}%.2f s, " +
+          f"rewrote $rewritten%d of ${zAfter.files.size}%d files, " +
+          f"base-kept=${zBasePaths.subsetOf(zAfter.files.map(_.path).toSet)}%b, " +
+          f"planning=${if (MaintenanceMetrics.lastPlanDistributed.get()) "distributed" else "driver"}%s")
+        val tz5 = System.nanoTime()
+        val zCands3 = zAfter.files.count(f =>
+          Stats.mightMatchNormalized(f, normIn, snapZ.schema, Nil, probeZ))
+        println(f"[fanin] clustered IN PRUNE (post-maint): " +
+          f"${(System.nanoTime() - tz5) / 1e9}%.2f s, " +
+          f"candidates=$zCands3%d of ${zAfter.files.size}%d")
+
+        // DISTRIBUTED MAINTENANCE PLANNING (round 13): a second churn
+        // wave, planned through the checkpoint scan — the layering runs
+        // per partition group on executors and the driver materializes
+        // ONLY the rewrite set, never O(table) AddFiles
+        zt.log.writeCheckpointAt(zt.snapshot.version)
+        LakeLog.awaitMaintenance()
+        (5 to 8).foreach { i =>
+          zt.append(spark
+            .range(i.toLong, nFiles.toLong * rowsPerFile, 97L)
+            .select(col("id"), (col("id") % 1000).as("v"))
+            .repartition(8, col("id")))
+        }
+        spark.conf.set("spark.graft.log.distributedThreshold", "1")
+        try {
+          val tz6 = System.nanoTime()
+          val rewritten2 = zt.optimizeIncrementalBy("id", maxLayers = 2)
+          println(f"[fanin] DISTRIBUTED incremental cluster: " +
+            f"${(System.nanoTime() - tz6) / 1e9}%.2f s, " +
+            f"rewrote $rewritten2%d of ${zt.snapshot.files.size}%d files, " +
+            f"planning-distributed=${MaintenanceMetrics.lastPlanDistributed.get()}%b, " +
+            f"driver-rows=${MaintenanceMetrics.lastPlanDriverRows.get()}%d")
+        } finally
+          spark.conf.set("spark.graft.log.distributedThreshold", "100000000")
+      } else println("[fanin] churn-maintenance arms skipped (reused z " +
+        "fixture would measure an accumulated layout)")
 
       // INCREMENTAL REBUILD (round 11): churn ~12% of the files past the
       // 10% gate and force a boundary — the group-packed rebuild reads

@@ -520,6 +520,41 @@ class ConsolidatedKeyIndexSpec extends AnyFunSuite {
       "post-heal probes must serve consolidated again")
   }
 
+  test("a reader-only JVM never heals: reads must not write the table they scan") {
+    val path = Files.createTempDirectory("ckidx-reader-").toString
+    val t = build(path)
+    val idxDir = Paths.get(path, ConsolidatedKeyIndex.DIR)
+    val version = t.snapshot.version
+    graft.TestFs.rmRf(idxDir)
+    ConsolidatedKeyIndex.invalidate(path)
+    LakeLog.snapshotCache.clear()
+    // simulate a fresh read-only fleet JVM: no commit to this root here
+    LakeLog.forgetWrites()
+    try {
+      val reader = LakeTable.forPath(spark, path)
+      assert(reader.read($"id" === 2L).count() === 1L)
+      LakeLog.awaitMaintenance()
+      assert(!Files.isDirectory(idxDir),
+        "a pure reader must not submit an index build against the table")
+
+      // …unless the table explicitly opts read-side healing in
+      t.log.write(version + 1, Seq(
+        Action.of(t.snapshot.metaData.copy(properties =
+          t.snapshot.metaData.properties +
+            (ConsolidatedKeyIndex.SELF_HEAL_ON_READ_PROP -> "true"))),
+        Action.of(CommitInfo(System.currentTimeMillis(), "SET TBLPROPERTIES",
+          Map(ConsolidatedKeyIndex.SELF_HEAL_ON_READ_PROP -> "true")))))
+      LakeLog.forgetWrites() // the property commit itself marked us a writer
+      LakeLog.snapshotCache.clear()
+      ConsolidatedKeyIndex.healAttemptedResetForTest(path)
+      val optedIn = LakeTable.forPath(spark, path)
+      assert(optedIn.read($"id" === 4L).count() === 1L)
+      LakeLog.awaitMaintenance()
+      assert(Files.isDirectory(idxDir),
+        "selfHealOnRead=true lets the read-only fleet heal on probe")
+    } finally LakeLog.recordWrite(path) // restore writer state for the JVM
+  }
+
   test("sweep is version-anchored: a delayed-manifest racer's groups survive any clock skew") {
     val path = Files.createTempDirectory("ckidx-sweep-").toString
     val t = build(path)

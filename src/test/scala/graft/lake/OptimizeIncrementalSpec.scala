@@ -146,6 +146,156 @@ class OptimizeIncrementalSpec extends AnyFunSuite {
       .as[Long].head() === 0L)
   }
 
+  test("an all-null run keeps: maintenance converges instead of churning") {
+    val path = Files.createTempDirectory("optinc-null-").toString
+    val df = (0L until 2000L).map(i => (Some(i): Option[Long], s"r$i"))
+      .toDF("id", "v")
+      .repartitionByRange(20, $"id").sortWithinPartitions($"id")
+    val t = LakeTable.create(spark, path, df)
+    val basePaths = t.snapshot.files.map(_.path).toSet
+    // churn: two full-span scatter files AND one all-null file — the
+    // null file's chunk has no min/max (omitted by stats collection),
+    // only nullCount == numRecords
+    scatter2(t, 1L); scatter2(t, 2L)
+    t.append((0 until 30).map(i => (None: Option[Long], s"n$i"))
+      .toDF("id", "v").repartition(1))
+    val nullPath = (t.snapshot.files.map(_.path).toSet
+      -- basePaths
+      -- t.snapshot.files.filter(f =>
+        f.stats.exists(_.minValues.contains("id"))).map(_.path)).head
+
+    // the scatter files rewrite; the null run is a KEPT layer — a
+    // rewrite would regenerate an identical all-null file forever
+    assert(t.optimizeIncrementalBy("id", maxLayers = 2) === 2)
+    assert(t.snapshot.files.exists(_.path == nullPath),
+      "the all-null file must survive untouched")
+    // convergence: an immediate second call is a no-op — the old
+    // classification read the null run as blind and rewrote it on
+    // EVERY maintenance call (unbounded commit churn)
+    val v = t.snapshot.version
+    assert(t.optimizeIncrementalBy("id", maxLayers = 2) === 0)
+    assert(t.snapshot.version === v, "null residue must not re-churn")
+    assert(t.toDF.count() === 2000L + 80 + 30)
+    assert(t.toDF.where($"id".isNull).count() === 30L)
+  }
+
+  test("NaN float bounds keep conservatively: no perpetual rewrite") {
+    val path = Files.createTempDirectory("optinc-nan-").toString
+    val df = (0 until 2000).map(i => (i.toDouble, i)).toDF("x", "v")
+      .repartitionByRange(20, $"x").sortWithinPartitions($"x")
+    val t = LakeTable.create(spark, path, df)
+    // a file whose max stat is "NaN" (NaN sorts above every double in
+    // Spark's max): BigDecimal cannot parse it, so the file has no
+    // usable range — but rewriting it would regenerate the same
+    // unparseable bounds, so it must KEEP, not churn
+    t.append(Seq((Double.NaN, -1), (1000.5, -2)).toDF("x", "v")
+      .repartition(1))
+    scatter2d(t, 0.25); scatter2d(t, 0.75)
+    assert(t.optimizeIncrementalBy("x", maxLayers = 2) === 2,
+      "exactly the two parseable scatter files rewrite")
+    val v = t.snapshot.version
+    assert(t.optimizeIncrementalBy("x", maxLayers = 2) === 0)
+    assert(t.snapshot.version === v, "NaN residue must not re-churn")
+    assert(t.toDF.count() === 2000L + 2 + 80)
+  }
+
+  test("a schema-evolved column's old files keep: nothing to cluster, no churn") {
+    val path = Files.createTempDirectory("optinc-evolve-").toString
+    val t = base(path)
+    t.alterAddColumn("w", "BIGINT")
+    // old files carry stats that predate `w` entirely: they read
+    // all-null for it, so a rewrite regains NOTHING — and would leave
+    // the output equally stats-less for w, churning forever
+    val v = t.snapshot.version
+    assert(t.optimizeIncrementalBy("w", maxLayers = 2) === 0)
+    assert(t.snapshot.version === v, "pre-evolution files must not churn")
+    assert(t.toDF.count() === 2000L)
+  }
+
+  test("big-log planning runs distributed: driver holds only the rewrite set") {
+    val path = Files.createTempDirectory("optinc-dist-").toString
+    def batch(lo: Long, hi: Long) =
+      spark.range(lo, hi).select($"id", ($"id" % 20).as("p"), ($"id" * 2).as("v"))
+    val t = LakeTable.create(spark, path, batch(0, 2000), partitionBy = Seq("p"))
+    (1 to 10).foreach(i => t.append(batch(2000L * i, 2000L * i + 2000)))
+    assert(java.nio.file.Files.isRegularFile(t.log.logDir.resolve(
+      LakeLog.parquetCheckpointFileName(10L))), "checkpoint at v10 expected")
+    val basePaths = t.snapshot.files.map(_.path).toSet
+    // tail churn: two appends, each writing one scatter file into EVERY
+    // partition directory with an IDENTICAL id set {seed, 1100+seed, …}
+    // spanning the domain (depth 3 per directory, deterministically —
+    // a per-directory-varying scatter min can land in a gap of the
+    // base layer's coverage and merge into it, a patience-layering tie
+    // that would make the expected rewrite count flaky)
+    // ids {seed, 1160+seed, …, 22040+seed} STRADDLE the whole base id
+    // domain [0, 22000): a scatter max inside the domain would let
+    // high-id base files chain onto the scatter layer instead of the
+    // base layer (the +2 flake this fixture replaces)
+    def scatterAll(seed: Long): Unit =
+      t.append((for (p <- 0 until 20; j <- 0 until 20)
+        yield (j * 1160L + seed, p.toLong, -seed))
+        .toDF("id", "p", "v").repartition(1))
+    scatterAll(1L); scatterAll(2L)
+    val total = t.toDF.count()
+    try {
+      spark.conf.set("spark.graft.log.distributedThreshold", "10")
+      val rewritten = t.optimizeIncrementalBy("id", maxLayers = 2)
+      assert(MaintenanceMetrics.lastPlanDistributed.get(),
+        "planning must ride the distributed checkpoint scan")
+      assert(rewritten === 40, "exactly the 2×20 scatter files rewrite")
+      assert(MaintenanceMetrics.lastPlanDriverRows.get() === 40L,
+        "the driver materializes the rewrite set, never the table")
+      val after = t.snapshot
+      assert(basePaths.subsetOf(after.files.map(_.path).toSet),
+        "the clustered base survives byte-for-byte")
+      assert(t.toDF.count() === total)
+      // converged: the follow-up is a distributed-planned no-op
+      val v = after.version
+      assert(t.optimizeIncrementalBy("id", maxLayers = 2) === 0)
+      assert(MaintenanceMetrics.lastPlanDistributed.get())
+      assert(t.snapshot.version === v)
+    } finally spark.conf.unset("spark.graft.log.distributedThreshold")
+  }
+
+  test("scoped curve clustering resolves its partitions distributed") {
+    val path = Files.createTempDirectory("optinc-zwhere-").toString
+    def batch(lo: Long, hi: Long) =
+      spark.range(lo, hi).select($"id", ($"id" % 20).as("p"), ($"id" * 2).as("v"))
+    val t = LakeTable.create(spark, path, batch(0, 2000), partitionBy = Seq("p"))
+    (1 to 10).foreach(i => t.append(batch(2000L * i, 2000L * i + 2000)))
+    val before = t.snapshot
+    val untouched = before.files.filterNot(_.partitionValues.get("p").contains("3"))
+      .map(_.path).toSet
+    val scopedCount = before.files.size - untouched.size
+    val total = t.toDF.count()
+    try {
+      spark.conf.set("spark.graft.log.distributedThreshold", "10")
+      t.zOrderByWhere($"p" === 3L, "id")
+      assert(MaintenanceMetrics.lastPlanDistributed.get(),
+        "scope resolution must ride the distributed checkpoint scan")
+      assert(MaintenanceMetrics.lastPlanDriverRows.get() === scopedCount.toLong,
+        "the driver materializes only the scoped partition's files")
+      val after = t.snapshot
+      assert(untouched.subsetOf(after.files.map(_.path).toSet),
+        "out-of-scope partitions survive byte-for-byte")
+      assert(!after.files.exists(f =>
+        f.partitionValues.get("p").contains("3") &&
+          before.files.exists(b => b.path == f.path)),
+        "every in-scope file was rewritten")
+      assert(t.toDF.count() === total)
+    } finally spark.conf.unset("spark.graft.log.distributedThreshold")
+  }
+
+  /** Full-id-span scatter over the nullable-id fixture. */
+  private def scatter2(t: LakeTable, seed: Long): Unit =
+    t.append((0 until 40).map(i => (Some(i * 50L + seed): Option[Long], s"s$seed-$i"))
+      .toDF("id", "v").repartition(1))
+
+  /** Full-x-span scatter over the double fixture. */
+  private def scatter2d(t: LakeTable, frac: Double): Unit =
+    t.append((0 until 40).map(i => (i * 50 + frac, -i)).toDF("x", "v")
+      .repartition(1))
+
   test("string keys layer by raw byte order and keep range locality") {
     val path = Files.createTempDirectory("optinc-str-").toString
     val df = (0 until 2000).map(i => (f"doc-$i%04d", i)).toDF("k", "v")
