@@ -241,9 +241,81 @@ object BloomIndex {
         fields.map(f => when(col(f.name).isNotNull, xxhash64(col(f.name)))
           .as("__h_" + f.name)): _*)
     import org.apache.spark.sql.{Encoders, Row}
-    val built: Map[String, String] = projected
-      .groupByKey((r: Row) => Stats.normalizeFileUri(r.getString(0)))(Encoders.STRING)
-      .flatMapGroups { (abs: String, it: Iterator[Row]) =>
+    // Aggregate BEFORE the shuffle (opt guide §2.3): the naive shape —
+    // groupByKey(file) over every projected row — ships (filename, hash…)
+    // for EVERY ROW across the exchange; a 100-char staging path per row
+    // dwarfs the 8-byte hash it labels. Instead each scan task folds its
+    // rows into per-file PARTIAL filters (rows of one file are contiguous
+    // in a task unless the file is split), and only the serialized bloom
+    // states cross the shuffle — bytes ∝ files, not rows. Partials for a
+    // split file merge exactly: sizing derives deterministically from the
+    // broadcast (expected, fpp), so every partial of a file is
+    // bit-compatible with mergeInPlace.
+    val nCols = colMeta.size
+    val partials = projected.mapPartitions { (it: Iterator[Row]) =>
+      val acc = scala.collection.mutable.LinkedHashMap[String, Array[BloomFilter]]()
+      it.foreach { r =>
+        val abs = Stats.normalizeFileUri(r.getString(0))
+        val blooms = acc.getOrElseUpdate(abs, {
+          val exp = math.min(maxItems,
+            math.max(64L, expectedB.value.getOrElse(abs, 65536L)))
+          Array.fill(nCols)(BloomFilter.create(exp, fpp))
+        })
+        var i = 0
+        while (i < blooms.length) {
+          if (!r.isNullAt(i + 1)) blooms(i).putLong(r.getLong(i + 1))
+          i += 1
+        }
+      }
+      acc.iterator.map { case (abs, blooms) =>
+        abs -> blooms.toSeq.map { b =>
+          val bos = new ByteArrayOutputStream()
+          b.writeTo(bos)
+          bos.toByteArray
+        }
+      }
+    }(Encoders.tuple(Encoders.STRING,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Array[Byte]]]()))
+    // Small commits (by ESTIMATED total bloom bytes — sizing is a pure
+    // function of expected items and fpp) merge partials on the DRIVER:
+    // one single-stage job instead of shuffle + reduce stage, and the
+    // driver's sidecar writes parallelize over the same FJ pool as the
+    // footer stats. The executor path stays for big builds — a backfill
+    // over TBs must never funnel GBs of filter bytes through the driver.
+    val estBloomBytes = expected.values.map { n =>
+      val items = math.min(maxItems, math.max(64L, n))
+      val bits = math.ceil(-items * math.log(fpp) / (math.log(2) * math.log(2)))
+      (bits / 8).toLong * nCols
+    }.sum
+    val driverMax = spark.conf
+      .getOption("spark.graft.bloom.driverMergeMaxBytes")
+      .flatMap(_.toLongOption).getOrElse(64L << 20)
+    val built: Map[String, String] = if (estBloomBytes <= driverMax) {
+      val merged = scala.collection.mutable.LinkedHashMap[String, Array[BloomFilter]]()
+      partials.collect().foreach { case (abs, parts) =>
+        val bs = parts.map(b => BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(b))).toArray
+        merged.get(abs) match {
+          case Some(acc) =>
+            var i = 0
+            while (i < bs.length) { acc(i).mergeInPlace(bs(i)); i += 1 }
+          case None => merged(abs) = bs
+        }
+      }
+      val out = new java.util.concurrent.ConcurrentHashMap[String, String]()
+      val entries = merged.toSeq.flatMap { case (abs, blooms) =>
+        sidecarRel.get(abs).map(rel => (abs, rel, blooms))
+      }
+      java.util.Arrays.asList(entries: _*).parallelStream().forEach {
+        case (abs, rel, blooms) =>
+          writeSidecar(Paths.get(rootStr), rel, colMeta, blooms)
+          out.put(abs, rel)
+      }
+      import scala.jdk.CollectionConverters._
+      out.asScala.toMap
+    } else partials
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroups { (abs: String, it: Iterator[(String, Seq[Array[Byte]])]) =>
         // a group whose normalized URI doesn't match any staged file
         // (URI round-trip divergence on exotic path bytes) degrades to
         // "that file stays unindexed" — it must never fail the WRITE
@@ -251,18 +323,21 @@ object BloomIndex {
         sidecarB.value.get(abs) match {
           case None => Iterator.empty
           case Some(rel) =>
-            val exp = math.min(maxItems,
-              math.max(64L, expectedB.value.getOrElse(abs, 65536L)))
-            val blooms = Array.fill(colMeta.size)(BloomFilter.create(exp, fpp))
-            it.foreach { r =>
-              var i = 0
-              while (i < blooms.length) {
-                if (!r.isNullAt(i + 1)) blooms(i).putLong(r.getLong(i + 1))
-                i += 1
+            var blooms: Array[BloomFilter] = null
+            it.foreach { case (_, parts) =>
+              val bs = parts.map(b => BloomFilter.readFrom(
+                new java.io.ByteArrayInputStream(b))).toArray
+              if (blooms == null) blooms = bs
+              else {
+                var i = 0
+                while (i < bs.length) { blooms(i).mergeInPlace(bs(i)); i += 1 }
               }
             }
-            writeSidecar(Paths.get(rootStr), rel, colMeta, blooms)
-            Iterator.single((abs, rel))
+            if (blooms == null) Iterator.empty
+            else {
+              writeSidecar(Paths.get(rootStr), rel, colMeta, blooms)
+              Iterator.single((abs, rel))
+            }
         }
       }(Encoders.tuple(Encoders.STRING, Encoders.STRING))
       .collect().toMap

@@ -238,7 +238,9 @@ object ConsolidatedKeyIndex {
         case _ => ()
       }
       onBuildStart(log)
-      build(spark, root, version, pairs, props)
+      graft.util.Prof(s"index.build ${pairs.length}f ${log.tablePath}") {
+        build(spark, root, version, pairs, props)
+      }
     } catch {
       case scala.util.control.NonFatal(e) =>
         org.slf4j.LoggerFactory.getLogger(getClass).warn(

@@ -665,7 +665,9 @@ final class LakeLog(
     * never lose a checkpoint the expiry path depends on.
     */
   private[lake] def writeCheckpointAt(version: Long): Unit = {
-    if (!tryWriteCheckpointDistributed(version)) writeCheckpointDriver(version)
+    graft.util.Prof(s"checkpoint v$version $tablePath") {
+      if (!tryWriteCheckpointDistributed(version)) writeCheckpointDriver(version)
+    }
     // the consolidated bloom key index shares the checkpoint's
     // lifecycle — rebuilt (when coverage has decayed) right after the
     // boundary that changed the live set — but NOT its thread, and not

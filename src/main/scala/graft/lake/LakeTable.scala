@@ -90,7 +90,7 @@ final class LakeTable private (
       val resolved = filters.map(resolveFilter(_, snap.schema))
       // CHECK constraints hold for every row, so a filter contradicting
       // them is answered empty before any file is listed
-      val kept =
+      val kept = graft.util.Prof(s"read.prune ${snap.files.size}f $path") {
         if (resolved.nonEmpty && resolved.exists(e =>
           Stats.contradictsConstraints(e,
             Constraints.parsed(snap.metaData), snap.schema))) Nil
@@ -101,6 +101,7 @@ final class LakeTable private (
             norm.forall(e => Stats.mightMatchNormalized(f, e, snap.schema, pcs, probe))
           }
         }
+      }
       filters.foldLeft(readFiles(snap, kept))(_ where _)
     }
 
@@ -488,11 +489,13 @@ final class LakeTable private (
       numOutputRows = rows)
     val actions = metaAction ++ removes ++ adds.map(Action.of) ++
       txn.map(Action.of).toSeq :+ Action.of(ci)
-    commitWithRetry(snap.version, actions,
-      rebaseable = !overwrite && metaAction.isEmpty,
-      readMeta = Some(snap.metaData))
+    graft.util.Prof(s"write.commit $path") {
+      commitWithRetry(snap.version, actions,
+        rebaseable = !overwrite && metaAction.isEmpty,
+        readMeta = Some(snap.metaData))
+    }
     // post-commit maintenance — never fails the (already durable) write
-    maybeAutoCompact()
+    graft.util.Prof(s"write.autoCompact $path")(maybeAutoCompact())
   }
 
   /** Optimistic commit. Blind appends rebase onto any concurrent commit;
@@ -2952,8 +2955,37 @@ object LakeTable {
       case None => (df2t, layoutCols)
     }
     val writer = df3.write.mode("overwrite")
-    (if (writeCols.nonEmpty) writer.partitionBy(writeCols: _*) else writer)
-      .parquet(staging.toString)
+    // AQE only ever improves exchanges it may re-plan: join/aggregate/
+    // window shuffles (skew split, strategy switch) and
+    // partition-count-free repartitions (coalescing). A staging plan
+    // with none of those — scan/filter/union routed through an explicit
+    // repartition, the engine's commonest write — gains nothing, yet
+    // AQE still materializes each query stage as its own job with a
+    // re-optimize + re-codegen between (measured ~0.1 s per small
+    // commit, ~40% of the staged-write cost at bench scale). Disable it
+    // for exactly those plans, on this thread only.
+    val aqeCanHelp = {
+      import org.apache.spark.sql.catalyst.plans.logical._
+      val analyzed = df3.queryExecution.analyzed
+      analyzed.collectFirst {
+        case j: Join => j
+        case a: Aggregate => a
+        case w: Window => w
+        case d: Deduplicate => d
+        case s: SetOperation => s
+        case s: Sort if s.global => s
+        case r: RepartitionByExpression if r.optNumPartitions.isEmpty => r
+      }.isDefined ||
+        analyzed.exists(_.expressions.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression])))
+    }
+    def runStagingWrite(): Unit =
+      (if (writeCols.nonEmpty) writer.partitionBy(writeCols: _*) else writer)
+        .parquet(staging.toString)
+    graft.util.Prof(s"stage.write $tablePath") {
+      if (aqeCanHelp) runStagingWrite()
+      else org.apache.spark.sql.graft.Bridge.withAdaptiveDisabled(spark)(runStagingWrite())
+    }
 
     val root = Paths.get(tablePath)
     val moved = scala.collection.mutable.ArrayBuffer[(String, Path)]()
@@ -2980,7 +3012,9 @@ object LakeTable {
 
     if (moved.isEmpty) return Seq.empty
     val dataSchema = StructType(schema.filterNot(f => partitionCols.contains(f.name)))
-    val statsMap = Stats.collectFromFooters(spark, dataSchema, moved.map(_._2.toString).toSeq)
+    val statsMap = graft.util.Prof(s"stage.stats ${moved.size}f") {
+      Stats.collectFromFooters(spark, dataSchema, moved.map(_._2.toString).toSeq)
+    }
     val adds = moved.map { case (rel, abs) =>
       val pv = parsePartitionValues(rel)
       AddFile(rel, pv - Bucketing.BUCKET_DIR_COL, Files.size(abs),
@@ -2991,6 +3025,8 @@ object LakeTable {
     // per-file bloom index sidecars (no-op unless graft.bloom.columns);
     // rides AFTER stats so sizing uses exact per-file row counts, and
     // best-effort — a failed index build never fails the data write
-    BloomIndex.attachBestEffort(spark, tablePath, dataSchema, adds, props)
+    graft.util.Prof(s"stage.bloom ${adds.size}f") {
+      BloomIndex.attachBestEffort(spark, tablePath, dataSchema, adds, props)
+    }
   }
 }

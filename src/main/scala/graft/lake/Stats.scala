@@ -62,9 +62,21 @@ object Stats {
       .getOption("spark.graft.stats.distributedThreshold")
       .flatMap(_.toLongOption).getOrElse(1000L)
     val ok: Map[String, FileStats] =
-      if (paths.size < threshold)
-        paths.flatMap(p => footerStats(p, byName, conf)).toMap
-      else {
+      if (paths.size < threshold) {
+        // parallel driver reads: one footer open costs ~10 ms on local
+        // Hadoop FS (open + checksum sidecar), and a 24-file commit paid
+        // ~0.3 s serially — measured as the second-largest phase of every
+        // bench lifecycle commit (OPTIMIZATION_r13 §stats). Footer decode
+        // is independent per file; the common FJ pool bounds the fan-out.
+        if (paths.size > 1) {
+          val res = new java.util.concurrent.ConcurrentHashMap[String, FileStats]()
+          java.util.Arrays.asList(paths: _*).parallelStream().forEach { p =>
+            footerStats(p, byName, conf).foreach { case (k, v) => res.put(k, v) }
+          }
+          import scala.jdk.CollectionConverters._
+          res.asScala.toMap
+        } else paths.flatMap(p => footerStats(p, byName, conf)).toMap
+      } else {
         import spark.implicits._
         val serConf =
           new graft.util.SerializableHadoopConf(conf)

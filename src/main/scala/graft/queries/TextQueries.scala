@@ -101,10 +101,20 @@ object TextQueries extends QueryGroup {
           tokenCount(col("text")).as("n_tokens"),
           fingerprint(col("text")).as("fp"))
         val filtered = scored.where(col("quality") >= 0.5)
-        val dedup = filtered.groupBy(col("fp")).agg(
-          min(col("doc_id")).as("doc_id"),
-          count(lit(1)).as("n_copies"))
-        dedup.join(filtered, Seq("fp", "doc_id"))
+        // survivor selection via ONE window pass instead of
+        // aggregate + self-join back: the join shape evaluated the four
+        // text expressions TWICE (once per subtree side — Spark reuses
+        // no un-cached subplan) and shuffled `filtered` twice. The
+        // window computes min(doc_id) and count(*) over the same fp
+        // partitioning in a single shuffle of a single scoring pass;
+        // rows kept (doc_id = group min, carrying n_copies = group
+        // count) are identical, pinned by the unchanged oracle.
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+        val dedup = filtered
+          .withColumn("n_copies", count(lit(1)).over(w))
+          .withColumn("__mn", min(col("doc_id")).over(w))
+          .where(col("doc_id") === col("__mn"))
+        dedup
           .groupBy(col("lang_pred"))
           .agg(
             count(lit(1)).as("n_docs"),
