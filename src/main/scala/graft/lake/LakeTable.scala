@@ -778,12 +778,14 @@ final class LakeTable private (
     // ONE job: per-file match counts AND matched-index bitmaps (already
     // excludes rows a previous DV deleted); keyed by table-relative path
     val byAbs: Map[String, String] = candidates.map(f => absPath(f) -> f.path).toMap
-    val rows = readFilesInternal(snap, candidates, withMeta = true)
-      .where(cond).groupBy(col("__dv_path"))
-      .agg(count(lit(1)).as("__n"),
-        (if (useDvs) DvAgg.bitmap(col("__dv_idx"))
-         else lit(null).cast("binary")).as("__bm"))
-      .collect()
+    val rows = graft.util.Prof(s"dml.classify ${candidates.size}f $path") {
+      readFilesInternal(snap, candidates, withMeta = true)
+        .where(cond).groupBy(col("__dv_path"))
+        .agg(count(lit(1)).as("__n"),
+          (if (useDvs) DvAgg.bitmap(col("__dv_idx"))
+           else lit(null).cast("binary")).as("__bm"))
+        .collect()
+    }
     DmlMetrics.lastIdentityRowsCollected.set(rows.length.toLong)
     val counts: Map[String, Long] = rows
       .flatMap(r => byAbs.get(Stats.normalizeFileUri(r.getString(0)))

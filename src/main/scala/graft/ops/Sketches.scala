@@ -69,6 +69,12 @@ object Sketches {
       theta_intersection(col("__ta"), col("__tb"))).cast("long")
     val uni = theta_sketch_estimate(
       theta_union(col("__ta"), col("__tb"), lgK)).cast("long")
+    // materialize the PAIR rows too: per-pair theta set ops deserialize
+    // both operand sketches (~100 KB each at lgK=14) — the single real
+    // cost of this op — and a downstream global sort's range-sampling
+    // pass would otherwise evaluate that join twice (measured: a14's
+    // two identical 0.77 s jobs, sample + final). m² small result rows
+    // by the op's premise, so the eager cut is as cheap as the one above.
     a.join(b, col("a") < col("b"))
       .select(col("a"), col("b"),
         theta_sketch_estimate(col("__ta")).cast("long").as("n_a"),
@@ -76,6 +82,7 @@ object Sketches {
         common.as("n_common"), uni.as("n_union"))
       .withColumn("jaccard",
         round(col("n_common").cast("double") / col("n_union").cast("double"), 6))
+      .localCheckpoint()
   }
 
   /** KLL quantile state per group — the quantile analog of

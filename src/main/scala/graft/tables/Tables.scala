@@ -11,8 +11,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Schema per (path) — harness tables are immutable fixture files, so
+    * the footer-derived schema never changes within a run. Without this,
+    * EVERY query construction paid one 1-task schema-inference job per
+    * table it touched (~30 ms each; q5 builds 6 tables = 6 jobs before
+    * any real work, ~300 jobs across a full catalog run). With an
+    * explicit schema Spark skips the inference job entirely. Keyed on
+    * the resolved path so several SFs coexist; bounded by #tables × #SFs.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
