@@ -42,14 +42,29 @@ object Search {
       query: Seq[String],
       topN: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(query.nonEmpty, "bm25 needs at least one query term")
-    val post = postings(docs, textCol, idCol)
-    // corpus constants: N docs and average length (one tiny agg,
-    // broadcast into the scoring join)
-    val stats = post.groupBy("doc_id").agg(first("doc_len").as("l"))
-      .agg(count(lit(1)).cast("double").as("n_docs"),
-        avg(col("l")).as("avg_len"))
+    // r13 (opt guide §1.2): the post-everything shape tokenized the
+    // corpus THREE times — stats re-derived per-doc lengths from the
+    // full postings aggregate (explode + two aggs), hits filtered a
+    // second full postings build, and docFreq re-evaluated hits. Now:
+    // corpus constants come straight off the tokenized docs (no explode,
+    // no postings agg), the term filter lands BELOW the postings
+    // aggregate (only query-term occurrences aggregate), and the tiny
+    // hits frame (query terms × matching docs) materializes once for
+    // both docFreq and the scoring join.
+    val toksLen = docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("doc_len", size(col("__toks")))
+      .where(col("doc_len") > 0)
+    val stats = toksLen.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("doc_len")).as("avg_len"))
     val terms = query.map(_.toLowerCase).distinct
-    val hits = post.where(col("term").isin(terms: _*))
+    val hits = toksLen
+      .select(col("doc_id"), col("doc_len"), explode(col("__toks")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy("doc_id", "doc_len", "term")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val docFreq = hits.groupBy("term")
       .agg(countDistinct(col("doc_id")).cast("double").as("df"))
     hits

@@ -110,11 +110,11 @@ object FunctionQueries extends QueryGroup {
     QueryDef(
       "f14_json_extract",
       (s, d) =>
-        Tables.events(s, d)
+        Tables.events(s, d) // sort-then-compute (see TextQueries t1):
+          .orderBy(col("event_id")) // sample the narrow key, parse once
           .select(
             col("event_id"),
-            get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
-          .orderBy(col("event_id")),
+            get_json_object(col("props"), "$.k").cast(IntegerType).as("k")),
       Some("""
         SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS INT) AS k

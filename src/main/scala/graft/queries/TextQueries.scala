@@ -19,14 +19,22 @@ object TextQueries extends QueryGroup {
     QueryDef(
       "t1_token_stats",
       (s, d) =>
+        // sort the NARROW input first, compute after (opt guide §8
+        // "decide with small rows"): a global sort's range-sampling pass
+        // executes its child subtree once more, so ordering AFTER the
+        // projection evaluated the expensive text expressions twice per
+        // row. Sorting the (doc_id, text) source rows samples only the
+        // scan; the analysis expressions run exactly once, above the
+        // exchange. Same rows, same order (doc_id is the sort key either
+        // way), pinned by the unchanged oracle.
         Tables.documents(s, d)
+          .orderBy(col("doc_id"))
           .select(
             col("doc_id"),
             tokenCount(col("text")).as("n_tokens"),
             subwordCount(col("text")).as("n_subwords"),
             punctCount(col("text")).as("n_punct"),
-            length(col("text")).cast("int").as("n_chars_actual"))
-          .orderBy(col("doc_id")),
+            length(col("text")).cast("int").as("n_chars_actual")),
       Some(s"""
         SELECT doc_id,
                ${tokenCountSql("text")} AS n_tokens,
@@ -40,9 +48,9 @@ object TextQueries extends QueryGroup {
     QueryDef(
       "t2_lang_id",
       (s, d) =>
-        Tables.documents(s, d)
-          .select(col("doc_id"), langId(col("text")).as("lang_pred"))
-          .orderBy(col("doc_id")),
+        Tables.documents(s, d) // sort-then-compute: see t1
+          .orderBy(col("doc_id"))
+          .select(col("doc_id"), langId(col("text")).as("lang_pred")),
       Some(s"""
         SELECT doc_id, ${langIdSql("text")} AS lang_pred
         FROM documents ORDER BY doc_id""")),
@@ -51,9 +59,9 @@ object TextQueries extends QueryGroup {
     QueryDef(
       "t3_quality_score",
       (s, d) =>
-        Tables.documents(s, d)
-          .select(col("doc_id"), qualityScore(col("text")).as("quality"))
-          .orderBy(col("doc_id")),
+        Tables.documents(s, d) // sort-then-compute: see t1
+          .orderBy(col("doc_id"))
+          .select(col("doc_id"), qualityScore(col("text")).as("quality")),
       Some(s"""
         SELECT doc_id, ${qualityScoreSql("text")} AS quality
         FROM documents ORDER BY doc_id""")),
@@ -62,9 +70,9 @@ object TextQueries extends QueryGroup {
     QueryDef(
       "t4_fingerprint",
       (s, d) =>
-        Tables.documents(s, d)
-          .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-          .orderBy(col("doc_id")),
+        Tables.documents(s, d) // sort-then-compute: see t1
+          .orderBy(col("doc_id"))
+          .select(col("doc_id"), fingerprint(col("text")).as("fp")),
       Some(s"""
         SELECT doc_id, ${fingerprintSql("text")} AS fp
         FROM documents ORDER BY doc_id""")),
@@ -395,13 +403,13 @@ object TextQueries extends QueryGroup {
                 (col("doc_id") % 250).cast("string"), lit("."),
                 (col("doc_id") % 100).cast("string"), lit(".7")))
               .otherwise(col("text")).as("text"))
-        aug.select(
+        aug.orderBy(col("doc_id")) // sort-then-compute: see t1
+          .select(
           col("doc_id"),
           regexp_count(col("text"), lit(email)).cast("long").as("n_emails"),
           regexp_count(col("text"), lit(ip)).cast("long").as("n_ips"),
           regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
             ip, "<IP>").as("redacted"))
-          .orderBy(col("doc_id"))
       },
       Some("""
         WITH aug AS (

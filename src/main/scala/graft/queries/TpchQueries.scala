@@ -260,9 +260,15 @@ object TpchQueries extends QueryGroup {
           .groupBy(col("l_suppkey"))
           .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
             .as("total_revenue"))
-        val maxRev = revenue.agg(max(col("total_revenue")).as("mr"))
+        // r13: cut the per-supplier aggregate once — the scalar-max arm
+        // re-evaluated the whole lineitem aggregation as its second
+        // plan copy; `revenue` is one small row per supplier at any
+        // scale, so an eager materialization costs one tiny write and
+        // both consumers (the join side and the max) read it.
+        val revenueM = revenue.localCheckpoint()
+        val maxRev = revenueM.agg(max(col("total_revenue")).as("mr"))
         Tables.supplier(s, d)
-          .join(revenue, col("s_suppkey") === col("l_suppkey"))
+          .join(revenueM, col("s_suppkey") === col("l_suppkey"))
           .join(broadcast(maxRev), col("total_revenue") === col("mr"))
           .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
           .orderBy(col("s_suppkey"))
@@ -286,12 +292,20 @@ object TpchQueries extends QueryGroup {
     QueryDef(
       "q17_small_quantity",
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-        val thresh = li.groupBy(col("l_partkey").as("t_partkey"))
-          .agg((avg(col("l_quantity")) * 0.2).as("qty_thresh"))
-        li.join(broadcast(Tables.part(s, d).where(col("p_brand") === "Brand#23")),
-          col("l_partkey") === col("p_partkey"))
-          .join(thresh, col("l_partkey") === col("t_partkey"))
+        // r13: the per-part threshold becomes a WINDOW over the
+        // brand-filtered join instead of a full-table aggregate joined
+        // back. The broadcast part join keeps EVERY lineitem row of a
+        // Brand#23 partkey (partkey determines the part), so
+        // avg(l_quantity) over the partkey partition of the joined rows
+        // equals the old whole-lineitem per-partkey average for every
+        // surviving row — and lineitem is scanned once, with only brand
+        // rows shuffling, instead of twice with a full-table aggregate.
+        val wPart17 = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_partkey"))
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d).where(col("p_brand") === "Brand#23")),
+            col("l_partkey") === col("p_partkey"))
+          .withColumn("qty_thresh", avg(col("l_quantity")).over(wPart17) * 0.2)
           .where(col("l_quantity") < col("qty_thresh"))
           .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
       },
@@ -381,13 +395,21 @@ object TpchQueries extends QueryGroup {
           .join(broadcast(Tables.region(s, d)
             .where(col("r_name") === "EUROPE")),
             col("n_regionkey") === col("r_regionkey"))
-        val minUnit = offers.groupBy(col("l_partkey").as("mk"))
-          .agg(min(col("unit")).as("min_unit"))
+        // r13: min-per-part via a WINDOW over offers instead of
+        // aggregate + join back — the join shape evaluated the whole
+        // offers subtree (lineitem + three dimension joins) twice, once
+        // per side. The window computes min(unit) within the same
+        // l_partkey partitioning in one evaluation and drops a join;
+        // rows kept (unit = partition min) are identical, oracle
+        // unchanged.
+        val wPart = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_partkey"))
+        val cheapest = offers
+          .withColumn("min_unit", min(col("unit")).over(wPart))
+          .where(col("unit") === col("min_unit"))
         Tables.part(s, d)
           .where(col("p_size").isin(5, 15, 25, 35, 45) && col("p_type") === "LARGE")
-          .join(offers, col("p_partkey") === col("l_partkey"))
-          .join(minUnit,
-            col("p_partkey") === col("mk") && col("unit") === col("min_unit"))
+          .join(cheapest, col("p_partkey") === col("l_partkey"))
           .select(col("s_acctbal"), col("s_name"), col("n_name"),
             col("p_partkey"), round(col("unit"), 4).as("unit_cost"))
           .distinct()
@@ -425,8 +447,12 @@ object TpchQueries extends QueryGroup {
             .where(col("n_name") === "NATION_7")),
             col("s_nationkey") === col("n_nationkey"))
           .select(col("l_partkey"), col("l_quantity"))
+        // r13: cut the per-part aggregate once — the scalar-threshold arm
+        // re-evaluated the whole natLines join+aggregate as its second
+        // plan copy; byPart is one small row per part at any scale.
         val byPart = natLines.groupBy(col("l_partkey"))
           .agg(sum(col("l_quantity")).as("value"))
+          .localCheckpoint()
         val threshold = byPart.agg((sum(col("value")) * 0.002).as("thr"))
         byPart.join(broadcast(threshold), col("value") > col("thr"))
           .select(col("l_partkey"), col("value"))
@@ -515,9 +541,15 @@ object TpchQueries extends QueryGroup {
             col("l_partkey") === col("p_partkey"))
           .groupBy(col("l_partkey"), col("l_suppkey"))
           .agg(sum(col("l_quantity")).as("sq"))
-        val tot = y95.groupBy(col("l_partkey").as("tk"))
-          .agg(sum(col("sq")).as("tot"))
-        val dominant = y95.join(tot, col("l_partkey") === col("tk"))
+        // r13: the per-part total becomes a WINDOW over y95 instead of
+        // aggregate + join back — the join shape evaluated the whole
+        // y95 subtree (filtered lineitem ⋈ part + aggregate) twice,
+        // once per side. Same partkey partitioning, one evaluation,
+        // one less join; rows kept are identical (oracle unchanged).
+        val wPart20 = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_partkey"))
+        val dominant = y95
+          .withColumn("tot", sum(col("sq")).over(wPart20))
           .where(col("sq") > col("tot") * 0.3)
           .select(col("l_suppkey")).distinct()
         Tables.supplier(s, d)
@@ -570,12 +602,20 @@ object TpchQueries extends QueryGroup {
           .distinct()
         val nsupp = li.groupBy(col("l_orderkey").as("k2"))
           .agg(count_distinct(col("l_suppkey")).as("__nsupp"))
-        val nlate = late.groupBy(col("l_orderkey").as("k3"))
-          .agg(count(lit(1)).as("__nlate")) // late is (ok, sk)-distinct
+        // r13: the late-count arm becomes a WINDOW over `late` itself —
+        // the aggregate-and-join-back shape evaluated the late subtree
+        // (lineitem ⋈ orders + distinct) twice, once per join side; the
+        // window counts within the same orderkey partitioning in ONE
+        // evaluation and drops a join. late is (ok, sk)-distinct, so
+        // count(*) over the orderkey partition is exactly the old
+        // __nlate; rows kept are identical (oracle unchanged).
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_orderkey"))
         val waiting = late.alias("l1")
+          .withColumn("__nlate", count(lit(1)).over(wOrd))
+          .where(col("__nlate") === 1)
           .join(nsupp, col("l_orderkey") === col("k2"))
-          .join(nlate, col("l_orderkey") === col("k3"))
-          .where(col("__nsupp") >= 2 && col("__nlate") === 1)
+          .where(col("__nsupp") >= 2)
         waiting
           .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(Tables.nation(s, d)
