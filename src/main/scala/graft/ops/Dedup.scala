@@ -677,9 +677,14 @@ object Dedup {
         if (keys.isEmpty) return batch
         else if (bounded) post.read(col("key").isin(keys: _*))
         else post.toDF
+      // materialized once: both the candidate-id collect below and the
+      // exact-verification join consume these pairs, and without the cut
+      // the postings IN-read + band join re-evaluated for each (pairs
+      // are micro-batch bounded — distinct (corpus, batch) id pairs)
       val candPairs = corpusPosts
         .join(hinted(banded.select(col("__bid"), col("key"))), Seq("key"))
         .select(col("id").as("__cid"), col("__bid")).distinct()
+        .localCheckpoint()
       // exact verification needs the corpus text: by-id IN read when
       // bounded (file skipping again), else a distributed semi-join
       val candIds = candPairs.select(col("__cid")).distinct()

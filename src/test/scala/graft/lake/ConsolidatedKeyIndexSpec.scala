@@ -600,6 +600,15 @@ class ConsolidatedKeyIndexSpec extends AnyFunSuite {
       ConsolidatedKeyIndex.sweepGraceMs = 3600L * 1000
       ConsolidatedKeyIndex.sweep(Paths.get(path))
       assert(Files.isDirectory(legacy), "young legacy dirs keep the grace")
+      // AGE the dir explicitly instead of relying on grace=0: the sweep's
+      // cutoff is `now - grace` with a STRICT mtime compare, so a
+      // create→sweep turnaround inside one millisecond left the dir
+      // "not yet aged" and this assert flaked (observed once in a full
+      // r13 suite run, and the most plausible identity for the r12
+      // one-in-four flake whose detail was lost — same spec, same
+      // sub-assert family, reproduced only under full-suite timing)
+      Files.setLastModifiedTime(legacy,
+        java.nio.file.attribute.FileTime.fromMillis(0L))
       ConsolidatedKeyIndex.sweepGraceMs = 0L
       ConsolidatedKeyIndex.sweep(Paths.get(path))
       assert(!Files.exists(legacy), "aged legacy dirs sweep by mtime")
