@@ -367,13 +367,42 @@ object ConsolidatedKeyIndex {
     if (fresh.isEmpty &&
         carried.map(_.meta.gid) == prevGroups.map(_.meta.gid)) return
 
-    // Stage A: parse the FRESH sidecars' HEADERS distributed; files
-    // whose header parse fails stay out of the packing (uncovered —
-    // their own sidecars keep serving probes, exactly like format 1).
-    // Plain tuples on the wire — a private case class in the encoder
-    // breaks whole-stage codegen's generated accessor.
+    // Driver-local fast path for SMALL fresh sets (gated on file count
+    // and total sidecar BYTES, conf-overridable): the distributed build
+    // below costs two jobs, a shuffle and three broadcasts — pure fixed
+    // overhead (~0.4 s measured) when the sidecars to transpose are a
+    // boundary's worth of churn that fits trivially in driver memory.
+    // Identical geometry math and on-disk output; the distributed path
+    // stays authoritative above the gates (a backfill over a TB table
+    // must never funnel sidecar bytes through the driver).
+    val driverMaxBytes = spark.conf
+      .getOption("spark.graft.index.driverBuildMaxBytes")
+      .flatMap(_.toLongOption).getOrElse(8L << 20)
+    val driverLocal = fresh.length <= 4096 && {
+      var sum = 0L
+      var i = 0
+      while (i < fresh.length && sum <= driverMaxBytes) {
+        sum += (try Files.size(root.resolve(fresh(i)._2))
+        catch { case _: java.io.IOException => driverMaxBytes + 1 })
+        i += 1
+      }
+      sum <= driverMaxBytes
+    }
+
+    // Stage A: parse the FRESH sidecars' HEADERS (distributed above the
+    // gate); files whose header parse fails stay out of the packing
+    // (uncovered — their own sidecars keep serving probes, exactly like
+    // format 1). Plain tuples on the wire — a private case class in the
+    // encoder breaks whole-stage codegen's generated accessor.
     val headers: Map[String, Seq[SectionKey]] =
-      spark.createDataset(fresh.toSeq).mapPartitions { it =>
+      if (driverLocal)
+        fresh.iterator.flatMap { case (path, bloomPath) =>
+          BloomIndex.readSidecarHeaders(Paths.get(rootStr).resolve(bloomPath))
+            .map(cols => path -> cols.map(c => SectionKey(c.name, c.dtStr,
+              c.fid, c.bfVersion, c.seed, c.k, c.words)))
+            .iterator
+        }.toMap
+      else spark.createDataset(fresh.toSeq).mapPartitions { it =>
         it.flatMap { case (path, bloomPath) =>
           BloomIndex.readSidecarHeaders(Paths.get(rootStr).resolve(bloomPath))
             .map(cols => (path,
@@ -408,6 +437,99 @@ object ConsolidatedKeyIndex {
             members.foreach { case (p, _) => headers(p).foreach(ks += _) }
             ks.toIndexedSeq.map(sk => (sk, chunkWords(sk.words, members.length)))
           }
+        Files.createDirectories(staging)
+        val stagingStr = staging.toString
+
+        if (driverLocal) {
+          // Local transpose: same geometry and on-disk output as the
+          // distributed stage below, minus its two jobs + shuffle.
+          // A section none of whose members' sidecars re-read cleanly
+          // writes no parts (mirroring the distributed path, where no
+          // piece is ever emitted for it).
+          val out = Array.newBuilder[(Int, Int, Int, String, Int, Int)]
+          freshGroups.zipWithIndex.foreach { case (members, g) =>
+            val secs = groupSections(g)
+            val files = members.length
+            val rowBytes = (files + 7) / 8
+            val bufs: Array[Array[Array[Byte]]] = secs.toArray.map {
+              case (sk, cw) =>
+                Array.tabulate((sk.words + cw - 1) / cw) { p =>
+                  new Array[Byte](
+                    64 * math.min(cw, sk.words - p * cw) * rowBytes)
+                }
+            }
+            val seen = Array.ofDim[Boolean](secs.length, files)
+            members.iterator.zipWithIndex.foreach {
+              case ((_, bloomPath), slot) =>
+                BloomIndex.readSidecarRaw(
+                    Paths.get(rootStr).resolve(bloomPath)).foreach { cols =>
+                  cols.foreach { c =>
+                    val sk = SectionKey(c.name, c.dtStr, c.fid, c.bfVersion,
+                      c.seed, c.k, c.words.length)
+                    val si = secs.indexWhere(_._1 == sk)
+                    if (si >= 0) {
+                      seen(si)(slot) = true
+                      val cw = secs(si)._2
+                      var p = 0
+                      while (p < bufs(si).length) {
+                        val w0 = p * cw
+                        val buf = bufs(si)(p)
+                        val sliceCount = buf.length / rowBytes
+                        var s = 0
+                        while (s < sliceCount) {
+                          if (((c.words(w0 + (s >>> 6)) >>> (s & 63)) & 1L) != 0L) {
+                            val o = s * rowBytes + (slot >>> 3)
+                            buf(o) = (buf(o) | (1 << (slot & 7))).toByte
+                          }
+                          s += 1
+                        }
+                        p += 1
+                      }
+                    }
+                  }
+                }
+            }
+            var si = 0
+            while (si < secs.length) {
+              val (sk, cw) = secs(si)
+              val anySeen = seen(si).exists(identity)
+              if (anySeen) {
+                // all-ones fill for slots that contributed nothing: a
+                // missing sidecar must read "might contain anything",
+                // never "absent" (see the distributed reducer)
+                var slot = 0
+                while (slot < files) {
+                  if (!seen(si)(slot)) {
+                    var p = 0
+                    while (p < bufs(si).length) {
+                      val buf = bufs(si)(p)
+                      val sliceCount = buf.length / rowBytes
+                      var s = 0
+                      while (s < sliceCount) {
+                        val o = s * rowBytes + (slot >>> 3)
+                        buf(o) = (buf(o) | (1 << (slot & 7))).toByte
+                        s += 1
+                      }
+                      p += 1
+                    }
+                  }
+                  slot += 1
+                }
+                var p = 0
+                while (p < bufs(si).length) {
+                  val name = s"s$si-p$p.bits"
+                  val dest = staging.resolve(s"g$g").resolve(name)
+                  Files.createDirectories(dest.getParent)
+                  Files.write(dest, bufs(si)(p))
+                  out += ((g, si, p, name, bufs(si)(p).length / rowBytes / 64, cw))
+                  p += 1
+                }
+              }
+              si += 1
+            }
+          }
+          out.result()
+        } else {
         val slotOfPath: Map[String, (Int, Int)] =
           freshGroups.zipWithIndex.flatMap { case (members, g) =>
             members.iterator.zipWithIndex.map { case ((p, _), s) => p -> (g, s) }
@@ -416,8 +538,6 @@ object ConsolidatedKeyIndex {
         val slotB = spark.sparkContext.broadcast(slotOfPath)
         val secB = spark.sparkContext.broadcast(groupSections)
         val filesB = spark.sparkContext.broadcast(groupFiles)
-        Files.createDirectories(staging)
-        val stagingStr = staging.toString
 
         // Stage B: transpose. Each fresh file emits its word-range
         // pieces keyed by (group, section, part); each task assembles
@@ -511,6 +631,7 @@ object ConsolidatedKeyIndex {
             (g, si, p, name, sliceCount / 64, cw)
           }
           .collect()
+        }
       }
 
     try {

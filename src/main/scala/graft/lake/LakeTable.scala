@@ -2956,16 +2956,20 @@ object LakeTable {
           layoutCols :+ Bucketing.BUCKET_DIR_COL)
       case None => (df2t, layoutCols)
     }
-    val writer = df3.write.mode("overwrite")
     // AQE only ever improves exchanges it may re-plan: join/aggregate/
     // window shuffles (skew split, strategy switch) and
     // partition-count-free repartitions (coalescing). A staging plan
     // with none of those — scan/filter/union routed through an explicit
     // repartition, the engine's commonest write — gains nothing, yet
     // AQE still materializes each query stage as its own job with a
-    // re-optimize + re-codegen between (measured ~0.1 s per small
+    // re-optimize + re-codegen between (measured ~0.15 s per small
     // commit, ~40% of the staged-write cost at bench scale). Disable it
-    // for exactly those plans, on this thread only.
+    // for exactly those plans. The thread-local SQLConf override is NOT
+    // enough for a write COMMAND (SQLExecution.withNewExecutionId
+    // re-propagates the session conf over it before the command plan is
+    // prepared — verified on Spark 4.1: the executed plan stayed
+    // AdaptiveSparkPlanExec); rebinding the frame to a fresh AQE-off
+    // session clone is (Bridge.rebindAdaptiveDisabled, ~3 ms).
     val aqeCanHelp = {
       import org.apache.spark.sql.catalyst.plans.logical._
       val analyzed = df3.queryExecution.analyzed
@@ -2981,12 +2985,13 @@ object LakeTable {
         analyzed.exists(_.expressions.exists(_.exists(
           _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression])))
     }
-    def runStagingWrite(): Unit =
+    val writeDf =
+      if (aqeCanHelp) df3
+      else org.apache.spark.sql.graft.Bridge.rebindAdaptiveDisabled(df3)
+    val writer = writeDf.write.mode("overwrite")
+    graft.util.Prof(s"stage.write $tablePath") {
       (if (writeCols.nonEmpty) writer.partitionBy(writeCols: _*) else writer)
         .parquet(staging.toString)
-    graft.util.Prof(s"stage.write $tablePath") {
-      if (aqeCanHelp) runStagingWrite()
-      else org.apache.spark.sql.graft.Bridge.withAdaptiveDisabled(spark)(runStagingWrite())
     }
 
     val root = Paths.get(tablePath)

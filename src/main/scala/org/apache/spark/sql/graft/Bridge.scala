@@ -20,9 +20,13 @@ object Bridge {
     * aggregate, AQE cannot improve any exchange — a pure repartition's
     * output partitioning is user-fixed and exempt from coalescing — yet
     * it still splits the write into per-stage jobs, re-optimizes and
-    * re-codegens between them. The engine's staging writes use this for
-    * exactly those plans (see LakeTable.stageFiles); concurrent queries
-    * on other threads are untouched.
+    * re-codegens between them. NOTE: this only covers code that reads
+    * `SQLConf.get` directly on the calling thread; an eagerly-executed
+    * WRITE COMMAND does NOT honor it, because
+    * `SQLExecution.withNewExecutionId` re-propagates the SESSION conf
+    * (`withSQLConfPropagated(sparkSession)`) over the thread-local
+    * before the command plan is prepared. Staging writes use
+    * [[rebindAdaptiveDisabled]] instead.
     */
   def withAdaptiveDisabled[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
     val base = spark.sessionState.conf
@@ -31,6 +35,28 @@ object Bridge {
       val cloned = base.clone()
       cloned.setConfString("spark.sql.adaptive.enabled", "false")
       org.apache.spark.sql.internal.SQLConf.withExistingConf(cloned)(body)
+    }
+  }
+
+  /** Rebind `df`'s analyzed plan to a FRESH clone of its session with
+    * adaptive execution disabled. A write command run through the
+    * returned frame is planned non-adaptively, because the conf that
+    * `SQLExecution.withNewExecutionId` propagates is the CLONE's.
+    * The clone shares the SparkContext, SharedState (so the cache
+    * manager still deduplicates cached subplans) and, being cloned per
+    * call, every current session conf except `spark.sql.adaptive.*` —
+    * a later user conf change can never go stale here. Clone cost is
+    * ~1 ms, far below the per-stage re-optimize + re-codegen AQE adds
+    * to a multi-stage write (~0.15 s measured on a small staged
+    * commit).
+    */
+  def rebindAdaptiveDisabled(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val session = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!session.sessionState.conf.adaptiveExecutionEnabled) df
+    else {
+      val twin = session.cloneSession()
+      twin.conf.set("spark.sql.adaptive.enabled", "false")
+      org.apache.spark.sql.classic.Dataset.ofRows(twin, df.queryExecution.analyzed)
     }
   }
 }

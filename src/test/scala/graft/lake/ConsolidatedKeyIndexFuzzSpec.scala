@@ -101,4 +101,13 @@ class ConsolidatedKeyIndexFuzzSpec extends AnyFunSuite {
 
   test("randomized churn (seed 11): no lost rows, no phantoms") { run(11) }
   test("randomized churn (seed 12): no lost rows, no phantoms") { run(12) }
+
+  test("randomized churn, DISTRIBUTED build path forced (seed 13)") {
+    // the driver-local fast path covers every small fixture by default;
+    // zeroing its byte gate forces the executor transpose (the 100 TB
+    // path) through the same probe-vs-model invariants
+    spark.conf.set("spark.graft.index.driverBuildMaxBytes", "0")
+    try run(13)
+    finally spark.conf.unset("spark.graft.index.driverBuildMaxBytes")
+  }
 }
