@@ -204,8 +204,9 @@ object IncrementalMv {
     // the delta is small (changed groups only) but derives from a CDF
     // scan + aggregation; materialize it ONCE — the emptiness probe, the
     // min/max enrichment join, and the merge's full-outer join all read
-    // the checkpointed rows instead of re-running the feed aggregation
-    val delta = delta0.localCheckpoint(true)
+    // the persisted rows instead of re-running the feed aggregation.
+    // persistedCut keeps lineage (r14): executor-loss-recoverable.
+    val delta = org.apache.spark.sql.graft.Bridge.persistedCut(delta0)
     if (delta.isEmpty) {
       // a range of property-only / reorganization commits: nothing to
       // apply, just move the applied-through pointer — CAS'd, so a

@@ -1068,6 +1068,12 @@ final class LakeTable private (
         case _: GlobalLimit | _: LocalLimit | _: Sample | _: Tail => true
         case p => p.expressions.exists(e => !e.deterministic)
       }.isDefined
+      // localCheckpoint (NO lineage) is deliberate here, unlike the
+      // engine's other eager cuts (Bridge.persistedCut): the frame is
+      // non-deterministic, so a lineage-based recompute after executor
+      // loss would silently yield DIFFERENT rows mid-merge — failing
+      // the merge (caller retries, sees a consistent snapshot) is the
+      // correct behavior.
       if (unstable) source.localCheckpoint(eager = true) else source
     }
 
@@ -1662,7 +1668,10 @@ final class LakeTable private (
     // rows actually removed — or worse, remove rows the census never
     // counted. localCheckpoint pins ONE materialization (stale sets are
     // maintenance-sized: deleted ids, never the table) and both jobs
-    // read the same bytes.
+    // read the same bytes. NO lineage on purpose (vs Bridge.persistedCut
+    // elsewhere): the caller frame may be non-deterministic, so a
+    // recompute after executor loss could desync the two jobs — failing
+    // and recomputing the stale set is the correct behavior.
     val staleKeys = stale.select(joinCols.map(col): _*).distinct()
       .localCheckpoint()
     // one pass: which files hold stale rows, and how many each — the

@@ -201,9 +201,12 @@ object Dedup {
     * changes nothing. O(component diameter) rounds, each ONE
     * shuffle-join + aggregation — near-dup clusters are shallow (a few
     * hops), so this terminates in a handful of rounds at any corpus
-    * size; every round materializes through localCheckpoint so the plan
-    * (and lineage) stays FLAT — persist alone leaves an exponentially
-    * deepening logical tree under iteration.
+    * size; every round materializes through an eager persisted cut
+    * (Bridge.persistedCut) so the LOGICAL plan stays FLAT — plain
+    * persist leaves an exponentially deepening logical tree under
+    * iteration. The cut keeps RDD lineage (one persisted hop per
+    * round), so an executor loss recomputes from the previous round's
+    * blocks instead of failing the job (r14, VERDICT r13 #2).
     *
     * @return (id, component) for every vertex that appears in `pairs`;
     *         component = the smallest id in the cluster
@@ -211,13 +214,13 @@ object Dedup {
   def components(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
     // undirected: keep both directions so propagation is symmetric
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
+    val edges = org.apache.spark.sql.graft.Bridge.persistedCut(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
+    var labels = org.apache.spark.sql.graft.Bridge.persistedCut(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")))
     val idType = pairs.schema(pairs.schema.fieldIndex(aCol)).dataType
     var iter = 0
     var converged = false
@@ -240,14 +243,14 @@ object Dedup {
         if (changed) acc.add(1L)
         true
       }
-      labels = labels.select(col("id"), col("component"),
-        col("component").as("prev"))
-        .unionByName(viaNeighbors)
-        .groupBy("id").agg(min("component").as("component"),
-          max("prev").as("prev"))
-        .where(bump(col("component") =!= col("prev")))
-        .select("id", "component")
-        .localCheckpoint(true)
+      labels = org.apache.spark.sql.graft.Bridge.persistedCut(
+        labels.select(col("id"), col("component"),
+          col("component").as("prev"))
+          .unionByName(viaNeighbors)
+          .groupBy("id").agg(min("component").as("component"),
+            max("prev").as("prev"))
+          .where(bump(col("component") =!= col("prev")))
+          .select("id", "component"))
       converged = acc.value == 0L
       iter += 1
     }
@@ -681,10 +684,10 @@ object Dedup {
       // exact-verification join consume these pairs, and without the cut
       // the postings IN-read + band join re-evaluated for each (pairs
       // are micro-batch bounded — distinct (corpus, batch) id pairs)
-      val candPairs = corpusPosts
-        .join(hinted(banded.select(col("__bid"), col("key"))), Seq("key"))
-        .select(col("id").as("__cid"), col("__bid")).distinct()
-        .localCheckpoint()
+      val candPairs = org.apache.spark.sql.graft.Bridge.persistedCut(
+        corpusPosts
+          .join(hinted(banded.select(col("__bid"), col("key"))), Seq("key"))
+          .select(col("id").as("__cid"), col("__bid")).distinct())
       // exact verification needs the corpus text: by-id IN read when
       // bounded (file skipping again), else a distributed semi-join
       val candIds = candPairs.select(col("__cid")).distinct()
@@ -725,7 +728,8 @@ object Dedup {
         .select(col("__idb").as(idCol))
       // materialized eagerly (batch-bounded rows) so the returned plan
       // no longer references the cached sig after the unpersist below
-      val dups = corpusDups.unionByName(batchDups).distinct().localCheckpoint()
+      val dups = org.apache.spark.sql.graft.Bridge.persistedCut(
+        corpusDups.unionByName(batchDups).distinct())
       batch.join(hinted(dups), Seq(idCol), "left_anti")
     } finally sig.unpersist()
   }
@@ -1191,7 +1195,8 @@ object Dedup {
         .select(col("__idb").as(idCol))
       // materialized eagerly (batch-bounded rows) so the returned plan
       // no longer references the cached probes after the unpersist below
-      val dups = corpusDups.unionByName(batchDups).distinct().localCheckpoint()
+      val dups = org.apache.spark.sql.graft.Bridge.persistedCut(
+        corpusDups.unionByName(batchDups).distinct())
       batch.join(hinted(dups), Seq(idCol), "left_anti")
     } finally probes.unpersist()
   }

@@ -59,12 +59,12 @@ object Search {
     val stats = toksLen.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("doc_len")).as("avg_len"))
     val terms = query.map(_.toLowerCase).distinct
-    val hits = toksLen
+    // persistedCut keeps lineage (r14): executor-loss-recoverable.
+    val hits = org.apache.spark.sql.graft.Bridge.persistedCut(toksLen
       .select(col("doc_id"), col("doc_len"), explode(col("__toks")).as("term"))
       .where(col("term").isin(terms: _*))
       .groupBy("doc_id", "doc_len", "term")
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .agg(count(lit(1)).as("tf")))
     val docFreq = hits.groupBy("term")
       .agg(countDistinct(col("doc_id")).cast("double").as("df"))
     hits

@@ -60,9 +60,10 @@ object Sketches {
     // materialize the state ONCE: the self-join would otherwise run the
     // whole upstream sketch aggregation twice (once per side) and ship
     // its fat update-mode partial buffers through two shuffles. Sketch
-    // state is m small rows BY DESIGN (that's the op's premise), so an
-    // eager localCheckpoint is cheap and truncates the lineage.
-    val st = sketches.localCheckpoint()
+    // state is m small rows BY DESIGN (that's the op's premise), so the
+    // eager cut is cheap; persistedCut keeps lineage (r14, VERDICT r13
+    // #2) so an executor loss recomputes instead of failing.
+    val st = org.apache.spark.sql.graft.Bridge.persistedCut(sketches)
     val a = st.select(col(keyCol).as("a"), col("theta").as("__ta"))
     val b = st.select(col(keyCol).as("b"), col("theta").as("__tb"))
     val common = theta_sketch_estimate(
@@ -75,14 +76,14 @@ object Sketches {
     // pass would otherwise evaluate that join twice (measured: a14's
     // two identical 0.77 s jobs, sample + final). m² small result rows
     // by the op's premise, so the eager cut is as cheap as the one above.
-    a.join(b, col("a") < col("b"))
-      .select(col("a"), col("b"),
-        theta_sketch_estimate(col("__ta")).cast("long").as("n_a"),
-        theta_sketch_estimate(col("__tb")).cast("long").as("n_b"),
-        common.as("n_common"), uni.as("n_union"))
-      .withColumn("jaccard",
-        round(col("n_common").cast("double") / col("n_union").cast("double"), 6))
-      .localCheckpoint()
+    org.apache.spark.sql.graft.Bridge.persistedCut(
+      a.join(b, col("a") < col("b"))
+        .select(col("a"), col("b"),
+          theta_sketch_estimate(col("__ta")).cast("long").as("n_a"),
+          theta_sketch_estimate(col("__tb")).cast("long").as("n_b"),
+          common.as("n_common"), uni.as("n_union"))
+        .withColumn("jaccard",
+          round(col("n_common").cast("double") / col("n_union").cast("double"), 6)))
   }
 
   /** KLL quantile state per group — the quantile analog of

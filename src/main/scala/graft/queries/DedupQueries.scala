@@ -122,9 +122,12 @@ object DedupQueries extends QueryGroup {
     * queries is the whole candidate-generation + exact-verification
     * join. Pairs are << corpus by the ops' premise, so the eager cut is
     * one small job and the verification arithmetic runs once (r13).
+    * persistedCut keeps lineage (r14, VERDICT r13 #2): an executor loss
+    * recomputes lost partitions instead of failing the job.
     */
   private def orderedPairs(pairs: org.apache.spark.sql.DataFrame) =
-    pairs.localCheckpoint().orderBy(col("id_a"), col("id_b"))
+    org.apache.spark.sql.graft.Bridge.persistedCut(pairs)
+      .orderBy(col("id_a"), col("id_b"))
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -265,7 +265,8 @@ object TpchQueries extends QueryGroup {
         // plan copy; `revenue` is one small row per supplier at any
         // scale, so an eager materialization costs one tiny write and
         // both consumers (the join side and the max) read it.
-        val revenueM = revenue.localCheckpoint()
+        // persistedCut keeps lineage (r14): executor-loss-recoverable.
+        val revenueM = org.apache.spark.sql.graft.Bridge.persistedCut(revenue)
         val maxRev = revenueM.agg(max(col("total_revenue")).as("mr"))
         Tables.supplier(s, d)
           .join(revenueM, col("s_suppkey") === col("l_suppkey"))
@@ -450,9 +451,10 @@ object TpchQueries extends QueryGroup {
         // r13: cut the per-part aggregate once — the scalar-threshold arm
         // re-evaluated the whole natLines join+aggregate as its second
         // plan copy; byPart is one small row per part at any scale.
-        val byPart = natLines.groupBy(col("l_partkey"))
-          .agg(sum(col("l_quantity")).as("value"))
-          .localCheckpoint()
+        // persistedCut keeps lineage (r14): executor-loss-recoverable.
+        val byPart = org.apache.spark.sql.graft.Bridge.persistedCut(
+          natLines.groupBy(col("l_partkey"))
+            .agg(sum(col("l_quantity")).as("value")))
         val threshold = byPart.agg((sum(col("value")) * 0.002).as("thr"))
         byPart.join(broadcast(threshold), col("value") > col("thr"))
           .select(col("l_partkey"), col("value"))

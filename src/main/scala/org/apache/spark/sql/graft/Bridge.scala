@@ -59,4 +59,35 @@ object Bridge {
       org.apache.spark.sql.classic.Dataset.ofRows(twin, df.queryExecution.analyzed)
     }
   }
+
+  /** Fault-tolerant eager cut (the `localCheckpoint(true)` replacement,
+    * VERDICT r13 #2): evaluate `df` ONCE now, keep the rows PERSISTED
+    * (memory, spilling to disk), and return a frame whose plan is just
+    * the materialized RDD — downstream passes (a global sort's range
+    * sampling, a threshold arm, a second aggregation) re-read the rows
+    * instead of re-executing the upstream subplan.
+    *
+    * Differences from `localCheckpoint(eager = true)`, same shape
+    * otherwise (this mirrors Dataset.checkpoint's body minus the
+    * lineage truncation):
+    *  - the persisted RDD KEEPS its lineage, so on a real cluster an
+    *    executor loss recomputes the missing partitions from the DAG
+    *    instead of failing the job unrecoverably — localCheckpoint
+    *    stores blocks executor-local with NO lineage to rebuild them;
+    *  - blocks spill to disk under memory pressure rather than
+    *    evicting silently.
+    * Cleanup matches localCheckpoint's: the persisted blocks are
+    * dropped by the ContextCleaner when the RDD becomes unreachable —
+    * nothing registers in the session CacheManager, so no per-query
+    * cache entries accumulate across a long session.
+    */
+  def persistedCut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val rdd = ds.queryExecution.executedPlan.execute().map(_.copy())
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.count() // eager: the single evaluation happens HERE
+    org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD
+        .fromDataset(rdd, ds, isStreaming = false))
+  }
 }
