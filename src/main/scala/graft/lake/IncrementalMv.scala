@@ -205,9 +205,11 @@ object IncrementalMv {
     // scan + aggregation; materialize it ONCE — the emptiness probe, the
     // min/max enrichment join, and the merge's full-outer join all read
     // the persisted rows instead of re-running the feed aggregation.
-    // persistedCut keeps lineage (r14): executor-loss-recoverable.
-    val delta = org.apache.spark.sql.graft.Bridge.persistedCut(delta0)
-    if (delta.isEmpty) {
+    // persistedCut keeps lineage (r14): executor-loss-recoverable; its
+    // counted variant makes the emptiness probe free (one fewer job).
+    val (delta, deltaRows) =
+      org.apache.spark.sql.graft.Bridge.persistedCutCounted(delta0)
+    if (deltaRows == 0L) {
       // a range of property-only / reorganization commits: nothing to
       // apply, just move the applied-through pointer — CAS'd, so a
       // concurrent refresh that already advanced it (possibly past

@@ -1158,10 +1158,25 @@ final class LakeTable private (
     // row carries its physical identity (__dv_path, __dv_idx) — the DV
     // path bitmaps exactly these, and multi-match ambiguity is detected
     // on them without generating row ids.
+    //
+    // FUSED single pass (r14, VERDICT r13 #4): on the DV path without a
+    // change feed, the claims aggregation rides the new-rows WRITE job
+    // as an observed metric (Dataset.observe + MergeClaimsAgg), so the
+    // join is computed exactly once with NO cache — instead of
+    // cache-materialize (pass 1: claims aggregation) + cache re-read
+    // (pass 2: new-rows projection). Observed metrics are exactly-once
+    // per partition (the scheduler accepts only the first successful
+    // completion), and CollectMetrics is a pushdown barrier, so the
+    // keep-filter above it cannot drop rows from the claims. The CDC
+    // path keeps the cache: its per-clause change images re-read the
+    // join several times; the CoW path keeps it for the same reason
+    // (ambiguity probe + full rewrite).
+    val fuseClaims = useDvs && !cdfEnabled(snap)
     val tRows = readFilesInternal(snap, touched, withMeta = true)
       .withColumn("__tgt", lit(true))
     val sRows = src.withColumn("__src", lit(true))
-    val joined = tRows.alias("t").join(sRows.alias("s"), condition, "full_outer").cache()
+    val joinedBase = tRows.alias("t").join(sRows.alias("s"), condition, "full_outer")
+    val joined = if (fuseClaims) joinedBase else joinedBase.cache()
     try {
       def assemble(assigns: Map[String, Column], fromSource: Boolean): Seq[Column] =
         tgtSchema.fields.map { f =>
@@ -1201,7 +1216,8 @@ final class LakeTable private (
         * it once per MERGE — per-commit cost at 100 TB tracks the join,
         * not the clause count. (VERDICT r2 #7)
         */
-      def newRowsOnePass(includeKept: Boolean): Option[DataFrame] = {
+      def newRowsOnePass(includeKept: Boolean,
+          base: DataFrame = joined): Option[DataFrame] = {
         case class Emit(g: Int, i: Int, assigns: Map[String, Column],
           fromSource: Boolean)
         def emitsOf(g: Int, clauses: Seq[MergeClause]): Seq[Emit] =
@@ -1223,7 +1239,7 @@ final class LakeTable private (
         if (emits.isEmpty) return None
         val isMatched = col("t.__tgt").isNotNull && col("s.__src").isNotNull
         val isTgtOnly = col("t.__tgt").isNotNull && col("s.__src").isNull
-        val tagged = joined
+        val tagged = base
           .withColumn("__g", when(isMatched, 0).when(isTgtOnly, 1).otherwise(2))
           .withColumn("__a",
             when(isMatched, actionExpr(matchedClauses))
@@ -1256,20 +1272,59 @@ final class LakeTable private (
       val bySrcT = tag(targetOnly, notMatchedBySourceClauses)
       val srcT = tag(sourceOnly, notMatchedClauses)
 
-      // DV path: one aggregation job decides BOTH multi-match ambiguity
-      // and the claimed old row versions (the bitmap input). The claim
-      // bitmaps are built ON EXECUTORS ([[DvAgg]]) and the driver receives
-      // one (file, bitmap blob, maxMatches) row per affected FILE — never
-      // a row per claimed target row. The CoW path never collects claims
-      // to the driver, so it keeps a short-circuit ambiguity probe instead.
-      val perFileClaims: Array[Row] =
-        if (!useDvs) Array.empty
-        else {
-          val matched = col("s.__src").isNotNull
+      // DV path: ONE pass decides BOTH multi-match ambiguity and the
+      // claimed old row versions (the bitmap input). The claim bitmaps
+      // are built ON EXECUTORS ([[MergeClaimsAgg]] fused / [[DvAgg]]
+      // unfused) and the driver receives one (file, bitmap blob,
+      // maxMatches) record per affected FILE — never a row per claimed
+      // target row. The CoW path never collects claims to the driver,
+      // so it keeps a short-circuit ambiguity probe instead.
+      val matchedCol = col("t.__tgt").isNotNull && col("s.__src").isNotNull
+      val tgtOnlyCol = col("t.__tgt").isNotNull && col("s.__src").isNull
+      def claimsCols = Seq(
+        coalesce(col("t.__dv_path"), lit("")),
+        coalesce(col("t.__dv_idx"), lit(-1L)),
+        matchedCol,
+        when(matchedCol, actionExpr(matchedClauses))
+          .when(tgtOnlyCol, actionExpr(notMatchedBySourceClauses))
+          .otherwise(lit(-1)))
+      // fused path only: the new-rows AddFiles, staged by the same job
+      // that observed the claims (on the ambiguity error path below the
+      // staged files stay uncommitted — vacuum-reapable orphans, the
+      // same as any failed commit)
+      var fusedAppendedAdds: Option[Seq[AddFile]] = None
+      val claimsByPath: Map[String, MergeFileClaims] =
+        if (!useDvs) Map.empty
+        else if (fuseClaims) {
+          val obs = new org.apache.spark.sql.Observation()
+          val observed = joined.observe(obs,
+            MergeClaimsAgg.claims(claimsCols: _*).as("__claims"))
+          newRowsOnePass(includeKept = false, base = observed) match {
+            case Some(nr) =>
+              // the single pass: write new rows, claims fall out as the
+              // observed metric. The plan contains the merge join, so
+              // stageFiles never rebinds it away from the session the
+              // observation listens on.
+              fusedAppendedAdds = Some(LakeTable.stageFiles(spark, path, nr,
+                tgtSchema, snap.metaData.partitionColumns,
+                Bucketing.specOf(snap.metaData), Constraints.of(snap.metaData),
+                snap.metaData.properties))
+            case None => ()
+          }
+          val blob: Array[Byte] = fusedAppendedAdds match {
+            case Some(_) => obs.get("__claims").asInstanceOf[Array[Byte]]
+            case None => // no clause emits rows: one dedicated uncached pass
+              joined.agg(MergeClaimsAgg.claims(claimsCols: _*).as("__claims"))
+                .head().getAs[Array[Byte]](0)
+          }
+          val m = MergeClaimsAgg.decode(blob)
+          DmlMetrics.lastIdentityRowsCollected.set(m.size.toLong)
+          m
+        } else {
           val rows = joined.where(col("t.__tgt").isNotNull)
             .select(col("t.__dv_path").as("__p"), col("t.__dv_idx").as("__i"),
-              matched.as("__m"),
-              when(matched, actionExpr(matchedClauses))
+              col("s.__src").isNotNull.as("__m"),
+              when(col("s.__src").isNotNull, actionExpr(matchedClauses))
                 .otherwise(actionExpr(notMatchedBySourceClauses)).as("__a"))
             .groupBy("__p", "__i")
             .agg(count(when(col("__m"), lit(1))).as("__matches"),
@@ -1282,15 +1337,17 @@ final class LakeTable private (
               max(when(col("__matches") > 1, col("__i"))).as("__mmIdx"))
             .collect()
           DmlMetrics.lastIdentityRowsCollected.set(rows.length.toLong)
-          rows
+          rows.map(r => r.getAs[String]("__p") -> MergeFileClaims(
+            r.getAs[Array[Byte]]("__bm"), r.getAs[Long]("__mm"),
+            if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
         }
       if (useDvs) {
         if (matchedClauses.nonEmpty) {
-          perFileClaims.find(_.getAs[Long]("__mm") > 1).foreach { r =>
+          claimsByPath.find(_._2.maxMatches > 1).foreach { case (p, c) =>
             throw new IllegalArgumentException(
               "merge: a target row matches multiple source rows (e.g. row " +
-                s"${r.getAs[Long]("__mmIdx")} of ${r.getAs[String]("__p")} " +
-                s"matched ${r.getAs[Long]("__mm")} times); make the " +
+                s"${c.maxMatchesIdx} of $p " +
+                s"matched ${c.maxMatches} times); make the " +
                 "condition more specific")
           }
         }
@@ -1302,7 +1359,9 @@ final class LakeTable private (
           "merge: a target row matches multiple source rows; make the condition more specific")
       }
 
-      val newRows: Option[DataFrame] = newRowsOnePass(includeKept = false)
+      val newRows: Option[DataFrame] =
+        if (fuseClaims) None // fused: already staged with the claims pass
+        else newRowsOnePass(includeKept = false)
 
       /** Change-data rows for one tagged frame: update clauses emit a
         * pre/post image pair, deletes the old row, inserts the new one. */
@@ -1361,10 +1420,10 @@ final class LakeTable private (
       // aggregated into per-file bitmaps by the identity job above
       val byAbs = touched.map(f => absPath(f) -> f.path).toMap
       val claimedByFile: Map[String, org.roaringbitmap.longlong.Roaring64Bitmap] =
-        perFileClaims.flatMap { r =>
-          val bm = Dv.deserialize(r.getAs[Array[Byte]]("__bm"))
+        claimsByPath.flatMap { case (p, c) =>
+          val bm = Dv.deserialize(c.claims)
           if (bm.isEmpty) None // ambiguity-only file, no clause claimed a row
-          else byAbs.get(Stats.normalizeFileUri(r.getAs[String]("__p"))).map(_ -> bm)
+          else byAbs.get(Stats.normalizeFileUri(p)).map(_ -> bm)
         }.toMap
 
       val affected = touched.filter(f => claimedByFile.contains(f.path))
@@ -1405,12 +1464,12 @@ final class LakeTable private (
             props = snap.metaData.properties)
         }
 
-      val appendedAdds: Seq[AddFile] = newRows
+      val appendedAdds: Seq[AddFile] = fusedAppendedAdds.getOrElse(newRows
         .map(nr => LakeTable.stageFiles(spark, path, nr,
           tgtSchema, snap.metaData.partitionColumns,
           Bucketing.specOf(snap.metaData), Constraints.of(snap.metaData),
           snap.metaData.properties))
-        .getOrElse(Seq.empty)
+        .getOrElse(Seq.empty))
 
       val outputRows = appendedAdds.flatMap(_.stats.map(_.numRecords)).sum
       val removes = (fullMatch ++ dvTargets ++ rewriteTargets)

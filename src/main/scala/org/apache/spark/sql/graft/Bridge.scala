@@ -81,13 +81,21 @@ object Bridge {
     * nothing registers in the session CacheManager, so no per-query
     * cache entries accumulate across a long session.
     */
-  def persistedCut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def persistedCut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    persistedCutCounted(df)._1
+
+  /** [[persistedCut]] that also returns the materialized ROW COUNT —
+    * the eager evaluation is a count anyway, so callers that next ask
+    * `isEmpty`/`count()` (e.g. an incremental refresh probing for an
+    * empty delta) save that follow-up job.
+    */
+  def persistedCutCounted(df: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, Long) = {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val rdd = ds.queryExecution.executedPlan.execute().map(_.copy())
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rdd.count() // eager: the single evaluation happens HERE
-    org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession,
+    val n = rdd.count() // eager: the single evaluation happens HERE
+    (org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession,
       org.apache.spark.sql.execution.LogicalRDD
-        .fromDataset(rdd, ds, isStreaming = false))
+        .fromDataset(rdd, ds, isStreaming = false)), n)
   }
 }
