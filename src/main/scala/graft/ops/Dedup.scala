@@ -1058,23 +1058,24 @@ object Dedup {
       sampleSize: Int = 4096,
       seed: Long = 42L,
       maxBucket: Int = 4096): DataFrame = {
-    // empty / all-null-vector input: the natural empty pair set (the
-    // dim probe and centroid training would otherwise crash — e.g. the
-    // first wave of a from-scratch pipeline)
-    val firstDim = df.where(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).head(1)
-    if (firstDim.isEmpty)
-      return df.where(lit(false)).select(col(idCol).as("id_a"),
-        col(idCol).as("id_b"), lit(0.0).as("cosine"))
-    val dimN = firstDim(0).getInt(0)
     val v = df.select(col(idCol).as("id"),
       Similarity.normalized(col(vecCol)).as("nvec"))
       .repartition(col("id")) // materialize normalization once
-    val sample = v
+    val sampleRows = v
       .orderBy(xxhash64(col("id"), lit(seed))) // pseudo-random, deterministic
       .limit(sampleSize)
       .select("nvec").collect()
-      .map(_.getSeq[Double](0).toArray)
+    // empty / all-null-vector input: the natural empty pair set (the
+    // centroid training would otherwise crash — e.g. the first wave of
+    // a from-scratch pipeline). The dimensionality comes from the
+    // sample the training collects ANYWAY — a separate limit-1 dim
+    // probe job was pure fixed cost (r14).
+    val dimN = sampleRows.iterator.map(_.getSeq[Double](0))
+      .collectFirst { case s if s != null => s.length }.getOrElse {
+        return df.where(lit(false)).select(col(idCol).as("id_a"),
+          col(idCol).as("id_b"), lit(0.0).as("cosine"))
+      }
+    val sample = sampleRows.map(_.getSeq[Double](0).toArray)
     val centroids =
       Similarity.trainSphericalKMeans(sample, nClusters, dimN, iters = 10)
     clusterPairs(v, centroids, dimN, nProbe, threshold, maxBucket)

@@ -45,9 +45,15 @@ object WindowQueries extends QueryGroup {
         val w = Window.partitionBy(col("l_suppkey"))
           .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.lineitem(s, d)
-          .withColumn("running_qty", round(sum(col("l_quantity")).over(w), 2))
-          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+        // eager cut before the display sort (r14, VERDICT r13 #9): the
+        // global sort's range-sampling pass re-executed the whole
+        // window (shuffle + partition sort) as its second plan copy;
+        // the sort keys include the window output, so sort-then-compute
+        // cannot apply — materialize once instead.
+        org.apache.spark.sql.graft.Bridge.persistedCut(
+          Tables.lineitem(s, d)
+            .withColumn("running_qty", round(sum(col("l_quantity")).over(w), 2))
+            .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty")))
           .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
       },
       Some("""

@@ -113,8 +113,14 @@ class PartitionEvolutionSpec extends AnyFunSuite {
     assert(t.reorganize() === 500L) // only the flat generation rewrites
     val after = t.snapshot.files
     // one layout remains, current-spec files untouched
-    assert(after.forall(_.partitionValues.keySet == Set("p")))
-    assert(newGenFiles.subsetOf(after.map(_.path).toSet))
+    assert(after.forall(_.partitionValues.keySet == Set("p")),
+      s"mixed layouts after reorganize: " +
+        after.map(f => s"${f.path}=${f.partitionValues.keySet.mkString("+")}")
+          .mkString(", "))
+    assert(newGenFiles.subsetOf(after.map(_.path).toSet),
+      s"current-spec files rewritten by reorganize: missing " +
+        (newGenFiles -- after.map(_.path).toSet).mkString(", ") +
+        s"; after=${after.map(_.path).mkString(", ")}")
     assert(t.history.select("operation").head.getString(0) === "REORGANIZE")
     // content unchanged; pruning now applies to every file
     assert(t.toDF.collect().toSet === batch(0, 1000).collect().toSet)
@@ -127,10 +133,15 @@ class PartitionEvolutionSpec extends AnyFunSuite {
     val t = LakeTable.create(spark, path, batch(0, 200))
     t.delete($"id" < 10L) // small fraction → DV sidecar, no rewrite
     def hasDv(f: AddFile) = f.dvPath.isDefined || f.dvInline.isDefined
-    assert(t.snapshot.files.exists(hasDv))
+    assert(t.snapshot.files.exists(hasDv),
+      s"expected a DV sidecar after the small delete, files: " +
+        t.snapshot.files.map(f => s"${f.path} dv=${f.dvPath}/${f.dvInline.isDefined}")
+          .mkString(", "))
     t.alterPartitionSpec(Seq("p"))
     assert(t.reorganize() === 190L) // live rows only
-    assert(!t.snapshot.files.exists(hasDv))
+    assert(!t.snapshot.files.exists(hasDv),
+      s"DV survived reorganize on: " +
+        t.snapshot.files.filter(hasDv).map(_.path).mkString(", "))
     assert(t.toDF.count() === 190)
     assert(t.toDF.where($"id" < 10L).count() === 0)
   }
@@ -147,7 +158,11 @@ class PartitionEvolutionSpec extends AnyFunSuite {
     val n = spark.sql("OPTIMIZE pevolake2.db.pevo_r REORGANIZE")
       .head().getLong(0)
     assert(n === 100L)
-    assert(t.snapshot.files.forall(_.partitionValues.keySet == Set("p")))
+    assert(t.snapshot.files.forall(_.partitionValues.keySet == Set("p")),
+      s"mixed layouts after SQL REORGANIZE: " +
+        t.snapshot.files
+          .map(f => s"${f.path}=${f.partitionValues.keySet.mkString("+")}")
+          .mkString(", "))
     assert(spark.sql("SELECT count(*) FROM pevolake2.db.pevo_r").head().getLong(0) === 200)
   }
 
