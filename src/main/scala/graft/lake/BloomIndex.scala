@@ -210,6 +210,76 @@ object BloomIndex {
         adds
     }
 
+  // ---- fused build: the bloom rides the staging WRITE job ---------------
+
+  /** Observe-side hash inputs for [[org.apache.spark.sql.graft.FusedBloomHashAgg]]:
+    * one nullable xxhash64 per indexed field, in [[indexedFields]]
+    * order — the same hash expression the read-side build projects, so
+    * parity holds by construction. */
+  private[lake] def fusedHashColumns(fields: Seq[StructField]): Seq[org.apache.spark.sql.Column] =
+    fields.map(f => when(col(f.name).isNotNull, xxhash64(col(f.name))))
+
+  /** [[attach]]'s fast path when the staging write ALREADY computed the
+    * per-file hashes as an observed metric ([[FusedBloomAgg]]): no
+    * second read of the written files, no build job at all. Blob
+    * entries key on the write stage's partition id, which (gated in
+    * stageFiles: no layout dirs, no bucketing, no maxRecordsPerFile)
+    * is exactly the part-NNNNN number in each written file's name.
+    * Files without a usable blob entry (hash-buffer overflow on a huge
+    * task, row-count mismatch, unparseable name) fall back to the
+    * classic [[attach]] — correctness never depends on the fusion.
+    */
+  def attachFused(
+      spark: SparkSession,
+      tablePath: String,
+      dataSchema: StructType,
+      adds: Seq[AddFile],
+      props: Map[String, String],
+      blob: Array[Byte]): Seq[AddFile] = {
+    val fields = indexedFields(props, dataSchema)
+    if (fields.isEmpty || adds.isEmpty) return adds
+    val fpp = props.get(FPP_PROP).flatMap(_.toDoubleOption)
+      .filter(p => p > 0 && p < 1).getOrElse(0.03)
+    val maxItems = props.get(MAX_ITEMS_PROP).flatMap(_.toLongOption)
+      .filter(_ > 0).getOrElse(4000000L)
+    val root = Paths.get(tablePath).toAbsolutePath.normalize
+    val colMeta: Seq[(String, String, Long)] =
+      fields.map(f => (f.name, f.dataType.catalogString,
+        LakeTable.fieldId(f).getOrElse(-1L)))
+    val parts = FusedBloomAgg.decode(blob, fields.size)
+    val partOfName = "^part-(\\d+)-".r
+    val (fused, residual) = adds.partition { a =>
+      val name = Paths.get(a.path).getFileName.toString
+      partOfName.findFirstMatchIn(name).map(_.group(1).toInt) match {
+        case Some(pid) => parts.get(pid).exists(p =>
+          !p.overflow && a.stats.forall(_.numRecords == p.rows))
+        case None => false
+      }
+    }
+    val out = fused.map { a =>
+      val name = Paths.get(a.path).getFileName.toString
+      val pid = partOfName.findFirstMatchIn(name).get.group(1).toInt
+      val p = parts(pid)
+      val expected = math.min(maxItems, math.max(64L, p.rows))
+      val blooms = Array.tabulate(fields.size) { c =>
+        val bf = BloomFilter.create(expected, fpp)
+        val hs = p.hashes(c)
+        var i = 0
+        while (i < hs.length) { bf.putLong(hs(i)); i += 1 }
+        bf
+      }
+      val rel = sidecarPathFor(a.path, colMeta, fpp, maxItems)
+      writeSidecar(root, rel, colMeta, blooms)
+      a.copy(bloomPath = Some(rel))
+    }
+    val residualOut =
+      if (residual.isEmpty) Seq.empty
+      else attach(spark, tablePath, dataSchema, residual, props)
+    // preserve the caller's AddFile order (commit actions are ordered)
+    val byPath = (out ++ residualOut).map(a => a.path -> a).toMap
+    adds.map(a => byPath.getOrElse(a.path, a))
+  }
+
   def attach(
       spark: SparkSession,
       tablePath: String,

@@ -3053,9 +3053,34 @@ object LakeTable {
         analyzed.exists(_.expressions.exists(_.exists(
           _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression])))
     }
-    val writeDf =
+    val dataSchema = StructType(schema.filterNot(f => partitionCols.contains(f.name)))
+    // Fused bloom build (r14): when the table is bloom-indexed and the
+    // layout is flat (no hive dirs, no bucketing, no maxRecordsPerFile
+    // splits — so write-stage partition N produces exactly the
+    // part-0000N file), the per-file filters' hashes are collected as
+    // an OBSERVED metric of this same write job, and the post-write
+    // bloom step writes sidecars with no second read and no job of its
+    // own. Oversized tasks overflow their hash buffer and fall back to
+    // the classic read-side build per file.
+    val bloomFields = BloomIndex.indexedFields(props, dataSchema)
+    val fuseBloom = bloomFields.nonEmpty && writeCols.isEmpty &&
+      bucketSpec.isEmpty && spark.sessionState.conf.maxRecordsPerFile <= 0 &&
+      !spark.conf.getOption("spark.graft.bloom.fused").exists(
+        _.trim.equalsIgnoreCase("false"))
+    val bloomObs =
+      if (fuseBloom) Some(new org.apache.spark.sql.Observation()) else None
+    val writeDf0 =
       if (aqeCanHelp) df3
       else org.apache.spark.sql.graft.Bridge.rebindAdaptiveDisabled(df3)
+    val writeDf = bloomObs match {
+      case Some(o) =>
+        val cap = spark.conf.getOption("spark.graft.bloom.fusedMaxHashesPerCol")
+          .flatMap(_.toIntOption).filter(_ > 0)
+          .getOrElse(FusedBloomAgg.DEFAULT_CAP)
+        writeDf0.observe(o, org.apache.spark.sql.graft.FusedBloomHashAgg
+          .metric(BloomIndex.fusedHashColumns(bloomFields), cap).as("__bloom"))
+      case None => writeDf0
+    }
     val writer = writeDf.write.mode("overwrite")
     graft.util.Prof(s"stage.write $tablePath") {
       (if (writeCols.nonEmpty) writer.partitionBy(writeCols: _*) else writer)
@@ -3085,8 +3110,13 @@ object LakeTable {
     }
     rmdir(staging)
 
-    if (moved.isEmpty) return Seq.empty
-    val dataSchema = StructType(schema.filterNot(f => partitionCols.contains(f.name)))
+    if (moved.isEmpty) {
+      // drain the observation so its listener unregisters
+      bloomObs.foreach(o => try o.get catch {
+        case scala.util.control.NonFatal(_) => ()
+      })
+      return Seq.empty
+    }
     val statsMap = graft.util.Prof(s"stage.stats ${moved.size}f") {
       Stats.collectFromFooters(spark, dataSchema, moved.map(_._2.toString).toSeq)
     }
@@ -3101,7 +3131,20 @@ object LakeTable {
     // rides AFTER stats so sizing uses exact per-file row counts, and
     // best-effort — a failed index build never fails the data write
     graft.util.Prof(s"stage.bloom ${adds.size}f") {
-      BloomIndex.attachBestEffort(spark, tablePath, dataSchema, adds, props)
+      bloomObs match {
+        case Some(o) =>
+          try BloomIndex.attachFused(spark, tablePath, dataSchema, adds, props,
+            o.get("__bloom").asInstanceOf[Array[Byte]])
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"fused bloom build failed for $tablePath, " +
+                  s"falling back to the read-side build: $e")
+              BloomIndex.attachBestEffort(spark, tablePath, dataSchema, adds, props)
+          }
+        case None =>
+          BloomIndex.attachBestEffort(spark, tablePath, dataSchema, adds, props)
+      }
     }
   }
 }

@@ -543,4 +543,42 @@ class BloomIndexSpec extends AnyFunSuite {
     val ids = out.map(_._1).toSet
     (0L until 128L by 2L).foreach(k => assert(ids.contains(k)))
   }
+
+  test("fused write-side build matches the classic read-side build") {
+    // same fixture twice: once with the fused hash cap forced to a few
+    // hashes per task (every partition overflows -> classic read-side
+    // fallback), once default (fused). Sidecar contents must be
+    // bit-identical per file modulo file names: same filter geometry
+    // (sizing is rows-based on both paths), same probe verdicts.
+    def build(path: String): LakeTable = unclusteredTable(path)
+    val fusedPath = tmpDir()
+    val tFused = build(fusedPath)
+    spark.conf.set("spark.graft.bloom.fusedMaxHashesPerCol", "2")
+    val classicPath = tmpDir()
+    val tClassic =
+      try build(classicPath)
+      finally spark.conf.unset("spark.graft.bloom.fusedMaxHashesPerCol")
+    assert(tFused.snapshot.files.forall(_.bloomPath.isDefined))
+    assert(tClassic.snapshot.files.forall(_.bloomPath.isDefined))
+    // identical pruning verdicts on hits and provably-absent keys
+    (0L until 128L).foreach { k =>
+      val a = tFused.read($"id" === k).inputFiles.length
+      val b = tClassic.read($"id" === k).inputFiles.length
+      assert(a === b, s"fused/classic pruning diverged on id=$k: $a vs $b")
+    }
+    assert(tFused.read($"id" === 3L).isEmpty)
+    assert(tFused.read($"id" === 8L).count() === 1L)
+    // geometry parity: the consolidated-index section keys derive from
+    // (words, k), so fused sidecars must match the classic sizing
+    val fusedHeads = tFused.snapshot.files.flatMap(f =>
+      BloomIndex.readSidecarHeaders(
+        Paths.get(fusedPath).resolve(f.bloomPath.get)))
+      .flatMap(_.map(c => (c.name, c.words, c.k))).sorted
+    val classicHeads = tClassic.snapshot.files.flatMap(f =>
+      BloomIndex.readSidecarHeaders(
+        Paths.get(classicPath).resolve(f.bloomPath.get)))
+      .flatMap(_.map(c => (c.name, c.words, c.k))).sorted
+    assert(fusedHeads === classicHeads,
+      s"filter geometry diverged: $fusedHeads vs $classicHeads")
+  }
 }
