@@ -408,6 +408,14 @@ object Dedup {
   private def minhashPostings(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
+    // NOTE (r14, measured and rejected): spreading the rows with an
+    // explicit repartition(defaultParallelism, id) before this
+    // projection — the §2.5 input-skew move for a 1-partition corpus
+    // scan — did NOT pay at bench scale: the unsplittable scan + raw
+    // text shuffle-write still serializes ~half the work, and the extra
+    // exchange eats the parallel-signature gain (3 paired one-shot
+    // pairs, no winner). At real scale the corpus scan splits past the
+    // core count on its own, so the move has no target there either.
     df.withColumn("__sh", shingleHashes(col(textCol), shingleN))
       .where(size(col("__sh")) > 0)
       .withColumn("__sig", minhashSignatureFromHashes(col("__sh"), k))
