@@ -1296,27 +1296,31 @@ final class LakeTable private (
       val claimsByPath: Map[String, MergeFileClaims] =
         if (!useDvs) Map.empty
         else if (fuseClaims) {
-          val obs = new org.apache.spark.sql.Observation()
-          val observed = joined.observe(obs,
-            MergeClaimsAgg.claims(claimsCols: _*).as("__claims"))
-          newRowsOnePass(includeKept = false, base = observed) match {
-            case Some(nr) =>
-              // the single pass: write new rows, claims fall out as the
-              // observed metric. The plan contains the merge join, so
-              // stageFiles never rebinds it away from the session the
-              // observation listens on.
-              fusedAppendedAdds = Some(LakeTable.stageFiles(spark, path, nr,
-                tgtSchema, snap.metaData.partitionColumns,
-                Bucketing.specOf(snap.metaData), Constraints.of(snap.metaData),
-                snap.metaData.properties))
-            case None => ()
+          // only register the observation when some clause actually
+          // emits rows (update/insert) — otherwise the observed plan
+          // never executes and the registered listener would leak
+          val hasEmits = (matchedClauses ++ notMatchedBySourceClauses ++
+            notMatchedClauses).exists {
+            case _: MergeClause.Update | _: MergeClause.Insert => true
+            case _ => false
           }
-          val blob: Array[Byte] = fusedAppendedAdds match {
-            case Some(_) => obs.get("__claims").asInstanceOf[Array[Byte]]
-            case None => // no clause emits rows: one dedicated uncached pass
-              joined.agg(MergeClaimsAgg.claims(claimsCols: _*).as("__claims"))
-                .head().getAs[Array[Byte]](0)
-          }
+          val blob: Array[Byte] = if (hasEmits) {
+            val obs = new org.apache.spark.sql.Observation()
+            val observed = joined.observe(obs,
+              MergeClaimsAgg.claims(claimsCols: _*).as("__claims"))
+            // the single pass: write new rows, claims fall out as the
+            // observed metric. The plan contains the merge join, so
+            // stageFiles never rebinds it away from the session the
+            // observation listens on.
+            fusedAppendedAdds = Some(LakeTable.stageFiles(spark, path,
+              newRowsOnePass(includeKept = false, base = observed).get,
+              tgtSchema, snap.metaData.partitionColumns,
+              Bucketing.specOf(snap.metaData), Constraints.of(snap.metaData),
+              snap.metaData.properties))
+            obs.get("__claims").asInstanceOf[Array[Byte]]
+          } else // delete-only clauses: one dedicated uncached pass
+            joined.agg(MergeClaimsAgg.claims(claimsCols: _*).as("__claims"))
+              .head().getAs[Array[Byte]](0)
           val m = MergeClaimsAgg.decode(blob)
           DmlMetrics.lastIdentityRowsCollected.set(m.size.toLong)
           m
