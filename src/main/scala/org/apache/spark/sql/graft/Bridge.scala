@@ -38,27 +38,48 @@ object Bridge {
     }
   }
 
-  /** Rebind `df`'s analyzed plan to a FRESH clone of its session with
+  /** Rebind `df`'s analyzed plan to a clone of its session with
     * adaptive execution disabled. A write command run through the
     * returned frame is planned non-adaptively, because the conf that
     * `SQLExecution.withNewExecutionId` propagates is the CLONE's.
-    * The clone shares the SparkContext, SharedState (so the cache
-    * manager still deduplicates cached subplans) and, being cloned per
-    * call, every current session conf except `spark.sql.adaptive.*` —
-    * a later user conf change can never go stale here. Clone cost is
-    * ~1 ms, far below the per-stage re-optimize + re-codegen AQE adds
-    * to a multi-stage write (~0.15 s measured on a small staged
-    * commit).
+    * The clone shares the SparkContext and SharedState (so the cache
+    * manager still deduplicates cached subplans).
+    *
+    * The twin is CACHED per base session and re-cloned only when the
+    * base session's explicitly-set confs change (compared by
+    * `getAllConfs`, ~0.1 ms): every `cloneSession()` registers its own
+    * ExecutionListenerBus on the SHARED LiveListenerBus, so cloning per
+    * staging write leaked one bus listener per commit — hundreds per
+    * bench run, a session-wide event-dispatch slowdown that only
+    * clears when the dropped twins are GC'd. Conf-change invalidation
+    * keeps the twin exactly as fresh as clone-per-call for everything
+    * a write reads from the session conf.
     */
   def rebindAdaptiveDisabled(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val session = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     if (!session.sessionState.conf.adaptiveExecutionEnabled) df
     else {
-      val twin = session.cloneSession()
-      twin.conf.set("spark.sql.adaptive.enabled", "false")
+      val confs = session.sessionState.conf.getAllConfs
+      val twin = twinCache.synchronized {
+        Option(twinCache.get(session)) match {
+          case Some((cachedConfs, cachedTwin)) if cachedConfs == confs =>
+            cachedTwin
+          case _ =>
+            val t = session.cloneSession()
+            t.conf.set("spark.sql.adaptive.enabled", "false")
+            twinCache.put(session, (confs, t))
+            t
+        }
+      }
       org.apache.spark.sql.classic.Dataset.ofRows(twin, df.queryExecution.analyzed)
     }
   }
+
+  // weak keys: a dropped session releases its twin (whose listener bus
+  // entry self-unregisters once the twin is collected)
+  private val twinCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      (Map[String, String], org.apache.spark.sql.classic.SparkSession)]()
 
   /** Fault-tolerant eager cut (the `localCheckpoint(true)` replacement,
     * VERDICT r13 #2): evaluate `df` ONCE now, keep the rows PERSISTED
